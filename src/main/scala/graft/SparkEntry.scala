@@ -1,13 +1,205 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{SortKey, Table}
+import graft.expr.LQuery
+import graft.operators.{Aggregates => A, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2. Every query:
+  *  - reads the driver's parquet tables under `dir`,
+  *  - ends in a deterministic total ORDER BY (mirrored in the oracle SQL),
+  *  - rounds floating aggregates (both sides) so double summation order
+  *    cannot flip the hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- table readers -------------------------------------------------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * long (nanosAsLong). Normalize to a microsecond TimestampNTZ — the
+    * same truncation DuckDB's TIMESTAMP_NS -> TIMESTAMP cast applies. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000).cast(LongType)).cast(TimestampNTZType))
+    else raw
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- the operator inventory ----------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.7 grouped aggregation over built-ins (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.4 LQuery filter with any-referenced-null-excludes semantics
+    "q_filter" -> ((s, dir) => {
+      import LQuery._
+      val pred = (at("l_quantity") < lit(14.0)) && (at("l_discount") > lit(0.05))
+      Table.of(t(s, dir, "lineitem"))
+        .filter(pred.toFilter)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .toDF
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.4 LQuery map/each: arithmetic, ternary, calendar fields, int div/mod
+    "q_map" -> ((s, dir) => {
+      import LQuery._
+      val revenue = at("l_extendedprice") * (lit(1.0) - at("l_discount"))
+      val bigQty = condition(at("l_quantity") > lit(25.0), lit(1L), lit(0L))
+      Table.of(t(s, dir, "lineitem"))
+        .each("revenue", round(revenue.toMap, 4))
+        .each("ship_year", at("l_shipdate").year_.toMap)
+        .each("ship_month", at("l_shipdate").month_.toMap)
+        .each("ship_day", at("l_shipdate").day.toMap)
+        .each("half_line", at("l_linenumber").divLong(lit(2L)).toMap)
+        .each("line_mod", (at("l_linenumber") % lit(2L)).toMap)
+        .each("big_qty", bigQty.toMap)
+        .select(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("ship_year"),
+          col("ship_month"), col("ship_day"), col("half_line"), col("line_mod"), col("big_qty"))
+        .toDF
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.6 multi-key stable sort (order surfaced as explicit rank column)
+    "q_sort" -> ((s, dir) => {
+      Table.fromDF(t(s, dir, "orders"), Seq(col("o_orderkey")))
+        .sortBy(Seq(SortKey("o_orderpriority", ascending = true, nullsFirst = true),
+                    SortKey("o_totalprice", ascending = false, nullsFirst = false)))
+        .indexed
+        .withColumnRenamed(Table.RowIdx, "rank")
+        .select(col("rank"), col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("rank"))
+    }),
+
+    // §2.3 slice over the defined row order
+    "q_slice" -> ((s, dir) => {
+      Table.fromDF(t(s, dir, "orders"), Seq(col("o_orderkey")))
+        .slice(100, 50)
+        .indexed
+        .withColumnRenamed(Table.RowIdx, "pos")
+        .select(col("pos"), col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("pos"))
+    }),
+
+    // §2.3 shift (lag) over the row order
+    "q_shift" -> ((s, dir) => {
+      Table.fromDF(events(s, dir), Seq(col("event_id")))
+        .shift("value", 1)
+        .indexed
+        .select(col("event_id"), col("value"), col("value_shift_1"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.5 native-Spark extension: 3-way join + agg (TPC-H Q3 shape);
+    // nation/customer sides are broadcast-able dims at any scale
+    "q_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+
+    // §2.6 top-k = sort + take (TakeOrderedAndProject physical plan)
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same table names) -------------------
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity < 14.0 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+        |  year(l_shipdate) AS ship_year,
+        |  month(l_shipdate) AS ship_month,
+        |  day(l_shipdate) AS ship_day,
+        |  l_linenumber // 2 AS half_line,
+        |  l_linenumber % 2 AS line_mod,
+        |  CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END AS big_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sort" ->
+      """SELECT row_number() OVER (ORDER BY o_orderpriority ASC NULLS FIRST,
+        |                                   o_totalprice DESC NULLS LAST,
+        |                                   o_orderkey ASC) - 1 AS rank,
+        |  o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |ORDER BY rank""".stripMargin,
+
+    "q_slice" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) - 101 AS pos,
+        |  o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q_shift" ->
+      """SELECT event_id, value,
+        |  lag(value, 1) OVER (ORDER BY event_id) AS value_shift_1
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+  )
 }

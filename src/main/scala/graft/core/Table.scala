@@ -1,0 +1,251 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ordered, distributed table facade.
+  *
+  * The reference Table (reference: src/Table.luna:54-96) is an eager,
+  * in-memory, *order-deterministic* columnar table. Spark DataFrames are
+  * lazy unordered multisets, so this facade carries an explicit row-order
+  * column `__row_idx` and every order-sensitive operator (slice, shift,
+  * sort stability, first/last, interpolate, horizontal concat) windows
+  * over it. See SURVEY.md §7.1.
+  *
+  * Scale notes (100 TB):
+  *  - `__row_idx` is only materialized when an order-sensitive op is used;
+  *    plain filter/map/agg pipelines never pay for it.
+  *  - `zipIndexed` assigns the index with a per-partition offset scan
+  *    (2 narrow passes, no shuffle) instead of a single-partition
+  *    `row_number()` window.
+  *  - Global-order windows (shift/interpolate) are inherently sequential;
+  *    we use range-partitioned sort + AQE. For the common keyed case use
+  *    the `partitionBy` variants which parallelize per key.
+  */
+final class Table private[core] (private val inner: DataFrame) {
+  import Table._
+
+  /** Underlying DataFrame without the row-index bookkeeping column. */
+  def df: DataFrame = if (inner.columns.contains(RowIdx)) inner.drop(RowIdx) else inner
+
+  /** Underlying DataFrame with a materialized row index (assigning one if absent). */
+  def indexed: DataFrame =
+    if (inner.columns.contains(RowIdx)) inner else zipIndexed(inner)
+
+  private def keep(newInner: DataFrame): Table = new Table(newInner)
+
+  // ---- metadata (reference: src/Table.luna:167-187,543-544) ----
+  def columnNames: Seq[String] = df.columns.toSeq
+  def columnCount: Int = df.columns.length
+  def rowCount: Long = df.count()
+  def schema: StructType = df.schema
+
+  // ---- projection / column surgery (reference: src/Table.luna:214-484) ----
+  def at(name: String): Column = inner(name)
+  def columns(names: Seq[String]): Table = keep(inner.select((names :+ RowIdx).filter(inner.columns.contains(_)).distinct.map(inner(_)): _*))
+  def select(cols: Column*): Table = new Table(df.select(cols: _*))
+  def addColumn(name: String, col: Column): Table = keep(inner.withColumn(name, col))
+  def remove(name: String): Table = keep(inner.drop(name))
+  def rename(from: String, to: String): Table = keep(inner.withColumnRenamed(from, to))
+
+  /** Horizontal concat by row position (reference: src/Table.luna:278-310).
+    * Implemented as an equi-join on the row index — the only faithful
+    * distributed "zip" of two independently-produced tables. */
+  def concat(other: Table): Table = {
+    val l = indexed
+    val r = other.indexed
+    // rename collisions like the reference would error; we suffix instead
+    val collisions = l.columns.toSet.intersect(r.columns.toSet) - RowIdx
+    val rr = collisions.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + "_right"))
+    new Table(l.join(rr, Seq(RowIdx), "inner"))
+  }
+
+  // ---- row selection (reference: src/Table.luna:602-663) ----
+  def slice(beg: Long, count: Long): Table = {
+    val ix = indexed
+    new Table(
+      ix.filter(col(RowIdx) >= beg && col(RowIdx) < beg + count)
+        .withColumn(RowIdx, col(RowIdx) - beg))
+  }
+  def take(n: Long): Table = slice(0, n)
+  def dropRows(n: Long): Table = {
+    val ix = indexed
+    new Table(ix.filter(col(RowIdx) >= n).withColumn(RowIdx, col(RowIdx) - n))
+  }
+
+  // ---- filter / map (LQuery equivalents; see graft.expr.LQuery) ----
+  def filter(cond: Column): Table = keep(inner.filter(cond))
+  def each(name: String, value: Column): Table = keep(inner.withColumn(name, value))
+
+  // ---- sort (reference: src/Table.luna:806-952, Sort.cpp:131-216) ----
+  /** Multi-key lexicographic STABLE sort. Spark's sort is not stable, so the
+    * prior row index is appended as the final ascending tie-break key, then
+    * the index is reassigned to reflect the new order. */
+  def sortBy(keys: Seq[SortKey]): Table = {
+    val ix = indexed
+    val sortCols = keys.map(_.toColumn(ix)) :+ col(RowIdx).asc
+    val sorted = ix.orderBy(sortCols: _*).drop(RowIdx)
+    new Table(zipIndexed(sorted))
+  }
+
+  // ---- null handling (reference: Processing.cpp:376-495) ----
+  def dropNa(): Table = keep(inner.na.drop("any", df.columns))
+  def dropNaAt(colName: String): Table = keep(inner.na.drop(Seq(colName)))
+  def fillNa(value: Any): Table = {
+    // Reference coerces the fill value per column type (int<->double<->string,
+    // numbers stringified for string cols) — Processing.cpp:561-609.
+    val filled = df.schema.fields.foldLeft(df) { (d, f) =>
+      coerceFill(value, f.dataType) match {
+        case Some(v) => d.withColumn(f.name, coalesce(col(f.name), lit(v).cast(f.dataType)))
+        case None    => d
+      }
+    }
+    val ix = if (inner.columns.contains(RowIdx)) filled.withColumn(RowIdx, inner(RowIdx)) else filled
+    keep(ix)
+  }
+  def fillNaAt(colName: String, value: Any): Table = {
+    val dt = df.schema(colName).dataType
+    coerceFill(value, dt) match {
+      case Some(v) => keep(inner.withColumn(colName, coalesce(col(colName), lit(v).cast(dt))))
+      case None    => this
+    }
+  }
+
+  /** Linear interpolation of interior null runs; leading nulls take the first
+    * valid value, trailing nulls the last valid; int64 stays integral via
+    * storage-type lerp (truncation). Reference: Processing.cpp:271-374,
+    * lerp = (1-t)*v0 + t*v1 (Core/Common.h:146-149). Window composition —
+    * no UDF, stays in codegen. */
+  def interpolate(): Table = {
+    val ix = indexed
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case LongType | DoubleType | IntegerType | TimestampType => true
+      case _ => false
+    })
+    val out = numeric.foldLeft(ix) { (d, f) => interpolateCol(d, f) }
+    new Table(out)
+  }
+
+  private def interpolateCol(d: DataFrame, f: StructField): DataFrame = {
+    val c = f.name
+    val isTs = f.dataType == TimestampType
+    val v = if (isTs) unix_micros(col(c)) else col(c)
+    val wPrev = Window.orderBy(RowIdx).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy(RowIdx).rowsBetween(0, Window.unboundedFollowing)
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevI = last(when(v.isNotNull, col(RowIdx)), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextI = first(when(v.isNotNull, col(RowIdx)), ignoreNulls = true).over(wNext)
+    val t = (col(RowIdx) - prevI).cast(DoubleType) / (nextI - prevI).cast(DoubleType)
+    val lerped = (lit(1.0) - t) * prevV.cast(DoubleType) + t * nextV.cast(DoubleType)
+    val interior = f.dataType match {
+      case DoubleType => lerped
+      case _          => lerped.cast(LongType) // storage-type truncation, reference parity
+    }
+    val res = when(v.isNotNull, v)
+      .when(prevV.isNull, nextV)   // leading run -> first valid
+      .when(nextV.isNull, prevV)   // trailing run -> last valid
+      .otherwise(interior)
+    val typed = f.dataType match {
+      case TimestampType => timestamp_micros(res.cast(LongType))
+      case dt            => res.cast(dt)
+    }
+    d.withColumn(c, typed)
+  }
+
+  // ---- shift (reference: Processing.cpp:534-559) ----
+  /** Lag/lead a column by n rows (vacated slots null), appended as
+    * `<col>_shift_<n>`. */
+  def shift(colName: String, periods: Int): Table = {
+    val ix = indexed
+    val w = Window.orderBy(RowIdx)
+    val shifted =
+      if (periods >= 0) lag(col(colName), periods).over(w)
+      else lead(col(colName), -periods).over(w)
+    new Table(ix.withColumn(s"${colName}_shift_$periods", shifted))
+  }
+
+  // ---- ungroup (reference: Processing.cpp:694-819) ----
+  /** Split a string column on a separator and explode — each other column's
+    * value replicated per element; rows with a null string are dropped
+    * (`explode`, not `explode_outer`, matches). */
+  def ungroupSplittingOn(colName: String, sep: String): Table = {
+    val exploded = df.withColumn(colName, explode(split(col(colName), java.util.regex.Pattern.quote(sep))))
+    new Table(exploded)
+  }
+
+  def union(other: Table): Table = new Table(df.unionByName(other.df))
+  def except(other: Table): Table = new Table(df.except(other.df))
+  def intersect(other: Table): Table = new Table(df.intersect(other.df))
+  def distinct(): Table = new Table(df.distinct())
+  def join(other: Table, keys: Seq[String], how: String = "inner"): Table =
+    new Table(df.join(other.df, keys, how))
+
+  def toDF: DataFrame = df
+}
+
+object Table {
+  /** Bookkeeping column carrying the deterministic row order. */
+  val RowIdx = "__row_idx"
+
+  /** Wrap a DataFrame whose row order is defined by `orderKeys` (must be a
+    * total order for deterministic results). Assigns the index scalably:
+    * range-partition + sort-within-partitions + per-partition offset scan. */
+  def fromDF(df: DataFrame, orderKeys: Seq[Column]): Table = {
+    val sorted =
+      if (orderKeys.isEmpty) df
+      else df.orderBy(orderKeys: _*)
+    new Table(zipIndexed(sorted))
+  }
+
+  /** Wrap a DataFrame treating its current (file/partition) order as the row
+    * order — matches the reference's "order as read" semantics. */
+  def fromOrdered(df: DataFrame): Table = new Table(zipIndexed(df))
+
+  /** Wrap without any order (order-sensitive ops will assign one lazily). */
+  def of(df: DataFrame): Table = new Table(df)
+
+  def read(spark: SparkSession, path: String): Table =
+    fromOrdered(graft.sources.TableIO.read(spark, path))
+
+  /** Distributed zipWithIndex: 2 narrow passes (count per partition, then
+    * offset add), no shuffle — unlike `row_number() over ()` which would
+    * funnel all rows through one partition. */
+  private[graft] def zipIndexed(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(RowIdx, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Reference fill-value coercion (Processing.cpp:561-609): numbers fill
+    * numeric columns (with int<->double casts), anything stringifies into
+    * string columns; mismatches are skipped. */
+  private def coerceFill(value: Any, dt: DataType): Option[Any] = (value, dt) match {
+    case (v: Long, LongType)      => Some(v)
+    case (v: Int, LongType)       => Some(v.toLong)
+    case (v: Double, LongType)    => Some(v.toLong)
+    case (v: Long, DoubleType)    => Some(v.toDouble)
+    case (v: Int, DoubleType)     => Some(v.toDouble)
+    case (v: Double, DoubleType)  => Some(v)
+    case (v: String, StringType)  => Some(v)
+    case (v: Long, StringType)    => Some(v.toString)
+    case (v: Int, StringType)     => Some(v.toString)
+    case (v: Double, StringType)  => Some(v.toString)
+    case (v: String, LongType)    => scala.util.Try(v.trim.toLong).toOption
+    case (v: String, DoubleType)  => scala.util.Try(v.trim.toDouble).toOption
+    case _ => None
+  }
+}
+
+/** One sort key: expression + direction + null placement
+  * (reference: src/Table.luna:9-27, Sort.cpp:131-216). */
+final case class SortKey(name: String, ascending: Boolean = true, nullsFirst: Boolean = true) {
+  def toColumn(df: DataFrame): Column = (ascending, nullsFirst) match {
+    case (true, true)   => df(name).asc_nulls_first
+    case (true, false)  => df(name).asc_nulls_last
+    case (false, true)  => df(name).desc_nulls_first
+    case (false, false) => df(name).desc_nulls_last
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.core.Table
+import graft.functions.InterpolatedQuantile
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Whole-column statistics, correlation, countValues, describe
+  * (reference: native_libs/src/Analysis.cpp:89-526, src/Table.luna:1096-1361).
+  * All single-pass distributed aggregates — one job, no collects.
+  */
+object Stats {
+
+  /** min/max/mean/sum/var_pop/std_pop/median/quantile/countMissing for one
+    * column as a 1-row DataFrame. Population variance, >=2-sample gate,
+    * sum()=0 on empty — same contract as Aggregates. */
+  def describeColumn(df: DataFrame, c: String): DataFrame = {
+    val x = col(c)
+    df.agg(
+      min(x).cast(DoubleType).as("min"),
+      max(x).cast(DoubleType).as("max"),
+      avg(x).as("mean"),
+      coalesce(sum(x), lit(0)).cast(DoubleType).as("sum"),
+      when(count(x) >= 2, var_pop(x)).as("variance"),
+      when(count(x) >= 2, stddev_pop(x)).as("std"),
+      InterpolatedQuantile.quantileCol(x, 0.25).as("q1"),
+      InterpolatedQuantile.medianCol(x).as("median"),
+      InterpolatedQuantile.quantileCol(x, 0.75).as("q3"),
+      (count(lit(1)) - count(x)).as("null_count"),
+      count(lit(1)).as("row_count"))
+  }
+
+  /** value -> occurrence count (nulls counted as a group too), reference
+    * emits hash order; we leave order to the caller (sort for determinism).
+    * Reference: Analysis.cpp:40-77. */
+  def countValues(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c).as("value")).agg(count(lit(1)).as("count"))
+
+  /** Per-column null count + ratio (reference: src/Table.luna:1096-1105). */
+  def describeNa(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+          ((count(lit(1)) - count(col(c))).cast(DoubleType) / count(lit(1))).as(s"${c}_null_ratio"))
+    }
+    df.agg(aggs.head, aggs.tail.toSeq: _*)
+  }
+
+  /** Pairwise-complete Pearson correlation of two columns — `corr` ignores
+    * rows where either side is null, matching the reference's
+    * iterateOverJustPairs (Analysis.cpp:415-519). */
+  def correlation(df: DataFrame, a: String, b: String): Column = corr(col(a), col(b))
+
+  /** Full correlation matrix over the numeric columns: one row per column,
+    * one output col per column — single aggregation job of n^2/2 corr
+    * aggregates (fine for the reference's column counts; a 100k-column
+    * matrix would switch to RowMatrix.computeCovariance). */
+  def correlationMatrix(df: DataFrame): DataFrame = {
+    val nums = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val aggs = for (a <- nums; b <- nums) yield corr(col(a), col(b)).as(s"${a}__$b")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // reshape driver-side: tiny (n_cols^2 values)
+    val row = wide.collect()(0)
+    val spark = df.sparkSession
+    val data = nums.zipWithIndex.map { case (a, i) =>
+      org.apache.spark.sql.Row.fromSeq(a +: nums.indices.map(j => row.get(i * nums.length + j)))
+    }
+    val schema = StructType(StructField("column", StringType) +: nums.map(StructField(_, DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
+  /** corr of each numeric column against `target`, sorted by value
+    * (reference: src/Table.luna:1164-1170). */
+  def correlationsWith(df: DataFrame, target: String): DataFrame = {
+    val nums = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val aggs = nums.map(c => corr(col(c), col(target)).as(c))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val row = wide.collect()(0)
+    val spark = df.sparkSession
+    val data = nums.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(c, row.get(i)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1),
+      StructType(Seq(StructField("column", StringType), StructField("corr", DoubleType))))
+      .orderBy(col("corr"))
+  }
+
+  /** Pearson corr of a column vs itself shifted by `lag` rows
+    * (reference: Analysis.cpp:521-526; pandas-validated tests
+    * Tests.cpp:1091-1106). Needs the table's row order. */
+  def autoCorr(table: Table, c: String, lagN: Int): DataFrame = {
+    val ix = table.indexed
+    val w = Window.orderBy(Table.RowIdx)
+    ix.select(col(c), lag(col(c), lagN).over(w).as("__lagged"))
+      .agg(corr(col(c), col("__lagged")).as("autocorr"))
+  }
+
+  /** Rolling time-interval aggregation (reference: Analysis.cpp:732-918):
+    * for each row, window = rows with key in (key_r - interval, key_r]
+    * (LEFT-OPEN) — expressed as rangeBetween(-(interval-1unit), 0) over the
+    * key cast to long. Key must be int64/double/timestamp; timestamps use
+    * microseconds. O(n log n) distributed sort + linear sweep, vs the
+    * reference's O(n*w) rescan. */
+  def rollingInterval(
+      df: DataFrame,
+      key: String,
+      intervalMicros: Long,
+      specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    val keyIsTs = df.schema(key).dataType == TimestampType
+    val ord = if (keyIsTs) unix_micros(col(key)) else col(key).cast(LongType)
+    val w = Window.orderBy(ord).rangeBetween(-(intervalMicros - 1), 0)
+    val winCols = specs.flatMap { case (c, fns) =>
+      fns.map(fn => windowed(fn, col(c), w).as(s"${c}_${fn.fnName}"))
+    }
+    df.select((col(key) +: winCols): _*)
+  }
+
+  /** AggFn -> windowed aggregate; `.over` is applied to each aggregate CALL
+    * (not to compound arithmetic). first/last by row order are not part of
+    * the reference's rolling surface. */
+  private def windowed(fn: Aggregates.AggFn, c: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = fn match {
+    case Aggregates.Minimum  => min(c).over(w).cast(DoubleType)
+    case Aggregates.Maximum  => max(c).over(w).cast(DoubleType)
+    case Aggregates.Mean     => avg(c).over(w)
+    case Aggregates.Length   => count(lit(1)).over(w).cast(DoubleType)
+    case Aggregates.Sum      => coalesce(sum(c).over(w), lit(0)).cast(DoubleType)
+    case Aggregates.Median   => InterpolatedQuantile.medianCol(c).over(w)
+    case Aggregates.Variance => when(count(c).over(w) >= 2, var_pop(c).over(w))
+    case Aggregates.StdDev   => when(count(c).over(w) >= 2, stddev_pop(c).over(w))
+    case Aggregates.Rsi =>
+      lit(100.0) * avg(greatest(c.cast(DoubleType), lit(0.0))).over(w) /
+        (avg(greatest(c.cast(DoubleType), lit(0.0))).over(w) -
+         avg(least(c.cast(DoubleType), lit(0.0))).over(w))
+    case other => throw new IllegalArgumentException(s"rollingInterval: unsupported ${other.fnName}")
+  }
+}
