@@ -27,7 +27,7 @@ object SparkEntry {
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000).cast(LongType)).cast(TimestampNTZType))
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
     else raw
   }
 
@@ -36,7 +36,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   // ---- the operator inventory ----------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    graft.queries.ParityQueries.queries ++ graft.queries.PipelineQueries.queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.7 grouped aggregation over built-ins (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => {
@@ -137,7 +140,10 @@ object SparkEntry {
   )
 
   // ---- oracle SQL (DuckDB dialect, same table names) -------------------
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracle ++
+    graft.queries.ParityQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
+
+  private val baseOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

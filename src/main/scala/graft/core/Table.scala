@@ -176,6 +176,17 @@ final class Table private[core] (private val inner: DataFrame) {
     new Table(exploded)
   }
 
+  /** `ungroupSplittingOn` variant that also emits the element position —
+    * gives downstream ops (and the oracle compare) a deterministic
+    * within-row order. */
+  def ungroupSplittingOnPos(colName: String, sep: String, posCol: String): Table = {
+    val others = df.columns.filter(_ != colName).map(col)
+    val exploded = df.select(
+      (others :+ posexplode(split(col(colName), java.util.regex.Pattern.quote(sep)))
+        .as(Seq(posCol, colName))): _*)
+    new Table(exploded)
+  }
+
   def union(other: Table): Table = new Table(df.unionByName(other.df))
   def except(other: Table): Table = new Table(df.except(other.df))
   def intersect(other: Table): Table = new Table(df.intersect(other.df))

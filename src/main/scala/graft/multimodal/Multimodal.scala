@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs per-partition so a real codec (JNI, subprocess,
+  * native lib) amortizes its init across a whole batch instead of paying it
+  * per row. The decode step itself is a clearly-marked deterministic STUB
+  * (this container ships no image/audio libs); the Spark-side plumbing —
+  * schema, batching, partition sizing, null passthrough — is real and
+  * tested.
+  *
+  * Scale notes: decode is a narrow map (no shuffle); partitions should be
+  * sized by `spark.sql.files.maxPartitionBytes` so one batch of decoded
+  * frames fits executor memory; feature vectors (small) flow on, raw bytes
+  * are dropped as early as possible (column pruning).
+  */
+object Multimodal {
+
+  /** Schema of a decoded feature row. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** STUB decoder — stands in for a real image/audio decode. Deterministic:
+    * 16-bin byte histogram, L1-normalized, as the "feature vector"; format
+    * sniffed from magic bytes. A real deployment swaps ONLY this function
+    * (same signature) for a codec call. */
+  def decodeStub(bytes: Array[Byte]): (Long, String, Array[Float]) = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1f; i += 1 }
+    val n = math.max(1, bytes.length).toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    val fmt =
+      if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') "riff"
+      else "unknown"
+    (bytes.length.toLong, fmt, hist)
+  }
+
+  /** Attach decoded features to a DataFrame with a binary column.
+    * Per-partition batch iteration: codec init happens once per partition
+    * (simulated by the `decoderInit` thunk), rows stream through without
+    * materializing the partition. */
+  def withFeatures(df: DataFrame, binaryCol: String,
+      decoderInit: () => Unit = () => ()): DataFrame = {
+    val schema = StructType(df.schema.fields ++ featureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      decoderInit() // real codec: load native lib / open device ONCE here
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val (n, fmt, feat) = decodeStub(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(n, fmt, feat.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: slice the byte stream
+    * into fixed-size "frames", keep every `stride`-th — pure Catalyst
+    * (no decode), demonstrating how a sampler pushes down BEFORE decode so
+    * dropped frames are never decoded. */
+  def sampleFrames(bin: org.apache.spark.sql.Column, frameBytes: Int, stride: Int) = {
+    val nFrames = ceil(octet_length(bin).cast(DoubleType) / frameBytes).cast(IntegerType)
+    filter(
+      transform(sequence(lit(0), nFrames - 1), i => bin.substr(i * frameBytes + 1, lit(frameBytes))),
+      (_, i) => i % stride === 0)
+  }
+}

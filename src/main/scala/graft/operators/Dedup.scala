@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on the full text (one shuffle on the dedup key);
+  *  - n-gram Jaccard: inverted-index self-join on shingles — NO cross join;
+  *    candidate pairs only exist where a shingle is shared, so the shuffle
+  *    is proportional to the posting lists, and a blocking key (source,
+  *    lang, length bucket) bounds the worst case;
+  *  - MinHash+LSH: k permutations via seeded xxhash64, banded into
+  *    buckets; candidate pairs come from an equi-join on (band, bucket
+  *    hash) — the classic sub-quadratic near-dup path;
+  *  - SimHash: 64-bit fingerprints joined on 16-bit bands (3 distance
+  *    blocks tolerate hamming<=3 by pigeonhole).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min id) representative per distinct text.
+    * One shuffle, partial-aggregated map-side. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact-duplicate row filter: keep only each text's canonical row. */
+  def dropExactDups(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val canon = exact(docs, textCol, idCol).select(col("canonical_id").as(idCol))
+    docs.join(canon, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct-shingle posting list per doc: (id, block, shingle). */
+  private def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), col(blockCol).as("block"),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("shingle"))
+
+  /** Pairwise n-gram Jaccard similarity via inverted-index join.
+    * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b,
+    * only pairs sharing >=1 shingle within the same block. */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int): DataFrame = {
+    val idx = shingleIndex(docs, textCol, idCol, blockCol, n)
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val a = idx.select(col(idCol).as("id_a"), col("block"), col("shingle"))
+    val b = idx.select(col(idCol).as("id_b"), col("block"), col("shingle"))
+    val inter = a.join(b, Seq("block", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("size_a") + col("size_b") - col("inter")).cast(DoubleType))
+  }
+
+  /** k MinHash signatures: minhash_j = min over distinct shingles of
+    * xxhash64(j, shingle). Seeded by prepending the permutation index —
+    * deterministic across runs/partitions. Output: id + `sig` array(k). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int,
+      shingleN: Int): DataFrame = {
+    val sh = array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+    val sig = transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(sh, s => xxhash64(j, s))))
+    docs.select(col(idCol), sig.as("sig"))
+  }
+
+  /** LSH candidate pairs: band the k-long signature into `bands` groups of
+    * k/bands rows, hash each band, equi-join on (band, hash). Sub-quadratic:
+    * only docs agreeing on a full band ever meet. */
+  def minhashLshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val elems = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+      struct(lit(b).as("band"), xxhash64((lit(b) +: elems): _*).as("bucket"))
+    }
+    val buckets = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b2 = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b2, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: signatures -> LSH candidates ->
+    * exact Jaccard verification >= threshold. */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN).cache()
+    val cands = minhashLshCandidates(sigs, idCol, k, bands)
+    // verify candidates with estimated Jaccard from the full signatures
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup candidates: docs whose 64-bit fingerprints agree on
+    * at least one of four 16-bit bands (pigeonhole: hamming<=3 guaranteed
+    * caught). Verification filter on true hamming distance <= maxHamming. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int): DataFrame = {
+    val fps = docs.select(col(idCol), TextOps.simhash(col(textCol)).as("fp"))
+    val banded = fps.select(col(idCol), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    val a = banded.select(col(idCol).as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col("fp").as("fp_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -110,8 +110,11 @@ object Stats {
       key: String,
       intervalMicros: Long,
       specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
-    val keyIsTs = df.schema(key).dataType == TimestampType
-    val ord = if (keyIsTs) unix_micros(col(key)) else col(key).cast(LongType)
+    val keyIsTs = df.schema(key).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val ord = if (keyIsTs) unix_micros(col(key).cast(TimestampType)) else col(key).cast(LongType)
     val w = Window.orderBy(ord).rangeBetween(-(intervalMicros - 1), 0)
     val winCols = specs.flatMap { case (c, fns) =>
       fns.map(fn => windowed(fn, col(c), w).as(s"${c}_${fn.fnName}"))

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristic,
+  * document fingerprinting, SimHash.
+  *
+  * Everything is a pure Catalyst expression (higher-order array functions,
+  * codegen'd, no UDFs) so at 100 TB each doc is scored in a single narrow
+  * map pass — no shuffle, no driver involvement; filters and column pruning
+  * push down around it.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; the testdata corpus is single-space joined. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Sliding token n-grams joined by a space: the standard shingle unit for
+    * near-dup detection. */
+  def shingles(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      (_, i) => i <= size(toks) - n)
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count estimate: each word contributes ceil(len/6)
+    * pieces — a deterministic proxy for a real tokenizer's piece count. */
+  def tokenCountBpeIsh(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => ceil(length(t).cast(DoubleType) / 6.0).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t === "a" || t === "the")).cast(DoubleType) / size(toks).cast(DoubleType)
+  }
+
+  def uniqueTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType)
+  }
+
+  /** Composite quality score — arbitrary but deterministic and order-free:
+    * 0.4*uniq_ratio + 0.3*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100). */
+  def qualityScore(text: Column): Column = {
+    val n = size(tokens(text)).cast(DoubleType)
+    lit(0.4) * uniqueTokenRatio(text) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.3) * least(lit(1.0), n / 100.0)
+  }
+
+  /** Marker-token language profiles: a tiny deterministic stand-in for a
+    * char-n-gram profile model (the synthetic corpus shares one vocabulary
+    * across langs, so scoring is mechanical, not semantic). */
+  val langMarkers: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq("the" -> 3, "a" -> 2, "table" -> 1),
+    "de" -> Seq("join" -> 3, "group" -> 2, "window" -> 1),
+    "es" -> Seq("data" -> 3, "query" -> 2, "stream" -> 1))
+
+  def langScore(text: Column, markers: Seq[(String, Int)]): Column = {
+    val toks = tokens(text)
+    markers.map { case (m, w) => lit(w) * size(filter(toks, t => t === m)) }.reduce(_ + _)
+  }
+
+  /** Argmax language over the marker profiles; ties resolve to the first
+    * profile in `langMarkers` order (deterministic). */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit(null).cast(StringType): Column) { case ((lang, s), acc) =>
+      when(s === maxScore, lang).otherwise(acc)
+    }
+  }
+
+  /** Rolling polynomial fingerprint over the char codes:
+    * acc = (acc*31 + code) mod 1e9+7 — a deterministic document hash any
+    * SQL oracle can recompute. Intermediate stays within Long range. */
+  def fingerprint(text: Column): Column = {
+    val codes = transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))))
+    aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x.cast(LongType)) % 1000000007L)
+  }
+
+  /** Per-token xxhash64 array (seed 42, Spark's default) — materialize this
+    * once (withColumn) before calling [[simhashFromHashes]] so the 64
+    * per-bit folds share it. */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
+
+  /** 64-bit SimHash: bit i of the fingerprint is set iff
+    * sum over tokens of (+1 if bit i of xxhash64(token) else -1) > 0.
+    * Narrow per-row computation, no explode/shuffle. */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      val cnt = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.core.Table
+import graft.operators.{Aggregates => A, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity operator queries (SURVEY.md §2.3–§2.9) beyond the
+  * first slice in SparkEntry: full aggregateBy surface, whole-column
+  * stats with the reference's interpolated-quantile rule, null ops over
+  * deterministically injected nulls (the driver data has none), ungroup,
+  * rolling interval windows, autocorrelation, correlation, horizontal
+  * concat. Oracle SQL mirrors each query in DuckDB dialect.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    else raw
+  }
+
+  /** events with nulls injected deterministically (driver data is null-free):
+    * value null on 'error' rows, props null on 'click' rows. */
+  private def eventsWithNulls(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("value", when(col("event_type") =!= "error", col("value")))
+      .withColumn("props", when(col("event_type") =!= "click", col("props")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.7 grouped aggregation — the reference's FULL function surface:
+    // min/max/mean/length/median/sum/variance/std/first/last/RSI with its
+    // naming (col_fn), all-double outputs, null-gate semantics.
+    "q_aggregate_by" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_n", when(col("l_partkey") % 11 =!= 0, col("l_quantity")))
+        .withColumn("delta", col("l_quantity") - lit(25.0))
+      val tab = Table.fromDF(li, Seq(col("l_orderkey"), col("l_linenumber")))
+      val out = A.aggregateBy(tab, "l_returnflag", Seq(
+        "qty_n" -> Seq(A.Minimum, A.Maximum, A.Mean, A.Length, A.Median, A.Sum,
+          A.Variance, A.StdDev, A.First, A.Last),
+        "delta" -> Seq(A.Rsi)))
+      out
+        .withColumnRenamed("qty_n_std dev", "qty_n_std_dev")
+        .select(col("l_returnflag"),
+          col("qty_n_min"), col("qty_n_max"),
+          round(col("qty_n_mean"), 4).as("qty_n_mean"),
+          col("qty_n_length"),
+          round(col("qty_n_median"), 4).as("qty_n_median"),
+          round(col("qty_n_sum"), 4).as("qty_n_sum"),
+          round(col("qty_n_variance"), 4).as("qty_n_variance"),
+          round(col("qty_n_std_dev"), 4).as("qty_n_std_dev"),
+          col("qty_n_first"), col("qty_n_last"),
+          round(col("delta_RSI"), 4).as("delta_rsi"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.7 countValues incl. the null group
+    "q_count_values" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .withColumn("st", when(col("o_orderstatus") =!= "P", col("o_orderstatus")))
+      Stats.countValues(ord, "st")
+        .orderBy(col("value").asc_nulls_first)
+    }),
+
+    // §2.7 whole-column stats with the reference interpolated quantile
+    // (n = N*q - 0.5 lerp — differs from SQL percentile's (N-1)*q)
+    "q_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("v", when(col("l_discount") <= 0.08, col("l_discount")))
+      Stats.describeColumn(li, "v")
+        .select(
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          round(col("mean"), 6).as("mean"), round(col("sum"), 4).as("sum"),
+          round(col("variance"), 8).as("variance"), round(col("std"), 8).as("std"),
+          round(col("q1"), 6).as("q1"), round(col("median"), 6).as("median"),
+          round(col("q3"), 6).as("q3"),
+          col("null_count"), col("row_count"))
+    }),
+
+    // §2.9 dropNa: any-null rows dropped
+    "q_dropna" -> ((s, dir) => {
+      Table.of(eventsWithNulls(s, dir).select("event_id", "event_type", "value", "props"))
+        .dropNa()
+        .toDF
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.9 fillNa with the reference's cross-type coercion (number fills
+    // stringify into string columns)
+    "q_fillna" -> ((s, dir) => {
+      Table.of(eventsWithNulls(s, dir).select("event_id", "value", "props"))
+        .fillNa(0L)
+        .toDF
+        .select(col("event_id"), round(col("value"), 6).as("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.9 interpolate: linear interior lerp, edge runs clamped
+    "q_interpolate" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("value", when(col("user_id") % 7 =!= 0, col("value")))
+        .select("event_id", "value")
+      Table.fromDF(ev, Seq(col("event_id")))
+        .interpolate()
+        .toDF
+        .select(col("event_id"), round(col("value"), 6).as("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.9 ungroup (split + explode), with positions for determinism
+    "q_ungroup" -> ((s, dir) => {
+      Table.of(t(s, dir, "documents").select("doc_id", "text"))
+        .ungroupSplittingOnPos("text", " ", "pos")
+        .toDF
+        .select(col("doc_id"), col("pos"), col("text").as("token"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // §2.8 rolling time-interval aggregation: left-open (t-10min, t] window
+    "q_rolling" -> ((s, dir) => {
+      Stats.rollingInterval(events(s, dir), "ts", 600L * 1000 * 1000,
+          Seq("value" -> Seq(A.Sum, A.Mean, A.Length)))
+        .select(col("ts"),
+          round(col("value_sum"), 4).as("value_sum"),
+          round(col("value_mean"), 6).as("value_mean"),
+          col("value_length"))
+        .orderBy(col("ts"), col("value_sum"))
+    }),
+
+    // §2.7 autoCorr: Pearson corr of a column vs itself lagged
+    "q_autocorr" -> ((s, dir) => {
+      Stats.autoCorr(Table.fromDF(events(s, dir), Seq(col("event_id"))), "value", 3)
+        .select(round(col("autocorr"), 6).as("autocorr"))
+    }),
+
+    // §2.7 pairwise-complete Pearson correlation
+    "q_corr" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"),
+        round(corr(col("l_quantity"), col("l_tax")), 6).as("corr_qty_tax"))
+    }),
+
+    // §2.2 horizontal concat = row-position zip of two independent orders
+    "q_concat" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val left = Table.fromDF(ord.select("o_orderkey"), Seq(col("o_orderkey")))
+      val right = Table.fromDF(
+        ord.select(col("o_orderkey").as("o_orderkey_by_price"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey_by_price")))
+      left.concat(right)
+        .indexed
+        .withColumnRenamed(Table.RowIdx, "pos")
+        .select(col("pos"), col("o_orderkey"), col("o_orderkey_by_price"))
+        .orderBy(col("pos"))
+    }),
+
+    // §2.7 describeNa: per-column null count + ratio
+    "q_describe_na" -> ((s, dir) => {
+      Stats.describeNa(eventsWithNulls(s, dir).select("value", "props"))
+        .select(col("value_nulls"), round(col("value_null_ratio"), 6).as("value_null_ratio"),
+          col("props_nulls"), round(col("props_null_ratio"), 6).as("props_null_ratio"))
+    })
+  )
+
+  // Reference interpolated quantile in DuckDB: n = N*q - 0.5 lerp over the
+  // sorted valid values (list-indexed, 1-based).
+  private def duckQuantile(q: String, alias: String): String =
+    s"""round((1-($q - floor($q))) * s[CAST(greatest(floor($q), 0) AS INT) + 1]
+       |     + ($q - floor($q)) * s[CAST(least(ceil($q), n - 1) AS INT) + 1], 6) AS $alias""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_aggregate_by" ->
+      """WITH li AS (SELECT l_returnflag, l_orderkey*10 + l_linenumber AS ord,
+        |  CASE WHEN l_partkey % 11 <> 0 THEN l_quantity END AS qty_n,
+        |  l_quantity - 25.0 AS delta FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(qty_n)::DOUBLE AS qty_n_min,
+        |  max(qty_n)::DOUBLE AS qty_n_max,
+        |  round(avg(qty_n), 4) AS qty_n_mean,
+        |  count(*)::DOUBLE AS qty_n_length,
+        |  round(median(qty_n), 4) AS qty_n_median,
+        |  round(coalesce(sum(qty_n), 0), 4) AS qty_n_sum,
+        |  round(var_pop(qty_n), 4) AS qty_n_variance,
+        |  round(stddev_pop(qty_n), 4) AS qty_n_std_dev,
+        |  (first(qty_n ORDER BY ord) FILTER (WHERE qty_n IS NOT NULL))::DOUBLE AS qty_n_first,
+        |  (last(qty_n ORDER BY ord) FILTER (WHERE qty_n IS NOT NULL))::DOUBLE AS qty_n_last,
+        |  round(100*avg(greatest(delta,0)) / (avg(greatest(delta,0)) - avg(least(delta,0))), 4) AS delta_rsi
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_count_values" ->
+      """SELECT CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END AS value,
+        |  count(*) AS count
+        |FROM orders GROUP BY 1 ORDER BY value ASC NULLS FIRST""".stripMargin,
+
+    "q_stats" ->
+      s"""WITH vals AS (SELECT CASE WHEN l_discount <= 0.08 THEN l_discount END AS v FROM lineitem),
+         |agg AS (SELECT round(min(v),6) mn, round(max(v),6) mx, round(avg(v),6) mean,
+         |  round(sum(v),4) sm, round(var_pop(v),8) vp, round(stddev_pop(v),8) sp,
+         |  round(median(v),6) med, count(*)-count(v) AS null_count, count(*) AS row_count
+         |  FROM vals),
+         |sv AS (SELECT list_sort(list(v)) s, count(*)::DOUBLE n FROM vals WHERE v IS NOT NULL)
+         |SELECT mn AS min, mx AS max, mean, sm AS sum, vp AS variance, sp AS std,
+         |  ${duckQuantile("n*0.25 - 0.5", "q1")},
+         |  med AS median,
+         |  ${duckQuantile("n*0.75 - 0.5", "q3")},
+         |  null_count, row_count
+         |FROM agg, sv""".stripMargin,
+
+    "q_dropna" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type <> 'error' THEN value END AS value,
+        |  CASE WHEN event_type <> 'click' THEN props END AS props
+        |FROM events
+        |WHERE event_type <> 'error' AND event_type <> 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_fillna" ->
+      """SELECT event_id,
+        |  round(coalesce(CASE WHEN event_type <> 'error' THEN value END, 0.0), 6) AS value,
+        |  coalesce(CASE WHEN event_type <> 'click' THEN props END, '0') AS props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH base AS (SELECT event_id,
+        |    CASE WHEN user_id % 7 <> 0 THEN value END AS v,
+        |    row_number() OVER (ORDER BY event_id) - 1 AS i
+        |  FROM events),
+        |w AS (SELECT event_id, v, i,
+        |  last_value(v IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+        |  max(CASE WHEN v IS NOT NULL THEN i END) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pi,
+        |  first_value(v IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+        |  min(CASE WHEN v IS NOT NULL THEN i END) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) ni
+        | FROM base)
+        |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NULL THEN nv
+        |  WHEN nv IS NULL THEN pv
+        |  ELSE (1 - (i-pi)::DOUBLE/(ni-pi)) * pv + ((i-pi)::DOUBLE/(ni-pi)) * nv END, 6) AS value
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "q_ungroup" ->
+      """SELECT doc_id,
+        |  unnest(range(0, len(string_split(text, ' ')))) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT ts,
+        |  round(sum(value) OVER w, 4) AS value_sum,
+        |  round(avg(value) OVER w, 6) AS value_mean,
+        |  (count(*) OVER w)::DOUBLE AS value_length
+        |FROM events
+        |WINDOW w AS (ORDER BY epoch_us(ts) RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY ts, value_sum""".stripMargin,
+
+    "q_autocorr" ->
+      """SELECT round(corr(value, lv), 6) AS autocorr
+        |FROM (SELECT value, lag(value, 3) OVER (ORDER BY event_id) AS lv FROM events)""".stripMargin,
+
+    "q_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+        |  round(corr(l_quantity, l_tax), 6) AS corr_qty_tax
+        |FROM lineitem""".stripMargin,
+
+    "q_concat" ->
+      """WITH a AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn, o_orderkey FROM orders),
+        |b AS (SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS rn,
+        |        o_orderkey AS o_orderkey_by_price FROM orders)
+        |SELECT a.rn AS pos, a.o_orderkey, b.o_orderkey_by_price
+        |FROM a JOIN b USING (rn) ORDER BY pos""".stripMargin,
+
+    "q_describe_na" ->
+      """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS value_nulls,
+        |  round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS value_null_ratio,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS props_nulls,
+        |  round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS props_null_ratio
+        |FROM events""".stripMargin
+  )
+}

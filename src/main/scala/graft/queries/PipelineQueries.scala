@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: text analysis, exact + near dedup, similarity search,
+  * multimodal binary plumbing. Where an op rests on xxhash64 (no DuckDB
+  * equivalent) the oracle is omitted -> driver records a rows-only check;
+  * ScalaTest specs cover those semantics instead.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents augmented with deterministic near-duplicates (doc_id+100000,
+    * one token appended) so near-dup detection has planted positives. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+    docs.unionByName(
+      docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"),
+          col("source")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: token counts, quality components, language-ID,
+    // polynomial fingerprint — one narrow codegen'd pass per doc.
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.tokenCountBpeIsh(col("text")).as("n_bpe"),
+        round(TextOps.uniqueTokenRatio(col("text")), 6).as("uniq_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: canonical representative per distinct text
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("canonical_id"), col("dup_count"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    // n-gram Jaccard near-dup scores via inverted-index join (no cross join)
+    "q_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", "source", 3)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // Brute-force cosine top-k over embeddings (broadcast query side)
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MinHash+LSH near-dup pipeline on planted near-duplicates.
+    // xxhash64-based -> no SQL oracle; rows-only check + ScalaTest.
+    "q_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup candidates on the same planted set (rows-only).
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Hyperplane-LSH ANN (approximate; rows-only check + recall ScalaTest).
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal: text -> binary column -> per-partition decode-stub
+    // (mapPartitions) metadata, oracle-checkable (byte count, format sniff,
+    // md5 digest). Feature vectors are spec-tested, not oracle'd.
+    "q_multimodal" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.withFeatures(withBin, "payload")
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          md5(col("payload")).as("digest"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val langCase = {
+    val scores = TextOps.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map { case (m, w) =>
+        s"$w*len(list_filter(toks, t -> t = '$m'))"
+      }.mkString(" + ")
+    }
+    val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+    scores.map { case (lang, s) => s"WHEN ($s) = $maxExpr THEN '$lang'" }
+      .mkString("CASE ", " ", " END")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  list_sum(list_transform(toks, t -> CAST(ceil(len(t)/6.0) AS BIGINT))) AS n_bpe,
+         |  round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio,
+         |  round(len(list_filter(toks, t -> t IN ('a','the')))::DOUBLE / len(toks), 6) AS stop_ratio,
+         |  round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+         |      + 0.3 * (1.0 - len(list_filter(toks, t -> t IN ('a','the')))::DOUBLE / len(toks))
+         |      + 0.3 * least(1.0, len(toks)::DOUBLE / 100.0), 6) AS quality,
+         |  $langCase AS lang_pred,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, len(text) + 1), i -> ascii(text[i]))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE nid <> qid)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
+        |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, len(text)::BIGINT AS n_bytes, 'unknown' AS format,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
