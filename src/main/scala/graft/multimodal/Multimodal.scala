@@ -23,7 +23,7 @@ object Multimodal {
 
   /** Schema of a decoded feature row. */
   val featureSchema: StructType = StructType(Seq(
-    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true), // null payload -> null row
     StructField("format", StringType, nullable = true),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
 

@@ -68,9 +68,13 @@ object Aggregates {
     * (reference: Analysis.cpp:217-239). */
   case object Rsi extends AggFn("RSI") {
     def expr(c: Column, r: Column): Column = {
-      val up = avg(greatest(c.cast(DoubleType), lit(0.0)))
-      val down = avg(least(c.cast(DoubleType), lit(0.0)))
-      lit(100.0) * up / (up - down)
+      // greatest/least ignore nulls in Spark, so guard explicitly: null
+      // inputs must not contribute (reference treats them as missing).
+      // Degenerate up==down (reference: C++ 0/0 -> NaN) yields null.
+      val cd = c.cast(DoubleType)
+      val up = avg(when(cd.isNotNull, greatest(cd, lit(0.0))))
+      val down = avg(when(cd.isNotNull, least(cd, lit(0.0))))
+      when(up - down =!= 0.0, lit(100.0) * up / (up - down))
     }
   }
   /** POPULATION variance/std (boost accumulators divide by N); need >=2

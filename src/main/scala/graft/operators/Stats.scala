@@ -136,9 +136,10 @@ object Stats {
     case Aggregates.Variance => when(count(c).over(w) >= 2, var_pop(c).over(w))
     case Aggregates.StdDev   => when(count(c).over(w) >= 2, stddev_pop(c).over(w))
     case Aggregates.Rsi =>
-      lit(100.0) * avg(greatest(c.cast(DoubleType), lit(0.0))).over(w) /
-        (avg(greatest(c.cast(DoubleType), lit(0.0))).over(w) -
-         avg(least(c.cast(DoubleType), lit(0.0))).over(w))
+      val cd = c.cast(DoubleType)
+      val up = avg(when(cd.isNotNull, greatest(cd, lit(0.0)))).over(w)
+      val down = avg(when(cd.isNotNull, least(cd, lit(0.0)))).over(w)
+      when(up - down =!= 0.0, lit(100.0) * up / (up - down))
     case other => throw new IllegalArgumentException(s"rollingInterval: unsupported ${other.fnName}")
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.core.Table
+import graft.functions.InterpolatedQuantile
+import graft.operators.{Aggregates => A, Stats}
+import org.apache.spark.sql.functions._
+
+/** Aggregation contract: reference naming/typing, null gates, first/last by
+  * row order, RSI, the exact interpolated quantile rule. */
+class AggregatesSpec extends SparkSpec {
+
+  test("quantile rule: n = N*q - 0.5 with lerp (reference Analysis.cpp:19-37)") {
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    // q=0.5: n = 4*0.5-0.5 = 1.5 -> lerp(v[1], v[2], .5) = 2.5
+    assert(InterpolatedQuantile.quantile(v.clone(), 0.5) == 2.5)
+    // q=0.25: n = 0.5 -> lerp(v[0], v[1], .5) = 1.5
+    assert(InterpolatedQuantile.quantile(v.clone(), 0.25) == 1.5)
+    // clamping
+    assert(InterpolatedQuantile.quantile(v.clone(), 0.0) == 1.0)
+    assert(InterpolatedQuantile.quantile(v.clone(), 1.0) == 4.0)
+    // differs from SQL percentile's (N-1)*q rule: there q=0.25 -> 1.75
+    // single element
+    assert(InterpolatedQuantile.quantile(Array(9.0), 0.3) == 9.0)
+  }
+
+  test("quantile as distributed aggregate matches local rule") {
+    import spark.implicits._
+    val df = (1 to 1001).map(_.toDouble).toDF("v").repartition(7)
+    val got = df.agg(InterpolatedQuantile.quantileCol(col("v"), 0.33).as("q"))
+      .collect()(0).getDouble(0)
+    val want = InterpolatedQuantile.quantile((1 to 1001).map(_.toDouble).toArray, 0.33)
+    assert(got == want)
+  }
+
+  test("aggregateBy: naming, double outputs, null gates, first/last, RSI") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double, Long)](
+      ("a", 1.0, 0L), ("a", null, 1L), ("a", 3.0, 2L),
+      ("b", -2.0, 3L), ("b", 6.0, 4L),
+      ("c", null, 5L)) // all-null group
+      .toDF("k", "v", "ord")
+    val tab = Table.fromDF(df, Seq(col("ord")))
+    val out = A.aggregateBy(tab, "k", Seq("v" -> Seq(
+      A.Minimum, A.Maximum, A.Mean, A.Length, A.Sum, A.First, A.Last,
+      A.Variance, A.StdDev, A.Rsi, A.Median)))
+    val cols = out.columns.toSeq
+    assert(cols.contains("v_min") && cols.contains("v_std dev") && cols.contains("v_RSI"))
+    val rows = out.orderBy("k").collect()
+    val a = rows(0)
+    assert(a.getAs[Double]("v_min") == 1.0)
+    assert(a.getAs[Double]("v_length") == 3.0) // counts null rows too
+    assert(a.getAs[Double]("v_sum") == 4.0)
+    assert(a.getAs[Double]("v_first") == 1.0)
+    assert(a.getAs[Double]("v_last") == 3.0)
+    assert(a.getAs[Double]("v_variance") == 1.0) // population: ((1-2)^2+(3-2)^2)/2
+    assert(a.getAs[Double]("v_median") == 2.0)
+    val b = rows(1)
+    // RSI: up=avg(max(x,0))=3, down=avg(min(x,0))=-1 -> 100*3/(3-(-1))=75
+    assert(b.getAs[Double]("v_RSI") == 75.0)
+    val c = rows(2)
+    assert(c.isNullAt(c.fieldIndex("v_min"))) // empty valid set -> null
+    assert(c.getAs[Double]("v_sum") == 0.0)   // except sum -> 0
+    assert(c.getAs[Double]("v_length") == 1.0)
+    assert(c.isNullAt(c.fieldIndex("v_variance"))) // needs >= 2 samples
+  }
+
+  test("variance/std need >=2 valid samples (RequiredSampleCount gate)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("k", "v")
+    val out = A.aggregateBy(Table.of(df), "k", Seq("v" -> Seq(A.Variance)))
+      .orderBy("k").collect()
+    assert(out(0).isNullAt(1)) // 1 sample -> null
+    assert(out(1).getDouble(1) == 0.25) // pop variance of {1,2}
+  }
+
+  test("countValues groups nulls too") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](1L, 1L, null, 3L).toDF("v")
+    val out = Stats.countValues(df, "v").orderBy(col("value").asc_nulls_first)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSeq
+    assert(out == Seq((None, 1L), (Some(1L), 2L), (Some(3L), 1L)))
+  }
+
+  test("rollingInterval left-open window matches reference golden") {
+    import spark.implicits._
+    // reference Test.luna:684-695: keys 1,2,3,4,6; values 0,1,2,null,4;
+    // 2-unit window sums -> [0,1,3,0,4] (null treated as missing,
+    // zero-valid windows -> Sum=0)
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 0.0), (2L, 1.0), (3L, 2.0), (4L, null), (6L, 4.0))
+      .toDF("k", "v")
+    val out = Stats.rollingInterval(df, "k", 2L, Seq("v" -> Seq(A.Sum)))
+      .orderBy("k").select("v_sum").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(0.0, 1.0, 3.0, 2.0, 4.0))
+    // NB reference expects window (k-2, k]: at k=4 -> rows {3,4} -> 2+null=2
+  }
+
+  test("autoCorr matches a hand-computed Pearson") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i => (i, i.toDouble * i)).toDF("id", "v")
+    val got = Stats.autoCorr(Table.fromDF(df.toDF("id", "v"), Seq(col("id"))), "v", 1)
+      .collect()(0).getDouble(0)
+    val xs = (0 until 10).map(i => (i * i).toDouble)
+    val a = xs.drop(1); val b = xs.dropRight(1)
+    val ma = a.sum / a.size; val mb = b.sum / b.size
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val want = cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum * b.map(y => (y - mb) * (y - mb)).sum)
+    assert(math.abs(got - want) < 1e-12)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline operators: dedup recall on planted near-dups, SimHash
+  * locality, similarity-search correctness vs brute force, multimodal
+  * decode plumbing. */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "s0"),
+      (1L, "pack my box with five dozen liquor jugs right now please thanks", "s0"),
+      (2L, "sphinx of black quartz judge my vow said the wise old owl", "s0"),
+      (3L, "completely different words about cabbages kings walruses carpenters oysters beaches", "s0"))
+    // near-dups: one token appended
+    val dups = base.take(2).map { case (id, t, s) => (id + 100L, t + " extra", s) }
+    (base ++ dups).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("canonical_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+    assert(Dedup.dropExactDups(df, "text", "doc_id").count() == 2)
+  }
+
+  test("ngram Jaccard finds planted near-dups with high score") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 100L)) > 0.8)
+    assert(pairs((1L, 101L)) > 0.8)
+    // unrelated docs either share no shingle (absent) or score low
+    assert(pairs.getOrElse((0L, 3L), 0.0) < 0.2)
+  }
+
+  test("minhash LSH catches planted near-dups and estimates Jaccard") {
+    val out = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("est_jaccard"))).toMap
+    assert(out.contains((0L, 100L)))
+    assert(out.contains((1L, 101L)))
+    assert(out((0L, 100L)) >= 0.5)
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val out = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 100L)))
+    assert(out.contains((1L, 101L)))
+  }
+
+  test("simhash of identical text is identical; fingerprint is deterministic") {
+    import spark.implicits._
+    val df = Seq(("a b c d e f g h", "a b c d e f g h")).toDF("x", "y")
+    val r = df.select(
+      TextOps.simhash(col("x")).as("sx"), TextOps.simhash(col("y")).as("sy"),
+      TextOps.fingerprint(col("x")).as("fx"), TextOps.fingerprint(col("y")).as("fy"))
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == r.getLong(3))
+    // fingerprint mod stays in range
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000007L)
+  }
+
+  test("brute-force cosine top-k: exact neighbors on a constructed corpus") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f))) // closest to 2
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 1),
+        "vec_id", "embedding", 1)
+      .collect()(0)
+    assert(out.getAs[Long]("neighbor_id") == 1L)
+    assert(out.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("LSH ANN recall against brute force on random-ish vectors") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 3, planes = 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    // approximate: expect at least a third of true neighbors recovered
+    assert(lsh.intersect(bf).size >= bf.size / 3)
+  }
+
+  test("multimodal decode plumbing: per-partition stub, null passthrough") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world".getBytes("UTF-8")),
+      (2L, Array(0xFF.toByte, 0xD8.toByte, 0x01.toByte)), // jpeg magic
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.withFeatures(df, "payload").orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_bytes") == 11L)
+    assert(out(0).getAs[String]("format") == "unknown")
+    val feats = out(0).getSeq[Float](out(0).fieldIndex("features"))
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    assert(out(1).getAs[String]("format") == "jpeg")
+    assert(out(2).isNullAt(out(2).fieldIndex("n_bytes"))) // null payload -> nulls
+  }
+
+  test("frame sampler slices byte payloads before decode") {
+    import spark.implicits._
+    val df = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("id", "payload")
+    val frames = df.select(Multimodal.sampleFrames(col("payload"), 2, 2).as("f"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    // 5 frames of 2 bytes, stride 2 keeps frames 0,2,4
+    assert(frames.length == 3)
+    assert(frames(0).toSeq == Seq(0.toByte, 1.toByte))
+    assert(frames(1).toSeq == Seq(4.toByte, 5.toByte))
+  }
+
+  test("language-ID is deterministic and quality score in [0,1]") {
+    val out = docs.select(TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("q")).collect()
+    assert(out.forall(r => Set("en", "de", "es").contains(r.getString(0))))
+    assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.core.{SortKey, Table}
+import org.apache.spark.sql.functions._
+
+/** Table facade: row order machinery, stable sort, slice, shift, fillNa
+  * coercion, interpolate goldens, ungroup null-drop — semantics ported from
+  * the reference's golden tests (native_libs/test/Tests.cpp). */
+class TableSpec extends SparkSpec {
+
+  test("stable multi-key sort ties broken by prior order") {
+    import spark.implicits._
+    // rows with equal key must keep their original relative order
+    val df = Seq((1L, "x"), (2L, "a"), (3L, "x"), (4L, "a"), (5L, "x"))
+      .toDF("id", "k")
+    val sorted = Table.fromDF(df, Seq(col("id")))
+      .sortBy(Seq(SortKey("k", ascending = true, nullsFirst = true)))
+      .indexed.orderBy(Table.RowIdx)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(sorted == Seq(2L, 4L, 1L, 3L, 5L))
+  }
+
+  test("sort null placement honors nullsFirst/nullsLast") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, 1L))
+      .toDF("id", "v")
+    def order(nullsFirst: Boolean) =
+      Table.fromDF(df, Seq(col("id")))
+        .sortBy(Seq(SortKey("v", ascending = true, nullsFirst = nullsFirst)))
+        .indexed.orderBy(Table.RowIdx).select("id").collect().map(_.getLong(0)).toSeq
+    assert(order(true) == Seq(2L, 3L, 1L))
+    assert(order(false) == Seq(3L, 1L, 2L))
+  }
+
+  test("slice/take/drop over the row order") {
+    val df = spark.range(0, 100).toDF("id")
+    val tab = Table.fromDF(df, Seq(col("id")))
+    assert(tab.slice(10, 5).toDF.collect().map(_.getLong(0)).sorted.toSeq == (10L to 14L))
+    assert(tab.take(3).rowCount == 3)
+    assert(tab.dropRows(98).rowCount == 2)
+    // out-of-range slice clamps to available rows
+    assert(tab.slice(95, 50).rowCount == 5)
+  }
+
+  test("shift lags with vacated nulls and reference naming") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("id", "v")
+    val out = Table.fromDF(df, Seq(col("id"))).shift("v", 1)
+      .toDF.orderBy("id").select("v_shift_1").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(2).getDouble(0) == 2.0)
+    // negative periods lead
+    val lead = Table.fromDF(df, Seq(col("id"))).shift("v", -1)
+      .toDF.orderBy("id").select("v_shift_-1").collect()
+    assert(lead(0).getDouble(0) == 2.0)
+    assert(lead(2).isNullAt(0))
+  }
+
+  test("fillNa coerces across types like the reference") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (null.asInstanceOf[java.lang.Long], null, null), (2L, 2.5, "x"))
+      .toDF("i", "d", "s")
+    // numeric fill: int column gets 7, double 7.0, string "7" (stringified)
+    val filled = Table.of(df).fillNa(7L).toDF.filter(col("s") === "7").collect()
+    assert(filled.length == 1)
+    assert(filled(0).getLong(0) == 7L)
+    assert(filled(0).getDouble(1) == 7.0)
+    // string fill: parses into numeric columns when parseable
+    val filled2 = Table.of(df).fillNa("3").toDF.filter(col("s") === "3").collect()
+    assert(filled2.length == 1)
+    assert(filled2(0).getLong(0) == 3L)
+    assert(filled2(0).getDouble(1) == 3.0)
+    // unparseable string skips numeric columns
+    val filled3 = Table.of(df).fillNa("zz").toDF
+      .filter(col("s") === "zz").collect()
+    assert(filled3.length == 1)
+    assert(filled3(0).isNullAt(0))
+  }
+
+  test("interpolate: interior lerp, edge clamp, int truncation (reference goldens)") {
+    import spark.implicits._
+    // reference Tests.cpp:1023-1033 semantics
+    val df = Seq[(Long, java.lang.Double)](
+      (0L, null), (1L, 1.0), (2L, null), (3L, null), (4L, 4.0), (5L, null))
+      .toDF("id", "v")
+    val out = Table.fromDF(df, Seq(col("id"))).interpolate()
+      .toDF.orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 1.0, 2.0, 3.0, 4.0, 4.0))
+
+    // int64 column stays integral (storage-type lerp truncation)
+    val di = Seq[(Long, java.lang.Long)]((0L, 1L), (1L, null), (2L, 2L)).toDF("id", "v")
+    val outI = Table.fromDF(di, Seq(col("id"))).interpolate()
+      .toDF.orderBy("id").select("v").collect().map(_.getLong(0)).toSeq
+    assert(outI == Seq(1L, 1L, 2L)) // lerp 1.5 truncates to 1
+
+    // all-null column unchanged
+    val dn = Seq[(Long, java.lang.Double)]((0L, null), (1L, null)).toDF("id", "v")
+    assert(Table.fromDF(dn, Seq(col("id"))).interpolate()
+      .toDF.collect().forall(_.isNullAt(1)))
+  }
+
+  test("ungroup drops null-string rows, keeps empty string as one element") {
+    import spark.implicits._
+    val df = Seq((1L, "a,b"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("id", "tags")
+    val out = Table.of(df).ungroupSplittingOn("tags", ",").toDF
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // null row 2 disappears (explode, not explode_outer); "" yields [""]
+    assert(out == Seq((1L, "a"), (1L, "b"), (3L, "")))
+  }
+
+  test("horizontal concat zips by row position") {
+    import spark.implicits._
+    val a = Table.fromDF(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), Seq(col("id")))
+    val b = Table.fromDF(Seq((10.5, 20L), (30.5, 40L)).toDF("d", "l"), Seq(col("l")))
+    val out = a.concat(b).toDF.orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getDouble(2) == 10.5)
+  }
+
+  test("dropNa any-column and single-column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, null), (null.asInstanceOf[java.lang.Long], 2.0), (3L, 3.0))
+      .toDF("a", "b")
+    assert(Table.of(df).dropNa().rowCount == 1)
+    assert(Table.of(df).dropNaAt("a").rowCount == 2)
+  }
+}
