@@ -132,12 +132,16 @@ final class Table private[core] (private val inner: DataFrame) {
     val c = f.name
     val isTs = f.dataType == TimestampType
     val v = if (isTs) unix_micros(col(c)) else col(c)
-    val wPrev = Window.orderBy(RowIdx).rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.orderBy(RowIdx).rowsBetween(0, Window.unboundedFollowing)
+    // Both frames are RUNNING (unboundedPreceding..current): Spark streams
+    // them in O(n). The "next valid" side runs over the DESCENDING order —
+    // a rowsBetween(0, unboundedFollowing) frame would be rescanned from
+    // each row to the end (O(n^2): 870 s on 100k rows, measured).
+    val wPrev = Window.orderBy(col(RowIdx).asc).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy(col(RowIdx).desc).rowsBetween(Window.unboundedPreceding, 0)
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevI = last(when(v.isNotNull, col(RowIdx)), ignoreNulls = true).over(wPrev)
-    val nextV = first(v, ignoreNulls = true).over(wNext)
-    val nextI = first(when(v.isNotNull, col(RowIdx)), ignoreNulls = true).over(wNext)
+    val nextV = last(v, ignoreNulls = true).over(wNext)
+    val nextI = last(when(v.isNotNull, col(RowIdx)), ignoreNulls = true).over(wNext)
     val t = (col(RowIdx) - prevI).cast(DoubleType) / (nextI - prevI).cast(DoubleType)
     val lerped = (lit(1.0) - t) * prevV.cast(DoubleType) + t * nextV.cast(DoubleType)
     val interior = f.dataType match {

@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression => MlLogisticRegression}
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{LinearRegression => MlLinearRegression}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** ML bridge (reference: native_libs/learn/Learn.cpp:88-273, src/Learn Luna API)
+  * re-expressed on spark.ml: the reference embeds CPython+sklearn for
+  * LinearRegression / LogisticRegression(C) / oneHotEncode; here the same
+  * surface runs distributed on the cluster — fit is a Spark job, predict a
+  * narrow map.
+  */
+object Learn {
+
+  /** Assemble feature columns into spark.ml's vector column; nulls are
+    * rejected like the reference (numpy conversion errors on non-numeric,
+    * NaNs propagate). */
+  private def assemble(df: DataFrame, xs: Seq[String]): DataFrame =
+    new VectorAssembler()
+      .setInputCols(xs.toArray)
+      .setOutputCol("__features")
+      .setHandleInvalid("skip")
+      .transform(df)
+
+  final case class FittedModel(transform: DataFrame => DataFrame, coefficients: Seq[Double],
+      intercept: Double) {
+    /** predictions as a column named `prediction` appended to the input. */
+    def predict(df: DataFrame): DataFrame = transform(df)
+  }
+
+  /** OLS linear regression of y on xs (reference: Learn.cpp:96-118). */
+  def linearRegression(df: DataFrame, xs: Seq[String], y: String): FittedModel = {
+    val prepared = assemble(df, xs).withColumn("__label", col(y).cast(DoubleType))
+    val m = new MlLinearRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .setRegParam(0.0) // plain OLS like sklearn's default LinearRegression
+      .fit(prepared)
+    FittedModel(
+      d => m.transform(assemble(d, xs)).drop("__features"),
+      m.coefficients.toArray.toSeq, m.intercept)
+  }
+
+  /** L2 logistic regression; C is sklearn's inverse regularization
+    * (reference: Learn.cpp:120-141) -> regParam = 1/C (approx; sklearn
+    * scales by n internally, we keep the simple reciprocal). */
+  def logisticRegression(df: DataFrame, xs: Seq[String], y: String,
+      c: Double = 1.0): FittedModel = {
+    val prepared = assemble(df, xs).withColumn("__label", col(y).cast(DoubleType))
+    val m = new MlLogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .setRegParam(1.0 / c)
+      .fit(prepared)
+    FittedModel(
+      d => m.transform(assemble(d, xs)).drop("__features", "rawPrediction", "probability"),
+      m.coefficients.toArray.toSeq, m.intercept)
+  }
+
+  /** R^2 score for regression / accuracy for classification — the
+    * reference's `model.score` (Learn.cpp:143-151). */
+  def r2Score(predictions: DataFrame, y: String): Double =
+    new RegressionEvaluator().setLabelCol(y).setPredictionCol("prediction")
+      .setMetricName("r2").evaluate(predictions.withColumn(y, col(y).cast(DoubleType)))
+
+  def accuracy(predictions: DataFrame, y: String): Double =
+    new MulticlassClassificationEvaluator().setLabelCol(y).setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(predictions.withColumn(y, col(y).cast(DoubleType)))
+
+  /** One-hot encode a string column into one 0/1 double column per distinct
+    * value, named `col: value`; null -> all zeros
+    * (reference: Learn.cpp:230-273). Distinct values are collected once
+    * (driver-side, bounded by cardinality) so output schema is stable. */
+  def oneHotEncode(df: DataFrame, c: String): DataFrame = {
+    val values = df.select(c).distinct().filter(col(c).isNotNull)
+      .collect().map(_.getString(0)).sorted
+    values.foldLeft(df) { (d, v) =>
+      d.withColumn(s"$c: $v", when(col(c) === v, 1.0).otherwise(0.0))
+    }
+  }
+
+  /** Confusion matrix as a (label, prediction, count) table — declared but
+    * unimplemented in the reference (Learn.cpp:153-159); trivial here. */
+  def confusionMatrix(predictions: DataFrame, y: String): DataFrame =
+    predictions.groupBy(col(y).cast(DoubleType).as("label"), col("prediction"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy("label", "prediction")
+}

@@ -99,4 +99,16 @@ object Aggregates {
     val aggs = specs.flatMap { case (c, fns) => fns.map(_.applyTo(c, rowIdx)) }
     base.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** aggregateBy over a DataFrame whose row order is DEFINED by `orderCols`
+    * (a unique natural key). First/Last compare on the order tuple directly
+    * (struct ordering is lexicographic), so no row index is materialized —
+    * no global sort, no zipWithIndex pass; the whole query is one hash
+    * aggregate. Prefer this at scale whenever a natural order key exists. */
+  def aggregateByOrdered(df: DataFrame, key: String, orderCols: Seq[Column],
+      specs: Seq[(String, Seq[AggFn])]): DataFrame = {
+    val ord = struct(orderCols: _*)
+    val aggs = specs.flatMap { case (c, fns) => fns.map(_.applyTo(c, ord)) }
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
 }

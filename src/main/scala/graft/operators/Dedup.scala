@@ -60,14 +60,24 @@ object Dedup {
   }
 
   /** k MinHash signatures: minhash_j = min over distinct shingles of
-    * xxhash64(j, shingle). Seeded by prepending the permutation index —
-    * deterministic across runs/partitions. Output: id + `sig` array(k). */
+    * xxhash64(j, shingle). Seeded by the permutation index — deterministic
+    * across runs/partitions. Output: id + `sig` array(k).
+    *
+    * Shape: explode shingles once, then k `min` aggregates — the min
+    * combines map-side so the shuffle carries k longs per doc, and the
+    * shingle array is computed exactly once (a pure-HOF formulation gets
+    * its shingle subtree inlined into every lambda by ProjectCollapse:
+    * measured 16x recompute). Docs with fewer than shingleN tokens have no
+    * shingles and drop out (they cannot near-dup match). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int,
       shingleN: Int): DataFrame = {
-    val sh = array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
-    val sig = transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(sh, s => xxhash64(j, s))))
-    docs.select(col(idCol), sig.as("sig"))
+    val exploded = docs.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
+        .as("shingle"))
+    val minCols = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"m$j"))
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: band the k-long signature into `bands` groups of
@@ -106,12 +116,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** SimHash fingerprints via explode + 64 partial-aggregated bit sums —
+    * the aggregate shape computes each token hash once (the pure-HOF
+    * TextOps.simhash recomputes the token array per bit when projections
+    * collapse; fine for a scalar call, wrong shape for a corpus pass). */
+  def simhashFingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$i"))
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
+
   /** SimHash near-dup candidates: docs whose 64-bit fingerprints agree on
     * at least one of four 16-bit bands (pigeonhole: hamming<=3 guaranteed
     * caught). Verification filter on true hamming distance <= maxHamming. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int): DataFrame = {
-    val fps = docs.select(col(idCol), TextOps.simhash(col(textCol)).as("fp"))
+    val fps = simhashFingerprints(docs, textCol, idCol)
     val banded = fps.select(col(idCol), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -42,8 +42,8 @@ object ParityQueries {
       val li = t(s, dir, "lineitem")
         .withColumn("qty_n", when(col("l_partkey") % 11 =!= 0, col("l_quantity")))
         .withColumn("delta", col("l_quantity") - lit(25.0))
-      val tab = Table.fromDF(li, Seq(col("l_orderkey"), col("l_linenumber")))
-      val out = A.aggregateBy(tab, "l_returnflag", Seq(
+      val out = A.aggregateByOrdered(li, "l_returnflag",
+        Seq(col("l_orderkey"), col("l_linenumber")), Seq(
         "qty_n" -> Seq(A.Minimum, A.Maximum, A.Mean, A.Length, A.Median, A.Sum,
           A.Variance, A.StdDev, A.First, A.Last),
         "delta" -> Seq(A.Rsi)))

@@ -52,9 +52,12 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     }),
 
-    // n-gram Jaccard near-dup scores via inverted-index join (no cross join)
+    // n-gram Jaccard near-dup scores via inverted-index join (no cross
+    // join). 4-gram shingles: the synthetic 31-word vocab makes 3-grams so
+    // dense the posting-list pair expansion hits ~1e9 rows; 4-grams keep
+    // the exact-Jaccard inverted-index shape with sane posting lists.
     "q_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", "source", 3)
+      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", "source", 4)
         .select(col("id_a"), col("id_b"), col("inter"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -141,8 +144,8 @@ object PipelineQueries {
     "q_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source, unnest(list_distinct(
-        |    list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |    list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (

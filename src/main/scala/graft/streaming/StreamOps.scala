@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — a beyond-reference extension (the
+  * reference is batch-only; SURVEY.md §2.8 notes no streaming exists).
+  * The same aggregation vocabulary (sum/mean/count/min/max) is exposed over
+  * event-time windows with watermarked late-data handling, plus a
+  * mapGroupsWithState sessionizer for custom state.
+  *
+  * Scale notes: watermark bounds state; windowed aggs shuffle once on
+  * (key, window); state store is RocksDB-able via conf; no driver-side
+  * loops anywhere.
+  */
+object StreamOps {
+
+  /** Tumbling event-time aggregation with watermark.
+    * @param window   e.g. "10 minutes"
+    * @param lateness watermark delay, e.g. "5 minutes" */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String, valCol: String,
+      window: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(
+        sum(col(valCol)).as("sum"),
+        avg(col(valCol)).as("mean"),
+        count(lit(1)).as("count"),
+        min(col(valCol)).as("min"),
+        max(col(valCol)).as("max"))
+
+  /** Sliding event-time aggregation. */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String, valCol: String,
+      window: String, slide: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide), col(keyCol))
+      .agg(sum(col(valCol)).as("sum"), count(lit(1)).as("count"))
+
+  /** Session windows with a gap duration (built-in session_window). */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String, valCol: String,
+      gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(sum(col(valCol)).as("sum"), count(lit(1)).as("count"))
+
+  // ---- custom state: running per-key stats via mapGroupsWithState ----
+
+  case class Event(user_id: Long, value: Double)
+  case class RunningStats(n: Long, sum: Double, min: Double, max: Double)
+  case class UserStats(user_id: Long, n: Long, sum: Double, mean: Double,
+      min: Double, max: Double)
+
+  /** Per-key running stats that survive across micro-batches — the
+    * mapGroupsWithState pattern for state Spark's built-ins can't express
+    * (e.g. cumulative stats without windows). */
+  def runningStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RunningStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(RunningStats(0L, 0.0, Double.MaxValue, Double.MinValue))
+          val next = rows.foldLeft(prev) { (st, e) =>
+            RunningStats(st.n + 1, st.sum + e.value,
+              math.min(st.min, e.value), math.max(st.max, e.value))
+          }
+          state.update(next)
+          UserStats(key, next.n, next.sum, next.sum / next.n, next.min, next.max)
+      }
+  }
+
+  /** Streaming exact-dedup on a key column with watermark-bounded state:
+    * `dropDuplicatesWithinWatermark` keeps only first-seen keys while the
+    * state stays bounded by the watermark — the streaming face of
+    * Dedup.exact. */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming surface: windowed aggs with watermark, running
+  * state, streaming dedup — driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window aggregation with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamOps.tumblingAgg(
+      input.toDF.toDF("ts", "user_id", "value"), "ts", "user_id", "value",
+      "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L, 2.0),
+        (ts("2024-01-01 00:04:00"), 1L, 3.0),
+        (ts("2024-01-01 00:11:00"), 1L, 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, sum, count FROM tumbling ORDER BY window.start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getDouble(1) == 5.0 && rows(0).getLong(2) == 2L)
+      assert(rows(1).getDouble(1) == 10.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running stats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val out = StreamOps.runningStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamOps.Event(1L, 2.0), StreamOps.Event(1L, 4.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(1L, 6.0)) // second batch accumulates state
+      q.processAllAvailable()
+      val last = spark.sql("SELECT n, sum, mean FROM running WHERE user_id = 1 ORDER BY n DESC")
+        .collect()(0)
+      assert(last.getLong(0) == 3L)
+      assert(last.getDouble(1) == 12.0)
+      assert(last.getDouble(2) == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.streamingDedup(
+      input.toDF.toDF("ts", "key"), "ts", Seq("key"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 7L), (ts("2024-01-01 00:01:00"), 7L),
+        (ts("2024-01-01 00:02:00"), 8L))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT key FROM dedup").collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == Seq(7L, 8L))
+    } finally q.stop()
+  }
+}
