@@ -32,6 +32,35 @@ object Stats {
       count(lit(1)).as("row_count"))
   }
 
+  /** Whole-table describe (reference: src/Table.luna:1321-1361): one row
+    * per numeric column with Mean/Std/Min/Q.25/Median/Q.75/Max. A single
+    * aggregation job computes all 7*n aggregates; the tiny reshape to
+    * one-row-per-column happens driver-side. */
+  def describe(df: DataFrame): DataFrame = {
+    val nums = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val aggs = nums.flatMap { c =>
+      val x = col(c)
+      Seq(avg(x).as(s"${c}__mean"),
+        when(count(x) >= 2, stddev_pop(x)).as(s"${c}__std"),
+        min(x).cast(DoubleType).as(s"${c}__min"),
+        InterpolatedQuantile.quantileCol(x, 0.25).as(s"${c}__q1"),
+        InterpolatedQuantile.medianCol(x).as(s"${c}__median"),
+        InterpolatedQuantile.quantileCol(x, 0.75).as(s"${c}__q3"),
+        max(x).cast(DoubleType).as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = df.sparkSession
+    val out = nums.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row.fromSeq(c +: (0 until 7).map(j => row.get(i * 7 + j)))
+    }
+    val schema = StructType(StructField("column", StringType) +:
+      Seq("mean", "std", "min", "q1", "median", "q3", "max")
+        .map(StructField(_, DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** value -> occurrence count (nulls counted as a group too), reference
     * emits hash order; we leave order to the caller (sort for determinism).
     * Reference: Analysis.cpp:40-77. */

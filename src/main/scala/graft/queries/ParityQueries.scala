@@ -163,6 +163,18 @@ object ParityQueries {
         .orderBy(col("pos"))
     }),
 
+    // §2.7 whole-table describe: one row per numeric column
+    "q_describe" -> ((s, dir) => {
+      Stats.describe(t(s, dir, "lineitem")
+          .select("l_quantity", "l_discount", "l_tax"))
+        .select(col("column"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          col("min"),
+          round(col("q1"), 6).as("q1"), round(col("median"), 6).as("median"),
+          round(col("q3"), 6).as("q3"), col("max"))
+        .orderBy(col("column"))
+    }),
+
     // §2.7 describeNa: per-column null count + ratio
     "q_describe_na" -> ((s, dir) => {
       Stats.describeNa(eventsWithNulls(s, dir).select("value", "props"))
@@ -278,6 +290,20 @@ object ParityQueries {
         |        o_orderkey AS o_orderkey_by_price FROM orders)
         |SELECT a.rn AS pos, a.o_orderkey, b.o_orderkey_by_price
         |FROM a JOIN b USING (rn) ORDER BY pos""".stripMargin,
+
+    "q_describe" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", round(avg($c),6) AS mean,
+           |  round(stddev_pop($c),6) AS std, min($c)::DOUBLE AS min,
+           |  (SELECT ${duckQuantile("n*0.25 - 0.5", "q")} FROM
+           |    (SELECT list_sort(list($c)) s, count($c)::DOUBLE n FROM lineitem WHERE $c IS NOT NULL)) AS q1,
+           |  round(median($c),6) AS median,
+           |  (SELECT ${duckQuantile("n*0.75 - 0.5", "q")} FROM
+           |    (SELECT list_sort(list($c)) s, count($c)::DOUBLE n FROM lineitem WHERE $c IS NOT NULL)) AS q3,
+           |  max($c)::DOUBLE AS max
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_discount", "l_tax").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q_describe_na" ->
       """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS value_nulls,

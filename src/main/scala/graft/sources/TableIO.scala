@@ -3,6 +3,7 @@ package graft.sources
 import java.io.{DataInputStream, FileInputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** File IO with the reference's polymorphic entry points:
   * read dispatches on FILE SIGNATURE, write on EXTENSION
@@ -55,7 +56,8 @@ object TableIO {
     * header policy (take from first row / generate colN / custom names). */
   final case class CsvOptions(
       header: HeaderPolicy = HeaderFromFirstRow,
-      separator: String = ",")
+      separator: String = ",",
+      inferOver50Rows: Boolean = false)
   sealed trait HeaderPolicy
   case object HeaderFromFirstRow extends HeaderPolicy
   case object GenerateColumnNames extends HeaderPolicy
@@ -64,10 +66,10 @@ object TableIO {
   def readCsv(spark: SparkSession, path: String, opts: CsvOptions): DataFrame = {
     val base = spark.read
       .option("sep", opts.separator)
-      .option("inferSchema", true)        // reference infers over first 50 rows; Spark over the file
+      .option("inferSchema", !opts.inferOver50Rows) // full-file inference unless 50-row parity asked
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .option("nullValue", "")
-    opts.header match {
+    val headered = opts.header match {
       case HeaderFromFirstRow => base.option("header", true).csv(path)
       case GenerateColumnNames =>
         val df = base.option("header", false).csv(path)
@@ -75,14 +77,93 @@ object TableIO {
       case CustomNames(names) =>
         base.option("header", false).csv(path).toDF(names: _*)
     }
+    if (opts.inferOver50Rows) applyDeducedSchema(spark, headered, opts) else headered
   }
+
+  /** Reference type deduction (reference: IO/csv.cpp:30-41,153-188): per
+    * column, look at the FIRST 50 data rows only; precedence
+    * TIMESTAMP > STRING > DOUBLE > INT64; empty cells are nulls and don't
+    * vote. Spark's own inference scans the whole file — for files whose
+    * tail diverges from the head, results differ; this reproduces the
+    * reference's head-window rule, then casts (rows that fail the cast
+    * become null, matching the reference's null-on-parse-failure). */
+  private def applyDeducedSchema(spark: SparkSession, raw: DataFrame,
+      opts: CsvOptions): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val head = raw.limit(50).collect()
+    val tsRe = "^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2})?)?$".r
+    val intRe = "^[+-]?\\d+$".r
+    val dblRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+    val casts = raw.schema.fields.zipWithIndex.map { case (f, i) =>
+      val cells = head.flatMap(r => Option(r.get(i)).map(_.toString)).filter(_.nonEmpty)
+      val dt: DataType =
+        if (cells.isEmpty) StringType
+        else if (cells.forall(c => tsRe.findFirstIn(c).isDefined)) TimestampType
+        else if (cells.forall(c => intRe.findFirstIn(c).isDefined)) LongType
+        else if (cells.forall(c => dblRe.findFirstIn(c).isDefined)) DoubleType
+        else StringType
+      col(f.name).try_cast(dt).as(f.name) // null on parse failure (ANSI-safe)
+    }
+    raw.select(casts.toSeq: _*)
+  }
+
+  /** CSV writer knobs (reference: csv.cpp:414-469): header on/off,
+    * quote-when-needed vs quote-all, custom separator; timestamps as %F
+    * dates. */
+  final case class CsvWriteOptions(
+      header: Boolean = true,
+      quoteAll: Boolean = false,
+      separator: String = ",")
+
+  def writeCsv(df: DataFrame, path: String, opts: CsvWriteOptions = CsvWriteOptions()): Unit = {
+    import org.apache.spark.sql.functions._
+    // %F timestamp rendering like the reference's generator (csv.cpp:400-411)
+    val rendered = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd"))
+        case _ => d
+      }
+    }
+    rendered.write.mode("overwrite")
+      .option("header", opts.header)
+      .option("quoteAll", opts.quoteAll)
+      .option("sep", opts.separator)
+      .option("emptyValue", "")
+      .csv(path)
+  }
+
+  /** Parse CSV from an in-memory string (reference: main.cpp:1306-1339). */
+  def readCsvText(spark: SparkSession, text: String,
+      opts: CsvOptions = CsvOptions()): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(text.split("\n", -1).toSeq.filter(_.nonEmpty))
+    val base = spark.read
+      .option("sep", opts.separator)
+      .option("inferSchema", true)
+      .option("nullValue", "")
+    opts.header match {
+      case HeaderFromFirstRow => base.option("header", true).csv(ds)
+      case GenerateColumnNames =>
+        val df = base.option("header", false).csv(ds)
+        df.toDF(df.columns.indices.map(i => s"col$i"): _*)
+      case CustomNames(names) =>
+        base.option("header", false).csv(ds).toDF(names: _*)
+    }
+  }
+
+  /** Int sequence column source (reference: main.cpp:721-738
+    * columnNewInt64Sequence / Column.createIndex). */
+  def sequenceColumn(spark: SparkSession, name: String, from: Long, to: Long,
+      step: Long = 1L): DataFrame =
+    spark.range(from, to, step).toDF(name)
 
   /** Write dispatching on extension (csv/txt -> CSV, parquet/feather role ->
     * Parquet) — reference: IO/IO.cpp:92-99. */
   def write(df: DataFrame, path: String, header: Boolean = true): Unit = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv") || lower.endsWith(".txt"))
-      df.write.mode("overwrite").option("header", header).csv(path)
+      writeCsv(df, path, CsvWriteOptions(header = header))
     else
       df.write.mode("overwrite").parquet(path)
   }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.TableIO
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** IO parity: signature sniffing, header policies, 50-row inference window,
+  * CSV writer knobs, in-memory CSV, sequence columns, BOM. */
+class TableIOSpec extends SparkSpec {
+
+  private def tmp(name: String, content: String): String = {
+    val p = Files.createTempDirectory("graftio").resolve(name)
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("sniff dispatches on file signature, not extension") {
+    val csv = tmp("data.weird", "a,b\n1,2\n")
+    assert(TableIO.sniff(csv) == TableIO.Csv)
+    val pq = Files.createTempDirectory("graftio").resolve("x.csv")
+    Files.write(pq, "PAR1junk".getBytes("ASCII"))
+    assert(TableIO.sniff(pq.toString) == TableIO.Parquet) // content wins over .csv ext
+    val fea = tmp("f.bin", "FEA1xxxx")
+    assert(TableIO.sniff(fea) == TableIO.Feather)
+    val xlsx = tmp("x.bin", "PKrest")
+    assert(TableIO.sniff(xlsx) == TableIO.Xlsx)
+  }
+
+  test("header policies: first-row, generated colN, custom names") {
+    val path = tmp("h.csv", "x,y\n1,2\n3,4\n")
+    val first = TableIO.readCsv(spark, path, TableIO.CsvOptions())
+    assert(first.columns.toSeq == Seq("x", "y"))
+    assert(first.count() == 2)
+    val gen = TableIO.readCsv(spark, path, TableIO.CsvOptions(TableIO.GenerateColumnNames))
+    assert(gen.columns.toSeq == Seq("col0", "col1"))
+    assert(gen.count() == 3) // header row becomes data
+    val custom = TableIO.readCsv(spark, path, TableIO.CsvOptions(TableIO.CustomNames(Seq("p", "q"))))
+    assert(custom.columns.toSeq == Seq("p", "q"))
+  }
+
+  test("50-row inference window: type decided by the head, tail coerced") {
+    // first 50 data rows are ints; row 60 is a string -> whole-file Spark
+    // inference would say string; the reference's 50-row window says INT64
+    // and nulls the unparseable tail cell
+    val rows = (1 to 55).map(i => s"$i").patch(52, Seq("oops"), 1)
+    val path = tmp("head.csv", "v\n" + rows.mkString("\n") + "\n")
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df.schema("v").dataType == LongType)
+    assert(df.filter(df("v").isNull).count() == 1) // "oops" -> null
+    // timestamp precedence over string for date-shaped cells
+    val p2 = tmp("ts.csv", "t\n2020-01-01\n2020-01-02\n")
+    val df2 = TableIO.readCsv(spark, p2, TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df2.schema("t").dataType == TimestampType)
+  }
+
+  test("CSV writer: quoteAll, header off, %F timestamps; round-trips") {
+    import spark.implicits._
+    val df = Seq((1L, "a,b", java.sql.Timestamp.valueOf("2020-05-06 07:08:09")))
+      .toDF("i", "s", "t")
+    val dir = Files.createTempDirectory("graftw").resolve("out.csv").toString
+    TableIO.writeCsv(df, dir, TableIO.CsvWriteOptions(quoteAll = true))
+    val text = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv")).map(p => new String(Files.readAllBytes(Paths.get(p)))).mkString
+    assert(text.contains("\"1\"")) // quote-all quotes unquoted-safe fields too
+    assert(text.contains("\"a,b\""))
+    assert(text.contains("2020-05-06")) // %F date rendering
+    assert(!text.contains("07:08:09"))
+    // read back (header from first row)
+    val back = TableIO.readCsv(spark, dir, TableIO.CsvOptions())
+    assert(back.count() == 1)
+  }
+
+  test("CSV from in-memory text") {
+    val df = TableIO.readCsvText(spark, "a,b\n1,x\n2,y\n")
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+
+  test("sequence column (createIndex)") {
+    val df = TableIO.sequenceColumn(spark, "idx", 5L, 20L, 5L)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L, 10L, 15L))
+  }
+
+  test("UTF-8 BOM does not corrupt the header") {
+    val path = tmp("bom.csv", "﻿foo\n1\n2\n")
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions())
+    assert(df.columns.head == "foo")
+  }
+
+  test("empty cells parse as nulls (ragged-ish rows)") {
+    val path = tmp("holes.csv", "a,b,c\n1,2,\n4,,6\n")
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions())
+    val rows = df.orderBy("a").collect()
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1))
+  }
+}
