@@ -124,11 +124,23 @@ final class Table private[core] (private val inner: DataFrame) {
       case LongType | DoubleType | IntegerType | TimestampType => true
       case _ => false
     })
-    val out = numeric.foldLeft(ix) { (d, f) => interpolateCol(d, f) }
+    val out = numeric.foldLeft(ix) { (d, f) => interpolateCol(d, f, Seq.empty) }
     new Table(out)
   }
 
-  private def interpolateCol(d: DataFrame, f: StructField): DataFrame = {
+  /** Per-key interpolate: null runs fill within each partition key only —
+    * parallel across keys (the whole-table variant is one sequential
+    * partition). Edge runs clamp within the key's own first/last valid. */
+  def interpolateWithin(partitionCols: Seq[Column]): Table = {
+    val ix = indexed
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case LongType | DoubleType | IntegerType | TimestampType => true
+      case _ => false
+    })
+    new Table(numeric.foldLeft(ix) { (d, f) => interpolateCol(d, f, partitionCols) })
+  }
+
+  private def interpolateCol(d: DataFrame, f: StructField, parts: Seq[Column]): DataFrame = {
     val c = f.name
     val isTs = f.dataType == TimestampType
     val v = if (isTs) unix_micros(col(c)) else col(c)
@@ -136,8 +148,10 @@ final class Table private[core] (private val inner: DataFrame) {
     // them in O(n). The "next valid" side runs over the DESCENDING order —
     // a rowsBetween(0, unboundedFollowing) frame would be rescanned from
     // each row to the end (O(n^2): 870 s on 100k rows, measured).
-    val wPrev = Window.orderBy(col(RowIdx).asc).rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.orderBy(col(RowIdx).desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = Window.partitionBy(parts: _*)
+      .orderBy(col(RowIdx).asc).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(parts: _*)
+      .orderBy(col(RowIdx).desc).rowsBetween(Window.unboundedPreceding, 0)
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevI = last(when(v.isNotNull, col(RowIdx)), ignoreNulls = true).over(wPrev)
     val nextV = last(v, ignoreNulls = true).over(wNext)
@@ -161,15 +175,27 @@ final class Table private[core] (private val inner: DataFrame) {
 
   // ---- shift (reference: Processing.cpp:534-559) ----
   /** Lag/lead a column by n rows (vacated slots null), appended as
-    * `<col>_shift_<n>`. */
+    * `<col>_shift_<n>`. Whole-table shift needs a single global ordering
+    * (one partition in WindowExec) — correct at any size but sequential;
+    * prefer [[shiftWithin]] when a partition key exists. */
   def shift(colName: String, periods: Int): Table = {
     val ix = indexed
     val w = Window.orderBy(RowIdx)
-    val shifted =
-      if (periods >= 0) lag(col(colName), periods).over(w)
-      else lead(col(colName), -periods).over(w)
-    new Table(ix.withColumn(s"${colName}_shift_$periods", shifted))
+    new Table(ix.withColumn(s"${colName}_shift_$periods", shiftExpr(colName, periods, w)))
   }
+
+  /** Per-key shift: lag/lead within each partition key, fully parallel
+    * (one shuffle on the key, then narrow). The 100 TB-shaped variant. */
+  def shiftWithin(colName: String, periods: Int, partitionCols: Seq[Column],
+      orderCols: Seq[Column]): Table = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    keep(inner.withColumn(s"${colName}_shift_$periods", shiftExpr(colName, periods, w)))
+  }
+
+  private def shiftExpr(colName: String, periods: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (periods >= 0) lag(col(colName), periods).over(w)
+    else lead(col(colName), -periods).over(w)
 
   // ---- ungroup (reference: Processing.cpp:694-819) ----
   /** Split a string column on a separator and explode — each other column's

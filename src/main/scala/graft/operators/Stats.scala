@@ -151,6 +151,28 @@ object Stats {
     df.select((col(key) +: winCols): _*)
   }
 
+  /** Per-key rolling interval: windows never cross the partition key —
+    * fully parallel across keys (one shuffle on the key). The whole-table
+    * variant is a single sequential partition; prefer this at scale. */
+  def rollingIntervalWithin(
+      df: DataFrame,
+      partitionCols: Seq[Column],
+      key: String,
+      intervalMicros: Long,
+      specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    val keyIsTs = df.schema(key).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val ord = if (keyIsTs) unix_micros(col(key).cast(TimestampType)) else col(key).cast(LongType)
+    val w = Window.partitionBy(partitionCols: _*).orderBy(ord)
+      .rangeBetween(-(intervalMicros - 1), 0)
+    val winCols = specs.flatMap { case (c, fns) =>
+      fns.map(fn => windowed(fn, col(c), w).as(s"${c}_${fn.fnName}"))
+    }
+    df.select((partitionCols :+ col(key)) ++ winCols: _*)
+  }
+
   /** AggFn -> windowed aggregate; `.over` is applied to each aggregate CALL
     * (not to compound arithmetic). first/last by row order are not part of
     * the reference's rolling surface. */

@@ -135,6 +135,26 @@ object ParityQueries {
         .orderBy(col("ts"), col("value_sum"))
     }),
 
+    // §2.8 keyed rolling window — the scale-shaped variant: windows are
+    // per-user, so the computation parallelizes across keys instead of
+    // funneling through one global ordering
+    "q_rolling_by_user" -> ((s, dir) => {
+      Stats.rollingIntervalWithin(events(s, dir), Seq(col("user_id")), "ts",
+          3600L * 1000 * 1000, Seq("value" -> Seq(A.Sum, A.Length)))
+        .select(col("user_id"), col("ts"),
+          round(col("value_sum"), 4).as("value_sum"), col("value_length"))
+        .orderBy(col("user_id"), col("ts"), col("value_sum"))
+    }),
+
+    // §2.3 keyed shift: lag within each user's event sequence
+    "q_shift_by_user" -> ((s, dir) => {
+      Table.of(events(s, dir))
+        .shiftWithin("value", 1, Seq(col("user_id")), Seq(col("event_id")))
+        .toDF
+        .select(col("event_id"), col("user_id"), col("value"), col("value_shift_1"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.7 autoCorr: Pearson corr of a column vs itself lagged
     "q_autocorr" -> ((s, dir) => {
       Stats.autoCorr(Table.fromDF(events(s, dir), Seq(col("event_id"))), "value", 3)
@@ -273,6 +293,20 @@ object ParityQueries {
         |FROM events
         |WINDOW w AS (ORDER BY epoch_us(ts) RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY ts, value_sum""".stripMargin,
+
+    "q_rolling_by_user" ->
+      """SELECT user_id, ts,
+        |  round(sum(value) OVER w, 4) AS value_sum,
+        |  (count(*) OVER w)::DOUBLE AS value_length
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, value_sum""".stripMargin,
+
+    "q_shift_by_user" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS value_shift_1
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_autocorr" ->
       """SELECT round(corr(value, lv), 6) AS autocorr

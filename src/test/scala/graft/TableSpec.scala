@@ -101,6 +101,31 @@ class TableSpec extends SparkSpec {
       .toDF.collect().forall(_.isNullAt(1)))
   }
 
+  test("interpolateWithin fills per key, clamping at each key's edges") {
+    import spark.implicits._
+    val df = Seq[(Long, String, java.lang.Double)](
+      (0L, "a", 1.0), (1L, "a", null), (2L, "a", 3.0),
+      (3L, "b", null), (4L, "b", 10.0), (5L, "b", null))
+      .toDF("id", "k", "v")
+    val out = Table.fromDF(df, Seq(col("id"))).interpolateWithin(Seq(col("k")))
+      .toDF.orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq
+    // key a: interior lerp 2.0; key b: leading/trailing clamp to 10.0 —
+    // key a's values never leak into key b
+    assert(out == Seq(1.0, 2.0, 3.0, 10.0, 10.0, 10.0))
+  }
+
+  test("shiftWithin lags inside each key only") {
+    import spark.implicits._
+    val df = Seq((0L, "a", 1.0), (1L, "a", 2.0), (2L, "b", 3.0), (3L, "b", 4.0))
+      .toDF("id", "k", "v")
+    val out = Table.of(df).shiftWithin("v", 1, Seq(col("k")), Seq(col("id")))
+      .toDF.orderBy("id").select("v_shift_1").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(2).isNullAt(0)) // key boundary: b's first row has no lag
+    assert(out(3).getDouble(0) == 3.0)
+  }
+
   test("ungroup drops null-string rows, keeps empty string as one element") {
     import spark.implicits._
     val df = Seq((1L, "a,b"), (2L, null.asInstanceOf[String]), (3L, ""))
