@@ -64,6 +64,35 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // §2.4 string predicates: startsWith + full-string regex match
+    "q_filter_str" -> ((s, dir) => {
+      import graft.expr.LQuery._
+      graft.core.Table.of(t(s, dir, "documents"))
+        .filter((at("source").startsWith("src1") && at("lang").matches("e.")).toFilter)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .toDF
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup: exact pairwise within label blocks
+    // (10 labels -> pair count bounded; the LSH path covers unblocked scale)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Similarity.l2Norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
     // Brute-force cosine top-k over embeddings (broadcast query side)
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -159,6 +188,21 @@ object PipelineQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    "q_filter_str" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE starts_with(source, 'src1') AND regexp_full_match(lang, 'e.')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

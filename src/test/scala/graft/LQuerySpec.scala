@@ -76,6 +76,18 @@ class LQuerySpec extends SparkSpec {
     assert(out(9L) == ((-4L, 1L)))   // 9/-2 truncates toward zero
   }
 
+  test("mixed-type comparisons error rather than comparing as false") {
+    // reference: comparisons on mixed string/number are errors, not false
+    // (Tests.cpp:516-531). Spark ANSI raises too — at analysis time when
+    // no implicit cast exists, else as a runtime cast error.
+    val bad = at("s") > at("a")
+    val thrown = intercept[Throwable] {
+      Table.of(df).filter(bad.toFilter).toDF.collect()
+    }
+    assert(thrown.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      thrown.getClass.getName.startsWith("org.apache.spark.Spark"))
+  }
+
   implicit class ToLong(e: graft.expr.LExpr) {
     def toLong: graft.expr.LExpr =
       graft.expr.LExpr(e.col.cast(org.apache.spark.sql.types.LongType), e.refs)
