@@ -252,13 +252,30 @@ object Table {
     fromOrdered(graft.sources.TableIO.read(spark, path))
 
   /** Distributed zipWithIndex: 2 narrow passes (count per partition, then
-    * offset add), no shuffle — unlike `row_number() over ()` which would
-    * funnel all rows through one partition. */
+    * offset add via broadcast map), no shuffle — unlike `row_number()
+    * over ()` which would funnel all rows through one partition, and
+    * unlike `rdd.zipWithIndex` which deserializes every row out of
+    * Tungsten. `monotonically_increasing_id` is `pid << 33 | counter`, so
+    * its low 33 bits ARE the within-partition position. */
   private[graft] def zipIndexed(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(RowIdx, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val withPid = df
+      .withColumn(PosInPart, monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .withColumn(PartId, spark_partition_id())
+    val counts = withPid.groupBy(PartId).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).dropRight(1)
+    val offsetOf: Map[Int, Long] = counts.map(_._1).zip(offsets).toMap
+    // map literal keeps the expression O(1)-deep at any partition count
+    val offsetExpr =
+      if (offsetOf.isEmpty) lit(0L)
+      else element_at(typedLit(offsetOf), col(PartId))
+    withPid
+      .withColumn(RowIdx, (offsetExpr + col(PosInPart)).cast(LongType))
+      .drop(PosInPart, PartId)
   }
+
+  private val PosInPart = "__pos_in_part"
+  private val PartId = "__part_id"
 
   /** Reference fill-value coercion (Processing.cpp:561-609): numbers fill
     * numeric columns (with int<->double casts), anything stringifies into

@@ -1,43 +1,29 @@
 package graft.tools
 
-import graft.operators.{Dedup, TextOps}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only profiling harness: time sub-plans of a query in isolation.
-  * Not part of the library surface. */
+/** Dev-only profiling harness: time any SparkEntry query in isolation with
+  * the bench-identical sink. Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Scratch q_jaccard q_sort"
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.count()
-
-    def time(name: String)(f: => Long): Unit = {
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warmup
+    for (q <- names; r <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      graft.SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scratch] $q%-20s run$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-
-    val idx = docs.select(col("doc_id"), col("source").as("block"),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 4))).as("shingle"))
-
-    time("shingle index")(idx.count())
-    time("shingle index again")(idx.count())
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    time("sizes")(sizes.count())
-    val a = idx.select(col("doc_id").as("id_a"), col("block"), col("shingle"))
-    val b = idx.select(col("doc_id").as("id_b"), col("block"), col("shingle"))
-    val joined = a.join(b, Seq("block", "shingle")).filter(col("id_a") < col("id_b"))
-    time("pair join")(joined.count())
-    val inter = joined.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    time("inter")(inter.count())
-    time("full ngramJaccard")(
-      Dedup.ngramJaccard(docs, "text", "doc_id", "source", 4).count())
     spark.stop()
   }
 }
