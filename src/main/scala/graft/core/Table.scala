@@ -217,6 +217,10 @@ final class Table private[core] (private val inner: DataFrame) {
     new Table(exploded)
   }
 
+  // ---- native-Spark aggregation extensions (beyond the reference) ----
+  def rollup(cols: Column*): org.apache.spark.sql.RelationalGroupedDataset = df.rollup(cols: _*)
+  def cube(cols: Column*): org.apache.spark.sql.RelationalGroupedDataset = df.cube(cols: _*)
+
   def union(other: Table): Table = new Table(df.unionByName(other.df))
   def except(other: Table): Table = new Table(df.except(other.df))
   def intersect(other: Table): Table = new Table(df.intersect(other.df))

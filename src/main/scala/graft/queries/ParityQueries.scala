@@ -195,6 +195,15 @@ object ParityQueries {
         .orderBy(col("column"))
     }),
 
+    // beyond-reference: rollup (grouping-set aggregation)
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // §2.7 describeNa: per-column null count + ratio
     "q_describe_na" -> ((s, dir) => {
       Stats.describeNa(eventsWithNulls(s, dir).select("value", "props"))
@@ -338,6 +347,13 @@ object ParityQueries {
            |FROM lineitem""".stripMargin
       Seq("l_quantity", "l_discount", "l_tax").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_describe_na" ->
       """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS value_nulls,

@@ -95,6 +95,35 @@ class AggregatesSpec extends SparkSpec {
     // NB reference expects window (k-2, k]: at k=4 -> rows {3,4} -> 2+null=2
   }
 
+  test("correlationMatrix and correlationsWith") {
+    import spark.implicits._
+    val df = (0 until 50).map { i =>
+      (i.toDouble, i * 2.0, 50.0 - i, (i % 7).toDouble)
+    }.toDF("a", "b", "c", "d")
+    val m = Stats.correlationMatrix(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(m("a").getAs[Double]("b") - 1.0) < 1e-12)  // perfectly correlated
+    assert(math.abs(m("a").getAs[Double]("c") + 1.0) < 1e-12)  // anti-correlated
+    assert(math.abs(m("a").getAs[Double]("a") - 1.0) < 1e-12)  // diagonal
+    val w = Stats.correlationsWith(df, "a").collect()
+    assert(w.head.getString(0) == "c")   // sorted by corr: -1 first
+    assert(w.last.getAs[Double]("corr") == 1.0)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    // skewed left: 90% of rows share key 1
+    val left = ((1 to 90).map(i => (1L, i.toLong)) ++ (1 to 10).map(i => (i.toLong + 1, 0L)))
+      .toDF("k", "payload")
+    val right = (1 to 11).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.Joins.saltedJoin(left, right, Seq("k"), salt = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 100)
+  }
+
   test("autoCorr matches a hand-computed Pearson") {
     import spark.implicits._
     val df = (0L until 10L).map(i => (i, i.toDouble * i)).toDF("id", "v")
