@@ -20,14 +20,21 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Elementwise dot product; computed in double (cast both sides). */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise dot product — native codegen'd expression (see
+    * graft.expr.VectorExpressions; the HOF zip_with+aggregate formulation
+    * is interpreted per element and was the measured bottleneck). Same
+    * sequential double accumulation -> bit-identical results. */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpressions.dot(a, b)
+
+  /** HOF reference formulation, kept for differential testing. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused single-pass cosine (dot + both norms + divide in one loop). */
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorExpressions.cosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-pairs excluded). `queries` must be small enough to

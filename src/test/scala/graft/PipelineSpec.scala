@@ -98,6 +98,34 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.intersect(bf).size >= bf.size / 3)
   }
 
+  test("native dot/cosine expressions match the HOF formulation bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "a", "b")
+    val rows = vecs.select(
+      Similarity.dot(col("a"), col("b")).as("nd"),
+      Similarity.dotHof(col("a"), col("b")).as("hd"),
+      Similarity.cosine(col("a"), col("b")).as("nc"),
+      (Similarity.dotHof(col("a"), col("b")) /
+        (sqrt(Similarity.dotHof(col("a"), col("a"))) *
+         sqrt(Similarity.dotHof(col("b"), col("b"))))).as("hc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact dot
+      assert(r.getDouble(2) == r.getDouble(3)) // bit-exact cosine
+    }
+    // null on length mismatch and zero norm
+    val edge = Seq((Array(1.0f, 2.0f), Array(1.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b", "z")
+    val e = edge.select(Similarity.dot(col("a"), col("b")).as("mismatch"),
+      Similarity.cosine(col("a"), col("z").as("z2")).as("zeronorm_wronglen"),
+      Similarity.cosine(col("z"), col("z")).as("zeronorm")).collect()(0)
+    assert(e.isNullAt(0))
+    assert(e.isNullAt(2))
+  }
+
   test("multimodal decode plumbing: per-partition stub, null passthrough") {
     import spark.implicits._
     val df = Seq(
