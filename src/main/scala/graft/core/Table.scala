@@ -53,6 +53,17 @@ final class Table private[core] (private val inner: DataFrame) {
   /** Horizontal concat by row position (reference: src/Table.luna:278-310).
     * Implemented as an equi-join on the row index — the only faithful
     * distributed "zip" of two independently-produced tables. */
+  /** Keep only columns whose field satisfies the predicate
+    * (reference: src/Table.luna:719-722 filterColumns with .isNumeric /
+    * .isText column predicates). */
+  def filterColumns(pred: StructField => Boolean): Table =
+    new Table(df.select(df.schema.fields.filter(pred).map(f => col(f.name)): _*))
+
+  /** Apply a Column -> Column function to every column
+    * (reference: src/Table.luna:749-752 eachColumn). */
+  def eachColumn(f: (Column, StructField) => Column): Table =
+    new Table(df.select(df.schema.fields.map(sf => f(col(sf.name), sf).as(sf.name)): _*))
+
   def concat(other: Table): Table = {
     val l = indexed
     val r = other.indexed

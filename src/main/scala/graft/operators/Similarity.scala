@@ -74,6 +74,46 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
+    * cells; each query probes only the `nProbe` nearest cells, exact
+    * cosine re-ranks the candidates. The classic quantization scale path:
+    * corpus assignment is one narrow pass after a (sample-based) fit, and
+    * query cost drops by ~nCells/nProbe vs brute force. Recall rises with
+    * nProbe (nProbe = nCells is exact). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // centroid table is tiny: broadcast-join both sides against it
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cv")
+    def assign(df: DataFrame, id: String, top: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(id + "_v"))
+        .crossJoin(broadcast(cdf))
+        .withColumn("sim", cosine(col(id + "_v"), col("cv")))
+      val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= top)
+        .select(col(id), col(id + "_v"), col("cell"))
+    }
+    val c = assign(corpus, "neighbor_id", 1)          // corpus: nearest cell only
+    val q = assign(queries, "query_id", nProbe)       // queries: probe nProbe cells
+    val cands = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
+      .distinct()
+    val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Bucketed ANN: corpus and queries hashed to `planes`-bit signatures;
     * candidates = corpus rows whose signature matches the query's in at
     * least one of the 4 bands; exact cosine re-ranks the candidates.

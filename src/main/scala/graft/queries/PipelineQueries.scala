@@ -125,6 +125,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN: k-means cells + nProbe probing (rows-only; recall spec'd)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal: text -> binary column -> per-partition decode-stub
     // (mapPartitions) metadata, oracle-checkable (byte count, format sniff,
     // md5 digest). Feature vectors are spec-tested, not oracle'd.

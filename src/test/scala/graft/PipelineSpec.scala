@@ -98,6 +98,37 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.intersect(bf).size >= bf.size / 3)
   }
 
+  test("IVF ANN recall against brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+        nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.intersect(bf).size >= bf.size / 3)
+    // full probe = exact
+    val full = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+        nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == bf)
+  }
+
+  test("filterColumns and eachColumn") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.NumericType
+    val df = Seq((1L, "x", 2.5)).toDF("a", "s", "d")
+    val numeric = graft.core.Table.of(df)
+      .filterColumns(_.dataType.isInstanceOf[NumericType])
+    assert(numeric.columnNames == Seq("a", "d"))
+    val doubled = graft.core.Table.of(df.select("a", "d"))
+      .eachColumn((c, _) => c * 2)
+    assert(doubled.toDF.collect()(0).toSeq == Seq(2L, 5.0))
+  }
+
   test("native dot/cosine expressions match the HOF formulation bit-exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
