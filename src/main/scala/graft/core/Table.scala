@@ -47,7 +47,19 @@ final class Table private[core] (private val inner: DataFrame) {
   def columns(names: Seq[String]): Table = keep(inner.select((names :+ RowIdx).filter(inner.columns.contains(_)).distinct.map(inner(_)): _*))
   def select(cols: Column*): Table = new Table(df.select(cols: _*))
   def addColumn(name: String, col: Column): Table = keep(inner.withColumn(name, col))
+
+  /** Insert a column at position i (reference: src/Table.luna:248-249
+    * addColumn index col). */
+  def addColumnAt(i: Int, name: String, c: Column): Table = {
+    val (before, after) = df.columns.splitAt(i)
+    new Table(df.withColumn(name, c)
+      .select((before.map(col) ++ (col(name) +: after.map(col))): _*))
+  }
+
   def remove(name: String): Table = keep(inner.drop(name))
+
+  /** Drop the column at position i (reference: src/Table.luna:457-484). */
+  def removeByIndex(i: Int): Table = remove(df.columns(i))
   def rename(from: String, to: String): Table = keep(inner.withColumnRenamed(from, to))
 
   /** Horizontal concat by row position (reference: src/Table.luna:278-310).

@@ -145,6 +145,14 @@ class TableSpec extends SparkSpec {
     assert(out(0).getLong(0) == 1L && out(0).getDouble(2) == 10.5)
   }
 
+  test("addColumnAt inserts at position; removeByIndex drops by position") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("a", "b")
+    val t2 = Table.of(df).addColumnAt(1, "mid", lit(9))
+    assert(t2.columnNames == Seq("a", "mid", "b"))
+    assert(t2.removeByIndex(0).columnNames == Seq("mid", "b"))
+  }
+
   test("dropNa any-column and single-column") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](
