@@ -86,7 +86,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("features").fit(train)
+    // few iterations suffice: cells only need to be roughly balanced, and
+    // recall comes from nProbe, not centroid quality
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // centroid table is tiny: broadcast-join both sides against it
     import spark.implicits._
