@@ -151,6 +151,30 @@ object Stats {
     df.select((col(key) +: winCols): _*)
   }
 
+  /** Tumbling time-bucket aggregation (batch face of the streaming
+    * tumbling window — same epoch-aligned buckets as
+    * `window(col, "1 hour")`). */
+  def resample(df: DataFrame, tsCol: String, every: String,
+      specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    val bucket = window(col(tsCol).cast(TimestampType), every)
+    val aggs = specs.flatMap { case (c, fns) =>
+      fns.map(_.applyTo(c, monotonically_increasing_id()))
+    }
+    df.groupBy(bucket.getField("start").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Approximate distinct count (HLL++) — the bounded-memory scale path
+    * where countValues/exact distinct would shuffle every value. */
+  def approxCountDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(c), rsd).as("approx_distinct"))
+
+  /** Approximate quantiles (Greenwald-Khanna) — bounded-memory alternative
+    * to the exact InterpolatedQuantile for approximate-tolerant consumers. */
+  def approxQuantiles(df: DataFrame, c: String, probs: Array[Double],
+      relErr: Double = 0.01): Array[Double] =
+    df.stat.approxQuantile(c, probs, relErr)
+
   /** Per-key rolling interval: windows never cross the partition key —
     * fully parallel across keys (one shuffle on the key). The whole-table
     * variant is a single sequential partition; prefer this at scale. */

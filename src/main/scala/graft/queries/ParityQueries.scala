@@ -195,6 +195,18 @@ object ParityQueries {
         .orderBy(col("column"))
     }),
 
+    // beyond-reference: tumbling time-bucket resample (batch face of the
+    // streaming tumbling window; epoch-aligned 1h buckets)
+    "q_resample" -> ((s, dir) => {
+      Stats.resample(events(s, dir), "ts", "1 hour",
+          Seq("value" -> Seq(A.Sum, A.Mean, A.Length)))
+        .select(col("bucket"),
+          round(col("value_sum"), 4).as("value_sum"),
+          round(col("value_mean"), 6).as("value_mean"),
+          col("value_length"))
+        .orderBy(col("bucket"))
+    }),
+
     // beyond-reference: rollup (grouping-set aggregation)
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -347,6 +359,13 @@ object ParityQueries {
            |FROM lineitem""".stripMargin
       Seq("l_quantity", "l_discount", "l_tax").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_resample" ->
+      """SELECT date_trunc('hour', ts) AS bucket,
+        |  round(sum(value), 4) AS value_sum,
+        |  round(avg(value), 6) AS value_mean,
+        |  count(*)::DOUBLE AS value_length
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

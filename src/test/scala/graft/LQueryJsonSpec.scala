@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.Table
+import graft.expr.LQueryJson
+
+/** Wire-format parity: the reference's serialized LQuery JSON runs
+  * unchanged (node forms from LQuery/AST.cpp, semantics from the
+  * FilteringFixture golden tests). */
+class LQueryJsonSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "aa"), (2L, null, "ab"), (3L, 30.0, null), (4L, 40.0, "bb"))
+      .toDF("a", "b", "s")
+  }
+
+  private def filterIds(json: String): Seq[Long] =
+    Table.of(df).filter(LQueryJson.parsePredicate(df, json).toFilter)
+      .toDF.select("a").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("predicate nodes: gt, boolean and/or, null-guard semantics") {
+    assert(filterIds("""{"predicate":"gt","arguments":[{"column":"a"},2]}""") == Seq(3L, 4L))
+    // b referenced anywhere -> row 2 (null b) excluded even though a>0
+    assert(filterIds(
+      """{"boolean":"or","arguments":[
+        |{"predicate":"gt","arguments":[{"column":"a"},0]},
+        |{"predicate":"gt","arguments":[{"column":"b"},0.0]}]}""".stripMargin)
+      == Seq(1L, 3L, 4L))
+    assert(filterIds(
+      """{"boolean":"not","arguments":[{"predicate":"lt","arguments":[{"column":"a"},3]}]}""")
+      == Seq(3L, 4L))
+  }
+
+  test("string predicates: startsWith, full-string matches, eq") {
+    assert(filterIds("""{"predicate":"startsWith","arguments":[{"column":"s"},"a"]}""")
+      == Seq(1L, 2L))
+    assert(filterIds("""{"predicate":"matches","arguments":[{"column":"s"},"a."]}""")
+      == Seq(1L, 2L))
+    // non-anchored pattern does NOT partial-match
+    assert(filterIds("""{"predicate":"matches","arguments":[{"column":"s"},"a"]}""").isEmpty)
+    assert(filterIds("""{"predicate":"eq","arguments":[{"column":"s"},"bb"]}""") == Seq(4L))
+  }
+
+  test("type errors: string ordering and mixed eq are rejected") {
+    assertThrows[IllegalArgumentException] {
+      filterIds("""{"predicate":"gt","arguments":[{"column":"s"},"a"]}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      filterIds("""{"predicate":"eq","arguments":[{"column":"s"},1]}""")
+    }
+  }
+
+  test("value nodes: arithmetic promotion, int division, condition") {
+    val v = LQueryJson.parseValue(df,
+      """{"operation":"divide","arguments":[{"column":"a"},2]}""")
+    val out = Table.of(df).each("r", v.toMap).toDF.orderBy("a")
+      .select("r").collect()
+    assert(out(0).getLong(0) == 0L) // 1/2 int division
+    assert(out(2).getLong(0) == 1L) // 3/2
+    // mixed int/double promotes to double division
+    val vd = LQueryJson.parseValue(df,
+      """{"operation":"divide","arguments":[{"column":"a"},2.0]}""")
+    val outD = Table.of(df).each("r", vd.toMap).toDF.orderBy("a").select("r").collect()
+    assert(outD(0).getDouble(0) == 0.5)
+    // condition with both-branch null guard: row 2 nulls (b in untaken branch)
+    val c = LQueryJson.parseValue(df,
+      """{"condition":{"predicate":"lt","arguments":[{"column":"a"},3]},
+        |"onTrue":{"operation":"plus","arguments":[{"column":"a"},100]},
+        |"onFalse":{"operation":"times","arguments":[{"column":"b"},2.0]}}""".stripMargin)
+    val outC = Table.of(df).each("r", c.toMap).toDF.orderBy("a").select("r").collect()
+    assert(outC(0).getDouble(0) == 101.0)
+    assert(outC(1).isNullAt(0))
+    assert(outC(3).getDouble(0) == 80.0)
+  }
+
+  test("timestampNs literal and calendar ops") {
+    import spark.implicits._
+    val tdf = Seq((1L, java.sql.Timestamp.valueOf("2018-09-02 00:00:00")))
+      .toDF("id", "e")
+    val y = LQueryJson.parseValue(tdf, """{"operation":"year","arguments":[{"column":"e"}]}""")
+    assert(Table.of(tdf).each("y", y.toMap).toDF.select("y").collect()(0).getLong(0) == 2018L)
+    val sep2ns = java.sql.Timestamp.valueOf("2018-09-02 00:00:00").getTime * 1000000L
+    val p = LQueryJson.parsePredicate(tdf,
+      s"""{"predicate":"gt","arguments":[{"column":"e"},{"timestampNs":${sep2ns - 1000000000L}}]}""")
+    assert(Table.of(tdf).filter(p.toFilter).rowCount == 1)
+  }
+}
