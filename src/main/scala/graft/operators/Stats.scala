@@ -151,6 +151,23 @@ object Stats {
     df.select((col(key) +: winCols): _*)
   }
 
+  /** Gap-based sessionization, batch form: a session breaks when the gap
+    * to the previous event (per key) exceeds `gapMicros`. The lag+cumsum
+    * composition is the portable equivalent of streaming session_window —
+    * one shuffle on the key, then two narrow window passes. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapMicros: Long, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val ts = unix_micros(col(tsCol).cast(TimestampType))
+    val order = ts +: tieBreak // tie-break makes ROWS frames deterministic
+    val wOrder = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val newSession = when(
+      ts - lag(ts, 1).over(wOrder) > gapMicros || lag(ts, 1).over(wOrder).isNull, 1L)
+      .otherwise(0L)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("session_id", sum(newSession).over(wRun))
+  }
+
   /** Tumbling time-bucket aggregation (batch face of the streaming
     * tumbling window — same epoch-aligned buckets as
     * `window(col, "1 hour")`). */

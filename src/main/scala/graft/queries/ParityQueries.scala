@@ -195,6 +195,32 @@ object ParityQueries {
         .orderBy(col("column"))
     }),
 
+    // beyond-reference: ranking window functions over partitions
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 10)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // beyond-reference: gap-based sessionization (batch session_window)
+    "q_sessionize" -> ((s, dir) => {
+      Stats.sessionize(events(s, dir), "user_id", "ts", 30L * 60 * 1000 * 1000,
+          tieBreak = Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // beyond-reference: tumbling time-bucket resample (batch face of the
     // streaming tumbling window; epoch-aligned 1h buckets)
     "q_resample" -> ((s, dir) => {
@@ -359,6 +385,32 @@ object ParityQueries {
            |FROM lineitem""".stripMargin
       Seq("l_quantity", "l_discount", "l_tax").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rn <= 10
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 4) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q_resample" ->
       """SELECT date_trunc('hour', ts) AS bucket,
