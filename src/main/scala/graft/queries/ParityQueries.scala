@@ -195,6 +195,22 @@ object ParityQueries {
         .orderBy(col("column"))
     }),
 
+    // §2.4 wire format: the reference's SERIALIZED JSON predicate runs
+    // through LQueryJson -> same result as the builder (same oracle as a
+    // hand-built filter)
+    "q_filter_json" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val json =
+        """{"boolean":"and","arguments":[
+          |{"predicate":"lt","arguments":[{"column":"l_quantity"},14.0]},
+          |{"predicate":"gt","arguments":[{"column":"l_discount"},0.05]}]}""".stripMargin
+      Table.of(li)
+        .filter(graft.expr.LQueryJson.parsePredicate(li, json).toFilter)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .toDF
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // beyond-reference: ranking window functions over partitions
     "q_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -385,6 +401,12 @@ object ParityQueries {
            |FROM lineitem""".stripMargin
       Seq("l_quantity", "l_discount", "l_tax").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_filter_json" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity < 14.0 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice,
