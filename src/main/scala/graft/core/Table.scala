@@ -151,6 +151,19 @@ final class Table private[core] (private val inner: DataFrame) {
     new Table(out)
   }
 
+  /** Single-column interpolate with the reference's type check: string
+    * columns are an error (reference: Processing.cpp:271-374 rejects
+    * non-numeric; Tests.cpp interpolation goldens). */
+  def interpolateAt(colName: String): Table = {
+    val f = df.schema(colName)
+    f.dataType match {
+      case LongType | DoubleType | IntegerType | TimestampType =>
+        new Table(interpolateCol(indexed, f, Seq.empty))
+      case other => throw new IllegalArgumentException(
+        s"interpolate: unsupported column type $other for '$colName'")
+    }
+  }
+
   /** Per-key interpolate: null runs fill within each partition key only —
     * parallel across keys (the whole-table variant is one sequential
     * partition). Edge runs clamp within the key's own first/last valid. */

@@ -181,6 +181,57 @@ class ReferenceGoldenSpec extends SparkSpec {
     assert(rsi(Seq(null)).isEmpty)
   }
 
+  // ---- FilterWithNulls stress (Tests.cpp:714-800) ----
+  test("FilterWithNulls: 256-row null-stress filter across partitionings") {
+    import graft.expr.LQuery._
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", StringType, nullable = true),
+      StructField("iota", LongType, nullable = false)))
+    val rows = (0 until 256).map { i =>
+      Row(if (i % 3 == 0) null else Long.box(i.toLong),
+        if (i % 7 == 0) null else i.toString, i.toLong)
+    }
+    // model: a % 2 == 0 over valid a (nulls excluded)
+    val want = (0 until 256).filter(i => i % 3 != 0 && i % 2 == 0).map(_.toLong)
+    for (parts <- Seq(1, 3, 8, 32)) {
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
+      val got = Table.of(df)
+        .filter(((at("a") % lit(2L)) === lit(0L)).toFilter)
+        .toDF.select("iota").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"parts=$parts")
+      // null b values survive in non-referenced columns
+      val withNullB = Table.of(df)
+        .filter(((at("a") % lit(2L)) === lit(0L)).toFilter)
+        .toDF.filter(col("b").isNull).count()
+      assert(withNullB == want.count(_ % 7 == 0), s"parts=$parts")
+    }
+  }
+
+  // ---- Interpolation timestamps golden (Tests.cpp:887-897) ----
+  test("interpolate timestamps: 09-01,null,null,09-10 -> 1st,4th,7th,10th") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("t", TimestampType, nullable = true)))
+    val rows = Seq(
+      Row(0L, Timestamp.valueOf("2018-09-01 00:00:00")),
+      Row(1L, null), Row(2L, null),
+      Row(3L, Timestamp.valueOf("2018-09-10 00:00:00")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Table.fromDF(df, Seq(col("id"))).interpolate()
+      .toDF.orderBy("id").select("t").collect().map(_.getTimestamp(0).toString).toSeq
+    assert(out == Seq("2018-09-01 00:00:00.0", "2018-09-04 00:00:00.0",
+      "2018-09-07 00:00:00.0", "2018-09-10 00:00:00.0"))
+  }
+
+  test("interpolate on a string column raises (reference type check)") {
+    import spark.implicits._
+    val df = Seq((0L, "x"), (1L, null.asInstanceOf[String])).toDF("id", "s")
+    assertThrows[IllegalArgumentException] {
+      Table.fromDF(df, Seq(col("id"))).interpolateAt("s")
+    }
+  }
+
   // ---- GroupBy-to-lists (Benchmarks.cpp:324-351) ----
   test("groupBy to list-columns via collect_list over row order") {
     val schema = StructType(Seq(
