@@ -158,6 +158,24 @@ object TableIO {
       step: Long = 1L): DataFrame =
     spark.range(from, to, step).toDF(name)
 
+  /** Bucketed + sorted managed table: co-locates join/agg keys at write
+    * time so later equi-joins and groupBys on `bucketCols` run with NO
+    * shuffle exchange (verified by plan inspection in TableIOSpec). The
+    * storage-layout half of the 100 TB join story — pay the shuffle once
+    * at ingest, never again. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Hive-style partitioned parquet layout: partition pruning turns
+    * predicates on `partitionCols` into directory pruning. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Write dispatching on extension (csv/txt -> CSV, parquet/feather role ->
     * Parquet) — reference: IO/IO.cpp:92-99. */
   def write(df: DataFrame, path: String, header: Boolean = true): Unit = {

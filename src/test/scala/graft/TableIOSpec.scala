@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.TableIO
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 
@@ -85,6 +86,48 @@ class TableIOSpec extends SparkSpec {
     val path = tmp("bom.csv", "﻿foo\n1\n2\n")
     val df = TableIO.readCsv(spark, path, TableIO.CsvOptions())
     assert(df.columns.head == "foo")
+  }
+
+  test("bucketed tables join WITHOUT a shuffle exchange") {
+    import spark.implicits._
+    def cleanup(): Unit = Seq("graft_bucket_a", "graft_bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (Files.exists(loc))
+        Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+    }
+    cleanup()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "va")
+      val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("k", "vb")
+      TableIO.writeBucketed(a, "graft_bucket_a", Seq("k"), 4)
+      TableIO.writeBucketed(b, "graft_bucket_b", Seq("k"), 4)
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides read pre-bucketed -> SortMergeJoin with no shuffle
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      cleanup()
+    }
+  }
+
+  test("partitioned layout prunes directories on partition predicates") {
+    import spark.implicits._
+    val df = Seq((1L, "en", 1.0), (2L, "de", 2.0), (3L, "en", 3.0)).toDF("id", "lang", "v")
+    val dir = Files.createTempDirectory("graftpart").resolve("docs").toString
+    TableIO.writePartitioned(df, dir, Seq("lang"))
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(read.count() == 2)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || !scan.contains("lang=de"))
   }
 
   test("empty cells parse as nulls (ragged-ish rows)") {
