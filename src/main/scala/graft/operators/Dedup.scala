@@ -116,22 +116,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash fingerprints via explode + 64 partial-aggregated bit sums —
+  /** SimHash fingerprints via explode + partial-aggregated bit counts —
     * the aggregate shape computes each token hash once (the pure-HOF
     * TextOps.simhash recomputes the token array per bit when projections
-    * collapse; fine for a scalar call, wrong shape for a corpus pass). */
+    * collapse; fine for a scalar call, wrong shape for a corpus pass).
+    *
+    * The 64 per-bit counters are packed 4-to-a-long (16-bit lanes holding
+    * the count of set bits; lanes can't carry below 65k tokens/doc), so
+    * the hash aggregate has 17 columns instead of 65 — the 64-sum codegen
+    * was large enough to fall off the JIT in some runs (measured 2.9 s vs
+    * 13 s bimodal). Bit rule unchanged: bit set iff ones > n/2, i.e. the
+    * sign of sum(+/-1). */
   def simhashFingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))).as(s"b$i"))
-    exploded.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+    // group g packs bits (4g..4g+3) into lanes (0..3) of one long
+    val packedSums = (0 until 16).map { g =>
+      val packed = (0 until 4).map { l =>
+        shiftleft(shiftrightunsigned(col("h"), 4 * g + l).bitwiseAND(lit(1L)), 16 * l)
+      }.reduce((a, b) => a.bitwiseOR(b))
+      sum(packed).as(s"g$g")
+    }
+    val aggd = exploded.groupBy(col(idCol))
+      .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n")): _*)
+    val bits = for (g <- 0 until 16; l <- 0 until 4) yield {
+      val ones = shiftrightunsigned(col(s"g$g"), 16 * l).bitwiseAND(lit(0xFFFFL))
+      when(ones * 2 > col("n"), lit(1L << (4 * g + l))).otherwise(lit(0L))
+    }
+    aggd.select(col(idCol), bits.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
   /** SimHash near-dup candidates: docs whose 64-bit fingerprints agree on

@@ -55,6 +55,14 @@ class PipelineSpec extends SparkSpec {
     assert(out.contains((1L, 101L)))
   }
 
+  test("packed-lane aggregate simhash equals the scalar HOF simhash") {
+    val byAgg = Dedup.simhashFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byScalar = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAgg == byScalar)
+  }
+
   test("simhash of identical text is identical; fingerprint is deterministic") {
     import spark.implicits._
     val df = Seq(("a b c d e f g h", "a b c d e f g h")).toDF("x", "y")
