@@ -81,10 +81,14 @@ object TextOps {
     }
   }
 
-  /** Rolling polynomial fingerprint over the char codes:
-    * acc = (acc*31 + code) mod 1e9+7 — a deterministic document hash any
-    * SQL oracle can recompute. Intermediate stays within Long range. */
-  def fingerprint(text: Column): Column = {
+  /** Rolling polynomial fingerprint: acc = (acc*31 + code) mod 1e9+7 — a
+    * deterministic document hash any SQL oracle can recompute. Native
+    * codegen'd byte loop (graft.expr.TextExpressions); == the char-wise
+    * definition for ASCII text. */
+  def fingerprint(text: Column): Column = graft.expr.TextExpressions.fingerprint(text)
+
+  /** Char-wise HOF formulation, kept for differential testing. */
+  private[graft] def fingerprintHof(text: Column): Column = {
     val codes = transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))))
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x.cast(LongType)) % 1000000007L)
   }

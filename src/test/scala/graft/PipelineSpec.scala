@@ -55,6 +55,13 @@ class PipelineSpec extends SparkSpec {
     assert(out.contains((1L, 101L)))
   }
 
+  test("native fingerprint equals the char-wise HOF fingerprint on ASCII") {
+    val rows = docs.select(
+      TextOps.fingerprint(col("text")).as("native"),
+      TextOps.fingerprintHof(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("packed-lane aggregate simhash equals the scalar HOF simhash") {
     val byAgg = Dedup.simhashFingerprints(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
