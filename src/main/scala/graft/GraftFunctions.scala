@@ -1,0 +1,58 @@
+package graft
+
+import graft.expr.{CosineSimilarity, DotProduct, PolynomialFingerprint}
+import graft.functions.InterpolatedQuantile
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftx.Bridge
+
+/** SQL-surface registration of the graft native expressions, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` works alongside the
+  * Column API.
+  *
+  * Two entry points:
+  *  - `GraftFunctions.register(spark)` — register into an existing session;
+  *  - `spark.sql.extensions=graft.GraftExtensions` — injected at session
+  *    build (the SparkSessionExtensions path for cluster deployment).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { args =>
+      require(args.length == 2, "graft_dot(arrayA, arrayB)")
+      DotProduct(args(0), args(1))
+    },
+    "graft_cosine" -> { args =>
+      require(args.length == 2, "graft_cosine(arrayA, arrayB)")
+      CosineSimilarity(args(0), args(1))
+    },
+    "graft_fingerprint" -> { args =>
+      require(args.length == 1, "graft_fingerprint(text)")
+      PolynomialFingerprint(args(0))
+    },
+    "graft_quantile" -> { args =>
+      require(args.length == 2, "graft_quantile(col, q)")
+      val q = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_quantile: q must be a literal, got $other")
+      }
+      InterpolatedQuantile(args(0), q).toAggregateExpression()
+    })
+
+  /** Register all graft functions into an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) => Bridge.registerFunction(spark, name, builder) }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        (args: Seq[Expression]) => builder(args)))
+    }
+}

@@ -1,0 +1,34 @@
+package graft
+
+/** SQL-surface registration of the native expressions. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the native expressions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
+        |  graft_fingerprint('ab') AS f
+      """.stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    // fingerprint('ab') = (0*31+97)*31+98 mod 1e9+7 = 3105
+    assert(r.getLong(2) == 97L * 31 + 98)
+  }
+
+  test("graft_quantile as a SQL aggregate uses the N*q-0.5 rule") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("qv")
+    val got = spark.sql("SELECT graft_quantile(v, 0.25) FROM qv").collect()(0).getDouble(0)
+    assert(got == 1.5) // n = 4*0.25-0.5 = 0.5 -> lerp(v[0], v[1], .5)
+  }
+
+  test("GraftExtensions constructs and exposes the full function set") {
+    val ext = new GraftExtensions
+    assert(GraftFunctions.all.map(_._1).toSet ==
+      Set("graft_dot", "graft_cosine", "graft_fingerprint", "graft_quantile"))
+    assert(ext != null)
+  }
+}
