@@ -34,6 +34,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window aggregation: overlapping windows each count the event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamOps.slidingAgg(
+      input.toDF.toDF("ts", "user_id", "value"), "ts", "user_id", "value",
+      "10 minutes", "5 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    try {
+      input.addData((ts("2024-01-01 00:07:00"), 1L, 3.0))
+      q.processAllAvailable()
+      // event at :07 falls in windows [00:00,00:10) and [00:05,00:15)
+      val rows = spark.sql("SELECT window.start, sum FROM sliding ORDER BY window.start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getDouble(1) == 3.0))
+    } finally q.stop()
+  }
+
+  test("session window aggregation merges events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamOps.sessionAgg(
+      input.toDF.toDF("ts", "user_id", "value"), "ts", "user_id", "value",
+      "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:03:00"), 1L, 2.0),  // within gap -> same session
+        (ts("2024-01-01 00:20:00"), 1L, 4.0))  // new session
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT sum, count FROM sessions ORDER BY session_window.start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getDouble(0) == 3.0 && rows(0).getLong(1) == 2L)
+      assert(rows(1).getDouble(0) == 4.0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
