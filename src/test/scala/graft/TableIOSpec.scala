@@ -54,6 +54,22 @@ class TableIOSpec extends SparkSpec {
     assert(df2.schema("t").dataType == TimestampType)
   }
 
+  test("per-column independent deduction (variedColumn shape)") {
+    // reference data/samples/variedColumn.csv semantics: each column's type
+    // deduced independently; empty cells are nulls and don't vote
+    val path = tmp("varied.csv",
+      "s,t,i,d\n" +
+        "hello,2020-01-01,1,1.5\n" +
+        "world,,2,2.5\n" +        // empty timestamp cell -> null, still TIMESTAMP
+        "42,2020-01-03,3,3\n")    // "42" makes col s STRING; "3" parses double
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df.schema("s").dataType == StringType)
+    assert(df.schema("t").dataType == TimestampType)
+    assert(df.schema("i").dataType == LongType)
+    assert(df.schema("d").dataType == DoubleType)
+    assert(df.filter(df("t").isNull).count() == 1)
+  }
+
   test("CSV writer: quoteAll, header off, %F timestamps; round-trips") {
     import spark.implicits._
     val df = Seq((1L, "a,b", java.sql.Timestamp.valueOf("2020-05-06 07:08:09")))
