@@ -104,6 +104,47 @@ class OrderPropertySpec extends SparkSpec {
     }
   }
 
+  test("interpolate matches the sequential lerp model at any partitioning") {
+    def model(vs: List[Option[Double]]): List[Option[Double]] = {
+      val n = vs.size
+      val idx = vs.zipWithIndex
+      val valid = idx.collect { case (Some(v), i) => (i, v) }
+      if (valid.isEmpty) vs
+      else idx.map { case (vo, i) =>
+        vo match {
+          case Some(v) => Some(v)
+          case None =>
+            val prev = valid.filter(_._1 < i).lastOption
+            val next = valid.find(_._1 > i)
+            (prev, next) match {
+              case (None, Some((_, nv)))          => Some(nv) // leading clamp
+              case (Some((_, pv)), None)          => Some(pv) // trailing clamp
+              case (Some((pi, pv)), Some((ni, nv))) =>
+                val t = (i - pi).toDouble / (ni - pi)
+                Some((1 - t) * pv + t * nv)
+              case (None, None) => None
+            }
+        }
+      }
+    }
+    val rnd = new scala.util.Random(55)
+    for (trial <- 0 until 10) {
+      val vs = List.fill(30)(if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(20).toDouble))
+      val parts = 1 + rnd.nextInt(6)
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", DoubleType, nullable = true)))
+      val data = vs.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, v.map(Double.box).orNull)
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(data, parts), schema)
+      val got = Table.fromDF(df, Seq(col("id"))).interpolate()
+        .toDF.orderBy("id").select("v").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toList
+      assert(got == model(vs), s"trial=$trial parts=$parts vs=$vs")
+    }
+  }
+
   test("zipIndexed assigns 0..n-1 exactly once at any partitioning") {
     val rnd = new scala.util.Random(99)
     for (trial <- 0 until 10) {
