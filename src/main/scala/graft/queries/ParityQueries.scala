@@ -85,6 +85,17 @@ object ParityQueries {
           col("null_count"), col("row_count"))
     }),
 
+    // §2.7 stats over an ALL-NULL column: the RequiredSampleCount gates
+    // through the oracle (null stats, sum -> 0, quantiles null)
+    "q_stats_empty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("v", when(lit(false), col("l_discount")))
+      Stats.describeColumn(li, "v")
+        .select(col("min"), col("max"), col("mean"), round(col("sum"), 4).as("sum"),
+          col("variance"), col("std"), col("q1"), col("median"), col("q3"),
+          col("null_count"), col("row_count"))
+    }),
+
     // §2.9 dropNa: any-null rows dropped
     "q_dropna" -> ((s, dir) => {
       Table.of(eventsWithNulls(s, dir).select("event_id", "event_type", "value", "props"))
@@ -309,6 +320,13 @@ object ParityQueries {
          |  ${duckQuantile("n*0.75 - 0.5", "q3")},
          |  null_count, row_count
          |FROM agg, sv""".stripMargin,
+
+    "q_stats_empty" ->
+      """SELECT NULL::DOUBLE AS min, NULL::DOUBLE AS max, NULL::DOUBLE AS mean,
+        |  0.0::DOUBLE AS sum, NULL::DOUBLE AS variance, NULL::DOUBLE AS std,
+        |  NULL::DOUBLE AS q1, NULL::DOUBLE AS median, NULL::DOUBLE AS q3,
+        |  count(*) AS null_count, count(*) AS row_count
+        |FROM lineitem""".stripMargin,
 
     "q_dropna" ->
       """SELECT event_id, event_type,
