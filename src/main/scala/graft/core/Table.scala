@@ -99,8 +99,16 @@ final class Table private[core] (private val inner: DataFrame) {
   }
 
   // ---- filter / map (LQuery equivalents; see graft.expr.LQuery) ----
-  def filter(cond: Column): Table = keep(inner.filter(cond))
+  def filter(cond: Column): Table = keepCompacted(inner.filter(cond))
   def each(name: String, value: Column): Table = keep(inner.withColumn(name, value))
+
+  /** Row-removing ops compact the row order (the reference renumbers
+    * positions after removal — Processing.cpp:376-495): drop the stale,
+    * gapped index and let it be reassigned lazily. Filters are narrow, so
+    * the surviving rows' relative order — including any upstream sort —
+    * is preserved into the reassignment. */
+  private def keepCompacted(d: DataFrame): Table =
+    new Table(if (d.columns.contains(RowIdx)) d.drop(RowIdx) else d)
 
   // ---- sort (reference: src/Table.luna:806-952, Sort.cpp:131-216) ----
   /** Multi-key lexicographic STABLE sort. Spark's sort is not stable, so the
@@ -114,19 +122,20 @@ final class Table private[core] (private val inner: DataFrame) {
   }
 
   // ---- null handling (reference: Processing.cpp:376-495) ----
-  def dropNa(): Table = keep(inner.na.drop("any", df.columns))
-  def dropNaAt(colName: String): Table = keep(inner.na.drop(Seq(colName)))
+  def dropNa(): Table = keepCompacted(inner.na.drop("any", df.columns))
+  def dropNaAt(colName: String): Table = keepCompacted(inner.na.drop(Seq(colName)))
   def fillNa(value: Any): Table = {
     // Reference coerces the fill value per column type (int<->double<->string,
     // numbers stringified for string cols) — Processing.cpp:561-609.
-    val filled = df.schema.fields.foldLeft(df) { (d, f) =>
+    // Fold over `inner` (skipping the index column) so an already-materialized
+    // __row_idx survives without re-attaching an attribute from a foreign plan.
+    val filled = inner.schema.fields.filter(_.name != RowIdx).foldLeft(inner) { (d, f) =>
       coerceFill(value, f.dataType) match {
         case Some(v) => d.withColumn(f.name, coalesce(col(f.name), lit(v).cast(f.dataType)))
         case None    => d
       }
     }
-    val ix = if (inner.columns.contains(RowIdx)) filled.withColumn(RowIdx, inner(RowIdx)) else filled
-    keep(ix)
+    keep(filled)
   }
   def fillNaAt(colName: String, value: Any): Table = {
     val dt = df.schema(colName).dataType
@@ -296,9 +305,17 @@ object Table {
     * over ()` which would funnel all rows through one partition, and
     * unlike `rdd.zipWithIndex` which deserializes every row out of
     * Tungsten. `monotonically_increasing_id` is `pid << 33 | counter`, so
-    * its low 33 bits ARE the within-partition position. */
+    * its low 33 bits ARE the within-partition position.
+    *
+    * The input plan is localCheckpoint'ed first: both passes must see the
+    * SAME partition layout, but a re-executed range shuffle re-samples its
+    * bounds (seeded by fresh RDD ids) and AQE may coalesce differently, so
+    * without pinning, the offsets collected in pass 1 can misalign with the
+    * layout pass 2 executes over. Establishing a global row order is
+    * inherently a materialization point; the checkpoint is that point. */
   private[graft] def zipIndexed(df: DataFrame): DataFrame = {
-    val withPid = df
+    val pinned = df.localCheckpoint()
+    val withPid = pinned
       .withColumn(PosInPart, monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .withColumn(PartId, spark_partition_id())
     val counts = withPid.groupBy(PartId).agg(count(lit(1)).as("cnt"))

@@ -29,8 +29,9 @@ object TextOps {
     when(size(toks) >= n, sh).otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count. Long, not int: DuckDB's len(list) is BIGINT and the
+    * driver's oracle hash is width-sensitive. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
   /** BPE-ish sub-word count estimate: each word contributes ceil(len/6)
     * pieces — a deterministic proxy for a real tokenizer's piece count. */

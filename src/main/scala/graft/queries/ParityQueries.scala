@@ -445,7 +445,7 @@ object ParityQueries {
         |sessions AS (
         |  SELECT user_id, value,
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 4) AS session_value
@@ -467,9 +467,9 @@ object ParityQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_describe_na" ->
-      """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS value_nulls,
+      """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS value_nulls,
         |  round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS value_null_ratio,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS props_nulls,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS props_nulls,
         |  round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS props_null_ratio
         |FROM events""".stripMargin
   )

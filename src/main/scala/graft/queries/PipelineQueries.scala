@@ -164,7 +164,7 @@ object PipelineQueries {
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
          |SELECT doc_id,
          |  len(toks) AS n_tokens,
-         |  list_sum(list_transform(toks, t -> CAST(ceil(len(t)/6.0) AS BIGINT))) AS n_bpe,
+         |  list_sum(list_transform(toks, t -> CAST(ceil(len(t)/6.0) AS BIGINT)))::BIGINT AS n_bpe,
          |  round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio,
          |  round(len(list_filter(toks, t -> t IN ('a','the')))::DOUBLE / len(toks), 6) AS stop_ratio,
          |  round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))

@@ -161,4 +161,53 @@ class TableSpec extends SparkSpec {
     assert(Table.of(df).dropNa().rowCount == 1)
     assert(Table.of(df).dropNaAt("a").rowCount == 2)
   }
+
+  test("fillNa works on an indexed (fromDF/sorted) table") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 2.5), (3L, null))
+      .toDF("id", "v")
+    val tab = Table.fromDF(df, Seq(col("id")))
+      .sortBy(Seq(SortKey("id", ascending = false, nullsFirst = true)))
+    val out = tab.fillNa(9.0)
+    val vals = out.indexed.orderBy(Table.RowIdx)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(vals == Seq(9.0, 2.5, 9.0))
+    // the pre-existing row order survives the fill
+    val ids = out.indexed.orderBy(Table.RowIdx)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(3L, 2L, 1L))
+  }
+
+  test("row-removing ops compact the row order") {
+    val df = spark.range(0, 10).toDF("id")
+    val filtered = Table.fromDF(df, Seq(col("id"))).filter(col("id") % 2 === 0)
+    // take(3) selects the first 3 SURVIVING rows, not original positions <3
+    assert(filtered.take(3).toDF.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 2L, 4L))
+    val idx = filtered.indexed.orderBy(Table.RowIdx)
+      .select(Table.RowIdx).collect().map(_.getLong(0)).toSeq
+    assert(idx == (0L until 5L).toSeq)
+  }
+
+  test("interpolate after a row removal lerps over compacted positions") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (0L, 0.0), (1L, null), (2L, 99.0), (3L, 3.0)).toDF("id", "v")
+    val out = Table.fromDF(df, Seq(col("id")))
+      .filter(col("id") =!= 2L)   // surviving order: 0, 1, 3
+      .interpolateAt("v")
+      .toDF.orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq
+    // position-based lerp midway between 0.0 and 3.0 -> 1.5; a gapped index
+    // (0,1,3) would give t=1/3 -> 1.0
+    assert(out == Seq(0.0, 1.5, 3.0))
+  }
+
+  test("zipIndexed assigns a gap-free permutation after a shuffle") {
+    val df = spark.range(0, 10000).toDF("id").repartition(13)
+    val ix = Table.fromDF(df, Seq((col("id") % 7).asc, col("id").asc)).indexed
+    val r = ix.agg(min(col(Table.RowIdx)), max(col(Table.RowIdx)),
+      countDistinct(col(Table.RowIdx)), count(lit(1))).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 9999L &&
+      r.getLong(2) == 10000L && r.getLong(3) == 10000L)
+  }
 }
