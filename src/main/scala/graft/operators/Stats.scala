@@ -120,36 +120,61 @@ object Stats {
 
   /** Pearson corr of a column vs itself shifted by `lag` rows
     * (reference: Analysis.cpp:521-526; pandas-validated tests
-    * Tests.cpp:1091-1106). Needs the table's row order. */
-  def autoCorr(table: Table, c: String, lagN: Int): DataFrame = {
-    val ix = table.indexed
-    val w = Window.orderBy(Table.RowIdx)
-    ix.select(col(c), lag(col(c), lagN).over(w).as("__lagged"))
-      .agg(corr(col(c), col("__lagged")).as("autocorr"))
-  }
+    * Tests.cpp:1091-1106). Rides [[Table.shift]]'s blocked window — no
+    * single-partition WindowExec — then one scalar corr aggregate. */
+  def autoCorr(table: Table, c: String, lagN: Int): DataFrame =
+    table.shift(c, lagN).df
+      .agg(corr(col(c), col(s"${c}_shift_$lagN")).as("autocorr"))
 
   /** Rolling time-interval aggregation (reference: Analysis.cpp:732-918):
     * for each row, window = rows with key in (key_r - interval, key_r]
     * (LEFT-OPEN) — expressed as rangeBetween(-(interval-1unit), 0) over the
-    * key cast to long. Key must be int64/double/timestamp; timestamps use
-    * microseconds. O(n log n) distributed sort + linear sweep, vs the
-    * reference's O(n*w) rescan. */
+    * key as int64 (timestamps use microseconds). Integer-granularity keys
+    * only: double keys are rejected (the long cast would truncate and the
+    * `-(interval-1)` left-open trick assumes unit granularity).
+    *
+    * Scale shape: a bare `Window.orderBy(key)` is ONE partition. Instead
+    * the key axis is cut into spans of `interval` units; each row is also
+    * ghost-copied into the next span iff its lookback consumers reach it
+    * (<=2x duplication), the range window runs per span, and only home-span
+    * rows are kept. One hash shuffle, parallel at any scale. RANGE frames
+    * are value-based, so equal keys land in the same span and every row's
+    * result is identical to the global-window plan. */
   def rollingInterval(
       df: DataFrame,
       key: String,
       intervalMicros: Long,
       specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
-    val keyIsTs = df.schema(key).dataType match {
-      case TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    val ord = if (keyIsTs) unix_micros(col(key).cast(TimestampType)) else col(key).cast(LongType)
-    val w = Window.orderBy(ord).rangeBetween(-(intervalMicros - 1), 0)
+    val ord = rollingOrd(df, key)
+    val span = math.max(intervalMicros, 1L)
+    val d = df.withColumn("__ord", ord)
+      // floor division via exact integer arithmetic (negative keys safe;
+      // no double division — micros epochs are near the 2^53 exactness edge)
+      .withColumn("__home", expr(s"(__ord - ((__ord % $span + $span) % $span)) div $span"))
+      .withColumn("__reach", expr(
+        s"(__ord + ${intervalMicros - 1}) - (((__ord + ${intervalMicros - 1}) % $span + $span) % $span)"))
+      .withColumn("__blk", explode(sequence(col("__home"), expr(s"__reach div $span"))))
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__ord"))
+      .rangeBetween(-(intervalMicros - 1), 0)
     val winCols = specs.flatMap { case (c, fns) =>
       fns.map(fn => windowed(fn, col(c), w).as(s"${c}_${fn.fnName}"))
     }
-    df.select((col(key) +: winCols): _*)
+    d.select((col(key) +: col("__blk") +: col("__home") +: winCols): _*)
+      .filter(col("__blk") === col("__home"))
+      .drop("__blk", "__home")
   }
+
+  /** Key column as int64 for rolling windows; rejects fractional types
+    * (reference accepts int64/timestamp keys at unit granularity —
+    * Analysis.cpp:764-780). */
+  private def rollingOrd(df: DataFrame, key: String): Column =
+    df.schema(key).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(key).cast(TimestampType))
+      case ByteType | ShortType | IntegerType | LongType | DateType => col(key).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"rollingInterval: key '$key' has non-integral type $other; " +
+          "use an int64 or timestamp key (unit granularity)")
+    }
 
   /** Gap-based sessionization, batch form: a session breaks when the gap
     * to the previous event (per key) exceeds `gapMicros`. The lag+cumsum
@@ -201,11 +226,7 @@ object Stats {
       key: String,
       intervalMicros: Long,
       specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
-    val keyIsTs = df.schema(key).dataType match {
-      case TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    val ord = if (keyIsTs) unix_micros(col(key).cast(TimestampType)) else col(key).cast(LongType)
+    val ord = rollingOrd(df, key)
     val w = Window.partitionBy(partitionCols: _*).orderBy(ord)
       .rangeBetween(-(intervalMicros - 1), 0)
     val winCols = specs.flatMap { case (c, fns) =>

@@ -1,0 +1,92 @@
+package graft
+
+import graft.core.Table
+import graft.operators.{Aggregates, Stats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape assertions: the global-order operators (shift, interpolate,
+  * rollingInterval, autoCorr) must not plan a partition-less Window — a bare
+  * `Window.orderBy(...)` funnels the whole table through ONE task, which
+  * serializes at 100 TB. Each op blocks the order axis and windows per
+  * block, so every Window node in the optimized plan must carry a
+  * partitionSpec. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def globalWindows(df: DataFrame): Seq[LWindow] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+
+  private def sample: Table = {
+    import spark.implicits._
+    val df = (0L until 5000L)
+      .map(i => (i, if (i % 7 == 0) None else Some(i.toDouble * 0.5)))
+      .toDF("id", "v")
+    Table.fromDF(df, Seq(col("id")))
+  }
+
+  test("shift plans only partitioned windows") {
+    val out = sample.shift("v", 3)
+    assert(globalWindows(out.toDF).isEmpty, "shift must not use a global window")
+    // and it still computes the right thing across block boundaries
+    val rows = out.indexed.orderBy(Table.RowIdx).select("v_shift_3").collect()
+    assert(rows.take(3).forall(_.isNullAt(0)))
+  }
+
+  test("interpolate plans only partitioned windows") {
+    val out = sample.interpolate()
+    assert(globalWindows(out.toDF).isEmpty, "interpolate must not use a global window")
+  }
+
+  test("rollingInterval plans only partitioned windows") {
+    val df = sample.df
+    val out = Stats.rollingInterval(df, "id", 100L, Seq("v" -> Seq(Aggregates.Mean)))
+    assert(globalWindows(out).isEmpty, "rollingInterval must not use a global window")
+  }
+
+  test("autoCorr plans only partitioned windows") {
+    val out = Stats.autoCorr(sample, "v", 2)
+    assert(globalWindows(out).isEmpty, "autoCorr must not use a global window")
+  }
+
+  test("rollingInterval blocked window matches the global-window plan") {
+    import spark.implicits._
+    // irregular keys incl. duplicates and a negative, crossing span edges
+    val keys = Seq(-3L, 0L, 1L, 1L, 5L, 99L, 100L, 101L, 150L, 199L, 200L, 407L)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+    val got = Stats.rollingInterval(df, "k", 100L,
+        Seq("v" -> Seq(Aggregates.Sum, Aggregates.Length, Aggregates.Minimum)))
+      .orderBy("k", "v_sum").collect().map(_.toSeq).toSeq
+    // oracle: per-row scan of the left-open (k-100, k] window
+    val expect = keys.zipWithIndex.map { case (k, i) =>
+      val in = keys.zipWithIndex.filter { case (k2, _) => k2 > k - 100L && k2 <= k }
+      Seq(k, in.map(_._2.toDouble).sum, in.size.toDouble, in.map(_._2.toDouble).min)
+    }.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Double]))
+    assert(got == expect)
+  }
+
+  test("rollingInterval rejects fractional key types") {
+    import spark.implicits._
+    val df = Seq((1.5, 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.rollingInterval(df, "k", 10L, Seq("v" -> Seq(Aggregates.Mean)))
+    }
+    assert(e.getMessage.contains("non-integral"))
+  }
+
+  test("autoCorr matches the sequential definition") {
+    import spark.implicits._
+    val vs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val t = Table.fromDF(df, Seq(col("id")))
+    val got = Stats.autoCorr(t, "v", 1).collect()(0).getDouble(0)
+    val xs = vs.drop(1); val ys = vs.dropRight(1)
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val expect = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(got - expect) < 1e-12)
+  }
+}
