@@ -17,10 +17,16 @@ object Joins {
     *
     * Shuffle cost: left unchanged, right x salt (keep the replicated side
     * small — dims, aggregated lookups). Result equals
-    * `left.join(right, keys)` exactly. */
+    * `left.join(right, keys)` exactly for inner/left joins. Right/full
+    * outer would emit each unmatched RIGHT row once per salt bucket (the
+    * right side is exploded), so those modes are rejected — salt the other
+    * side instead. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salt: Int, how: String = "inner"): DataFrame = {
     require(salt > 0)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(how.toLowerCase),
+      s"saltedJoin: '$how' would duplicate unmatched right rows per salt bucket")
     val saltedLeft = left.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))

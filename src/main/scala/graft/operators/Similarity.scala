@@ -55,6 +55,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact all-pairs cosine >= threshold, the scale-correct shape for LOW
+    * thresholds where LSH cannot be complete. The pair space (optionally
+    * pre-blocked on equality columns, e.g. a label) is decomposed over a
+    * `grid x grid` id-hash grid: side A owns grid row g(id) and is ghosted
+    * across columns, side B owns column g(id) and is ghosted across rows,
+    * so each unordered pair meets in EXACTLY one cell. Parallelism becomes
+    * blocks x grid^2 tasks instead of one task per block value (a plain
+    * self-join on a 10-value label column caps at 10 tasks no matter the
+    * cluster), at the cost of `grid`-fold row duplication in the shuffle.
+    *
+    * Why not LSH-band the candidates instead: completeness needs
+    * P(band collision | cos=t) ~ 1 while P(collision | random) << 1, and
+    * with hyperplane signatures P(bit match) = 1 - acos(t)/pi — at t=0.35
+    * that is 0.61 vs 0.50 for random pairs, so the LSH exponent degenerates
+    * (rho -> 1): any banding that catches every 0.35-pair also passes
+    * nearly every random pair. Low-threshold exact pair mining is
+    * inherently quadratic; the engineering answer is even distribution
+    * (this grid) plus semantic blocking. For near-dup thresholds (>= ~0.7)
+    * use [[lshNearDupPairs]], which IS sub-quadratic. */
+  def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCols: Seq[String] = Nil, grid: Int = 8): DataFrame = {
+    require(grid > 0)
+    val e = df.select(col(idCol) +: col(vecCol).as("__v") +:
+      l2Norm(col(vecCol)).as("__n") +: blockCols.map(col): _*)
+      .withColumn("__g", pmod(xxhash64(col(idCol)), lit(grid.toLong)))
+    val ghost = explode(sequence(lit(0L), lit(grid - 1L)))
+    val a = e.select(Seq(col(idCol).as("id_a"), col("__v").as("va"),
+        col("__n").as("na")) ++ blockCols.map(col) :+ col("__g").as("gi"): _*)
+      .withColumn("gj", ghost)
+    val b = e.select(Seq(col(idCol).as("id_b"), col("__v").as("vb"),
+        col("__n").as("nb")) ++ blockCols.map(col) :+ col("__g").as("gj"): _*)
+      .withColumn("gi", ghost)
+    a.join(b, blockCols ++ Seq("gi", "gj"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select((col("id_a") +: col("id_b") +: col("cosine") +: blockCols.map(col)): _*)
+  }
+
+  /** Sub-quadratic near-dup pairs for HIGH cosine thresholds via banded
+    * hyperplane signatures: candidates = pairs agreeing on at least one of
+    * `bands` bands of `planes/bands` sign bits, then exact cosine >=
+    * threshold verifies each candidate. Deterministic (seeded hashes).
+    * P(miss) = (1 - p^r)^bands with p = 1 - acos(threshold)/pi; at
+    * threshold 0.8 and 12 bands of 4 bits that is < 2e-5 per pair, while a
+    * random pair collides somewhere with probability ~ bands/2^r. Below
+    * ~0.6 the two probabilities converge — use [[exactNearDupPairs]]. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 48, bands: Int = 12): DataFrame = {
+    require(planes % bands == 0 && planes <= 63)
+    val r = planes / bands
+    val banded = df
+      .withColumn("__sig", hyperplaneSignature(col(vecCol), planes))
+      .select(col(idCol), col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"),
+        posexplode(array((0 until bands).map(bnd =>
+          shiftrightunsigned(col("__sig"), bnd * r).bitwiseAND(lit((1L << r) - 1))): _*))
+          .as(Seq("band", "key")))
+    val a = banded.select(col(idCol).as("id_a"), col("__v").as("va"),
+      col("__n").as("na"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col("__v").as("vb"),
+      col("__n").as("nb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * xxhash64 -> uniform in [-0.5, 0.5). Same plane on any executor. */
   private def planeComponent(p: Int, d: Column): Column =
@@ -91,24 +160,30 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    // centroid table is tiny: broadcast-join both sides against it
-    import spark.implicits._
-    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cv")
+    // Cell assignment is a PER-ROW argmax against the (tiny) centroid set:
+    // nCells fused-cosine expressions + an array_sort over nCells structs —
+    // a narrow projection, NO shuffle. (The earlier crossJoin(centroids) +
+    // row_number() window shuffled the whole corpus x nCells just to take
+    // this argmax.) Ties break toward the lower cell id via the negated
+    // cell in the sort struct, matching orderBy(sim desc, cell asc).
     def assign(df: DataFrame, id: String, top: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(id + "_v"))
-        .crossJoin(broadcast(cdf))
-        .withColumn("sim", cosine(col(id + "_v"), col("cv")))
-      val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= top)
-        .select(col(id), col(id + "_v"), col("cell"))
+      val simStructs = centroids.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(col(id + "_v"), typedLit(cv.toSeq)).as("sim"),
+          lit(-i).as("negcell"))
+      }
+      val topCells = slice(reverse(array_sort(array(simStructs: _*))), 1, top)
+      df.select(col(idCol).as(id), col(vecCol).as(id + "_v"))
+        .select(col(id), col(id + "_v"), explode(topCells).as("bc"))
+        .select(col(id), col(id + "_v"), (-col("bc.negcell")).as("cell"))
     }
     val c = assign(corpus, "neighbor_id", 1)          // corpus: nearest cell only
     val q = assign(queries, "query_id", nProbe)       // queries: probe nProbe cells
+    // corpus rows live in exactly one cell, so a (query, neighbor) pair
+    // can't repeat across probed cells — no distinct needed
     val cands = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
-      .distinct()
     val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

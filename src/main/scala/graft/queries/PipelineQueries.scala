@@ -74,20 +74,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding-cosine near-dup: exact pairwise within label blocks
-    // (10 labels -> pair count bounded; the LSH path covers unblocked scale)
+    // Embedding-cosine near-dup: exact pairwise within label blocks, the
+    // pair space spread over an 8x8 id-hash grid (parallelism = labels x
+    // grid^2 tasks, not one task per label; see Similarity.exactNearDupPairs
+    // for why LSH banding cannot be complete at threshold 0.35)
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"),
-          Similarity.l2Norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("id_a"), col("label"),
-        col("embedding").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"),
-        col("embedding").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= 0.35)
+      Similarity.exactNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, blockCols = Seq("label"), grid = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(50)

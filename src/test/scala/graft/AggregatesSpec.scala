@@ -122,6 +122,11 @@ class AggregatesSpec extends SparkSpec {
       .select("k", "payload", "name").collect().map(_.toSeq).toSet
     assert(salted == plain)
     assert(salted.size == 100)
+    // right/full outer would duplicate unmatched right rows per bucket
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Joins.saltedJoin(left, right, Seq("k"), salt = 4, how = "right")
+    }
+    assert(e.getMessage.contains("salt bucket"))
   }
 
   test("autoCorr matches a hand-computed Pearson") {

@@ -132,6 +132,39 @@ class PipelineSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("exactNearDupPairs: grid decomposition is invariant (equals plain all-pairs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, i % 3, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "label", "embedding")
+    def pairs(grid: Int) = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.2, blockCols = Seq("label"), grid = grid)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(1) // 1x1 grid == plain blocked self-join
+    assert(pairs(4) == plain && pairs(7) == plain)
+    // sanity: same-label constraint respected and pairs exist
+    assert(plain.nonEmpty)
+    assert(plain.forall { case (x, y) => x % 3 == y % 3 && x < y })
+  }
+
+  test("lshNearDupPairs: full recall vs exact at a high threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // planted: 20 base vectors, each with a near-dup (small perturbation)
+    val base = (0L until 20L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (200L until 260L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = (base ++ dups ++ noise).toDF("vec_id", "embedding")
+    val exact = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 15)       // most planted pairs survive the threshold
+    assert(lsh == exact)           // banded candidates catch every >=0.9 pair here
+  }
+
   test("filterColumns and eachColumn") {
     import spark.implicits._
     import org.apache.spark.sql.types.NumericType

@@ -76,6 +76,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(e.getMessage.contains("non-integral"))
   }
 
+  test("ivfTopK assigns corpus cells without a shuffle (argmax, no window)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.ivfTopK(
+      vecs, vecs.filter(col("vec_id") < 3), "vec_id", "embedding", 3, nCells = 4, nProbe = 2)
+    // the ONLY window in the plan is the final per-query rank (partitioned);
+    // corpus cell assignment must be a narrow argmax projection
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(wins.size == 1, s"expected only the final rank window, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("autoCorr matches the sequential definition") {
     import spark.implicits._
     val vs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0)
