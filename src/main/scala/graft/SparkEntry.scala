@@ -37,7 +37,8 @@ object SparkEntry {
 
   // ---- the operator inventory ----------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
-    graft.queries.ParityQueries.queries ++ graft.queries.PipelineQueries.queries
+    graft.queries.ParityQueries.queries ++ graft.queries.PipelineQueries.queries ++
+    graft.queries.SurfaceQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -141,7 +142,8 @@ object SparkEntry {
 
   // ---- oracle SQL (DuckDB dialect, same table names) -------------------
   def oracleSql: Map[String, String] = baseOracle ++
-    graft.queries.ParityQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
+    graft.queries.ParityQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
+    graft.queries.SurfaceQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.core.Table
+import graft.sources.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle entries for the §2 surface ops that were previously spec-only
+  * (VERDICT round 1 item 5): take/drop, dropNaAt/fillNaAt, column surgery
+  * (addColumnAt/removeByIndex/rename), the int64 sequence source, a CSV
+  * write-then-read round-trip, and the set operations. Each runs through
+  * the public Table/TableIO API, not raw DataFrames, so the gate verifies
+  * the API the reference user would call. */
+object SurfaceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.3 take/dropRows compose over the row order (dropRows re-bases
+    // the surviving positions to 0..)
+    "q_take_drop" -> ((s, dir) => {
+      Table.fromDF(t(s, dir, "orders"), Seq(col("o_orderkey")))
+        .dropRows(100).take(30)
+        .indexed
+        .withColumnRenamed(Table.RowIdx, "pos")
+        .select(col("pos"), col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("pos"))
+    }),
+
+    // §2.8 dropNaAt: only the named column's nulls remove rows (driver
+    // data is null-free; nulls injected deterministically on BOTH sides)
+    "q_dropna_at" -> ((s, dir) => {
+      Table.of(t(s, dir, "lineitem")
+          .withColumn("discount_n", when(col("l_quantity") >= 10, col("l_discount")))
+          .withColumn("tax_n", when(col("l_linenumber") =!= 1, col("l_tax"))))
+        .dropNaAt("discount_n")
+        .select(col("l_orderkey"), col("l_linenumber"), col("discount_n"), col("tax_n"))
+        .toDF
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.8 fillNaAt: fill one column, leave the other's nulls alone
+    "q_fillna_at" -> ((s, dir) => {
+      Table.of(t(s, dir, "lineitem")
+          .withColumn("discount_n", when(col("l_quantity") >= 10, col("l_discount")))
+          .withColumn("tax_n", when(col("l_linenumber") =!= 1, col("l_tax"))))
+        .fillNaAt("discount_n", 9.99)
+        .select(col("l_orderkey"), col("l_linenumber"), col("discount_n"), col("tax_n"))
+        .toDF
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.2 column surgery: insert at position, drop by position, rename
+    "q_column_surgery" -> ((s, dir) => {
+      val tab = Table.of(t(s, dir, "nation"))
+      tab
+        .addColumnAt(1, "key2", col("n_nationkey") * 2)
+        .removeByIndex(3)                  // drops n_regionkey
+        .rename("n_name", "name")
+        .toDF
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // §2.1 int64 sequence column source (Column.createIndex)
+    "q_sequence" -> ((s, dir) => {
+      TableIO.sequenceColumn(s, "seq", 5, 500, 7).orderBy(col("seq"))
+    }),
+
+    // §2.1 CSV round-trip: write orders (projected) as CSV through the
+    // engine's writer, sniff-read it back, and hash against the ORIGINAL
+    // parquet — proves header, quoting, null rendering and re-inference
+    // compose to the identity. (Spark CSV inference narrows ints to int32;
+    // the read-back casts restore the declared int64 schema.)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/orders_csv"
+      TableIO.write(src.coalesce(1), tmp + "/data.csv")
+      TableIO.read(s, tmp + "/data.csv")
+        .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType),
+          col("o_orderstatus"), col("o_totalprice").cast(DoubleType))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.5 set operations: union(+distinct), except, intersect — tagged
+    // legs concatenated into one deterministic result
+    "q_setops" -> ((s, dir) => {
+      val a = Table.of(t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey")))
+      val b = Table.of(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")))
+      a.except(b).toDF.withColumn("op", lit("a_minus_b"))
+        .union(a.intersect(b).toDF.withColumn("op", lit("a_and_b")))
+        .union(a.union(b).distinct().toDF.withColumn("op", lit("a_or_b")))
+        .orderBy(col("op"), col("o_orderkey"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_take_drop" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) - 101 AS pos,
+        |  o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey LIMIT 30 OFFSET 100""".stripMargin,
+
+    "q_dropna_at" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_quantity >= 10 THEN l_discount END AS discount_n,
+        |    CASE WHEN l_linenumber <> 1 THEN l_tax END AS tax_n
+        |  FROM lineitem)
+        |SELECT * FROM li WHERE discount_n IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fillna_at" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(CASE WHEN l_quantity >= 10 THEN l_discount END, 9.99) AS discount_n,
+        |  CASE WHEN l_linenumber <> 1 THEN l_tax END AS tax_n
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_column_surgery" ->
+      """SELECT n_nationkey, n_nationkey * 2 AS key2, n_name AS name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_sequence" ->
+      """SELECT unnest(range(5, 500, 7)) AS seq ORDER BY seq""",
+
+    "q_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_setops" ->
+      """WITH a AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+        |     b AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderkey, 'a_minus_b' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_orderkey, 'a_and_b' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_orderkey, 'a_or_b' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |ORDER BY op, o_orderkey""".stripMargin
+  )
+}
