@@ -61,7 +61,7 @@ object SparkEntry {
       import LQuery._
       val pred = (at("l_quantity") < lit(14.0)) && (at("l_discount") > lit(0.05))
       Table.of(t(s, dir, "lineitem"))
-        .filter(pred.toFilter)
+        .filter(pred) // typed overload: builder type rules run at bind
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
         .toDF
         .orderBy(col("l_orderkey"), col("l_linenumber"))

@@ -102,6 +102,14 @@ final class Table private[core] (private val inner: DataFrame) {
   def filter(cond: Column): Table = keepCompacted(inner.filter(cond))
   def each(name: String, value: Column): Table = keep(inner.withColumn(name, value))
 
+  /** LExpr overloads: run the reference's builder type rules against this
+    * table's schema (string gt/lt and mixed-type eq THROW — Tests.cpp:
+    * 516-531) before applying the null-guarded filter/map forms. */
+  def filter(pred: graft.expr.LExpr): Table =
+    filter(pred.validate(df.schema).toFilter)
+  def each(name: String, value: graft.expr.LExpr): Table =
+    each(name, value.validate(df.schema).toMap)
+
   /** Row-removing ops compact the row order (the reference renumbers
     * positions after removal — Processing.cpp:376-495): drop the stale,
     * gapped index and let it be reassigned lazily. Filters are narrow, so
@@ -371,6 +379,29 @@ final class Table private[core] (private val inner: DataFrame) {
   }
 
   private def homeBlock: Column = floor(col(RowIdx) / BlockSize).cast(LongType)
+
+  // ---- groupBy to lists (reference: Processing.cpp:611-692) ----
+  /** Group on one key column; every other column becomes a list of the
+    * group's values in the table's row order (the reference builds each
+    * group's ListArray from a row-order permutation). Null keys form a
+    * group like any other. One shuffle on the key, map-side combined.
+    *
+    * Order and nulls: `collect_list` is order-nondeterministic across
+    * partitions and DROPS nulls, so each value rides in as
+    * struct(rowIdx, struct(v)) — the outer struct is never null, the
+    * lexicographic sort_array restores row order deterministically, and
+    * the inner struct carries null values through. Group output order is
+    * left to the caller (the reference emits hash order). */
+  def groupByToLists(keyCol: String): Table = {
+    val ix = indexed
+    val others = df.columns.filterNot(_ == keyCol)
+    val aggs = others.map { c =>
+      transform(
+        sort_array(collect_list(struct(col(RowIdx).as("i"), struct(col(c).as("v")).as("w")))),
+        x => x("w")("v")).as(c)
+    }
+    new Table(ix.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*))
+  }
 
   // ---- ungroup (reference: Processing.cpp:694-819) ----
   /** Split a string column on a separator and explode — each other column's

@@ -107,21 +107,11 @@ object LQueryJson {
     }
   }
 
-  // ---- typed build over the bound DataFrame ----
-  private sealed trait LT
-  private case object TLong extends LT
-  private case object TDouble extends LT
-  private case object TString extends LT
-  private case object TTimestamp extends LT
-  private case object TBool extends LT
+  // ---- typed build over the bound DataFrame (rules shared with the
+  // Scala builder via LTypes) ----
+  import LTypes._
 
-  private def colType(df: DataFrame, name: String): LT = df.schema(name).dataType match {
-    case LongType | IntegerType | ShortType | ByteType => TLong
-    case DoubleType | FloatType => TDouble
-    case StringType => TString
-    case TimestampType | TimestampNTZType => TTimestamp
-    case other => throw new IllegalArgumentException(s"LQuery: unsupported column type $other")
-  }
+  private def colType(df: DataFrame, name: String): LT = LTypes.colType(df.schema, name)
 
   private def buildValue(df: DataFrame, j: J): (LExpr, LT) = j match {
     case JLong(v)   => (LQuery.lit(v), TLong)
@@ -154,16 +144,7 @@ object LQueryJson {
     case other => throw new IllegalArgumentException(s"LQuery: unexpected value node $other")
   }
 
-  /** Arithmetic promotion mirroring C++ common_type (Functions.h:97-121):
-    * both-int64 stays int64, any double -> double; strings only for
-    * condition branches. */
-  private def promote(op: String, a: LT, b: LT): LT = (a, b) match {
-    case (TLong, TLong)     => TLong
-    case (TLong, TDouble) | (TDouble, TLong) | (TDouble, TDouble) => TDouble
-    case (TString, TString) if op == "condition" => TString
-    case (TTimestamp, TTimestamp) if op == "condition" => TTimestamp
-    case _ => throw new IllegalArgumentException(s"LQuery: type error in $op: $a vs $b")
-  }
+  private def promote(op: String, a: LT, b: LT): LT = LTypes.promote(op, a, b)
 
   private def castTo(e: LExpr, from: LT, to: LT): LExpr =
     if (from == to) e
@@ -219,22 +200,10 @@ object LQueryJson {
     case other => throw new IllegalArgumentException(s"LQuery: unexpected predicate node $other")
   }
 
-  /** gt/lt: numeric & timestamp ordering; string comparison rejected
-    * (reference: Functions.h:64-65). */
-  private def checkOrder(op: String, a: LT, b: LT): Unit = {
-    val ok = (a, b) match {
-      case (TString, _) | (_, TString) => false
-      case (TTimestamp, TTimestamp) => true
-      case (TTimestamp, _) | (_, TTimestamp) => false
-      case _ => true
-    }
-    if (!ok) throw new IllegalArgumentException(s"LQuery: $op type error $a vs $b")
-  }
+  private def checkOrder(op: String, a: LT, b: LT): Unit = LTypes.checkOrder(op, a, b)
 
-  private def numericOrSame(a: LT, b: LT): Boolean = (a, b) match {
-    case (TLong | TDouble, TLong | TDouble) => true
-    case (x, y) => x == y
-  }
+  private def numericOrSame(a: LT, b: LT): Boolean =
+    try { LTypes.checkEq(a, b); true } catch { case _: IllegalArgumentException => false }
 
   private implicit class AnchoredRlike(c: org.apache.spark.sql.Column) {
     /** Full-string regex match on a (usually literal) pattern column. */

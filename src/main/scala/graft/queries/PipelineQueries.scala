@@ -68,7 +68,7 @@ object PipelineQueries {
     "q_filter_str" -> ((s, dir) => {
       import graft.expr.LQuery._
       graft.core.Table.of(t(s, dir, "documents"))
-        .filter((at("source").startsWith("src1") && at("lang").matches("e.")).toFilter)
+        .filter(at("source").startsWith("src1") && at("lang").matches("e."))
         .select(col("doc_id"), col("source"), col("lang"))
         .toDF
         .orderBy(col("doc_id"))

@@ -87,6 +87,20 @@ object SurfaceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.7 groupBy-to-lists: every non-key column becomes the group's
+    // values in row order; null keys and null values both survive
+    "q_group_lists" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(
+          when(col("o_orderkey") % 97 =!= 0, col("o_orderpriority")).as("prio_n"),
+          col("o_orderkey"),
+          when(col("o_orderkey") % 13 =!= 0, round(col("o_totalprice"), 4)).as("price_n"))
+      Table.fromDF(src, Seq(col("o_orderkey")))
+        .groupByToLists("prio_n")
+        .toDF
+        .orderBy(col("prio_n"))
+    }),
+
     // §2.5 set operations: union(+distinct), except, intersect — tagged
     // legs concatenated into one deterministic result
     "q_setops" -> ((s, dir) => {
@@ -134,6 +148,14 @@ object SurfaceQueries {
     "q_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_group_lists" ->
+      """SELECT CASE WHEN o_orderkey % 97 <> 0 THEN o_orderpriority END AS prio_n,
+        |  list(o_orderkey ORDER BY o_orderkey) AS o_orderkey,
+        |  list(CASE WHEN o_orderkey % 13 <> 0 THEN round(o_totalprice, 4) END
+        |       ORDER BY o_orderkey) AS price_n
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),

@@ -69,15 +69,60 @@ object TableIO {
       .option("inferSchema", !opts.inferOver50Rows) // full-file inference unless 50-row parity asked
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .option("nullValue", "")
+    var deduceTypes = opts.inferOver50Rows
     val headered = opts.header match {
-      case HeaderFromFirstRow => base.option("header", true).csv(path)
+      case HeaderFromFirstRow =>
+        // Reference header naming (IO/IO.cpp:40-66): empty header cells are
+        // named MISSING_<i>, and fieldCount is the max over ALL records, so
+        // data rows wider than the header produce MISSING_<i> columns too
+        // (the header "cell" beyond its own length reads as ""). The probe
+        // costs one line-read; the ragged-width scan runs only in the
+        // reference-parity mode or when the header itself has holes — the
+        // clean-header fast path stays a single native Spark CSV read.
+        val cells = headerCells(spark, path, opts.separator)
+        val needFix = cells.exists(_.isEmpty) || opts.inferOver50Rows
+        if (!needFix) base.option("header", true).csv(path)
+        else {
+          val m = math.max(cells.length, maxFieldCount(spark, path, opts.separator))
+          val names = (0 until m).map(i =>
+            if (i < cells.length && cells(i).nonEmpty) cells(i) else s"MISSING_$i")
+          val wide = StructType((0 until m).map(i => StructField(s"_tmp_$i", StringType)))
+          deduceTypes = true // explicit schema disables Spark inference; use the 50-row rule
+          // enforceSchema skips the header line and parses positionally;
+          // ragged-short rows null-pad (reference MissingField::AsNull)
+          base.schema(wide).option("header", true).option("enforceSchema", true)
+            .csv(path).toDF(names: _*)
+        }
       case GenerateColumnNames =>
         val df = base.option("header", false).csv(path)
         df.toDF(df.columns.indices.map(i => s"col$i"): _*)
       case CustomNames(names) =>
-        base.option("header", false).csv(path).toDF(names: _*)
+        // reference pads short custom-name lists with colN (IO/IO.cpp:59-62)
+        val df = base.option("header", false).csv(path)
+        val padded = df.columns.indices.map(i =>
+          if (i < names.length) names(i) else s"col$i")
+        df.toDF(padded: _*)
     }
-    if (opts.inferOver50Rows) applyDeducedSchema(spark, headered, opts) else headered
+    if (deduceTypes) applyDeducedSchema(spark, headered, opts) else headered
+  }
+
+  /** First line's cells, split naively on the separator (header cells with
+    * embedded quoted separators are out of parity scope). Reads one line. */
+  private def headerCells(spark: SparkSession, path: String, sep: String): Array[String] =
+    spark.read.text(path).take(1) match {
+      case Array(row) => row.getString(0).split(java.util.regex.Pattern.quote(sep), -1)
+      case _ => Array.empty
+    }
+
+  /** Max field count over all records (reference ParsedCsv.fieldCount =
+    * max over rows — csv.cpp:264-270). One narrow pass; only used on the
+    * parity path. */
+  private def maxFieldCount(spark: SparkSession, path: String, sep: String): Int = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .agg(max(size(split(col("value"), java.util.regex.Pattern.quote(sep), -1))))
+      .take(1).headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(0)
   }
 
   /** Reference type deduction (reference: IO/csv.cpp:30-41,153-188): per

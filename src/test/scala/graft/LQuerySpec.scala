@@ -88,6 +88,33 @@ class LQuerySpec extends SparkSpec {
       thrown.getClass.getName.startsWith("org.apache.spark.Spark"))
   }
 
+  test("builder type rules: string gt/lt and mixed eq throw at bind time") {
+    import spark.implicits._
+    val d = Seq((1L, "x", 2.5)).toDF("n", "s", "d")
+    // mixed string/number eq is a BUILDER error (Tests.cpp:516-531)
+    val e1 = intercept[IllegalArgumentException] {
+      Table.of(d).filter(at("s") === lit(1L))
+    }
+    assert(e1.getMessage.contains("eq type error"))
+    // string ordering comparison is rejected
+    val e2 = intercept[IllegalArgumentException] {
+      Table.of(d).filter(at("s") > lit("a"))
+    }
+    assert(e2.getMessage.contains("gt type error"))
+    // literal-only type errors surface at CONSTRUCTION, table or not
+    val e3 = intercept[IllegalArgumentException] { lit("a") < lit(1L) }
+    assert(e3.getMessage.contains("lt type error"))
+    // valid expressions still pass through the typed overloads
+    assert(Table.of(d).filter(at("n") < lit(5L) && !(at("s") === lit("y")))
+      .rowCount == 1L)
+    assert(Table.of(d).each("n2", at("n") + at("d")).toDF.columns.contains("n2"))
+    // arithmetic on strings is a builder error too
+    val e4 = intercept[IllegalArgumentException] {
+      Table.of(d).each("bad", at("s") + at("n"))
+    }
+    assert(e4.getMessage.contains("type error"))
+  }
+
   implicit class ToLong(e: graft.expr.LExpr) {
     def toLong: graft.expr.LExpr =
       graft.expr.LExpr(e.col.cast(org.apache.spark.sql.types.LongType), e.refs)

@@ -39,6 +39,45 @@ class TableIOSpec extends SparkSpec {
     assert(custom.columns.toSeq == Seq("p", "q"))
   }
 
+  test("header parity: empty header cells become MISSING_i (IO/IO.cpp:40-66)") {
+    val path = tmp("miss.csv", "a,,c\n1,2,3\n4,5,6\n")
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions())
+    assert(df.columns.toSeq == Seq("a", "MISSING_1", "c"))
+    assert(df.schema("MISSING_1").dataType == LongType) // 50-row deduction kicks in
+    assert(df.count() == 2)
+  }
+
+  test("header parity: ragged rows wider than the header pad MISSING_i columns") {
+    // fieldCount is the max over ALL records (csv.cpp:264-270): the header
+    // "cell" beyond its own length reads as "" -> MISSING_i; short rows
+    // null-pad (MissingField::AsNull)
+    val path = tmp("ragged.csv", "a,b\n1,2,30\n4,5\n7,8,90\n")
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df.columns.toSeq == Seq("a", "b", "MISSING_2"))
+    val vals = df.orderBy("a").collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(vals.toSeq == Seq((1L, Some(30L)), (4L, None), (7L, Some(90L))))
+  }
+
+  test("header parity: simple_empty.csv golden (reference fixture shape)") {
+    // data/samples/simple_empty.csv: empty cells are nulls and don't break
+    // int64 deduction
+    val path = tmp("simple_empty.csv", "a,b,c\n1,2,\n4,,6\n7,8,9\n10,11,12\n")
+    val df = TableIO.readCsv(spark, path, TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(Seq("a", "b", "c").forall(c => df.schema(c).dataType == LongType))
+    assert(df.count() == 4)
+    assert(df.filter(col("b").isNull).count() == 1)
+    assert(df.filter(col("c").isNull).count() == 1)
+  }
+
+  test("custom names shorter than the row pad with colN (IO/IO.cpp:59-62)") {
+    val path = tmp("pad.csv", "1,2,3\n4,5,6\n")
+    val df = TableIO.readCsv(spark, path,
+      TableIO.CsvOptions(TableIO.CustomNames(Seq("x"))))
+    assert(df.columns.toSeq == Seq("x", "col1", "col2"))
+  }
+
   test("50-row inference window: type decided by the head, tail coerced") {
     // first 50 data rows are ints; row 60 is a string -> whole-file Spark
     // inference would say string; the reference's 50-row window says INT64

@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
   * the reference's golden tests (native_libs/test/Tests.cpp). */
 class TableSpec extends SparkSpec {
 
+  test("groupByToLists keeps row order and null values; null keys group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), None),
+      (3L, Some("a"), Some(30L)),
+      (4L, None, Some(40L)),
+      (5L, Some("b"), Some(50L)),
+      (6L, Some("a"), None))
+      .toDF("id", "k", "v")
+    val out = Table.fromDF(df, Seq(col("id"))).groupByToLists("k")
+      .toDF.collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        ((r.getSeq[Long](1), r.getSeq[Any](2)))).toMap
+    assert(out("a") == ((Seq(1L, 3L, 6L), Seq(10L, 30L, null))))
+    assert(out("b") == ((Seq(2L, 5L), Seq(null, 50L))))
+    assert(out(null) == ((Seq(4L), Seq(40L))))
+  }
+
   test("stable multi-key sort ties broken by prior order") {
     import spark.implicits._
     // rows with equal key must keep their original relative order
