@@ -154,11 +154,21 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // few iterations suffice: cells only need to be roughly balanced, and
-    // recall comes from nProbe, not centroid quality
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features").fit(train)
+    // Fit on a bounded deterministic sample: cells only need to be roughly
+    // balanced, and recall comes from nProbe, not centroid quality — a
+    // full-corpus fit would iterate maxIter times over 100 TB for nothing.
+    // sample() keeps the draw spread across partitions (a bare limit()
+    // would take one partition's prefix, which is often label-sorted).
+    val sampleCap = 8192L
+    val train0 = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val n = corpus.count() // parquet count folds to row-group metadata
+    val frac = math.min(1.0, sampleCap * 2.0 / math.max(1L, n))
+    val train = (if (frac < 1.0) train0.sample(withReplacement = false, frac, 42L) else train0)
+      .limit(sampleCap.toInt)
+    // random init: k-means|| costs extra distributed passes for centroid
+    // quality the cell router doesn't need
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random").setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // Cell assignment is a PER-ROW argmax against the (tiny) centroid set:
     // nCells fused-cosine expressions + an array_sort over nCells structs —
