@@ -46,8 +46,7 @@ object TableIO {
   def read(spark: SparkSession, path: String): DataFrame = sniff(path) match {
     case Parquet => spark.read.parquet(path)
     case Csv     => readCsv(spark, path, CsvOptions())
-    case Feather => throw new UnsupportedOperationException(
-      "Feather v1 is not a Spark-native format; convert to Parquet (the engine's columnar fast path)")
+    case Feather => FeatherV1.read(spark, path) // legacy ingest path; see FeatherV1
     case Xlsx    => throw new UnsupportedOperationException(
       "XLSX is out of core scope (optional in the reference too); convert to CSV/Parquet")
   }
