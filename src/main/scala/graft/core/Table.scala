@@ -380,6 +380,25 @@ final class Table private[core] (private val inner: DataFrame) {
 
   private def homeBlock: Column = floor(col(RowIdx) / BlockSize).cast(LongType)
 
+  // ---- equality (reference: main.cpp:1064-1071 tableEquals ->
+  // arrow::Table::Equals: schema AND per-row values in ROW ORDER) ----
+  /** Ordered table equality. Schema (names + types, in order) must match;
+    * then one row-index equi-join compares every column null-safely —
+    * presence markers catch row-count mismatches that a full join's nulls
+    * would mask. One shuffle; no driver-side collect. */
+  def equalsTo(other: Table): Boolean = {
+    val sa = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val sb = other.df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (sa != sb) return false
+    val l = indexed.withColumn("__lp", lit(true))
+    val r0 = other.indexed.withColumn("__rp", lit(true))
+    val rr = df.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + "__r"))
+    val joined = l.join(rr, Seq(RowIdx), "full")
+    val allEq = df.columns.map(c => col(c) <=> col(c + "__r"))
+      .foldLeft(col("__lp").isNotNull && col("__rp").isNotNull)(_ && _)
+    joined.filter(!allEq).limit(1).isEmpty
+  }
+
   // ---- groupBy to lists (reference: Processing.cpp:611-692) ----
   /** Group on one key column; every other column becomes a list of the
     * group's values in the table's row order (the reference builds each

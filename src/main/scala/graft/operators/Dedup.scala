@@ -40,11 +40,27 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard similarity via inverted-index join.
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b,
-    * only pairs sharing >=1 shingle within the same block. */
+    * only pairs sharing >=1 shingle within the same block.
+    *
+    * `maxDocFreq`: the 100 TB skew guard — a shingle appearing in d docs
+    * of a block contributes d^2/2 candidate pairs, so one hot shingle
+    * (boilerplate, license headers) can dominate the join. Capping the
+    * posting-list length drops those shingles from candidate generation
+    * (standard prefix-filtering practice). This changes `inter` for pairs
+    * whose ONLY shared shingles are hot, so the default (None) stays
+    * exact; at scale pick a cap ~100-1000. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-      blockCol: String, n: Int): DataFrame = {
-    val idx = shingleIndex(docs, textCol, idCol, blockCol, n)
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      blockCol: String, n: Int, maxDocFreq: Option[Long] = None): DataFrame = {
+    val idx0 = shingleIndex(docs, textCol, idCol, blockCol, n)
+    val sizes = idx0.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val idx = maxDocFreq match {
+      case Some(cap) =>
+        val hot = idx0.groupBy(col("block"), col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("block"), col("shingle"))
+        idx0.join(hot, Seq("block", "shingle"), "left_anti")
+      case None => idx0
+    }
     val a = idx.select(col(idCol).as("id_a"), col("block"), col("shingle"))
     val b = idx.select(col(idCol).as("id_b"), col("block"), col("shingle"))
     val inter = a.join(b, Seq("block", "shingle"))

@@ -132,6 +132,26 @@ class PipelineSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("ngramJaccard maxDocFreq drops hot-shingle-only candidate pairs") {
+    import spark.implicits._
+    // every doc shares the hot boilerplate trigram; only 0 and 1 share a
+    // rare one on top of it
+    val boiler = "common header text here"
+    val docs = Seq(
+      (0L, s"$boiler alpha beta gamma"),
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, s"$boiler eta theta iota"))
+      .map { case (i, t) => (i, t, "blk") }.toDF("doc_id", "text", "source")
+    val exact = graft.operators.Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 6) // all pairs share the boilerplate shingles
+    val capped = graft.operators.Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3,
+        maxDocFreq = Some(2))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L))) // only the rare-shingle pair survives
+  }
+
   test("exactNearDupPairs: grid decomposition is invariant (equals plain all-pairs)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

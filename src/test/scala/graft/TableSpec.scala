@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   * the reference's golden tests (native_libs/test/Tests.cpp). */
 class TableSpec extends SparkSpec {
 
+  test("equalsTo: ordered arrow-style equality (schema, values, row order)") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, null: String)).toDF("k", "v")
+    def tab(df: org.apache.spark.sql.DataFrame) = Table.fromDF(df, Seq(col("k")))
+    assert(tab(base).equalsTo(tab(base)))
+    // different value
+    assert(!tab(base).equalsTo(tab(Seq((1L, "a"), (2L, "X"), (3L, null: String)).toDF("k", "v")))
+    )
+    // row order matters (reference tables are ordered)
+    val reordered = Table.fromDF(base, Seq(col("k").desc))
+    assert(!tab(base).equalsTo(reordered))
+    // row count mismatch (incl. the all-null-vs-missing corner)
+    assert(!tab(base).equalsTo(tab(base.limit(2))))
+    // schema: name or type change
+    assert(!tab(base).equalsTo(tab(base.withColumnRenamed("v", "w"))))
+    assert(!tab(base).equalsTo(tab(base.withColumn("k", col("k").cast("int")))))
+  }
+
   test("groupByToLists keeps row order and null values; null keys group") {
     import spark.implicits._
     val df = Seq(
