@@ -82,7 +82,9 @@ final class Table private[core] (private val inner: DataFrame) {
     // rename collisions like the reference would error; we suffix instead
     val collisions = l.columns.toSet.intersect(r.columns.toSet) - RowIdx
     val rr = collisions.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + "_right"))
-    new Table(l.join(rr, Seq(RowIdx), "inner"))
+    // FULL join: the reference pads shorter tables with nulls to the longer
+    // length (tableFromColumns — Tests.cpp:1108-1123), not truncates
+    new Table(l.join(rr, Seq(RowIdx), "full_outer"))
   }
 
   // ---- row selection (reference: src/Table.luna:602-663) ----

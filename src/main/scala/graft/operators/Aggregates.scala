@@ -89,10 +89,25 @@ object Aggregates {
   val all: Seq[AggFn] =
     Seq(Minimum, Maximum, Mean, Length, Median, First, Last, Sum, Rsi, Variance, StdDev)
 
+  /** Reference RelaxedAggregationRules (Tests.cpp:1183-1220): the
+    * double-valued aggregations ERROR on non-numeric columns at build
+    * time; only `length` applies to strings/timestamps/bools. */
+  private def validateSpecs(schema: org.apache.spark.sql.types.StructType,
+      specs: Seq[(String, Seq[AggFn])]): Unit =
+    specs.foreach { case (c, fns) =>
+      val dt = schema(c).dataType
+      if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        fns.find(_ != Length).foreach(f =>
+          throw new IllegalArgumentException(
+            s"aggregateBy: ${f.fnName} requires a numeric column, '$c' is $dt" +
+              " (only length applies to non-numeric columns)"))
+    }
+
   /** `aggregateBy keyCol [(col, [fns])]` — key column passed through, one
     * output column per (col, fn). The `table` must carry a row order if
     * First/Last are requested. */
   def aggregateBy(table: Table, key: String, specs: Seq[(String, Seq[AggFn])]): DataFrame = {
+    validateSpecs(table.schema, specs)
     val needsOrder = specs.exists(_._2.exists(f => f == First || f == Last))
     val base = if (needsOrder) table.indexed else table.df
     val rowIdx = if (needsOrder) col(Table.RowIdx) else monotonically_increasing_id()
@@ -107,6 +122,7 @@ object Aggregates {
     * aggregate. Prefer this at scale whenever a natural order key exists. */
   def aggregateByOrdered(df: DataFrame, key: String, orderCols: Seq[Column],
       specs: Seq[(String, Seq[AggFn])]): DataFrame = {
+    validateSpecs(df.schema, specs)
     val ord = struct(orderCols: _*)
     val aggs = specs.flatMap { case (c, fns) => fns.map(_.applyTo(c, ord)) }
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)

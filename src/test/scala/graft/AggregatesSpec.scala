@@ -110,6 +110,22 @@ class AggregatesSpec extends SparkSpec {
     assert(w.last.getAs[Double]("corr") == 1.0)
   }
 
+  test("relaxed aggregation rules: double-valued fns reject strings, length works") {
+    import spark.implicits._
+    // reference Tests.cpp:1183-1220: Mean on a string column throws;
+    // Length counts strings (and null keys form a group)
+    val df = Seq(("hello", "a"), ("world", "a"), ("foo", "a"), ("foo", "a"))
+      .toDF("tag", "foo")
+    val t = Table.of(df)
+    val e = intercept[IllegalArgumentException] {
+      A.aggregateBy(t, "tag", Seq("foo" -> Seq(A.Mean)))
+    }
+    assert(e.getMessage.contains("numeric"))
+    val counts = A.aggregateBy(t, "tag", Seq("foo" -> Seq(A.Length)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(counts == Map("hello" -> 1.0, "world" -> 1.0, "foo" -> 2.0))
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     // skewed left: 90% of rows share key 1

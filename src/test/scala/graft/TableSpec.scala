@@ -182,6 +182,18 @@ class TableSpec extends SparkSpec {
     assert(out(0).getLong(0) == 1L && out(0).getDouble(2) == 10.5)
   }
 
+  test("concat pads the shorter table with nulls (Tests.cpp:1108-1123)") {
+    import spark.implicits._
+    val a = Table.fromDF(Seq(1L, 2L, 3L).toDF("i"), Seq(col("i")))
+    val b = Table.fromDF(Seq((1.0, 0L), (2.0, 1L), (4.0, 3L)).toDF("d", "o")
+      .union(Seq((8.0, 4L)).toDF("d", "o")), Seq(col("o")))
+    val out = a.concat(b).indexed.orderBy(Table.RowIdx)
+      .select("i", "d").collect()
+    assert(out.length == 4) // longer length wins
+    assert(out(3).isNullAt(0) && out(3).getDouble(1) == 8.0) // padded left side
+    assert(out(0).getLong(0) == 1L && out(0).getDouble(1) == 1.0)
+  }
+
   test("addColumnAt inserts at position; removeByIndex drops by position") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("a", "b")
