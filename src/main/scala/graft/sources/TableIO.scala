@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   *
   * Formats: the reference's columnar fast path is Feather v1; ours is
   * Parquet (the idiomatic Spark columnar format — splittable, predicate
-  * pushdown, column pruning). CSV is the portable path. XLSX is out of
-  * core scope (the reference itself makes it a build option).
+  * pushdown, column pruning). CSV is the portable path. Feather v1
+  * (FeatherV1) and XLSX (Xlsx) are single-file exchange paths, parsed
+  * driver-side.
   */
 object TableIO {
 
@@ -47,8 +48,7 @@ object TableIO {
     case Parquet => spark.read.parquet(path)
     case Csv     => readCsv(spark, path, CsvOptions())
     case Feather => FeatherV1.read(spark, path) // legacy ingest path; see FeatherV1
-    case Xlsx    => throw new UnsupportedOperationException(
-      "XLSX is out of core scope (optional in the reference too); convert to CSV/Parquet")
+    case Xlsx    => graft.sources.Xlsx.read(spark, path) // single-file exchange path
   }
 
   /** Reference CSV knobs (reference: native_libs/src/IO/csv.h:62-80):
@@ -131,7 +131,7 @@ object TableIO {
     * tail diverges from the head, results differ; this reproduces the
     * reference's head-window rule, then casts (rows that fail the cast
     * become null, matching the reference's null-on-parse-failure). */
-  private def applyDeducedSchema(spark: SparkSession, raw: DataFrame,
+  private[sources] def applyDeducedSchema(spark: SparkSession, raw: DataFrame,
       opts: CsvOptions): DataFrame = {
     import org.apache.spark.sql.functions._
     val head = raw.limit(50).collect()
@@ -226,6 +226,10 @@ object TableIO {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv") || lower.endsWith(".txt"))
       writeCsv(df, path, CsvWriteOptions(header = header))
+    else if (lower.endsWith(".xlsx"))
+      graft.sources.Xlsx.write(df, path, header)
+    else if (lower.endsWith(".feather"))
+      FeatherV1.write(df, path)
     else
       df.write.mode("overwrite").parquet(path)
   }
