@@ -51,7 +51,14 @@ object Dedup {
     * exact; at scale pick a cap ~100-1000. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int, maxDocFreq: Option[Long] = None): DataFrame = {
+    // Shingles join as xxhash64 longs, not strings: 8-byte keys instead of
+    // ~n-token strings in the join's build side. A cross-doc collision
+    // within a block needs ~2^32 distinct shingles to become likely.
+    // (Carrying per-doc sizes through the big join instead of re-joining
+    // them after aggregation was tried and measured 2x SLOWER — the sizes
+    // recompute is a narrow scan, the big join's width is what matters.)
     val idx0 = shingleIndex(docs, textCol, idCol, blockCol, n)
+      .withColumn("shingle", xxhash64(col("shingle")))
     val sizes = idx0.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val idx = maxDocFreq match {
       case Some(cap) =>
