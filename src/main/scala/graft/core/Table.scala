@@ -56,6 +56,10 @@ final class Table private[core] (private val inner: DataFrame) {
       .select((before.map(col) ++ (col(name) +: after.map(col))): _*))
   }
 
+  /** Replace-or-append a column by name (reference: src/Table.luna:362-368
+    * setAt) — Spark's withColumn has exactly these semantics. */
+  def setAt(name: String, c: Column): Table = addColumn(name, c)
+
   def remove(name: String): Table = keep(inner.drop(name))
 
   /** Drop the column at position i (reference: src/Table.luna:457-484). */
@@ -88,7 +92,13 @@ final class Table private[core] (private val inner: DataFrame) {
   }
 
   // ---- row selection (reference: src/Table.luna:602-663) ----
+  /** Rows [beg, beg+count). Negative arguments throw like the reference's
+    * validateSlice (Processing.cpp:323-339); the upper bound is clamped
+    * rather than bounds-checked — a strict check would force a count()
+    * job per call on a lazy engine (divergence documented). */
   def slice(beg: Long, count: Long): Table = {
+    require(beg >= 0 && count >= 0,
+      s"slice: negative bounds (beg=$beg, count=$count)")
     val ix = indexed
     new Table(
       ix.filter(col(RowIdx) >= beg && col(RowIdx) < beg + count)
