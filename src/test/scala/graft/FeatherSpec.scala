@@ -47,6 +47,23 @@ class FeatherSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("round-trips every supported type (byte/short/int/float/date incl.)") {
+    import spark.implicits._
+    val df = Seq(
+      (1.toByte, 10.toShort, 100, 1.5f, java.sql.Date.valueOf("2020-02-29")),
+      (-2.toByte, -20.toShort, -200, -0.25f, java.sql.Date.valueOf("1969-12-31")))
+      .toDF("i8", "i16", "i32", "f32", "dt")
+    val p = java.nio.file.Files.createTempDirectory("feather").resolve("all.feather").toString
+    FeatherV1.write(df, p)
+    val back = FeatherV1.read(spark, p)
+    // nullability is lost on round-trip, same as the reference
+    // (Tests.cpp:838-847) — compare names and types only
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("i8").collect().map(_.toSeq).toSeq ==
+      df.orderBy("i8").collect().map(_.toSeq).toSeq)
+  }
+
   test("reads a null-free v1 file and TableIO.read sniff-dispatches to it") {
     val df = TableIO.read(spark, fixture("nonull.feather"))
     assert(df.count() == 100)

@@ -67,6 +67,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("rollingInterval matches a brute-force model on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    for (trial <- 0 until 3) {
+      val n = 200 + trial * 137
+      val interval = Seq(7L, 50L, 1L)(trial)
+      // clustered keys with duplicates and negatives
+      val keys = Seq.fill(n)(rnd.nextInt(300).toLong - 50)
+      val vals = keys.map(_ => (rnd.nextInt(200) - 100).toDouble / 4)
+      val df = keys.zip(vals).toDF("k", "v").repartition(5)
+      val got = Stats.rollingInterval(df, "k", interval,
+          Seq("v" -> Seq(Aggregates.Sum, Aggregates.Length)))
+        .orderBy("k", "v_sum", "v_length").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val rows = keys.zip(vals)
+      val expect = rows.map { case (k, _) =>
+        val in = rows.filter { case (k2, _) => k2 > k - interval && k2 <= k }
+        (k, in.map(_._2).sum, in.size.toDouble)
+      }.sortBy(t => (t._1, t._2, t._3))
+      // sums accumulate in different orders; compare with tolerance
+      assert(got.length == expect.length)
+      got.zip(expect).foreach { case ((gk, gs, gl), (ek, es, el)) =>
+        assert(gk == ek && gl == el && math.abs(gs - es) < 1e-9,
+          s"trial $trial: ($gk,$gs,$gl) vs ($ek,$es,$el)")
+      }
+    }
+  }
+
   test("rollingInterval rejects fractional key types") {
     import spark.implicits._
     val df = Seq((1.5, 2.0)).toDF("k", "v")
