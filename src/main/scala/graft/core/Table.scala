@@ -489,6 +489,16 @@ object Table {
   /** Wrap without any order (order-sensitive ops will assign one lazily). */
   def of(df: DataFrame): Table = new Table(df)
 
+  /** Wrap a DataFrame whose `idxCol` ALREADY holds a gap-free 0-based
+    * row index (ingest-produced, e.g. a sequence column written at ETL
+    * time). Skips the sort + index-assignment passes entirely — the
+    * scale path when the order is materialized in storage. The caller
+    * owns the gap-free invariant; order-sensitive ops are undefined if
+    * it does not hold. */
+  def fromIndexed(df: DataFrame, idxCol: String): Table =
+    new Table(df.withColumn(RowIdx, col(idxCol).cast(LongType)).drop(idxCol)
+      .select(col(RowIdx) +: df.columns.filterNot(_ == idxCol).map(col): _*))
+
   def read(spark: SparkSession, path: String): Table =
     fromOrdered(graft.sources.TableIO.read(spark, path))
 

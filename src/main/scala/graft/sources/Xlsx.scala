@@ -71,11 +71,13 @@ object Xlsx {
   private def readCells(zip: ZipFile): (mutable.ArrayBuffer[mutable.Map[Int, String]], Int) = {
     val sheetEntry = {
       val names = zip.entries()
+      def sheetNum(n: String): Int =
+        n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt
       var best: ZipEntry = null
       while (names.hasMoreElements) {
         val e = names.nextElement()
         if (e.getName.matches("xl/worksheets/sheet\\d+\\.xml") &&
-          (best == null || e.getName < best.getName)) best = e
+          (best == null || sheetNum(e.getName) < sheetNum(best.getName))) best = e
       }
       require(best != null, "xlsx: no worksheet found")
       best

@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
   * the reference's golden tests (native_libs/test/Tests.cpp). */
 class TableSpec extends SparkSpec {
 
+  test("fromIndexed trusts a pre-materialized gap-free index") {
+    import spark.implicits._
+    val df = Seq((2L, "c"), (0L, "a"), (1L, "b")).toDF("idx", "v").repartition(3)
+    val t = Table.fromIndexed(df, "idx")
+    // order-sensitive ops see the idx order without any sort/index pass
+    assert(t.slice(1, 2).toDF.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+    assert(t.shift("v", 1).indexed.orderBy(Table.RowIdx)
+      .select("v_shift_1").collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(None, Some("a"), Some("b")))
+  }
+
   test("equalsTo: ordered arrow-style equality (schema, values, row order)") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, null: String)).toDF("k", "v")
