@@ -200,9 +200,10 @@ final class Table private[core] (private val inner: DataFrame) {
     * P rows, not N. */
   private def stitchInterpolate(ix: DataFrame, fields: Seq[StructField]): DataFrame = {
     if (fields.isEmpty) return ix
-    val maxRow = ix.agg(max(col(RowIdx))).head()
-    if (maxRow.isNullAt(0)) return ix // empty table
-    val n = maxRow.getLong(0) + 1
+    // gap-free index invariant: max(RowIdx)+1 == count, and count() can
+    // fold to source metadata where max() always scans
+    val n = ix.count()
+    if (n == 0) return ix
     val target = ix.sparkSession.sparkContext.defaultParallelism.toLong * 4
     val chunkSize = math.min(BlockSize, math.max(1024L, (n + target - 1) / target))
     val withChunk = ix.withColumn(BlockCol, floor(col(RowIdx) / chunkSize).cast(LongType))

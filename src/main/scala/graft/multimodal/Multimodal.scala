@@ -68,6 +68,16 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop
+    * the payload to `outBytes` BEFORE decode, so trimmed bytes are never
+    * decoded — same pushdown story as the frame sampler. Payloads shorter
+    * than `outBytes` pass through whole. Pure Catalyst, no UDF. */
+  def centerCrop(bin: org.apache.spark.sql.Column, outBytes: Int): org.apache.spark.sql.Column = {
+    val len = octet_length(bin)
+    val start = greatest(((len - outBytes) / 2) + 1, lit(1))
+    bin.substr(start, lit(outBytes))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: slice the byte stream
     * into fixed-size "frames", keep every `stride`-th — pure Catalyst
     * (no decode), demonstrating how a sampler pushes down BEFORE decode so

@@ -253,6 +253,18 @@ class PipelineSpec extends SparkSpec {
     assert(frames(1).toSeq == Seq(4.toByte, 5.toByte))
   }
 
+  test("centerCrop trims byte payloads before decode; short ones pass whole") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.tabulate(10)(_.toByte)), // crop to middle 4: bytes 3..6
+      (2L, Array.tabulate(2)(_.toByte))) // shorter than crop -> whole
+      .toDF("id", "payload")
+    val out = df.select(col("id"), Multimodal.centerCrop(col("payload"), 4).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Array[Byte]]("c").toSeq == Seq[Byte](3, 4, 5, 6))
+    assert(out(1).getAs[Array[Byte]]("c").toSeq == Seq[Byte](0, 1))
+  }
+
   test("language-ID is deterministic and quality score in [0,1]") {
     val out = docs.select(TextOps.langId(col("text")).as("lang"),
       TextOps.qualityScore(col("text")).as("q")).collect()
