@@ -186,6 +186,9 @@ object FeatherV1 {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    require(Files.size(Paths.get(path)) < Int.MaxValue.toLong,
+      "feather: v1 files over 2 GiB are not supported by this driver-side " +
+        "reader (the format is not splittable); convert the producer to Parquet")
     val bytes = Files.readAllBytes(Paths.get(path))
     val (numRows, cols) = parseMeta(bytes)
     val schema = StructType(cols.map(c => StructField(c.name, sparkType(c))))

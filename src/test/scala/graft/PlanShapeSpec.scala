@@ -120,6 +120,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("sessionize agrees with Spark's built-in session_window boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // bursty per-user event times: gaps > 60s break sessions
+    var t = 0L
+    val events = (0 until 400).map { i =>
+      t += (if (rnd.nextInt(5) == 0) 90L + rnd.nextInt(300) else rnd.nextInt(40).toLong)
+      (s"u${i % 7}", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)))
+    }.toDF("user_id", "ts")
+    val ours = Stats.sessionize(events, "user_id", "ts", 60L * 1000000)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(_.toSeq).toSet
+    val builtin = events
+      .groupBy(col("user_id"), session_window(col("ts"), "60 seconds"))
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(_.toSeq).toSet
+    // same session membership -> same (first, last, count) triples.
+    // NB our rule is gap > 60s breaks (gap == 60s continues); Spark's
+    // session_window half-open [start, start+gap) breaks AT 60s — the
+    // random gaps avoid the exact-60 tie, making the two comparable.
+    assert(ours == builtin)
+  }
+
   test("autoCorr matches the sequential definition") {
     import spark.implicits._
     val vs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0)
