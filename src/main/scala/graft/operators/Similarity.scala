@@ -124,6 +124,53 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Driver-side Lloyd k-means over a small sample (seeded, deterministic):
+    * the IVF cell router's fit problem is kilobytes — iterating it through
+    * a distributed KMeans costs ~2 Spark jobs per iteration for nothing.
+    * Empty cells re-seed from the farthest point of the largest cell. */
+  private[graft] def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "ivf: empty training sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(42L)
+    val centers = Array.tabulate(k)(i => points(rnd.nextInt(points.length)).clone())
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val assign = new Array[Int](points.length)
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = d2(points(p), centers(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        } else centers(c) = points(rnd.nextInt(points.length)).clone()
+        c += 1
+      }
+    }
+    centers
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * xxhash64 -> uniform in [-0.5, 0.5). Same plane on any executor. */
   private def planeComponent(p: Int, d: Column): Column =
@@ -151,25 +198,21 @@ object Similarity {
     * nProbe (nProbe = nCells is exact). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
     // Fit on a bounded deterministic sample: cells only need to be roughly
     // balanced, and recall comes from nProbe, not centroid quality — a
-    // full-corpus fit would iterate maxIter times over 100 TB for nothing.
-    // sample() keeps the draw spread across partitions (a bare limit()
-    // would take one partition's prefix, which is often label-sorted).
-    val sampleCap = 8192L
-    val train0 = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // full-corpus fit would iterate over 100 TB for nothing. sample()
+    // keeps the draw spread across partitions (a bare limit() would take
+    // one partition's prefix, which is often label-sorted). The Lloyd
+    // iterations then run DRIVER-side over the <=8k collected sample:
+    // kilobytes of math that spark.ml would turn into ~2 jobs per
+    // iteration.
+    val sampleCap = 8192
     val n = corpus.count() // parquet count folds to row-group metadata
     val frac = math.min(1.0, sampleCap * 2.0 / math.max(1L, n))
-    val train = (if (frac < 1.0) train0.sample(withReplacement = false, frac, 42L) else train0)
-      .limit(sampleCap.toInt)
-    // random init: k-means|| costs extra distributed passes for centroid
-    // quality the cell router doesn't need
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random").setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val sampled = (if (frac < 1.0) corpus.sample(withReplacement = false, frac, 42L) else corpus)
+      .select(col(vecCol)).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = lloyd(sampled, nCells, iters = 8)
     // Cell assignment is a PER-ROW argmax against the (tiny) centroid set:
     // nCells fused-cosine expressions + an array_sort over nCells structs —
     // a narrow projection, NO shuffle. (The earlier crossJoin(centroids) +

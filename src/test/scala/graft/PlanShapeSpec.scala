@@ -120,6 +120,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("blocked shift is exact across the 64k block boundary") {
+    // BlockSize is 65536: use 70k rows so lag/lead frames actually cross
+    // blocks (every smaller spec stays inside one block and would never
+    // exercise the ghost rows)
+    val n = 70000L
+    val df = spark.range(0, n).toDF("id")
+      .withColumn("v", col("id") * 3 + 1)
+    val t = Table.fromIndexed(df, "id")
+    for (p <- Seq(3, -2, 70001)) {
+      val colName = s"v_shift_$p"
+      val out = t.shift("v", p).indexed
+        .filter(col(Table.RowIdx).isin(0L, 1L, 65534L, 65535L, 65536L, 65537L, n - 2, n - 1))
+        .orderBy(Table.RowIdx)
+        .select(Table.RowIdx, colName).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      def expect(i: Long): Option[Long] = {
+        val src = i - p
+        if (src < 0 || src >= n) None else Some(src * 3 + 1)
+      }
+      Seq(0L, 1L, 65534L, 65535L, 65536L, 65537L, n - 2, n - 1).foreach { i =>
+        assert(out(i) == expect(i), s"periods=$p row $i")
+      }
+    }
+    // autoCorr rides the same blocked window: perfect linear series -> 1.0
+    val ac = Stats.autoCorr(t, "v", 7).collect()(0).getDouble(0)
+    assert(math.abs(ac - 1.0) < 1e-9)
+  }
+
   test("sessionize agrees with Spark's built-in session_window boundaries") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
