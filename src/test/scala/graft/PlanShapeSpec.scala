@@ -120,6 +120,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("NO query in the whole SparkEntry surface plans a partition-less window") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        if (globalWindows(fn(spark, dir)).nonEmpty) Seq(name) else Nil
+      } catch { case _: Throwable => Nil } // build failures are other specs' business
+    }
+    assert(offenders.isEmpty,
+      s"queries with a global (single-partition) window: ${offenders.mkString(", ")}")
+  }
+
   test("blocked shift is exact across the 64k block boundary") {
     // BlockSize is 65536: use 70k rows so lag/lead frames actually cross
     // blocks (every smaller spec stays inside one block and would never
