@@ -32,6 +32,28 @@ class LQueryJsonSpec extends SparkSpec {
       == Seq(3L, 4L))
   }
 
+  test("FilterWithNulls golden (Tests.cpp:714-802): a%2==0 over nulls") {
+    // reference: 256 rows; a null every 3rd, b null every 7th; filter
+    // a%2==0 drops null-a rows (any-referenced-null) but keeps null b
+    import spark.implicits._
+    val rows = (0 until 256).map { i =>
+      (if (i % 3 != 0) Some(i.toLong) else None,
+        if (i % 7 != 0) Some(i.toString) else None)
+    }
+    val df = rows.toDF("a", "b")
+    val json =
+      """{"predicate": "eq","arguments":[
+        |  {"operation": "mod","arguments":[{"column": "a"}, 2]}, 0]}""".stripMargin
+    val pred = graft.expr.LQueryJson.parsePredicate(df, json)
+    val got = graft.core.Table.of(df).filter(pred.toFilter)
+      .toDF.orderBy("a").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val expect = (0 until 256)
+      .filter(i => i % 3 != 0 && i % 2 == 0)
+      .map(i => (i.toLong, if (i % 7 != 0) Some(i.toString) else None))
+    assert(got == expect)
+  }
+
   test("string predicates: startsWith, full-string matches, eq") {
     assert(filterIds("""{"predicate":"startsWith","arguments":[{"column":"s"},"a"]}""")
       == Seq(1L, 2L))

@@ -105,6 +105,28 @@ class TableSpec extends SparkSpec {
     assert(lead(2).isNullAt(0))
   }
 
+  test("ColumnShift golden: every lag from -4 to 4 on {1,2,3} (Tests.cpp:1063-1089)") {
+    import spark.implicits._
+    val df = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id", "v")
+    val t = Table.fromDF(df, Seq(col("id")))
+    val expect = Map(
+      0 -> Seq(Some(1L), Some(2L), Some(3L)),
+      1 -> Seq(None, Some(1L), Some(2L)),
+      2 -> Seq(None, None, Some(1L)),
+      3 -> Seq(None, None, None),
+      4 -> Seq(None, None, None),
+      -1 -> Seq(Some(2L), Some(3L), None),
+      -2 -> Seq(Some(3L), None, None),
+      -3 -> Seq(None, None, None),
+      -4 -> Seq(None, None, None))
+    expect.foreach { case (p, want) =>
+      val got = t.shift("v", p).indexed.orderBy(Table.RowIdx)
+        .select(s"v_shift_$p").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      assert(got == want, s"periods=$p")
+    }
+  }
+
   test("fillNa coerces across types like the reference") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double, String)](
@@ -147,6 +169,19 @@ class TableSpec extends SparkSpec {
     val dn = Seq[(Long, java.lang.Double)]((0L, null), (1L, null)).toDF("id", "v")
     assert(Table.fromDF(dn, Seq(col("id"))).interpolate()
       .toDF.collect().forall(_.isNullAt(1)))
+
+    // the reference's exact InterpolateNA sequences (Tests.cpp:1023-1033)
+    val seq1 = Seq[java.lang.Double](null, null, 1.0, 2.0, null, 3.0,
+      null, null, null, 4.0, null)
+    val d1 = seq1.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got1 = Table.fromDF(d1, Seq(col("id"))).interpolate()
+      .toDF.orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq
+    assert(got1 == Seq(1.0, 1.0, 1.0, 2.0, 2.5, 3.0, 3.25, 3.5, 3.75, 4.0, 4.0))
+    val seq2 = Seq[java.lang.Long](null, 10L, null, null, 16L, null)
+    val d2 = seq2.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got2 = Table.fromDF(d2, Seq(col("id"))).interpolate()
+      .toDF.orderBy("id").select("v").collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(10L, 10L, 12L, 14L, 16L, 16L))
   }
 
   test("interpolateWithin fills per key, clamping at each key's edges") {
