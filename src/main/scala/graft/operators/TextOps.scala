@@ -18,6 +18,16 @@ object TextOps {
   /** Whitespace tokenization; the testdata corpus is single-space joined. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Corpus vocabulary: token -> occurrence count. One explode + a
+    * map-side-combined count — the canonical vocab-building shape at any
+    * corpus size (compose with a min-count filter at 100 TB to bound the
+    * result; the shuffle already carries one row per distinct token per
+    * map partition, not per occurrence). */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
   /** Sliding token n-grams joined by a space: the standard shingle unit
     * for near-dup detection. Iterate the valid start positions and slice
     * each window once — measured fastest (1.7 s / 256k shingles) vs

@@ -45,6 +45,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary building: token frequency table over the corpus (top-100)
+    "q_vocab" -> ((s, dir) => {
+      TextOps.vocabulary(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    }),
+
+    // Composite corpus-cleaning pipeline: language + quality + length
+    // gates, then exact-dedup to canonical rows — the one-pass "clean
+    // corpus" shape a training-data pipeline runs first
+    "q_quality_filter" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("text"),
+          round(TextOps.qualityScore(col("text")), 6).as("q"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.tokenCount(col("text")).as("nt"))
+        .filter(col("q") >= 0.55 && col("lang_pred") === "en" && col("nt") >= 20)
+      graft.operators.Dedup.dropExactDups(scored, "text", "doc_id")
+        .select(col("doc_id"), col("q"), col("nt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: canonical representative per distinct text
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -172,6 +193,26 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |scored AS (SELECT doc_id, text,
+         |  round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+         |      + 0.3 * (1.0 - len(list_filter(toks, t -> t IN ('a','the')))::DOUBLE / len(toks))
+         |      + 0.3 * least(1.0, len(toks)::DOUBLE / 100.0), 6) AS q,
+         |  $langCase AS lang_pred,
+         |  len(toks) AS nt
+         | FROM d),
+         |qualified AS (SELECT doc_id, text, q, nt FROM scored
+         |  WHERE q >= 0.55 AND lang_pred = 'en' AND nt >= 20)
+         |SELECT doc_id, q, nt FROM
+         |  (SELECT *, min(doc_id) OVER (PARTITION BY text) AS canon FROM qualified)
+         |WHERE doc_id = canon ORDER BY doc_id""".stripMargin,
 
     "q_jaccard" ->
       """WITH sh AS (
