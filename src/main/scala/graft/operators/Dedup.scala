@@ -93,11 +93,13 @@ object Dedup {
     * measured 16x recompute). Docs with fewer than shingleN tokens have no
     * shingles and drop out (they cannot near-dup match). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int,
-      shingleN: Int): DataFrame = {
+      shingleN: Int,
+      hashFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        (sh, j) => xxhash64(lit(j), sh)): DataFrame = {
     val exploded = docs.select(col(idCol),
       explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
         .as("shingle"))
-    val minCols = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"m$j"))
+    val minCols = (0 until k).map(j => min(hashFn(col("shingle"), j)).as(s"m$j"))
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
@@ -111,7 +113,10 @@ object Dedup {
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       val elems = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
-      struct(lit(b).as("band"), xxhash64((lit(b) +: elems): _*).as("bucket"))
+      // the bucket key is the band's raw minhash tuple as a string — no
+      // second hash, so the banding is independent of the signature hash
+      // function (and directly mirrorable by an SQL oracle)
+      struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bucket"))
     }
     val buckets = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -125,8 +130,10 @@ object Dedup {
   /** Full MinHash near-dup pipeline: signatures -> LSH candidates ->
     * exact Jaccard verification >= threshold. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN).cache()
+      threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      hashFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        (sh, j) => xxhash64(lit(j), sh)): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN, hashFn).cache()
     val cands = minhashLshCandidates(sigs, idCol, k, bands)
     // verify candidates with estimated Jaccard from the full signatures
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))

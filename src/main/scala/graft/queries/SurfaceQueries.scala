@@ -155,7 +155,7 @@ object SurfaceQueries {
         |  list(CASE WHEN o_orderkey % 13 <> 0 THEN round(o_totalprice, 4) END
         |       ORDER BY o_orderkey) AS price_n
         |FROM orders
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
