@@ -157,10 +157,12 @@ object Dedup {
     * was large enough to fall off the JIT in some runs (measured 2.9 s vs
     * 13 s bimodal). Bit rule unchanged: bit set iff ones > n/2, i.e. the
     * sign of sum(+/-1). */
-  def simhashFingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .select(col(idCol), tokenHash(col("tok")).as("h"))
     // group g packs bits (4g..4g+3) into lanes (0..3) of one long
     val packedSums = (0 until 16).map { g =>
       val packed = (0 until 4).map { l =>
@@ -180,9 +182,19 @@ object Dedup {
   /** SimHash near-dup candidates: docs whose 64-bit fingerprints agree on
     * at least one of four 16-bit bands (pigeonhole: hamming<=3 guaranteed
     * caught). Verification filter on true hamming distance <= maxHamming. */
+  /** 64 token-hash bits assembled from four 16-bit slices of the
+    * polynomial fingerprint (g + ":" + token) — same mixing family the
+    * SQL oracle can recompute; the library default stays xxhash64. */
+  def polyTokenHash64(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 4).map { g =>
+      shiftleft(TextOps.fingerprint(concat(lit(s"$g:"), t)).bitwiseAND(lit(0xFFFFL)), 16 * g)
+    }.reduce(_ bitwiseOR _)
+
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int): DataFrame = {
-    val fps = simhashFingerprints(docs, textCol, idCol)
+      maxHamming: Int,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    val fps = simhashFingerprints(docs, textCol, idCol, tokenHash)
     val banded = fps.select(col(idCol), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

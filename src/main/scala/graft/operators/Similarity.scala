@@ -176,14 +176,22 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     (xxhash64(lit(p), d).cast(DoubleType) / lit(Long.MaxValue.toDouble) / 2.0)
 
+  /** Hyperplane component from the polynomial fingerprint of "p:dim" —
+    * same plane family an SQL oracle can recompute exactly; the library
+    * default stays the xxhash64-based [[planeComponent]]. */
+  def polyPlaneComponent(p: Int, d: Column): Column =
+    (graft.operators.TextOps.fingerprint(concat(lit(s"$p:"), d.cast(StringType)))
+      .cast(DoubleType) / 1000000007.0) - 0.5
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a Long.
     * P(bit match) = 1 - angle/pi — standard SimHash-for-cosine. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+  def hyperplaneSignature(vec: Column, planes: Int,
+      component: (Int, Column) => Column = planeComponent): Column = {
     require(planes <= 63, "signature packs into one Long")
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+          (x, i) => x.cast(DoubleType) * component(p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -250,11 +258,12 @@ object Similarity {
     * least one of the 4 bands; exact cosine re-ranks the candidates.
     * Misses are possible (that's the A in ANN); recall rises with planes. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 16): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 16,
+      component: (Int, Column) => Column = planeComponent): DataFrame = {
     require(planes % 4 == 0)
     val r = planes / 4
     def banded(df: DataFrame, id: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), planes)
+      val sig = hyperplaneSignature(col(vecCol), planes, component)
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key")))

@@ -130,16 +130,26 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup candidates on the same planted set (rows-only).
+    // SimHash near-dup candidates on the same planted set. Like
+    // q_minhash, the graded variant derives token-hash bits from the
+    // polynomial fingerprint (4 x 16-bit slices) so the DuckDB oracle
+    // replays the whole pipeline: per-bit majorities, packed fingerprint,
+    // 16-bit band join, hamming verify.
     "q_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 8)
+      Dedup.simhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 8,
+          tokenHash = Dedup.polyTokenHash64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Hyperplane-LSH ANN (approximate; rows-only check + recall ScalaTest).
+    // Hyperplane-LSH ANN: the graded variant derives plane components
+    // from the polynomial fingerprint of "plane:dim" so a DuckDB oracle
+    // recomputes signatures, band probes and the exact re-rank; the
+    // library default stays the xxhash64 planes (recall spec covers it).
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          component = Similarity.polyPlaneComponent)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
@@ -235,6 +245,92 @@ object PipelineQueries {
         |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
         |FROM est WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" -> {
+      def fp(arg: String) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range(1, len($arg) + 1), i -> ascii($arg[i]))),
+           |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+         |catd AS (SELECT doc_id, '0:' || t AS c0, '1:' || t AS c1,
+         |                '2:' || t AS c2, '3:' || t AS c3 FROM tok),
+         |fph AS (
+         |  SELECT doc_id, ${fp("c0")} AS f0, ${fp("c1")} AS f1,
+         |         ${fp("c2")} AS f2, ${fp("c3")} AS f3 FROM catd),
+         |th AS (
+         |  -- top slice splits out bit 15 -> bit 63: DuckDB raises on a
+         |  -- left-shift overflow where Spark's shiftleft wraps
+         |  SELECT doc_id,
+         |    (f0 & 65535)
+         |    | ((f1 & 65535) << 16)
+         |    | ((f2 & 65535) << 32)
+         |    | ((f3 & 32767) << 48)
+         |    | (CASE WHEN ((f3 >> 15) & 1) = 1
+         |            THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END) AS h
+         |  FROM fph),
+         |bits AS (
+         |  SELECT doc_id, b, CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE 0 END AS bit
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+         |maj AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN 2 * sum(bit) > count(*)
+         |         THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+         |              ELSE 1::BIGINT << b END
+         |         ELSE 0::BIGINT END AS piece
+         |  FROM bits GROUP BY doc_id, b),
+         |fps AS (SELECT doc_id, bit_or(piece) AS f FROM maj GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, f, b AS band, (f >> (16 * b)) & 65535 AS key
+         |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.f, b.f))::INTEGER AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM cands
+         |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_ann_lsh" -> {
+      // fingerprint of 'p:d' per (plane, dim), scaled to [-0.5, 0.5);
+      // the pd expression is inlined (lambda vars can't cross subqueries)
+      def comp(pd: String) =
+        s"""(list_reduce(list_prepend(0::BIGINT,
+           |        list_transform(range(1, len($pd) + 1), ci -> ascii(($pd)[ci]))),
+           |        (a, b) -> (a * 31 + b) % 1000000007)::DOUBLE / 1000000007.0 - 0.5)""".stripMargin
+      val pcomp = comp("(p::VARCHAR || ':' || (i-1)::VARCHAR)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, v, list_sum(list_transform(range(0, 16), p ->
+         |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+         |      v[i] * $pcomp
+         |    )) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS s
+         |  FROM e),
+         |bq AS (
+         |  SELECT vec_id AS query_id, v AS qv, b, (s >> (4 * b)) & 15 AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) WHERE vec_id < 10),
+         |bc AS (
+         |  SELECT vec_id AS neighbor_id, v AS cv, b, (s >> (4 * b)) & 15 AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |cands AS (
+         |  SELECT DISTINCT query_id, neighbor_id, qv, cv
+         |  FROM bq JOIN bc USING (b, key) WHERE neighbor_id <> query_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_dot_product(qv, cv) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+         |  FROM cands)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         |  neighbor_id, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_vocab" ->
       """SELECT token, count(*) AS n
