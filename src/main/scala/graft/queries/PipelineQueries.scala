@@ -45,6 +45,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Document-length histogram: 25-token buckets — the standard corpus
+    // length-distribution diagnostic (one narrow pass + tiny aggregate)
+    "q_length_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select((TextOps.tokenCount(col("text")) / 25L).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")
+    }),
+
+    // Bigram frequency table (language-model n-gram counts), top-50
+    "q_bigrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    }),
+
     // Vocabulary building: token frequency table over the corpus (top-100)
     "q_vocab" -> ((s, dir) => {
       TextOps.vocabulary(t(s, dir, "documents"), "text")
@@ -331,6 +349,19 @@ object PipelineQueries {
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_length_hist" ->
+      """SELECT len(string_split(text, ' '))::BIGINT // 25 AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bigrams" ->
+      """SELECT bigram, count(*) AS n
+        |FROM (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, count(*) AS n
