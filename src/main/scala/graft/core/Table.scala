@@ -16,13 +16,19 @@ import org.apache.spark.sql.types._
   *
   * Scale notes (100 TB):
   *  - `__row_idx` is only materialized when an order-sensitive op is used;
-  *    plain filter/map/agg pipelines never pay for it.
+  *    plain filter/map/agg pipelines never pay for it — and
+  *    [[Table.fromIndexed]] trusts an ingest-materialized index with no
+  *    passes at all.
   *  - `zipIndexed` assigns the index with a per-partition offset scan
   *    (2 narrow passes, no shuffle) instead of a single-partition
   *    `row_number()` window.
-  *  - Global-order windows (shift/interpolate) are inherently sequential;
-  *    we use range-partitioned sort + AQE. For the common keyed case use
-  *    the `partitionBy` variants which parallelize per key.
+  *  - NO operator windows over the whole table in one partition: shift
+  *    and autoCorr block the index axis with ghost rows, interpolate
+  *    stitches per-chunk running frames through driver-side boundary
+  *    summaries, rollingInterval spans the key axis — all one hash
+  *    shuffle, parallel at any n (PlanShapeSpec asserts it repo-wide).
+  *    The keyed `*Within` variants stay preferable when a natural
+  *    partition key exists.
   */
 final class Table private[core] (private val inner: DataFrame) {
   import Table._
@@ -295,8 +301,8 @@ final class Table private[core] (private val inner: DataFrame) {
   }
 
   /** Per-key interpolate: null runs fill within each partition key only —
-    * parallel across keys (the whole-table variant is one sequential
-    * partition). Edge runs clamp within the key's own first/last valid. */
+    * parallel across keys with no chunk-stitch machinery. Edge runs clamp
+    * within the key's own first/last valid. */
   def interpolateWithin(partitionCols: Seq[Column]): Table = {
     val ix = indexed
     val numeric = df.schema.fields.filter(f => f.dataType match {

@@ -218,8 +218,9 @@ object Stats {
     df.stat.approxQuantile(c, probs, relErr)
 
   /** Per-key rolling interval: windows never cross the partition key —
-    * fully parallel across keys (one shuffle on the key). The whole-table
-    * variant is a single sequential partition; prefer this at scale. */
+    * fully parallel across keys (one shuffle on the key), with none of
+    * the whole-table variant's ghost-row duplication. Prefer it whenever
+    * a natural key exists. */
   def rollingIntervalWithin(
       df: DataFrame,
       partitionCols: Seq[Column],
