@@ -59,7 +59,7 @@ final class Table private[core] (private val inner: DataFrame) {
   def addColumnAt(i: Int, name: String, c: Column): Table = {
     val (before, after) = df.columns.splitAt(i)
     new Table(df.withColumn(name, c)
-      .select((before.map(col) ++ (col(name) +: after.map(col))): _*))
+      .select((before.map(col) ++ (col(name) +: after.map(col))).toIndexedSeq: _*))
   }
 
   /** Replace-or-append a column by name (reference: src/Table.luna:362-368
@@ -72,20 +72,20 @@ final class Table private[core] (private val inner: DataFrame) {
   def removeByIndex(i: Int): Table = remove(df.columns(i))
   def rename(from: String, to: String): Table = keep(inner.withColumnRenamed(from, to))
 
-  /** Horizontal concat by row position (reference: src/Table.luna:278-310).
-    * Implemented as an equi-join on the row index — the only faithful
-    * distributed "zip" of two independently-produced tables. */
   /** Keep only columns whose field satisfies the predicate
     * (reference: src/Table.luna:719-722 filterColumns with .isNumeric /
     * .isText column predicates). */
   def filterColumns(pred: StructField => Boolean): Table =
-    new Table(df.select(df.schema.fields.filter(pred).map(f => col(f.name)): _*))
+    new Table(df.select(df.schema.fields.filter(pred).map(f => col(f.name)).toIndexedSeq: _*))
 
   /** Apply a Column -> Column function to every column
     * (reference: src/Table.luna:749-752 eachColumn). */
   def eachColumn(f: (Column, StructField) => Column): Table =
-    new Table(df.select(df.schema.fields.map(sf => f(col(sf.name), sf).as(sf.name)): _*))
+    new Table(df.select(df.schema.fields.map(sf => f(col(sf.name), sf).as(sf.name)).toIndexedSeq: _*))
 
+  /** Horizontal concat by row position (reference: src/Table.luna:278-310).
+    * Implemented as an equi-join on the row index — the only faithful
+    * distributed "zip" of two independently-produced tables. */
   def concat(other: Table): Table = {
     val l = indexed
     val r = other.indexed
@@ -438,7 +438,7 @@ final class Table private[core] (private val inner: DataFrame) {
         sort_array(collect_list(struct(col(RowIdx).as("i"), struct(col(c).as("v")).as("w")))),
         x => x("w")("v")).as(c)
     }
-    new Table(ix.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*))
+    new Table(ix.groupBy(col(keyCol)).agg(aggs.head, aggs.tail.toIndexedSeq: _*))
   }
 
   // ---- ungroup (reference: Processing.cpp:694-819) ----
@@ -456,7 +456,7 @@ final class Table private[core] (private val inner: DataFrame) {
   def ungroupSplittingOnPos(colName: String, sep: String, posCol: String): Table = {
     val others = df.columns.filter(_ != colName).map(col)
     val exploded = df.select(
-      (others :+ posexplode(split(col(colName), java.util.regex.Pattern.quote(sep)))
+      (others.toIndexedSeq :+ posexplode(split(col(colName), java.util.regex.Pattern.quote(sep)))
         .as(Seq(posCol, colName))): _*)
     new Table(exploded)
   }
@@ -504,7 +504,7 @@ object Table {
     * it does not hold. */
   def fromIndexed(df: DataFrame, idxCol: String): Table =
     new Table(df.withColumn(RowIdx, col(idxCol).cast(LongType)).drop(idxCol)
-      .select(col(RowIdx) +: df.columns.filterNot(_ == idxCol).map(col): _*))
+      .select(col(RowIdx) +: df.columns.filterNot(_ == idxCol).map(col).toIndexedSeq: _*))
 
   def read(spark: SparkSession, path: String): Table =
     fromOrdered(graft.sources.TableIO.read(spark, path))

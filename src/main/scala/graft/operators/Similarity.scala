@@ -232,7 +232,7 @@ object Similarity {
         struct(cosine(col(id + "_v"), typedLit(cv.toSeq)).as("sim"),
           lit(-i).as("negcell"))
       }
-      val topCells = slice(reverse(array_sort(array(simStructs: _*))), 1, top)
+      val topCells = slice(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1, top)
       df.select(col(idCol).as(id), col(vecCol).as(id + "_v"))
         .select(col(id), col(id + "_v"), explode(topCells).as("bc"))
         .select(col(id), col(id + "_v"), (-col("bc.negcell")).as("cell"))
