@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * over the UTF8String's bytes inside whole-stage codegen. Byte-wise ==
   * the char-wise definition for ASCII text (the oracle's `ascii(text[i])`
   * equals the byte for ASCII); differential-spec'd against the HOF. */
-case class PolynomialFingerprint(child: Expression) extends UnaryExpression {
+case class PolynomialFingerprint(child: Expression, init: Long = 0L)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_fingerprint"
 
@@ -29,7 +30,7 @@ case class PolynomialFingerprint(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
     val n = s.numBytes()
-    var acc = 0L
+    var acc = init // fp(prefix || text) = fold over text seeded with fp(prefix)
     var i = 0
     while (i < n) { acc = (acc * 31L + (s.getByte(i) & 0xFF)) % 1000000007L; i += 1 }
     acc
@@ -42,7 +43,7 @@ case class PolynomialFingerprint(child: Expression) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       s"""
          |int $n = $s.numBytes();
-         |long $acc = 0L;
+         |long $acc = ${init}L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc = ($acc * 31L + ($s.getByte($i) & 0xFF)) % 1000000007L;
          |}
@@ -57,4 +58,11 @@ case class PolynomialFingerprint(child: Expression) extends UnaryExpression {
 object TextExpressions {
   def fingerprint(c: Column): Column =
     Bridge.column(PolynomialFingerprint(Bridge.expression(c)))
+
+  /** fp(prefix || text) in ONE loop over text: the fold's accumulator
+    * starts at fp(prefix) (polynomial prefix identity). The cheap form of
+    * a seeded hash family — no concat, no branches, codegen stays small
+    * when several seeds appear in one projection. */
+  def seededFingerprint(c: Column, init: Long): Column =
+    Bridge.column(PolynomialFingerprint(Bridge.expression(c), init))
 }

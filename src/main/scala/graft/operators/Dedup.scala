@@ -187,7 +187,11 @@ object Dedup {
     * SQL oracle can recompute; the library default stays xxhash64. */
   def polyTokenHash64(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 4).map { g =>
-      shiftleft(TextOps.fingerprint(concat(lit(s"$g:"), t)).bitwiseAND(lit(0xFFFFL)), 16 * g)
+      // seeded single-loop fp: 4 small codegen loops per row — the
+      // pow-table form's when+dual-loop codegen was measured to fall off
+      // the JIT here (15 s vs 2 s on the simhash corpus pass)
+      shiftleft(graft.expr.TextExpressions.seededFingerprint(t,
+        TextOps.fingerprintOf(s"$g:")).bitwiseAND(lit(0xFFFFL)), 16 * g)
     }.reduce(_ bitwiseOR _)
 
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,

@@ -18,6 +18,36 @@ object TextOps {
   /** Whitespace tokenization; the testdata corpus is single-space joined. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** fp(prefix || text) via the polynomial identity
+    * fp(a ++ b) = (fp(a) * 31^len(b) + fp(b)) mod P — ONE fingerprint
+    * loop over the text plus a fused multiply-mod, instead of re-walking
+    * `prefix+text` per seed. Used by the seeded hash families (minhash
+    * permutations, simhash bit groups): k seeds share the single fp(text).
+    * Texts >= 4096 bytes fall back to the direct concat form (identical
+    * value, just not table-accelerated). */
+  def prefixedFingerprint(prefix: String, text: Column): Column = {
+    val fast = (lit(fingerprintOf(prefix)) * element_at(Pow31Lit, octet_length(text) + 1)
+      + fingerprint(text)) % lit(1000000007L)
+    when(octet_length(text) < Pow31Size, fast)
+      .otherwise(graft.expr.TextExpressions.seededFingerprint(text, fingerprintOf(prefix)))
+  }
+
+  /** Driver-side fingerprint of a constant (same byte-wise fold as the
+    * native expression). */
+  private[graft] def fingerprintOf(s: String): Long = {
+    var acc = 0L
+    s.getBytes("UTF-8").foreach(b => acc = (acc * 31L + (b & 0xFF)) % 1000000007L)
+    acc
+  }
+
+  private val Pow31Size = 4096
+  private lazy val Pow31Lit: Column = {
+    val a = new Array[Long](Pow31Size)
+    a(0) = 1L
+    (1 until Pow31Size).foreach(i => a(i) = a(i - 1) * 31L % 1000000007L)
+    typedLit(a.toSeq)
+  }
+
   /** Corpus vocabulary: token -> occurrence count. One explode + a
     * map-side-combined count — the canonical vocab-building shape at any
     * corpus size (compose with a min-count filter at 100 TB to bound the

@@ -143,7 +143,7 @@ object PipelineQueries {
     // both hash functions.
     "q_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", threshold = 0.5,
-          hashFn = (sh, j) => TextOps.fingerprint(concat(lit(s"$j:"), sh)))
+          hashFn = (sh, j) => TextOps.prefixedFingerprint(s"$j:", sh))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -156,6 +156,8 @@ object PipelineQueries {
     "q_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 8,
           tokenHash = Dedup.polyTokenHash64)
+      // (polyTokenHash64 internally shares one fingerprint per token via
+      // the prefix identity)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
