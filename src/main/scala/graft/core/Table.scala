@@ -399,6 +399,32 @@ final class Table private[core] (private val inner: DataFrame) {
 
   private def homeBlock: Column = floor(col(RowIdx) / BlockSize).cast(LongType)
 
+  // ---- materialization / preview (reference: src/Table.luna:502-522,
+  // 665-673: toList, toText, toJSON with a <=1000-row preview cap) ----
+  /** First `n` rows as local Rows, in row order. */
+  def toList(n: Int = 1000): Seq[Row] =
+    indexed.orderBy(col(RowIdx)).limit(n).drop(RowIdx).collect().toSeq
+
+  /** First `n` rows rendered as a text table (reference toText preview). */
+  def toText(n: Int = 20): String = {
+    val rows = toList(n)
+    val header = df.columns.toSeq
+    val cells = header +: rows.map(_.toSeq.map(v => if (v == null) "null" else v.toString))
+    val widths = header.indices.map(i => cells.map(_(i).length).max)
+    cells.map(r => r.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString(" | "))
+      .mkString("\n")
+  }
+
+  /** First `n` rows as a JSON array string (reference toJSON preview). */
+  def toJsonString(n: Int = 1000): String =
+    indexed.orderBy(col(RowIdx)).limit(n).drop(RowIdx)
+      .toJSON.collect().mkString("[", ",", "]")
+
+  /** Write through the extension-dispatching writer (csv/txt -> CSV,
+    * xlsx -> XLSX, feather -> Feather v1, else Parquet) — reference
+    * Table.write (src/Table.luna:148-149). */
+  def write(path: String): Unit = graft.sources.TableIO.write(df, path)
+
   // ---- equality (reference: main.cpp:1064-1071 tableEquals ->
   // arrow::Table::Equals: schema AND per-row values in ROW ORDER) ----
   /** Ordered table equality. Schema (names + types, in order) must match;

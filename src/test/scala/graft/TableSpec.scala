@@ -8,6 +8,33 @@ import org.apache.spark.sql.functions._
   * the reference's golden tests (native_libs/test/Tests.cpp). */
 class TableSpec extends SparkSpec {
 
+  test("toList/toText/toJsonString preview in row order; Table.write dispatches") {
+    import spark.implicits._
+    val t = Table.fromDF(Seq((2L, "b"), (1L, "a"), (3L, "c")).toDF("k", "v"), Seq(col("k")))
+    assert(t.toList(2).map(_.getString(1)) == Seq("a", "b"))
+    val text = t.toText(3)
+    assert(text.startsWith("k") && text.contains("a") && text.linesIterator.size == 4)
+    assert(t.toJsonString(1) == """[{"k":1,"v":"a"}]""")
+    val dir = java.nio.file.Files.createTempDirectory("twrite")
+    t.write(dir.resolve("t.csv").toString)
+    assert(graft.sources.TableIO.read(spark, dir.resolve("t.csv").toString).count() == 3)
+    t.write(dir.resolve("t.feather").toString)
+    assert(graft.sources.TableIO.sniff(dir.resolve("t.feather").toString) == graft.sources.TableIO.Feather)
+  }
+
+  test("vocabulary, bigram and length-bucket shapes (pipeline ops)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val vocab = graft.operators.TextOps.vocabulary(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    val bigrams = docs.select(
+        explode(graft.operators.TextOps.shingles(
+          graft.operators.TextOps.tokens(col("text")), 2)).as("bg"))
+      .groupBy("bg").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigrams == Map("a b" -> 2L, "b a" -> 1L, "a c" -> 1L))
+  }
+
   test("fromIndexed trusts a pre-materialized gap-free index") {
     import spark.implicits._
     val df = Seq((2L, "c"), (0L, "a"), (1L, "b")).toDF("idx", "v").repartition(3)
