@@ -139,7 +139,13 @@ object Stats {
     * (<=2x duplication), the range window runs per span, and only home-span
     * rows are kept. One hash shuffle, parallel at any scale. RANGE frames
     * are value-based, so equal keys land in the same span and every row's
-    * result is identical to the global-window plan. */
+    * result is identical to the global-window plan.
+    *
+    * Degenerate case, stated honestly: parallelism = keyRange/interval
+    * spans, so an interval comparable to the whole key range collapses to
+    * few spans — inherent, since every window then depends on most of the
+    * table. For such "almost-global" aggregations prefer the keyed variant
+    * or a plain groupBy. */
   def rollingInterval(
       df: DataFrame,
       key: String,

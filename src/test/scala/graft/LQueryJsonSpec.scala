@@ -96,6 +96,61 @@ class LQueryJsonSpec extends SparkSpec {
     assert(outC(3).getDouble(0) == 80.0)
   }
 
+  test("fuzz: random predicate trees — JSON wire path equals the Scala builder") {
+    import spark.implicits._
+    import graft.expr.{LExpr, LQuery}
+    val df = (0 until 200).map { i =>
+      (if (i % 5 == 0) None else Some(i.toLong),
+        if (i % 7 == 0) None else Some(i.toDouble / 3),
+        i.toLong)
+    }.toDF("a", "b", "id")
+    val rnd = new scala.util.Random(77)
+    // random tree over the shared grammar; returns (json, builder) pairs
+    def value(depth: Int): (String, LExpr) =
+      if (depth == 0) rnd.nextInt(3) match {
+        case 0 => ("""{"column": "a"}""", LQuery.at("a"))
+        case 1 => ("""{"column": "b"}""", LQuery.at("b"))
+        case _ =>
+          val v = rnd.nextInt(40); (v.toString, LQuery.lit(v.toLong))
+      } else {
+        val (lj, lb) = value(depth - 1); val (rj, rb) = value(depth - 1)
+        val ops = Seq(("plus", (x: LExpr, y: LExpr) => x + y),
+          ("minus", (x: LExpr, y: LExpr) => x - y),
+          ("times", (x: LExpr, y: LExpr) => x * y))
+        val (name, f) = ops(rnd.nextInt(ops.length))
+        (s"""{"operation": "$name", "arguments": [$lj, $rj]}""", f(lb, rb))
+      }
+    def predicate(): (String, LExpr) = {
+      val (lj, lb) = value(rnd.nextInt(3)); val (rj, rb) = value(rnd.nextInt(3))
+      val cmp = rnd.nextInt(3) match {
+        case 0 => (s"""{"predicate": "gt", "arguments": [$lj, $rj]}""", lb > rb)
+        case 1 => (s"""{"predicate": "lt", "arguments": [$lj, $rj]}""", lb < rb)
+        case _ => (s"""{"predicate": "eq", "arguments": [$lj, $rj]}""", lb === rb)
+      }
+      if (rnd.nextBoolean()) cmp
+      else {
+        val (oj, ob) = (s"""{"predicate": "gt", "arguments": [{"column": "a"}, 7]}""",
+          LQuery.at("a") > LQuery.lit(7L))
+        (s"""{"boolean": "and", "arguments": [${cmp._1}, $oj]}""", cmp._2 && ob)
+      }
+    }
+    var compared = 0
+    (0 until 40).foreach { _ =>
+      val (json, built) = predicate()
+      val viaJson = try Some(graft.expr.LQueryJson.parsePredicate(df, json))
+        catch { case _: IllegalArgumentException => None } // type-rejected trees
+      viaJson.foreach { p =>
+        val a = graft.core.Table.of(df).filter(p.toFilter).toDF
+          .select("id").collect().map(_.getLong(0)).toSet
+        val b = graft.core.Table.of(df).filter(built).toDF
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(a == b, s"mismatch for $json")
+        compared += 1
+      }
+    }
+    assert(compared >= 20) // most random trees are well-typed
+  }
+
   test("timestampNs literal and calendar ops") {
     import spark.implicits._
     val tdf = Seq((1L, java.sql.Timestamp.valueOf("2018-09-02 00:00:00")))
