@@ -82,25 +82,53 @@ object Dedup {
           (col("size_a") + col("size_b") - col("inter")).cast(DoubleType))
   }
 
+  /** A seeded hash family for minhash permutations. `prepare` names
+    * columns computed ONCE per exploded (id, shingle) row — the place for
+    * anything the k seeds share (a fingerprint fold, a pow-table lookup);
+    * `hash(c, j)` builds seed j's hash from them (`c` resolves a prepared
+    * column by name, or `"shingle"` itself). Aggregate input expressions
+    * do not share subexpressions across the k `min`s, so work not hoisted
+    * into `prepare` runs k times per shingle. */
+  final case class MinhashFamily(
+      prepare: org.apache.spark.sql.Column => Seq[(String, org.apache.spark.sql.Column)],
+      hash: (String => org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column)
+
+  object MinhashFamily {
+    /** Default: seeded xxhash64 — one codegen'd call per seed, nothing to
+      * share. */
+    val xxhash: MinhashFamily =
+      MinhashFamily(_ => Nil, (c, j) => xxhash64(lit(j), c("shingle")))
+
+    /** Oracle-replayable polynomial family h_j(s) = fp(j + ":" + s): the
+      * fingerprint loop and 31^len power run once per shingle
+      * (TextOps.fingerprintParts); each seed is two multiplies and a mod. */
+    val polynomial: MinhashFamily = MinhashFamily(
+      TextOps.fingerprintParts,
+      (c, j) => TextOps.prefixedFingerprintFromParts(s"$j:", c("fp"), c("pw")))
+  }
+
   /** k MinHash signatures: minhash_j = min over distinct shingles of
-    * xxhash64(j, shingle). Seeded by the permutation index — deterministic
+    * hash_j(shingle). Seeded by the permutation index — deterministic
     * across runs/partitions. Output: id + `sig` array(k).
     *
-    * Shape: explode shingles once, then k `min` aggregates — the min
-    * combines map-side so the shuffle carries k longs per doc, and the
-    * shingle array is computed exactly once (a pure-HOF formulation gets
-    * its shingle subtree inlined into every lambda by ProjectCollapse:
-    * measured 16x recompute). Docs with fewer than shingleN tokens have no
-    * shingles and drop out (they cannot near-dup match). */
+    * Shape: explode shingles once, project the family's shared columns
+    * once per row, then k `min` aggregates — the min combines map-side so
+    * the shuffle carries k longs per doc, and the shingle array is
+    * computed exactly once (a pure-HOF formulation gets its shingle
+    * subtree inlined into every lambda by ProjectCollapse: measured 16x
+    * recompute). Docs with fewer than shingleN tokens have no shingles and
+    * drop out (they cannot near-dup match). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int,
       shingleN: Int,
-      hashFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        (sh, j) => xxhash64(lit(j), sh)): DataFrame = {
+      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
     val exploded = docs.select(col(idCol),
       explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
         .as("shingle"))
-    val minCols = (0 until k).map(j => min(hashFn(col("shingle"), j)).as(s"m$j"))
-    exploded.groupBy(col(idCol))
+    val prepared = exploded.select(
+      col(idCol) +: col("shingle") +:
+        family.prepare(col("shingle")).map { case (n, c) => c.as(n) }: _*)
+    val minCols = (0 until k).map(j => min(family.hash(col, j)).as(s"m$j"))
+    prepared.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
@@ -131,9 +159,8 @@ object Dedup {
     * exact Jaccard verification >= threshold. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      hashFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        (sh, j) => xxhash64(lit(j), sh)): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN, hashFn).cache()
+      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN, family).cache()
     val cands = minhashLshCandidates(sigs, idCol, k, bands)
     // verify candidates with estimated Jaccard from the full signatures
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))

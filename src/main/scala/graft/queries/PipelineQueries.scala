@@ -143,7 +143,7 @@ object PipelineQueries {
     // both hash functions.
     "q_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(docsWithNearDups(s, dir), "text", "doc_id", threshold = 0.5,
-          hashFn = (sh, j) => TextOps.prefixedFingerprint(s"$j:", sh))
+          family = Dedup.MinhashFamily.polynomial)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -48,6 +48,38 @@ class PipelineSpec extends SparkSpec {
     assert(out((0L, 100L)) >= 0.5)
   }
 
+  test("minhash polynomial family signatures equal the scalar prefixedFingerprint form") {
+    // the parts form (shared fp/pw projection) must be value-identical to
+    // the per-seed scalar form, including the long-text fallback path
+    import spark.implicits._
+    val long = "tok " * 2000 + "tail words here padding more"
+    val df = (docs.select(col("doc_id"), col("text"))
+      union Seq((999L, long)).toDF("doc_id", "text"))
+    val viaParts = Dedup.minhashSignatures(df, "text", "doc_id", k = 8, shingleN = 3,
+      family = Dedup.MinhashFamily.polynomial)
+    val viaScalar = {
+      val exploded = df.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))).as("shingle"))
+      val minCols = (0 until 8).map(j =>
+        min(TextOps.prefixedFingerprint(s"$j:", col("shingle"))).as(s"m$j"))
+      exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("sig"))
+    }
+    assert(viaParts.except(viaScalar).isEmpty && viaScalar.except(viaParts).isEmpty)
+  }
+
+  test("prefixedFingerprintFromParts equals prefixedFingerprint past the pow-table bound") {
+    import spark.implicits._
+    val texts = Seq("a", "xy z", "q" * 4095, "w" * 4096, "e" * 5000, "tok " * 1500)
+    val df = texts.toDF("t")
+    val parts = TextOps.fingerprintParts(col("t"))
+    val withParts = df.select(col("t") +: parts.map { case (n, c) => c.as(n) }: _*)
+    val rows = withParts.select(
+      TextOps.prefixedFingerprintFromParts("7:", col("fp"), col("pw")).as("viaParts"),
+      TextOps.prefixedFingerprint("7:", col("t")).as("scalar")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val out = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
