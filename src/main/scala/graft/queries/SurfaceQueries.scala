@@ -87,8 +87,40 @@ object SurfaceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.1 Feather v1 round-trip: write through the engine's hand-rolled
+    // FEA1 writer, sniff-read back, hash against the original parquet.
+    // Feather preserves the physical types, so no re-casts are needed.
+    "q_feather_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fea").toString + "/orders.feather"
+      TableIO.write(src, tmp)
+      TableIO.read(s, tmp).orderBy(col("o_orderkey"))
+    }),
+
+    // §2.1 XLSX round-trip: write a single-sheet workbook, sniff-read it
+    // back (cells come back as text — the reference's non-nullable-text
+    // default), re-cast to the declared schema, hash against the parquet.
+    "q_xlsx_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/orders.xlsx"
+      TableIO.write(src, tmp)
+      TableIO.read(s, tmp)
+        .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType),
+          col("o_orderstatus"), col("o_totalprice").cast(DoubleType))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.7 groupBy-to-lists: every non-key column becomes the group's
-    // values in row order; null keys and null values both survive
+    // values in row order; null keys and null values both survive. The
+    // list columns are serialized to strings for the gate (the driver's
+    // pandas harness can't sort/hash raw arrays); doubles go through
+    // %.4f so Java and DuckDB render identically, nulls become "null".
     "q_group_lists" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .select(
@@ -98,7 +130,41 @@ object SurfaceQueries {
       Table.fromDF(src, Seq(col("o_orderkey")))
         .groupByToLists("prio_n")
         .toDF
+        .select(col("prio_n"),
+          array_join(transform(col("o_orderkey"), x => x.cast(StringType)), ",")
+            .as("o_orderkey"),
+          array_join(transform(col("price_n"),
+              x => when(x.isNull, lit("null")).otherwise(format_string("%.4f", x))), ",")
+            .as("price_n"))
         .orderBy(col("prio_n"))
+    }),
+
+    // §2.9 ML bridge: single-feature OLS. regParam=0 solves the normal
+    // equations exactly, so DuckDB's regr_slope/regr_intercept/regr_r2 is
+    // a faithful oracle. Small-magnitude y (l_discount) keeps the rounding
+    // well inside double precision.
+    "q_linreg" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val m = graft.ml.Learn.linearRegression(li, Seq("l_quantity"), "l_discount")
+      val r2 = graft.ml.Learn.r2Score(m.predict(li), "l_discount")
+      Seq((BigDecimal(m.coefficients.head).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+           BigDecimal(m.intercept).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+           BigDecimal(r2).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("slope", "intercept", "r2")
+    }),
+
+    // §2.9 ML bridge: one-hot encoding (`col: value` columns, null -> all
+    // zeros); aliases drop the space/colon the parquet sink rejects
+    "q_onehot" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 =!= 0, col("o_orderstatus")).as("status_n"))
+      graft.ml.Learn.oneHotEncode(src, "status_n")
+        .select(col("o_orderkey"),
+          col("status_n: F").as("status_f"),
+          col("status_n: O").as("status_o"),
+          col("status_n: P").as("status_p"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // §2.5 set operations: union(+distinct), except, intersect — tagged
@@ -149,13 +215,36 @@ object SurfaceQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
+    "q_feather_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_xlsx_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
     "q_group_lists" ->
       """SELECT CASE WHEN o_orderkey % 97 <> 0 THEN o_orderpriority END AS prio_n,
-        |  list(o_orderkey ORDER BY o_orderkey) AS o_orderkey,
-        |  list(CASE WHEN o_orderkey % 13 <> 0 THEN round(o_totalprice, 4) END
-        |       ORDER BY o_orderkey) AS price_n
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS o_orderkey,
+        |  string_agg(
+        |    coalesce(printf('%.4f',
+        |      CASE WHEN o_orderkey % 13 <> 0 THEN round(o_totalprice, 4) END), 'null'),
+        |    ',' ORDER BY o_orderkey) AS price_n
         |FROM orders
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q_linreg" ->
+      """SELECT round(regr_slope(l_discount, l_quantity), 8) AS slope,
+        |  round(regr_intercept(l_discount, l_quantity), 8) AS intercept,
+        |  round(regr_r2(l_discount, l_quantity), 8) AS r2
+        |FROM lineitem""".stripMargin,
+
+    "q_onehot" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_f,
+        |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_o,
+        |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
