@@ -107,7 +107,7 @@ object Similarity {
     require(planes % bands == 0 && planes <= 63)
     val r = planes / bands
     val banded = df
-      .withColumn("__sig", hyperplaneSignature(col(vecCol), planes))
+      .withColumn("__sig", hyperplaneSignature(col(vecCol), planes, vecDim(df, vecCol)))
       .select(col(idCol), col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"),
         posexplode(array((0 until bands).map(bnd =>
           shiftrightunsigned(col("__sig"), bnd * r).bitwiseAND(lit((1L << r) - 1))): _*))
@@ -184,8 +184,29 @@ object Similarity {
       .cast(DoubleType) / 1000000007.0) - 0.5
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a Long.
-    * P(bit match) = 1 - angle/pi — standard SimHash-for-cosine. */
-  def hyperplaneSignature(vec: Column, planes: Int,
+    * P(bit match) = 1 - angle/pi — standard SimHash-for-cosine.
+    *
+    * `dim` (the embedding dimensionality) lets each plane materialize as a
+    * LITERAL double array: `component(p, lit(i))` is a foldable constant,
+    * so Catalyst folds the whole plane to a literal at plan time and the
+    * projection is one native codegen'd dot per plane — instead of the HOF
+    * zip_with+aggregate form, which re-hashes every (plane, dim) component
+    * per ROW through the interpreter (planes x dim hashes per row for
+    * values that never change). Accumulation order is identical, so the
+    * signatures are bit-exact with the HOF form (differential spec). */
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int,
+      component: (Int, Column) => Column = planeComponent): Column = {
+    require(planes <= 63, "signature packs into one Long")
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(i => component(p, lit(i))): _*)
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** HOF formulation (per-row component hashing), kept for differential
+    * testing only. */
+  private[graft] def hyperplaneSignatureHof(vec: Column, planes: Int,
       component: (Int, Column) => Column = planeComponent): Column = {
     require(planes <= 63, "signature packs into one Long")
     val bits = (0 until planes).map { p =>
@@ -197,6 +218,11 @@ object Similarity {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Embedding dimensionality, sniffed from one row (embedding columns are
+    * fixed-dim). One tiny job; lets the plane family fold to literals. */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
     * cells; each query probes only the `nProbe` nearest cells, exact
@@ -262,8 +288,9 @@ object Similarity {
       component: (Int, Column) => Column = planeComponent): DataFrame = {
     require(planes % 4 == 0)
     val r = planes / 4
+    val dim = vecDim(corpus, vecCol)
     def banded(df: DataFrame, id: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), planes, component)
+      val sig = hyperplaneSignature(col(vecCol), planes, dim, component)
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key")))

@@ -145,6 +145,23 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.intersect(bf).size >= bf.size / 3)
   }
 
+  test("literal-plane hyperplane signature is bit-exact with the HOF form, both families") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    for (comp <- Seq(None, Some(Similarity.polyPlaneComponent _))) {
+      val (fast, hof) = comp match {
+        case Some(c) => (Similarity.hyperplaneSignature(col("embedding"), 16, 16, c),
+          Similarity.hyperplaneSignatureHof(col("embedding"), 16, c))
+        case None => (Similarity.hyperplaneSignature(col("embedding"), 16, 16),
+          Similarity.hyperplaneSignatureHof(col("embedding"), 16))
+      }
+      val rows = vecs.select(fast.as("f"), hof.as("h")).collect()
+      assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("IVF ANN recall against brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
