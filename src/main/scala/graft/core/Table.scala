@@ -487,6 +487,14 @@ final class Table private[core] (private val inner: DataFrame) {
     new Table(exploded)
   }
 
+  /** Unpivot/melt (beyond the reference): `ids` stay, each column in
+    * `values` becomes a (varName, valName) row — the long-format reshape.
+    * Values must share (or be cast to) a common type; Spark's native
+    * `unpivot` plans as an Expand (narrow, no shuffle, n_values rows per
+    * input row). */
+  def melt(ids: Seq[String], values: Seq[String], varName: String, valName: String): Table =
+    new Table(df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName))
+
   // ---- native-Spark aggregation extensions (beyond the reference) ----
   def rollup(cols: Column*): org.apache.spark.sql.RelationalGroupedDataset = df.rollup(cols: _*)
   def cube(cols: Column*): org.apache.spark.sql.RelationalGroupedDataset = df.cube(cols: _*)

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Join helpers for scale (beyond the reference, which has no joins).
   *
@@ -31,5 +33,88 @@ object Joins {
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))
     saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
+  }
+
+  /** As-of (point-in-time) LEFT join: for each left row, attach the right
+    * row with the same `keys` whose `rightTime` is the LATEST at-or-before
+    * `leftTime` (`direction = "backward"`, the default; `"forward"` takes
+    * the EARLIEST at-or-after). Exact time matches count, like DuckDB
+    * `ASOF LEFT JOIN ... ON l.t >= r.t` and pandas `merge_asof`. Left rows
+    * with no candidate get null payload columns, as do null-keyed or
+    * null-timed left rows (equality never matches SQL nulls).
+    * `toleranceMicros` additionally nulls matches farther than the
+    * tolerance (timestamps compare in microseconds).
+    *
+    * Shape — NOT a range join: both sides are union-tagged and ONE running
+    * `last(payload, ignoreNulls)` window ordered by (time, side) per key
+    * carries the nearest right payload onto each left row. One shuffle on
+    * `keys`, one streaming O(n) frame, parallel across keys at any scale —
+    * versus the inequality-join formulation, which Spark can only plan as
+    * a broadcast nested loop (or a cross product per key) plus a per-pair
+    * rank. The right side should be unique per (keys, time): among
+    * equal-time candidates the winner is otherwise tie-broken by input
+    * order, which is nondeterministic (the same ambiguity exists in
+    * DuckDB's ASOF).
+    *
+    * Columns: output = every left column plus `right`'s non-key,
+    * non-time columns (names must not collide with left's — rename before
+    * joining, as with any Spark join). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin: at least one equality key")
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+    val collide = payload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"asofJoin: right payload columns collide with left: $collide")
+    val backward = direction match {
+      case "backward" => true
+      case "forward"  => false
+      case other => throw new IllegalArgumentException(
+        s"asofJoin: direction must be backward|forward, got '$other'")
+    }
+    // union-tag: right rows carry their payload in one struct; left rows
+    // carry their full row in another. Null-keyed / null-timed RIGHT rows
+    // can never match and are dropped up front.
+    def micros(c: Column, dt: DataType): Column = dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _ => c.cast(LongType)
+    }
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(col(rightTime).as("__rt") +: payload.map(col).toIndexedSeq: _*)
+    val rUp = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .select(keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        rStruct.as("__r")): _*)
+    val lUp = left.select(keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rUp.schema("__r").dataType).as("__r"), lStruct.as("__l")): _*)
+    val unioned = rUp.withColumn("__l", lit(null).cast(lUp.schema("__l").dataType))
+      .unionByName(lUp)
+    // time order: backward scans ascending (latest right at-or-before wins),
+    // forward scans descending (earliest right at-or-after wins). Right
+    // (side 0) sorts before left at EQUAL times -> exact matches included;
+    // null left times sort first so no right row precedes them.
+    val ord =
+      if (backward) Seq(col("__t").asc_nulls_first, col("__side").asc)
+      else Seq(col("__t").desc_nulls_first, col("__side").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val tDt = lUp.schema("__t").dataType
+    val inTol = toleranceMicros match {
+      case None => lit(true)
+      case Some(tol) =>
+        val gap =
+          if (backward) micros(col("__t"), tDt) - micros(col("__m").getField("__rt"), tDt)
+          else micros(col("__m").getField("__rt"), tDt) - micros(col("__t"), tDt)
+        gap <= tol
+    }
+    val leftCols = left.columns.map(c => col("__l").getField(c).as(c))
+    val payloadCols = payload.map(c =>
+      when(col("__m").isNotNull && inTol, col("__m").getField(c)).as(c))
+    unioned
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+      .select(leftCols.toIndexedSeq ++ payloadCols: _*)
   }
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling / dataset splitting for training-data pipelines
+  * (beyond the reference, which has no sampling surface).
+  *
+  * Everything keys off the polynomial fingerprint of a stable id — NOT an
+  * RNG: the assignment is reproducible across runs, engines and cluster
+  * layouts (an SQL oracle can replay it), survives re-partitioning, and
+  * new rows never reshuffle old rows between splits (the property that
+  * matters when a 100 TB corpus grows incrementally: yesterday's train
+  * rows stay train rows). All ops are narrow one-pass projections/filters
+  * — no shuffle, no driver involvement, filters push down around them.
+  */
+object Sampling {
+
+  /** Split bucket in [0, 100) for a stable id: fingerprint(id) mod 100. */
+  def splitBucket(id: Column): Column =
+    TextOps.fingerprint(id.cast(StringType)) % 100
+
+  /** "train"/"test" tag: train iff bucket < trainPct. */
+  def splitTag(id: Column, trainPct: Int): Column = {
+    require(trainPct >= 0 && trainPct <= 100)
+    when(splitBucket(id) < trainPct, "train").otherwise("test")
+  }
+
+  /** (train, test) pair split by stable id hash. */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int): (DataFrame, DataFrame) = {
+    val b = splitBucket(col(idCol))
+    (df.filter(b < trainPct), df.filter(b >= trainPct))
+  }
+
+  /** Deterministic ~pct% sample by stable id hash (a filter, not Spark's
+    * RNG `sample`: reproducible and join-consistent — sampling two tables
+    * on the same key keeps exactly the matching rows on both sides). */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(splitBucket(col(idCol)) < pct)
+}

@@ -93,6 +93,24 @@ object TextOps {
     when(size(toks) >= n, sh).otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Corpus TF-IDF: one row per (doc, token) with tf = in-doc term count,
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), tf_idf = tf*idf.
+    * Shape: one explode + two map-side-combined aggregations + a
+    * vocab-sized join (AQE broadcasts it when it fits; at 100 TB the vocab
+    * side is orders of magnitude smaller than the corpus). `nDocs` skips
+    * the count job when the caller already knows N. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      nDocs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val n = nDocs.getOrElse(docs.count())
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("idf", log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
+      .withColumn("tf_idf", col("tf") * col("idf"))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
+  }
+
   /** Token count. Long, not int: DuckDB's len(list) is BIGINT and the
     * driver's oracle hash is width-sensitive. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)

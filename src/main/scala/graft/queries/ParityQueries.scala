@@ -268,6 +268,22 @@ object ParityQueries {
         .orderBy(col("bucket"))
     }),
 
+    // beyond-reference: as-of (point-in-time) join — each event picks up
+    // the latest at-or-before snapshot row for its user. One shuffle on
+    // the key + a running window, never an inequality join (see
+    // Joins.asofJoin). Snapshots = every 10th event, so (user_id, ts) is
+    // unique on the right and the winner is deterministic.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"),
+          col("value").as("snap_value"))
+      graft.operators.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          snaps, Seq("user_id"), "ts", "snap_ts")
+        .orderBy(col("event_id"))
+    }),
+
     // beyond-reference: rollup (grouping-set aggregation)
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -466,6 +482,14 @@ object ParityQueries {
         |  round(avg(value), 6) AS value_mean,
         |  count(*)::DOUBLE AS value_length
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.value, s.snap_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS snap_ts, value AS snap_value
+        |  FROM events WHERE event_id % 10 = 0) s
+        |ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

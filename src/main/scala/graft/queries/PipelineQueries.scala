@@ -84,6 +84,67 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF over the corpus (df/idf from ALL docs; output restricted to
+    // doc_id < 20 for a bounded deterministic result set)
+    "q_tfidf" -> ((s, dir) => {
+      TextOps.tfIdf(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf_idf"), 6).as("tf_idf"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // Deterministic train/test split: polynomial-fingerprint bucket of the
+    // doc id — reproducible across runs/engines, no RNG, narrow pass
+    "q_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 80))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy(col("split"))
+    }),
+
+    // Structured Streaming, gated: a REAL StreamingQuery (file source →
+    // tumbling event-time windows -> memory sink, one availableNow pass)
+    // whose final result the batch oracle replays. Complete output mode:
+    // nothing is watermark-dropped in a one-shot replay, so the result is
+    // deterministic.
+    "q_stream_tumbling" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // the file stream source monitors a DIRECTORY; stage the single
+      // driver file into one (in production the source would already be a
+      // directory of arriving part-files)
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        stageDir.resolve("events.parquet"))
+      val raw = s.readStream.schema(schema).parquet(stageDir.toString)
+      // watermarks demand TimestampType (not NTZ); session tz is UTC so
+      // the instant-typed window bounds equal the NTZ wall-clock ones
+      val ev =
+        if (schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw.withColumn("ts", col("ts").cast(TimestampType))
+      val agg = graft.streaming.StreamOps.tumblingAgg(
+        ev, "ts", "event_type", "value", "1 hour", "10 minutes")
+      val sink = "q_stream_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // mean re-derived as round(sum,4)/count on BOTH sides: identical
+      // doubles divide bit-identically (see graft-driver-contract notes)
+      s.table(sink)
+        .select(col("window.start").cast(TimestampNTZType).as("bucket"), col("event_type"),
+          round(col("sum"), 4).as("value_sum"),
+          (round(col("sum"), 4) / col("count")).as("value_mean"),
+          col("count").as("n"),
+          col("min").as("value_min"), col("max").as("value_max"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // Exact dedup: canonical representative per distinct text
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -229,6 +290,34 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, token, tf, df,
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tf_idf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, token""".stripMargin,
+
+    "q_split" ->
+      """SELECT CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(doc_id::VARCHAR) + 1), i -> ascii((doc_id::VARCHAR)[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
+        |  THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n, sum(doc_id)::BIGINT AS id_sum, sum(n_chars)::BIGINT AS chars_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  round(sum(value), 4) AS value_sum,
+        |  round(sum(value), 4) / count(*) AS value_mean,
+        |  count(*) AS n, min(value) AS value_min, max(value) AS value_max
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "q_minhash" ->
       """WITH docs AS (

@@ -167,6 +167,19 @@ object SurfaceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // beyond-reference: unpivot/melt to long format (Expand, narrow)
+    "q_unpivot" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").cast(DoubleType).as("custkey"),
+        round(col("o_totalprice"), 4).as("totalprice"),
+        year(col("o_orderdate")).cast(DoubleType).as("order_year"))
+      Table.of(src)
+        .melt(Seq("o_orderkey"), Seq("custkey", "totalprice", "order_year"),
+          "metric", "value")
+        .toDF
+        .orderBy(col("o_orderkey"), col("metric"))
+    }),
+
     // §2.5 set operations: union(+distinct), except, intersect — tagged
     // legs concatenated into one deterministic result
     "q_setops" -> ((s, dir) => {
@@ -245,6 +258,15 @@ object SurfaceQueries {
         |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_o,
         |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_p
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey, 'custkey' AS metric, o_custkey::DOUBLE AS value FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'totalprice', round(o_totalprice, 4) FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'order_year', year(o_orderdate)::DOUBLE FROM orders)
+        |ORDER BY o_orderkey, metric""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),

@@ -145,6 +145,54 @@ class AggregatesSpec extends SparkSpec {
     assert(e.getMessage.contains("salt bucket"))
   }
 
+  test("asofJoin backward: latest right at-or-before, exact match counts, no-candidate is null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 5L, "d"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 18L, 200.0), (2L, 1L, 300.0))
+      .toDF("k", "rt", "v")
+    val out = graft.operators.Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 10L, "a", 100.0), (1L, 20L, "b", 200.0),
+      (2L, 15L, "c", 300.0), (3L, 5L, "d", null)))
+  }
+
+  test("asofJoin forward and tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 19L), (1L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 12L, "x"), (1L, 20L, "y")).toDF("k", "rt", "tag")
+    val fwd = graft.operators.Joins.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward")
+      .orderBy("t").collect().map(r => Option(r.getString(2)).orNull)
+    assert(fwd.toSeq == Seq("x", "y", null)) // t=10->rt12, t=19->rt20, t=30->none
+    val tol = graft.operators.Joins.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward", toleranceMicros = Some(1L))
+      .orderBy("t").collect().map(r => Option(r.getString(2)).orNull)
+    assert(tol.toSeq == Seq(null, "y", null)) // gap 2 exceeds tolerance 1
+    // payload name collision is rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Joins.asofJoin(left, right.withColumnRenamed("tag", "t"),
+        Seq("k"), "t", "rt")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("asofJoin equals DuckDB-style semantics on timestamps with null keys/times") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(100L), 0L), (Some(1L), None, 1L), (None, Some(100L), 2L))
+      .toDF("k", "t", "id")
+    val right = Seq((Some(1L), Some(50L), 9.0), (None.asInstanceOf[Option[Long]], Some(40L), 8.0))
+      .toDF("k", "rt", "v")
+    val out = graft.operators.Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+    // null left time and null key never match; null right rows dropped
+    assert(out.toSeq == Seq((0L, 9.0), (1L, null), (2L, null)))
+  }
+
   test("autoCorr matches a hand-computed Pearson") {
     import spark.implicits._
     val df = (0L until 10L).map(i => (i, i.toDouble * i)).toDF("id", "v")
