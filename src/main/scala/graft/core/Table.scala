@@ -487,6 +487,14 @@ final class Table private[core] (private val inner: DataFrame) {
     new Table(exploded)
   }
 
+  /** Pivot to wide format (beyond the reference): group on `groupCol`,
+    * one output column per `values` entry of `pivotCol`. Explicit values
+    * keep the schema deterministic AND skip the distinct-values job
+    * Spark otherwise runs — at 100 TB always pass them. */
+  def pivotAgg(groupCol: String, pivotCol: String, values: Seq[Any],
+      aggExpr: Column): Table =
+    new Table(df.groupBy(col(groupCol)).pivot(pivotCol, values).agg(aggExpr))
+
   /** Unpivot/melt (beyond the reference): `ids` stay, each column in
     * `values` becomes a (varName, valName) row — the long-format reshape.
     * Values must share (or be cast to) a common type; Spark's native

@@ -35,6 +35,40 @@ object Joins {
     saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Point-in-interval range join: left rows paired with the right rows
+    * sharing `keys` whose [rStart, rEnd] interval (inclusive) contains
+    * `lTime`. Timestamps or integer times.
+    *
+    * Shape — the scale-correct alternative to writing the inequality
+    * predicate directly (which Spark can only plan as a broadcast nested
+    * loop or a per-key cross product): the time axis is cut into
+    * `bucketMicros` buckets, each interval row is exploded into every
+    * bucket it overlaps, the join is a plain EQUI-join on (keys, bucket)
+    * — shuffled, AQE-skew-splittable — and the exact containment filter
+    * runs on the matched pairs. A left row lives in exactly one bucket,
+    * so no pair is emitted twice. Pick `bucketMicros` near the median
+    * interval length: cost = right-side duplication factor
+    * (~ length/bucket + 1) against per-bucket pair density. Inner join
+    * only (unmatched rows need an anti-join add-back; compose if needed). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lTime: String, rStart: String, rEnd: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0)
+    def micros(c: Column, dt: DataType): Column = dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _ => c.cast(LongType)
+    }
+    def bucketOf(c: Column, dt: DataType): Column =
+      floor(micros(c, dt) / bucketMicros).cast(LongType)
+    val lb = left.withColumn("__b", bucketOf(col(lTime), left.schema(lTime).dataType))
+    val rb = right.withColumn("__b", explode(sequence(
+      bucketOf(col(rStart), right.schema(rStart).dataType),
+      bucketOf(col(rEnd), right.schema(rEnd).dataType))))
+    lb.join(rb, keys :+ "__b")
+      .filter(col(lTime) >= col(rStart) && col(lTime) <= col(rEnd))
+      .drop("__b")
+  }
+
   /** As-of (point-in-time) LEFT join: for each left row, attach the right
     * row with the same `keys` whose `rightTime` is the LATEST at-or-before
     * `leftTime` (`direction = "backward"`, the default; `"forward"` takes

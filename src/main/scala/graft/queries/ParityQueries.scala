@@ -284,6 +284,23 @@ object ParityQueries {
         .orderBy(col("event_id"))
     }),
 
+    // beyond-reference: point-in-interval range join — every 100th event
+    // opens a 2-hour window for its user; events inside it match. Bucketed
+    // equi-join (1h buckets), never an inequality join plan.
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val iv = ev.filter(col("event_id") % 100 === 0)
+        .select(col("user_id"), col("event_id").as("iv_id"),
+          col("ts").as("iv_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("iv_end"))
+      graft.operators.Joins.rangeJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          iv, Seq("user_id"), "ts", "iv_start", "iv_end",
+          bucketMicros = 3600L * 1000 * 1000)
+        .select(col("event_id"), col("iv_id"), col("ts"), col("value"))
+        .orderBy(col("event_id"), col("iv_id"))
+    }),
+
     // beyond-reference: rollup (grouping-set aggregation)
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -490,6 +507,15 @@ object ParityQueries {
         |  FROM events WHERE event_id % 10 = 0) s
         |ON e.user_id = s.user_id AND e.ts >= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, s.iv_id, e.ts, e.value
+        |FROM events e JOIN (
+        |  SELECT user_id, event_id AS iv_id, ts AS iv_start,
+        |         ts + INTERVAL 2 HOUR AS iv_end
+        |  FROM events WHERE event_id % 100 = 0) s
+        |ON e.user_id = s.user_id AND e.ts >= s.iv_start AND e.ts <= s.iv_end
+        |ORDER BY e.event_id, s.iv_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

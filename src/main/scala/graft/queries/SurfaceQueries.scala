@@ -167,6 +167,18 @@ object SurfaceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // beyond-reference: pivot to wide format (explicit values — no
+    // distinct-discovery job, deterministic schema)
+    "q_pivot" -> ((s, dir) => {
+      Table.of(t(s, dir, "orders"))
+        .pivotAgg("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
+          round(sum(col("o_totalprice")), 4))
+        .toDF
+        .select(col("o_orderpriority"), col("F").as("sum_f"),
+          col("O").as("sum_o"), col("P").as("sum_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // beyond-reference: unpivot/melt to long format (Expand, narrow)
     "q_unpivot" -> ((s, dir) => {
       val src = t(s, dir, "orders").select(col("o_orderkey"),
@@ -258,6 +270,13 @@ object SurfaceQueries {
         |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_o,
         |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END::DOUBLE AS status_p
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS sum_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS sum_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS sum_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_unpivot" ->
       """SELECT o_orderkey, metric, value FROM (

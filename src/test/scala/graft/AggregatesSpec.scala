@@ -193,6 +193,57 @@ class AggregatesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 9.0), (1L, null), (2L, null)))
   }
 
+  test("rangeJoin equals the naive inequality join, any bucket size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong)).toDF("lid", "k", "t")
+    val right = (0 until 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, rnd.nextInt(4).toLong, s, s + rnd.nextInt(200).toLong)
+    }.toDF("rid", "k", "s", "e")
+    val naive = left.join(right.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("t") >= col("s") && col("t") <= col("e"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bucket <- Seq(1L, 37L, 100L, 5000L)) {
+      val bucketed = graft.operators.Joins.rangeJoin(left, right, Seq("k"),
+          "t", "s", "e", bucket)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == naive, s"bucket=$bucket")
+    }
+  }
+
+  test("asofJoin equals a brute-force model on seeded random data, both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(500).toLong)).toDF("lid", "k", "t")
+    val rightRows = (0 until 80).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong * 7 % 500, i.toLong)) // unique (k,t) not guaranteed...
+      .distinct
+    // dedupe (k, rt) to keep the winner well-defined
+    val rightUniq = rightRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val right = rightUniq.toDF("k", "rt", "rid")
+    def model(backward: Boolean): Map[Long, Long] = {
+      val byK = rightUniq.groupBy(_._1)
+      left.collect().flatMap { r =>
+        val (lid, k, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val cands = byK.getOrElse(k, Nil)
+        val pick =
+          if (backward) cands.filter(_._2 <= t).sortBy(_._2).lastOption
+          else cands.filter(_._2 >= t).sortBy(_._2).headOption
+        pick.map(p => lid -> p._3)
+      }.toMap
+    }
+    for (dir <- Seq("backward", "forward")) {
+      val out = graft.operators.Joins.asofJoin(left, right, Seq("k"), "t", "rt",
+          direction = dir)
+        .collect().flatMap(r =>
+          if (r.isNullAt(3)) None else Some(r.getLong(0) -> r.getLong(3))).toMap
+      assert(out == model(dir == "backward"), s"direction=$dir")
+    }
+  }
+
   test("autoCorr matches a hand-computed Pearson") {
     import spark.implicits._
     val df = (0L until 10L).map(i => (i, i.toDouble * i)).toDF("id", "v")
