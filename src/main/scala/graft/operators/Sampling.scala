@@ -38,4 +38,17 @@ object Sampling {
     * on the same key keeps exactly the matching rows on both sides). */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol)) < pct)
+
+  /** Per-label deterministic sample rates — the class-rebalancing /
+    * source-mixing primitive (downsample an over-represented source,
+    * keep rare ones whole). Labels not in `pctByLabel` keep `defaultPct`.
+    * Still one narrow filter: the label→pct map is a literal. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, labelCol: String,
+      pctByLabel: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((pctByLabel.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100))
+    val pct =
+      if (pctByLabel.isEmpty) lit(defaultPct)
+      else coalesce(element_at(typedLit(pctByLabel), col(labelCol)), lit(defaultPct))
+    df.filter(splitBucket(col(idCol)) < pct)
+  }
 }

@@ -111,6 +111,34 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
   }
 
+  /** Sliding-window document chunking: token windows of `chunk` tokens
+    * starting every `chunk - overlap` tokens — the standard long-document
+    * split for context-bounded training/embedding. Chunk starts are
+    * 0, step, 2*step, ...; a chunk is emitted only while it contributes
+    * at least one NEW token (start + overlap < n_tokens), so no window is
+    * fully contained in its predecessor, every token stays covered, and
+    * an empty/short doc still yields its one whole-doc chunk. The final
+    * window may be shorter.
+    * Output: id, chunk_id (0-based), chunk text, chunk token count.
+    * One narrow Generate (posexplode) pass — no shuffle; at 100 TB chunks
+    * flow straight into the next pipeline stage with no materialization. */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      chunk: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      s"chunkTokens: need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
+    val step = chunk - overlap
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(0), greatest(size(toks) - (overlap + 1), lit(0)), lit(step))
+    docs
+      .withColumn("__toks", toks)
+      .select(col(idCol), col("__toks"), explode(starts).as("__start"))
+      .select(col(idCol),
+        (col("__start") / step).cast(LongType).as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunk))).as("chunk"),
+        least(size(col("__toks")) - col("__start"), lit(chunk)).cast(LongType)
+          .as("chunk_tokens"))
+  }
+
   /** Token count. Long, not int: DuckDB's len(list) is BIGINT and the
     * driver's oracle hash is width-sensitive. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)

@@ -145,6 +145,26 @@ object PipelineQueries {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    // Sliding-window document chunking (40-token chunks, 10 overlap) —
+    // the context-bounded split for training/embedding. Narrow Generate.
+    "q_chunk" -> ((s, dir) => {
+      TextOps.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          chunk = 40, overlap = 10)
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Per-label deterministic sampling (class rebalancing / source
+    // mixing): en halved, de whole, everything else 10%
+    "q_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedHashSample(
+          t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 50, "de" -> 100), defaultPct = 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact dedup: canonical representative per distinct text
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -290,6 +310,26 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 100),
+        |st AS (SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 10, 1), 30)) AS start
+        |       FROM d)
+        |SELECT doc_id, start // 30 AS chunk_id,
+        |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
+        |  least(len(toks) - start, 40)::BIGINT AS chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+        |FROM documents
+        |WHERE list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(doc_id::VARCHAR) + 1), i -> ascii((doc_id::VARCHAR)[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 100
+        |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 10 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (

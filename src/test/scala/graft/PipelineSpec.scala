@@ -115,6 +115,39 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000007L)
   }
 
+  test("chunkTokens: windows, overlap, short docs, exact-multiple tails") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4 overlap 1 -> starts 0,3,6
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, "p q r s"),            // exactly one chunk (no redundant tail)
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "text", "doc_id", chunk = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L), (1L, 2L, "g h i j", 4L),
+      (2L, 0L, "x y", 2L),
+      (3L, 0L, "p q r s", 4L),
+      (4L, 0L, "", 1L))) // split("", " ") is [""]: one empty token
+    val e = intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "text", "doc_id", chunk = 4, overlap = 4)
+    }
+    assert(e.getMessage.contains("overlap"))
+  }
+
+  test("stratifiedHashSample keeps per-label subsets of hashSample semantics") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = graft.operators.Sampling.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 40), defaultPct = 100)
+    val full = graft.operators.Sampling.hashSample(df, "id", 40)
+      .filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    assert(out.filter(col("lang") === "en").collect().map(_.getLong(0)).toSet == full)
+    assert(out.filter(col("lang") === "de").count() == df.filter(col("lang") === "de").count())
+  }
+
   test("brute-force cosine top-k: exact neighbors on a constructed corpus") {
     import spark.implicits._
     val vecs = Seq(
