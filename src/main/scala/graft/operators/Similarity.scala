@@ -124,6 +124,16 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-label embedding centroids in long format (label, pos, c): the
+    * class-prototype / cluster-seed aggregation. One posexplode + a
+    * map-side-combined (label, pos) aggregate — shuffle carries
+    * labels x dim rows, not the corpus. `c` follows the round(sum)/count
+    * rule so an SQL oracle divides identical doubles. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((round(sum(col("__v").cast(DoubleType)), 4) / count(lit(1))).as("c"))
+
   /** Driver-side Lloyd k-means over a small sample (seeded, deterministic):
     * the IVF cell router's fit problem is kilobytes — iterating it through
     * a distributed KMeans costs ~2 Spark jobs per iteration for nothing.

@@ -206,6 +206,14 @@ object PipelineQueries {
         .limit(50)
     }),
 
+    // Per-label embedding centroids (class prototypes): long-format
+    // (label, pos, c) — list columns would crash the driver's pandas
+    // hasher, and the long shape IS the scalable one
+    "q_embed_centroid" -> ((s, dir) => {
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // Brute-force cosine top-k over embeddings (broadcast query side)
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -547,6 +555,12 @@ object PipelineQueries {
         |WHERE list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "q_embed_centroid" ->
+      """SELECT label, i - 1 AS pos,
+        |  round(sum(embedding[i]::DOUBLE), 4) / count(*) AS c
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
