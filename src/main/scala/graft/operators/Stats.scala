@@ -67,6 +67,18 @@ object Stats {
   def countValues(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c).as("value")).agg(count(lit(1)).as("count"))
 
+  /** HyperLogLog++ approximate distinct counts (beyond the reference) —
+    * THE cardinality sketch for 100 TB profiling: fixed ~kilobyte state
+    * per column regardless of cardinality, partial-merged map-side, one
+    * tiny shuffle; exact countDistinct at that scale shuffles every
+    * distinct value. `rsd` = target relative standard deviation.
+    * Sketch output is implementation-defined, so this is spec-verified
+    * (error bound vs exact), not oracle-hashed. */
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_approx_nd"),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx_nd")): _*)
+
   /** Per-column null count + ratio (reference: src/Table.luna:1096-1105). */
   def describeNa(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>

@@ -193,6 +193,16 @@ class AggregatesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 9.0), (1L, null), (2L, null)))
   }
 
+  test("approxDistinct within the HLL++ error bound of exact") {
+    import spark.implicits._
+    val df = (0L until 50000L).map(i => (i % 9173, (i * 31 % 257).toString))
+      .toDF("k", "s")
+    val row = graft.operators.Stats.approxDistinct(df, Seq("k", "s"), rsd = 0.02)
+      .collect()(0)
+    assert(math.abs(row.getLong(0) - 9173L) <= 9173 * 0.06) // 3 sigma
+    assert(math.abs(row.getLong(1) - 257L) <= math.max(3, (257 * 0.06).toLong))
+  }
+
   test("rangeJoin equals the naive inequality join, any bucket size") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
