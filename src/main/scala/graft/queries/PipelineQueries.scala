@@ -165,6 +165,27 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // End-to-end corpus curation: chunk -> quality gate -> exact dedup ->
+    // deterministic split — the full training-data preparation pipeline in
+    // one lineage (each stage is itself oracle-gated; this proves they
+    // COMPOSE). Narrow passes + two key shuffles (dedup, final groupBy).
+    "q_curate" -> ((s, dir) => {
+      val chunks = TextOps.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          chunk = 40, overlap = 10)
+        .withColumn("chunk_key", col("doc_id") * 1000 + col("chunk_id"))
+      val scored = chunks
+        .withColumn("q", round(TextOps.qualityScore(col("chunk")), 6))
+        .filter(col("q") >= 0.5 && col("chunk_tokens") >= 20)
+      val canon = Dedup.dropExactDups(scored, "chunk", "chunk_key")
+      canon
+        .withColumn("split", graft.operators.Sampling.splitTag(col("chunk_key"), 80))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("tokens_sum"),
+          round(sum(col("q")), 4).as("q_sum"))
+        .orderBy(col("split"))
+    }),
+
     // Exact dedup: canonical representative per distinct text
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -318,6 +339,40 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q_curate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 10, 1), 30)) AS start
+        |       FROM d),
+        |chunks AS (
+        |  SELECT doc_id, start // 30 AS chunk_id,
+        |    doc_id * 1000 + start // 30 AS chunk_key,
+        |    array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
+        |    least(len(toks) - start, 40)::BIGINT AS chunk_tokens
+        |  FROM st),
+        |scored AS (
+        |  SELECT *, round(
+        |      0.4 * (len(list_distinct(ctoks))::DOUBLE / len(ctoks))
+        |    + 0.3 * (1.0 - len(list_filter(ctoks, t -> t IN ('a','the')))::DOUBLE / len(ctoks))
+        |    + 0.3 * least(1.0, len(ctoks)::DOUBLE / 100.0), 6) AS q
+        |  FROM (SELECT *, string_split(chunk, ' ') AS ctoks FROM chunks)
+        |  WHERE chunk_tokens >= 20),
+        |qualified AS (SELECT chunk_key, chunk, chunk_tokens, q FROM scored WHERE q >= 0.5),
+        |canon AS (
+        |  SELECT * FROM
+        |    (SELECT *, min(chunk_key) OVER (PARTITION BY chunk) AS ck FROM qualified)
+        |  WHERE chunk_key = ck),
+        |tagged AS (
+        |  SELECT *, CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(chunk_key::VARCHAR) + 1),
+        |        i -> ascii((chunk_key::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split
+        |  FROM canon)
+        |SELECT split, count(*) AS n_chunks, sum(chunk_tokens)::BIGINT AS tokens_sum,
+        |  round(sum(q), 4) AS q_sum
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
 
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
