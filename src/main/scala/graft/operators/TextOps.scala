@@ -160,6 +160,23 @@ object TextOps {
     size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType)
   }
 
+  /** Canonicalization for dedup keys / matching: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim. A
+    * narrow codegen'd pass — normalize BEFORE exact/near dedup so
+    * formatting variants collapse onto one key. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Duplicate n-gram ratio (Gopher-style repetition signal):
+    * 1 - distinct/total n-grams; 0 when the doc has fewer than n tokens.
+    * High values flag boilerplate/looping text for the quality gate. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val sh = shingles(tokens(text), n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
   /** Composite quality score — arbitrary but deterministic and order-free:
     * 0.4*uniq_ratio + 0.3*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100). */
   def qualityScore(text: Column): Column = {

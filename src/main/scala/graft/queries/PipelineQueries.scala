@@ -45,6 +45,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Text canonicalization + repetition signal: normalize formatting
+    // variants onto one dedup key; flag boilerplate via duplicate-bigram
+    // ratio. One narrow pass.
+    "q_text_clean" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.normalizeText(concat(col("text"), lit("  MIXED-Case?! "),
+            col("source"))).as("norm"),
+          round(TextOps.repetitionRatio(col("text")), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document-length histogram: 25-token buckets — the standard corpus
     // length-distribution diagnostic (one narrow pass + tiny aggregate)
     "q_length_hist" -> ((s, dir) => {
@@ -543,6 +554,19 @@ object PipelineQueries {
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_text_clean" ->
+      """WITH d AS (SELECT doc_id, text, source, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower(text || '  MIXED-Case?! ' || source), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm,
+        |  round(CASE WHEN len(toks) >= 2
+        |    THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+        |    ELSE 0.0 END, 6) AS rep_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_length_hist" ->
       """SELECT len(string_split(text, ' '))::BIGINT // 25 AS bucket,

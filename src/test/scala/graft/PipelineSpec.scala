@@ -115,6 +115,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000007L)
   }
 
+  test("normalizeText canonicalizes case/punct/whitespace; repetitionRatio flags loops") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! 42 ", "x y x y x y"),   // 5 bigrams, 2 distinct
+      (2L, "a-b_c", "unique words only here"),
+      (3L, "", "solo")).toDF("id", "raw", "rep")
+    val out = df.select(col("id"), TextOps.normalizeText(col("raw")).as("n"),
+        round(TextOps.repetitionRatio(col("rep")), 6).as("r"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "hello world 42")
+    assert(out(1).getString(1) == "a b c")
+    assert(out(0).getDouble(2) == 0.6)   // 1 - 2/5
+    assert(out(1).getDouble(2) == 0.0)   // all bigrams distinct
+    assert(out(2).getDouble(2) == 0.0)   // single token -> no bigrams
+  }
+
   test("chunkTokens: windows, overlap, short docs, exact-multiple tails") {
     import spark.implicits._
     val docs = Seq(
