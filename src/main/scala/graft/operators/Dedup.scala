@@ -32,6 +32,19 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingest dedup — the production flow for a growing corpus:
+    * drop incoming rows whose text already exists in the corpus
+    * (left_anti on the text key; the corpus side is only scanned for its
+    * projected key column, never rewritten), then exact-dedup within the
+    * incoming batch itself. At 100 TB the anti-join prunes with a runtime
+    * bloom filter / DPP under AQE; pair with [[TextOps.normalizeText]] on
+    * both sides so formatting variants collapse. */
+  def dropIncrementalDups(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    dropExactDups(
+      incoming.join(corpus.select(col(textCol)), Seq(textCol), "left_anti"),
+      textCol, idCol)
+
   /** Distinct-shingle posting list per doc: (id, block, shingle). */
   private def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int): DataFrame =

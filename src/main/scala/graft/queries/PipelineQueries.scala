@@ -197,6 +197,21 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // Incremental-ingest dedup: the new batch (doc_id >= 250) drops rows
+    // whose text the existing corpus already holds, then dedups within
+    // itself. Duplicates are injected deterministically (the driver data
+    // has none): every 10th doc shares one boilerplate text.
+    "q_dedup_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit("shared boilerplate text"))
+          .otherwise(col("text")).as("text"))
+      val corpus = d.filter(col("doc_id") < 250)
+      val incoming = d.filter(col("doc_id") >= 250)
+      Dedup.dropIncrementalDups(incoming, corpus, "text", "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: canonical representative per distinct text
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -350,6 +365,17 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q_dedup_incr" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'shared boilerplate text' ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (SELECT * FROM d WHERE doc_id < 250),
+        |inc AS (SELECT * FROM d WHERE doc_id >= 250),
+        |survivors AS (SELECT * FROM inc
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = inc.text))
+        |SELECT min(doc_id) AS doc_id FROM survivors GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
 
     "q_curate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

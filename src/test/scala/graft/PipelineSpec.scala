@@ -115,6 +115,18 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000007L)
   }
 
+  test("dropIncrementalDups: corpus-known and within-batch dups both drop") {
+    import spark.implicits._
+    val corpus = Seq((1L, "old a"), (2L, "old b")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "old a"),   // known to corpus -> dropped
+      (11L, "new x"), (12L, "new x"), // within-batch dup -> canonical 11 kept
+      (13L, "new y")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropIncrementalDups(incoming, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("normalizeText canonicalizes case/punct/whitespace; repetitionRatio flags loops") {
     import spark.implicits._
     val df = Seq(
