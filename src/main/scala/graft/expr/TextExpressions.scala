@@ -55,9 +55,99 @@ case class PolynomialFingerprint(child: Expression, init: Long = 0L)
     copy(child = newChild)
 }
 
+/** Native codegen'd sliding token n-grams: window i is tokens[i..i+n-1]
+  * joined by a single space — one tight loop per row instead of the HOF
+  * formulation's interpreted transform+slice+concat_ws per window
+  * (CodegenFallback subtrees also get no CSE, so every REFERENCE to the
+  * HOF form re-ran the whole traversal; measured 3x on the repetition
+  * ratio). Semantics mirror the HOF exactly (differential spec): fewer
+  * than n tokens — or a null input array — yield an EMPTY array, and null
+  * elements are skipped by the join like concat_ws. */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingles: n >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sz = arr.numElements()
+    val m = math.max(0, sz - n + 1)
+    val out = new Array[Any](m)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val utf8 = classOf[UTF8String].getName
+    val sepRef = ctx.addReferenceObj("shingleSep", sep, utf8)
+    val a = ctx.freshName("arr")
+    val m = ctx.freshName("m")
+    val out = ctx.freshName("out")
+    val parts = ctx.freshName("parts")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val code = childGen.code.toString +
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value};
+         |if (${childGen.isNull}) {
+         |  ${ev.value} = new $gad(new Object[0]);
+         |} else {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+         |  int $m = $a.numElements() - $n + 1;
+         |  if ($m < 0) $m = 0;
+         |  Object[] $out = new Object[$m];
+         |  $utf8[] $parts = new $utf8[$n];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $parts[$j] = $a.isNullAt($i + $j) ? null : $a.getUTF8String($i + $j);
+         |    }
+         |    $out[$i] = $utf8.concatWs($sepRef, $parts);
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def fingerprint(c: Column): Column =
     Bridge.column(PolynomialFingerprint(Bridge.expression(c)))
+
+  /** Codegen'd sliding token n-grams Column. */
+  def shingles(toks: Column, n: Int): Column =
+    Bridge.column(TokenShingles(Bridge.expression(toks), n))
 
   /** fp(prefix || text) in ONE loop over text: the fold's accumulator
     * starts at fp(prefix) (polynomial prefix identity). The cheap form of

@@ -83,11 +83,17 @@ object TextOps {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
   /** Sliding token n-grams joined by a space: the standard shingle unit
-    * for near-dup detection. Iterate the valid start positions and slice
-    * each window once — measured fastest (1.7 s / 256k shingles) vs
-    * per-element element_at (5.1 s, n bound-checked lookups each) and
-    * transform-over-all-tokens + post-filter (3.2 s, wasted tail windows). */
-  def shingles(toks: Column, n: Int): Column = {
+    * for near-dup detection. Native codegen'd expression (one tight loop
+    * per row, inside WSCG); the HOF formulation below ran an interpreted
+    * transform+slice+concat_ws per window and, being CodegenFallback, was
+    * re-evaluated at EVERY reference (no CSE). */
+  def shingles(toks: Column, n: Int): Column =
+    graft.expr.TextExpressions.shingles(toks, n)
+
+  /** HOF formulation, kept for differential testing. (Among HOF variants,
+    * position-sequence + slice measured fastest: 1.7 s / 256k shingles vs
+    * 5.1 s per-element element_at and 3.2 s transform + post-filter.) */
+  private[graft] def shinglesHof(toks: Column, n: Int): Column = {
     val sh = transform(sequence(lit(0), size(toks) - n), i =>
       concat_ws(" ", slice(toks, i + 1, lit(n))))
     when(size(toks) >= n, sh).otherwise(array().cast(ArrayType(StringType)))

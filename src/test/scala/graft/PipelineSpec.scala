@@ -115,6 +115,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000007L)
   }
 
+  test("native shingles == HOF shingles: random docs, edges, null elements, null arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val words = Array("a", "bb", "ccc", "dd", "e", "the", "zx")
+    val docs = (0 until 200).map { i =>
+      val len = rnd.nextInt(8) // includes 0 and below-n sizes
+      (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.length))))
+    }.toDF("id", "toks")
+      .union(Seq((1000L, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+      .union(Seq((1001L, Seq("x", null, "y", "z").map(Option(_)).map(_.orNull)))
+        .toDF("id", "toks"))
+    for (n <- Seq(1, 2, 3, 4)) {
+      val rows = docs.select(col("id"),
+          TextOps.shingles(col("toks"), n).as("native"),
+          TextOps.shinglesHof(col("toks"), n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        val nat = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        val hof = if (r.isNullAt(2)) null else r.getSeq[String](2)
+        assert(nat == hof, s"id=${r.getLong(0)} n=$n: $nat != $hof")
+      }
+    }
+  }
+
   test("dropIncrementalDups: corpus-known and within-batch dups both drop") {
     import spark.implicits._
     val corpus = Seq((1L, "old a"), (2L, "old b")).toDF("doc_id", "text")
