@@ -139,6 +139,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens property: full coverage, no redundant windows, stitchable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val cases = for (_ <- 0 until 30) yield {
+      val chunk = 2 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(chunk)
+      val len = rnd.nextInt(40)
+      (chunk, overlap, Seq.tabulate(len)(i => s"w$i"))
+    }
+    for ((chunk, overlap, toks) <- cases) {
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextOps.chunkTokens(df, "text", "doc_id", chunk, overlap)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getString(2), r.getLong(3)))
+      val step = chunk - overlap
+      val windows = chunks.map(_._1.split(" ").toSeq)
+      // coverage: stitching window i's tokens after dropping the overlap
+      // prefix (i>0) reconstructs the doc exactly
+      val stitched = windows.head ++ windows.tail.flatMap(_.drop(overlap))
+      val expected = if (toks.isEmpty) Seq("") else toks
+      assert(stitched == expected, s"chunk=$chunk overlap=$overlap len=${toks.length}")
+      // no redundant windows: every window beyond the first adds >=1 new token
+      windows.zipWithIndex.tail.foreach { case (w, i) =>
+        assert(i * step + overlap < (if (toks.isEmpty) 1 else toks.length),
+          s"window $i redundant at chunk=$chunk overlap=$overlap len=${toks.length}")
+      }
+      // reported token counts match the window contents
+      chunks.foreach { case (w, n) => assert(w.split(" ").length.toLong == n || w.isEmpty) }
+    }
+  }
+
   test("dropIncrementalDups: corpus-known and within-batch dups both drop") {
     import spark.implicits._
     val corpus = Seq((1L, "old a"), (2L, "old b")).toDF("doc_id", "text")
