@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimilarity, DotProduct, PolynomialFingerprint}
+import graft.expr.{CosineSimilarity, DotProduct, PolynomialFingerprint, TokenShingles}
 import graft.functions.InterpolatedQuantile
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -29,6 +29,16 @@ object GraftFunctions {
     "graft_fingerprint" -> { args =>
       require(args.length == 1, "graft_fingerprint(text)")
       PolynomialFingerprint(args(0))
+    },
+    "graft_shingles" -> { args =>
+      require(args.length == 2, "graft_shingles(tokens, n)")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles: n must be a literal, got $other")
+      }
+      TokenShingles(args(0), n)
     },
     "graft_quantile" -> { args =>
       require(args.length == 2, "graft_quantile(col, q)")

@@ -57,6 +57,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL surface of the native expressions (GraftFunctions /
+    // spark.sql.extensions): the same engine drives plain spark.sql text
+    "q_sql_surface" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT doc_id,
+              |  graft_fingerprint(text) AS fp,
+              |  CAST(size(graft_shingles(split(text, ' '), 3)) AS BIGINT) AS n_shingles
+              |FROM graft_docs_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // Document-length histogram: 25-token buckets — the standard corpus
     // length-distribution diagnostic (one narrow pass + tiny aggregate)
     "q_length_hist" -> ((s, dir) => {
@@ -594,6 +605,14 @@ object PipelineQueries {
         |           i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
         |    ELSE 0.0 END, 6) AS rep_ratio
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_sql_surface" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(text) + 1), i -> ascii(text[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |  greatest(len(string_split(text, ' ')) - 2, 0)::BIGINT AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_length_hist" ->
       """SELECT len(string_split(text, ' '))::BIGINT // 25 AS bucket,
