@@ -100,6 +100,32 @@ object SurfaceQueries {
       TableIO.read(s, tmp).orderBy(col("o_orderkey"))
     }),
 
+    // beyond-reference formats: ORC and JSON-lines round-trips through
+    // the same extension-dispatch writer + signature-sniffing reader
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orders.orc"
+      TableIO.write(src, tmp)
+      TableIO.read(s, tmp).orderBy(col("o_orderkey"))
+    }),
+
+    "q_json_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/orders.json"
+      TableIO.write(src, tmp)
+      // inference alphabetizes columns; reselect the declared order
+      TableIO.read(s, tmp)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.1 XLSX round-trip: write a single-sheet workbook, sniff-read it
     // back (cells come back as text — the reference's non-nullable-text
     // default), re-cast to the declared schema, hash against the parquet.
@@ -245,6 +271,14 @@ object SurfaceQueries {
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "q_xlsx_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 

@@ -22,9 +22,12 @@ object TableIO {
   case object Csv extends Format
   case object Feather extends Format
   case object Xlsx extends Format
+  case object Orc extends Format
+  case object Json extends Format
 
   /** Sniff the on-disk signature: zip magic (XLSX), "FEA1" (Feather v1),
-    * "PAR1" (Parquet), else CSV — reference: IO/IO.cpp:182-216. */
+    * "PAR1" (Parquet), "ORC" (ORC), a '{'/'[' first byte (JSON lines),
+    * else CSV — reference: IO/IO.cpp:182-216 (ORC/JSON beyond-reference). */
   def sniff(path: String): Format = {
     val f = new java.io.File(path)
     val probe = if (f.isDirectory) {
@@ -40,6 +43,8 @@ object TableIO {
       else if (magic(0) == 'P' && magic(1) == 'K') Xlsx
       else if (new String(magic, "ASCII") == "FEA1") Feather
       else if (new String(magic, "ASCII") == "PAR1") Parquet
+      else if (magic(0) == 'O' && magic(1) == 'R' && magic(2) == 'C') Orc
+      else if (magic(0) == '{' || magic(0) == '[') Json
       else Csv
     } finally in.close()
   }
@@ -49,6 +54,8 @@ object TableIO {
     case Csv     => readCsv(spark, path, CsvOptions())
     case Feather => FeatherV1.read(spark, path) // legacy ingest path; see FeatherV1
     case Xlsx    => graft.sources.Xlsx.read(spark, path) // single-file exchange path
+    case Orc     => spark.read.orc(path)
+    case Json    => spark.read.json(path) // schema inferred; timestamps stringify
   }
 
   /** Reference CSV knobs (reference: native_libs/src/IO/csv.h:62-80):
@@ -230,6 +237,10 @@ object TableIO {
       graft.sources.Xlsx.write(df, path, header)
     else if (lower.endsWith(".feather"))
       FeatherV1.write(df, path)
+    else if (lower.endsWith(".orc"))
+      df.write.mode("overwrite").orc(path)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
+      df.write.mode("overwrite").json(path)
     else
       df.write.mode("overwrite").parquet(path)
   }
