@@ -45,6 +45,35 @@ object Dedup {
       incoming.join(corpus.select(col(textCol)), Seq(textCol), "left_anti"),
       textCol, idCol)
 
+  /** Bloom-prefiltered incremental dedup — same OUTPUT as
+    * [[dropIncrementalDups]] (the sketch has no false negatives, and the
+    * maybe-set is re-verified exactly), different 100 TB cost: a bloom of
+    * the corpus keys replaces the full anti-join for the overwhelming
+    * majority of incoming rows. Rows the sketch rules out (most of a
+    * typical ingest) never shuffle at all — they pass through a codegen'd
+    * predicate; only the sketch's maybe-set (true dups + ~fpp false
+    * positives) joins against the corpus for exact verification. The
+    * corpus is scanned once to build the sketch (a partial-merged
+    * kilobytes-per-task aggregate) instead of being shuffled under a
+    * join build side.
+    *
+    * `expectedCorpusItems` sizes the sketch; pass the known corpus
+    * cardinality (or an upper bound). Falls back to [[dropIncrementalDups]]
+    * when the corpus is empty. */
+  def dropIncrementalDupsBloom(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, expectedCorpusItems: Long,
+      fpp: Double = 0.01): DataFrame =
+    Sketch.bloomBytes(corpus.select(col(textCol)), col(textCol),
+        expectedCorpusItems, fpp) match {
+      case None => dropExactDups(incoming, textCol, idCol)
+      case Some(bloom) =>
+        val probe = Sketch.mightContain(bloom, col(textCol))
+        val definitelyNew = incoming.filter(!probe)
+        val verified = incoming.filter(probe)
+          .join(corpus.select(col(textCol)), Seq(textCol), "left_anti")
+        dropExactDups(definitelyNew.unionByName(verified), textCol, idCol)
+    }
+
   /** Distinct-shingle posting list per doc: (id, block, shingle). */
   private def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int): DataFrame =
@@ -184,6 +213,67 @@ object Dedup {
           .cast(DoubleType) / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Connected components over an undirected candidate-pair graph — the
+    * final stage of a near-dup pipeline: LSH/Jaccard emit PAIRS, but a
+    * near-duplicate set is the transitive closure of those pairs (a and c
+    * are dups when a~b and b~c even if a,c never met in a band). Output:
+    * one (id, root) row per node appearing in `pairs`, root = min id of
+    * the node's component (deterministic canonical representative).
+    *
+    * Shape: iterative hash-min label propagation with pointer jumping —
+    * each round first lowers every node's label to the min over its
+    * neighbors' labels, then short-circuits label chains by one hop
+    * (label := label(label)), so path lengths square away and rounds are
+    * O(log diameter), not O(diameter) (cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SOCC'14 — this is the hash-min
+    * variant; large-star/small-star would also bound the per-round edge
+    * blowup, unnecessary here because dedup components are tiny cliques/
+    * chains by construction). Each round is two shuffles proportional to
+    * |edges| + |nodes|; labels are localCheckpoint'ed per round so the
+    * iterative plan does not accumulate lineage. Candidate graphs are
+    * sparse (LSH emits ~dup pairs, not the corpus), so |nodes| ≪ corpus.
+    * Convergence is detected exactly (a round that changes no label ends
+    * the loop); `maxRounds` is a safety bound only. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+    val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // min label over neighbors (edges are symmetric so one direction sees all)
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("root").as("nroot")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nroot")).as("nroot"))
+      val lowered = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+      // pointer jump: every label is itself a node id, so follow it one hop
+      val parents = lowered.select(col("id").as("pid"), col("root").as("proot"))
+      val jumped = lowered.join(parents, lowered("root") === parents("pid"))
+        .select(lowered("id"), col("proot").as("root")).localCheckpoint()
+      converged = jumped
+        .join(labels.select(col("id"), col("root").as("prev")), Seq("id"))
+        .filter(col("root") =!= col("prev")).isEmpty
+      labels = jumped
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-dup row filter over a pair graph: drop every row of a component
+    * except its canonical (min-id) representative; rows in no pair pass
+    * through. The left_anti side is just the non-canonical cluster members
+    * — tiny next to the corpus, so AQE broadcasts it. */
+  def dropNearDupClusters(docs: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("root") =!= col("id")).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** SimHash fingerprints via explode + partial-aggregated bit counts —

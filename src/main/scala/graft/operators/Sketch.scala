@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Probabilistic membership sketches — the 100 TB prefilter shape: a
+  * kilobytes-to-megabytes bloom filter stands in for a massive key set so
+  * the expensive exact operator (an anti-join against the full corpus)
+  * only runs on the rows the sketch could not rule out. Built on Spark's
+  * own partial-aggregating `BloomFilterAggregate` and codegen'd
+  * `BloomFilterMightContain` (the machinery behind AQE runtime filters) —
+  * not a UDF, so the probe stays inside whole-stage codegen.
+  *
+  * Scale envelope: the sketch is collected to the driver and re-shipped
+  * as a literal (exactly how Spark's InjectRuntimeFilter ships its
+  * subquery result). ~1e8 keys at 1 % fpp is ~120 MB — fine; billions of
+  * keys would need GBs, at which point the plain anti-join (with AQE's
+  * own runtime filter) is the right tool. Guarded accordingly. */
+object Sketch {
+
+  /** Max serialized sketch bytes we will collect/ship (256 MB). */
+  val MaxSketchBytes: Long = 256L * 1024 * 1024
+
+  /** Serialized bloom filter over `key` (any orderable type — hashed to
+    * long via xxhash64 first, the same keying the probe side uses).
+    * Returns None when `df` is empty. */
+  def bloomBytes(df: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double = 0.01): Option[Array[Byte]] = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    require(numBits / 8 <= MaxSketchBytes,
+      s"bloom of $expectedItems items at fpp=$fpp needs ${numBits / 8} bytes " +
+        s"(> $MaxSketchBytes); use the exact anti-join path at this scale")
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(key))),
+      Literal(expectedItems), Literal(numBits))
+    val row = df.select(Bridge.column(agg.toAggregateExpression())).head
+    Option(row.getAs[Array[Byte]](0))
+  }
+
+  /** Codegen'd membership probe against a driver-held sketch. False
+    * positives possible (rate ≈ fpp), false negatives never — so a
+    * negative probe is a PROOF of absence. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(Bridge.expression(key)))))
+}

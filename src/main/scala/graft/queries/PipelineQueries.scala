@@ -224,6 +224,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered incremental dedup: same answer as q_dedup_incr's
+    // exact anti-join (sketch negatives are proofs, positives re-verified),
+    // but most incoming rows are cleared by a codegen'd probe without ever
+    // shuffling — the 100 TB ingest shape. Planted dups: every 7th doc
+    // shares one boilerplate text.
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("shared boilerplate text"))
+          .otherwise(col("text")).as("text"))
+      val corpus = d.filter(col("doc_id") < 250)
+      val incoming = d.filter(col("doc_id") >= 250)
+      Dedup.dropIncrementalDupsBloom(incoming, corpus, "text", "doc_id",
+          expectedCorpusItems = 250)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: canonical representative per distinct text
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -294,6 +311,31 @@ object PipelineQueries {
           family = Dedup.MinhashFamily.polynomial)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Near-dup CLUSTERING: the stage after pair mining. MinHash LSH pairs
+    // (polynomial family, oracle-replayable) -> connected components ->
+    // one row per cluster: canonical (min) id, size, member list. Planted
+    // CHAINS (base, +100000 " extra", +200000 " extra extra") force real
+    // transitive closure — a and a+200000 may never share a band, but the
+    // cluster still unites them through a+100000.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val chained = docs
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra extra")).as("text")))
+      val pairs = Dedup.minhashNearDups(chained, "text", "doc_id", threshold = 0.5,
+          family = Dedup.MinhashFamily.polynomial)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("root").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            _.cast(StringType)), ",").as("members"))
+        .orderBy(col("cluster_id"))
     }),
 
     // SimHash near-dup candidates on the same planted set. Like
@@ -381,6 +423,17 @@ object PipelineQueries {
     "q_dedup_incr" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0 THEN 'shared boilerplate text' ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (SELECT * FROM d WHERE doc_id < 250),
+        |inc AS (SELECT * FROM d WHERE doc_id >= 250),
+        |survivors AS (SELECT * FROM inc
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = inc.text))
+        |SELECT min(doc_id) AS doc_id FROM survivors GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_bloom" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'shared boilerplate text' ELSE text END AS text
         |  FROM documents),
         |corpus AS (SELECT * FROM d WHERE doc_id < 250),
         |inc AS (SELECT * FROM d WHERE doc_id >= 250),
@@ -506,6 +559,54 @@ object PipelineQueries {
         |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
         |FROM est WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) AS est_jaccard
+        |  FROM cands
+        |  JOIN sig sa ON sa.doc_id = id_a
+        |  JOIN sig sb ON sb.doc_id = id_b AND sb.j = sa.j
+        |  GROUP BY id_a, id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id),
+        |roots AS (SELECT id, min(r) AS root FROM walk GROUP BY id)
+        |SELECT root AS cluster_id, count(*) AS n_members,
+        |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+        |FROM roots GROUP BY root ORDER BY cluster_id""".stripMargin,
 
     "q_simhash" -> {
       def fp(arg: String) =

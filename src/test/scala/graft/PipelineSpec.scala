@@ -317,6 +317,87 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set((0L, 1L))) // only the rare-shingle pair survives
   }
 
+  test("bloom sketch: no false negatives; bounded false-positive rate") {
+    import spark.implicits._
+    val corpus = (0L until 2000L).map(i => s"doc text number $i").toDF("text")
+    val bloom = graft.operators.Sketch.bloomBytes(corpus, col("text"), 2000L).get
+    val hits = corpus.filter(graft.operators.Sketch.mightContain(bloom, col("text"))).count()
+    assert(hits == 2000L) // every inserted key must probe positive
+    val fresh = (0L until 2000L).map(i => s"unseen text $i").toDF("text")
+    val fp = fresh.filter(graft.operators.Sketch.mightContain(bloom, col("text"))).count()
+    assert(fp < 100L, s"false-positive count $fp far above the 1% design point")
+  }
+
+  test("dropIncrementalDupsBloom equals the exact anti-join path") {
+    import spark.implicits._
+    val all = (0L until 300L).map { i =>
+      (i, if (i % 7 == 0) "shared boilerplate" else s"text $i")
+    }.toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 200)
+    val incoming = all.filter(col("doc_id") >= 200)
+      // plant a within-batch dup pair too
+      .unionByName(Seq((9001L, "text 250")).toDF("doc_id", "text"))
+    val exact = Dedup.dropIncrementalDups(incoming, corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.dropIncrementalDupsBloom(incoming, corpus, "text", "doc_id",
+        expectedCorpusItems = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+    // empty corpus falls back to within-batch dedup
+    val none = Dedup.dropIncrementalDupsBloom(incoming, corpus.filter(lit(false)),
+        "text", "doc_id", expectedCorpusItems = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(none == Dedup.dropExactDups(incoming, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("connectedComponents: chains close transitively, min-id roots") {
+    import spark.implicits._
+    // two components: a 4-chain (1-2-3-4) and a pair (10-11); edges given
+    // in arbitrary orientation
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long path converges within the round bound") {
+    import spark.implicits._
+    // a 64-node path needs ~log2(64) pointer-jumped rounds, far under 25
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(cc.length == 64 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents: seeded random graph matches driver union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map { id =>
+      val root = find(id.toInt)
+      id -> nodes.filter(m => find(m.toInt) == root).min
+    }.toMap
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expected)
+  }
+
+  test("dropNearDupClusters keeps the canonical member plus untouched rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDupClusters(docs, pairs, "id_a", "id_b", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 9L))
+  }
+
   test("exactNearDupPairs: grid decomposition is invariant (equals plain all-pairs)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
