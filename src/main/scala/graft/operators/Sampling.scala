@@ -39,6 +39,31 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol)) < pct)
 
+  /** Token-budget batch packing — group rows (chunks/documents) into
+    * training batches of ~`budget` tokens. Rows are first spread over
+    * `streams` independent packing streams by stable id hash (parallelism
+    * knob: each stream is one window partition, so streams ≈ a few × the
+    * cluster's cores keeps every executor packing), then packed in id
+    * order within the stream: a row starting before a budget boundary
+    * joins that batch, so batch token sums can overshoot `budget` by less
+    * than one row (run packing AFTER chunking, which bounds row length to
+    * the context size). Deterministic: same ids + same budget ⇒ same
+    * batches, regardless of partitioning — and an SQL oracle can replay
+    * it with one window cumsum.
+    *
+    * Output: input columns + `stream`, `batch` (0-based within stream).
+    * One shuffle (hash by stream) + one sorted window pass. */
+  def packBudget(df: DataFrame, tokenCol: String, idCol: String,
+      budget: Long, streams: Int): DataFrame = {
+    require(budget > 0 && streams > 0)
+    import org.apache.spark.sql.expressions.Window
+    val stream = pmod(TextOps.fingerprint(col(idCol).cast(StringType)), lit(streams))
+    val w = Window.partitionBy(col("stream")).orderBy(col(idCol))
+    df.withColumn("stream", stream)
+      .withColumn("batch",
+        floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budget))
+  }
+
   /** Per-label deterministic sample rates — the class-rebalancing /
     * source-mixing primitive (downsample an over-represented source,
     * keep rare ones whole). Labels not in `pctByLabel` keep `defaultPct`.

@@ -38,7 +38,7 @@ object Sketch {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(key))),
       Literal(expectedItems), Literal(numBits))
-    val row = df.select(Bridge.column(agg.toAggregateExpression())).head
+    val row = df.select(Bridge.column(agg.toAggregateExpression())).head()
     Option(row.getAs[Array[Byte]](0))
   }
 

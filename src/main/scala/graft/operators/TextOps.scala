@@ -173,6 +173,36 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** PII patterns, deliberately RE2-compatible (no lookaround, ASCII
+    * classes): the same pattern text runs under Java regex (Spark) and
+    * RE2 (DuckDB/ripgrep-style scanners), so a redaction audit can be
+    * replayed outside the engine. `\b`/`\d` agree between the two for
+    * ASCII input. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Unbroken 9-19 digit runs: card / account / national-id shaped. */
+  val DigitRunRe = "\\b\\d{9,19}\\b"
+
+  /** PII redaction for training corpora: emails, IPv4s, then long digit
+    * runs replaced with typed placeholder tokens. One narrow codegen'd
+    * pass (three chained regexp_replace, each replaces ALL occurrences);
+    * order matters — emails first so their digits never half-match the
+    * digit-run rule. Redaction is deletion-free (length changes but
+    * structure keeps), so downstream token stats stay meaningful. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      DigitRunRe, "<NUM>")
+
+  /** Per-row PII hit counts (on the ORIGINAL text) — the audit signal:
+    * documents with excessive PII density get dropped, not scrubbed. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+     regexp_count(text, lit(Ipv4Re)),
+     regexp_count(text, lit(DigitRunRe)))
+
   /** Duplicate n-gram ratio (Gopher-style repetition signal):
     * 1 - distinct/total n-grams; 0 when the doc has fewer than n tokens.
     * High values flag boilerplate/looping text for the quality gate.

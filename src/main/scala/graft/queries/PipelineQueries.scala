@@ -177,6 +177,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // PII redaction + audit counts: emails / IPv4s / long digit runs
+    // synthesized deterministically into each doc, then scrubbed with the
+    // RE2-compatible patterns (one narrow codegen'd pass) and counted on
+    // the original text. DuckDB replays the same pattern text under RE2.
+    "q_pii" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+          lit(" from 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+          lit(" card 4111111111"), col("doc_id") % 900000 + 100000).as("text"))
+      val (ne, ni, nn) = TextOps.piiCounts(col("text"))
+      synth.select(col("doc_id"),
+          TextOps.redactPii(col("text")).as("redacted"),
+          ne.cast(LongType).as("n_email"), ni.cast(LongType).as("n_ip"),
+          nn.cast(LongType).as("n_num"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget batch packing over chunked docs — the pretraining
+    // batch-assembly shape: chunk to the context size, then pack chunks
+    // into ~256-token batches across 8 deterministic hash streams. One
+    // shuffle + one windowed cumsum; the oracle replays it exactly.
+    "q_pack" -> ((s, dir) => {
+      val chunks = TextOps.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          chunk = 40, overlap = 10)
+        .withColumn("chunk_key", col("doc_id") * 1000 + col("chunk_id"))
+      graft.operators.Sampling.packBudget(chunks, "chunk_tokens", "chunk_key",
+          budget = 256, streams = 8)
+        .groupBy(col("stream"), col("batch"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("chunk_tokens")).as("tokens_sum"))
+        .orderBy(col("stream"), col("batch"))
+    }),
+
     // Per-label deterministic sampling (class rebalancing / source
     // mixing): en halved, de whole, everything else 10%
     "q_stratified" -> ((s, dir) => {
@@ -486,6 +519,47 @@ object PipelineQueries {
         |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
         |  least(len(toks) - start, 40)::BIGINT AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pii" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+        |         || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+        |         || ' card 4111111111' || (doc_id % 900000 + 100000)::VARCHAR AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,19}\b', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |  len(regexp_extract_all(text, '\b\d{9,19}\b'))::BIGINT AS n_num
+        |FROM synth ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 10, 1), 30)) AS start
+        |       FROM d),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + start // 30 AS chunk_key,
+        |    least(len(toks) - start, 40)::BIGINT AS chunk_tokens
+        |  FROM st),
+        |streamed AS (
+        |  SELECT chunk_key, chunk_tokens,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(chunk_key::VARCHAR) + 1),
+        |        i -> ascii((chunk_key::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 8 AS stream
+        |  FROM chunks),
+        |cum AS (
+        |  SELECT stream, chunk_key, chunk_tokens,
+        |    sum(chunk_tokens) OVER (PARTITION BY stream ORDER BY chunk_key) AS cs
+        |  FROM streamed)
+        |SELECT stream, ((cs - chunk_tokens) // 256)::BIGINT AS batch,
+        |  count(*) AS n_rows, sum(chunk_tokens)::BIGINT AS tokens_sum
+        |FROM cum GROUP BY stream, batch ORDER BY stream, batch""".stripMargin,
 
     "q_stratified" ->
       """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum

@@ -317,6 +317,44 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set((0L, 1L))) // only the rare-shingle pair survives
   }
 
+  test("PII redaction: emails, IPs, digit runs; counts on original text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or bob@ex.io from 192.168.1.77 card 4111111111111111 ok"),
+      (2L, "no pii here just words and the number 12345678 stays"),
+      (3L, "multi 1.2.3.4 and 10.20.30.40 mails a@b.cc x@y.dd")).toDF("doc_id", "text")
+    val (ne, ni, nn) = TextOps.piiCounts(col("text"))
+    val out = df.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"),
+      ne.as("e"), ni.as("i"), nn.as("n")).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "write to <EMAIL> or <EMAIL> from <IP> card <NUM> ok")
+    assert((out(0).getInt(2), out(0).getInt(3), out(0).getInt(4)) == ((2, 1, 1)))
+    // 8-digit run is below the 9-digit floor: untouched
+    assert(out(1).getString(1) == "no pii here just words and the number 12345678 stays")
+    assert(out(2).getString(1) == "multi <IP> and <IP> mails <EMAIL> <EMAIL>")
+  }
+
+  test("packBudget: greedy-boundary semantics per stream; partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, 10L + (i % 7))).toDF("id", "toks")
+    val packed = graft.operators.Sampling.packBudget(rows, "toks", "id",
+        budget = 50, streams = 4)
+      .select(col("id"), col("toks"), col("stream").cast("long"), col("batch").cast("long"))
+    val got = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 100 && got.map(_._3).distinct.length > 1)
+    got.groupBy(_._3).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (_, tk, _, b) =>
+        assert(b == cum / 50) // batch = exclusive-cumsum // budget
+        cum += tk
+      }
+    }
+    val repacked = graft.operators.Sampling.packBudget(rows.repartition(7), "toks", "id",
+        budget = 50, streams = 4)
+      .select(col("id"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repacked == got.map(r => (r._1, r._4)).toSet)
+  }
+
   test("bloom sketch: no false negatives; bounded false-positive rate") {
     import spark.implicits._
     val corpus = (0L until 2000L).map(i => s"doc text number $i").toDF("text")
