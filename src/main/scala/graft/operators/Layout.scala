@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Physical data layout for scan pruning — the 100 TB lever that costs
+  * nothing at query time: parquet footers carry per-file/per-rowgroup
+  * min/max, and Spark prunes files whose stats exclude the predicate.
+  * Sorting on ONE column makes its stats tight but leaves every other
+  * column's span full-range; a Z-ORDER (Morton) sort interleaves the key
+  * bits so files stay simultaneously tight on ALL keys — multi-dim
+  * predicates prune on any subset. (Same idea Delta/Iceberg OPTIMIZE
+  * ZORDER applies; here expressed as a plain codegen'd expression +
+  * range partitioned write, no table format needed.) */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of each (non-negative
+    * integral) column — bit b of column i lands at position b*m + i. A
+    * flat fold of shift/mask/or terms: whole-stage-codegen'd, no UDF, and
+    * replayable in plain SQL. Keys wider than `bits` bits must be
+    * pre-quantized (e.g. `k % (1 << bits)` or a rank bucket): the z-curve
+    * only needs locality, not injectivity. `m * bits` must fit 63 bits. */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val m = cols.size
+    require(m >= 2, "z-order needs at least 2 columns (use orderBy for 1)")
+    require(bits > 0 && m * bits <= 63, s"$m cols x $bits bits exceeds a long")
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(
+      shiftrightunsigned(c.cast(LongType), b).bitwiseAND(lit(1L)),
+      b * m + ci)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet write: range-partition on the z-value into
+    * `numFiles` files, sort within each, drop the helper column. One
+    * range shuffle at ingest buys every later multi-dim filter its file
+    * pruning. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int, numFiles: Int): Unit =
+    df.withColumn("__z", zValue(cols.map(col), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -79,6 +79,22 @@ object Stats {
       approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_approx_nd"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx_nd")): _*)
 
+  /** Fixed-range numeric histogram: `bins` equal-width buckets over
+    * [lo, hi); out-of-range values clamp into the edge bins, nulls drop.
+    * One narrow projection + one tiny map-side-combined aggregate — the
+    * distribution diagnostic that costs a single pass at any scale
+    * (contrast an exact quantile's sort). Bin arithmetic is plain IEEE
+    * floor((x-lo)/w), bit-replayable by any SQL engine. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need hi > lo and bins > 0: [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(c) - lo) / w), lit(0.0)), lit(bins - 1.0))
+      .cast(LongType)
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-column null count + ratio (reference: src/Table.luna:1096-1105). */
   def describeNa(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>

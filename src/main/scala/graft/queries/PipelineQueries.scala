@@ -168,6 +168,36 @@ object PipelineQueries {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    // Structured Streaming dedup, gated: a REAL StreamingQuery (file
+    // source → watermarked dropDuplicatesWithinWatermark on (lang, text)
+    // → memory sink, one availableNow pass). Which doc survives a dup
+    // pair is arrival-dependent, so the graded result is the
+    // arrival-independent part: distinct-text count per lang. Planted
+    // dups: every 10th doc shares one boilerplate text.
+    "q_stream_dedup" -> ((s, dir) => {
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        stageDir.resolve("documents.parquet"))
+      val d = s.readStream.schema(schema).parquet(stageDir.toString)
+        .select(col("lang"),
+          when(col("doc_id") % 10 === 0, lit("shared boilerplate text"))
+            .otherwise(col("text")).as("text"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 100).as("ts"))
+      val deduped = graft.streaming.StreamOps.streamingDedup(
+        d, "ts", Seq("lang", "text"), "1 hour")
+      val sink = "q_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_distinct_texts"))
+        .orderBy(col("lang"))
+    }),
+
     // Sliding-window document chunking (40-token chunks, 10 overlap) —
     // the context-bounded split for training/embedding. Narrow Generate.
     "q_chunk" -> ((s, dir) => {
@@ -590,6 +620,11 @@ object PipelineQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n, sum(doc_id)::BIGINT AS id_sum, sum(n_chars)::BIGINT AS chars_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0
+        |    THEN 'shared boilerplate text' ELSE text END) AS n_distinct_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -229,10 +229,44 @@ object SurfaceQueries {
         .union(a.intersect(b).toDF.withColumn("op", lit("a_and_b")))
         .union(a.union(b).distinct().toDF.withColumn("op", lit("a_or_b")))
         .orderBy(col("op"), col("o_orderkey"))
+    }),
+
+    // Fixed-range histogram: one-pass distribution diagnostic (20 bins
+    // over the events value range, clamped edges, nulls dropped)
+    "q_histogram" -> ((s, dir) => {
+      graft.operators.Stats.histogram(t(s, dir, "events"), "value",
+          lo = 0.0, hi = 400.0, bins = 20)
+        .orderBy(col("bin"))
+    }),
+
+    // Z-order (Morton) clustering key: multi-dim layout for scan pruning.
+    // The graded check replays the bit interleave exactly; the layout
+    // locality property itself is spec-asserted.
+    "q_zorder" -> ((s, dir) => {
+      val z = graft.operators.Layout.zValue(
+        Seq(pmod(col("o_custkey"), lit(4096L)), pmod(col("o_orderkey"), lit(4096L))), 12)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), z.as("z"))
+        .orderBy(col("z"), col("o_orderkey"))
+        .limit(200)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT least(greatest(floor((value - 0.0) / 20.0), 0), 19)::BIGINT AS bin,
+        |  count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT o_orderkey,
+        |  (list_sum(list_transform(range(0, 12),
+        |     b -> (((o_custkey % 4096) >> b) & 1) << (2*b)))
+        |   + list_sum(list_transform(range(0, 12),
+        |     b -> (((o_orderkey % 4096) >> b) & 1) << (2*b + 1))))::BIGINT AS z
+        |FROM orders ORDER BY z, o_orderkey LIMIT 200""".stripMargin,
+
     "q_take_drop" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) - 101 AS pos,
         |  o_orderkey, round(o_totalprice, 4) AS o_totalprice

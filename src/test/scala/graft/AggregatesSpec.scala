@@ -203,6 +203,37 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(row.getLong(1) - 257L) <= math.max(3, (257 * 0.06).toLong))
   }
 
+  test("histogram: bin edges, clamping, null drop") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(4.999), Some(5.0), Some(19.999),
+      Some(20.0), Some(100.0), None).toDF("x")
+    val got = Stats.histogram(df, "x", lo = 0.0, hi = 20.0, bins = 4)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // -5 clamps to bin 0; 5.0 starts bin 1; 20 and 100 clamp to bin 3; null drops
+    assert(got == Seq((0L, 3L), (1L, 1L), (3L, 3L)))
+  }
+
+  test("zValue interleaves bits; z-ordered layout bounds per-file key spans") {
+    import spark.implicits._
+    // driver-side morton reference
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.operators.Layout.zValue(Seq(col("x"), col("y")), 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (x, y, z) => z == morton(x, y, 5) })
+    // locality: range-split the z-sorted grid into 16 chunks; every chunk's
+    // x and y spans must be far below the full 32 — the pruning property a
+    // single-column sort cannot give to BOTH dims at once
+    val sorted = got.sortBy(_._3).grouped(64).toSeq
+    val maxSpan = sorted.map { chunk =>
+      val (xs, ys) = (chunk.map(_._1), chunk.map(_._2))
+      math.max(xs.max - xs.min, ys.max - ys.min)
+    }.max
+    assert(maxSpan <= 8, s"z-chunk key span $maxSpan should be ~sqrt(64)=8, not 32")
+  }
+
   test("rangeJoin equals the naive inequality join, any bucket size") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
