@@ -175,21 +175,26 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs: band the k-long signature into `bands` groups of
-    * k/bands rows, hash each band, equi-join on (band, hash). Sub-quadratic:
-    * only docs agreeing on a full band ever meet. */
-  def minhashLshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  /** (id, band, bucket) rows for a signature table: the k-long signature
+    * split into `bands` groups of k/bands values, each band's raw minhash
+    * tuple rendered as the bucket key — no second hash, so the banding is
+    * independent of the signature hash function (and directly mirrorable
+    * by an SQL oracle). */
+  def minhashBandBuckets(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       val elems = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
-      // the bucket key is the band's raw minhash tuple as a string — no
-      // second hash, so the banding is independent of the signature hash
-      // function (and directly mirrorable by an SQL oracle)
       struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bucket"))
     }
-    val buckets = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs: equi-join band buckets against themselves.
+    * Sub-quadratic: only docs agreeing on a full band ever meet. */
+  def minhashLshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val buckets = minhashBandBuckets(sigs, idCol, k, bands)
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b2 = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b2, Seq("band", "bucket"))
@@ -274,6 +279,37 @@ object Dedup {
     val losers = connectedComponents(pairs, aCol, bCol)
       .filter(col("root") =!= col("id")).select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-corpus near-dup matching — DECONTAMINATION: find training
+    * documents whose text near-duplicates an evaluation/benchmark set, so
+    * they can be dropped before training. Same sub-quadratic LSH shape as
+    * [[minhashNearDups]] but the band join runs BETWEEN the two corpora:
+    * signatures are computed per side (the small eval side's signature
+    * and bucket tables are broadcast-sized in practice), candidates are
+    * (train, eval) bucket collisions only, and estimated Jaccard from the
+    * full signatures gates the output. Ids need not be disjoint across
+    * corpora. Output: (train_id, eval_id, est_jaccard). */
+  def crossCorpusNearDups(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
+    val ts = minhashSignatures(train, textCol, idCol, k, shingleN, family)
+      .select(col(idCol).as("train_id"), col("sig"))
+    val es = minhashSignatures(evalSet, textCol, idCol, k, shingleN, family)
+      .select(col(idCol).as("eval_id"), col("sig"))
+    val tb = minhashBandBuckets(ts, "train_id", k, bands)
+    val eb = minhashBandBuckets(es, "eval_id", k, bands)
+    val cands = tb.join(eb, Seq("band", "bucket"))
+      .select("train_id", "eval_id").distinct()
+    cands
+      .join(ts.select(col("train_id"), col("sig").as("sig_t")), "train_id")
+      .join(es.select(col("eval_id"), col("sig").as("sig_e")), "eval_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_t"), col("sig_e"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("est_jaccard"))
   }
 
   /** SimHash fingerprints via explode + partial-aggregated bit counts —

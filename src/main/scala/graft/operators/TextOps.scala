@@ -203,6 +203,15 @@ object TextOps {
      regexp_count(text, lit(Ipv4Re)),
      regexp_count(text, lit(DigitRunRe)))
 
+  /** URL pattern (RE2-compatible like the PII set); group 1 is the host. */
+  val UrlRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URL hosts mentioned in a document — the input to domain-level
+    * corpus curation (blocklists, per-domain caps, provenance mixing).
+    * One codegen'd regexp pass per row. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(1))
+
   /** Duplicate n-gram ratio (Gopher-style repetition signal):
     * 1 - distinct/total n-grams; 0 when the doc has fewer than n tokens.
     * High values flag boilerplate/looping text for the quality gate.

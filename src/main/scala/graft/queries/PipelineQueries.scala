@@ -240,6 +240,35 @@ object PipelineQueries {
         .orderBy(col("stream"), col("batch"))
     }),
 
+    // Domain-level curation signal: extract URL hosts per doc
+    // (synthesized deterministically), count per domain — the input to
+    // blocklists / per-domain caps. One regexp pass + tiny aggregate.
+    "q_domains" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), col("doc_id") % 20, lit(".example.com/page"),
+          lit(" or http://mirror"), col("doc_id") % 5, lit(".example.org/x")).as("text"))
+      synth.select(explode(TextOps.urlDomains(col("text"))).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"))
+    }),
+
+    // DECONTAMINATION: training docs that near-dup match an eval set
+    // (15 "benchmark" docs planted as light edits of training docs),
+    // via the cross-corpus LSH band join — never a cross join. The
+    // polynomial family lets DuckDB replay signatures on both sides.
+    "q_decontaminate" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select("doc_id", "text")
+      val evalSet = train.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      Dedup.crossCorpusNearDups(train, evalSet, "text", "doc_id", threshold = 0.5,
+          family = Dedup.MinhashFamily.polynomial)
+        .select(col("train_id"), col("eval_id"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // Per-label deterministic sampling (class rebalancing / source
     // mixing): en halved, de whole, everything else 10%
     "q_stratified" -> ((s, dir) => {
@@ -549,6 +578,54 @@ object PipelineQueries {
         |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
         |  least(len(toks) - start, 40)::BIGINT AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_domains" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 20)::VARCHAR || '.example.com/page'
+        |         || ' or http://mirror' || (doc_id % 5)::VARCHAR || '.example.org/x' AS text
+        |  FROM documents)
+        |SELECT domain, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |  FROM synth)
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' extra' FROM documents WHERE doc_id < 15),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.doc_id < 500000 AND b.doc_id >= 500000),
+        |est AS (
+        |  SELECT train_id, eval_id,
+        |    avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) AS est_jaccard
+        |  FROM cands
+        |  JOIN sig sa ON sa.doc_id = train_id
+        |  JOIN sig sb ON sb.doc_id = eval_id AND sb.j = sa.j
+        |  GROUP BY train_id, eval_id)
+        |SELECT train_id, eval_id, round(est_jaccard, 6) AS est_jaccard
+        |FROM est WHERE est_jaccard >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
 
     "q_pii" ->
       """WITH synth AS (

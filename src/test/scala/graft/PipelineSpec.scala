@@ -355,6 +355,30 @@ class PipelineSpec extends SparkSpec {
     assert(repacked == got.map(r => (r._1, r._4)).toSet)
   }
 
+  test("urlDomains extracts hosts; non-URLs untouched") {
+    import spark.implicits._
+    val got = Seq("go to https://a.example.com/x and http://b.org, not ftp://c.net or plain words")
+      .toDF("text")
+      .select(TextOps.urlDomains(col("text")).as("d"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a.example.com", "b.org"))
+  }
+
+  test("crossCorpusNearDups flags planted contamination, both hash families") {
+    import spark.implicits._
+    val train = docs.select("doc_id", "text")
+    val evalSet = train.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 900L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    for (fam <- Seq(Dedup.MinhashFamily.xxhash, Dedup.MinhashFamily.polynomial)) {
+      val hits = Dedup.crossCorpusNearDups(train, evalSet, "text", "doc_id",
+          threshold = 0.5, family = fam)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((0L, 900L)) && hits.contains((1L, 901L)))
+      assert(!hits.exists(_._1 == 3L)) // the unrelated doc never matches
+    }
+  }
+
   test("bloom sketch: no false negatives; bounded false-positive rate") {
     import spark.implicits._
     val corpus = (0L until 2000L).map(i => s"doc text number $i").toDF("text")
