@@ -39,6 +39,35 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol)) < pct)
 
+  /** Weighted mixture upsampling — dataset MIXING for training: each
+    * label (source/quality tier) carries an epoch weight, possibly
+    * fractional and > 1 (e.g. wiki 3.5, common-crawl 0.8). A row with
+    * weight w is emitted floor(w) times, plus one more for the
+    * deterministic frac(w) of ids (fingerprint bucket < frac·100) —
+    * expected multiplicity exactly w per label, zero RNG, reproducible
+    * across engines and incremental corpus growth. Emitted copies carry
+    * `epoch` (0-based copy index) so downstream shuffles can spread
+    * repeats. A narrow explode — no shuffle; weights are a literal map.
+    * Weights are quantized to percent (w = 2.375 → 2.37). */
+  def weightedMix(df: DataFrame, idCol: String, labelCol: String,
+      weightByLabel: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weightByLabel.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100))
+    val pctOf = (w: Double) => (w * 100).toLong
+    val pct =
+      if (weightByLabel.isEmpty) lit(pctOf(defaultWeight))
+      else coalesce(
+        element_at(typedLit(weightByLabel.map { case (k, v) => k -> pctOf(v) }), col(labelCol)),
+        lit(pctOf(defaultWeight)))
+    val copies = floor(pct / 100L).cast(LongType) +
+      when(splitBucket(col(idCol)) < pct % 100L, 1L).otherwise(0L)
+    // Spark's sequence(a, b) runs DESCENDING when b < a, so copies == 0
+    // must short-circuit to an empty array (zero emitted rows), not
+    // sequence(0, -1)
+    val epochs = when(copies > 0, sequence(lit(0L), copies - 1L))
+      .otherwise(array().cast(ArrayType(LongType)))
+    df.withColumn("epoch", explode(epochs))
+  }
+
   /** Token-budget batch packing — group rows (chunks/documents) into
     * training batches of ~`budget` tokens. Rows are first spread over
     * `streams` independent packing streams by stable id hash (parallelism

@@ -240,6 +240,18 @@ object PipelineQueries {
         .orderBy(col("stream"), col("batch"))
     }),
 
+    // Training-mixture upsampling: per-lang fractional epoch weights
+    // (en 1.5, de 2.25, others 0.5) — floor(w) copies plus one more for
+    // the deterministic frac(w) of ids. Narrow explode, no RNG.
+    "q_mix" -> ((s, dir) => {
+      graft.operators.Sampling.weightedMix(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 1.5, "de" -> 2.25), defaultWeight = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("epoch")).as("epoch_sum"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // Domain-level curation signal: extract URL hosts per doc
     // (synthesized deterministically), count per domain — the input to
     // blocklists / per-domain caps. One regexp pass + tiny aggregate.
@@ -578,6 +590,23 @@ object PipelineQueries {
         |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
         |  least(len(toks) - start, 40)::BIGINT AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 225 ELSE 50 END AS pct,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(doc_id::VARCHAR) + 1),
+        |        i -> ascii((doc_id::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS copies
+        |      FROM w),
+        |e AS (SELECT doc_id, lang, unnest(range(0, copies)) AS epoch FROM c)
+        |SELECT lang, count(*) AS n_rows, sum(epoch)::BIGINT AS epoch_sum,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_domains" ->
       """WITH synth AS (

@@ -355,6 +355,34 @@ class PipelineSpec extends SparkSpec {
     assert(repacked == got.map(r => (r._1, r._4)).toSet)
   }
 
+  test("weightedMix: per-id multiplicity floor(w)/floor(w)+1, zero-weight drop, partition invariance") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "label")
+    val out = graft.operators.Sampling.weightedMix(df, "id", "label",
+      Map("a" -> 2.5, "b" -> 0.4))
+    val counts = out.groupBy("label").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts("a") > 1100 && counts("a") < 1400) // 500 ids x ~2.5
+    assert(counts("b") > 130 && counts("b") < 270)   // 500 ids x ~0.4
+    val perId = out.filter(col("label") === "a").groupBy("id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perId.subsetOf(Set(2L, 3L)))
+    val epochs = out.filter(col("id") === out.filter(col("label") === "a")
+      .groupBy("id").count().filter(col("count") === 3).select("id").first().getLong(0))
+      .select("epoch").collect().map(_.getLong(0)).toSet
+    assert(epochs == Set(0L, 1L, 2L))
+    val zero = graft.operators.Sampling.weightedMix(df, "id", "label",
+      Map("a" -> 0.0), defaultWeight = 1.0)
+    assert(zero.filter(col("label") === "a").count() == 0)
+    assert(zero.filter(col("label") === "b").count() == 500)
+    val base = out.groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val re = graft.operators.Sampling.weightedMix(df.repartition(13), "id", "label",
+        Map("a" -> 2.5, "b" -> 0.4))
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == base)
+  }
+
   test("urlDomains extracts hosts; non-URLs untouched") {
     import spark.implicits._
     val got = Seq("go to https://a.example.com/x and http://b.org, not ftp://c.net or plain words")
