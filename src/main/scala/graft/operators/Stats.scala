@@ -95,6 +95,25 @@ object Stats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Equi-depth binning: `bins` buckets split at the EXACT interpolated
+    * quantiles (i/bins, the reference's n = N·q − 0.5 lerp rule) —
+    * length-balanced bucketing for curriculum schedules / balanced eval
+    * slices. Two passes: one tiny partial-merged quantile aggregate
+    * (bins−1 doubles to the driver), then a narrow fold-of-whens bucket
+    * projection (codegen'd; values equal to a boundary go to the lower
+    * bin, nulls get a null bin). Never a global sort/ntile — the
+    * boundaries make the second pass embarrassingly parallel. */
+  def equiDepthBins(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"need bins >= 2: $bins")
+    import graft.functions.InterpolatedQuantile
+    val qs = (1 until bins).map(i =>
+      InterpolatedQuantile.quantileCol(col(c), i.toDouble / bins).as(s"b$i"))
+    val row = df.agg(qs.head, qs.tail: _*).head()
+    val bounds = (0 until bins - 1).map(row.getDouble)
+    val bin = bounds.map(b => when(col(c) > b, 1L).otherwise(0L)).reduce(_ + _)
+    df.withColumn("bin", when(col(c).isNotNull, bin))
+  }
+
   /** Per-column null count + ratio (reference: src/Table.luna:1096-1105). */
   def describeNa(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>

@@ -203,6 +203,17 @@ object ParityQueries {
     }),
 
     // §2.7 whole-table describe: one row per numeric column
+    // Equi-depth binning at the exact interpolated quartiles: balanced
+    // buckets without a global sort (boundaries broadcast, bucket pass
+    // narrow). Beyond-reference, but split by the REFERENCE quantile rule.
+    "q_eqdepth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice"))
+      Stats.equiDepthBins(li, "l_extendedprice", 4)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 4).as("price_sum"))
+        .orderBy(col("bin"))
+    }),
+
     "q_describe" -> ((s, dir) => {
       Stats.describe(t(s, dir, "lineitem")
           .select("l_quantity", "l_discount", "l_tax"))
@@ -324,7 +335,28 @@ object ParityQueries {
     s"""round((1-($q - floor($q))) * s[CAST(greatest(floor($q), 0) AS INT) + 1]
        |     + ($q - floor($q)) * s[CAST(least(ceil($q), n - 1) AS INT) + 1], 6) AS $alias""".stripMargin
 
+  // Unrounded variant for bin boundaries (comparisons, not display).
+  private def duckQuantileRaw(q: String): String =
+    s"""((1-($q - floor($q))) * s[CAST(greatest(floor($q), 0) AS INT) + 1]
+       |     + ($q - floor($q)) * s[CAST(least(ceil($q), n - 1) AS INT) + 1])""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_eqdepth" -> {
+      val b = Seq(0.25, 0.5, 0.75).map(q => duckQuantileRaw(s"n*$q - 0.5"))
+      s"""WITH sv AS (SELECT list_sort(list(l_extendedprice)) s,
+         |             count(l_extendedprice)::DOUBLE n
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT ${b(0)} AS b1, ${b(1)} AS b2, ${b(2)} AS b3 FROM sv),
+         |binned AS (
+         |  SELECT l_extendedprice AS x,
+         |    (CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END
+         |   + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END
+         |   + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)::BIGINT AS bin
+         |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+         |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
     "q_aggregate_by" ->
       """WITH li AS (SELECT l_returnflag, l_orderkey*10 + l_linenumber AS ord,
         |  CASE WHEN l_partkey % 11 <> 0 THEN l_quantity END AS qty_n,

@@ -203,6 +203,27 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(row.getLong(1) - 257L) <= math.max(3, (257 * 0.06).toLong))
   }
 
+  test("equiDepthBins: balanced buckets, boundary-to-lower rule, null bin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(400)(rnd.nextDouble() * 1000).map(v => math.round(v * 100) / 100.0)
+    val df = (vals.map(Option(_)) :+ None).toDF("x").repartition(5)
+    val out = Stats.equiDepthBins(df, "x", 4).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+                 if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // driver ground truth from the same quantile rule
+    val arr = vals.toArray.sorted
+    val bounds = Seq(0.25, 0.5, 0.75)
+      .map(q => graft.functions.InterpolatedQuantile.quantile(arr, q))
+    out.foreach {
+      case (None, b) => assert(b == -1L) // null value -> null bin
+      case (Some(v), b) => assert(b == bounds.count(v > _), s"v=$v")
+    }
+    val sizes = out.collect { case (Some(_), b) => b }
+      .groupBy(identity).map(_._2.length)
+    assert(sizes.size == 4 && sizes.forall(s => s >= 90 && s <= 110))
+  }
+
   test("histogram: bin edges, clamping, null drop") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(4.999), Some(5.0), Some(19.999),
