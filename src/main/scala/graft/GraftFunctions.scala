@@ -40,6 +40,39 @@ object GraftFunctions {
       }
       TokenShingles(args(0), n)
     },
+    // (catalyst trees built directly: a Column round-trip through the
+    // Bridge leaves Unevaluable column-node wrappers inside a registered
+    // function)
+    "graft_zvalue" -> { args =>
+      import org.apache.spark.sql.catalyst.expressions._
+      require(args.length >= 3, "graft_zvalue(colA, colB, ..., bits)")
+      val bits = args.last match {
+        case Literal(v, _) => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_zvalue: bits must be a literal, got $other")
+      }
+      val cols = args.init
+      val m = cols.size
+      require(bits > 0 && m * bits <= 63, s"$m cols x $bits bits exceeds a long")
+      val terms = for {
+        (c, ci) <- cols.zipWithIndex
+        b <- 0 until bits
+      } yield ShiftLeft(
+        BitwiseAnd(
+          ShiftRightUnsigned(Cast(c, org.apache.spark.sql.types.LongType), Literal(b)),
+          Literal(1L)),
+        Literal(b * m + ci))
+      terms.reduce[Expression](BitwiseOr(_, _))
+    },
+    "graft_redact_pii" -> { args =>
+      import org.apache.spark.sql.catalyst.expressions._
+      require(args.length == 1, "graft_redact_pii(text)")
+      import graft.operators.TextOps.{DigitRunRe, EmailRe, Ipv4Re}
+      Seq(EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", DigitRunRe -> "<NUM>")
+        .foldLeft(args(0)) { case (e, (re, tok)) =>
+          RegExpReplace(e, Literal(re), Literal(tok))
+        }
+    },
     "graft_quantile" -> { args =>
       require(args.length == 2, "graft_quantile(col, q)")
       val q = args(1) match {

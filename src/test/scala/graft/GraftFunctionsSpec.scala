@@ -19,6 +19,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](3) == Seq("a b", "b c"))
   }
 
+  test("graft_zvalue and graft_redact_pii compose through the SQL surface") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_zvalue(3L, 5L, 3) AS z,
+        |  graft_redact_pii('mail a@b.cc ip 10.0.0.1 acct 123456789') AS red
+      """.stripMargin).collect()(0)
+    // x=3 (011) -> even bits 0,2 set = 5; y=5 (101) -> odd bits 1,5 set = 34
+    assert(r.getLong(0) == (5L | 34L))
+    assert(r.getString(1) == "mail <EMAIL> ip <IP> acct <NUM>")
+  }
+
+  test("approxQuantiles lands within rank error of the exact rule") {
+    import spark.implicits._
+    val vals = (0 until 20000).map(i => ((i * 37) % 20000).toDouble)
+    val df = vals.toDF("x").repartition(8)
+    val got = graft.operators.Stats.approxQuantiles(df, "x",
+      Array(0.25, 0.5, 0.9), relErr = 0.001)
+    val arr = vals.toArray.sorted
+    for ((q, v) <- Array(0.25, 0.5, 0.9).zip(got)) {
+      val exact = graft.functions.InterpolatedQuantile.quantile(arr, q)
+      assert(math.abs(v - exact) <= 20000 * 0.002 + 1, s"q=$q got $v want ~$exact")
+    }
+  }
+
   test("graft_quantile as a SQL aggregate uses the N*q-0.5 rule") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -30,7 +55,8 @@ class GraftFunctionsSpec extends SparkSpec {
   test("GraftExtensions constructs and exposes the full function set") {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("graft_dot", "graft_cosine", "graft_fingerprint", "graft_shingles", "graft_quantile"))
+      Set("graft_dot", "graft_cosine", "graft_fingerprint", "graft_shingles",
+        "graft_quantile", "graft_zvalue", "graft_redact_pii"))
     assert(ext != null)
   }
 }
