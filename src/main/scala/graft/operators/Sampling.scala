@@ -39,6 +39,29 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol)) < pct)
 
+  /** Per-label cap — "at most N documents per domain/source": rows are
+    * ranked inside each label by (fingerprint(id), id) — a deterministic
+    * shuffle-order, not arrival order, so the kept subset is unbiased,
+    * reproducible, and stable under corpus growth (a new row only ever
+    * displaces the current max-rank row, never reshuffles the rest).
+    * One hash shuffle on the label + a per-label window; hot labels are
+    * exactly the ones being capped, and the rank-limit pushes the window
+    * into WindowGroupLimit (partial top-N before the shuffle). */
+  def capPerLabel(df: DataFrame, idCol: String, labelCol: String, maxN: Int): DataFrame = {
+    require(maxN > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(splitBucket100k(col(idCol)), col(idCol))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxN)
+      .drop("__r")
+  }
+
+  /** Finer-grained bucket in [0, 100000) for rank ordering (the percent
+    * bucket collides too often to act as a shuffle order). */
+  private def splitBucket100k(id: Column): Column =
+    TextOps.fingerprint(id.cast(StringType)) % 100000
+
   /** Weighted mixture upsampling — dataset MIXING for training: each
     * label (source/quality tier) carries an epoch weight, possibly
     * fractional and > 1 (e.g. wiki 3.5, common-crawl 0.8). A row with

@@ -240,6 +240,17 @@ object PipelineQueries {
         .orderBy(col("stream"), col("batch"))
     }),
 
+    // Per-source cap (at most 30 docs per source, fingerprint-ranked):
+    // the domain-cap curation primitive. Rank-limit pushes into
+    // WindowGroupLimit — partial top-N before the shuffle.
+    "q_cap" -> ((s, dir) => {
+      graft.operators.Sampling.capPerLabel(t(s, dir, "documents"),
+          "doc_id", "source", maxN = 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // Training-mixture upsampling: per-lang fractional epoch weights
     // (en 1.5, de 2.25, others 0.5) — floor(w) copies plus one more for
     // the deterministic frac(w) of ids. Narrow explode, no RNG.
@@ -590,6 +601,19 @@ object PipelineQueries {
         |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
         |  least(len(toks) - start, 40)::BIGINT AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(range(1, len(doc_id::VARCHAR) + 1),
+        |          i -> ascii((doc_id::VARCHAR)[i]))),
+        |        (a, b) -> (a * 31 + b) % 1000000007) % 100000, doc_id) AS r
+        |  FROM documents)
+        |SELECT source, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+        |FROM ranked WHERE r <= 30
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_mix" ->
       """WITH w AS (

@@ -355,6 +355,30 @@ class PipelineSpec extends SparkSpec {
     assert(repacked == got.map(r => (r._1, r._4)).toSet)
   }
 
+  test("capPerLabel: at most N per label, deterministic keep-set, growth-stable") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "label")
+    val kept = graft.operators.Sampling.capPerLabel(df, "id", "label", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.groupBy(_._2).forall(_._2.length == 20))
+    // deterministic under repartitioning
+    val kept2 = graft.operators.Sampling.capPerLabel(df.repartition(11), "id", "label", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == kept2.toSet)
+    // growth stability: adding rows only displaces, never reshuffles —
+    // the kept set of the grown corpus restricted to old rows is a
+    // superset-minus-displacement of the old kept set
+    val grown = df.unionByName(
+      (300L until 330L).map(i => (i, s"s${i % 3}")).toDF("id", "label"))
+    val keptGrown = graft.operators.Sampling.capPerLabel(grown, "id", "label", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // every newly-kept old row was already kept before growth
+    assert(keptGrown.filter(_._1 < 300).subsetOf(kept.toSet))
+    // labels under the cap pass through whole
+    val small = graft.operators.Sampling.capPerLabel(df.filter(col("id") < 10), "id", "label", 20)
+    assert(small.count() == 10)
+  }
+
   test("weightedMix: per-id multiplicity floor(w)/floor(w)+1, zero-weight drop, partition invariance") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "label")
