@@ -55,6 +55,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = round(v_i / scale) — the 4× memory/shuffle compression for
+    * ANN candidate generation (a 100 TB float corpus becomes 25 TB of
+    * bytes; per-component error ≤ scale/2). Adds `qvec` (array<tinyint>)
+    * and `qscale`; drop the float column after quantizing for the
+    * storage win. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val absMax = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+    df.withColumn("qscale", greatest(absMax, lit(1e-12)) / 127.0)
+      .withColumn("qvec",
+        transform(col(vecCol), x => round(x.cast(DoubleType) / col("qscale")).cast("byte")))
+  }
+
+  /** Quantized-candidates top-k: score ALL corpus rows with the int8
+    * approximation (reading only bytes + one scale), keep rerankFactor·k
+    * candidates per query, then join those few ids back to the float
+    * corpus for the exact cosine re-rank. At scale the big pass touches
+    * a quarter of the bytes of the float brute force; exactness of the
+    * final order comes from the re-rank, recall from the margin in
+    * rerankFactor (spec-measured vs [[bruteForceTopK]]). */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val qc = quantizeInt8(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("cq"), col("qscale").as("cs"))
+    val qq = quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qq"), col("qscale").as("qs"))
+    val approxDot = aggregate(
+      zip_with(col("qq"), col("cq"), (x, y) => x.cast(IntegerType) * y.cast(IntegerType)),
+      lit(0), (acc, v) => acc + v).cast(DoubleType) * col("qs") * col("cs")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cands = qc.crossJoin(broadcast(qq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", approxDot)
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: only rerankFactor*k float rows per query are touched
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Exact all-pairs cosine >= threshold, the scale-correct shape for LOW
     * thresholds where LSH cannot be complete. The pair space (optionally
     * pre-blocked on equality columns, e.g. a label) is decomposed over a

@@ -79,6 +79,23 @@ object Stats {
       approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_approx_nd"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx_nd")): _*)
 
+  /** Per-key z-scores — the grouped outlier/anomaly signal. Key stats go
+    * through one partial-merged aggregate and join back (AQE broadcasts
+    * when the key table is small — the usual case; a window over the key
+    * would materialize whole partitions for two scalars). Mean/std are
+    * rounded to 6 places BEFORE the division so the z values are
+    * bit-replayable by an SQL oracle despite summation-order noise.
+    * z is null where std == 0 (degenerate groups) or the value is null. */
+  def zscores(df: DataFrame, valCol: String, keyCols: Seq[String]): DataFrame = {
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(round(avg(col(valCol)), 6).as("__mean"),
+        round(stddev_pop(col(valCol)), 6).as("__std"))
+    df.join(stats, keyCols)
+      .withColumn("z",
+        when(col("__std") > 0, (col(valCol) - col("__mean")) / col("__std")))
+      .drop("__mean", "__std")
+  }
+
   /** Fixed-range numeric histogram: `bins` equal-width buckets over
     * [lo, hi); out-of-range values clamp into the edge bins, nulls drop.
     * One narrow projection + one tiny map-side-combined aggregate — the

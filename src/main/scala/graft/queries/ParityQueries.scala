@@ -203,6 +203,16 @@ object ParityQueries {
     }),
 
     // §2.7 whole-table describe: one row per numeric column
+    // Per-key z-score outliers (|z| >= 2 per event_type): grouped
+    // anomaly flagging via one tiny stats aggregate joined back — never
+    // a window over the value partitions
+    "q_zscore" -> ((s, dir) => {
+      Stats.zscores(t(s, dir, "events"), "value", Seq("event_type"))
+        .filter(abs(col("z")) >= 2)
+        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Equi-depth binning at the exact interpolated quartiles: balanced
     // buckets without a global sort (boundaries broadcast, bucket pass
     // narrow). Beyond-reference, but split by the REFERENCE quantile rule.
@@ -341,6 +351,15 @@ object ParityQueries {
        |     + ($q - floor($q)) * s[CAST(least(ceil($q), n - 1) AS INT) + 1])""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_zscore" ->
+      """WITH s AS (SELECT event_type, round(avg(value), 6) AS m,
+        |             round(stddev_pop(value), 6) AS sd
+        |           FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, round((value - m) / sd, 4) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE sd > 0 AND abs((value - m) / sd) >= 2
+        |ORDER BY event_id""".stripMargin,
+
     "q_eqdepth" -> {
       val b = Seq(0.25, 0.5, 0.75).map(q => duckQuantileRaw(s"n*$q - 0.5"))
       s"""WITH sv AS (SELECT list_sort(list(l_extendedprice)) s,

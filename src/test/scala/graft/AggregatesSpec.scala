@@ -224,6 +224,23 @@ class AggregatesSpec extends SparkSpec {
     assert(sizes.size == 4 && sizes.forall(s => s >= 90 && s <= 110))
   }
 
+  test("zscores: per-key standardization, degenerate and null gates") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(5.0)),
+      ("b", Some(7.0)), ("b", Some(7.0)), ("c", None), ("c", Some(2.0)))
+      .toDF("k", "x")
+    val out = Stats.zscores(df, "x", Seq("k")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // a: mean 3, std_pop sqrt(8/3)≈1.632993 → z = ±1.224745, 0
+    val as = out.filter(_._1 == "a").flatMap(_._3).sorted
+    assert(as.map(z => math.round(z * 1e6) / 1e6).sameElements(
+      Array(-1.224745, 0.0, 1.224745)))
+    // b: std 0 → null z; c: single value has std 0 → null; null x → null
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+    assert(out.filter(_._1 == "c").forall(_._3.isEmpty))
+  }
+
   test("histogram: bin edges, clamping, null drop") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(4.999), Some(5.0), Some(19.999),

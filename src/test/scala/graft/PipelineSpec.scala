@@ -246,6 +246,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.getAs[Double]("cosine") > 0.99)
   }
 
+  test("int8 quantization: bounded error; quantized top-k recall vs exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // per-component reconstruction error <= scale/2
+    val qd = Similarity.quantizeInt8(df, "embedding")
+      .select(col("embedding"), col("qvec"), col("qscale")).collect()
+    qd.foreach { r =>
+      val v = r.getSeq[Float](0); val q = r.getSeq[Byte](1); val s = r.getDouble(2)
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * s - x) <= s / 2 + 1e-9)
+      }
+    }
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.bruteForceTopKInt8(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.85, s"int8 recall $recall")
+  }
+
   test("LSH ANN recall against brute force on random-ish vectors") {
     import spark.implicits._
     // deterministic pseudo-random corpus
