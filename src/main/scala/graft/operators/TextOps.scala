@@ -117,6 +117,24 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
   }
 
+  /** Per-doc average unigram log-probability — the perplexity-proxy
+    * quality signal: a corpus-wide unigram LM (token frequencies / total)
+    * scores each document by mean ln p(token). Low scores flag
+    * gibberish / OOV-heavy docs the heuristic ratios miss; high scores
+    * flag dull boilerplate — both tails are curation targets. Shape:
+    * explode once, vocab aggregate (map-side combined, vocab-sized
+    * output → AQE broadcasts the join back), per-doc aggregate. */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, nTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val n = nTokens.getOrElse(tok.count())
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    tok.join(vocab, Seq("token"))
+      .groupBy(col(idCol))
+      .agg((sum(log(col("c").cast(DoubleType) / n)) / count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Sliding-window document chunking: token windows of `chunk` tokens
     * starting every `chunk - overlap` tokens — the standard long-document
     * split for context-bounded training/embedding. Chunk starts are

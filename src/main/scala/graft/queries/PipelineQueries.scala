@@ -117,6 +117,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // Perplexity-proxy quality: per-doc mean unigram log-prob under the
+    // corpus's own unigram LM — flags gibberish (low) and boilerplate
+    // (high) tails the ratio heuristics miss
+    "q_unigram_lp" -> ((s, dir) => {
+      TextOps.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/test split: polynomial-fingerprint bucket of the
     // doc id — reproducible across runs/engines, no RNG, narrow pass
     "q_split" -> ((s, dir) => {
@@ -729,6 +739,16 @@ object PipelineQueries {
         |    (a, b) -> (a * 31 + b) % 1000000007) % 100
         |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 10 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_unigram_lp" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |v AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT doc_id, round(sum(ln(c::DOUBLE / n)) / count(*), 6) AS avg_logprob,
+        |  count(*) AS n_tokens
+        |FROM tok JOIN v USING (token) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (

@@ -431,6 +431,19 @@ class PipelineSpec extends SparkSpec {
     assert(re == base)
   }
 
+  test("unigramLogProb: hand-computed LM scores; repeated tokens raise the score") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, c=1, N=5
+    val got = TextOps.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val ln = (x: Double) => math.log(x)
+    assert(math.abs(got(1L)._1 - (2 * ln(2 / 5.0) + ln(2 / 5.0)) / 3) < 1e-12)
+    assert(math.abs(got(2L)._1 - (ln(2 / 5.0) + ln(1 / 5.0)) / 2) < 1e-12)
+    assert(got(1L)._2 == 3 && got(2L)._2 == 2)
+    assert(got(1L)._1 > got(2L)._1) // common-token doc scores higher
+  }
+
   test("urlDomains extracts hosts; non-URLs untouched") {
     import spark.implicits._
     val got = Seq("go to https://a.example.com/x and http://b.org, not ftp://c.net or plain words")
