@@ -178,6 +178,37 @@ object PipelineQueries {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    // Structured Streaming session windows, gated: a REAL StreamingQuery
+    // (file source → session_window(30 min gap) per user → memory sink,
+    // complete mode, one availableNow pass). Note the gap rule: streaming
+    // sessions break at diff >= gap (window end is exclusive), so the
+    // batch oracle uses >= where Stats.sessionize uses >.
+    "q_stream_session" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        stageDir.resolve("events.parquet"))
+      val raw = s.readStream.schema(schema).parquet(stageDir.toString)
+      val ev =
+        if (schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw.withColumn("ts", col("ts").cast(TimestampType))
+      val agg = graft.streaming.StreamOps.sessionAgg(
+        ev, "ts", "user_id", "value", "30 minutes", "10 minutes")
+      val sink = "q_stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id"),
+          col("session_window.start").cast(TimestampNTZType).as("session_start"),
+          round(col("sum"), 4).as("value_sum"), col("count").as("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Structured Streaming dedup, gated: a REAL StreamingQuery (file
     // source → watermarked dropDuplicatesWithinWatermark on (lang, text)
     // → memory sink, one availableNow pass). Which doc survives a dup
@@ -770,6 +801,23 @@ object PipelineQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n, sum(doc_id)::BIGINT AS id_sum, sum(n_chars)::BIGINT AS chars_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, value, tus,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, make_timestamp(min(tus)) AS session_start,
+        |  round(sum(value), 4) AS value_sum, count(*) AS n
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0

@@ -272,6 +272,21 @@ class AggregatesSpec extends SparkSpec {
     assert(maxSpan <= 8, s"z-chunk key span $maxSpan should be ~sqrt(64)=8, not 32")
   }
 
+  test("writeZOrdered: every output file is tight on BOTH keys (parquet pruning property)") {
+    import spark.implicits._
+    val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.operators.Layout.writeZOrdered(df, dir, Seq("x", "y"), bits = 6, numFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("sx"), (max(col("y")) - min(col("y"))).as("sy"))
+      .collect().map(r => math.max(r.getLong(1), r.getLong(2)))
+    assert(spans.length >= 8) // range partitioner actually split the files
+    // 4096 rows / 16 files = 256-row tiles → z-curve tiles span ~sqrt(256)=16
+    // per axis; a single-column sort would leave the other axis at 63
+    assert(spans.max <= 24, s"max per-file span ${spans.max} — files not z-local")
+  }
+
   test("rangeJoin equals the naive inequality join, any bucket size") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
