@@ -69,6 +69,38 @@ object Joins {
       .drop("__b")
   }
 
+  /** Interval-OVERLAP join: pairs of intervals (per key) that intersect —
+    * `a.start <= b.end AND b.start <= a.end`. Same bucketization trick as
+    * [[rangeJoin]] but BOTH sides explode to their covered buckets, and a
+    * pair is kept only in the FIRST bucket both cover
+    * (max(bucket_start_a, bucket_start_b)) so each overlapping pair is
+    * emitted exactly once — no distinct pass over the pair set. Never a
+    * nested-loop plan: the equi-join on (keys, bucket) carries all
+    * candidate generation; the exact overlap predicate filters locally.
+    * Inner join; duplication factor ~ length/bucket + 1 per side. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0)
+    def micros(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case _ => col(name).cast(LongType)
+    }
+    def buckets(df: DataFrame, s: String, e: String): (Column, Column) =
+      (floor(micros(df, s) / bucketMicros).cast(LongType),
+       floor(micros(df, e) / bucketMicros).cast(LongType))
+    val (lb0, lb1) = buckets(left, lStart, lEnd)
+    val (rb0, rb1) = buckets(right, rStart, rEnd)
+    val lb = left.withColumn("__b0", lb0)
+      .withColumn("__b", explode(sequence(lb0, lb1)))
+    val rb = right.withColumn("__rb0", rb0)
+      .withColumn("__b", explode(sequence(rb0, rb1)))
+    lb.join(rb, keys :+ "__b")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") === greatest(col("__b0"), col("__rb0")))
+      .drop("__b", "__b0", "__rb0")
+  }
+
   /** As-of (point-in-time) LEFT join: for each left row, attach the right
     * row with the same `keys` whose `rightTime` is the LATEST at-or-before
     * `leftTime` (`direction = "backward"`, the default; `"forward"` takes

@@ -203,6 +203,25 @@ object ParityQueries {
     }),
 
     // §2.7 whole-table describe: one row per numeric column
+    // Interval-overlap join: 20-min event intervals from two event
+    // subsets, per-user overlap pairs via bucketized equi-join (each
+    // pair emitted once in the first shared bucket — no distinct pass)
+    "q_overlap_join" -> ((s, dir) => {
+      val base = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("t"))
+      val a = base.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("t").as("a_s"), (col("t") + 1200000000L).as("a_e"))
+      val b = base.filter(col("event_id") % 5 === 1)
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("t").as("b_s"), (col("t") + 1200000000L).as("b_e"))
+      graft.operators.Joins.intervalOverlapJoin(a, b, Seq("user_id"),
+          "a_s", "a_e", "b_s", "b_e", bucketMicros = 1800000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("a_id") + col("b_id")).as("id_sum"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-key z-score outliers (|z| >= 2 per event_type): grouped
     // anomaly flagging via one tiny stats aggregate joined back — never
     // a window over the value partitions
@@ -351,6 +370,17 @@ object ParityQueries {
        |     + ($q - floor($q)) * s[CAST(least(ceil($q), n - 1) AS INT) + 1])""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_overlap_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, t AS a_s, t + 1200000000 AS a_e
+        |      FROM e WHERE event_id % 5 = 0),
+        |b AS (SELECT user_id, event_id AS b_id, t AS b_s, t + 1200000000 AS b_e
+        |      FROM e WHERE event_id % 5 = 1)
+        |SELECT user_id, count(*) AS n_pairs, sum(a_id + b_id)::BIGINT AS id_sum
+        |FROM a JOIN b USING (user_id)
+        |WHERE a_s <= b_e AND b_s <= a_e
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_zscore" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS m,
         |             round(stddev_pop(value), 6) AS sd

@@ -287,6 +287,27 @@ class AggregatesSpec extends SparkSpec {
     assert(spans.max <= 24, s"max per-file span ${spans.max} — files not z-local")
   }
 
+  test("intervalOverlapJoin equals the naive inequality join; pairs emitted once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def mkIntervals(n: Int, tag: String) = (0 until n).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(3)}", s"$tag$i", s, s + rnd.nextInt(300).toLong)
+    }
+    val a = mkIntervals(60, "a").toDF("k", "a_id", "a_s", "a_e")
+    val b = mkIntervals(60, "b").toDF("k", "b_id", "b_s", "b_e")
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    for (bucket <- Seq(7L, 100L, 1000L)) {
+      val got = graft.operators.Joins.intervalOverlapJoin(a, b, Seq("k"),
+          "a_s", "a_e", "b_s", "b_e", bucket)
+        .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.length == naive.length, s"bucket=$bucket: dup or missing pairs")
+      assert(got.toSet == naive.toSet, s"bucket=$bucket")
+    }
+  }
+
   test("rangeJoin equals the naive inequality join, any bucket size") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
