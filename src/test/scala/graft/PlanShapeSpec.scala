@@ -131,6 +131,23 @@ class PlanShapeSpec extends SparkSpec {
       s"queries with a global (single-partition) window: ${offenders.mkString(", ")}")
   }
 
+  test("bucketized joins never plan a cartesian product; cap gets two-phase rank limit") {
+    val dir = "/root/testdata/sf0.001"
+    // executedPlan.collect cannot see through AdaptiveSparkPlanExec, so
+    // assert on the explain text instead
+    def planText(name: String): String =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+    for (name <- Seq("q_overlap_join", "q_range_join", "q_asof_join", "q_jaccard")) {
+      assert(!planText(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — bucketization broken")
+    }
+    val cap = planText("q_cap")
+    assert("WindowGroupLimit".r.findAllIn(cap).size >= 2,
+      s"q_cap should plan partial+final WindowGroupLimit:\n$cap")
+  }
+
   test("blocked shift is exact across the 64k block boundary") {
     // BlockSize is 65536: use 70k rows so lag/lead frames actually cross
     // blocks (every smaller spec stays inside one block and would never
