@@ -30,6 +30,10 @@ object GraftFunctions {
       require(args.length == 1, "graft_fingerprint(text)")
       PolynomialFingerprint(args(0))
     },
+    "graft_nfc" -> { args =>
+      require(args.length == 1, "graft_nfc(text)")
+      graft.expr.NfcNormalize(args(0))
+    },
     "graft_shingles" -> { args =>
       require(args.length == 2, "graft_shingles(tokens, n)")
       val n = args(1) match {

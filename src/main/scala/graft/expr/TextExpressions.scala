@@ -141,7 +141,50 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** NFC unicode normalization (UAX#15 canonical composition) as a native
+  * expression — real corpora mix precomposed and combining-mark forms of
+  * the same visible text, which breaks exact dedup keys and fingerprints.
+  * java.text.Normalizer is the JVM's ICU-conformant implementation;
+  * codegen emits one static call (the work is inherently per-string, so
+  * there is nothing to fuse — the win over a UDF is staying inside
+  * whole-stage codegen with UTF8String in/out and no encoder boundary). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+
+  /** Static NFC helper shared by eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized avoids the rebuild for the
+    // overwhelmingly-common already-NFC string
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+  /** NFC normalization Column. */
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
   def fingerprint(c: Column): Column =
     Bridge.column(PolynomialFingerprint(Bridge.expression(c)))
 

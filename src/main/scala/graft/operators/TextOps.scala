@@ -191,6 +191,14 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** NFC unicode normalization (native codegen'd expression): fold
+    * combining-mark and precomposed forms onto one canonical spelling
+    * BEFORE dedup keys / fingerprints — "café" typed two ways must be
+    * ONE dedup key. Composes with [[normalizeText]] (which handles case/
+    * punctuation after the unicode fold). */
+  def normalizeUnicode(text: Column): Column =
+    graft.expr.TextExpressions.nfcNormalize(text)
+
   /** PII patterns, deliberately RE2-compatible (no lookaround, ASCII
     * classes): the same pattern text runs under Java regex (Spark) and
     * RE2 (DuckDB/ripgrep-style scanners), so a redaction audit can be

@@ -117,6 +117,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // NFC unicode normalization: combining-mark and precomposed forms of
+    // the same visible text fold onto one dedup key. Suffix plants both
+    // spellings of "café"; after NFC they fingerprint identically.
+    "q_unicode" -> ((s, dir) => {
+      val suffixed = concat(col("text"),
+        lit(" cafe\u0301 caf\u00e9 A\u030a vs \u00c5"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.normalizeUnicode(suffixed).as("nfc"),
+          length(TextOps.normalizeUnicode(suffixed)).cast(LongType).as("n_chars_nfc"),
+          (length(suffixed) - length(TextOps.normalizeUnicode(suffixed)))
+            .cast(LongType).as("n_composed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perplexity-proxy quality: per-doc mean unigram log-prob under the
     // corpus's own unigram LM — flags gibberish (low) and boilerplate
     // (high) tails the ratio heuristics miss
@@ -770,6 +784,17 @@ object PipelineQueries {
         |    (a, b) -> (a * 31 + b) % 1000000007) % 100
         |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 10 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_unicode" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' caf' || chr(233)
+        |         || ' A' || chr(778) || ' vs ' || chr(197) AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS nfc,
+        |  length(nfc_normalize(t))::BIGINT AS n_chars_nfc,
+        |  (length(t) - length(nfc_normalize(t)))::BIGINT AS n_composed
+        |FROM synth ORDER BY doc_id""".stripMargin,
 
     "q_unigram_lp" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

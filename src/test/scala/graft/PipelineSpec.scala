@@ -444,6 +444,26 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L)._1 > got(2L)._1) // common-token doc scores higher
   }
 
+  test("normalizeUnicode: NFC composes combining marks; idempotent; null-safe") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301 A\u030a"
+    val precomposed = "caf\u00e9 \u00c5"
+    val got = Seq(Some(decomposed), Some(precomposed), None).toDF("t")
+      .select(TextOps.normalizeUnicode(col("t")).as("n")).collect()
+    assert(got(0).getString(0) == precomposed)
+    assert(got(1).getString(0) == precomposed) // already-NFC passes through
+    assert(got(2).isNullAt(0))
+    // identical dedup keys after normalization
+    val keys = Seq(decomposed, precomposed).toDF("t")
+      .select(TextOps.fingerprint(TextOps.normalizeUnicode(col("t"))).as("f"))
+      .collect().map(_.getLong(0))
+    assert(keys(0) == keys(1))
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_nfc(\'cafe\u0301\')").collect()(0).getString(0)
+    assert(viaSql == "caf\u00e9")
+  }
+
   test("urlDomains extracts hosts; non-URLs untouched") {
     import spark.implicits._
     val got = Seq("go to https://a.example.com/x and http://b.org, not ftp://c.net or plain words")
