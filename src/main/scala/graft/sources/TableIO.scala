@@ -222,6 +222,28 @@ object TableIO {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction — the operational counterpart of streaming/
+    * incremental ingest: thousands of kilobyte part-files turn every
+    * scan's task scheduling and footer reads into the bottleneck.
+    * Rewrites `inDir` into ceil(bytes / targetFileBytes) files at
+    * `outDir` (distinct from `inDir`: rewrite-then-swap is the safe
+    * pattern — never overwrite the data being read). Returns the target
+    * file count. Uses the Hadoop FS API, so it works on any supported
+    * filesystem, and coalesce (not repartition) when shrinking — a
+    * compaction must not pay a full shuffle just to concatenate. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0)
+    require(new org.apache.hadoop.fs.Path(inDir).toUri != new org.apache.hadoop.fs.Path(outDir).toUri,
+      "compact: outDir must differ from inDir (rewrite-then-swap)")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Hive-style partitioned parquet layout: partition pruning turns
     * predicates on `partitionCols` into directory pruning. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

@@ -185,6 +185,27 @@ class TableIOSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || !scan.contains("lang=de"))
   }
 
+  test("compact rewrites a many-file directory into the byte-target file count") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graftcompact").resolve("in").toString
+    val out = Files.createTempDirectory("graftcompact").resolve("out").toString
+    (0L until 5000L).map(i => (i, s"text $i")).toDF("id", "t")
+      .repartition(40).write.parquet(in)
+    val inFiles = Files.list(Paths.get(in)).toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(inFiles == 40)
+    val bytes = Files.walk(Paths.get(in)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.toString.endsWith(".parquet")).map(Files.size).sum
+    TableIO.compact(spark, in, out, targetFileBytes = bytes / 3)
+    val outFiles = Files.list(Paths.get(out)).toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(outFiles <= 5, s"expected ~3-4 compacted files, got $outFiles")
+    // data unchanged
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
+      spark.read.parquet(in).orderBy("id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      TableIO.compact(spark, in, in, 1L)
+    }
+  }
+
   test("empty cells parse as nulls (ragged-ish rows)") {
     val path = tmp("holes.csv", "a,b,c\n1,2,\n4,,6\n")
     val df = TableIO.readCsv(spark, path, TableIO.CsvOptions())
