@@ -281,6 +281,15 @@ object Stats {
   def approxCountDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(col(c), rsd).as("approx_distinct"))
 
+  /** Heavy hitters — approximate frequent items above a support
+    * threshold (Karp/misra-gries style single pass, bounded state,
+    * partial-merged): the skew PROFILER for 100 TB keys. Guarantee is
+    * one-sided: every true >support item IS in the result (possible
+    * false positives) — exactly what a salting/skew-join decision needs.
+    * Sketch output is impl-defined → spec-verified like the HLL row. */
+  def heavyHitters(df: DataFrame, c: String, support: Double = 0.01): DataFrame =
+    df.stat.freqItems(Array(c), support)
+
   /** Approximate quantiles (Greenwald-Khanna) — bounded-memory alternative
     * to the exact InterpolatedQuantile for approximate-tolerant consumers. */
   def approxQuantiles(df: DataFrame, c: String, probs: Array[Double],

@@ -223,6 +223,36 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Structured Streaming SLIDING windows, gated: fourth real streaming
+    // face (1 h windows sliding every 15 min — each event lands in 4
+    // overlapping windows). Complete mode, one availableNow pass; the
+    // batch oracle replays the window fan-out with slide arithmetic.
+    "q_stream_sliding" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_slide")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        stageDir.resolve("events.parquet"))
+      val raw = s.readStream.schema(schema).parquet(stageDir.toString)
+      val ev =
+        if (schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw.withColumn("ts", col("ts").cast(TimestampType))
+      val agg = graft.streaming.StreamOps.slidingAgg(
+        ev, "ts", "event_type", "value", "1 hour", "15 minutes", "10 minutes")
+      val sink = "q_stream_slide_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("window.start").cast(TimestampNTZType).as("bucket"),
+          col("event_type"),
+          round(col("sum"), 4).as("value_sum"), col("count").as("n"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // Structured Streaming dedup, gated: a REAL StreamingQuery (file
     // source → watermarked dropDuplicatesWithinWatermark on (lang, text)
     // → memory sink, one availableNow pass). Which doc survives a dup
@@ -826,6 +856,19 @@ object PipelineQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n, sum(doc_id)::BIGINT AS id_sum, sum(n_chars)::BIGINT AS chars_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS t FROM events),
+        |fanned AS (
+        |  -- dur = 4 x slide: every event belongs to exactly the 4 windows
+        |  -- starting at floor(t/slide)*slide - k*slide, k in 0..3
+        |  SELECT event_type, value,
+        |    ((t // 900000000) - k) * 900000000 AS ws
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+        |SELECT make_timestamp(ws) AS bucket, event_type,
+        |  round(sum(value), 4) AS value_sum, count(*) AS n
+        |FROM fanned GROUP BY ws, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
 
     "q_stream_session" ->
       """WITH flagged AS (

@@ -224,6 +224,18 @@ class AggregatesSpec extends SparkSpec {
     assert(sizes.size == 4 && sizes.forall(s => s >= 90 && s <= 110))
   }
 
+  test("heavyHitters: every true frequent key surfaces (one-sided guarantee)") {
+    import spark.implicits._
+    // 3 hot keys (20%/15%/10%) in a long uniform tail
+    val rows = (0 until 20000).map { i =>
+      if (i % 5 == 0) "hot_a" else if (i % 7 == 0) "hot_b"
+      else if (i % 11 == 0) "hot_c" else s"tail_${i % 5000}"
+    }
+    val got = graft.operators.Stats.heavyHitters(rows.toDF("k"), "k", support = 0.05)
+      .collect()(0).getSeq[String](0).toSet
+    assert(Set("hot_a", "hot_b", "hot_c").subsetOf(got))
+  }
+
   test("zscores: per-key standardization, degenerate and null gates") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(5.0)),
