@@ -71,11 +71,12 @@ object Sampling {
     * across engines and incremental corpus growth. Emitted copies carry
     * `epoch` (0-based copy index) so downstream shuffles can spread
     * repeats. A narrow explode — no shuffle; weights are a literal map.
-    * Weights are quantized to percent (w = 2.375 → 2.37). */
+    * Weights are quantized to percent (w = 2.375 → 2.38, half-up). */
   def weightedMix(df: DataFrame, idCol: String, labelCol: String,
       weightByLabel: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
     require((weightByLabel.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100))
-    val pctOf = (w: Double) => (w * 100).toLong
+    // round, not truncate: 0.29 is 0.28999… in binary and must mean 29%
+    val pctOf = (w: Double) => math.round(w * 100)
     val pct =
       if (weightByLabel.isEmpty) lit(pctOf(defaultWeight))
       else coalesce(
