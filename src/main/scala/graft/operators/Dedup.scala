@@ -256,15 +256,18 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("root").as("nroot")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nroot")).as("nroot"))
       val lowered = labels.join(viaNbr, Seq("id"), "left")
-        .select(col("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .select(col("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"),
+          col("root").as("prev"))
       // pointer jump: every label is itself a node id, so follow it one hop
       val parents = lowered.select(col("id").as("pid"), col("root").as("proot"))
+      // convergence rides the same checkpointed pass (a local scan of the
+      // materialized round, not an extra join job)
       val jumped = lowered.join(parents, lowered("root") === parents("pid"))
-        .select(lowered("id"), col("proot").as("root")).localCheckpoint()
-      converged = jumped
-        .join(labels.select(col("id"), col("root").as("prev")), Seq("id"))
-        .filter(col("root") =!= col("prev")).isEmpty
-      labels = jumped
+        .select(lowered("id"), col("proot").as("root"),
+          (col("proot") =!= col("prev")).as("changed"))
+        .localCheckpoint()
+      converged = jumped.filter(col("changed")).isEmpty
+      labels = jumped.select(col("id"), col("root"))
       round += 1
     }
     labels
