@@ -165,6 +165,17 @@ object ParityQueries {
         .orderBy(col("user_id"), col("ts"), col("value_sum"))
     }),
 
+    // Rolling EXACT MEDIAN per user (10-min left-open window): the
+    // windowed face of the interpolated-quantile aggregate — an exact
+    // order statistic sliding over event time, per key
+    "q_rolling_median" -> ((s, dir) => {
+      Stats.rollingIntervalWithin(events(s, dir), Seq(col("user_id")), "ts",
+          600L * 1000 * 1000, Seq("value" -> Seq(A.Median)))
+        .select(col("user_id"), col("ts"),
+          round(col("value_median"), 6).as("value_median"))
+        .orderBy(col("user_id"), col("ts"), col("value_median"))
+    }),
+
     // §2.3 keyed shift: lag within each user's event sequence
     "q_shift_by_user" -> ((s, dir) => {
       Table.of(events(s, dir))
@@ -505,6 +516,18 @@ object ParityQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, value_sum""".stripMargin,
+
+    "q_rolling_median" -> {
+      s"""WITH w1 AS (
+         |  SELECT user_id, ts,
+         |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |      RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)) AS s
+         |  FROM events),
+         |w2 AS (SELECT user_id, ts, s, len(s)::DOUBLE AS n FROM w1)
+         |SELECT user_id, ts,
+         |  round(${duckQuantileRaw("n*0.5 - 0.5")}, 6) AS value_median
+         |FROM w2 ORDER BY user_id, ts, value_median""".stripMargin
+    },
 
     "q_shift_by_user" ->
       """SELECT event_id, user_id, value,
