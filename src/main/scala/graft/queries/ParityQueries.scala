@@ -233,6 +233,19 @@ object ParityQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Semi-structured JSON column extraction (events.props): pull a
+    // typed field out of a JSON string column and aggregate on it —
+    // Spark's codegen'd JSON path vs DuckDB's json_extract replay
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events").select(
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          round(sum(col("value")), 4).as("value_sum"))
+        .orderBy(col("bucket"))
+    }),
+
     // Per-key z-score outliers (|z| >= 2 per event_type): grouped
     // anomaly flagging via one tiny stats aggregate joined back — never
     // a window over the value partitions
@@ -381,6 +394,13 @@ object ParityQueries {
        |     + ($q - floor($q)) * s[CAST(least(ceil($q), n - 1) AS INT) + 1])""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_json_extract" ->
+      """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+        |           FROM events)
+        |SELECT k % 10 AS bucket, count(*) AS n, sum(k)::BIGINT AS k_sum,
+        |  round(sum(value), 4) AS value_sum
+        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_overlap_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
         |a AS (SELECT user_id, event_id AS a_id, t AS a_s, t + 1200000000 AS a_e

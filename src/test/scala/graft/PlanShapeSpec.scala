@@ -148,6 +148,15 @@ class PlanShapeSpec extends SparkSpec {
       s"q_cap should plan partial+final WindowGroupLimit:\n$cap")
   }
 
+  test("gate contract: every graded query has an oracle (except declared rows-only)") {
+    val rowsOnlyByDesign = Set("q_ann_ivf") // driver-side Lloyd not SQL-expressible
+    val missing = graft.SparkEntry.queries.keySet --
+      graft.SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(missing.isEmpty, s"queries without an oracle: ${missing.mkString(", ")}")
+    val orphans = graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
+  }
+
   test("blocked shift is exact across the 64k block boundary") {
     // BlockSize is 65536: use 70k rows so lag/lead frames actually cross
     // blocks (every smaller spec stays inside one block and would never
