@@ -223,6 +223,34 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Structured Streaming STREAM-STATIC enrichment join, gated: the
+    // streaming-ingest-joins-dimension shape (stream side never blocks;
+    // the static side broadcasts per micro-batch). Aggregated per
+    // enriched key in complete mode, one availableNow pass.
+    "q_stream_join" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        stageDir.resolve("events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+        .select(col("user_id"), col("value"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").as("user_id"), col("n_name"))
+      val agg = stream.join(dim, Seq("user_id"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("vsum"))
+      val sink = "q_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("n_name"), col("n"), round(col("vsum"), 4).as("value_sum"))
+        .orderBy(col("n_name"))
+    }),
+
     // Structured Streaming SLIDING windows, gated: fourth real streaming
     // face (1 h windows sliding every 15 min — each event lands in 4
     // overlapping windows). Complete mode, one availableNow pass; the
@@ -856,6 +884,11 @@ object PipelineQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n, sum(doc_id)::BIGINT AS id_sum, sum(n_chars)::BIGINT AS chars_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT n_name, count(*) AS n, round(sum(value), 4) AS value_sum
+        |FROM events JOIN nation ON user_id = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts) AS t FROM events),
