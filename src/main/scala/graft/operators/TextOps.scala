@@ -191,6 +191,27 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Within-document repeated-segment removal — boilerplate stripping:
+    * split on `sep` (lines, sentences), keep only each segment's FIRST
+    * occurrence (order preserved), rejoin. The first-occurrence rule is
+    * `array_position(segs, x) == i+1`, replayable in any engine with
+    * indexed lambdas (order-preserving, unlike a distinct). O(segments²)
+    * per row — segments are lines/sentences (tens to hundreds), and the
+    * pass stays narrow/per-row, so this is scan-bound at any corpus
+    * size. Adds `out` (cleaned text) and `${out}_dropped` (segment
+    * count removed). */
+  def dropRepeatedSegments(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sep: String, out: String): org.apache.spark.sql.DataFrame = {
+    val segs = col("__drs_segs")
+    val kept = filter(segs, (x, i) => array_position(segs, x) === i + 1)
+    df.withColumn("__drs_segs",
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn(out, array_join(kept, sep))
+      .withColumn(s"${out}_dropped",
+        (size(segs) - size(kept)).cast(org.apache.spark.sql.types.LongType))
+      .drop("__drs_segs")
+  }
+
   /** NFC unicode normalization (native codegen'd expression): fold
     * combining-mark and precomposed forms onto one canonical spelling
     * BEFORE dedup keys / fingerprints — "café" typed two ways must be

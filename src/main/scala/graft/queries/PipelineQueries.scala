@@ -131,6 +131,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Boilerplate stripping: repeated sentences within a doc keep only
+    // their first occurrence (planted "call now" spam repeats). Order
+    // preserved — a distinct would reorder.
+    "q_line_dedup" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(". call now. call now. visit example. call now")).as("t"))
+      TextOps.dropRepeatedSegments(synth, "t", ". ", "cleaned")
+        .select(col("doc_id"), col("cleaned"), col("cleaned_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perplexity-proxy quality: per-doc mean unigram log-prob under the
     // corpus's own unigram LM — flags gibberish (low) and boilerplate
     // (high) tails the ratio heuristics miss
@@ -853,6 +865,19 @@ object PipelineQueries {
         |  length(nfc_normalize(t))::BIGINT AS n_chars_nfc,
         |  (length(t) - length(nfc_normalize(t)))::BIGINT AS n_composed
         |FROM synth ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || '. call now. call now. visit example. call now' AS t
+        |  FROM documents),
+        |segs AS (SELECT doc_id, string_split(t, '. ') AS l FROM synth)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), '. ')
+        |    AS cleaned,
+        |  (len(l) - len(list_filter(l, (x, i) -> list_position(l, x) = i)))::BIGINT
+        |    AS cleaned_dropped
+        |FROM segs ORDER BY doc_id""".stripMargin,
 
     "q_unigram_lp" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

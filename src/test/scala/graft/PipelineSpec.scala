@@ -464,6 +464,17 @@ class PipelineSpec extends SparkSpec {
     assert(viaSql == "caf\u00e9")
   }
 
+  test("dropRepeatedSegments: first occurrence kept in order; distinct would reorder") {
+    import spark.implicits._
+    val df = Seq((1L, "b. a. b. c. a"), (2L, "x"), (3L, "z. z. z")).toDF("id", "t")
+    val out = TextOps.dropRepeatedSegments(df, "t", ". ", "clean")
+      .orderBy("id").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(out(0) == (("b. a. c", 2L)))
+    assert(out(1) == (("x", 0L)))
+    assert(out(2) == (("z", 2L)))
+  }
+
   test("urlDomains extracts hosts; non-URLs untouched") {
     import spark.implicits._
     val got = Seq("go to https://a.example.com/x and http://b.org, not ftp://c.net or plain words")
