@@ -299,20 +299,38 @@ object Dedup {
       family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
     val ts = minhashSignatures(train, textCol, idCol, k, shingleN, family)
       .select(col(idCol).as("train_id"), col("sig"))
-    val es = minhashSignatures(evalSet, textCol, idCol, k, shingleN, family)
-      .select(col(idCol).as("eval_id"), col("sig"))
-    val tb = minhashBandBuckets(ts, "train_id", k, bands)
-    val eb = minhashBandBuckets(es, "eval_id", k, bands)
-    val cands = tb.join(eb, Seq("band", "bucket"))
-      .select("train_id", "eval_id").distinct()
+    nearDupsAgainstIndex(evalSet, ts, textCol, idCol, threshold, k, bands,
+        shingleN, family)
+      .select(col("index_id").as("train_id"), col("probe_id").as("eval_id"),
+        col("est_jaccard"))
+  }
+
+  /** Match a new batch against a PERSISTED signature index — the
+    * production incremental flow: `indexSigs` is a stored (train_id, sig)
+    * table (compute once via [[minhashSignatures]], keep as parquet —
+    * bucketed on the band key via TableIO.writeBucketed if the index is
+    * re-probed often), so the heavy signature pass over the corpus is
+    * paid ONCE, and each ingest batch only computes its own signatures
+    * and joins the bands. Output: (index_id, probe_id, est_jaccard). */
+  def nearDupsAgainstIndex(probe: DataFrame, indexSigs: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
+    val is = indexSigs.toDF(Seq("index_id", "sig"): _*)
+    val ps = minhashSignatures(probe, textCol, idCol, k, shingleN, family)
+      .select(col(idCol).as("probe_id"), col("sig"))
+    val ib = minhashBandBuckets(is, "index_id", k, bands)
+    val pb = minhashBandBuckets(ps, "probe_id", k, bands)
+    val cands = ib.join(pb, Seq("band", "bucket"))
+      .select("index_id", "probe_id").distinct()
     cands
-      .join(ts.select(col("train_id"), col("sig").as("sig_t")), "train_id")
-      .join(es.select(col("eval_id"), col("sig").as("sig_e")), "eval_id")
+      .join(is.select(col("index_id"), col("sig").as("sig_i")), "index_id")
+      .join(ps.select(col("probe_id"), col("sig").as("sig_p")), "probe_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_t"), col("sig_e"), (x, y) => x === y), b => b))
+        size(filter(zip_with(col("sig_i"), col("sig_p"), (x, y) => x === y), b => b))
           .cast(DoubleType) / k)
       .filter(col("est_jaccard") >= threshold)
-      .select(col("train_id"), col("eval_id"), col("est_jaccard"))
+      .select(col("index_id"), col("probe_id"), col("est_jaccard"))
   }
 
   /** SimHash fingerprints via explode + partial-aggregated bit counts —

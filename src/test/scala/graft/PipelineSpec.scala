@@ -499,6 +499,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nearDupsAgainstIndex: persisted signatures match the two-sided pipeline") {
+    import spark.implicits._
+    val train = docs.select("doc_id", "text")
+    val probe = train.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 900L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    // "persist" the index: signatures round-trip through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx")
+      .resolve("index").toString
+    Dedup.minhashSignatures(train, "text", "doc_id", k = 16, shingleN = 3)
+      .write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaIndex = Dedup.nearDupsAgainstIndex(probe, stored, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.crossCorpusNearDups(train, probe, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && viaIndex.contains((0L, 900L)))
+  }
+
   test("bloom sketch: no false negatives; bounded false-positive rate") {
     import spark.implicits._
     val corpus = (0L until 2000L).map(i => s"doc text number $i").toDF("text")
