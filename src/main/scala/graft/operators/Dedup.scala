@@ -243,7 +243,10 @@ object Dedup {
     * the loop); `maxRounds` is a safety bound only. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25): DataFrame = {
-    val sym = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+    // ids keep their natural type — min/least need only an ordering, and
+    // a long cast would null out string/hash ids and silently no-op the
+    // whole clustering
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()

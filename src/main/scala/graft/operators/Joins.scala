@@ -35,6 +35,13 @@ object Joins {
     saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Time column → long microseconds (timestamps via unix_micros,
+    * integral keys as-is) — shared by the range/overlap/as-of joins. */
+  private def micros(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _ => c.cast(LongType)
+  }
+
   /** Point-in-interval range join: left rows paired with the right rows
     * sharing `keys` whose [rStart, rEnd] interval (inclusive) contains
     * `lTime`. Timestamps or integer times.
@@ -54,10 +61,6 @@ object Joins {
       lTime: String, rStart: String, rEnd: String,
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0)
-    def micros(c: Column, dt: DataType): Column = dt match {
-      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
-      case _ => c.cast(LongType)
-    }
     def bucketOf(c: Column, dt: DataType): Column =
       floor(micros(c, dt) / bucketMicros).cast(LongType)
     val lb = left.withColumn("__b", bucketOf(col(lTime), left.schema(lTime).dataType))
@@ -82,13 +85,9 @@ object Joins {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0)
-    def micros(df: DataFrame, name: String): Column = df.schema(name).dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(col(name).cast(TimestampType))
-      case _ => col(name).cast(LongType)
-    }
     def buckets(df: DataFrame, s: String, e: String): (Column, Column) =
-      (floor(micros(df, s) / bucketMicros).cast(LongType),
-       floor(micros(df, e) / bucketMicros).cast(LongType))
+      (floor(micros(col(s), df.schema(s).dataType) / bucketMicros).cast(LongType),
+       floor(micros(col(e), df.schema(e).dataType) / bucketMicros).cast(LongType))
     val (lb0, lb1) = buckets(left, lStart, lEnd)
     val (rb0, rb1) = buckets(right, rStart, rEnd)
     val lb = left.withColumn("__b0", lb0)
@@ -142,10 +141,6 @@ object Joins {
     // union-tag: right rows carry their payload in one struct; left rows
     // carry their full row in another. Null-keyed / null-timed RIGHT rows
     // can never match and are dropped up front.
-    def micros(c: Column, dt: DataType): Column = dt match {
-      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
-      case _ => c.cast(LongType)
-    }
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val rStruct = struct(col(rightTime).as("__rt") +: payload.map(col).toIndexedSeq: _*)
     val rUp = right

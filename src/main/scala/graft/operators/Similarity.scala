@@ -283,8 +283,12 @@ object Similarity {
 
   /** Embedding dimensionality, sniffed from one row (embedding columns are
     * fixed-dim). One tiny job; lets the plane family fold to literals. */
-  private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val first = df.select(size(col(vecCol))).take(1)
+    require(first.nonEmpty,
+      s"cannot infer embedding dimensionality of '$vecCol': input has no rows")
+    first(0).getInt(0)
+  }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
     * cells; each query probes only the `nProbe` nearest cells, exact

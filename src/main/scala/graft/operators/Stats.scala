@@ -90,10 +90,14 @@ object Stats {
     val stats = df.groupBy(keyCols.map(col): _*)
       .agg(round(avg(col(valCol)), 6).as("__mean"),
         round(stddev_pop(col(valCol)), 6).as("__std"))
-    df.join(stats, keyCols)
+    // null-SAFE join back: groupBy keeps the null-key group, and a plain
+    // equi-join would silently drop its rows instead of scoring them
+    val statsR = keyCols.foldLeft(stats)((d, k) => d.withColumnRenamed(k, s"__zk_$k"))
+    val cond = keyCols.map(k => col(k) <=> col(s"__zk_$k")).reduce(_ && _)
+    df.join(statsR, cond, "left")
       .withColumn("z",
         when(col("__std") > 0, (col(valCol) - col("__mean")) / col("__std")))
-      .drop("__mean", "__std")
+      .drop(keyCols.map(k => s"__zk_$k") :+ "__mean" :+ "__std": _*)
   }
 
   /** Fixed-range numeric histogram: `bins` equal-width buckets over
@@ -126,6 +130,8 @@ object Stats {
     val qs = (1 until bins).map(i =>
       InterpolatedQuantile.quantileCol(col(c), i.toDouble / bins).as(s"b$i"))
     val row = df.agg(qs.head, qs.tail: _*).head()
+    require(!row.isNullAt(0),
+      s"equiDepthBins: '$c' has no non-null values — boundaries undefined")
     val bounds = (0 until bins - 1).map(row.getDouble)
     val bin = bounds.map(b => when(col(c) > b, 1L).otherwise(0L)).reduce(_ + _)
     df.withColumn("bin", when(col(c).isNotNull, bin))
@@ -275,11 +281,6 @@ object Stats {
     df.groupBy(bucket.getField("start").as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
   }
-
-  /** Approximate distinct count (HLL++) — the bounded-memory scale path
-    * where countValues/exact distinct would shuffle every value. */
-  def approxCountDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
-    df.agg(approx_count_distinct(col(c), rsd).as("approx_distinct"))
 
   /** Heavy hitters — approximate frequent items above a support
     * threshold (Karp/misra-gries style single pass, bounded state,

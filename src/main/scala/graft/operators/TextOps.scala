@@ -127,8 +127,11 @@ object TextOps {
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, nTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val n = nTokens.getOrElse(tok.count())
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c")).cache()
+    // total token count folds out of the (cached, vocab-sized) aggregate —
+    // NOT a third full tokenize pass over the corpus
+    val n = nTokens.getOrElse(
+      vocab.agg(sum(col("c"))).head().getLong(0))
     tok.join(vocab, Seq("token"))
       .groupBy(col(idCol))
       .agg((sum(log(col("c").cast(DoubleType) / n)) / count(lit(1))).as("avg_logprob"),

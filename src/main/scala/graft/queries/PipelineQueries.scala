@@ -17,6 +17,38 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared harness for the gated REAL StreamingQueries: stage the driver
+    * parquet file into a temp dir (the file stream source monitors a
+    * DIRECTORY; in production the source already is one), run
+    * `mkAgg(stream)` through a memory sink with one availableNow pass,
+    * return the sink table. The staged copy is deleted after termination
+    * — results live in the sink. */
+  private def runAvailableNow(s: SparkSession, tableFile: String,
+      prefix: String, outputMode: String)(mkAgg: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.parquet(tableFile).schema
+    val stageDir = java.nio.file.Files.createTempDirectory(prefix)
+    val staged = stageDir.resolve(new java.io.File(tableFile).getName)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(tableFile), staged)
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = mkAgg(s.readStream.schema(schema).parquet(stageDir.toString))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.deleteIfExists(staged)
+    java.nio.file.Files.deleteIfExists(stageDir)
+    s.table(sink)
+  }
+
+  /** Watermarks demand TimestampType (not NTZ); session tz is UTC so the
+    * instant-typed window bounds equal the NTZ wall-clock ones. Driver
+    * events.ts arrives as long nanos under nanosAsLong. */
+  private def coerceTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df.withColumn("ts", col("ts").cast(TimestampType))
+
   /** documents augmented with deterministic near-duplicates (doc_id+100000,
     * one token appended) so near-dup detection has planted positives. */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -170,32 +202,12 @@ object PipelineQueries {
     // nothing is watermark-dropped in a one-shot replay, so the result is
     // deterministic.
     "q_stream_tumbling" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      // the file stream source monitors a DIRECTORY; stage the single
-      // driver file into one (in production the source would already be a
-      // directory of arriving part-files)
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        stageDir.resolve("events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(stageDir.toString)
-      // watermarks demand TimestampType (not NTZ); session tz is UTC so
-      // the instant-typed window bounds equal the NTZ wall-clock ones
-      val ev =
-        if (schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw.withColumn("ts", col("ts").cast(TimestampType))
-      val agg = graft.streaming.StreamOps.tumblingAgg(
-        ev, "ts", "event_type", "value", "1 hour", "10 minutes")
-      val sink = "q_stream_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       // mean re-derived as round(sum,4)/count on BOTH sides: identical
       // doubles divide bit-identically (see graft-driver-contract notes)
-      s.table(sink)
+      runAvailableNow(s, s"$dir/events.parquet", "graft_stream", "complete") {
+        stream => graft.streaming.StreamOps.tumblingAgg(coerceTs(stream),
+          "ts", "event_type", "value", "1 hour", "10 minutes")
+      }
         .select(col("window.start").cast(TimestampNTZType).as("bucket"), col("event_type"),
           round(col("sum"), 4).as("value_sum"),
           (round(col("sum"), 4) / col("count")).as("value_mean"),
@@ -210,25 +222,10 @@ object PipelineQueries {
     // sessions break at diff >= gap (window end is exclusive), so the
     // batch oracle uses >= where Stats.sessionize uses >.
     "q_stream_session" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        stageDir.resolve("events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(stageDir.toString)
-      val ev =
-        if (schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw.withColumn("ts", col("ts").cast(TimestampType))
-      val agg = graft.streaming.StreamOps.sessionAgg(
-        ev, "ts", "user_id", "value", "30 minutes", "10 minutes")
-      val sink = "q_stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      runAvailableNow(s, s"$dir/events.parquet", "graft_stream_sess", "complete") {
+        stream => graft.streaming.StreamOps.sessionAgg(coerceTs(stream),
+          "ts", "user_id", "value", "30 minutes", "10 minutes")
+      }
         .select(col("user_id"),
           col("session_window.start").cast(TimestampNTZType).as("session_start"),
           round(col("sum"), 4).as("value_sum"), col("count").as("n"))
@@ -240,25 +237,15 @@ object PipelineQueries {
     // the static side broadcasts per micro-batch). Aggregated per
     // enriched key in complete mode, one availableNow pass.
     "q_stream_join" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_join")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        stageDir.resolve("events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(stageDir.toString)
-        .select(col("user_id"), col("value"))
       val dim = t(s, dir, "nation")
         .select(col("n_nationkey").as("user_id"), col("n_name"))
-      val agg = stream.join(dim, Seq("user_id"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("vsum"))
-      val sink = "q_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      runAvailableNow(s, s"$dir/events.parquet", "graft_stream_join", "complete") {
+        stream =>
+          stream.select(col("user_id"), col("value"))
+            .join(dim, Seq("user_id"))
+            .groupBy(col("n_name"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("vsum"))
+      }
         .select(col("n_name"), col("n"), round(col("vsum"), 4).as("value_sum"))
         .orderBy(col("n_name"))
     }),
@@ -268,25 +255,10 @@ object PipelineQueries {
     // overlapping windows). Complete mode, one availableNow pass; the
     // batch oracle replays the window fan-out with slide arithmetic.
     "q_stream_sliding" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_slide")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        stageDir.resolve("events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(stageDir.toString)
-      val ev =
-        if (schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw.withColumn("ts", col("ts").cast(TimestampType))
-      val agg = graft.streaming.StreamOps.slidingAgg(
-        ev, "ts", "event_type", "value", "1 hour", "15 minutes", "10 minutes")
-      val sink = "q_stream_slide_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      runAvailableNow(s, s"$dir/events.parquet", "graft_stream_slide", "complete") {
+        stream => graft.streaming.StreamOps.slidingAgg(coerceTs(stream),
+          "ts", "event_type", "value", "1 hour", "15 minutes", "10 minutes")
+      }
         .select(col("window.start").cast(TimestampNTZType).as("bucket"),
           col("event_type"),
           round(col("sum"), 4).as("value_sum"), col("count").as("n"))
@@ -300,25 +272,16 @@ object PipelineQueries {
     // arrival-independent part: distinct-text count per lang. Planted
     // dups: every 10th doc shares one boilerplate text.
     "q_stream_dedup" -> ((s, dir) => {
-      val path = s"$dir/documents.parquet"
-      val schema = s.read.parquet(path).schema
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        stageDir.resolve("documents.parquet"))
-      val d = s.readStream.schema(schema).parquet(stageDir.toString)
-        .select(col("lang"),
-          when(col("doc_id") % 10 === 0, lit("shared boilerplate text"))
-            .otherwise(col("text")).as("text"),
-          timestamp_seconds(lit(1700000000L) + col("doc_id") % 100).as("ts"))
-      val deduped = graft.streaming.StreamOps.streamingDedup(
-        d, "ts", Seq("lang", "text"), "1 hour")
-      val sink = "q_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).groupBy(col("lang"))
+      runAvailableNow(s, s"$dir/documents.parquet", "graft_stream_dedup", "append") {
+        stream =>
+          graft.streaming.StreamOps.streamingDedup(
+            stream.select(col("lang"),
+              when(col("doc_id") % 10 === 0, lit("shared boilerplate text"))
+                .otherwise(col("text")).as("text"),
+              timestamp_seconds(lit(1700000000L) + col("doc_id") % 100).as("ts")),
+            "ts", Seq("lang", "text"), "1 hour")
+      }
+        .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_distinct_texts"))
         .orderBy(col("lang"))
     }),

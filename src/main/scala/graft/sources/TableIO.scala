@@ -26,8 +26,11 @@ object TableIO {
   case object Json extends Format
 
   /** Sniff the on-disk signature: zip magic (XLSX), "FEA1" (Feather v1),
-    * "PAR1" (Parquet), "ORC" (ORC), a '{'/'[' first byte (JSON lines),
-    * else CSV — reference: IO/IO.cpp:182-216 (ORC/JSON beyond-reference). */
+    * "PAR1" (Parquet), "ORC" head magic CONFIRMED by the tail postscript
+    * magic (a CSV whose header starts "ORCID,…" must stay CSV), a `{"`
+    * prefix (JSON-lines objects — a bare '{'/'[' would misread quoted
+    * CSV fields), else CSV — reference: IO/IO.cpp:182-216 (ORC/JSON
+    * beyond-reference). */
   def sniff(path: String): Format = {
     val f = new java.io.File(path)
     val probe = if (f.isDirectory) {
@@ -43,10 +46,25 @@ object TableIO {
       else if (magic(0) == 'P' && magic(1) == 'K') Xlsx
       else if (new String(magic, "ASCII") == "FEA1") Feather
       else if (new String(magic, "ASCII") == "PAR1") Parquet
-      else if (magic(0) == 'O' && magic(1) == 'R' && magic(2) == 'C') Orc
-      else if (magic(0) == '{' || magic(0) == '[') Json
+      else if (magic(0) == 'O' && magic(1) == 'R' && magic(2) == 'C'
+          && orcTailMagic(probe)) Orc
+      else if (magic(0) == '{' && magic(1) == '"') Json
       else Csv
     } finally in.close()
+  }
+
+  /** ORC files end with a postscript whose final bytes are "ORC" followed
+    * by the one-byte postscript length — the head bytes alone collide
+    * with CSV headers like "ORCID,name". */
+  private def orcTailMagic(f: java.io.File): Boolean = {
+    if (f.length < 8) return false
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      raf.seek(f.length - 4)
+      val tail = new Array[Byte](4)
+      raf.readFully(tail)
+      tail(0) == 'O' && tail(1) == 'R' && tail(2) == 'C'
+    } finally raf.close()
   }
 
   def read(spark: SparkSession, path: String): DataFrame = sniff(path) match {

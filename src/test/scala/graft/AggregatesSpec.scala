@@ -236,6 +236,16 @@ class AggregatesSpec extends SparkSpec {
     assert(Set("hot_a", "hot_b", "hot_c").subsetOf(got))
   }
 
+  test("zscores: null-key rows are scored in their own group, not dropped") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None, Some(2.0)), (None, Some(4.0))).toDF("k", "x")
+    val out = Stats.zscores(df, "x", Seq("k")).collect()
+    assert(out.length == 4) // nothing silently dropped
+    val nullGroup = out.filter(_.isNullAt(0)).map(_.getDouble(2)).sorted
+    assert(nullGroup.length == 2 && math.abs(nullGroup(0) + 1.0) < 1e-9)
+  }
+
   test("zscores: per-key standardization, degenerate and null gates") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(5.0)),

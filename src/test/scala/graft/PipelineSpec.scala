@@ -554,6 +554,16 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet)
   }
 
+  test("connectedComponents keeps natural id types (string/hash ids work)") {
+    import spark.implicits._
+    val pairs = Seq(("doc_b", "doc_a"), ("doc_b", "doc_c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("doc_a" -> "doc_a", "doc_b" -> "doc_a", "doc_c" -> "doc_a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("connectedComponents: chains close transitively, min-id roots") {
     import spark.implicits._
     // two components: a 4-chain (1-2-3-4) and a pair (10-11); edges given

@@ -27,6 +27,23 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.sniff(xlsx) == TableIO.Xlsx)
   }
 
+  test("sniff does not misread CSV as ORC/JSON (head-magic collisions)") {
+    // a CSV whose header starts with the 3-byte ORC magic must stay CSV —
+    // real ORC is confirmed by the tail postscript magic
+    val orcish = tmp("authors.csv", "ORCID,name\n0001,ada\n")
+    assert(TableIO.sniff(orcish) == TableIO.Csv)
+    // bracketed/braced first fields are CSV, not JSON lines
+    assert(TableIO.sniff(tmp("b.csv", "[note],x\n1,2\n")) == TableIO.Csv)
+    assert(TableIO.sniff(tmp("c.csv", "{tag},x\n1,2\n")) == TableIO.Csv)
+    // real JSON-lines objects still detected
+    assert(TableIO.sniff(tmp("d.jsonl", "{\"a\": 1}\n{\"a\": 2}\n")) == TableIO.Json)
+    // real ORC still detected (Spark-written directory)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftorc").resolve("t.orc").toString
+    Seq((1L, "x")).toDF("i", "s").write.orc(dir)
+    assert(TableIO.sniff(dir) == TableIO.Orc)
+  }
+
   test("header policies: first-row, generated colN, custom names") {
     val path = tmp("h.csv", "x,y\n1,2\n3,4\n")
     val first = TableIO.readCsv(spark, path, TableIO.CsvOptions())
