@@ -357,6 +357,45 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).getString(1) == "multi <IP> and <IP> mails <EMAIL> <EMAIL>")
   }
 
+  test("redactPii is idempotent and stable on placeholder tokens") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val frags = Seq("plain words", "a@b.cc", "10.0.0.1", "123456789012",
+      "<EMAIL>", "<IP>", "<NUM>", "x1.2.3", "mail-at@ex.org end")
+    val texts = (0 until 60).map(_ =>
+      Seq.fill(4)(frags(rnd.nextInt(frags.length))).mkString(" "))
+    val rows = texts.toDF("t").select(
+        TextOps.redactPii(col("t")).as("once"),
+        TextOps.redactPii(TextOps.redactPii(col("t"))).as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("packBudget property: random budgets/streams match the driver model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val budget = 20L + rnd.nextInt(200)
+      val streams = 1 + rnd.nextInt(6)
+      val rows = (0L until 150L).map(i => (i, 1L + rnd.nextInt(30)))
+      val got = graft.operators.Sampling.packBudget(
+          rows.toDF("id", "toks"), "toks", "id", budget, streams)
+        .select(col("id"), col("stream").cast("long"), col("batch").cast("long"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // driver model: same fingerprint stream, same exclusive-cumsum rule
+      val byStream = rows.groupBy { case (id, _) =>
+        graft.operators.TextOps.fingerprintOf(id.toString) % streams
+      }
+      byStream.foreach { case (stream, rs) =>
+        var cum = 0L
+        rs.sortBy(_._1).foreach { case (id, tk) =>
+          assert(got(id) == ((stream, cum / budget)), s"trial=$trial id=$id")
+          cum += tk
+        }
+      }
+    }
+  }
+
   test("packBudget: greedy-boundary semantics per stream; partitioning-invariant") {
     import spark.implicits._
     val rows = (0L until 100L).map(i => (i, 10L + (i % 7))).toDF("id", "toks")
