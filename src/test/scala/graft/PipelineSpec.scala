@@ -434,6 +434,39 @@ class PipelineSpec extends SparkSpec {
     assert(repacked == got.map(r => (r._1, r._4)).toSet)
   }
 
+  test("capPerLabel property: equals the driver fingerprint-rank model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (0L until 200L).map(i => (i, s"lab${rnd.nextInt(4)}"))
+    for (maxN <- Seq(1, 7, 30)) {
+      val got = graft.operators.Sampling.capPerLabel(
+          rows.toDF("id", "label"), "id", "label", maxN)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy { case (id, _) =>
+          (graft.operators.TextOps.fingerprintOf(id.toString) % 100000, id)
+        }.take(maxN)
+      }.toSet
+      assert(got == expected, s"maxN=$maxN")
+    }
+  }
+
+  test("weightedMix property: equals the driver floor+frac-bucket model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val weights = Map("a" -> 2.5, "b" -> 0.37, "c" -> 1.0)
+    val rows = (0L until 300L).map(i => (i, s"${('a' + rnd.nextInt(4)).toChar}"))
+    val got = graft.operators.Sampling.weightedMix(
+        rows.toDF("id", "label"), "id", "label", weights, defaultWeight = 0.1)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, lab) =>
+      val pct = math.round(weights.getOrElse(lab, 0.1) * 100)
+      val bucket = graft.operators.TextOps.fingerprintOf(id.toString) % 100
+      val copies = pct / 100 + (if (bucket < pct % 100) 1 else 0)
+      assert(got.getOrElse(id, 0L) == copies, s"id=$id lab=$lab")
+    }
+  }
+
   test("capPerLabel: at most N per label, deterministic keep-set, growth-stable") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "label")
