@@ -308,6 +308,48 @@ object Dedup {
         col("est_jaccard"))
   }
 
+  /** EXACT n-gram collision decontamination (the GPT-3/PaLM eval-overlap
+    * rule): a training doc is contaminated when it shares ANY exact token
+    * n-gram with the eval set. Complements [[crossCorpusNearDups]] —
+    * MinHash catches whole-doc near-dups; the n-gram rule catches a
+    * verbatim eval QUOTE embedded in an otherwise-unrelated doc, which
+    * whole-doc Jaccard dilutes below any usable threshold. Returns every
+    * `train` row plus `n_collisions` (distinct shared n-grams, 0 for
+    * clean) and `contaminated`.
+    *
+    * Shape (100 TB): both sides dedup their n-grams row-locally
+    * (`array_distinct`, narrow) before exploding; the eval side collapses
+    * to one distinct n-gram set — benchmark suites are millions of
+    * n-grams vs trillions in the corpus, so AQE broadcasts it and the
+    * train side never shuffles. The join key is the exact shingle string:
+    * no hash false-positives in a correctness-critical gate. */
+  def ngramCollisions(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"ngramCollisions: n must be >= 1, got $n")
+    def grams(d: DataFrame) =
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+    val evalGrams = evalSet.select(explode(grams(evalSet)).as("__g")).distinct()
+    val hits = train.select(col(idCol), explode(grams(train)).as("__g"))
+      .join(evalGrams, Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_collisions"))
+    train.join(hits, Seq(idCol), "left")
+      .withColumn("n_collisions", coalesce(col("n_collisions"), lit(0L)))
+      .withColumn("contaminated", col("n_collisions") > 0)
+  }
+
+  /** Drop contaminated training docs (see [[ngramCollisions]]) — the
+    * anti-join form: train rows with no exact n-gram in the eval set. */
+  def dropNgramContaminated(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    def grams(d: DataFrame) =
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+    val evalGrams = evalSet.select(explode(grams(evalSet)).as("__g")).distinct()
+    train.join(
+      train.select(col(idCol), explode(grams(train)).as("__g"))
+        .join(evalGrams, Seq("__g")).select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Match a new batch against a PERSISTED signature index — the
     * production incremental flow: `indexSigs` is a stored (train_id, sig)
     * table (compute once via [[minhashSignatures]], keep as parquet —

@@ -215,6 +215,58 @@ object TextOps {
       .drop("__drs_segs")
   }
 
+  /** CROSS-document boilerplate removal (the CCNet/C4 rule): any segment
+    * occurring in MORE than `maxDocShare` of all documents is corpus
+    * boilerplate — cookie banners, navigation chrome, license footers —
+    * and is removed from EVERY document. Complements
+    * [[dropRepeatedSegments]], which only sees repeats WITHIN one doc.
+    * Segment = exact `sep`-delimited substring (normalize first with
+    * [[normalizeText]]/[[normalizeUnicode]] if formatting variants should
+    * collapse). Adds `out` (cleaned text, '' when every segment was
+    * boilerplate) and `${out}_dropped` (segments removed); null text
+    * stays null.
+    *
+    * Shape (100 TB): within-doc repeats collapse row-locally
+    * (`array_distinct`) BEFORE the one per-segment doc-frequency shuffle
+    * (map-side combined); the frequent set — only segments above the
+    * share threshold, orders of magnitude smaller than the corpus —
+    * anti-joins the exploded segments (AQE broadcasts it when it fits),
+    * and one groupBy(id) reassembles surviving segments in document
+    * order. `nDocs` skips the count job when the caller knows N.
+    */
+  def dropFrequentLines(df: DataFrame, textCol: String, idCol: String,
+      sep: String, maxDocShare: Double, out: String,
+      nDocs: Option[Long] = None): DataFrame = {
+    require(maxDocShare > 0.0 && maxDocShare <= 1.0,
+      s"dropFrequentLines: maxDocShare must be in (0, 1], got $maxDocShare")
+    val n = nDocs.getOrElse(df.count())
+    val segsOf = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val exploded = df
+      .select(col(idCol), posexplode(segsOf).as(Seq("__pos", "__seg")))
+    val frequent = df
+      .select(explode(array_distinct(segsOf)).as("__seg"))
+      .groupBy(col("__seg")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > lit(maxDocShare * n))
+      .select(col("__seg"))
+    val reassembled = exploded
+      .join(frequent, Seq("__seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          _.getField("__seg")), sep).as(out),
+        count(lit(1)).as("__kept"))
+    df.withColumn("__total", size(segsOf).cast(LongType))
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn(out,
+        when(col(textCol).isNull, lit(null).cast(StringType))
+          .otherwise(coalesce(col(out), lit(""))))
+      .withColumn(s"${out}_dropped",
+        when(col(textCol).isNull, lit(null).cast(LongType))
+          .otherwise(col("__total") - coalesce(col("__kept"), lit(0L))))
+      .drop("__kept", "__total")
+  }
+
   /** Mojibake repair — the classic double-encoding corpus defect: UTF-8
     * bytes mis-decoded as Latin-1 once ("café" → "cafÃ©"). Heuristic
     * inverse: re-encode as Latin-1 and decode as UTF-8, applied only when

@@ -380,6 +380,39 @@ object PipelineQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // EXACT-overlap decontamination (GPT-3 appendix-C rule): the eval set
+    // is 10-token verbatim QUOTES lifted from every 50th doc — whole-doc
+    // MinHash Jaccard dilutes an embedded quote below any threshold, but
+    // one shared exact 5-gram flags it. Eval n-gram set is the broadcast
+    // side; train never shuffles.
+    "q_ngram_decon" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select("doc_id", "text")
+      val evalSet = train.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 6, 10)).as("text"))
+      Dedup.ngramCollisions(train, evalSet, "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_collisions"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CROSS-document boilerplate removal (CCNet/C4 rule): segments
+    // occurring in >5% of docs (planted license/newsletter/privacy
+    // footers on every 3rd/5th doc) are stripped corpus-wide while each
+    // doc's unique body survives — the complement of q_line_dedup's
+    // within-doc rule.
+    "q_boilerplate" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(". all rights reserved. subscribe to our newsletter")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(". privacy policy")).otherwise(lit(""))).as("t"))
+      TextOps.dropFrequentLines(synth, "t", "doc_id", ". ",
+          maxDocShare = 0.05, out = "cleaned")
+        .select(col("doc_id"), col("cleaned"), col("cleaned_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-label deterministic sampling (class rebalancing / source
     // mixing): en halved, de whole, everything else 10%
     "q_stratified" -> ((s, dir) => {
@@ -767,6 +800,55 @@ object PipelineQueries {
         |SELECT train_id, eval_id, round(est_jaccard, 6) AS est_jaccard
         |FROM est WHERE est_jaccard >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_ngram_decon" ->
+      """WITH ev AS (
+        |  SELECT array_to_string(toks[6:15], ' ') AS text
+        |  FROM (SELECT string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id % 50 = 0)),
+        |evg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4]))) AS g
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM ev)),
+        |trg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n FROM trg
+        |  WHERE g IN (SELECT g FROM evg) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_collisions,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '. all rights reserved. subscribe to our newsletter' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '. privacy policy' ELSE '' END AS t
+        |  FROM documents),
+        |segs AS (SELECT doc_id, string_split(t, '. ') AS l FROM synth),
+        |ex0 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM segs),
+        |ex AS (SELECT doc_id, i, l[i] AS seg FROM ex0),
+        |freq AS (
+        |  SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM ex)
+        |  GROUP BY seg HAVING count(*) > 0.05 * (SELECT count(*) FROM synth)),
+        |kept AS (SELECT doc_id, i, seg FROM ex
+        |         WHERE seg NOT IN (SELECT seg FROM freq)),
+        |agg AS (SELECT doc_id, string_agg(seg, '. ' ORDER BY i) AS cleaned,
+        |               count(*) AS k
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(l) AS total FROM segs)
+        |SELECT s.doc_id, coalesce(a.cleaned, '') AS cleaned,
+        |  (t2.total - coalesce(a.k, 0))::BIGINT AS cleaned_dropped
+        |FROM synth s JOIN tot t2 USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_pii" ->
       """WITH synth AS (

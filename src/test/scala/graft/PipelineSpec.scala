@@ -563,6 +563,71 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == (("z", 2L)))
   }
 
+  test("dropFrequentLines: corpus-frequent segments removed, unique bodies survive") {
+    import spark.implicits._
+    // footer "ad" in 3 of 4 docs (75% > 50%); each body unique; doc 4's
+    // every segment is boilerplate -> comes back empty
+    val df = Seq(
+      (1L, "alpha one. ad"), (2L, "beta two. ad"),
+      (3L, "gamma three"), (4L, "ad")).toDF("id", "t")
+    val out = TextOps.dropFrequentLines(df, "t", "id", ". ", 0.5, "clean")
+      .orderBy("id").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(out(0) == (("alpha one", 1L)))
+    assert(out(1) == (("beta two", 1L)))
+    assert(out(2) == (("gamma three", 0L)))
+    assert(out(3) == (("", 1L)))
+  }
+
+  test("dropFrequentLines: within-doc repeats count the doc once; order preserved") {
+    import spark.implicits._
+    // "x" repeats inside doc 1 but appears in only 1 of 3 docs (33% < 50%)
+    // -> NOT frequent; doc 3's interleaved footer removal keeps body order
+    val df = Seq(
+      (1L, "x. x. x"), (2L, "body b. footer"),
+      (3L, "footer. first. footer. second")).toDF("id", "t")
+    val out = TextOps.dropFrequentLines(df, "t", "id", ". ", 0.5, "clean")
+      .orderBy("id").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(out(0) == (("x. x. x", 0L)))
+    assert(out(1) == (("body b", 1L)))
+    assert(out(2) == (("first. second", 2L)))
+  }
+
+  test("ngramCollisions: embedded verbatim quote flagged; clean docs zero") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words with no overlap at all here"),
+      (3L, "prefix text quick brown fox jumps over suffix text")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "quick brown fox jumps over")).toDF("doc_id", "text")
+    val got = Dedup.ngramCollisions(train, evalSet, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(r.fieldIndex("n_collisions")),
+        r.getBoolean(r.fieldIndex("contaminated"))))
+    assert(got(0) == ((1L, true)))  // the quote appears verbatim
+    assert(got(1) == ((0L, false)))
+    assert(got(2) == ((1L, true)))  // embedded mid-doc
+    val kept = Dedup.dropNgramContaminated(train, evalSet, "text", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("ngramCollisions counts DISTINCT shared n-grams per doc") {
+    import spark.implicits._
+    // doc repeats the quote twice -> the 5-gram is one distinct collision;
+    // a longer shared run contributes one collision per distinct 5-gram
+    val train = Seq(
+      (1L, "a b c d e x a b c d e"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val evalSet = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.ngramCollisions(train, evalSet, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect()
+      .map(_.getLong(2))
+    assert(got(0) == 1L) // "a b c d e" once, despite two occurrences
+    assert(got(1) == 2L) // "a b c d e" and "b c d e f"
+  }
+
   test("urlDomains extracts hosts; non-URLs untouched") {
     import spark.implicits._
     val got = Seq("go to https://a.example.com/x and http://b.org, not ftp://c.net or plain words")
