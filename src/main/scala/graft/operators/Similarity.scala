@@ -313,6 +313,20 @@ object Similarity {
       .select(col(vecCol)).limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = lloyd(sampled, nCells, iters = 8)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** IVF probe/rank machinery with CALLER-SUPPLIED centroids — the
+    * production split: centroids are fitted once (Lloyd, [[ivfTopK]]) or
+    * pinned to a deterministic coreset and persisted; every subsequent
+    * query batch reuses them, so serving never re-fits. Pinned data-point
+    * centroids also make the whole pipeline engine-replayable (no RNG, no
+    * iteration) — the `q_ann_ivf_pinned` oracle recomputes assignment,
+    * probing, and ranking end-to-end in SQL. Ties in the cell argmax
+    * break toward the lower centroid index. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
     // Cell assignment is a PER-ROW argmax against the (tiny) centroid set:
     // nCells fused-cosine expressions + an array_sort over nCells structs —
     // a narrow projection, NO shuffle. (The earlier crossJoin(centroids) +

@@ -611,6 +611,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with PINNED data-point centroids (vec_id < 16, in id order) —
+    // the serving split: centroids fitted/persisted once, probe + rank
+    // reused per batch. No RNG, no Lloyd -> the oracle replays cell
+    // assignment, nProbe probing, and ranking end-to-end, hash-checking
+    // the IVF machinery the Lloyd variant can only rows-check.
+    "q_ann_ivf_pinned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, cents, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal: text -> binary column -> per-partition decode-stub
     // (mapPartitions) metadata, oracle-checkable (byte count, format sniff,
     // md5 digest). Feature vectors are spec-tested, not oracle'd.
@@ -1284,6 +1301,36 @@ object PipelineQueries {
     "q_multimodal" ->
       """SELECT doc_id, len(text)::BIGINT AS n_bytes, 'unknown' AS format,
         |  md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_ivf_pinned" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        |  FROM embeddings WHERE vec_id < 16),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sim AS (
+        |  SELECT vec_id, cid,
+        |    list_dot_product(v, c) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS s
+        |  FROM v, cent),
+        |corpus_cell AS (
+        |  SELECT vec_id AS nid, cid AS cell FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |query_cell AS (
+        |  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 4),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(qv.v, cv.v) /
+        |      (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+        |  FROM query_cell JOIN corpus_cell USING (cell)
+        |  JOIN v qv ON qv.vec_id = qid JOIN v cv ON cv.vec_id = nid
+        |  WHERE nid <> qid)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
+        |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

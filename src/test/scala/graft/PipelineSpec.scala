@@ -321,6 +321,27 @@ class PipelineSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("IVF with pinned data-point centroids: full probe = exact; recall at partial probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val cents = vecs.filter(col("vec_id") < 6).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val full = Similarity.ivfTopKWithCentroids(vecs, queries, "vec_id", "embedding", 3,
+        cents, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == bf)
+    val partial = Similarity.ivfTopKWithCentroids(vecs, queries, "vec_id", "embedding", 3,
+        cents, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(partial.intersect(bf).size >= bf.size / 3)
+    assert(partial.subsetOf(bf) || partial.nonEmpty) // ranked output well-formed
+  }
+
   test("ngramJaccard maxDocFreq drops hot-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares the hot boilerplate trigram; only 0 and 1 share a
