@@ -79,6 +79,26 @@ object Stats {
       approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_approx_nd"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx_nd")): _*)
 
+  /** Shannon entropy (bits) of each column's value distribution — the
+    * profiling signal for degenerate columns (0 = constant), skewed
+    * label/source mixes, and near-unique keys (≈ log2 n). Nulls form
+    * their own category, like countValues. One row per column:
+    * (column, entropy). Per column: one partial-merged groupBy count +
+    * one scalar aggregate over the (cardinality-sized) count table —
+    * H = log2(N) − Σ n·log2(n) / N, so no per-row p=n/N division pass.
+    * High-cardinality columns pay their cardinality in the count table
+    * (use [[approxDistinct]] first to spot those). */
+  def entropies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropies: at least one column")
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .agg(
+          lit(c).as("column"),
+          (log2(sum(col("__n"))) -
+            sum(col("__n") * log2(col("__n"))) / sum(col("__n"))).as("entropy"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-key z-scores — the grouped outlier/anomaly signal. Key stats go
     * through one partial-merged aggregate and join back (AQE broadcasts
     * when the key table is small — the usual case; a window over the key

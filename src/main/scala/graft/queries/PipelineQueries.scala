@@ -41,6 +41,34 @@ object PipelineQueries {
     s.table(sink)
   }
 
+  /** Two-stream variant of [[runAvailableNow]]: stages the SAME parquet
+    * file into two independent directories so both sides are genuine
+    * file-stream sources (a stream-stream join needs two moving sides). */
+  private def runAvailableNow2(s: SparkSession, tableFile: String,
+      prefix: String, outputMode: String)
+      (mkJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val schema = s.read.parquet(tableFile).schema
+    val dirs = Seq("l", "r").map { side =>
+      val d = java.nio.file.Files.createTempDirectory(prefix + side)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(tableFile),
+        d.resolve(new java.io.File(tableFile).getName))
+      d
+    }
+    val Seq(l, r) = dirs.map(d => s.readStream.schema(schema).parquet(d.toString))
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = mkJoin(l, r)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dirs.foreach { d =>
+      java.nio.file.Files.deleteIfExists(d.resolve(new java.io.File(tableFile).getName))
+      java.nio.file.Files.deleteIfExists(d)
+    }
+    s.table(sink)
+  }
+
   /** Watermarks demand TimestampType (not NTZ); session tz is UTC so the
     * instant-typed window bounds equal the NTZ wall-clock ones. Driver
     * events.ts arrives as long nanos under nanosAsLong. */
@@ -284,6 +312,40 @@ object PipelineQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_distinct_texts"))
         .orderBy(col("lang"))
+    }),
+
+    // Column-entropy profiling: Shannon entropy of the lang/source
+    // mixes — the curation dashboard number for "is this corpus
+    // balanced" (0 = degenerate, log2(cardinality) = uniform).
+    "q_entropy" -> ((s, dir) => {
+      graft.operators.Stats.entropies(t(s, dir, "documents"), Seq("lang", "source"))
+        .select(col("column"), round(col("entropy"), 6).as("entropy"))
+        .orderBy(col("column"))
+    }),
+
+    // Stream-STREAM interval join (both sides move; the sixth gated
+    // streaming face): click->purchase attribution within 6 hours, per
+    // user. The StreamingQuery is the watermarked interval join itself
+    // (append mode — Spark's stream-stream constraint); the graded
+    // result aggregates the sink, which on a complete availableNow pass
+    // equals the batch join exactly.
+    "q_stream_stream" -> ((s, dir) => {
+      val joined = runAvailableNow2(s, s"$dir/events.parquet",
+          "graft_ss", "append") { (l, r) =>
+        graft.streaming.StreamOps.streamStreamIntervalJoin(
+          coerceTs(l).filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id")),
+          coerceTs(r).filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("value").as("purchase_value")),
+          Seq("user_id"), "click_ts", "purchase_ts",
+          lateness = "1 hour", rangeAfter = "6 hours")
+      }
+      joined.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          round(sum(col("purchase_value")), 4).as("purchase_sum"))
+        .orderBy(col("user_id"))
     }),
 
     // Sliding-window document chunking (40-token chunks, 10 overlap) —
@@ -1011,6 +1073,29 @@ object PipelineQueries {
       """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0
         |    THEN 'shared boilerplate text' ELSE text END) AS n_distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_entropy" ->
+      """WITH cl AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY lang),
+        |cs AS (SELECT source AS v, count(*) AS n FROM documents GROUP BY source),
+        |e AS (
+        |  SELECT 'lang' AS "column",
+        |    log2(sum(n)) - sum(n * log2(n)) / sum(n) AS entropy FROM cl
+        |  UNION ALL
+        |  SELECT 'source', log2(sum(n)) - sum(n * log2(n)) / sum(n) FROM cs)
+        |SELECT "column", round(entropy, 6) AS entropy FROM e
+        |ORDER BY "column"""".stripMargin,
+
+    "q_stream_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS t FROM events),
+        |m AS (
+        |  SELECT a.user_id, b.value AS pv
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |   AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |   AND b.t >= a.t AND b.t <= a.t + 21600000000)
+        |SELECT user_id, count(*) AS n_attributed,
+        |  round(sum(pv), 4) AS purchase_sum
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -82,4 +82,35 @@ object StreamOps {
       lateness: String): DataFrame =
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-STREAM inner interval join — both sides move (the enrichment
+    * join has one static side). Equality on `keys` plus a time bound:
+    * rTime in [lTime, lTime + rangeAfter] — the attribution shape
+    * (purchase within N hours of click). BOTH watermarks and the range
+    * bound are what let Spark expire buffered rows on each side; an
+    * unbounded stream-stream join would hold all history in state.
+    * Append output mode only (Spark's stream-stream constraint);
+    * aggregate the matches downstream (or in a follow-up query over the
+    * sink). Time columns must be named differently; non-key payload
+    * columns must not collide (rename first, as with any Spark join). */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lTime: String, rTime: String,
+      lateness: String, rangeAfter: String): DataFrame = {
+    require(lTime != rTime,
+      "streamStreamIntervalJoin: time columns must be named differently")
+    val lPayload = left.columns.filterNot(keys.contains)
+    val rPayload = right.columns.filterNot(keys.contains)
+    val collide = lPayload.toSet.intersect(rPayload.toSet)
+    require(collide.isEmpty,
+      s"streamStreamIntervalJoin: payload columns collide: $collide")
+    val l = left.withWatermark(lTime, lateness).alias("l")
+    val r = right.withWatermark(rTime, lateness).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val rangeCond = col(s"r.$rTime") >= col(s"l.$lTime") &&
+      col(s"r.$rTime") <= col(s"l.$lTime") + expr(s"INTERVAL $rangeAfter")
+    l.join(r, keyCond && rangeCond, "inner")
+      .select((keys.map(k => col(s"l.$k").as(k)) ++
+        lPayload.map(c => col(s"l.$c")) ++
+        rPayload.map(c => col(s"r.$c"))).toIndexedSeq: _*)
+  }
 }

@@ -342,6 +342,21 @@ class PipelineSpec extends SparkSpec {
     assert(partial.subsetOf(bf) || partial.nonEmpty) // ranked output well-formed
   }
 
+  test("entropies: constant = 0, uniform = log2(k), null is a category") {
+    import spark.implicits._
+    val df = Seq(
+      ("c", Some("a")), ("c", Some("b")), ("c", Some("a")), ("c", Some("b")))
+      .toDF("const", "uni")
+      .union(Seq(("c", None: Option[String]), ("c", Some("a")),
+        ("c", Some("b")), ("c", None)).toDF("const", "uni"))
+    val got = graft.operators.Stats.entropies(df, Seq("const", "uni"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("const") == 0.0)
+    // uni: a=3, b=3, null=2 over 8 -> H = 3 - (6*log2(3) + 2) / 8
+    val expected = 3.0 - (6 * math.log(3) / math.log(2) + 2.0) / 8
+    assert(math.abs(got("uni") - expected) < 1e-12)
+  }
+
   test("ngramJaccard maxDocFreq drops hot-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares the hot boilerplate trigram; only 0 and 1 share a

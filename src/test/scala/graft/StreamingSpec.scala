@@ -113,4 +113,32 @@ class StreamingSpec extends SparkSpec {
       assert(keys.toSeq == Seq(7L, 8L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: matches within the bound, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val joined = StreamOps.streamStreamIntervalJoin(
+      clicks.toDF.toDF("click_ts", "user_id", "click_id"),
+      buys.toDF.toDF("buy_ts", "user_id", "amount"),
+      Seq("user_id"), "click_ts", "buy_ts",
+      lateness = "10 minutes", rangeAfter = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L, 100L),
+        (ts("2024-01-01 00:00:00"), 2L, 200L))
+      q.processAllAvailable()
+      // purchase arrives in a LATER micro-batch; u1 at +10min matches,
+      // u2 at +40min is outside the bound, u1 at -5min precedes the click
+      buys.addData((ts("2024-01-01 00:10:00"), 1L, 5.0),
+        (ts("2024-01-01 00:40:00"), 2L, 7.0),
+        (ts("2023-12-31 23:55:00"), 1L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, click_id, amount FROM ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 100L, 5.0)))
+    } finally q.stop()
+  }
 }
