@@ -348,6 +348,23 @@ object ParityQueries {
         .orderBy(col("event_id"))
     }),
 
+    // as-of FORWARD direction with a tolerance: each event picks up the
+    // EARLIEST at-or-after snapshot, nulled when it is more than 1 hour
+    // ahead — the "next calibration/checkpoint" lookup. Same one-shuffle
+    // union-tag shape as backward; DuckDB replays via ASOF with <= plus
+    // a tolerance CASE.
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"),
+          col("value").as("snap_value"))
+      graft.operators.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          snaps, Seq("user_id"), "ts", "snap_ts",
+          direction = "forward", toleranceMicros = Some(3600L * 1000 * 1000))
+        .orderBy(col("event_id"))
+    }),
+
     // beyond-reference: point-in-interval range join — every 100th event
     // opens a 2-hour window for its user; events inside it match. Bucketed
     // equi-join (1h buckets), never an inequality join plan.
@@ -630,6 +647,17 @@ object ParityQueries {
         |  SELECT user_id, ts AS snap_ts, value AS snap_value
         |  FROM events WHERE event_id % 10 = 0) s
         |ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_fwd" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.value,
+        |  CASE WHEN s.snap_ts IS NOT NULL
+        |        AND epoch_us(s.snap_ts) - epoch_us(e.ts) <= 3600000000
+        |       THEN s.snap_value END AS snap_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS snap_ts, value AS snap_value
+        |  FROM events WHERE event_id % 10 = 0) s
+        |ON e.user_id = s.user_id AND e.ts <= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
 
     "q_range_join" ->
