@@ -56,11 +56,20 @@ object PipelineQueries {
     }
     val Seq(l, r) = dirs.map(d => s.readStream.schema(schema).parquet(d.toString))
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = mkJoin(l, r)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // Stream-stream joins allocate 4 state stores per shuffle partition
+    // (left/right × keyToNumValues/keyWithIndexToValue); size the
+    // partition count to the STATE, not the batch default — the
+    // production knob, pinned at query start (state-store layout is fixed
+    // for the life of the checkpoint, so it must be set before start()).
+    val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      mkJoin(l, r)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
     q.awaitTermination()
     dirs.foreach { d =>
       java.nio.file.Files.deleteIfExists(d.resolve(new java.io.File(tableFile).getName))
