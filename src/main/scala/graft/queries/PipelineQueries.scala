@@ -30,11 +30,18 @@ object PipelineQueries {
     val staged = stageDir.resolve(new java.io.File(tableFile).getName)
     java.nio.file.Files.copy(java.nio.file.Paths.get(tableFile), staged)
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = mkAgg(s.readStream.schema(schema).parquet(stageDir.toString))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // Stateful streaming allocates state stores per shuffle partition;
+    // size the partition count to the state, not the batch default
+    // (pinned at query start — state layout is fixed per checkpoint).
+    val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      mkAgg(s.readStream.schema(schema).parquet(stageDir.toString))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
     q.awaitTermination()
     java.nio.file.Files.deleteIfExists(staged)
     java.nio.file.Files.deleteIfExists(stageDir)
