@@ -337,6 +337,42 @@ object Dedup {
       .withColumn("contaminated", col("n_collisions") > 0)
   }
 
+  /** Duplicated-SPAN statistics (the Lee et al. 2022 "Deduplicating
+    * Training Data" signal, at sliding n-gram granularity): for each doc,
+    * how many of its length-`n` token windows occur more than once in the
+    * corpus (including again in the same doc) — the within-doc complement
+    * is repetitionRatio; whole-doc near-dup is MinHash. Returns every doc
+    * with `n_spans`, `n_dup_spans`, and `dup_ratio` (null when the doc is
+    * shorter than n tokens). Docs with high dup_ratio carry boilerplate /
+    * templated content that whole-doc dedup never removes.
+    *
+    * Shape (100 TB): windows explode once (native TokenShingles, narrow);
+    * the frequency groupBy and the join back shuffle the 8-byte
+    * polynomial FINGERPRINT of each window, not the window text — the
+    * shuffle is ~30x lighter and the same hash family is engine-
+    * replayable (fp collisions merge counts at ~n_distinct²/2e9
+    * probability; a detection statistic tolerates that, and the oracle
+    * replays the identical hashes). */
+  def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 30): DataFrame = {
+    require(n >= 1, s"dupSpanStats: n must be >= 1, got $n")
+    val sh = docs.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("__g"))
+      .select(col(idCol), graft.expr.TextExpressions.fingerprint(col("__g")).as("__h"))
+    val freq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    val per = sh.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.join(per, Seq(idCol), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_ratio",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_spans")))
+  }
+
   /** Drop contaminated training docs (see [[ngramCollisions]]) — the
     * anti-join form: train rows with no exact n-gram in the eval set. */
   def dropNgramContaminated(train: DataFrame, evalSet: DataFrame,

@@ -99,6 +99,33 @@ object TextOps {
     when(size(toks) >= n, sh).otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Per-group unigram KL divergence vs the whole corpus — the source
+    * drift / mixture-quality signal: KL(P_group ‖ P_corpus) in bits,
+    * near 0 for a source that looks like the mix, large for an outlier
+    * (spam feed, wrong language, templated content). No smoothing
+    * needed: every group token is in the corpus by construction, so
+    * p(t) > 0 wherever p_g(t) > 0. Returns (group, n_tokens, kl_bits).
+    *
+    * Shape (100 TB): one explode + a partial-aggregated (group, token)
+    * count; the group totals, corpus token totals, and grand total all
+    * derive from that SAME aggregate — the physical plan reuses its
+    * exchange (ReuseExchange), so the corpus is tokenized once. The
+    * joins carry vocab-sized tables. */
+  def unigramKlDivergence(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, groupCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = docs.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("__t"))
+    val gt = tk.groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__ngt"))
+    val ng = gt.groupBy(col("__g")).agg(sum(col("__ngt")).as("__ng"))
+    val nt = gt.groupBy(col("__t")).agg(sum(col("__ngt")).as("__nt"))
+    val tot = gt.agg(sum(col("__ngt")).as("__n"))
+    val pg = col("__ngt").cast(DoubleType) / col("__ng")
+    val p = col("__nt").cast(DoubleType) / col("__n")
+    gt.join(ng, "__g").join(nt, "__t").crossJoin(broadcast(tot))
+      .groupBy(col("__g").as(groupCol), col("__ng").as("n_tokens"))
+      .agg(sum(pg * log2(pg / p)).as("kl_bits"))
+  }
+
   /** Corpus TF-IDF: one row per (doc, token) with tf = in-doc term count,
     * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), tf_idf = tf*idf.
     * Shape: one explode + two map-side-combined aggregations + a

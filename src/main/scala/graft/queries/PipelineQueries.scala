@@ -330,6 +330,35 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // Duplicated-SPAN detection (Lee et al. 2022 signal): sliding
+    // 30-token windows, fingerprint-keyed frequency; a 36-token tail
+    // planted on every 20th doc makes those docs share 7 windows each
+    // while boundary-straddling windows stay unique.
+    "q_dup_spans" -> ((s, dir) => {
+      val tail = "dup span marker zero one two three four five six seven " +
+        "eight nine ten eleven twelve thirteen fourteen fifteen sixteen " +
+        "seventeen eighteen nineteen twenty alpha beta gamma delta epsilon " +
+        "zeta eta theta iota kappa lambda mu"
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 20 === 0, lit(" " + tail)).otherwise(lit("")))
+          .as("text"))
+      Dedup.dupSpanStats(synth, "text", "doc_id", n = 30)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("dup_ratio"), 6).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-drift profiling: unigram KL divergence of each source's
+    // token distribution vs the corpus mix — the "which feed went bad"
+    // dashboard number.
+    "q_kl_drift" -> ((s, dir) => {
+      TextOps.unigramKlDivergence(t(s, dir, "documents"), "text", "source")
+        .select(col("source"), col("n_tokens"),
+          round(col("kl_bits"), 6).as("kl_bits"))
+        .orderBy(col("source"))
+    }),
+
     // Column-entropy profiling: Shannon entropy of the lang/source
     // mixes — the curation dashboard number for "is this corpus
     // balanced" (0 = degenerate, log2(cardinality) = uniform).
@@ -1089,6 +1118,47 @@ object PipelineQueries {
       """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0
         |    THEN 'shared boilerplate text' ELSE text END) AS n_distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 20 = 0
+        |    THEN ' dup span marker zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM synth),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 28),
+        |    i -> array_to_string(toks[i:i+29], ' '))) AS g
+        |  FROM tk),
+        |fp AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM sh),
+        |freq AS (SELECT h, count(*) AS n FROM fp GROUP BY h),
+        |per AS (
+        |  SELECT f.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN q.n > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM fp f JOIN freq q USING (h) GROUP BY f.doc_id)
+        |SELECT s.doc_id, coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(p.n_dup, 0)::BIGINT AS n_dup_spans,
+        |  CASE WHEN p.n_spans > 0
+        |       THEN round(p.n_dup / p.n_spans, 6) END AS dup_ratio
+        |FROM synth s LEFT JOIN per p USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_kl_drift" ->
+      """WITH tk AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |gt AS (SELECT g, t, count(*) AS ngt FROM tk GROUP BY g, t),
+        |ng AS (SELECT g, sum(ngt) AS ng FROM gt GROUP BY g),
+        |nt AS (SELECT t, sum(ngt) AS nt FROM gt GROUP BY t),
+        |tot AS (SELECT sum(ngt) AS n FROM gt)
+        |SELECT g AS source, ng::BIGINT AS n_tokens,
+        |  round(sum((ngt / ng) * log2((ngt / ng) / (nt / n))), 6) AS kl_bits
+        |FROM gt JOIN ng USING (g) JOIN nt USING (t) CROSS JOIN tot
+        |GROUP BY g, ng ORDER BY g""".stripMargin,
 
     "q_entropy" ->
       """WITH cl AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY lang),

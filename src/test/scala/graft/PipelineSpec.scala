@@ -342,6 +342,41 @@ class PipelineSpec extends SparkSpec {
     assert(partial.subsetOf(bf) || partial.nonEmpty) // ranked output well-formed
   }
 
+  test("dupSpanStats: cross-doc and within-doc repeated windows counted per position") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),          // "a b c" shared with doc 2 -> 1 of 3
+      (2L, "x y a b c"),          // 1 of 3
+      (3L, "p q"),                // shorter than n -> no spans, null ratio
+      (4L, "m n o m n o m n o")). // every window repeats within the doc
+      toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(df, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map { r =>
+        val (s, d, q) = (r.fieldIndex("n_spans"), r.fieldIndex("n_dup_spans"),
+          r.fieldIndex("dup_ratio"))
+        (r.getLong(s), r.getLong(d), if (r.isNullAt(q)) -1.0 else r.getDouble(q))
+      }
+    assert(got(0) == ((3L, 1L, 1.0 / 3)))
+    assert(got(1) == ((3L, 1L, 1.0 / 3)))
+    assert(got(2) == ((0L, 0L, -1.0)))
+    assert(got(3) == ((7L, 7L, 1.0)))
+  }
+
+  test("unigramKlDivergence: zero for a group equal to the mix; hand-computed drift") {
+    import spark.implicits._
+    val one = Seq((1L, "a a b", "s")).toDF("id", "text", "src")
+    val z = TextOps.unigramKlDivergence(one, "text", "src").collect()(0)
+    assert(z.getDouble(z.fieldIndex("kl_bits")) == 0.0)
+    // corpus: a=2 b=4; g1 = "a a b" (KL = 1/3), g2 = "b b b" (KL = log2 1.5)
+    val df = Seq((1L, "a a b", "g1"), (2L, "b b b", "g2")).toDF("id", "text", "src")
+    val got = TextOps.unigramKlDivergence(df, "text", "src")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0)._2 == 3L && math.abs(got(0)._3 - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(1)._3 - math.log(1.5) / math.log(2)) < 1e-12)
+  }
+
   test("entropies: constant = 0, uniform = log2(k), null is a category") {
     import spark.implicits._
     val df = Seq(
