@@ -107,15 +107,18 @@ object TextOps {
     * p(t) > 0 wherever p_g(t) > 0. Returns (group, n_tokens, kl_bits).
     *
     * Shape (100 TB): one explode + a partial-aggregated (group, token)
-    * count; the group totals, corpus token totals, and grand total all
-    * derive from that SAME aggregate — the physical plan reuses its
-    * exchange (ReuseExchange), so the corpus is tokenized once. The
-    * joins carry vocab-sized tables. */
+    * count, pinned with a localCheckpoint — the group totals, corpus
+    * token totals, and grand total are all derived aggregates of that
+    * one vocab×groups-sized table, and WITHOUT the pin Catalyst pushes
+    * each one down into its own full tokenize pass (the three exchanges
+    * hash different keys, so ReuseExchange never fires; measured: four
+    * scans of the corpus). The joins carry vocab-sized tables. */
   def unigramKlDivergence(docs: org.apache.spark.sql.DataFrame,
       textCol: String, groupCol: String): org.apache.spark.sql.DataFrame = {
     val tk = docs.select(col(groupCol).as("__g"),
       explode(tokens(col(textCol))).as("__t"))
     val gt = tk.groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__ngt"))
+      .localCheckpoint()
     val ng = gt.groupBy(col("__g")).agg(sum(col("__ngt")).as("__ng"))
     val nt = gt.groupBy(col("__t")).agg(sum(col("__ngt")).as("__nt"))
     val tot = gt.agg(sum(col("__ngt")).as("__n"))
