@@ -99,6 +99,83 @@ object TextOps {
     when(size(toks) >= n, sh).otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Byte-pair-encoding tokenizer TRAINING (the Sennrich merge loop) at
+    * corpus scale. The corpus collapses to a word-frequency table in ONE
+    * map-side-combined pass — the 100 TB corpus is scanned once and
+    * never iterated — and the merge loop runs DRIVER-side over that
+    * table, exactly like every reference BPE trainer (and like
+    * [[graft.operators.Similarity.ivfTopK]]'s Lloyd): numMerges rounds
+    * of pair counting over the vocab, kilobytes-to-megabytes of math.
+    * `maxWords` bounds the driver table (top-K by count, ties by word —
+    * deterministic); `minWordCount` drops the long hapax tail first.
+    * Ties in the merge argmax break lexicographically, so the rules are
+    * reproducible run-to-run and cluster-to-cluster.
+    * Returns the ordered merge rules (left symbol, right symbol). */
+  def trainBpe(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, minWordCount: Long = 1L,
+      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val wcDf = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordCount)
+      .orderBy(col("__n").desc, col("__w"))
+      .limit(maxWords)
+    val words: Array[(Array[String], Long)] = wcDf.collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var syms = words
+    var i = 0
+    while (i < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (s, n) =>
+        var j = 0
+        while (j < s.length - 1) {
+          val p = (s(j), s(j + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) i = numMerges
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        syms = syms.map { case (s, n) =>
+          if (s.length < 2) (s, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+                out += joined; j += 2
+              } else { out += s(j); j += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply trained BPE merges to one word (driver-side helper for
+    * tests / vocab inspection — production tokenization bakes the final
+    * merge table into a scan-side expression or dictionary). */
+  private[graft] def applyBpe(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var s: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { out += (a + b); j += 2 }
+        else { out += s(j); j += 1 }
+      }
+      s = out.toArray
+    }
+    s.toSeq
+  }
+
   /** Per-group unigram KL divergence vs the whole corpus — the source
     * drift / mixture-quality signal: KL(P_group ‖ P_corpus) in bits,
     * near 0 for a source that looks like the mix, large for an outlier

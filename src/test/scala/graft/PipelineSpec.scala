@@ -363,6 +363,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(3) == ((7L, 7L, 1.0)))
   }
 
+  test("trainBpe: hand-computed merge order, deterministic ties, apply round-trip") {
+    import spark.implicits._
+    // corpus: "abab" x2, "ab" x1 -> pair (a,b) count 5, (b,a) count 2
+    // merge 1 = (a,b); then ("ab","ab") count 2 -> merge 2 = (ab,ab)
+    val df = Seq("abab abab ab").toDF("text")
+    val merges = TextOps.trainBpe(df, "text", numMerges = 2)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    assert(TextOps.applyBpe("abab", merges) == Seq("abab"))
+    assert(TextOps.applyBpe("aba", merges) == Seq("ab", "a"))
+    // tie-break: "xy" and "yz" both count 1 -> lexicographic (x,y) first
+    val tie = Seq("xy yz").toDF("text")
+    assert(TextOps.trainBpe(tie, "text", numMerges = 1) == Seq(("x", "y")))
+    // merge loop stops early when no pairs remain (single-char words)
+    assert(TextOps.trainBpe(Seq("a b c").toDF("text"), "text", 5).isEmpty)
+  }
+
   test("unigramKlDivergence: zero for a group equal to the mix; hand-computed drift") {
     import spark.implicits._
     val one = Seq((1L, "a a b", "s")).toDF("id", "text", "src")
