@@ -35,6 +35,54 @@ object Joins {
     saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** FUZZY string equi-join — record linkage: (left, right) pairs whose
+    * character-trigram Jaccard similarity is at least `threshold`.
+    * Inverted-index candidate generation, never a cross join: each side
+    * explodes to its distinct trigrams ([[graft.operators.TextOps
+    * .charNgrams]]), only pairs sharing at least one trigram reach the
+    * scorer, and exact Jaccard = inter / (size_l + size_r − inter) gates
+    * the output. Trigrams shuffle as 8-byte polynomial fingerprints (the
+    * engine-replayable family), not strings. Strings shorter than 3
+    * chars have no trigrams and never match; null ids/strings drop.
+    * Output: (lId, rId, size_l, size_r, inter, jaccard).
+    *
+    * `maxGramFreq` is the 100 TB skew guard (same rule as
+    * Dedup.ngramJaccard): a trigram in d rows contributes d² candidate
+    * pairs, so corpus-stopword trigrams ("the", "ing") dominate the join
+    * — capping posting lists drops them from CANDIDATE GENERATION only
+    * (pairs whose only shared trigrams are hot are missed; None stays
+    * exact). */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      lId: String, lStr: String, rId: String, rStr: String,
+      threshold: Double, maxGramFreq: Option[Long] = None): DataFrame = {
+    def index(df: DataFrame, id: String, str: String, side: String): DataFrame =
+      df.filter(col(id).isNotNull && col(str).isNotNull)
+        .select(col(id).as(side), explode(TextOps.charNgrams(col(str), 3)).as("__g"))
+        .select(col(side), graft.expr.TextExpressions.fingerprint(col("__g")).as("__h"))
+    val li = index(left, lId, lStr, lId)
+    val ri = index(right, rId, rStr, rId)
+    val sizeL = li.groupBy(col(lId)).agg(count(lit(1)).as("size_l"))
+    val sizeR = ri.groupBy(col(rId)).agg(count(lit(1)).as("size_r"))
+    def capped(idx: DataFrame, side: String): DataFrame = maxGramFreq match {
+      case Some(cap) =>
+        val hot = li.select(col("__h")).unionAll(ri.select(col("__h")))
+          .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("__h"))
+        idx.join(hot, Seq("__h"), "left_anti")
+      case None => idx
+    }
+    capped(li, lId).join(capped(ri, rId), Seq("__h"))
+      .groupBy(col(lId), col(rId))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizeL, lId).join(sizeR, rId)
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("size_l") + col("size_r") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col(lId), col(rId), col("size_l"), col("size_r"),
+        col("inter"), col("jaccard"))
+  }
+
   /** Time column → long microseconds (timestamps via unix_micros,
     * integral keys as-is) — shared by the range/overlap/as-of joins. */
   private def micros(c: Column, dt: DataType): Column = dt match {

@@ -72,6 +72,17 @@ object TextOps {
     typedLit(a.toSeq)
   }
 
+  /** Sliding CHARACTER n-grams (distinct) — the unit for fuzzy string
+    * matching / record linkage, where token shingles are too coarse.
+    * Strings shorter than n yield an empty array. */
+  def charNgrams(s: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), length(s) - (n - 1)),
+      i => s.substr(i, lit(n)))
+    array_distinct(
+      when(length(s) >= n, grams)
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
   /** Corpus vocabulary: token -> occurrence count. One explode + a
     * map-side-combined count — the canonical vocab-building shape at any
     * corpus size (compose with a min-count filter at 100 TB to bound the

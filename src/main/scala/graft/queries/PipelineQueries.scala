@@ -349,6 +349,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY join (record linkage): parts vs a "catalog" whose names
+    // carry a ' v2' suffix — character-trigram Jaccard >= 0.6 links the
+    // perturbed names back; inverted-index candidates, no cross join.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val parts = t(s, dir, "part").filter(col("p_partkey") < 300)
+      val catalog = parts.select((col("p_partkey") + 10000).as("cat_id"),
+        concat(col("p_name"), lit(" v2")).as("cat_name"))
+      graft.operators.Joins.fuzzyJoin(
+          parts.select(col("p_partkey"), col("p_name")), catalog,
+          "p_partkey", "p_name", "cat_id", "cat_name", threshold = 0.6)
+        .select(col("p_partkey"), col("cat_id"), col("size_l"), col("size_r"),
+          col("inter"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("p_partkey"), col("cat_id"))
+    }),
+
     // Source-drift profiling: unigram KL divergence of each source's
     // token distribution vs the corpus mix — the "which feed went bad"
     // dashboard number.
@@ -1146,6 +1161,34 @@ object PipelineQueries {
         |       THEN round(p.n_dup / p.n_spans, 6) END AS dup_ratio
         |FROM synth s LEFT JOIN per p USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH l AS (
+        |  SELECT p_partkey, p_name AS s FROM part WHERE p_partkey < 300),
+        |r AS (
+        |  SELECT p_partkey + 10000 AS cat_id, p_name || ' v2' AS s
+        |  FROM part WHERE p_partkey < 300),
+        |lt AS (
+        |  SELECT p_partkey, unnest(list_distinct(
+        |    list_transform(range(1, len(s) - 1), i -> s[i:i+2]))) AS g FROM l),
+        |rt AS (
+        |  SELECT cat_id, unnest(list_distinct(
+        |    list_transform(range(1, len(s) - 1), i -> s[i:i+2]))) AS g FROM r),
+        |lh AS (SELECT p_partkey, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM lt),
+        |rh AS (SELECT cat_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM rt),
+        |ln AS (SELECT p_partkey, count(*) AS size_l FROM lh GROUP BY p_partkey),
+        |rn AS (SELECT cat_id, count(*) AS size_r FROM rh GROUP BY cat_id),
+        |sh AS (SELECT p_partkey, cat_id, count(*) AS inter
+        |       FROM lh JOIN rh USING (h) GROUP BY p_partkey, cat_id)
+        |SELECT p_partkey, cat_id, size_l, size_r, inter,
+        |  round(inter::DOUBLE / (size_l + size_r - inter), 6) AS jaccard
+        |FROM sh JOIN ln USING (p_partkey) JOIN rn USING (cat_id)
+        |WHERE inter::DOUBLE / (size_l + size_r - inter) >= 0.6
+        |ORDER BY p_partkey, cat_id""".stripMargin,
 
     "q_kl_drift" ->
       """WITH tk AS (

@@ -363,6 +363,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(3) == ((7L, 7L, 1.0)))
   }
 
+  test("fuzzyJoin: exact trigram Jaccard gate, no match without shared grams, short strings drop") {
+    import spark.implicits._
+    val l = Seq((1L, "abcde"), (2L, "vwxyz"), (3L, "ab")).toDF("lid", "lname")
+    val r = Seq((10L, "abcdX"), (11L, "zzzzz")).toDF("rid", "rname")
+    val got = graft.operators.Joins.fuzzyJoin(l, r, "lid", "lname", "rid", "rname",
+        threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(4), x.getDouble(5)))
+    // {abc,bcd,cde} vs {abc,bcd,cdX}: inter 2, union 4 -> j = 0.5
+    assert(got.toSeq == Seq((1L, 10L, 2L, 0.5)))
+    // hot-gram cap drops the only shared grams -> pair missed (documented)
+    val capped = graft.operators.Joins.fuzzyJoin(l, r, "lid", "lname", "rid", "rname",
+        threshold = 0.5, maxGramFreq = Some(1L))
+      .count()
+    assert(capped == 0L)
+  }
+
   test("trainBpe: hand-computed merge order, deterministic ties, apply round-trip") {
     import spark.implicits._
     // corpus: "abab" x2, "ab" x1 -> pair (a,b) count 5, (b,a) count 2
