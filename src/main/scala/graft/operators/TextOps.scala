@@ -520,6 +520,151 @@ object TextOps {
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x.cast(LongType)) % 1000000007L)
   }
 
+  // ---- Gopher-style repetition & quality signals (Rae et al. 2021, ----
+  // ---- "Scaling Language Models: ... Gopher", arXiv:2112.11446, A1) ----
+
+  /** Sum of `length(x)` over elements of a SORTED array that equal their
+    * predecessor — the characters contributed by every occurrence AFTER
+    * the first of each repeated value. Row-local fold, no shuffle. */
+  private def dupCharsInSorted(s: Column): Column =
+    when(size(s) <= 1, lit(0L)).otherwise(
+      aggregate(
+        zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+          (a, b) => when(a === b, length(b).cast(LongType)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+
+  /** (most-frequent element, its count) of a SORTED array as a 2-field
+    * struct; ties break to the lexicographically smallest value (= the
+    * first max-count run in sorted order, kept by the strict `>`).
+    * Single fold with struct state — one pass, row-local. */
+  private def topRunInSorted(s: Column): Column = {
+    val zero = struct(lit("").as("cur"), lit(0L).as("cnt"),
+      lit("").as("best"), lit(0L).as("bcnt"))
+    val folded = aggregate(s, zero, (st, x) => {
+      val ncnt = when(x === st.getField("cur"), st.getField("cnt") + lit(1L))
+        .otherwise(lit(1L))
+      val better = ncnt > st.getField("bcnt")
+      struct(x.as("cur"), ncnt.as("cnt"),
+        when(better, x).otherwise(st.getField("best")).as("best"),
+        when(better, ncnt).otherwise(st.getField("bcnt")).as("bcnt"))
+    })
+    struct(folded.getField("best").as("gram"), folded.getField("bcnt").as("cnt"))
+  }
+
+  /** Gopher repetition signals, ALL row-local: sorted-array folds over the
+    * doc's own lines and token n-grams — a narrow projection with no
+    * explode, no groupBy, no shuffle. The 100 TB plan is scan → project;
+    * compare [[dupSpanStats]]/[[dropFrequentLines]] for the CROSS-doc
+    * variants of these signals, which do need the corpus pass.
+    *
+    * Pinned (oracle-replayable) definitions for a doc with text T:
+    *  - lines = split(T, '\n'); gram_n = space-joined token n-grams
+    *  - `dup_line_frac`      = (#lines − #distinct lines) / #lines
+    *  - `dup_line_char_frac` = chars in occurrences after the first of
+    *    each repeated line / Σ chars over all lines
+    *  - `top_{n}gram_char_frac` = cnt(g*)·len(g*) / len(T) where g* is
+    *    the most frequent n-gram (ties → lexicographically smallest)
+    *  - `dup_{n}gram_char_frac` = Σ len(gram) over occurrences after the
+    *    first of each repeated n-gram / len(T)
+    * Every fraction is 0.0 when its denominator is 0. The published
+    * thresholds (drop when dup_line_frac > 0.30, top_2gram > 0.20,
+    * dup_10gram > 0.10, …) are the caller's filter. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val toks = "__rs_toks"
+    val lines = "__rs_lines"
+    val sortedLines = "__rs_sl"
+    val textLen = length(col(textCol)).cast(DoubleType)
+    var out = df
+      .withColumn(toks, tokens(col(textCol)))
+      .withColumn(lines, split(col(textCol), "\n"))
+      .withColumn(sortedLines, array_sort(col(lines)))
+      .withColumn("__rs_linechars",
+        aggregate(col(lines), lit(0L), (a, x) => a + length(x).cast(LongType)))
+      .withColumn("dup_line_frac",
+        when(size(col(lines)) > 0,
+          (size(col(lines)) - size(array_distinct(col(lines)))).cast(DoubleType) /
+            size(col(lines)).cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("dup_line_char_frac",
+        when(col("__rs_linechars") > 0,
+          dupCharsInSorted(col(sortedLines)).cast(DoubleType) /
+            col("__rs_linechars").cast(DoubleType)).otherwise(lit(0.0)))
+    val helpers = scala.collection.mutable.Buffer(toks, lines, sortedLines, "__rs_linechars")
+    for (n <- topNs) {
+      val sc = s"__rs_topsorted$n"; val st = s"__rs_topst$n"
+      helpers += sc; helpers += st
+      out = out.withColumn(sc, array_sort(shingles(col(toks), n)))
+        .withColumn(st, topRunInSorted(col(sc)))
+        .withColumn(s"top_${n}gram_char_frac",
+          when(length(col(textCol)) > 0 && size(col(sc)) > 0,
+            (col(st).getField("cnt") * length(col(st).getField("gram")))
+              .cast(DoubleType) / textLen)
+            .otherwise(lit(0.0)))
+    }
+    for (n <- dupNs) {
+      val sc = s"__rs_dupsorted$n"
+      helpers += sc
+      out = out.withColumn(sc, array_sort(shingles(col(toks), n)))
+        .withColumn(s"dup_${n}gram_char_frac",
+          when(length(col(textCol)) > 0,
+            dupCharsInSorted(col(sc)).cast(DoubleType) / textLen)
+            .otherwise(lit(0.0)))
+    }
+    out.drop(helpers.toSeq: _*)
+  }
+
+  /** Gopher's stopword presence list (Rae et al. 2021 §A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter signals and the conjunction `gopher_pass`.
+    * Pinned deterministic sub-rules (word = whitespace token; alpha word
+    * = contains an ASCII letter; bullet line starts with '-' or '*';
+    * ellipsis line ends with "..." or '…'; symbols counted are '#' and
+    * '…'), thresholds as published: 50 ≤ words ≤ 100 000, 3 ≤ mean word
+    * length ≤ 10, symbol-to-word ratio ≤ 0.1, ≤ 90 % bullet lines,
+    * ≤ 30 % ellipsis lines, ≥ 80 % alpha words, ≥ 2 stopword hits.
+    * Row-local narrow pass; no shuffle. */
+  def gopherQualityFlags(df: DataFrame, textCol: String): DataFrame = {
+    val toks = "__gq_toks"; val lines = "__gq_lines"
+    val t = col(toks); val l = col(lines)
+    val nWords = size(t).cast(LongType)
+    val nLines = size(l).cast(DoubleType)
+    val symbols = (length(col(textCol)) -
+      length(translate(col(textCol), "#…", ""))).cast(DoubleType)
+    df.withColumn(toks, tokens(col(textCol)))
+      .withColumn(lines, split(col(textCol), "\n"))
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        when(nWords > 0,
+          aggregate(t, lit(0L), (a, x) => a + length(x).cast(LongType))
+            .cast(DoubleType) / nWords.cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("frac_alpha_words",
+        when(nWords > 0, size(filter(t, x => x.rlike("[A-Za-z]")))
+          .cast(DoubleType) / nWords.cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("symbol_word_ratio",
+        when(nWords > 0, symbols / nWords.cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("frac_bullet_lines",
+        when(nLines > 0, size(filter(l, x =>
+          x.startsWith("-") || x.startsWith("*"))).cast(DoubleType) / nLines)
+          .otherwise(lit(0.0)))
+      .withColumn("frac_ellipsis_lines",
+        when(nLines > 0, size(filter(l, x =>
+          x.endsWith("...") || x.endsWith("…"))).cast(DoubleType) / nLines)
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_hits",
+        size(filter(t, x => x.isin(gopherStopwords: _*))).cast(LongType))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("frac_bullet_lines") <= 0.9 &&
+          col("frac_ellipsis_lines") <= 0.3 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("stopword_hits") >= 2L)
+      .drop(toks, lines)
+  }
+
   /** Per-token xxhash64 array (seed 42, Spark's default) — materialize this
     * once (withColumn) before calling [[simhashFromHashes]] so the 64
     * per-bit folds share it. */

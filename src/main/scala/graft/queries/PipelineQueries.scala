@@ -133,6 +133,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher repetition signals (Rae et al. 2021 Table A1): duplicate-line
+    // and top-/duplicate-n-gram char fractions, all row-local sorted-array
+    // folds — scan → project, zero shuffle. Docs are single-line word soup,
+    // so every third doc gets a synthesized multiline variant (text
+    // duplicated across two lines + a tail) to exercise the line rules.
+    "q_gopher_rep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws("\n", col("text"), col("text"), lit("tail")))
+          .otherwise(col("text")).as("mtext"))
+      TextOps.repetitionSignals(docs, "mtext", topNs = Seq(2, 3), dupNs = Seq(5, 10))
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("top_2gram_char_frac"), 6).as("top2gram"),
+          round(col("top_3gram_char_frac"), 6).as("top3gram"),
+          round(col("dup_5gram_char_frac"), 6).as("dup5gram"),
+          round(col("dup_10gram_char_frac"), 6).as("dup10gram"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher quality gates: every published sub-signal plus the pass
+    // conjunction. Every fourth doc gets synthesized bullet/ellipsis/symbol
+    // lines so those rules see non-degenerate input. Row-local, no shuffle.
+    "q_gopher_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("- bullet # one\n"), col("text"), lit("\ntrailing…")))
+          .otherwise(col("text")).as("mtext"))
+      TextOps.gopherQualityFlags(docs, "mtext")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("frac_alpha_words"), 6).as("frac_alpha_words"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("frac_bullet_lines"), 6).as("frac_bullet_lines"),
+          round(col("frac_ellipsis_lines"), 6).as("frac_ellipsis_lines"),
+          col("stopword_hits"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SQL surface of the native expressions (GraftFunctions /
     // spark.sql.extensions): the same engine drives plain spark.sql text
     "q_sql_surface" -> ((s, dir) => {
@@ -1365,6 +1405,92 @@ object PipelineQueries {
          |SELECT id_a, id_b, hamming FROM cands
          |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_gopher_rep" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text || chr(10) || 'tail'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |         string_split(t, ' ') AS toks, len(t) AS tl
+        |  FROM d),
+        |linedup AS (
+        |  SELECT doc_id, sum((cnt - 1) * len(line)) AS dupchars
+        |  FROM (SELECT doc_id, line, count(*) AS cnt
+        |        FROM (SELECT doc_id, unnest(lines) AS line FROM base) u
+        |        GROUP BY doc_id, line) c
+        |  WHERE cnt > 1 GROUP BY doc_id),
+        |grams AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt FROM (
+        |    SELECT b.doc_id, nn.n AS n,
+        |           unnest(list_transform(range(1, len(b.toks) - nn.n + 2),
+        |                  i -> array_to_string(b.toks[i:i+nn.n-1], ' '))) AS gram
+        |    FROM base b, (VALUES (2),(3),(5),(10)) AS nn(n)) g
+        |  GROUP BY doc_id, n, gram),
+        |topg AS (
+        |  SELECT doc_id, n, chars FROM (
+        |    SELECT doc_id, n, cnt * len(gram) AS chars,
+        |           row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+        |    FROM grams) r WHERE rn = 1),
+        |dupg AS (
+        |  SELECT doc_id, n, sum((cnt - 1) * len(gram)) AS chars
+        |  FROM grams WHERE cnt > 1 GROUP BY doc_id, n)
+        |SELECT b.doc_id,
+        |  round(CASE WHEN len(b.lines) > 0
+        |        THEN (len(b.lines) - len(list_distinct(b.lines)))::DOUBLE / len(b.lines)
+        |        ELSE 0 END, 6) AS dup_line_frac,
+        |  round(coalesce(ld.dupchars::DOUBLE / nullif(list_sum(list_transform(b.lines, x -> len(x))), 0), 0), 6) AS dup_line_char_frac,
+        |  round(coalesce(t2.chars::DOUBLE / nullif(b.tl, 0), 0), 6) AS top2gram,
+        |  round(coalesce(t3.chars::DOUBLE / nullif(b.tl, 0), 0), 6) AS top3gram,
+        |  round(coalesce(d5.chars::DOUBLE / nullif(b.tl, 0), 0), 6) AS dup5gram,
+        |  round(coalesce(d10.chars::DOUBLE / nullif(b.tl, 0), 0), 6) AS dup10gram
+        |FROM base b
+        |LEFT JOIN linedup ld ON ld.doc_id = b.doc_id
+        |LEFT JOIN topg t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+        |LEFT JOIN topg t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+        |LEFT JOIN dupg d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+        |LEFT JOIN dupg d10 ON d10.doc_id = b.doc_id AND d10.n = 10
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN '- bullet # one' || chr(10) || text || chr(10) || 'trailing' || chr(8230)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |         string_split(t, ' ') AS toks
+        |  FROM d)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_words,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+        |    ELSE 0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)
+        |    ELSE 0 END, 6) AS frac_alpha_words,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN (len(t) - len(replace(replace(t, '#', ''), chr(8230), '')))::DOUBLE / len(toks)
+        |    ELSE 0 END, 6) AS symbol_word_ratio,
+        |  round(CASE WHEN len(lines) > 0
+        |    THEN len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(lines)
+        |    ELSE 0 END, 6) AS frac_bullet_lines,
+        |  round(CASE WHEN len(lines) > 0
+        |    THEN len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230))))::DOUBLE / len(lines)
+        |    ELSE 0 END, 6) AS frac_ellipsis_lines,
+        |  len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stopword_hits,
+        |  (len(toks) BETWEEN 50 AND 100000
+        |    AND (list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)) BETWEEN 3.0 AND 10.0
+        |    AND ((len(t) - len(replace(replace(t, '#', ''), chr(8230), '')))::DOUBLE / len(toks)) <= 0.1
+        |    AND (len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(lines)) <= 0.9
+        |    AND (len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230))))::DOUBLE / len(lines)) <= 0.3
+        |    AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)) >= 0.8
+        |    AND len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2) AS gopher_pass
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_ann_lsh" -> {
       // fingerprint of 'p:d' per (plane, dim), scaled to [-0.5, 0.5);
