@@ -176,6 +176,64 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup:
+    * cluster embeddings, then within each cluster greedily drop every row
+    * that is cosine-closer than `tau` to a row ranked before it. Ranking
+    * is (similarity-to-centroid ASC, id ASC), so each duplicate group's
+    * kept representative is the one FARTHEST from its centroid — the
+    * paper's keep-rule (edge examples carry more signal). The drop rule
+    * is the public implementation's upper-triangular max: row x drops iff
+    * SOME higher-ranked y (itself dropped or not) has cos(x, y) > tau —
+    * non-iterative, so it is one pair join + one anti-join.
+    *
+    * Centroids are CALLER-SUPPLIED (fit once via [[ivfTopK]]'s Lloyd, or
+    * pinned to a persisted coreset) — the serving split, and what makes
+    * the pipeline engine-replayable end-to-end. Cell assignment is the
+    * per-row argmax over the broadcast centroid set (narrow projection,
+    * NO shuffle — same shape as [[ivfTopKWithCentroids]]); the
+    * within-cell pair space is spread over a `grid x grid` id-hash grid
+    * exactly like [[exactNearDupPairs]] (cells x grid^2 tasks), so one
+    * hot cluster cannot serialize the stage. Pair cost is the paper's own
+    * O(n^2/k) per cluster.
+    *
+    * Returns the SURVIVING rows: original columns + `cell` +
+    * `centroid_sim`. */
+  def semDedupPinned(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], tau: Double, grid: Int = 4): DataFrame = {
+    require(grid > 0)
+    val simStructs = centroids.zipWithIndex.map { case (cv, i) =>
+      struct(cosine(col(vecCol), typedLit(cv.toSeq)).as("sim"),
+        lit(-i).as("negcell"))
+    }
+    val best = element_at(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1)
+    val assigned = df
+      .withColumn("__bc", best)
+      .withColumn("cell", -col("__bc.negcell"))
+      .withColumn("centroid_sim", col("__bc.sim"))
+      .drop("__bc")
+    val e = assigned.select(col(idCol), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n"), col("cell"), col("centroid_sim"))
+      .withColumn("__g", pmod(xxhash64(col(idCol)), lit(grid.toLong)))
+    val ghost = explode(sequence(lit(0L), lit(grid - 1L)))
+    // each ORDERED pair (winner=a, loser=b) meets in exactly one grid cell:
+    // a owns gi=g(a) ghosted across gj, b owns gj=g(b) ghosted across gi
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("va"),
+        col("__n").as("na"), col("cell"), col("centroid_sim").as("csim_a"),
+        col("__g").as("gi"))
+      .withColumn("gj", ghost)
+    val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"),
+        col("__n").as("nb"), col("cell"), col("centroid_sim").as("csim_b"),
+        col("__g").as("gj"))
+      .withColumn("gi", ghost)
+    val losers = a.join(b, Seq("cell", "gi", "gj"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(struct(col("csim_a"), col("id_a")) < struct(col("csim_b"), col("id_b")))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > tau)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    assigned.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-label embedding centroids in long format (label, pos, c): the
     * class-prototype / cluster-seed aggregation. One posexplode + a
     * map-side-combined (label, pos) aggregate — shuffle carries

@@ -790,6 +790,26 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup with PINNED data-point centroids (vec_id < 8): cluster via
+    // per-row argmax (no shuffle), grid-decomposed within-cell pair join,
+    // greedy farthest-from-centroid keep rule. 20 planted exact copies
+    // (vec_id+100000) MUST drop (cos 1.0 vs their originals, same cell);
+    // tau=0.3 also drops naturally-close pairs. Oracle replays assignment,
+    // ranking, pair threshold, and the anti-join end-to-end.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.semDedupPinned(emb.unionByName(planted), "vec_id", "embedding",
+          cents, tau = 0.3)
+        .select(col("vec_id"), col("cell"),
+          round(col("centroid_sim"), 6).as("centroid_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal: text -> binary column -> per-partition decode-stub
     // (mapPartitions) metadata, oracle-checkable (byte count, format sniff,
     // md5 digest). Feature vectors are spec-tested, not oracle'd.
@@ -1642,6 +1662,32 @@ object PipelineQueries {
       """SELECT doc_id, len(text)::BIGINT AS n_bytes, 'unknown' AS format,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
+        |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        |         FROM embeddings WHERE vec_id < 8),
+        |sim AS (SELECT vec_id, cid,
+        |    list_dot_product(v,c)/(sqrt(list_dot_product(v,v))*sqrt(list_dot_product(c,c))) AS s
+        |  FROM base, cent),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell, s AS csim FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |losers AS (
+        |  SELECT DISTINCT y.vec_id AS vec_id
+        |  FROM assigned x JOIN assigned y ON x.cell = y.cell
+        |    AND (x.csim < y.csim OR (x.csim = y.csim AND x.vec_id < y.vec_id))
+        |  JOIN base bx ON bx.vec_id = x.vec_id
+        |  JOIN base by_ ON by_.vec_id = y.vec_id
+        |  WHERE list_dot_product(bx.v, by_.v) /
+        |    (sqrt(list_dot_product(bx.v, bx.v)) * sqrt(list_dot_product(by_.v, by_.v))) > 0.3)
+        |SELECT a.vec_id, a.cell, round(a.csim, 6) AS centroid_sim
+        |FROM assigned a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY a.vec_id""".stripMargin,
 
     "q_ann_ivf_pinned" ->
       """WITH cent AS (
