@@ -157,6 +157,49 @@ object Stats {
     df.withColumn("bin", when(col(c).isNotNull, bin))
   }
 
+  /** Winsorize: clamp a numeric column at its exact interpolated
+    * `[lo, hi]` quantiles (the REFERENCE quantile rule, n = N·q − 0.5 +
+    * lerp — graft.functions.InterpolatedQuantile). One partial-merged
+    * aggregate computes BOTH bounds (scan 1), then the clamp is a narrow
+    * broadcast-literal pass (scan 2) — no sort, no shuffle of the data.
+    * Nulls stay null. Appends `<col>_wins` (double). */
+  def winsorize(df: DataFrame, c: String, lo: Double = 0.01,
+      hi: Double = 0.99): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    import graft.functions.InterpolatedQuantile
+    val row = df.agg(InterpolatedQuantile.quantileCol(col(c), lo).as("lo"),
+      InterpolatedQuantile.quantileCol(col(c), hi).as("hi")).head()
+    require(!row.isNullAt(0), s"winsorize: '$c' has no non-null values")
+    val (l, h) = (row.getDouble(0), row.getDouble(1))
+    df.withColumn(s"${c}_wins",
+      least(greatest(col(c).cast(DoubleType), lit(l)), lit(h)))
+  }
+
+  /** Robust outlier flagging via median/MAD: robust z = 0.6745·(x − med) /
+    * MAD with MAD = median(|x − med|), both by the exact interpolated-
+    * quantile rule. Two tiny sequential aggregates (MAD needs the median
+    * first) + one narrow flag pass; the data is never sorted or shuffled.
+    * The 0.6745 factor (Φ⁻¹(0.75)) makes robust z comparable to a normal
+    * z-score. `robust_z` is null for null values and for degenerate
+    * columns (MAD = 0); `is_outlier` = |robust z| > cut (Iglewicz &
+    * Hoaglin's 3.5 by default). Median/MAD are rounded to 6 places before
+    * the division so the z values are bit-replayable by an SQL oracle. */
+  def madOutliers(df: DataFrame, c: String, cut: Double = 3.5): DataFrame = {
+    import graft.functions.InterpolatedQuantile
+    val mRow = df.agg(InterpolatedQuantile.quantileCol(col(c), 0.5).as("m")).head()
+    require(!mRow.isNullAt(0), s"madOutliers: '$c' has no non-null values")
+    val med = BigDecimal(mRow.getDouble(0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mad = BigDecimal(df.agg(InterpolatedQuantile
+        .quantileCol(abs(col(c).cast(DoubleType) - med), 0.5).as("mad")).head().getDouble(0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = if (mad == 0.0) lit(null).cast(DoubleType)
+      else lit(0.6745) * (col(c).cast(DoubleType) - med) / mad
+    df.withColumn("robust_z", z)
+      .withColumn("is_outlier", when(col("robust_z").isNotNull,
+        abs(col("robust_z")) > cut))
+  }
+
   /** Per-column null count + ratio (reference: src/Table.luna:1096-1105). */
   def describeNa(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>

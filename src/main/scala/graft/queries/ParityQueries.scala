@@ -267,6 +267,28 @@ object ParityQueries {
         .orderBy(col("bin"))
     }),
 
+    // Winsorization at the exact interpolated [p05, p95]: one two-output
+    // aggregate for the bounds, then a narrow clamp — no sort of the data.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      Stats.winsorize(li, "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice_wins")), 4).as("wins_sum"),
+          round(min(col("l_extendedprice_wins")), 6).as("wins_min"),
+          round(max(col("l_extendedprice_wins")), 6).as("wins_max"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Robust median/MAD outlier flagging (Iglewicz-Hoaglin |z|>3.5): two
+    // tiny sequential aggregates + a narrow flag pass.
+    "q_mad" -> ((s, dir) => {
+      Stats.madOutliers(t(s, dir, "events"), "value")
+        .select(col("event_id"), round(col("robust_z"), 4).as("robust_z"),
+          col("is_outlier"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_describe" -> ((s, dir) => {
       Stats.describe(t(s, dir, "lineitem")
           .select("l_quantity", "l_discount", "l_tax"))
@@ -452,6 +474,34 @@ object ParityQueries {
          |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
          |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    "q_winsorize" -> {
+      val lo = duckQuantileRaw("n*0.05 - 0.5")
+      val hi = duckQuantileRaw("n*0.95 - 0.5")
+      s"""WITH sv AS (SELECT list_sort(list(l_extendedprice)) s,
+         |             count(l_extendedprice)::DOUBLE n
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT $lo AS lo, $hi AS hi FROM sv),
+         |w AS (SELECT l_returnflag,
+         |        least(greatest(l_extendedprice, lo), hi) AS x
+         |      FROM lineitem, b)
+         |SELECT l_returnflag, count(*) AS n, round(sum(x), 4) AS wins_sum,
+         |  round(min(x), 6) AS wins_min, round(max(x), 6) AS wins_max
+         |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_mad" -> {
+      val q50 = duckQuantileRaw("n*0.5 - 0.5")
+      s"""WITH sv AS (SELECT list_sort(list(value)) s, count(value)::DOUBLE n
+         |           FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT round($q50, 6) AS med FROM sv),
+         |sv2 AS (SELECT list_sort(list(abs(value - med))) s, count(*)::DOUBLE n
+         |        FROM events, m WHERE value IS NOT NULL),
+         |m2 AS (SELECT round($q50, 6) AS mad FROM sv2)
+         |SELECT event_id, round(0.6745*(value - med)/mad, 4) AS robust_z,
+         |  abs(0.6745*(value - med)/mad) > 3.5 AS is_outlier
+         |FROM events, m, m2 ORDER BY event_id""".stripMargin
     },
 
     "q_aggregate_by" ->

@@ -381,6 +381,29 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clamps at the exact interpolated quantiles") {
+    import spark.implicits._
+    // 1..10 at [0.25, 0.75]: n=10*0.25-0.5=2 -> v[2]=3; n=7 -> v[7]=8
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val got = Stats.winsorize(df, "v", 0.25, 0.75)
+      .orderBy("v").select("v_wins").as[Double].collect().toSeq
+    assert(got == Seq(3.0, 3.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+  }
+
+  test("madOutliers: hand-computed robust z, null gates, MAD=0 degenerate") {
+    import spark.implicits._
+    // [1..9, 100]: med=5.5, MAD=2.5; z(100)=0.6745*94.5/2.5=25.4961
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).toDF("v")
+    val rows = Stats.madOutliers(df, "v").orderBy("v").collect()
+    val z100 = rows.last.getAs[Double]("robust_z")
+    assert(math.abs(z100 - 0.6745 * 94.5 / 2.5) < 1e-9)
+    assert(rows.last.getAs[Boolean]("is_outlier"))
+    assert(!rows.head.getAs[Boolean]("is_outlier")) // z(1) = -1.2141
+    // constant column: MAD=0 -> robust_z and is_outlier null, no crash
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    assert(Stats.madOutliers(const, "v").collect().forall(_.isNullAt(1)))
+  }
+
   test("autoCorr matches a hand-computed Pearson") {
     import spark.implicits._
     val df = (0L until 10L).map(i => (i, i.toDouble * i)).toDF("id", "v")
