@@ -373,6 +373,57 @@ object Dedup {
             col("n_spans")))
   }
 
+  /** Duplicated-span REMOVAL — the Lee et al. 2022 ExactSubstr ACTION to
+    * [[dupSpanStats]]'s signal: every token covered by ANY length-`n`
+    * token window whose fingerprint occurs more than once in the corpus
+    * (within-doc repeats included) is removed; the survivors re-join with
+    * single spaces in their original order (overlapping duplicated spans
+    * union, exactly like the paper's merged byte ranges). Docs shorter
+    * than `n` tokens keep all their tokens.
+    *
+    * Shape (100 TB): the windows explode once and the frequency
+    * groupBy + join-back shuffle the 8-byte polynomial fingerprint (as
+    * [[dupSpanStats]]); duplicated window STARTS collapse to one small
+    * per-doc array; coverage expansion (start → n positions) and the
+    * token rebuild are ROW-LOCAL array passes. The rebuild probes
+    * `array_contains` per token — O(|toks|·|covered|) per doc, fine
+    * while covered spans are a minority (a mostly-duplicated doc should
+    * fall to a dup_ratio gate first).
+    *
+    * Returns all docs with `<textCol>_trimmed` (canonical single-space
+    * join) and `n_trimmed_tokens`. */
+  def trimDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 30): DataFrame = {
+    require(n >= 1, s"trimDupSpans: n must be >= 1, got $n")
+    val sh = docs.select(col(idCol),
+      posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+        .as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"),
+        graft.expr.TextExpressions.fingerprint(col("__g")).as("__h"))
+    val freq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    val dupStarts = sh.join(freq, Seq("__h")).filter(col("__n") > 1)
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__starts"))
+    val joined = docs.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__cov",
+        when(col("__starts").isNull,
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)))
+          .otherwise(array_distinct(flatten(transform(col("__starts"),
+            s => sequence(s, s + n - 1))))))
+    val kept = filter(
+      zip_with(col("__toks"), sequence(lit(0), size(col("__toks")) - 1),
+        (t, i) => when(array_contains(col("__cov"), i), lit(null)).otherwise(t)),
+      x => x.isNotNull)
+    joined
+      .withColumn("__kept", kept)
+      .withColumn(textCol + "_trimmed", concat_ws(" ", col("__kept")))
+      .withColumn("n_trimmed_tokens",
+        (size(col("__toks")) - size(col("__kept")))
+          .cast(org.apache.spark.sql.types.LongType))
+      .drop("__starts", "__toks", "__cov", "__kept")
+  }
+
   /** Drop contaminated training docs (see [[ngramCollisions]]) — the
     * anti-join form: train rows with no exact n-gram in the eval set. */
   def dropNgramContaminated(train: DataFrame, evalSet: DataFrame,

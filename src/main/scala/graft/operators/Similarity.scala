@@ -55,6 +55,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** k-NN label prediction over embeddings: the brute-force cosine top-k
+    * neighbors vote; majority wins, ties break (votes DESC, label ASC) —
+    * deterministic. Corpus streams, queries broadcast (same shape as
+    * [[bruteForceTopK]]); the vote is a small groupBy over |queries|·k
+    * rows. `top_cosine` is the best neighbor similarity among the winning
+    * label's voters. Swap the neighbor stage for [[ivfTopKWithCentroids]]
+    * / [[lshTopK]] when the corpus pass must be sub-linear. */
+  def knnPredict(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labeled = nn.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl")),
+      Seq("neighbor_id"))
+    val votes = labeled.groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"), max(col("cosine")).as("top_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as(labelCol), col("votes"),
+        col("top_cosine"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,
     * q_i = round(v_i / scale) — the 4× memory/shuffle compression for
     * ANN candidate generation (a 100 TB float corpus becomes 25 TB of

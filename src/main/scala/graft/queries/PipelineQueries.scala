@@ -389,6 +389,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-span REMOVAL (Lee et al. ExactSubstr action): every 7th
+    // doc carries the same 26-token tail, so its pure-tail 15-grams
+    // duplicate corpus-wide and the tail is trimmed; boundary windows
+    // (doc-specific prefix + tail) stay unique. Output is the rebuilt
+    // text — the driver hashes it verbatim.
+    "q_trim_spans" -> ((s, dir) => {
+      val tail = "trim span tail one two three four five six seven eight " +
+        "nine ten eleven twelve thirteen fourteen fifteen sixteen " +
+        "seventeen eighteen nineteen twenty final end"
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" " + tail)).otherwise(lit("")))
+          .as("text"))
+      Dedup.trimDupSpans(synth, "text", "doc_id", n = 15)
+        .select(col("doc_id"), col("text_trimmed"), col("n_trimmed_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-NN label prediction: top-7 cosine neighbors vote on `label`;
+    // majority wins, ties (votes DESC, label ASC). Corpus streams,
+    // queries broadcast; the vote is a |queries|*k groupBy.
+    "q_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnPredict(emb, emb.filter(col("vec_id") < 25),
+          "vec_id", "embedding", "label", k = 7)
+        .select(col("query_id"), col("label"), col("votes"),
+          round(col("top_cosine"), 6).as("top_cosine"))
+        .orderBy(col("query_id"))
+    }),
+
     // FUZZY join (record linkage): parts vs a "catalog" whose names
     // carry a ' v2' suffix — character-trigram Jaccard >= 0.6 links the
     // perturbed names back; inverted-index candidates, no cross join.
@@ -1221,6 +1251,60 @@ object PipelineQueries {
         |       THEN round(p.n_dup / p.n_spans, 6) END AS dup_ratio
         |FROM synth s LEFT JOIN per p USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_trim_spans" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' trim span tail one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty final end'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM synth),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+14], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 13)) AS i FROM tk) w),
+        |fp AS (
+        |  SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM sh),
+        |freq AS (SELECT h, count(*) AS cnt FROM fp GROUP BY h),
+        |cov AS (
+        |  SELECT doc_id, list(DISTINCT p) AS covered
+        |  FROM (SELECT f.doc_id, unnest(range(f.pos, f.pos + 15)) AS p
+        |        FROM fp f JOIN freq q USING (h) WHERE q.cnt > 1) e
+        |  GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT tk.doc_id,
+        |    list_transform(
+        |      list_filter(range(1, len(tk.toks) + 1),
+        |        i -> NOT coalesce(list_contains(c.covered, i - 1), FALSE)),
+        |      i -> tk.toks[i]) AS kept, len(tk.toks) AS ntoks
+        |  FROM tk LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text_trimmed,
+        |  (ntoks - len(kept))::BIGINT AS n_trimmed_tokens
+        |FROM rebuilt ORDER BY doc_id""".stripMargin,
+
+    "q_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id AS nid, label, embedding::DOUBLE[] AS cv FROM embeddings),
+        |nn AS (
+        |  SELECT qid, nid, label, cos FROM (
+        |    SELECT qid, nid, label,
+        |      list_dot_product(qv, cv) /
+        |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        list_dot_product(qv, cv) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        nid) AS rank
+        |    FROM q, c WHERE nid <> qid) r WHERE rank <= 7),
+        |votes AS (
+        |  SELECT qid, label, count(*) AS votes, max(cos) AS top_cosine
+        |  FROM nn GROUP BY qid, label)
+        |SELECT qid AS query_id, label, votes, round(top_cosine, 6) AS top_cosine
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) = 1
+        |ORDER BY query_id""".stripMargin,
 
     "q_fuzzy_join" ->
       """WITH l AS (
