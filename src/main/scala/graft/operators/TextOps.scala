@@ -187,6 +187,72 @@ object TextOps {
     s.toSeq
   }
 
+  /** Compression-ratio quality signal: deflate(level 6) size / raw UTF-8
+    * size. Highly repetitive or templated text compresses far harder than
+    * natural prose (ratios below ~0.3 are a strong boilerplate signal;
+    * random/encrypted payloads sit near or above 1.0), which makes this
+    * the cheap one-number complement to [[repetitionSignals]]. One
+    * `Deflater` per PARTITION (the native zlib state is the expensive
+    * part — the same codec-amortization argument as the multimodal decode
+    * stub), reset per row; rows stream through without materializing the
+    * partition. Tiny strings can exceed 1.0 (fixed deflate header); empty
+    * or null text yields null. Values are deterministic for a fixed zlib
+    * (same JVM fleet-wide) but NOT portable across engines, so this is
+    * spec-gated, not oracle-gated. */
+  def withCompressionRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String = "compress_ratio"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(df.schema.fields :+ StructField(out, DoubleType, true))
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { r =>
+        val text = r.get(idx).asInstanceOf[String]
+        val ratio: Any =
+          if (text == null || text.isEmpty) null
+          else {
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished())
+              compressed += deflater.deflate(buf)
+            compressed.toDouble / raw.length
+          }
+        Row.fromSeq(r.toSeq :+ ratio)
+      }
+    }(enc)
+  }
+
+  /** Distributed BPE tokenizer APPLICATION: the trained merge rules
+    * ([[trainBpe]], kilobytes) ship in the task closure and every doc
+    * re-tokenizes in one narrow mapPartitions pass — no shuffle, no
+    * driver involvement; at 100 TB this is a pure scan→project stage.
+    * Space-separated words encode independently with [[applyBpe]]'s
+    * in-order merge loop (the spec gates distributed == driver-side).
+    * Appends `out` (array<string>); null text yields null. */
+  def withBpeTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(String, String)],
+      out: String = "bpe_tokens"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(StringType), true))
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val text = r.get(idx).asInstanceOf[String]
+        val toks: Any =
+          if (text == null) null
+          else text.split(' ').toSeq.flatMap(w => applyBpe(w, merges))
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(enc)
+  }
+
   /** Per-group unigram KL divergence vs the whole corpus — the source
     * drift / mixture-quality signal: KL(P_group ‖ P_corpus) in bits,
     * near 0 for a source that looks like the mix, large for an outlier

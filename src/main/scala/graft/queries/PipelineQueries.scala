@@ -389,6 +389,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Compression-ratio quality signal (zlib level 6, per-partition
+    // Deflater). Deterministic on a fixed JVM but not engine-portable ->
+    // rows-only driver check; CompressBpeSpec pins the semantics.
+    "q_compress" -> ((s, dir) => {
+      TextOps.withCompressionRatio(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), round(col("compress_ratio"), 6).as("compress_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE train -> distributed apply round trip: merges fit on the driver
+    // (like every reference BPE trainer), application is a narrow
+    // mapPartitions pass. Iterative merges aren't SQL-expressible ->
+    // rows-only driver check; spec gates distributed == driver-side.
+    "q_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.trainBpe(docs, "text", numMerges = 50)
+      TextOps.withBpeTokens(docs, "text", merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast(LongType).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicated-span REMOVAL (Lee et al. ExactSubstr action): every 7th
     // doc carries the same 26-token tail, so its pure-tail 15-grams
     // duplicate corpus-wide and the tail is trimmed; boundary windows

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Compression-ratio signal and distributed BPE application. */
+class CompressBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compressionRatio: repetitive text compresses below varied text; edges null") {
+    val docs = Seq(
+      (1L, Array.fill(200)("spam").mkString(" ")),        // degenerate
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")), // varied
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.withCompressionRatio(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1L).get < 0.1, s"repetitive ratio ${out(1L)}")
+    assert(out(2L).get > out(1L).get * 3, s"varied ${out(2L)} vs ${out(1L)}")
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
+
+  test("compressionRatio is partitioning-invariant (per-partition Deflater state resets)") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i " + ("x " * (i % 7).toInt).trim))
+      .toDF("doc_id", "text")
+    def vals(parts: Int) = TextOps.withCompressionRatio(docs.repartition(parts), "text")
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    assert(vals(1) == vals(8))
+  }
+
+  test("withBpeTokens equals the driver-side applyBpe word by word") {
+    val corpus = Seq((1L, "low lower lowest low low"), (2L, "new newer newest new"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.trainBpe(corpus, "text", numMerges = 10)
+    assert(merges.nonEmpty)
+    val got = TextOps.withBpeTokens(corpus, "text", merges)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = Map(1L -> "low lower lowest low low", 2L -> "new newer newest new")
+    for ((id, text) <- texts) {
+      val want = text.split(' ').toSeq.flatMap(w => TextOps.applyBpe(w, merges))
+      assert(got(id) == want, s"doc $id")
+    }
+    // round trip: concatenating a word's pieces recovers the word
+    assert(TextOps.applyBpe("lowest", merges).mkString == "lowest")
+  }
+
+  test("withBpeTokens: null text stays null") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextOps.withBpeTokens(df, "text", Seq("l" -> "o")).collect()(0).isNullAt(2))
+  }
+}
