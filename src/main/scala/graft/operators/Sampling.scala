@@ -27,6 +27,28 @@ object Sampling {
     when(splitBucket(id) < trainPct, "train").otherwise("test")
   }
 
+  /** LEAKAGE-SAFE train/test split: near-duplicate documents must land in
+    * the SAME split, or the test set is contaminated by trained-on text
+    * (the Lee et al. 2022 finding). Every row splits by the fingerprint
+    * bucket of its near-dup COMPONENT's canonical id (min id over the
+    * pair graph via [[graft.operators.Dedup.connectedComponents]]); rows
+    * in no pair split by their own id — identical rule to [[splitTag]],
+    * so adding the pair graph only MOVES near-dup groups atomically, and
+    * the whole assignment stays RNG-free and engine-replayable.
+    *
+    * Shape (100 TB): components run over the pair graph only (edges ≪
+    * corpus); the label table joins back broadcast-sized. Appends
+    * `split_key` (the component canonical or own id) and `split`. */
+  def leakageSafeSplitTag(docs: DataFrame, pairs: DataFrame, aCol: String,
+      bCol: String, idCol: String, trainPct: Int): DataFrame = {
+    val comp = graft.operators.Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("root"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("root"), col(idCol)))
+      .withColumn("split", splitTag(col("split_key"), trainPct))
+      .drop("root")
+  }
+
   /** (train, test) pair split by stable id hash. */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int): (DataFrame, DataFrame) = {
     val b = splitBucket(col(idCol))

@@ -788,6 +788,28 @@ object PipelineQueries {
         .orderBy(col("cluster_id"))
     }),
 
+    // Leakage-safe split over the SAME planted near-dup chains as
+    // q_dedup_cluster: each chain splits atomically by its canonical id's
+    // fingerprint bucket, so "... extra" variants of a trained-on doc can
+    // never leak into test. Oracle replays minhash pairs, the recursive
+    // closure, and the bucket rule end-to-end.
+    "q_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val chained = docs
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra extra")).as("text")))
+      val pairs = Dedup.minhashNearDups(chained, "text", "doc_id",
+        threshold = 0.5, family = Dedup.MinhashFamily.polynomial)
+      graft.operators.Sampling.leakageSafeSplitTag(chained, pairs,
+          "id_a", "id_b", "doc_id", trainPct = 80)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup candidates on the same planted set. Like
     // q_minhash, the graded variant derives token-hash bits from the
     // polynomial fingerprint (4 x 16-bit slices) so the DuckDB oracle
@@ -1482,6 +1504,59 @@ object PipelineQueries {
         |SELECT root AS cluster_id, count(*) AS n_members,
         |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
         |FROM roots GROUP BY root ORDER BY cluster_id""".stripMargin,
+
+    "q_leak_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) AS est_jaccard
+        |  FROM cands
+        |  JOIN sig sa ON sa.doc_id = id_a
+        |  JOIN sig sb ON sb.doc_id = id_b AND sb.j = sa.j
+        |  GROUP BY id_a, id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id),
+        |roots AS (SELECT id, min(r) AS root FROM walk GROUP BY id)
+        |SELECT d.doc_id, coalesce(rt.root, d.doc_id) AS split_key,
+        |  CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(coalesce(rt.root, d.doc_id)::VARCHAR) + 1),
+        |        i -> ascii((coalesce(rt.root, d.doc_id)::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM docs d LEFT JOIN roots rt ON rt.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_simhash" -> {
       def fp(arg: String) =

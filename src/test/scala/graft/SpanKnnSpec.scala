@@ -33,6 +33,24 @@ class SpanKnnSpec extends SparkSpec {
     assert(r.getAs[Long]("n_trimmed_tokens") == 0L)
   }
 
+  test("leakageSafeSplitTag: no edge straddles splits; pairless rows match splitTag") {
+    import graft.operators.Sampling
+    val docs = (0L until 100L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+    // chain 0-1-2 and pair 10-11; everything else unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplitTag(docs, pairs, "id_a", "id_b", "doc_id", 80)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // components split atomically via their canonical id
+    assert(Set(out(0L), out(1L), out(2L)).size == 1 && out(0L)._1 == 0L)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    // unpaired rows: identical to the plain splitTag rule
+    val plain = docs.select(col("doc_id"),
+      Sampling.splitTag(col("doc_id"), 80).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 3L until 10L) assert(out(i) == (i, plain(i)))
+  }
+
   test("knnPredict: unanimous vote and majority count") {
     val corpus = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.1f), 0), (3L, Array(0.98f, 0.2f), 0),
