@@ -370,6 +370,22 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // Streaming QUALITY GATE: the ingest-time face of the Gopher rules —
+    // a real StreamingQuery filters each micro-batch stateless-ly (the
+    // flags are row-local, so the stream needs no state store at all) and
+    // only passing docs reach the sink. Oracle = the batch replay.
+    "q_stream_quality" -> ((s, dir) => {
+      runAvailableNow(s, s"$dir/documents.parquet", "graft_stream_quality", "append") {
+        stream =>
+          TextOps.gopherQualityFlags(stream, "text")
+            .filter(col("gopher_pass"))
+            .select(col("doc_id"), col("lang"), col("n_words"))
+      }
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_passing"), sum(col("n_words")).as("words_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Duplicated-SPAN detection (Lee et al. 2022 signal): sliding
     // 30-token windows, fingerprint-keyed frequency; a 36-token tail
     // planted on every 20th doc makes those docs share 7 windows each
@@ -1267,6 +1283,24 @@ object PipelineQueries {
       """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0
         |    THEN 'shared boilerplate text' ELSE text END) AS n_distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_stream_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text AS t, string_split(text, ' ') AS toks,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, len(toks)::BIGINT AS n_words,
+        |    (len(toks) BETWEEN 50 AND 100000
+        |      AND (list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)) BETWEEN 3.0 AND 10.0
+        |      AND ((len(t) - len(replace(replace(t, '#', ''), chr(8230), '')))::DOUBLE / len(toks)) <= 0.1
+        |      AND (len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(lines)) <= 0.9
+        |      AND (len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230))))::DOUBLE / len(lines)) <= 0.3
+        |      AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)) >= 0.8
+        |      AND len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2) AS pass
+        |  FROM base)
+        |SELECT lang, count(*) AS n_passing, sum(n_words)::BIGINT AS words_sum
+        |FROM f WHERE pass GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dup_spans" ->
       """WITH synth AS (
