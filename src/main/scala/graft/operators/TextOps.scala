@@ -322,6 +322,45 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", at unigram granularity):
+    * score every RAW-corpus doc by the log-likelihood ratio between a
+    * TARGET-domain unigram LM and the raw-corpus LM,
+    * log w(d) = Σ_t c_d(t)·(ln p_target(t) − ln p_raw(t)).
+    * High-weight docs look like the target domain; resample the raw
+    * corpus ∝ softmax-ish weights (or take top-k) to steer the mixture.
+    * Both LMs use additive `smoothing` over the UNION vocabulary so
+    * out-of-domain tokens are defined on both sides.
+    *
+    * Shape (100 TB raw corpus): one explode per corpus collapses to two
+    * vocab-sized count tables; the per-token log-ratio table is
+    * vocab-sized and joins the raw token stream (broadcast in practice);
+    * one groupBy(doc) sums. The target corpus is typically small (a
+    * benchmark/domain sample) — its pass is cheap.
+    * Output: (idCol, log_weight, n_tokens). */
+  def dsirLogWeights(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      smoothing: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(smoothing > 0, "dsirLogWeights: smoothing must be > 0 (unseen tokens)")
+    val rawTok = raw.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val rawCounts = rawTok.groupBy(col("token")).agg(count(lit(1)).as("c_raw"))
+    val tgtCounts = target.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tgt"))
+    val vocab = rawCounts.join(tgtCounts, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .cache()
+    val totals = vocab.agg(sum(col("c_raw")), sum(col("c_tgt")),
+      count(lit(1))).head()
+    val (nRaw, nTgt, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val ratio = vocab.select(col("token"),
+      (log((col("c_tgt") + smoothing) / (nTgt + smoothing * v)) -
+        log((col("c_raw") + smoothing) / (nRaw + smoothing * v))).as("__lr"))
+    rawTok.join(ratio, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__lr")).as("log_weight"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Sliding-window document chunking: token windows of `chunk` tokens
     * starting every `chunk - overlap` tokens — the standard long-document
     * split for context-bounded training/embedding. Chunk starts are
@@ -637,47 +676,58 @@ object TextOps {
     * dup_10gram > 0.10, …) are the caller's filter. */
   def repetitionSignals(df: DataFrame, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    import graft.expr.TextExpressions.gramStatsCol
     val toks = "__rs_toks"
     val lines = "__rs_lines"
-    val sortedLines = "__rs_sl"
+    val lineStats = "__rs_ls"
     val textLen = length(col(textCol)).cast(DoubleType)
     var out = df
       .withColumn(toks, tokens(col(textCol)))
       .withColumn(lines, split(col(textCol), "\n"))
-      .withColumn(sortedLines, array_sort(col(lines)))
-      .withColumn("__rs_linechars",
-        aggregate(col(lines), lit(0L), (a, x) => a + length(x).cast(LongType)))
+      .withColumn(lineStats, gramStatsCol(col(lines)))
       .withColumn("dup_line_frac",
         when(size(col(lines)) > 0,
-          (size(col(lines)) - size(array_distinct(col(lines)))).cast(DoubleType) /
+          col(lineStats).getField("dup_count").cast(DoubleType) /
             size(col(lines)).cast(DoubleType)).otherwise(lit(0.0)))
       .withColumn("dup_line_char_frac",
-        when(col("__rs_linechars") > 0,
-          dupCharsInSorted(col(sortedLines)).cast(DoubleType) /
-            col("__rs_linechars").cast(DoubleType)).otherwise(lit(0.0)))
-    val helpers = scala.collection.mutable.Buffer(toks, lines, sortedLines, "__rs_linechars")
-    for (n <- topNs) {
-      val sc = s"__rs_topsorted$n"; val st = s"__rs_topst$n"
-      helpers += sc; helpers += st
-      out = out.withColumn(sc, array_sort(shingles(col(toks), n)))
-        .withColumn(st, topRunInSorted(col(sc)))
-        .withColumn(s"top_${n}gram_char_frac",
-          when(length(col(textCol)) > 0 && size(col(sc)) > 0,
-            (col(st).getField("cnt") * length(col(st).getField("gram")))
-              .cast(DoubleType) / textLen)
-            .otherwise(lit(0.0)))
-    }
-    for (n <- dupNs) {
-      val sc = s"__rs_dupsorted$n"
+        when(col(lineStats).getField("total_chars") > 0,
+          col(lineStats).getField("dup_chars").cast(DoubleType) /
+            col(lineStats).getField("total_chars").cast(DoubleType))
+          .otherwise(lit(0.0)))
+    val helpers = scala.collection.mutable.Buffer(toks, lines, lineStats)
+    // one GramStats per distinct n — a top and a dup signal on the same n
+    // share the pass
+    val statCols = (topNs ++ dupNs).distinct.map { n =>
+      val sc = s"__rs_gs$n"
       helpers += sc
-      out = out.withColumn(sc, array_sort(shingles(col(toks), n)))
-        .withColumn(s"dup_${n}gram_char_frac",
-          when(length(col(textCol)) > 0,
-            dupCharsInSorted(col(sc)).cast(DoubleType) / textLen)
-            .otherwise(lit(0.0)))
-    }
+      out = out.withColumn(sc, gramStatsCol(shingles(col(toks), n)))
+      n -> sc
+    }.toMap
+    for (n <- topNs)
+      out = out.withColumn(s"top_${n}gram_char_frac",
+        when(length(col(textCol)) > 0,
+          col(statCols(n)).getField("top_chars").cast(DoubleType) / textLen)
+          .otherwise(lit(0.0)))
+    for (n <- dupNs)
+      out = out.withColumn(s"dup_${n}gram_char_frac",
+        when(length(col(textCol)) > 0,
+          col(statCols(n)).getField("dup_chars").cast(DoubleType) / textLen)
+          .otherwise(lit(0.0)))
     out.drop(helpers.toSeq: _*)
   }
+
+  /** Sorted-array HOF formulation of [[repetitionSignals]]'s per-array
+    * stats, kept for differential testing of the native GramStats
+    * expression. */
+  private[graft] def gramStatsHof(arr: Column): Column = struct(
+    aggregate(arr, lit(0L), (a, x) => a + length(x).cast(LongType)).as("total_chars"),
+    dupCharsInSorted(array_sort(arr)).as("dup_chars"),
+    (size(arr) - size(array_distinct(arr))).cast(LongType).as("dup_count"),
+    coalesce(
+      when(size(arr) > 0,
+        topRunInSorted(array_sort(arr)).getField("cnt") *
+          length(topRunInSorted(array_sort(arr)).getField("gram"))),
+      lit(0)).cast(LongType).as("top_chars"))
 
   /** Gopher's stopword presence list (Rae et al. 2021 §A1.1). */
   val gopherStopwords: Seq[String] =

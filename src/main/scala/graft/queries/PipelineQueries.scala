@@ -405,6 +405,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights: score every doc by the target-vs-raw
+    // unigram log-likelihood ratio (target = the 'en' slice). Two
+    // vocab-sized LM tables; the raw corpus is exploded once.
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id")
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Compression-ratio quality signal (zlib level 6, per-partition
     // Deflater). Deterministic on a fixed JVM but not engine-portable ->
     // rows-only driver check; CompressBpeSpec pins the semantics.
@@ -1283,6 +1295,25 @@ object PipelineQueries {
       """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0
         |    THEN 'shared boilerplate text' ELSE text END) AS n_distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dsir" ->
+      """WITH rawtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tgttok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE lang = 'en'),
+        |rc AS (SELECT t, count(*) AS c_raw FROM rawtok GROUP BY t),
+        |tc AS (SELECT t, count(*) AS c_tgt FROM tgttok GROUP BY t),
+        |vocab AS (
+        |  SELECT coalesce(rc.t, tc.t) AS t, coalesce(c_raw, 0) AS c_raw,
+        |         coalesce(c_tgt, 0) AS c_tgt
+        |  FROM rc FULL JOIN tc ON rc.t = tc.t),
+        |tot AS (SELECT sum(c_raw)::DOUBLE AS nr, sum(c_tgt)::DOUBLE AS nt,
+        |               count(*)::DOUBLE AS v FROM vocab),
+        |ratio AS (
+        |  SELECT t, ln((c_tgt + 0.5) / (nt + 0.5 * v))
+        |          - ln((c_raw + 0.5) / (nr + 0.5 * v)) AS lr
+        |  FROM vocab, tot)
+        |SELECT doc_id, round(sum(lr), 6) AS log_weight, count(*) AS n_tokens
+        |FROM rawtok JOIN ratio USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_stream_quality" ->
       """WITH base AS (

@@ -77,6 +77,23 @@ class GopherSpec extends SparkSpec {
     assert(r.getAs[Boolean]("gopher_pass"))
   }
 
+  test("native GramStats == sorted-array HOF formulation (differential)") {
+    val docs = Seq(
+      "a b a b c", "a b c a b c", "x", "", "a", "same same same same",
+      "one two three four five six seven", "z y x w z y x w z y")
+      .toDF("text")
+    val arr = split(col("text"), " ")
+    val both = docs.select(
+      graft.expr.TextExpressions.gramStatsCol(graft.operators.TextOps.shingles(arr, 2)).as("native"),
+      graft.operators.TextOps.gramStatsHof(graft.operators.TextOps.shingles(arr, 2)).as("hof"))
+      .collect()
+    for (r <- both) {
+      val (n, h) = (r.getStruct(0), r.getStruct(1))
+      for (f <- 0 until 4)
+        assert(n.getLong(f) == h.getLong(f), s"field $f: $n vs $h")
+    }
+  }
+
   test("repetitionSignals plan is shuffle-free (scan -> project only)") {
     val df = TextOps.repetitionSignals(
       spark.range(10).select(concat(lit("w x y z w x "), $"id").as("text")),
