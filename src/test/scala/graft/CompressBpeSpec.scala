@@ -46,6 +46,22 @@ class CompressBpeSpec extends SparkSpec {
     assert(TextOps.applyBpe("lowest", merges).mkString == "lowest")
   }
 
+  test("dsirLogWeights: hand-computed log-likelihood ratios") {
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("a a a c")).toDF("text")
+    // union vocab {a, b, c}: raw counts (2,2,1) N=5; target (3,0,1) N=4; V=3
+    def lr(ct: Double, cr: Double) =
+      math.log((ct + 0.5) / (4 + 0.5 * 3)) - math.log((cr + 0.5) / (5 + 0.5 * 3))
+    val want = Map(
+      1L -> (2 * lr(3, 2) + lr(0, 2)), // a a b
+      2L -> (lr(0, 2) + lr(1, 1)))     // b c
+    val got = graft.operators.TextOps.dsirLogWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, w) <- want) assert(math.abs(got(id) - w) < 1e-12, s"doc $id")
+    // the target-like doc scores higher
+    assert(got(1L) > got(2L) == (want(1L) > want(2L)))
+  }
+
   test("withBpeTokens: null text stays null") {
     val df = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(TextOps.withBpeTokens(df, "text", Seq("l" -> "o")).collect()(0).isNullAt(2))
