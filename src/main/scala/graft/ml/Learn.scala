@@ -81,6 +81,32 @@ object Learn {
     }
   }
 
+  /** PCA projection of an `array<float>` embedding column to `k`
+    * dimensions (spark.ml, distributed covariance + local SVD on the
+    * d×d matrix). The standard pre-ANN compression: project once, then
+    * run [[graft.operators.Similarity]] search in the reduced space
+    * (k·4 bytes/vec vs d·4 — shuffle and memory shrink d/k-fold, and
+    * brute-force scoring speeds up the same factor). Returns the input
+    * with `<out>` (array<float>, length k) plus the fitted model's
+    * explained-variance vector for the caller to judge k. Fit on a
+    * sample/batch once and reuse the returned transform for serving —
+    * same split as the pinned-centroid flows. */
+  def pcaProject(df: DataFrame, vecCol: String, k: Int,
+      out: String = "pca_vec"): (DataFrame, Seq[Double]) = {
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) =>
+      v.toArray.map(_.toFloat))
+    val assembled = df.withColumn("__pca_in", toVec(col(vecCol)))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("__pca_in").setOutputCol("__pca_out").setK(k)
+      .fit(assembled)
+    val projected = model.transform(assembled)
+      .withColumn(out, toArr(col("__pca_out")))
+      .drop("__pca_in", "__pca_out")
+    (projected, model.explainedVariance.toArray.toSeq)
+  }
+
   /** Confusion matrix as a (label, prediction, count) table — declared but
     * unimplemented in the reference (Learn.cpp:153-159); trivial here. */
   def confusionMatrix(predictions: DataFrame, y: String): DataFrame =

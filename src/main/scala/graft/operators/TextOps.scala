@@ -93,6 +93,20 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
+  /** Incremental vocabulary maintenance: merge a NEW batch's token counts
+    * into a persisted [[vocabulary]] table WITHOUT re-scanning the corpus
+    * — token counts are mergeable state (like the bloom/minhash index
+    * flows), so a 100 TB corpus is tokenized once, ever, and each ingest
+    * batch contributes one batch-sized pass + a vocab-sized union-sum.
+    * Every consumer of the counts (unigramLogProb's LM, dsirLogWeights'
+    * raw side, KL drift's corpus totals) accepts the merged table via
+    * their count-table inputs or recomputes from it. */
+  def mergeVocabCounts(existing: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    existing.unionByName(vocabulary(batch, textCol))
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
+
   /** Sliding token n-grams joined by a space: the standard shingle unit
     * for near-dup detection. Native codegen'd expression (one tight loop
     * per row, inside WSCG); the HOF formulation below ran an interpreted

@@ -209,6 +209,18 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // Incremental vocab maintenance: corpus counts (docs < 400) merged
+    // with a new batch (docs >= 400) must equal the from-scratch counts —
+    // the mergeable-state contract that lets a 100 TB corpus be tokenized
+    // exactly once.
+    "q_vocab_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = TextOps.vocabulary(docs.filter(col("doc_id") < 400), "text")
+      TextOps.mergeVocabCounts(existing, docs.filter(col("doc_id") >= 400), "text")
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    }),
+
     // Composite corpus-cleaning pipeline: language + quality + length
     // gates, then exact-dedup to canonical rows — the one-pass "clean
     // corpus" shape a training-data pipeline runs first
@@ -889,6 +901,21 @@ object PipelineQueries {
           "vec_id", "embedding", 5, cents, nProbe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PCA-compressed ANN: project 64-dim embeddings to 8 dims (spark.ml
+    // PCA), then brute-force top-5 in the reduced space — the d/k-fold
+    // shuffle/memory compression path. Eigenvector signs are
+    // implementation-defined -> rows-only driver check; LearnSpec pins
+    // variance capture and distance preservation.
+    "q_pca_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (proj, _) = graft.ml.Learn.pcaProject(emb, "embedding", 8)
+      val reduced = proj.select(col("vec_id"), col("pca_vec").as("embedding"))
+      Similarity.bruteForceTopK(reduced, reduced.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1832,6 +1859,19 @@ object PipelineQueries {
     "q_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // merged incremental counts == from-scratch counts, so the oracle is
+    // simply the whole-corpus aggregate
+    "q_vocab_merge" ->
+      """SELECT token, sum(n)::BIGINT AS n FROM (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE doc_id < 400) GROUP BY token
+        |  UNION ALL
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE doc_id >= 400) GROUP BY token)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "q_quality_filter" ->

@@ -40,4 +40,26 @@ class LearnSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("color: red") == 0.0) // null row all zeros
     assert(rows(2).getAs[Double]("color: blue") == 0.0)
   }
+
+  test("pcaProject: planar 3D data collapses to 2 components with ~all variance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // points live in the z ~ 0 plane: two strong axes + 1e-3 z noise
+    val pts = (0L until 200L).map { i =>
+      val a = rnd.nextGaussian().toFloat; val b = rnd.nextGaussian().toFloat
+      (i, Array(a + b, a - b, (rnd.nextGaussian() * 1e-3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (projected, variance) = Learn.pcaProject(pts, "embedding", 2)
+    assert(variance.length == 2 && variance.sum > 0.999, s"variance $variance")
+    val row = projected.select("pca_vec").head().getSeq[Float](0)
+    assert(row.length == 2)
+    // projection preserves pairwise structure: distances in the plane
+    val two = projected.orderBy("vec_id").select("embedding", "pca_vec")
+      .limit(2).collect()
+    def d(a: Seq[Float], b: Seq[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val dOrig = d(two(0).getSeq[Float](0), two(1).getSeq[Float](0))
+    val dProj = d(two(0).getSeq[Float](1), two(1).getSeq[Float](1))
+    assert(math.abs(dOrig - dProj) < 1e-2, s"$dOrig vs $dProj")
+  }
 }
