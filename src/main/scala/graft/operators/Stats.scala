@@ -157,6 +157,30 @@ object Stats {
     df.withColumn("bin", when(col(c).isNotNull, bin))
   }
 
+  /** groupBy/join SKEW diagnosis for a key set — the operational
+    * pre-flight for any 100 TB shuffle: the `topK` heaviest keys with
+    * row count, corpus share, and `x_mean` = count / mean-key-load. A
+    * reducer processing the hot key runs ~x_mean× the average task, and
+    * ceil(x_mean) is the salt factor that would flatten it (feed to
+    * [[graft.operators.Joins.saltedJoin]]); AQE's skew-join handles the
+    * join case at runtime, this makes the aggregation case visible
+    * before it burns a stage. One partial-merged groupBy (pinned so the
+    * totals derive from the SAME pass) + a tiny top-k. Ties break by the
+    * key columns ascending. */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty && topK > 0)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val tot = counts.agg(sum(col("n")), count(lit(1))).head()
+    val (total, nKeys) = (tot.getLong(0), tot.getLong(1))
+    val mean = total.toDouble / nKeys
+    counts
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+      .withColumn("share", col("n").cast(DoubleType) / total)
+      .withColumn("x_mean", col("n").cast(DoubleType) / mean)
+  }
+
   /** Winsorize: clamp a numeric column at its exact interpolated
     * `[lo, hi]` quantiles (the REFERENCE quantile rule, n = N·q − 0.5 +
     * lerp — graft.functions.InterpolatedQuantile). One partial-merged

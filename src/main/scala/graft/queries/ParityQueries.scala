@@ -267,6 +267,19 @@ object ParityQueries {
         .orderBy(col("bin"))
     }),
 
+    // Shuffle-skew pre-flight: heaviest keys with share and x_mean (the
+    // salt factor that would flatten the hot reducer). A planted hot key
+    // absorbs every 5th event on top of its hash share.
+    "q_skew" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        when(col("event_id") % 5 === 0, lit(0L))
+          .otherwise(col("user_id") % 50).as("k"))
+      Stats.skewReport(ev, Seq("k"), topK = 8)
+        .select(col("k"), col("n"), round(col("share"), 6).as("share"),
+          round(col("x_mean"), 6).as("x_mean"))
+        .orderBy(col("n").desc, col("k"))
+    }),
+
     // Winsorization at the exact interpolated [p05, p95]: one two-output
     // aggregate for the bounds, then a narrow clamp — no sort of the data.
     "q_winsorize" -> ((s, dir) => {
@@ -475,6 +488,15 @@ object ParityQueries {
          |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
+
+    "q_skew" ->
+      """WITH e AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0
+        |             ELSE user_id % 50 END AS k FROM events),
+        |c AS (SELECT k, count(*) AS n FROM e GROUP BY k),
+        |t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS nk FROM c)
+        |SELECT k, n, round(n / total, 6) AS share,
+        |  round(n / (total / nk), 6) AS x_mean
+        |FROM c, t ORDER BY n DESC, k LIMIT 8""".stripMargin,
 
     "q_winsorize" -> {
       val lo = duckQuantileRaw("n*0.05 - 0.5")

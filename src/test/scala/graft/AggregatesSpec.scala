@@ -381,6 +381,17 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: hand-computed shares, x_mean, tie by key") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val rows = Stats.skewReport(df, Seq("k"), topK = 2).collect()
+    // total 10 over 3 keys -> mean 10/3
+    assert(rows(0).getString(0) == "a" && rows(0).getLong(1) == 6L)
+    assert(math.abs(rows(0).getAs[Double]("share") - 0.6) < 1e-12)
+    assert(math.abs(rows(0).getAs[Double]("x_mean") - 1.8) < 1e-12)
+    assert(rows(1).getString(0) == "b") // b/c tie at 2 -> key asc
+  }
+
   test("winsorize clamps at the exact interpolated quantiles") {
     import spark.implicits._
     // 1..10 at [0.25, 0.75]: n=10*0.25-0.5=2 -> v[2]=3; n=7 -> v[7]=8

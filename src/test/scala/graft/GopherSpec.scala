@@ -94,6 +94,30 @@ class GopherSpec extends SparkSpec {
     }
   }
 
+  test("GramStats matches a sequential Scala model on seeded random arrays") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "b", "ab", "xyz", "q", "longertoken", "")
+    val trials = (0 until 60).map { t =>
+      (t.toLong, Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val got = trials.toDF("t", "arr")
+      .select(col("t"), graft.expr.TextExpressions.gramStatsCol(col("arr")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    for ((t, arr) <- trials) {
+      val counts = arr.groupBy(identity).view.mapValues(_.size).toMap
+      val total = arr.map(_.length).sum.toLong
+      val dupChars = counts.collect { case (v, c) if c > 1 => (c - 1).toLong * v.length }.sum
+      val dupCount = counts.values.collect { case c if c > 1 => (c - 1).toLong }.sum
+      val topChars = if (counts.isEmpty) 0L else {
+        val (v, c) = counts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+        c.toLong * v.length
+      }
+      val s = got(t)
+      assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+        ((total, dupChars, dupCount, topChars)), s"trial $t arr=$arr")
+    }
+  }
+
   test("repetitionSignals plan is shuffle-free (scan -> project only)") {
     val df = TextOps.repetitionSignals(
       spark.range(10).select(concat(lit("w x y z w x "), $"id").as("text")),
