@@ -35,6 +35,25 @@ object Joins {
     saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** [[saltedJoin]] with the salt factor MEASURED instead of guessed:
+    * run [[graft.operators.Stats.skewReport]] on the left side's keys and
+    * salt by the hot key's x_mean (clamped to [1, maxSalt]) — x_mean IS
+    * the factor by which the hot reducer outweighs the average, so
+    * salting by it levels the stage. When the keys are balanced
+    * (x_mean ≤ 2) the plain join runs unsalted — no replication paid.
+    * The diagnosis pass is one partial-merged groupBy over the left keys
+    * (cheap next to the join's own shuffle, and reusable: persist the
+    * report when joining the same corpus repeatedly). Result always
+    * equals `left.join(right, keys, how)` for the allowed join modes. */
+  def autoSaltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner", maxSalt: Int = 32): DataFrame = {
+    val hot = graft.operators.Stats.skewReport(left, keys, topK = 1)
+      .select(col("x_mean")).head().getDouble(0)
+    val salt = math.min(maxSalt.toDouble, math.max(1.0, math.ceil(hot))).toInt
+    if (salt <= 2) left.join(right, keys, how)
+    else saltedJoin(left, right, keys, salt, how)
+  }
+
   /** FUZZY string equi-join — record linkage: (left, right) pairs whose
     * character-trigram Jaccard similarity is at least `threshold`.
     * Inverted-index candidate generation, never a cross join: each side

@@ -267,6 +267,21 @@ object ParityQueries {
         .orderBy(col("bin"))
     }),
 
+    // Measured-salt join: every 3rd order is funneled onto customer 1
+    // (hot key ~33%), so autoSaltedJoin's skew probe picks a real salt
+    // factor and the salted plan must STILL equal the plain join — which
+    // is exactly what the oracle replays.
+    "q_salted" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 3 === 0, lit(1L)).otherwise(col("o_custkey")).as("ck"),
+        col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_name"))
+      graft.operators.Joins.autoSaltedJoin(o, c, Seq("ck"))
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("price_sum"))
+        .orderBy(col("c_name"))
+    }),
+
     // Shuffle-skew pre-flight: heaviest keys with share and x_mean (the
     // salt factor that would flatten the hot reducer). A planted hot key
     // absorbs every 5th event on top of its hash share.
@@ -488,6 +503,13 @@ object ParityQueries {
          |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
+
+    "q_salted" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+        |             ELSE o_custkey END AS ck, o_totalprice FROM orders)
+        |SELECT c_name, count(*) AS n, round(sum(o_totalprice), 4) AS price_sum
+        |FROM o JOIN customer ON ck = c_custkey
+        |GROUP BY c_name ORDER BY c_name""".stripMargin,
 
     "q_skew" ->
       """WITH e AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0

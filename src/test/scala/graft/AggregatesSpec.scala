@@ -145,6 +145,23 @@ class AggregatesSpec extends SparkSpec {
     assert(e.getMessage.contains("salt bucket"))
   }
 
+  test("autoSaltedJoin: salted-on-skew result equals the plain join; balanced stays unsalted") {
+    import spark.implicits._
+    // 60 of 70 rows share key 1 -> x_mean >> 2 -> salted path
+    val skewed = ((1 to 60).map(i => (1L, i)) ++ (2 to 11).map(i => (i.toLong, i)))
+      .toDF("k", "payload")
+    val dim = (1 to 11).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val auto = graft.operators.Joins.autoSaltedJoin(skewed, dim, Seq("k"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(auto == plain && auto.size == 70)
+    // balanced keys: x_mean = 1 -> plan contains no salt column
+    val balanced = (1 to 20).map(i => (i.toLong, i)).toDF("k", "payload")
+    val out = graft.operators.Joins.autoSaltedJoin(balanced, dim, Seq("k"))
+    assert(!out.queryExecution.analyzed.toString.contains("__salt"))
+  }
+
   test("asofJoin backward: latest right at-or-before, exact match counts, no-candidate is null") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 5L, "d"))
