@@ -699,6 +699,25 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // Curation pipeline v2 — the round-4 stack end to end: Gopher quality
+    // gate -> duplicated-span removal (n=15) -> exact dedup on the
+    // CLEANED text -> hash split. The oracle replays all four stages.
+    "q_curate2" -> ((s, dir) => {
+      val gated = TextOps.gopherQualityFlags(t(s, dir, "documents"), "text")
+        .filter(col("gopher_pass")).select(col("doc_id"), col("text"))
+      val trimmed = Dedup.trimDupSpans(gated, "text", "doc_id", n = 15)
+        .select(col("doc_id"), col("text_trimmed").as("clean"),
+          col("n_trimmed_tokens"))
+      val canon = Dedup.dropExactDups(trimmed, "clean", "doc_id")
+      canon
+        .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 80))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_trimmed_tokens")).as("trimmed_sum"),
+          sum(TextOps.tokenCount(col("clean"))).as("tokens_sum"))
+        .orderBy(col("split"))
+    }),
+
     // Incremental-ingest dedup: the new batch (doc_id >= 250) drops rows
     // whose text the existing corpus already holds, then dedups within
     // itself. Duplicates are injected deterministically (the driver data
@@ -1387,6 +1406,60 @@ object PipelineQueries {
         |       THEN round(p.n_dup / p.n_spans, 6) END AS dup_ratio
         |FROM synth s LEFT JOIN per p USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_curate2" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS t, string_split(text, ' ') AS toks,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, toks FROM base
+        |  WHERE len(toks) BETWEEN 50 AND 100000
+        |    AND (list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)) BETWEEN 3.0 AND 10.0
+        |    AND ((len(t) - len(replace(replace(t, '#', ''), chr(8230), '')))::DOUBLE / len(toks)) <= 0.1
+        |    AND (len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(lines)) <= 0.9
+        |    AND (len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230))))::DOUBLE / len(lines)) <= 0.3
+        |    AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)) >= 0.8
+        |    AND len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+14], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 13)) AS i FROM gated) w),
+        |fp AS (
+        |  SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM sh),
+        |freq AS (SELECT h, count(*) AS cnt FROM fp GROUP BY h),
+        |cov AS (
+        |  SELECT doc_id, list(DISTINCT p) AS covered
+        |  FROM (SELECT f.doc_id, unnest(range(f.pos, f.pos + 15)) AS p
+        |        FROM fp f JOIN freq q USING (h) WHERE q.cnt > 1) e
+        |  GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT g.doc_id,
+        |    list_transform(
+        |      list_filter(range(1, len(g.toks) + 1),
+        |        i -> NOT coalesce(list_contains(c.covered, i - 1), FALSE)),
+        |      i -> g.toks[i]) AS kept, len(g.toks) AS ntoks
+        |  FROM gated g LEFT JOIN cov c USING (doc_id)),
+        |cleaned AS (
+        |  SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean,
+        |    (ntoks - len(kept))::BIGINT AS trimmed
+        |  FROM rebuilt),
+        |canon AS (
+        |  SELECT * FROM
+        |    (SELECT *, min(doc_id) OVER (PARTITION BY clean) AS ck FROM cleaned)
+        |  WHERE doc_id = ck),
+        |tagged AS (
+        |  SELECT *, CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(doc_id::VARCHAR) + 1),
+        |        i -> ascii((doc_id::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split
+        |  FROM canon)
+        |SELECT split, count(*) AS n_docs, sum(trimmed)::BIGINT AS trimmed_sum,
+        |  sum(len(string_split(clean, ' ')))::BIGINT AS tokens_sum
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
 
     "q_trim_spans" ->
       """WITH synth AS (
