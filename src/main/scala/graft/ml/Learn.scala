@@ -81,6 +81,40 @@ object Learn {
     }
   }
 
+  /** Feature scaling for numeric columns — the ML-prep narrow pass:
+    * `zscore` ((x − mean)/std, population std like the reference's var)
+    * or `minmax` ((x − min)/(max − min) onto [0, 1]). ONE partial-merged
+    * aggregate computes every column's stats; the scale pass is
+    * broadcast-literal arithmetic (no shuffle of the data). Stats are
+    * rounded to 6 places before the division so outputs are
+    * oracle-replayable despite summation-order noise (same rule as
+    * Stats.zscores). Appends `<c>_scaled` per column; degenerate columns
+    * (std or range 0) and null values scale to null. */
+  def scaleFeatures(df: DataFrame, cols: Seq[String],
+      method: String = "zscore"): DataFrame = {
+    require(cols.nonEmpty)
+    require(Set("zscore", "minmax").contains(method), s"unknown method $method")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aggs = cols.flatMap { c =>
+      if (method == "zscore")
+        Seq(avg(col(c)).as(s"${c}_m"), stddev_pop(col(c)).as(s"${c}_s"))
+      else Seq(min(col(c)).cast(DoubleType).as(s"${c}_m"),
+        max(col(c)).cast(DoubleType).as(s"${c}_s"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val a = r6(row.getDouble(2 * i)); val b = r6(row.getDouble(2 * i + 1))
+      val scaled = method match {
+        case "zscore" if b == 0.0 => lit(null).cast(DoubleType)
+        case "zscore"             => (col(c).cast(DoubleType) - a) / b
+        case _ if b - a == 0.0    => lit(null).cast(DoubleType)
+        case _                    => (col(c).cast(DoubleType) - a) / (b - a)
+      }
+      d.withColumn(s"${c}_scaled", scaled)
+    }
+  }
+
   /** PCA projection of an `array<float>` embedding column to `k`
     * dimensions (spark.ml, distributed covariance + local SVD on the
     * d×d matrix). The standard pre-ANN compression: project once, then

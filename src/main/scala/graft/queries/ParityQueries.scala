@@ -267,6 +267,20 @@ object ParityQueries {
         .orderBy(col("bin"))
     }),
 
+    // Feature scaling (ML prep): z-standardize l_quantity, min-max
+    // l_extendedprice — one stats aggregate each, stats rounded before
+    // the division so the oracle replays bit-exactly.
+    "q_scale" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+        col("l_quantity"), col("l_extendedprice"))
+      val z = graft.ml.Learn.scaleFeatures(li, Seq("l_quantity"), "zscore")
+      graft.ml.Learn.scaleFeatures(z, Seq("l_extendedprice"), "minmax")
+        .select(col("ord"), round(col("l_quantity_scaled"), 4).as("q_scaled"),
+          round(col("l_extendedprice_scaled"), 6).as("p_scaled"))
+        .orderBy(col("ord"))
+    }),
+
     // Measured-salt join: every 3rd order is funneled onto customer 1
     // (hot key ~33%), so autoSaltedJoin's skew probe picks a real salt
     // factor and the salted plan must STILL equal the plain join — which
@@ -503,6 +517,16 @@ object ParityQueries {
          |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
+
+    "q_scale" ->
+      """WITH s AS (SELECT round(avg(l_quantity), 6) AS m,
+        |                  round(stddev_pop(l_quantity), 6) AS sd,
+        |                  round(min(l_extendedprice), 6) AS mn,
+        |                  round(max(l_extendedprice), 6) AS mx FROM lineitem)
+        |SELECT l_orderkey * 10 + l_linenumber AS ord,
+        |  round((l_quantity - m) / sd, 4) AS q_scaled,
+        |  round((l_extendedprice - mn) / (mx - mn), 6) AS p_scaled
+        |FROM lineitem, s ORDER BY ord""".stripMargin,
 
     "q_salted" ->
       """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1

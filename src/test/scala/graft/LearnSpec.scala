@@ -41,6 +41,19 @@ class LearnSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("color: blue") == 0.0)
   }
 
+  test("scaleFeatures: hand-computed zscore/minmax, degenerate columns null") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("v", "c")
+    val z = Learn.scaleFeatures(df, Seq("v", "c"), "zscore")
+      .orderBy("v").collect()
+    // std_pop([1,2,3]) = sqrt(2/3) -> rounded 0.816497
+    assert(math.abs(z(0).getAs[Double]("v_scaled") - (1.0 - 2.0) / 0.816497) < 1e-12)
+    assert(z.forall(_.isNullAt(3))) // constant column -> null
+    val m = Learn.scaleFeatures(df, Seq("v"), "minmax").orderBy("v").collect()
+    assert(m(1).getAs[Double]("v_scaled") == 0.5)
+    assert(m(0).getAs[Double]("v_scaled") == 0.0 && m(2).getAs[Double]("v_scaled") == 1.0)
+  }
+
   test("pcaProject: planar 3D data collapses to 2 components with ~all variance") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
