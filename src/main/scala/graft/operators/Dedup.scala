@@ -124,6 +124,22 @@ object Dedup {
           (col("size_a") + col("size_b") - col("inter")).cast(DoubleType))
   }
 
+  /** n-gram CONTAINMENT via the same inverted-index join as
+    * [[ngramJaccard]]: containment = inter / min(size_a, size_b). The
+    * asymmetric near-dup signal — a snippet quoted whole inside a long
+    * doc scores ~1 here while its Jaccard (inter / union) stays near
+    * size_small/size_big, so symmetric thresholds miss it. Standard for
+    * quote/excerpt/subset detection in corpus curation (and the signal
+    * behind "is doc A a crawl of a page containing doc B").
+    * Output adds `containment` to the [[ngramJaccard]] columns; same
+    * cost, same `maxDocFreq` hot-shingle guard. */
+  def ngramContainment(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int, maxDocFreq: Option[Long] = None): DataFrame =
+    ngramJaccard(docs, textCol, idCol, blockCol, n, maxDocFreq)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) /
+          least(col("size_a"), col("size_b")).cast(DoubleType))
+
   /** A seeded hash family for minhash permutations. `prepare` names
     * columns computed ONCE per exploded (id, shingle) row — the place for
     * anything the k seeds share (a fingerprint fold, a pow-table lookup);

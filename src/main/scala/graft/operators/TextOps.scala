@@ -352,6 +352,88 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Adjacent token pairs as (prev, cur) structs — the bigram stream for
+    * collocation mining and bigram LMs. A doc of n tokens yields n-1
+    * pairs; single-token docs yield none (both slices are empty). */
+  private def adjacentPairs(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("prev"), b.as("cur")))
+
+  /** Collocation mining via pointwise mutual information over ADJACENT
+    * token pairs: pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ), with p(a,b) from
+    * the bigram count stream and p(·) from the unigram stream. High-PMI
+    * pairs are multiword expressions ("new york"); low-PMI high-count
+    * pairs are grammatical glue — both standard corpus-profiling signals.
+    * `minCount` drops the unstable low-count tail (PMI's known bias
+    * toward hapax pairs).
+    *
+    * Shape (100 TB): two exploded passes over the corpus collapse into
+    * map-side-combined vocab-sized count tables; the unigram joins onto
+    * the bigram table are vocab-sized (AQE broadcasts); nothing shuffles
+    * at corpus size. Output: (tok_a, tok_b, pair_count, pmi). */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c")).cache()
+    val nU = uni.agg(sum(col("c"))).head().getLong(0)
+    val bi = toks.select(explode(adjacentPairs(col("__toks"))).as("__p"))
+      .groupBy(col("__p.prev").as("tok_a"), col("__p.cur").as("tok_b"))
+      .agg(count(lit(1)).as("pair_count")).cache()
+    val nB = bi.agg(sum(col("pair_count"))).head().getLong(0)
+    bi.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("t").as("tok_a"), col("c").as("__ca")), Seq("tok_a"))
+      .join(uni.select(col("t").as("tok_b"), col("c").as("__cb")), Seq("tok_b"))
+      .withColumn("pmi",
+        log((col("pair_count").cast(DoubleType) / nB) /
+          ((col("__ca").cast(DoubleType) / nU) * (col("__cb").cast(DoubleType) / nU))))
+      .select(col("tok_a"), col("tok_b"), col("pair_count"), col("pmi"))
+  }
+
+  /** Per-doc average bigram log-probability under a stupid-backoff LM
+    * (Brants et al. 2007) trained on `lm`: score(w_i | w_{i-1}) =
+    * c(w_{i-1} w_i) / c(w_{i-1}) when the bigram is attested, else
+    * α · (c(w_i) + 0.5) / (N + 0.5·(V+1)) — the unsmoothed conditional
+    * backs off to an additively-smoothed unigram (the +1 in V covers
+    * OOV tokens, so every score is defined and the log never -∞).
+    * Sharper than [[unigramLogProb]] as a fluency/perplexity proxy:
+    * word-salad with plausible unigrams still scores low. Train `lm` on
+    * a clean subsample; docs with <2 tokens have no bigrams and drop.
+    *
+    * Shape (100 TB): the LM passes collapse to vocab²-bounded count
+    * tables (in practice ~vocab-sized — attested bigrams only); scoring
+    * is one exploded pass over `docs` with three vocab-sized joins
+    * (broadcast under AQE) and a per-doc aggregate.
+    * Output: (idCol, avg_logprob2, n_bigrams). */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, lm: org.apache.spark.sql.DataFrame,
+      alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, "bigramLogProb: alpha must be > 0")
+    val lmToks = lm.select(tokens(col(textCol)).as("__toks"))
+    val uni = lmToks.select(explode(col("__toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1")).cache()
+    val totals = uni.agg(sum(col("c1")), count(lit(1))).head()
+    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    val bi = lmToks.select(explode(adjacentPairs(col("__toks"))).as("__p"))
+      .groupBy(col("__p.prev").as("prev"), col("__p.cur").as("cur"))
+      .agg(count(lit(1)).as("c2"))
+    docs.select(col(idCol), explode(adjacentPairs(tokens(col(textCol)))).as("__p"))
+      .select(col(idCol), col("__p.prev").as("prev"), col("__p.cur").as("cur"))
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uni.select(col("t").as("prev"), col("c1").as("__cp")), Seq("prev"), "left")
+      .join(uni.select(col("t").as("cur"), col("c1").as("__cc")), Seq("cur"), "left")
+      .withColumn("__lp",
+        when(col("c2").isNotNull, log(col("c2").cast(DoubleType) / col("__cp")))
+          .otherwise(lit(math.log(alpha)) +
+            log((coalesce(col("__cc"), lit(0L)).cast(DoubleType) + 0.5) /
+              (n + 0.5 * (v + 1)))))
+      .groupBy(col(idCol))
+      .agg((sum(col("__lp")) / count(lit(1))).as("avg_logprob2"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", at unigram granularity):
     * score every RAW-corpus doc by the log-likelihood ratio between a

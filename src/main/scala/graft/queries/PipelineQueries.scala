@@ -769,6 +769,57 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // Asymmetric containment near-dup: plant snippet docs (first 25
+    // tokens of docs 0..39) and catch snippet-inside-doc pairs whose
+    // symmetric Jaccard is far below any dedup threshold
+    "q_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val snippets = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 25)).as("text"),
+          col("source"))
+      val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(snippets)
+      Dedup.ngramContainment(corpus, "text", "doc_id", "source", 4)
+        .filter(col("containment") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+          col("size_b"), round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Collocation mining: PMI over adjacent token pairs, count-gated
+    "q_pmi" -> ((s, dir) => {
+      TextOps.pmiCollocations(t(s, dir, "documents"), "text", minCount = 20)
+        .select(col("tok_a"), col("tok_b"), col("pair_count"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+        .limit(100)
+    }),
+
+    // Stupid-backoff bigram LM perplexity proxy: train on the even-id
+    // half of the corpus, score every doc (odd docs exercise the
+    // unigram backoff path on unattested bigrams)
+    "q_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bigramLogProb(docs, "text", "doc_id",
+          lm = docs.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), round(col("avg_logprob2"), 6).as("avg_logprob2"),
+          col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Int8-quantized ANN: approximate candidates over 4x-compressed
+    // vectors, exact float re-rank — quantization arithmetic is
+    // deterministic, so the oracle replays the whole pipeline
+    "q_ann_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // §2.4 string predicates: startsWith + full-string regex match
     "q_filter_str" -> ((s, dir) => {
       import graft.expr.LQuery._
@@ -1980,6 +2031,107 @@ object PipelineQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    "q_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string((string_split(text, ' '))[1:25], ' '), source
+        |  FROM documents WHERE doc_id < 40),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM corpus)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS size_a, sb.n AS size_b,
+        |  round(inter::DOUBLE / least(sa.n, sb.n), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pmi" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT t, count(*) AS c
+        |      FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+        |nt AS (SELECT sum(c) AS nu FROM u),
+        |bp AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM tok),
+        |b AS (SELECT toks[i] AS tok_a, toks[i+1] AS tok_b, count(*) AS pair_count
+        |      FROM bp GROUP BY 1, 2),
+        |nb AS (SELECT sum(pair_count) AS nb FROM b)
+        |SELECT tok_a, tok_b, pair_count,
+        |  round(ln((pair_count::DOUBLE / nb) /
+        |    ((ua.c::DOUBLE / nu) * (ub.c::DOUBLE / nu))), 6) AS pmi
+        |FROM b
+        |JOIN u ua ON ua.t = tok_a
+        |JOIN u ub ON ub.t = tok_b
+        |CROSS JOIN nt CROSS JOIN nb
+        |WHERE pair_count >= 20
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 100""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lmtok AS (SELECT toks FROM tok WHERE doc_id % 2 = 0),
+        |u AS (SELECT t, count(*) AS c1
+        |      FROM (SELECT unnest(toks) AS t FROM lmtok) GROUP BY t),
+        |tot AS (SELECT sum(c1) AS n, count(*) AS v FROM u),
+        |lmbp AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM lmtok),
+        |bi AS (SELECT toks[i] AS prev, toks[i+1] AS cur, count(*) AS c2
+        |       FROM lmbp GROUP BY 1, 2),
+        |bp AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM tok),
+        |pairs AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bp),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c2 IS NOT NULL THEN ln(c2::DOUBLE / up.c1)
+        |         ELSE ln(0.4) + ln((coalesce(uc.c1, 0) + 0.5) / (tot.n + 0.5 * (tot.v + 1)))
+        |    END AS lp
+        |  FROM pairs
+        |  LEFT JOIN bi USING (prev, cur)
+        |  LEFT JOIN u up ON up.t = prev
+        |  LEFT JOIN u uc ON uc.t = cur
+        |  CROSS JOIN tot)
+        |SELECT doc_id, round(sum(lp) / count(*), 6) AS avg_logprob2,
+        |  count(*) AS n_bigrams
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ann_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, v, s, list_transform(v, x -> round(x / s)) AS qvec
+        |  FROM (SELECT vec_id, v,
+        |          greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+        |        FROM v)),
+        |cand AS (
+        |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |    list_dot_product(qq.qvec, cc.qvec) * qq.s * cc.s AS approx
+        |  FROM qv qq JOIN qv cc ON cc.vec_id <> qq.vec_id
+        |  WHERE qq.vec_id < 10),
+        |kept AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY approx DESC, neighbor_id) AS arank
+        |  FROM cand QUALIFY arank <= 20),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM kept
+        |  JOIN v a ON a.vec_id = query_id
+        |  JOIN v b ON b.vec_id = neighbor_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |  neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_filter_str" ->
       """SELECT doc_id, source, lang FROM documents

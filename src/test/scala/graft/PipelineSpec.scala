@@ -30,6 +30,55 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.dropExactDups(df, "text", "doc_id").count() == 2)
   }
 
+  test("ngram containment: snippet-in-doc scores ~1 where Jaccard is low") {
+    import spark.implicits._
+    val long = "a b c d e f g h i j k l m n o p q r s t"
+    val corpus = Seq(
+      (0L, long, "s0"),
+      (1L, "a b c d e f", "s0"), // 4 shingles, all inside doc 0 (17 shingles)
+      (2L, "z y x w v u t s", "s0")).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramContainment(corpus, "text", "doc_id", "source", 4)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))).toMap
+    val (cont, jac) = out((0L, 1L))
+    assert(cont == 1.0)               // every snippet shingle is in the doc
+    assert(jac < 0.25)                // 3/17 — symmetric signal misses it
+    assert(!out.contains((0L, 2L)))   // no shared shingle
+  }
+
+  test("PMI collocations: planted pair tops the list, minCount gates") {
+    import spark.implicits._
+    // "new york" always adjacent (8x); "the" frequent everywhere
+    val df = Seq.tabulate(8)(i => (i.toLong, s"new york the w$i the end"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(df, "text", minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("pair_count"), r.getAs[Double]("pmi")))).toMap
+    // c(new york)=8, c(new)=8, c(york)=8, Nb=40, Nu=48
+    val expected = math.log((8.0 / 40.0) / ((8.0 / 48.0) * (8.0 / 48.0)))
+    assert(math.abs(out(("new", "york"))._2 - expected) < 1e-12)
+    assert(!out.contains(("w0", "the"))) // count 1 < minCount
+    // "the end" (8x) involves the 16-count "the": lower PMI than new york
+    assert(out(("the", "end"))._2 < out(("new", "york"))._2)
+  }
+
+  test("bigram LM stupid backoff: attested vs backed-off scores by hand") {
+    import spark.implicits._
+    val lm = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(score, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob2")).toMap
+    // LM: c(a)=2, c(b)=2, N=4, V=2; bigrams: c(a b)=2, c(b a)=1
+    // "a b": attested -> ln(c2/c1(a)) = ln(2/2) = 0
+    assert(math.abs(out(1L) - 0.0) < 1e-12)
+    // "b b": unattested -> ln(0.4) + ln((c(b)+0.5)/(N+0.5*(V+1)))
+    val backoff = math.log(0.4) + math.log((2 + 0.5) / (4 + 0.5 * 3))
+    assert(math.abs(out(2L) - backoff) < 1e-12)
+    // single-token docs contribute no rows
+    assert(TextOps.bigramLogProb(Seq((3L, "solo")).toDF("doc_id", "text"),
+      "text", "doc_id", lm).count() == 0)
+  }
+
   test("ngram Jaccard finds planted near-dups with high score") {
     val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
