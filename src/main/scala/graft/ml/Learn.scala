@@ -141,6 +141,66 @@ object Learn {
     (projected, model.explainedVariance.toArray.toSeq)
   }
 
+  /** Hashed n-gram bag-of-words featurization (the fastText hashing
+    * trick): each token n-gram buckets to fingerprint(gram) mod `dim`;
+    * the feature vector is the per-bucket count. The 8-byte replayable
+    * fingerprint keeps the whole pipeline engine-portable (an external
+    * oracle can recompute every bucket). Shape: one explode collapses to
+    * a (doc, bucket) partial-merged count — the shuffle carries ≤ dim
+    * entries per doc, never gram text — then one map-assembly pass.
+    * Docs with no n-gram (fewer than n tokens) produce no row. */
+  def hashedNgramCounts(df: DataFrame, textCol: String, idCol: String,
+      dim: Int, n: Int = 2): DataFrame = {
+    import graft.operators.TextOps
+    require(dim >= 2 && dim <= (1 << 20), s"hashedNgramCounts: dim $dim")
+    val buckets = df.select(col(idCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("__g"))
+      .select(col(idCol), (TextOps.fingerprint(col("__g")) % dim).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).cast(DoubleType).as("__c"))
+    buckets.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0.0))).as("features"))
+  }
+
+  /** Train a TEXT QUALITY CLASSIFIER (the CCNet/LLaMA-style "does this
+    * look like reference text?" filter): logistic regression over
+    * [[hashedNgramCounts]] features. Labels: 1.0 = keep-quality
+    * exemplars (wiki/books), 0.0 = raw crawl. Returns (weights, bias)
+    * sized `dim` — hand them to [[linearTextScore]] for the narrow
+    * serving pass (the fit is one spark.ml job; scoring never touches
+    * spark.ml). */
+  def trainTextClassifier(df: DataFrame, textCol: String, labelCol: String,
+      idCol: String, dim: Int = 256, n: Int = 2,
+      c: Double = 1.0): (Array[Double], Double) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = hashedNgramCounts(df, textCol, idCol, dim, n)
+      .join(df.select(col(idCol), col(labelCol).cast(DoubleType).as("__label")), Seq(idCol))
+      .withColumn("__features", array_to_vector(col("features")))
+    val m = new MlLogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .setRegParam(1.0 / c)
+      .fit(feats)
+    (m.coefficients.toArray, m.intercept)
+  }
+
+  /** Serving-side linear text score: sigmoid(bias + Σ_grams
+    * w[fingerprint(gram) mod dim]) — algebraically w·f for count
+    * features, computed WITHOUT materializing the feature vector: one
+    * weight-table lookup per gram, folded row-locally. Weights travel as
+    * a plan literal; the pass is narrow (no shuffle, no spark.ml at
+    * serving time) and every arithmetic step is oracle-replayable. */
+  def linearTextScore(text: org.apache.spark.sql.Column, weights: Array[Double],
+      bias: Double, n: Int = 2): org.apache.spark.sql.Column = {
+    import graft.operators.TextOps
+    val dim = weights.length
+    val w = typedLit(weights)
+    val grams = TextOps.shingles(TextOps.tokens(text), n)
+    val z = aggregate(grams, lit(bias), (acc, g) =>
+      acc + element_at(w, (TextOps.fingerprint(g) % dim).cast("int") + 1))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Confusion matrix as a (label, prediction, count) table — declared but
     * unimplemented in the reference (Learn.cpp:153-159); trivial here. */
   def confusionMatrix(predictions: DataFrame, y: String): DataFrame =

@@ -303,6 +303,32 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus DUPLICATION PROFILE — the health report run before deciding
+    * dedup policy: component-size histogram of the near-dup graph, plus
+    * the singleton row, so "what fraction of the corpus is duplicated,
+    * and in how big clusters?" is one table. Cluster size 1 = docs in no
+    * pair; size k ≥ 2 = a connected component of k near-dups (of which
+    * k−1 would be dropped by [[dropNearDupClusters]]).
+    *
+    * Scale shape: components run over the PAIR GRAPH only (edges ≪
+    * corpus); the singleton count is one anti-join aggregate; the
+    * histogram is component-count-sized. Output: (cluster_size,
+    * n_clusters, n_docs). */
+  def dupProfile(docs: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val multi = comps.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = docs.select(col(idCol).as("id"))
+      .join(comps.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"),
+        col("n_clusters").as("n_docs"))
+    multi.unionByName(singles).filter(col("n_clusters") > 0)
+  }
+
   /** Cross-corpus near-dup matching — DECONTAMINATION: find training
     * documents whose text near-duplicates an evaluation/benchmark set, so
     * they can be dropped before training. Same sub-quadratic LSH shape as

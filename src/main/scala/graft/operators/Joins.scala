@@ -191,6 +191,34 @@ object Joins {
     * Columns: output = every left column plus `right`'s non-key,
     * non-time columns (names must not collide with left's — rename before
     * joining, as with any Spark join). */
+  /** [[asofJoin]] in NEAREST direction: each left row takes the right row
+    * with the smallest |time gap| among the backward and forward matches
+    * (per-key each is unique, so "nearest overall" = closer of the two);
+    * an exact tie goes BACKWARD (pandas merge_asof's rule). Composes two
+    * running-window passes — still no inequality join, two shuffles on
+    * `keys` total. `toleranceMicros` bounds the gap on both sides. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+    val tDt = right.schema(rightTime).dataType
+    def side(tag: String) = right.select(
+      (keys :+ rightTime).map(col) ++
+        (payload.map(c => col(c).as(s"$c$tag")) :+
+          col(rightTime).as(s"__asof_t$tag")): _*)
+    val bwd = asofJoin(left, side("__b"), keys, leftTime, rightTime,
+      "backward", toleranceMicros)
+    val both = asofJoin(bwd, side("__f"), keys, leftTime, rightTime,
+      "forward", toleranceMicros)
+    val (tb, tf) = (col("__asof_t__b"), col("__asof_t__f"))
+    val useFwd = tf.isNotNull && (tb.isNull ||
+      micros(tf, tDt) - micros(col(leftTime), left.schema(leftTime).dataType) <
+        micros(col(leftTime), left.schema(leftTime).dataType) - micros(tb, tDt))
+    val merged = payload.map(c =>
+      when(useFwd, col(s"${c}__f")).otherwise(col(s"${c}__b")).as(c))
+    both.select(left.columns.map(col).toIndexedSeq ++ merged: _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       direction: String = "backward",

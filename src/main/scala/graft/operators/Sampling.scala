@@ -114,6 +114,36 @@ object Sampling {
     df.withColumn("epoch", explode(epochs))
   }
 
+  /** TEMPERATURE-scaled mixture resampling (the multilingual /
+    * multi-source rebalancing rule, Conneau & Lample 2019): target
+    * share of label l is n_l^tau / Σ_m n_m^tau, so tau = 1 keeps the
+    * natural mix and tau → 0 flattens toward uniform — rare sources
+    * upsample, dominant ones downsample. Per-row multiplicity is
+    * share_l · (targetScale · N) / n_l, materialized by the
+    * deterministic floor+frac rule of [[weightedMix]] (zero RNG,
+    * engine-replayable).
+    *
+    * The label histogram is ONE partial-merged aggregate collected to
+    * the driver — labels are a mixture spec (sources/languages, tens to
+    * hundreds), not data-sized; the weights then travel as a literal
+    * map inside the narrow explode. Null labels get defaultWeight 0
+    * (dropped). */
+  def temperatureMix(df: DataFrame, idCol: String, labelCol: String,
+      tau: Double, targetScale: Double = 1.0): DataFrame = {
+    require(tau > 0 && tau <= 1, s"temperatureMix: tau must be in (0, 1], got $tau")
+    require(targetScale > 0, "temperatureMix: targetScale must be > 0")
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.get(0)).map(l => l.toString -> r.getLong(1)))
+    require(counts.length <= 10000,
+      s"temperatureMix: ${counts.length} labels — this is a mixture spec, not a join key")
+    val total = counts.map(_._2).sum.toDouble
+    val powSum = counts.map { case (_, n) => math.pow(n.toDouble, tau) }.sum
+    val weights = counts.map { case (l, n) =>
+      l -> math.pow(n.toDouble, tau) / powSum * targetScale * total / n
+    }.toMap
+    weightedMix(df, idCol, labelCol, weights, defaultWeight = 0.0)
+  }
+
   /** Token-budget batch packing — group rows (chunks/documents) into
     * training batches of ~`budget` tokens. Rows are first spread over
     * `streams` independent packing streams by stable id hash (parallelism

@@ -356,6 +356,37 @@ object Stats {
     df.withColumn("session_id", sum(newSession).over(wRun))
   }
 
+  /** Exponentially weighted moving average over the LAST `span` rows per
+    * key — the finite-impulse form of pandas `ewm(adjust=True)`: weight
+    * (1−α)^j on the j-th lag, normalized over the lags that exist (nulls
+    * and series heads renormalize instead of decaying a stale value).
+    * Truncating at `span` is what makes the op distributable AND
+    * replayable: the weight tail beyond span is (1−α)^span (< 0.4 % of
+    * mass at α = 0.5, span = 8), and every output is a fixed arithmetic
+    * expression an external oracle can replay lag-for-lag. All `span`
+    * lags ride ONE window (one shuffle on keys, one sorted pass);
+    * `orderCols` should make the order total (e.g. ts, id) so results
+    * are partitioning-independent. α = 0.5 makes every weight a power of
+    * two — the products are EXACT in binary floating point, so
+    * cross-engine replay cannot drift. Adds column `out`. */
+  def ewma(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double, span: Int,
+      out: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ewma: alpha in (0,1], got $alpha")
+    require(span >= 1 && span <= 64, s"ewma: span in [1,64], got $span")
+    require(partitionCols.nonEmpty, "ewma: partition keys required (global order does not scale)")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val terms = (0 until span).map { j =>
+      (lag(col(valueCol), j).over(w), math.pow(1 - alpha, j))
+    }
+    val num = terms.map { case (x, wj) =>
+      when(x.isNotNull, x * wj).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (x, wj) =>
+      when(x.isNotNull, lit(wj)).otherwise(lit(0.0)) }.reduce(_ + _)
+    df.withColumn(out, when(den > 0, num / den))
+  }
+
   /** Tumbling time-bucket aggregation (batch face of the streaming
     * tumbling window — same epoch-aligned buckets as
     * `window(col, "1 hour")`). */

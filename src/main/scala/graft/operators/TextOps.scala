@@ -529,6 +529,50 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Markup stripping for HTML-ish crawled text (the C4/CCNet ingest
+    * step): drop tags, decode the entities that dominate crawl output
+    * (`&lt; &gt; &quot; &#39; &nbsp;`, then `&amp;` LAST so literal
+    * `&amp;lt;` decodes to `&lt;`, not `<`), collapse whitespace runs,
+    * trim. Deliberately regex/literal-replace only — the same pattern
+    * text replays under RE2, PCRE, and Java regex alike, so an external
+    * oracle can verify the cleaning byte-for-byte (a DOM parser could
+    * not). Tagged script/style BODIES are not dropped — full extraction
+    * (trafilatura-style) runs upstream of the engine; this is the
+    * row-local residue cleaner. One narrow codegen'd pass, no shuffle;
+    * scan-bound at any corpus size. */
+  def stripHtml(text: Column): Column = {
+    val unTagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(unTagged) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-label n-gram diversity profile: for each n in 1..maxN, the
+    * distinct-to-total n-gram ratio — the standard corpus-health /
+    * memorization-risk signal (a source whose trigram distinct-ratio
+    * collapses is template spam; a synthetic corpus self-repeating
+    * drives distinct-n toward 0). One tokenize + one explode per n;
+    * each collapses to a (label, gram)-keyed partial-merged aggregate,
+    * so the shuffle carries gram-vocabulary-sized data, never the
+    * corpus. Output: (label, n, total_grams, distinct_grams,
+    * distinct_ratio). */
+  def ngramDiversity(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      labelCol: String, maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1, "ngramDiversity: maxN must be >= 1")
+    val toks = docs.select(col(labelCol).as("label"), tokens(col(textCol)).as("__toks"))
+    (1 to maxN).map { n =>
+      toks.select(col("label"), lit(n).as("n"),
+        explode(shingles(col("__toks"), n)).as("gram"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("label"), col("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("gram")).as("distinct_grams"))
+      .withColumn("distinct_ratio",
+        col("distinct_grams").cast(DoubleType) / col("total_grams").cast(DoubleType))
+  }
+
   /** Within-document repeated-segment removal — boilerplate stripping:
     * split on `sep` (lines, sentences), keep only each segment's FIRST
     * occurrence (order preserved), rejoin. The first-occurrence rule is

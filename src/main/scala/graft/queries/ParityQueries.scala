@@ -429,6 +429,27 @@ object ParityQueries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of NEAREST: closer of the backward/forward snapshot, ties backward
+    "q_asof_near" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"),
+          col("value").as("snap_value"))
+      graft.operators.Joins.asofJoinNearest(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          snaps, Seq("user_id"), "ts", "snap_ts")
+        .orderBy(col("event_id"))
+    }),
+
+    // Span-8 EWMA per user (alpha = 0.5: every weight a power of two, so
+    // the oracle replay is bit-exact)
+    "q_ewma" -> ((s, dir) => {
+      graft.operators.Stats.ewma(events(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value", alpha = 0.5, span = 8)
+        .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     // beyond-reference: point-in-interval range join — every 100th event
     // opens a 2-hour window for its user; events inside it match. Bucketed
     // equi-join (1h buckets), never an inequality join plan.
@@ -777,6 +798,50 @@ object ParityQueries {
         |  FROM events WHERE event_id % 10 = 0) s
         |ON e.user_id = s.user_id AND e.ts <= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value FROM events),
+        |s AS (SELECT user_id, ts AS snap_ts, value AS snap_value
+        |      FROM events WHERE event_id % 10 = 0),
+        |best AS (
+        |  SELECT e.event_id AS eid, s.snap_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(s.snap_ts) - epoch_us(e.ts)),
+        |               CASE WHEN epoch_us(s.snap_ts) <= epoch_us(e.ts)
+        |                    THEN 0 ELSE 1 END) AS rn
+        |  FROM e JOIN s ON s.user_id = e.user_id)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, b.snap_value
+        |FROM e LEFT JOIN (SELECT eid, snap_value FROM best WHERE rn = 1) b
+        |  ON b.eid = e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_ewma" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    lag(value, 0) OVER w AS x0, lag(value, 1) OVER w AS x1,
+        |    lag(value, 2) OVER w AS x2, lag(value, 3) OVER w AS x3,
+        |    lag(value, 4) OVER w AS x4, lag(value, 5) OVER w AS x5,
+        |    lag(value, 6) OVER w AS x6, lag(value, 7) OVER w AS x7
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |nd AS (
+        |  SELECT event_id,
+        |    coalesce(x0, 0) * 1.0 + coalesce(x1, 0) * 0.5 +
+        |    coalesce(x2, 0) * 0.25 + coalesce(x3, 0) * 0.125 +
+        |    coalesce(x4, 0) * 0.0625 + coalesce(x5, 0) * 0.03125 +
+        |    coalesce(x6, 0) * 0.015625 + coalesce(x7, 0) * 0.0078125 AS num,
+        |    (CASE WHEN x0 IS NULL THEN 0 ELSE 1.0 END) +
+        |    (CASE WHEN x1 IS NULL THEN 0 ELSE 0.5 END) +
+        |    (CASE WHEN x2 IS NULL THEN 0 ELSE 0.25 END) +
+        |    (CASE WHEN x3 IS NULL THEN 0 ELSE 0.125 END) +
+        |    (CASE WHEN x4 IS NULL THEN 0 ELSE 0.0625 END) +
+        |    (CASE WHEN x5 IS NULL THEN 0 ELSE 0.03125 END) +
+        |    (CASE WHEN x6 IS NULL THEN 0 ELSE 0.015625 END) +
+        |    (CASE WHEN x7 IS NULL THEN 0 ELSE 0.0078125 END) AS den
+        |  FROM l)
+        |SELECT event_id,
+        |  CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma
+        |FROM nd ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.event_id, s.iv_id, e.ts, e.value

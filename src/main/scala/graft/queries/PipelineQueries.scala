@@ -820,6 +820,65 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // C4-style markup residue cleaning: synthesized HTML wrapping +
+    // entity soup around every doc, stripped back to clean text
+    "q_strip_html" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<div class=\"post\"><h1>Title &amp; more</h1><p>"),
+          col("text"),
+          lit("</p><br/>&lt;end&gt;&nbsp;&#39;fin&#39;</div>")).as("html"))
+      synth.select(col("doc_id"), TextOps.stripHtml(col("html")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled source rebalancing (tau = 0.5): rare langs
+    // upsample, dominant ones downsample; same observable as q_mix
+    "q_temperature" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMix(
+          t(s, dir, "documents"), "doc_id", "lang", tau = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("epoch")).as("epoch_sum"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Corpus-health diversity profile: distinct/total n-gram ratios per
+    // source for n = 1..3
+    "q_diversity" -> ((s, dir) => {
+      TextOps.ngramDiversity(t(s, dir, "documents"), "text", "source", maxN = 3)
+        .select(col("label"), col("n"), col("total_grams"), col("distinct_grams"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"))
+        .orderBy(col("label"), col("n"))
+    }),
+
+    // Duplication health report: component-size histogram of the
+    // near-dup graph (planted 3-chains for docs 0..19) + singleton row
+    "q_dup_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val chained = docs
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra extra")).as("text")))
+      val pairs = Dedup.minhashNearDups(chained, "text", "doc_id", threshold = 0.5,
+          family = Dedup.MinhashFamily.polynomial)
+      Dedup.dupProfile(chained, pairs, "id_a", "id_b", "doc_id")
+        .orderBy(col("cluster_size"))
+    }),
+
+    // Quality-classifier SERVING pass with pinned weights (training is
+    // spark.ml — LearnSpec; scoring is pure replayable arithmetic):
+    // w_j = ((j*37) % 21 - 10)/10 over 64 hashed-bigram buckets
+    "q_quality_clf" -> ((s, dir) => {
+      val weights = Array.tabulate(64)(j => ((j * 37) % 21 - 10) / 10.0)
+      t(s, dir, "documents").select(col("doc_id"),
+          round(graft.ml.Learn.linearTextScore(col("text"), weights, -0.5, n = 2), 6)
+            .as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.4 string predicates: startsWith + full-string regex match
     "q_filter_str" -> ((s, dir) => {
       import graft.expr.LQuery._
@@ -2132,6 +2191,134 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_strip_html" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM (SELECT doc_id,
+        |        '<div class="post"><h1>Title &amp; more</h1><p>' || text ||
+        |        '</p><br/>&lt;end&gt;&nbsp;&#39;fin&#39;</div>' AS html
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_temperature" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |tot AS (SELECT sum(n)::DOUBLE AS nn, sum(pow(n::DOUBLE, 0.5)) AS s FROM cnt),
+        |pcts AS (
+        |  SELECT lang,
+        |    round(100 * pow(n::DOUBLE, 0.5) / s * nn / n)::BIGINT AS pct
+        |  FROM cnt, tot),
+        |w AS (
+        |  SELECT d.doc_id, d.lang, p.pct,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(d.doc_id::VARCHAR) + 1),
+        |        i -> ascii((d.doc_id::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+        |  FROM documents d JOIN pcts p ON p.lang = d.lang),
+        |c AS (SELECT doc_id, lang,
+        |        pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS copies
+        |      FROM w),
+        |e AS (SELECT doc_id, lang, unnest(range(0, copies)) AS epoch FROM c)
+        |SELECT lang, count(*) AS n_rows, sum(epoch)::BIGINT AS epoch_sum,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_diversity" ->
+      """WITH toks AS (
+        |  SELECT source AS label, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT label, 1 AS n, unnest(toks) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT label, 2, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) FROM toks
+        |  UNION ALL
+        |  SELECT label, 3, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) FROM toks)
+        |SELECT label, n, count(*) AS total_grams,
+        |  count(DISTINCT gram) AS distinct_grams,
+        |  round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS distinct_ratio
+        |FROM g GROUP BY label, n ORDER BY label, n""".stripMargin,
+
+    "q_dup_profile" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) AS est_jaccard
+        |  FROM cands
+        |  JOIN sig sa ON sa.doc_id = id_a
+        |  JOIN sig sb ON sb.doc_id = id_b AND sb.j = sa.j
+        |  GROUP BY id_a, id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id),
+        |roots AS (SELECT id, min(r) AS root FROM walk GROUP BY id),
+        |sizes AS (SELECT root, count(*) AS cluster_size FROM roots GROUP BY root),
+        |multi AS (
+        |  SELECT cluster_size, count(*) AS n_clusters,
+        |    cluster_size * count(*) AS n_docs
+        |  FROM sizes GROUP BY cluster_size),
+        |single AS (
+        |  SELECT 1::BIGINT AS cluster_size, count(*) AS n_clusters,
+        |    count(*) AS n_docs
+        |  FROM docs WHERE doc_id NOT IN (SELECT id FROM roots))
+        |SELECT * FROM (
+        |  SELECT * FROM multi UNION ALL
+        |  SELECT * FROM single WHERE n_clusters > 0)
+        |ORDER BY cluster_size""".stripMargin,
+
+    "q_quality_clf" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |z AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(-0.5, list_transform(grams, gr ->
+        |      (((list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, len(gr) + 1), i -> ascii(gr[i]))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) % 64) * 37) % 21 - 10) / 10.0)),
+        |      (a, b) -> a + b) AS z
+        |  FROM g)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score
+        |FROM z ORDER BY doc_id""".stripMargin,
 
     "q_filter_str" ->
       """SELECT doc_id, source, lang FROM documents

@@ -196,6 +196,79 @@ class AggregatesSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asofJoinNearest: closer side wins, exact tie goes backward, tolerance binds both") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 16L), (1L, 30L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 8L, "b8"), (1L, 20L, "f20"), (1L, 14L, "m14")).toDF("k", "rt", "tag")
+    // t=10: back 8 (d2) vs fwd 14 (d4) -> b8; t=16: back 14 (d2) vs fwd 20 (d4) -> m14
+    // t=30: only back 20; k=2: nothing
+    val out = graft.operators.Joins.asofJoinNearest(left, right, Seq("k"), "t", "rt")
+      .orderBy("k", "t").collect().map(r => Option(r.getString(2)).orNull)
+    assert(out.toSeq == Seq("b8", "m14", "f20", null))
+    // exact tie: back 10 (d3) vs fwd 16 (d3) -> backward
+    val tie = graft.operators.Joins.asofJoinNearest(
+        Seq((1L, 13L)).toDF("k", "t"),
+        Seq((1L, 10L, "b"), (1L, 16L, "f")).toDF("k", "rt", "tag"),
+        Seq("k"), "t", "rt").collect().map(_.getString(2))
+    assert(tie.toSeq == Seq("b"))
+    // tolerance: nearest within 2 only
+    val tol = graft.operators.Joins.asofJoinNearest(left, right, Seq("k"), "t", "rt",
+        toleranceMicros = Some(2L))
+      .orderBy("k", "t").collect().map(r => Option(r.getString(2)).orNull)
+    assert(tol.toSeq == Seq("b8", "m14", null, null))
+  }
+
+  test("asofJoinNearest equals a brute-force model on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(400).toLong)).toDF("lid", "k", "t")
+    val rightUniq = (0 until 60).map(i =>
+      (rnd.nextInt(4).toLong, i.toLong * 11 % 400, i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val right = rightUniq.toDF("k", "rt", "rid")
+    val byK = rightUniq.groupBy(_._1)
+    val model = left.collect().flatMap { r =>
+      val (lid, k, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = byK.getOrElse(k, Nil)
+      val back = cands.filter(_._2 <= t).sortBy(_._2).lastOption
+      val fwd = cands.filter(_._2 >= t).sortBy(_._2).headOption
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) => if (f._2 - t < t - b._2) Some(f) else Some(b)
+        case (b, f) => b.orElse(f)
+      }
+      pick.map(p => lid -> p._3)
+    }.toMap
+    val out = graft.operators.Joins.asofJoinNearest(left, right, Seq("k"), "t", "rt")
+      .collect().flatMap(r =>
+        if (r.isNullAt(3)) None else Some(r.getLong(0) -> r.getLong(3))).toMap
+    assert(out == model)
+  }
+
+  test("ewma: hand-computed span window, null renormalization, head warmup") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 4.0), (1L, 2L, 8.0), (1L, 3L, 2.0),
+      (2L, 1L, 10.0)).toDF("k", "t", "v")
+    val out = graft.operators.Stats.ewma(df, Seq("k"), Seq("t"), "v",
+        alpha = 0.5, span = 2)
+      .orderBy("k", "t").collect().map(r => r.getDouble(3))
+    // k=1: t1 -> 4 (head: only x0); t2 -> (8 + 4*0.5)/1.5; t3 -> (2 + 8*0.5)/1.5
+    assert(out(0) == 4.0)
+    assert(math.abs(out(1) - 10.0 / 1.5) < 1e-12)
+    assert(math.abs(out(2) - 6.0 / 1.5) < 1e-12)
+    assert(out(3) == 10.0)
+    // null value renormalizes instead of decaying
+    val withNull = Seq((1L, 1L, Some(4.0)), (1L, 2L, None), (1L, 3L, Some(6.0)))
+      .toDF("k", "t", "v")
+    val o2 = graft.operators.Stats.ewma(withNull, Seq("k"), Seq("t"), "v",
+        alpha = 0.5, span = 3)
+      .orderBy("t").collect()
+    assert(o2(1).isNullAt(3) === false) // t2: only lag1 present -> 4.0
+    assert(o2(1).getDouble(3) == 4.0)
+    // t3: x0=6 (w 1), x1 null, x2=4 (w .25) -> (6 + 1)/(1.25)
+    assert(math.abs(o2(2).getDouble(3) - 7.0 / 1.25) < 1e-12)
+  }
+
   test("asofJoin equals DuckDB-style semantics on timestamps with null keys/times") {
     import spark.implicits._
     val left = Seq(

@@ -54,6 +54,46 @@ class LearnSpec extends SparkSpec {
     assert(m(0).getAs[Double]("v_scaled") == 0.0 && m(2).getAs[Double]("v_scaled") == 1.0)
   }
 
+  test("hashedNgramCounts: buckets are fingerprint mod dim, counts exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val out = Learn.hashedNgramCounts(df, "text", "doc_id", dim = 16, n = 2)
+      .head().getSeq[Double](1)
+    assert(out.length == 16 && out.sum == 4.0) // 4 bigrams total
+    // "a b" occurs twice -> its bucket holds >= 2
+    val fp = df.sparkSession.range(1)
+      .select(graft.operators.TextOps.fingerprint(lit("a b")) % 16).head().getLong(0)
+    assert(out(fp.toInt) >= 2.0)
+  }
+
+  test("text classifier: trained weights separate planted good/bad docs; " +
+      "linearTextScore equals the explicit dot product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val good = (0L until 40L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog", 1.0))
+    val bad = (100L until 140L).map(i =>
+      (i, "buy now click here buy now click here buy now", 0.0))
+    val df = (good ++ bad).toDF("doc_id", "text", "label")
+    val (w, b) = Learn.trainTextClassifier(df, "text", "label", "doc_id",
+      dim = 64, n = 2)
+    assert(w.length == 64)
+    val scored = df.select(col("label"),
+        Learn.linearTextScore(col("text"), w, b, n = 2).as("s")).collect()
+    assert(scored.filter(_.getDouble(0) == 1.0).forall(_.getDouble(1) > 0.5))
+    assert(scored.filter(_.getDouble(0) == 0.0).forall(_.getDouble(1) < 0.5))
+    // differential: the fold-form score equals sigmoid(b + w . f)
+    val one = df.filter(col("doc_id") === 0L)
+    val f = Learn.hashedNgramCounts(one, "text", "doc_id", 64, 2)
+      .head().getSeq[Double](1)
+    val z = b + w.zip(f).map { case (wi, fi) => wi * fi }.sum
+    val direct = 1.0 / (1.0 + math.exp(-z))
+    val fold = one.select(Learn.linearTextScore(col("text"), w, b, 2))
+      .head().getDouble(0)
+    assert(math.abs(fold - direct) < 1e-9, s"$fold vs $direct")
+  }
+
   test("pcaProject: planar 3D data collapses to 2 components with ~all variance") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

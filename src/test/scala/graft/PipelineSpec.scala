@@ -79,6 +79,67 @@ class PipelineSpec extends SparkSpec {
       "text", "doc_id", lm).count() == 0)
   }
 
+  test("stripHtml: tags out, entities decoded in order, whitespace collapsed") {
+    import spark.implicits._
+    val df = Seq(
+      "<div class=\"x\"><p>a &amp; b</p><br/>c</div>",
+      "&amp;lt; stays literal",       // &amp; decodes LAST: -> "&lt; stays literal"
+      "x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+      "  spaced   <b>out</b>  ").toDF("html")
+    val out = df.select(TextOps.stripHtml(col("html")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "a & b c")
+    assert(out(1) == "&lt; stays literal")
+    assert(out(2) == "x <tag> \"q\" 's' end")
+    assert(out(3) == "spaced out")
+  }
+
+  test("temperatureMix: tau=1 is identity mix; tau=0.5 rebalances by sqrt") {
+    import spark.implicits._
+    val df = (0 until 90).map(i => (i.toLong, "big")).toDF("doc_id", "label")
+      .union((100 until 110).map(i => (i.toLong, "small")).toDF("doc_id", "label"))
+    val id1 = graft.operators.Sampling.temperatureMix(df, "doc_id", "label", tau = 1.0)
+    assert(id1.count() == 100 && id1.agg(max(col("epoch"))).head().getLong(0) == 0)
+    // tau=0.5: shares sqrt(90):sqrt(10) = 3:1 -> pct(big) = round(100*0.75*100/90) = 83,
+    // pct(small) = round(100*0.25*100/10) = 250
+    val out = graft.operators.Sampling.temperatureMix(df, "doc_id", "label", tau = 0.5)
+    val byLabel = out.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small gets 2 or 3 copies per doc (>= 20); big 0 or 1 per doc (<= 90)
+    assert(byLabel("small") >= 20 && byLabel("small") <= 30)
+    assert(byLabel("big") <= 90 && byLabel("big") >= 60)
+    // exact replay of the floor+frac rule
+    val expect = df.select(col("label"),
+        when(col("label") === "big", lit(83L)).otherwise(lit(250L)).as("pct"),
+        graft.operators.Sampling.splitBucket(col("doc_id")).as("b"))
+      .select(col("label"), (floor(col("pct") / 100L).cast("long") +
+        when(col("b") < col("pct") % 100L, 1L).otherwise(0L)).as("copies"))
+      .groupBy("label").agg(sum(col("copies")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel == expect)
+  }
+
+  test("ngramDiversity: hand-computed distinct/total ratios per n") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a", "s"), (2L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val out = TextOps.ngramDiversity(df, "text", "source", maxN = 3)
+      .collect().map(r => r.getAs[Int]("n") ->
+        ((r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams")))).toMap
+    assert(out(1) == ((6L, 3L)))   // a b a a b c -> {a,b,c}
+    assert(out(2) == ((4L, 3L)))   // "a b","b a","a b","b c"
+    assert(out(3) == ((2L, 2L)))   // "a b a","a b c"
+  }
+
+  test("dupProfile: histogram over components plus singleton row") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dupProfile(docs, pairs, "id_a", "id_b", "doc_id")
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
   test("ngram Jaccard finds planted near-dups with high score") {
     val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
