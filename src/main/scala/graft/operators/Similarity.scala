@@ -77,6 +77,23 @@ object Similarity {
         col("top_cosine"))
   }
 
+  /** Matryoshka-style embedding truncation: keep the FIRST `k`
+    * dimensions and L2-renormalize — the MRL serving trick (Kusupati et
+    * al. 2022): models trained with matryoshka losses pack the signal
+    * into the prefix, so a d→k truncation shrinks ANN memory and
+    * shuffle d/k-fold while cosine in the truncated space stays a
+    * faithful proxy. After renormalization cosine = dot. Pure
+    * elementwise arithmetic in array order (slice + one sum + one
+    * scale), so an external oracle replays it exactly; all-zero
+    * prefixes stay zero instead of dividing by 0. Returns
+    * array<double>. */
+  def truncateNormalize(vec: Column, k: Int): Column = {
+    require(k >= 1, s"truncateNormalize: k $k")
+    val t = transform(slice(vec, 1, k), x => x.cast(DoubleType))
+    val n = sqrt(aggregate(t, lit(0.0), (a, x) => a + x * x))
+    when(n > 0, transform(t, x => x / n)).otherwise(t)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,
     * q_i = round(v_i / scale) — the 4× memory/shuffle compression for
     * ANN candidate generation (a 100 TB float corpus becomes 25 TB of

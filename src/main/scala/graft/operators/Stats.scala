@@ -400,6 +400,21 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Top-k rows per group by an explicit order — "top sources per
+    * language", "top domains per shard". `order` must be TOTAL within a
+    * group (add a key tie-break) or ranks are nondeterministic. Plans as
+    * the two-phase `WindowGroupLimit` shape: each map task keeps its
+    * local top-k BEFORE the shuffle, so the exchange carries
+    * O(groups·k), not the input ([[Sampling.capPerLabel]] is the same
+    * machinery with a fingerprint order — this is the metric-ranked
+    * face). Adds `rank` (1-based). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], k: Int): DataFrame = {
+    require(groupCols.nonEmpty && order.nonEmpty && k >= 1)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Heavy hitters — approximate frequent items above a support
     * threshold (Karp/misra-gries style single pass, bounded state,
     * partial-merged): the skew PROFILER for 100 TB keys. Guarantee is

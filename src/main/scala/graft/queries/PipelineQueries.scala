@@ -879,6 +879,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain authority for crawl curation: PageRank over the synthesized
+    // site -> mirror link graph, 2 power iterations with dangling mass
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        concat(lit("site"), col("doc_id") % 20).as("src"),
+        concat(lit("mirror"), col("doc_id") % 5).as("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("id"))
+    }),
+
+    // Label propagation: docs with doc_id % 3 == 0 are unlabeled and
+    // adopt the majority lang of their two pair-graph neighbors
+    "q_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nodes = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0, col("lang")).as("label"))
+      val thirds = docs.filter(col("doc_id") % 3 === 0)
+      val pairs = thirds.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .unionByName(thirds.select(col("doc_id").as("id_a"), (col("doc_id") + 2).as("id_b")))
+      graft.operators.Graphs.propagateLabels(nodes, "doc_id", "label",
+          pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("label_out"), col("label_source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Metric-ranked top-k per group: top 3 sources per lang by doc count
+    "q_top_sources" -> ((s, dir) => {
+      val counts = t(s, dir, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Stats.topKPerGroup(counts, Seq("lang"),
+          Seq(col("n").desc, col("source")), 3)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // Matryoshka ANN: truncate embeddings to the first 16 dims,
+    // renormalize, exact top-k in the reduced space (4x less memory and
+    // shuffle; the truncation arithmetic replays exactly)
+    "q_mrl_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.truncateNormalize(col("embedding"), 16).as("embedding"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // §2.4 string predicates: startsWith + full-string regex match
     "q_filter_str" -> ((s, dir) => {
       import graft.expr.LQuery._
@@ -2319,6 +2368,86 @@ object PipelineQueries {
         |  FROM g)
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 20) AS src,
+        |    'mirror' || (doc_id % 5) AS dst
+        |  FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+        |nd AS (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d ON d.id = n.id),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |p0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nn) AS pr FROM nd),
+        |d1 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p0 WHERE deg IS NULL),
+        |c1 AS (SELECT e.dst AS id, sum(p.pr / p.deg) AS inw
+        |       FROM e JOIN p0 p ON p.id = e.src GROUP BY e.dst),
+        |p1 AS (SELECT nd.id, nd.deg,
+        |         (1 - 0.85) / (SELECT n FROM nn)
+        |           + 0.85 * (SELECT dang FROM d1) / (SELECT n FROM nn)
+        |           + 0.85 * coalesce(c1.inw, 0.0) AS pr
+        |       FROM nd LEFT JOIN c1 ON c1.id = nd.id),
+        |d2 AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM p1 WHERE deg IS NULL),
+        |c2 AS (SELECT e.dst AS id, sum(p.pr / p.deg) AS inw
+        |       FROM e JOIN p1 p ON p.id = e.src GROUP BY e.dst),
+        |p2 AS (SELECT nd.id, nd.deg,
+        |         (1 - 0.85) / (SELECT n FROM nn)
+        |           + 0.85 * (SELECT dang FROM d2) / (SELECT n FROM nn)
+        |           + 0.85 * coalesce(c2.inw, 0.0) AS pr
+        |       FROM nd LEFT JOIN c2 ON c2.id = nd.id)
+        |SELECT id, round(pr, 6) AS pr FROM p2 ORDER BY id""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH nodes AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN lang END AS label
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 3 = 0),
+        |edges AS (SELECT DISTINCT u, v FROM (
+        |  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs)),
+        |seeds AS (SELECT doc_id AS v, label AS nl FROM nodes WHERE label IS NOT NULL),
+        |votes AS (SELECT u, nl, count(*) AS c FROM edges JOIN seeds USING (v)
+        |          GROUP BY u, nl),
+        |best AS (SELECT u AS doc_id, nl FROM (
+        |    SELECT u, nl, row_number() OVER (PARTITION BY u ORDER BY c DESC, nl) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT n.doc_id, coalesce(n.label, b.nl) AS label_out,
+        |  CASE WHEN n.label IS NOT NULL THEN 'seed'
+        |       WHEN b.nl IS NOT NULL THEN 'propagated' END AS label_source
+        |FROM nodes n LEFT JOIN best b ON b.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "q_top_sources" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rank
+        |FROM c QUALIFY rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_mrl_ann" ->
+      """WITH t AS (
+        |  SELECT vec_id, list_transform(embedding[1:16], x -> x::DOUBLE) AS t
+        |  FROM embeddings),
+        |nv AS (
+        |  SELECT vec_id, CASE WHEN n > 0 THEN list_transform(t, x -> x / n)
+        |                      ELSE t END AS v
+        |  FROM (SELECT vec_id, t,
+        |          sqrt(list_reduce(list_prepend(0.0,
+        |            list_transform(t, x -> x * x)), (a, b) -> a + b)) AS n
+        |        FROM t)),
+        |score AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |  neighbor_id, round(cos, 6) AS cosine
+        |FROM score QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_filter_str" ->
       """SELECT doc_id, source, lang FROM documents

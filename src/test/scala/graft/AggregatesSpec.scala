@@ -314,6 +314,17 @@ class AggregatesSpec extends SparkSpec {
     assert(sizes.size == 4 && sizes.forall(s => s >= 90 && s <= 110))
   }
 
+  test("topKPerGroup: metric order, total tie-break, k cap") {
+    import spark.implicits._
+    val df = Seq(("g1", "a", 5L), ("g1", "b", 9L), ("g1", "c", 9L), ("g1", "d", 1L),
+      ("g2", "x", 2L)).toDF("g", "item", "n")
+    val out = graft.operators.Stats.topKPerGroup(df, Seq("g"),
+        Seq(col("n").desc, col("item")), 2)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSeq
+    assert(out == Seq(("g1", "b", 1), ("g1", "c", 2), ("g2", "x", 1)))
+  }
+
   test("heavyHitters: every true frequent key surfaces (one-sided guarantee)") {
     import spark.implicits._
     // 3 hot keys (20%/15%/10%) in a long uniform tail

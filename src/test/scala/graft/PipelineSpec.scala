@@ -140,6 +140,21 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
   }
 
+  test("truncateNormalize: prefix kept, unit norm, zero prefix stays zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 100.0f)),
+      (2L, Array(0.0f, 0.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.truncateNormalize(col("embedding"), 2).as("t"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(out(0) == Seq(0.6, 0.8))      // [3,4]/5
+    assert(out(1) == Seq(0.0, 0.0))      // zero prefix: no div-by-zero
+    // cosine in the truncated space is the dot of unit vectors
+    val n = out(0).zip(out(0)).map { case (a, b) => a * b }.sum
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
   test("ngram Jaccard finds planted near-dups with high score") {
     val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
