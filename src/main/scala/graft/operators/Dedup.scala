@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -327,6 +327,42 @@ object Dedup {
       .select(lit(1L).as("cluster_size"), col("n_clusters"),
         col("n_clusters").as("n_docs"))
     multi.unionByName(singles).filter(col("n_clusters") > 0)
+  }
+
+  /** Near-dup collapse with a KEEP-BEST rule — the curation action after
+    * clustering: from every near-dup cluster keep the single document
+    * that maximizes `metric` (quality score, length, recency; ties to
+    * the smallest id), and keep all singletons. This is the
+    * representative-selection form of [[dropNearDupClusters]] (which
+    * keeps the min-id doc regardless of quality).
+    *
+    * Scale shape: components run over the PAIR GRAPH only; the corpus
+    * joins the (tiny) component table once — left join, so singletons
+    * never shuffle into the window — and the per-cluster argmax is a
+    * two-phase WindowGroupLimit (map-side top-1 before the exchange,
+    * which carries only clustered docs). Output: the kept rows of
+    * `docs` + `cluster_id` + `n_members`. */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, metric: Column): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("root"))
+    val sizes = comps.groupBy(col("root"))
+      .agg(count(lit(1)).as("n_members")) // component-table sized
+    val tagged = docs.join(comps, Seq(idCol), "left")
+    val singles = tagged.filter(col("root").isNull)
+      .withColumn("cluster_id", col(idCol))
+      .withColumn("n_members", lit(1L)).drop("root")
+    // row_number + rn=1 filter alone (no second window function) keeps
+    // the WindowGroupLimit map-side top-1 pushdown; sizes join after
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("root")).orderBy(metric.desc, col(idCol).asc)
+    val best = tagged.filter(col("root").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(sizes, Seq("root"))
+      .withColumn("cluster_id", col("root"))
+      .drop("root", "__rn")
+    singles.unionByName(best)
   }
 
   /** Cross-corpus near-dup matching — DECONTAMINATION: find training

@@ -356,6 +356,76 @@ object Stats {
     df.withColumn("session_id", sum(newSession).over(wRun))
   }
 
+  /** Ordered-step funnel over an event log — "of the users who viewed,
+    * how many then clicked, then purchased?". Greedy
+    * earliest-completion semantics: a user reaches step i at the
+    * EARLIEST event of that type at-or-after their step-(i−1) reach
+    * time (the standard product-analytics rule; re-orderings of later
+    * events cannot un-reach a step). Long output: one row per reached
+    * (user, step) with `step_idx` (1-based), `step`, `reached_us`
+    * (epoch micros — integer arithmetic replays across engines).
+    *
+    * Shape: the event log is filtered to the k step types ONCE, then
+    * each step is a user-keyed min-aggregate joined to the previous
+    * step's reach times — k−1 user-keyed joins where the reach side
+    * shrinks monotonically (AQE broadcasts it as soon as it is small),
+    * and the event side was pruned to one type at the scan. No windows,
+    * no per-user sort of the whole log. */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16, "funnel: 1..16 steps")
+    require(steps.distinct.size == steps.size, "funnel: duplicate step type")
+    val evs = df
+      .filter(col(typeCol).isin(steps.map(lit(_)): _*) && col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__et"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("__t"))
+    var reach = evs.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__t")).as("__rt"))
+    val stages = Seq.newBuilder[DataFrame]
+    stages += reach.select(col("__u"), lit(1).as("__idx"),
+      lit(steps.head).as("__step"), col("__rt"))
+    for (i <- 1 until steps.size) {
+      reach = evs.filter(col("__et") === steps(i))
+        .join(reach.select(col("__u"), col("__rt").as("__prev")), Seq("__u"))
+        .filter(col("__t") >= col("__prev"))
+        .groupBy(col("__u")).agg(min(col("__t")).as("__rt"))
+      stages += reach.select(col("__u"), lit(i + 1).as("__idx"),
+        lit(steps(i)).as("__step"), col("__rt"))
+    }
+    stages.result().reduce(_ unionByName _)
+      .select(col("__u").as(userCol), col("__idx").as("step_idx"),
+        col("__step").as("step"), col("__rt").as("reached_us"))
+  }
+
+  /** Cohort retention over an event log: users are cohorted by the
+    * time bucket of their FIRST event, and each (cohort, bucket-offset)
+    * cell counts the distinct users from that cohort active in that
+    * bucket. Buckets are epoch-aligned floor divisions of micros
+    * (`floorDiv` — negative-safe), so the grid replays exactly in any
+    * engine. Output: (cohort_bucket, offset_buckets, n_users), offset 0
+    * = the cohort's own bucket.
+    *
+    * Shape: one user-keyed min-aggregate (first-seen), one user-keyed
+    * join back (co-partitioned with the aggregate — AQE reuses the
+    * exchange), one distinct-count by (cohort, offset, user). All
+    * shuffles are user- or cell-sized; nothing is sorted. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, s"cohortRetention: bucket $bucketMicros")
+    val t = unix_micros(col(tsCol).cast(TimestampType))
+    // exact floorDiv: (t − pmod) is an exact multiple of the bucket, so
+    // the double division is exact (no floor-at-boundary rounding flip)
+    val b = lit(bucketMicros)
+    val evs = df.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        ((t - pmod(t, b)) / b).cast(LongType).as("__b"))
+    val first = evs.groupBy(col("__u")).agg(min(col("__b")).as("__cohort"))
+    evs.join(first, Seq("__u"))
+      .groupBy(col("__cohort").as("cohort_bucket"),
+        (col("__b") - col("__cohort")).as("offset_buckets"))
+      .agg(count_distinct(col("__u")).as("n_users"))
+  }
+
   /** Exponentially weighted moving average over the LAST `span` rows per
     * key — the finite-impulse form of pandas `ewm(adjust=True)`: weight
     * (1−α)^j on the j-th lag, normalized over the lags that exist (nulls

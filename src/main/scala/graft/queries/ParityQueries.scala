@@ -384,6 +384,42 @@ object ParityQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // beyond-reference: the full snowflake join (TPC-H Q5 shape) —
+    // lineitem->orders->customer shuffle joins on their keys, nation and
+    // region as EXPLICIT broadcasts (dim tables stay broadcast-able at
+    // any corpus scale; the plan must show zero exchanges for them)
+    "q_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("order_year"))
+    }),
+
+    // beyond-reference: ordered-step funnel (view -> click -> purchase),
+    // greedy earliest-completion; per-user reach times in epoch micros
+    "q_funnel" -> ((s, dir) => {
+      Stats.funnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"), col("user_id"))
+    }),
+
+    // beyond-reference: weekly cohort retention grid over the event log
+    "q_retention" -> ((s, dir) => {
+      Stats.cohortRetention(events(s, dir), "user_id", "ts",
+          7L * 24 * 3600 * 1000 * 1000)
+        .orderBy(col("cohort_bucket"), col("offset_buckets"))
+    }),
+
     // beyond-reference: tumbling time-bucket resample (batch face of the
     // streaming tumbling window; epoch-aligned 1h buckets)
     "q_resample" -> ((s, dir) => {
@@ -772,6 +808,48 @@ object ParityQueries {
         |  round(sum(value), 4) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT r_name, year(o_orderdate) AS order_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, order_year
+        |ORDER BY r_name, order_year""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(t) AS rt FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS rt FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t >= s1.rt GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS rt FROM e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= s2.rt GROUP BY e.user_id)
+        |SELECT user_id, step_idx, step, reached_us FROM (
+        |  SELECT user_id, 1 AS step_idx, 'view' AS step, rt AS reached_us FROM s1
+        |  UNION ALL
+        |  SELECT user_id, 2, 'click', rt FROM s2
+        |  UNION ALL
+        |  SELECT user_id, 3, 'purchase', rt FROM s3)
+        |ORDER BY step_idx, user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+        |  WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(b) AS cohort FROM e GROUP BY user_id)
+        |SELECT cohort AS cohort_bucket, b - cohort AS offset_buckets,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_bucket, offset_buckets""".stripMargin,
 
     "q_resample" ->
       """SELECT date_trunc('hour', ts) AS bucket,

@@ -1028,6 +1028,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Keep-best near-dup collapse on the SAME planted chains as
+    // q_dedup_cluster: from each cluster keep the longest text (the
+    // "extra extra" variant), ties to smallest id; singletons survive.
+    // The post-clustering curation ACTION: the kept set is the corpus.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val chained = docs
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra extra")).as("text")))
+      val pairs = Dedup.minhashNearDups(chained, "text", "doc_id", threshold = 0.5,
+          family = Dedup.MinhashFamily.polynomial)
+      Dedup.keepBest(chained, "doc_id", pairs, "id_a", "id_b",
+          length(col("text")))
+        .select(col("cluster_id"), col("doc_id"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // SimHash near-dup candidates on the same planted set. Like
     // q_minhash, the graded variant derives token-hash bits from the
     // polynomial fingerprint (4 x 16-bit slices) so the DuckDB oracle
@@ -1828,6 +1849,66 @@ object PipelineQueries {
         |SELECT root AS cluster_id, count(*) AS n_members,
         |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
         |FROM roots GROUP BY root ORDER BY cluster_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) AS est_jaccard
+        |  FROM cands
+        |  JOIN sig sa ON sa.doc_id = id_a
+        |  JOIN sig sb ON sb.doc_id = id_b AND sb.j = sa.j
+        |  GROUP BY id_a, id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id),
+        |roots AS (SELECT id, min(r) AS root FROM walk GROUP BY id),
+        |sizes AS (SELECT root, count(*) AS n_members FROM roots GROUP BY root),
+        |best AS (
+        |  SELECT root AS cluster_id, doc_id, n_members FROM (
+        |    SELECT r.root, d.doc_id, s.n_members,
+        |      row_number() OVER (PARTITION BY r.root
+        |        ORDER BY len(d.text) DESC, d.doc_id) AS rn
+        |    FROM roots r JOIN docs d ON d.doc_id = r.id
+        |    JOIN sizes s ON s.root = r.root)
+        |  WHERE rn = 1),
+        |singles AS (
+        |  SELECT d.doc_id AS cluster_id, d.doc_id, 1::BIGINT AS n_members
+        |  FROM docs d LEFT JOIN roots r ON r.id = d.doc_id WHERE r.id IS NULL)
+        |SELECT cluster_id, doc_id, n_members FROM best
+        |UNION ALL SELECT cluster_id, doc_id, n_members FROM singles
+        |ORDER BY cluster_id""".stripMargin,
 
     "q_leak_split" ->
       """WITH RECURSIVE docs AS (

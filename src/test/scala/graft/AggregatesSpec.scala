@@ -269,6 +269,41 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(o2(2).getDouble(3) - 7.0 / 1.25) < 1e-12)
   }
 
+  test("funnel: greedy earliest-completion, order constraint, drop-off") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // u1 completes all 3 in order; u2 purchases BEFORE clicking (step 3
+    // unreached); u3 views only; u4 has click before view (click counts
+    // only at-or-after the view time)
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      (3L, "view", 5L),
+      (4L, "click", 3L), (4L, "view", 8L), (4L, "click", 12L))
+      .map { case (u, e, t) => (u, e, ts(t)) }.toDF("u", "et", "t")
+    val out = graft.operators.Stats.funnel(ev, "u", "et", "t",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out == Map(
+      (1L, 1) -> 10000000L, (1L, 2) -> 20000000L, (1L, 3) -> 30000000L,
+      (2L, 1) -> 10000000L, (2L, 2) -> 20000000L, // purchase@15 < click@20: dropped
+      (3L, 1) -> 5000000L,
+      (4L, 1) -> 8000000L, (4L, 2) -> 12000000L)) // click@3 ignored (pre-view)
+  }
+
+  test("cohortRetention: first-seen cohort, offsets, distinct users per cell") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val b = 10L * 1000000 // 10-second buckets
+    // u1 first in bucket 0, active 0 and 2 (twice -> distinct); u2 first
+    // in bucket 1, active 1 only
+    val ev = Seq((1L, 1L), (1L, 25L), (1L, 28L), (2L, 12L))
+      .map { case (u, t) => (u, ts(t)) }.toDF("u", "t")
+    val out = graft.operators.Stats.cohortRetention(ev, "u", "t", b)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("asofJoin equals DuckDB-style semantics on timestamps with null keys/times") {
     import spark.implicits._
     val left = Seq(

@@ -992,6 +992,18 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 9L))
   }
 
+  test("keepBest: per-cluster metric argmax, tie to smallest id, singletons kept") {
+    import spark.implicits._
+    val docs = Seq((1L, "short", 5.0), (2L, "longest text", 9.0), (3L, "mid", 9.0),
+      (4L, "solo", 1.0), (9L, "other", 2.0)).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, "id_a", "id_b", col("q"))
+      .select("doc_id", "cluster_id", "n_members").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster {1,2,3}: q ties 2 vs 3 at 9.0 -> smallest id (2) kept
+    assert(kept == Set((2L, 1L, 3L), (4L, 4L, 1L), (9L, 9L, 1L)))
+  }
+
   test("exactNearDupPairs: grid decomposition is invariant (equals plain all-pairs)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
