@@ -102,6 +102,42 @@ object Joins {
         col("inter"), col("jaccard"))
   }
 
+  /** Edit-distance record linkage: pairs whose strings are within
+    * `maxDist` Levenshtein edits. Candidates come from the SAME
+    * char-trigram inverted index as [[fuzzyJoin]] (shared-trigram
+    * blocking — never a cross join); the exact `levenshtein` gate then
+    * runs only on candidate pairs. By the q-gram lemma (q=3), strings
+    * within d edits share at least max(len)−2−3d trigrams, so blocking
+    * on ≥1 shared trigram is COMPLETE whenever max(len) ≥ 3d+3 — for
+    * shorter strings (or with `maxGramFreq` capping) it is a recall
+    * trade documented at the call site. Output: (lId, rId, dist). */
+  def fuzzyJoinLev(left: DataFrame, right: DataFrame,
+      lId: String, lStr: String, rId: String, rStr: String,
+      maxDist: Int, maxGramFreq: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"fuzzyJoinLev: maxDist $maxDist")
+    def index(df: DataFrame, id: String, str: String): DataFrame =
+      df.filter(col(id).isNotNull && col(str).isNotNull)
+        .select(col(id), explode(TextOps.charNgrams(col(str), 3)).as("__g"))
+        .select(col(id), graft.expr.TextExpressions.fingerprint(col("__g")).as("__h"))
+    val li = index(left, lId, lStr)
+    val ri = index(right, rId, rStr)
+    val (lc, rc) = maxGramFreq match {
+      case Some(cap) =>
+        val hot = li.select(col("__h")).unionAll(ri.select(col("__h")))
+          .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("__h"))
+        (li.join(hot, Seq("__h"), "left_anti"), ri.join(hot, Seq("__h"), "left_anti"))
+      case None => (li, ri)
+    }
+    val cands = lc.join(rc, Seq("__h")).select(col(lId), col(rId)).distinct()
+    cands
+      .join(left.select(col(lId), col(lStr)), Seq(lId))
+      .join(right.select(col(rId), col(rStr)), Seq(rId))
+      .withColumn("dist", levenshtein(col(lStr), col(rStr)))
+      .filter(col("dist") <= maxDist)
+      .select(col(lId), col(rId), col("dist"))
+  }
+
   /** Time column → long microseconds (timestamps via unix_micros,
     * integral keys as-is) — shared by the range/overlap/as-of joins. */
   private def micros(c: Column, dt: DataType): Column = dt match {

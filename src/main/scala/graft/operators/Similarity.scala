@@ -77,6 +77,31 @@ object Similarity {
         col("top_cosine"))
   }
 
+  /** SEMANTIC decontamination: flag corpus vectors whose embedding is
+    * within cosine `threshold` of ANY benchmark/eval vector — the
+    * embedding-space complement of the n-gram/minhash decontamination
+    * paths (catches paraphrased eval leakage that lexical overlap
+    * misses). Eval side broadcasts (benchmarks are small by nature);
+    * the corpus streams through one narrow scoring pass and a per-row
+    * max — no shuffle of the corpus, no window. Output: flagged rows
+    * only — (idCol, eval_id of the best match, max_eval_cosine). */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"semanticDecontaminate: $threshold")
+    val e = evalSet.select(col(idCol).as("__eid"), col(vecCol).as("__ev"),
+      l2Norm(col(vecCol)).as("__en"))
+    corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"))
+      .crossJoin(broadcast(e))
+      .withColumn("__cos", dot(col(vecCol), col("__ev")) / (col("__cn") * col("__en")))
+      .groupBy(col(idCol))
+      // argmax via struct max: best cosine, ties to the LARGEST eval id
+      // (deterministic both here and in the oracle's rank replay)
+      .agg(max(struct(col("__cos"), col("__eid"))).as("__best"))
+      .select(col(idCol), col("__best.__eid").as("eval_id"),
+        col("__best.__cos").as("max_eval_cosine"))
+      .filter(col("max_eval_cosine") >= threshold)
+  }
+
   /** Matryoshka-style embedding truncation: keep the FIRST `k`
     * dimensions and L2-renormalize — the MRL serving trick (Kusupati et
     * al. 2022): models trained with matryoshka losses pack the signal

@@ -356,6 +356,30 @@ object Stats {
     df.withColumn("session_id", sum(newSession).over(wRun))
   }
 
+  /** Per-group least-squares trend: slope/intercept of y over x per
+    * group — drift profiling ("is this source's quality score sinking
+    * over time?"). The ANSI REGR_* contract: rows where either side is
+    * null are excluded entirely (pre-filtered, so avg(x) and avg(y) see
+    * the same pairwise-complete rows), slope = covar_pop/var_pop, null
+    * when x is constant. One partial-merged aggregate; no sort, no
+    * window. Output: group cols + slope, intercept, n. */
+  def trendPerGroup(df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast(DoubleType)
+    val y = yCol.cast(DoubleType)
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select((groupCols.map(col) :+ x.as("__x")) :+ y.as("__y"): _*)
+    base.groupBy(groupCols.map(col): _*)
+      .agg(covar_pop(col("__x"), col("__y")).as("__cov"),
+        var_pop(col("__x")).as("__var"),
+        avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"),
+        count(lit(1)).as("n"))
+      .withColumn("slope", when(col("__var") > 0, col("__cov") / col("__var")))
+      .withColumn("intercept",
+        when(col("__var") > 0, col("__my") - col("slope") * col("__mx")))
+      .drop("__cov", "__var", "__mx", "__my")
+  }
+
   /** Ordered-step funnel over an event log — "of the users who viewed,
     * how many then clicked, then purchased?". Greedy
     * earliest-completion semantics: a user reaches step i at the

@@ -93,6 +93,26 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
+  /** Per-document out-of-vocabulary profile against a bounded vocab
+    * table (tokenizer coverage check before training: docs full of OOV
+    * tokens burn context on byte-fallback). One explode + a broadcast
+    * left join against the vocab + a per-doc re-aggregate — the corpus
+    * is tokenized once and never shuffled on text. Output: idCol,
+    * n_tokens, n_oov, oov_rate. */
+  def oovProfile(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, vocab: org.apache.spark.sql.DataFrame,
+      vocabCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val v = vocab.select(col(vocabCol).as("__tok")).distinct()
+      .withColumn("__in", lit(1))
+    tok.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, 1L)), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"))
+  }
+
   /** Incremental vocabulary maintenance: merge a NEW batch's token counts
     * into a persisted [[vocabulary]] table WITHOUT re-scanning the corpus
     * — token counts are mergeable state (like the bloom/minhash index

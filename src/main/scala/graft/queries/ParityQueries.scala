@@ -413,6 +413,20 @@ object ParityQueries {
         .orderBy(col("step_idx"), col("user_id"))
     }),
 
+    // beyond-reference: per-group least-squares trend (ANSI REGR_*
+    // semantics) — value drift per event type over day index
+    "q_trend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val tus = unix_micros(col("ts").cast(TimestampType))
+      val day = ((tus - pmod(tus, lit(86400000000L))) / lit(86400000000L))
+        .cast(LongType)
+      Stats.trendPerGroup(ev.withColumn("day", day), Seq("event_type"),
+          col("day"), col("value"))
+        .select(col("event_type"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"), col("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // beyond-reference: weekly cohort retention grid over the event log
     "q_retention" -> ((s, dir) => {
       Stats.cohortRetention(events(s, dir), "user_id", "ts",
@@ -840,6 +854,14 @@ object ParityQueries {
         |  UNION ALL
         |  SELECT user_id, 3, 'purchase', rt FROM s3)
         |ORDER BY step_idx, user_id""".stripMargin,
+
+    "q_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d, value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, round(regr_slope(value, d), 6) AS slope,
+        |  round(regr_intercept(value, d), 6) AS intercept, count(*) AS n
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (

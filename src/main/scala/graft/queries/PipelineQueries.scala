@@ -496,6 +496,48 @@ object PipelineQueries {
         .orderBy(col("p_partkey"), col("cat_id"))
     }),
 
+    // Edit-distance record linkage on the same perturbed catalog: the
+    // ' v2' suffix is exactly 3 edits, so maxDist=3 links every pair;
+    // trigram blocking + exact Levenshtein gate (complete here: names
+    // are far longer than 3*maxDist+3)
+    "q_fuzzy_lev" -> ((s, dir) => {
+      val parts = t(s, dir, "part").filter(col("p_partkey") < 300)
+      val catalog = parts.select((col("p_partkey") + 10000).as("cat_id"),
+        concat(col("p_name"), lit(" v2")).as("cat_name"))
+      graft.operators.Joins.fuzzyJoinLev(
+          parts.select(col("p_partkey"), col("p_name")), catalog,
+          "p_partkey", "p_name", "cat_id", "cat_name", maxDist = 3)
+        .orderBy(col("p_partkey"), col("cat_id"))
+    }),
+
+    // Tokenizer coverage: per-doc OOV profile against the corpus's own
+    // frequent-token vocabulary (count >= 50)
+    "q_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextOps.vocabulary(docs, "text").filter(col("n") >= 50)
+      TextOps.oovProfile(docs, "text", "doc_id", vocab, "token")
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SEMANTIC decontamination: eval = vec_id < 20; corpus = the rest
+    // plus planted paraphrases (eval vectors scaled 2x -> cosine 1, ids
+    // +10000). Only the planted rows cross the 0.9 threshold (the true
+    // corpus maxes out at 0.49 vs eval).
+    "q_sem_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.filter(col("vec_id") < 20)
+      val planted = evalSet.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding")).unionByName(planted)
+      Similarity.semanticDecontaminate(corpus, evalSet, "vec_id", "embedding", 0.9)
+        .select(col("vec_id"), col("eval_id"),
+          round(col("max_eval_cosine"), 6).as("max_eval_cosine"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Source-drift profiling: unigram KL divergence of each source's
     // token distribution vs the corpus mix — the "which feed went bad"
     // dashboard number.
@@ -1722,6 +1764,64 @@ object PipelineQueries {
         |FROM sh JOIN ln USING (p_partkey) JOIN rn USING (cat_id)
         |WHERE inter::DOUBLE / (size_l + size_r - inter) >= 0.6
         |ORDER BY p_partkey, cat_id""".stripMargin,
+
+    "q_fuzzy_lev" ->
+      """WITH l AS (
+        |  SELECT p_partkey, p_name AS s FROM part WHERE p_partkey < 300),
+        |r AS (
+        |  SELECT p_partkey + 10000 AS cat_id, p_name || ' v2' AS s
+        |  FROM part WHERE p_partkey < 300),
+        |lt AS (
+        |  SELECT p_partkey, unnest(list_distinct(
+        |    list_transform(range(1, len(s) - 1), i -> s[i:i+2]))) AS g FROM l),
+        |rt AS (
+        |  SELECT cat_id, unnest(list_distinct(
+        |    list_transform(range(1, len(s) - 1), i -> s[i:i+2]))) AS g FROM r),
+        |lh AS (SELECT p_partkey, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM lt),
+        |rh AS (SELECT cat_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, len(g) + 1), i -> ascii(g[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM rt),
+        |cands AS (SELECT DISTINCT p_partkey, cat_id FROM lh JOIN rh USING (h))
+        |SELECT c.p_partkey, c.cat_id, levenshtein(l.s, r.s) AS dist
+        |FROM cands c JOIN l ON l.p_partkey = c.p_partkey
+        |JOIN r ON r.cat_id = c.cat_id
+        |WHERE levenshtein(l.s, r.s) <= 3
+        |ORDER BY c.p_partkey, c.cat_id""".stripMargin,
+
+    "q_oov" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok FROM tk GROUP BY tok HAVING count(*) >= 50)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS oov_rate
+        |FROM tk LEFT JOIN v ON v.tok = tk.tok
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    "q_sem_decon" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eid, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id < 20),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 20
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 2)
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT c.vec_id, ev.eid,
+        |    list_dot_product(c.v, ev.v) /
+        |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS cos
+        |  FROM corpus c CROSS JOIN ev),
+        |best AS (
+        |  SELECT vec_id, eid, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid DESC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, eid AS eval_id, round(cos, 6) AS max_eval_cosine
+        |FROM best WHERE rn = 1 AND cos >= 0.9
+        |ORDER BY vec_id""".stripMargin,
 
     "q_kl_drift" ->
       """WITH tk AS (

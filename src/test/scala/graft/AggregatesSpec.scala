@@ -269,6 +269,22 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(o2(2).getDouble(3) - 7.0 / 1.25) < 1e-12)
   }
 
+  test("trendPerGroup: hand-computed slope/intercept, constant-x gate, null pairs") {
+    import spark.implicits._
+    // g1: y = 3 + 2x exactly; g2: constant x -> slope null; null y rows excluded
+    val df = Seq(
+      ("g1", Some(0.0), Some(3.0)), ("g1", Some(1.0), Some(5.0)),
+      ("g1", Some(2.0), Some(7.0)), ("g1", Some(9.0), None),
+      ("g2", Some(4.0), Some(1.0)), ("g2", Some(4.0), Some(9.0)))
+      .toDF("g", "x", "y")
+    val out = graft.operators.Stats.trendPerGroup(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 3L) // n excludes the null-y row
+    assert(math.abs(out(0).getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - 3.0) < 1e-12)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).getLong(1) == 2L)
+  }
+
   test("funnel: greedy earliest-completion, order constraint, drop-off") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -992,6 +992,42 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 9L))
   }
 
+  test("fuzzyJoinLev: within-distance pairs linked, beyond-distance dropped") {
+    import spark.implicits._
+    val l = Seq((1L, "chartreuse blanket"), (2L, "midnight saddle")).toDF("lid", "ls")
+    val r = Seq((10L, "chartreuse blankot"),   // 1 sub
+      (11L, "midnight saddle v2"),             // 3 inserts
+      (12L, "completely different thing")).toDF("rid", "rs")
+    val out = graft.operators.Joins.fuzzyJoinLev(l, r, "lid", "ls", "rid", "rs", 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(out == Set((1L, 10L, 1), (2L, 11L, 3)))
+  }
+
+  test("oovProfile: per-doc token/oov counts against a vocab table") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a zz qq"), (3L, "zz")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c").toDF("token")
+    val out = graft.operators.TextOps.oovProfile(docs, "text", "doc_id", vocab, "token")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 0L), (2L, 3L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("semanticDecontaminate: planted paraphrase flagged, rest clean, argmax id") {
+    import spark.implicits._
+    val evalSet = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(2.0f, 0.02f)),   // ~parallel to eval 1
+      (101L, Array(1.0f, 1.0f)),    // cos .707 to both: below threshold
+      (102L, Array(0.0f, -3.0f)))   // anti-parallel: below
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semanticDecontaminate(corpus, evalSet, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((100L, 1L)))
+  }
+
   test("keepBest: per-cluster metric argmax, tie to smallest id, singletons kept") {
     import spark.implicits._
     val docs = Seq((1L, "short", 5.0), (2L, "longest text", 9.0), (3L, "mid", 9.0),
