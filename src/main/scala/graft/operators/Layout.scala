@@ -45,4 +45,25 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Size-targeted compaction write — the small-files cure: pick the
+    * file count from the OPTIMIZER'S size estimate (plan statistics —
+    * filters and column pruning already applied, no extra job) scaled
+    * by an expected on-disk compression ratio, then round-robin
+    * repartition so every output file lands near `targetBytes`. At
+    * 100 TB ingest this is the difference between 10^8 kilobyte files
+    * strangling the NameNode/listing path and evenly-sized ~256 MB
+    * parquet. Returns the file count chosen. Ordering note: round-robin
+    * destroys clustering — use [[writeZOrdered]] when later scans prune
+    * on key ranges. */
+  def writeSized(df: DataFrame, path: String, targetBytes: Long,
+      compressionRatio: Double = 3.0, maxFiles: Int = 100000): Int = {
+    require(targetBytes >= 1 && compressionRatio > 0)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = (BigDecimal(estBytes) / compressionRatio / targetBytes)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+    val n = math.min(math.max(est, 1), maxFiles)
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
 }

@@ -77,6 +77,32 @@ object Similarity {
         col("top_cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive loss (random
+    * negatives are trivially separable). Same scale shape as
+    * [[bruteForceTopK]]: anchors broadcast, the corpus streams through
+    * one scoring pass, per-anchor top-k via the two-phase
+    * WindowGroupLimit. Output: (anchor_id, rank, neg_id, neg_label,
+    * cosine). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"hardNegatives: k $k")
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("__av"),
+      l2Norm(col(vecCol)).as("__an"), col(labelCol).as("__al"))
+    val c = corpus.select(col(idCol).as("neg_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"), col(labelCol).as("neg_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    c.crossJoin(broadcast(a))
+      .filter(col("neg_label") =!= col("__al"))
+      .withColumn("cosine", dot(col("__av"), col("__cv")) / (col("__an") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        col("neg_label"), col("cosine"))
+  }
+
   /** SEMANTIC decontamination: flag corpus vectors whose embedding is
     * within cosine `threshold` of ANY benchmark/eval vector — the
     * embedding-space complement of the n-gram/minhash decontamination

@@ -521,6 +521,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hard-negative mining: for 10 anchors, the 5 most-similar vectors
+    // with a DIFFERENT label (contrastive-training negatives)
+    "q_hard_neg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", 5)
+        .select(col("anchor_id"), col("rank"), col("neg_id"), col("neg_label"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // SEMANTIC decontamination: eval = vec_id < 20; corpus = the rest
     // plus planted paraphrases (eval vectors scaled 2x -> cosine 1, ids
     // +10000). Only the planted rows cross the 0.9 threshold (the true
@@ -1800,6 +1811,24 @@ object PipelineQueries {
         |    / count(*), 6) AS oov_rate
         |FROM tk LEFT JOIN v ON v.tok = tk.tok
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    "q_hard_neg" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neg_id, embedding::DOUBLE[] AS cv, label AS neg_label
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT anchor_id, neg_id, neg_label,
+        |    list_dot_product(av, cv) /
+        |      (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM a CROSS JOIN c WHERE neg_label <> al)
+        |SELECT anchor_id,
+        |  row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id) AS rank,
+        |  neg_id, neg_label, round(cos, 6) AS cosine
+        |FROM scored QUALIFY rank <= 5
+        |ORDER BY anchor_id, rank""".stripMargin,
 
     "q_sem_decon" ->
       """WITH ev AS (

@@ -1013,6 +1013,32 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 0L), (2L, 3L, 2L), (3L, 1L, 1L)))
   }
 
+  test("hardNegatives: same-label excluded, top-k by cosine, deterministic ties") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.1f)),  // same label as anchor: excluded
+      (3L, 1, Array(0.9f, 0.4f)),   // best cross-label
+      (4L, 1, Array(0.0f, 1.0f)),   // orthogonal
+      (5L, 2, Array(-1.0f, 0.0f)))  // anti-parallel
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.hardNegatives(
+        emb, emb.filter($"vec_id" === 1L), "vec_id", "embedding", "label", 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 3L), (2, 4L)))
+  }
+
+  test("writeSized: row preservation and a plausible file count") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"row-$i-payload")).toDF("id", "s")
+    val path = java.nio.file.Files.createTempDirectory("sized").toString + "/out"
+    val n = graft.operators.Layout.writeSized(df, path, targetBytes = 16 * 1024)
+    val files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == n && n >= 1)
+    assert(spark.read.parquet(path).count() == 5000L)
+  }
+
   test("semanticDecontaminate: planted paraphrase flagged, rest clean, argmax id") {
     import spark.implicits._
     val evalSet = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
