@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Keyword and hybrid retrieval over a document corpus — the lexical
+  * complement to the embedding ANN family ([[Similarity]]). Training-data
+  * curation uses exactly this pair: BM25 to mine topical/seed documents,
+  * embeddings for semantic recall, RRF to fuse the two rankings (the
+  * standard hybrid-search combiner).
+  *
+  * Scale shape (100 TB): BM25 tokenizes in one narrow pass and drops every
+  * non-query token BEFORE anything shuffles — the aggregate input is
+  * O(docs × |queryTerms|) rows, not O(corpus tokens). Corpus stats (N,
+  * avgdl) are one scan-level aggregate (or caller-supplied from a profile
+  * pass); per-term document frequencies are |terms| rows, broadcast back.
+  * Nothing in the plan carries corpus-sized state, and no global window is
+  * used anywhere (ranks ride per-query partitions or bounded top-k sets).
+  */
+object Search {
+
+  /** Okapi BM25 scores for one query term set: one row per matching doc,
+    * `bm25 = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * the standard smoothed `idf = ln(1 + (N − df + ½)/(df + ½))`. Docs
+    * containing none of the terms are absent (score 0 by definition).
+    *
+    * `stats` supplies (N, avgdl) when already known — at ingest both fall
+    * out of the corpus profile pass, saving the one extra scan-aggregate.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query term set")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val (n, avgdl) = stats.getOrElse {
+      val r = base.agg(count(lit(1)).as("n"),
+        avg(size(col("__toks")).cast(DoubleType)).as("avgdl")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val termArr = array(terms.map(lit(_)): _*)
+    // query-token filter INSIDE the projection: the explode emits at most
+    // |terms| distinct tokens' occurrences per doc, so the per-(doc,term)
+    // aggregate's map side sees query-sized rows, corpus-sized never shuffles
+    val hits = base.select(col(idCol),
+        size(col("__toks")).cast(DoubleType).as("__dl"),
+        explode(filter(col("__toks"), tk => array_contains(termArr, tk))).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast(DoubleType).as("__tf"))
+    // hits is distinct on (doc, term) -> df(t) = row count per term
+    val dfreq = hits.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val termScore = idf * col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    hits.join(broadcast(dfreq), Seq("__term"))
+      .groupBy(col(idCol))
+      .agg(sum(termScore).as("bm25"))
+  }
+
+  /** Top-k BM25 retrieval with a deterministic rank: scores are rounded to
+    * 6 decimals BEFORE ordering (ties then break on id), so the ranking is
+    * reproducible across engines/partitionings — the property RRF fusion
+    * and the external oracle both need. The rank is assigned by
+    * [[graft.core.Table.fromOrdered]]'s per-partition index scan over the
+    * already-bounded top-k set — never a global `row_number` window. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame = {
+    val scored = bm25(docs, textCol, idCol, terms, k1, b, stats)
+      .withColumn("bm25", round(col("bm25"), 6))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+    graft.core.Table.fromOrdered(scored).indexed
+      .withColumn("rank", (col(graft.core.Table.RowIdx) + 1L).cast(LongType))
+      .drop(graft.core.Table.RowIdx)
+      .select(col(idCol), col("rank"), col("bm25"))
+  }
+
+  /** Reciprocal-rank fusion: `rrf(d) = Σ_lists 1/(k + rank_list(d))`
+    * (Cormack et al.'s k=60 default). Each input carries (id, rank); docs
+    * absent from a list contribute nothing — the standard top-k RRF. A
+    * union + one aggregate: no join tree, fuses any number of rankings. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast(DoubleType))).as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).cast(LongType).as("n_lists"))
+  }
+
+  /** Hybrid lexical+semantic retrieval: BM25 top-k over the text corpus
+    * fused (RRF) with cosine top-k against a query embedding. The cosine
+    * ranking rides [[Similarity.bruteForceTopK]] (corpus streams, query
+    * broadcast, per-query partitioned rank); swap in the IVF/LSH variant
+    * for web-scale corpora — the fusion is ranking-agnostic. */
+  def hybridTopK(docs: DataFrame, textCol: String, docIdCol: String,
+      terms: Seq[String], emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryVecId: Long, k: Int, rrfK: Int = 60): DataFrame = {
+    val lexical = bm25TopK(docs, textCol, docIdCol, terms, k)
+    val semantic = Similarity.bruteForceTopK(
+        emb, emb.filter(col(vecIdCol) === queryVecId), vecIdCol, vecCol, k)
+      .select(col("neighbor_id").as(docIdCol), col("rank"))
+    rrfFuse(Seq(lexical.select(col(docIdCol), col("rank")), semantic), docIdCol, k = rrfK)
+  }
+}

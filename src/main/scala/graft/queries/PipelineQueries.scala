@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Search, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1201,6 +1201,28 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bytes"), col("format"),
           md5(col("payload")).as("digest"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 keyword retrieval: top-20 docs for a 3-term query. Scores are
+    // rounded to 6 decimals BEFORE ranking (doc_id tiebreak) so the
+    // ranking is engine-reproducible; the oracle replays the exact Okapi
+    // arithmetic. (Search.bm25 — query-token filter before any shuffle.)
+    "q_bm25" -> ((s, dir) => {
+      Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "join", "window"), 20)
+        .orderBy(col("rank"))
+    }),
+
+    // Hybrid retrieval: RRF fusion (k=60) of the BM25 top-50 with the
+    // cosine top-50 around query embedding vec_id=0 — the standard
+    // lexical+semantic hybrid-search combiner, fully oracle-replayable.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      Search.hybridTopK(t(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "join", "window"),
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryVecId = 0L, k = 50)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"), col("n_lists"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     })
   )
 
@@ -2754,6 +2776,54 @@ object PipelineQueries {
         |  nid AS neighbor_id, round(cos, 6) AS cosine
         |FROM scored
         |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |hits AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+        |         WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, round(sum(
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM hits JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1)
+        |SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank, bm25
+        |FROM scored
+        |QUALIFY rank <= 20
+        |ORDER BY rank""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |hits AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+        |         WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, round(sum(
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM hits JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY 1),
+        |bm AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |       FROM scored QUALIFY rank <= 50),
+        |cosr AS (
+        |  SELECT nid AS doc_id, row_number() OVER (ORDER BY cos DESC, nid) AS rank FROM (
+        |    SELECT c.vec_id AS nid,
+        |      list_dot_product(q.qv, c.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(q.qv, q.qv)) *
+        |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+        |    FROM embeddings c,
+        |         (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        |    WHERE c.vec_id <> 0)
+        |  QUALIFY rank <= 50),
+        |u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm
+        |      UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM cosr)
+        |SELECT doc_id, round(sum(c), 6) AS rrf, count(*)::BIGINT AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id""".stripMargin
   )
 }
