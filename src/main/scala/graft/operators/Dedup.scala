@@ -286,9 +286,13 @@ object Dedup {
           (col("proot") =!= col("prev")).as("changed"))
         .localCheckpoint()
       converged = jumped.filter(col("changed")).isEmpty
+      // the superseded round's checkpoint blocks are dead as soon as the
+      // next round materializes — free them instead of pinning 25 rounds
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(labels)
       labels = jumped.select(col("id"), col("root"))
       round += 1
     }
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(edges)
     labels
   }
 

@@ -54,12 +54,17 @@ object Graphs {
       val contrib = e
         .join(pr.select(col("id").as("src"), (col("pr") / col("deg")).as("w")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("w")).as("inw"))
-      pr = withDeg.join(contrib, Seq("id"), "left")
+      val next = withDeg.join(contrib, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit((1 - damping) / n + damping * dangling / n) +
             lit(damping) * coalesce(col("inw"), lit(0.0))).as("pr"))
         .localCheckpoint()
+      // free the superseded round's checkpoint blocks (see connectedComponents)
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(pr)
+      pr = next
     }
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(e)
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(withDeg)
     pr.select(col("id"), col("pr"))
   }
 

@@ -34,10 +34,15 @@ object Search {
       stats: Option[(Long, Double)] = None): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query term set")
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-    val (n, avgdl) = stats.getOrElse {
-      val r = base.agg(count(lit(1)).as("n"),
-        avg(size(col("__toks")).cast(DoubleType)).as("avgdl")).head()
-      (r.getLong(0), r.getDouble(1))
+    // (N, avgdl) as a broadcast 1-row aggregate, NOT a driver collect: the
+    // whole retrieval stays one lazy plan / one job submission
+    val st = stats match {
+      case Some((n, avgdl)) => broadcast(
+        docs.sparkSession.range(1).select(lit(n.toDouble).as("__n"),
+          lit(avgdl).as("__avgdl")))
+      case None => broadcast(base.agg(
+        count(lit(1)).cast(DoubleType).as("__n"),
+        avg(size(col("__toks")).cast(DoubleType)).as("__avgdl")))
     }
     val termArr = array(terms.map(lit(_)): _*)
     // query-token filter INSIDE the projection: the explode emits at most
@@ -51,10 +56,10 @@ object Search {
     // hits is distinct on (doc, term) -> df(t) = row count per term
     val dfreq = hits.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
     val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val termScore = idf * col("__tf") * lit(k1 + 1.0) /
-      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
-    hits.join(broadcast(dfreq), Seq("__term"))
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    hits.join(broadcast(dfreq), Seq("__term")).crossJoin(st)
       .groupBy(col(idCol))
       .agg(sum(termScore).as("bm25"))
   }

@@ -13,6 +13,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Free the storage blocks behind a `localCheckpoint()`ed DataFrame.
+    * `DataFrame.unpersist` goes through the CacheManager and never touches
+    * checkpoint block storage, so iterative operators (connected
+    * components, PageRank) would otherwise pin every superseded round's
+    * blocks until the context cleaner happens to run — measured as GC
+    * thrash on long multi-query sessions. Safe once nothing will read the
+    * checkpoint again (lineage is truncated; recompute is impossible). */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a SQL function into an existing session's registry (the
     * registry API is private[sql]; production deployments use
     * spark.sql.extensions=graft.GraftExtensions instead). */
