@@ -49,4 +49,35 @@ object Sketch {
     Bridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
       new XxHash64(Seq(Bridge.expression(key)))))
+
+  /** Exact heavy hitters (items with frequency > n/k) in TWO passes with
+    * O(k) shuffle state — never a vocabulary-sized count table:
+    *
+    *  1. a [[graft.functions.MisraGriesSketch]] aggregate finds candidate
+    *     items (≤ k−1 of them; every TRUE heavy hitter is guaranteed
+    *     present regardless of partitioning/merge order) alongside the
+    *     total count, in one narrow scan;
+    *  2. the corpus is re-scanned counting ONLY candidate rows (the
+    *     broadcast candidate join prunes everything else map-side), and
+    *     the exact `cnt > n/k` gate drops the sketch's sub-threshold
+    *     extras.
+    *
+    * Output (item, cnt), exactly the true heavy hitters with exact
+    * counts — deterministic, so an external engine replays it as plain
+    * GROUP BY/HAVING. At 100 TB both passes are scan-bound; the first
+    * shuffles ≤(k−1)-entry maps per partition, the second only the
+    * heavy items' rows (map-side combined). */
+  def heavyHitters(df: DataFrame, item: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MisraGries
+    val sk = df.select(item.as("__it")).filter(col("__it").isNotNull)
+      .agg(MisraGries.candidatesCol(col("__it"), k).as("__cand"),
+        count(lit(1)).cast("double").as("__n"))
+    val cands = broadcast(sk.select(explode(col("__cand")).as("item"), col("__n")))
+    df.select(item.as("item")).join(cands, "item")
+      .groupBy(col("item"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("__n") / k)
+      .select(col("item"), col("cnt"))
+  }
 }

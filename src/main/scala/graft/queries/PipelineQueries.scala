@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Search, Similarity, TextOps}
+import graft.operators.{Dedup, Search, Similarity, Sketch, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1201,6 +1201,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bytes"), col("format"),
           md5(col("payload")).as("digest"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Heavy hitters via the Misra-Gries sketch (O(k) shuffle state; every
+    // true heavy hitter guaranteed into the candidate set) + an exact
+    // re-count of candidates only — so the output is exactly the items
+    // with frequency > n/k, deterministic, replayable as GROUP BY/HAVING.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val langs = t(s, dir, "documents").select(col("lang"))
+      Sketch.heavyHitters(langs, col("lang"), 6)
+        .withColumnRenamed("item", "lang")
+        .orderBy(col("cnt").desc, col("lang"))
     }),
 
     // BM25 keyword retrieval: top-20 docs for a 3-term query. Scores are
@@ -2777,6 +2788,14 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH n AS (SELECT count(lang)::DOUBLE AS n FROM documents)
+        |SELECT lang, count(*)::BIGINT AS cnt
+        |FROM documents CROSS JOIN n
+        |GROUP BY lang, n.n
+        |HAVING count(*) > n.n / 6
+        |ORDER BY cnt DESC, lang""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
