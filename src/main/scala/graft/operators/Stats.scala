@@ -25,11 +25,15 @@ object Stats {
       coalesce(sum(x), lit(0)).cast(DoubleType).as("sum"),
       when(count(x) >= 2, var_pop(x)).as("variance"),
       when(count(x) >= 2, stddev_pop(x)).as("std"),
-      InterpolatedQuantile.quantileCol(x, 0.25).as("q1"),
-      InterpolatedQuantile.medianCol(x).as("median"),
-      InterpolatedQuantile.quantileCol(x, 0.75).as("q3"),
+      InterpolatedQuantile.quantilesCol(x, Seq(0.25, 0.5, 0.75)).as("qs"),
       (count(lit(1)) - count(x)).as("null_count"),
       count(lit(1)).as("row_count"))
+    .select(col("min"), col("max"), col("mean"), col("sum"), col("variance"),
+      col("std"),
+      element_at(col("qs"), 1).as("q1"),
+      element_at(col("qs"), 2).as("median"),
+      element_at(col("qs"), 3).as("q3"),
+      col("null_count"), col("row_count"))
   }
 
   /** Whole-table describe (reference: src/Table.luna:1321-1361): one row
@@ -42,18 +46,24 @@ object Stats {
     }.toSeq
     val aggs = nums.flatMap { c =>
       val x = col(c)
+      // One buffered quantile aggregate per column (q1/median/q3 share its
+      // single sort), not three — see InterpolatedQuantiles.
       Seq(avg(x).as(s"${c}__mean"),
         when(count(x) >= 2, stddev_pop(x)).as(s"${c}__std"),
         min(x).cast(DoubleType).as(s"${c}__min"),
-        InterpolatedQuantile.quantileCol(x, 0.25).as(s"${c}__q1"),
-        InterpolatedQuantile.medianCol(x).as(s"${c}__median"),
-        InterpolatedQuantile.quantileCol(x, 0.75).as(s"${c}__q3"),
+        InterpolatedQuantile.quantilesCol(x, Seq(0.25, 0.5, 0.75)).as(s"${c}__qs"),
         max(x).cast(DoubleType).as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val spark = df.sparkSession
     val out = nums.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row.fromSeq(c +: (0 until 7).map(j => row.get(i * 7 + j)))
+      val base = i * 5
+      val qs = Option(row.get(base + 3))
+        .map(_.asInstanceOf[scala.collection.Seq[Double]]).orNull
+      def q(j: Int): Any = if (qs == null) null else qs(j)
+      org.apache.spark.sql.Row.fromSeq(Seq(c,
+        row.get(base), row.get(base + 1), row.get(base + 2),
+        q(0), q(1), q(2), row.get(base + 4)))
     }
     val schema = StructType(StructField("column", StringType) +:
       Seq("mean", "std", "min", "q1", "median", "q3", "max")
@@ -147,12 +157,11 @@ object Stats {
   def equiDepthBins(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 2, s"need bins >= 2: $bins")
     import graft.functions.InterpolatedQuantile
-    val qs = (1 until bins).map(i =>
-      InterpolatedQuantile.quantileCol(col(c), i.toDouble / bins).as(s"b$i"))
-    val row = df.agg(qs.head, qs.tail: _*).head()
+    val row = df.agg(InterpolatedQuantile.quantilesCol(col(c),
+      (1 until bins).map(_.toDouble / bins)).as("bs")).head()
     require(!row.isNullAt(0),
       s"equiDepthBins: '$c' has no non-null values — boundaries undefined")
-    val bounds = (0 until bins - 1).map(row.getDouble)
+    val bounds = row.getSeq[Double](0)
     val bin = bounds.map(b => when(col(c) > b, 1L).otherwise(0L)).reduce(_ + _)
     df.withColumn("bin", when(col(c).isNotNull, bin))
   }
@@ -191,10 +200,11 @@ object Stats {
       hi: Double = 0.99): DataFrame = {
     require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1: $lo, $hi")
     import graft.functions.InterpolatedQuantile
-    val row = df.agg(InterpolatedQuantile.quantileCol(col(c), lo).as("lo"),
-      InterpolatedQuantile.quantileCol(col(c), hi).as("hi")).head()
+    val row = df.agg(InterpolatedQuantile.quantilesCol(col(c),
+      Seq(lo, hi)).as("bounds")).head()
     require(!row.isNullAt(0), s"winsorize: '$c' has no non-null values")
-    val (l, h) = (row.getDouble(0), row.getDouble(1))
+    val bounds = row.getSeq[Double](0)
+    val (l, h) = (bounds(0), bounds(1))
     df.withColumn(s"${c}_wins",
       least(greatest(col(c).cast(DoubleType), lit(l)), lit(h)))
   }
