@@ -36,6 +36,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // Terminated StreamingQueries leave their state-store providers
+      // (with every retained version's state map) loaded until the
+      // maintenance thread gets to them, and each memory sink pins its
+      // results behind a temp view forever. Both are dead weight once the
+      // query's result has been consumed.
+      org.apache.spark.sql.graftx.Bridge.unloadStreamState()
+      spark.catalog.listTables().collect()
+        .withFilter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       // Spark's ContextCleaner frees broadcasts / shuffle state / generated
       // classes only when a driver GC processes their weak references, and
       // its own periodic GC defaults to 30 min — longer than the whole

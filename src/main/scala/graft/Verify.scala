@@ -32,6 +32,10 @@ object Verify {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // ... nor finished streams' state-store providers / memory sinks
+      org.apache.spark.sql.graftx.Bridge.unloadStreamState()
+      spark.catalog.listTables().collect()
+        .withFilter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -27,6 +27,14 @@ object Bridge {
       case _ => ()
     }
 
+  /** Unload every state-store provider a terminated StreamingQuery left
+    * loaded (each holds all retained versions' state maps in memory until
+    * the maintenance thread gets to it — dead weight in a long-lived JVM
+    * once the query's sink has been consumed). The registry is
+    * `private[sql]`; providers reload lazily if a store is needed again. */
+  def unloadStreamState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Register a SQL function into an existing session's registry (the
     * registry API is private[sql]; production deployments use
     * spark.sql.extensions=graft.GraftExtensions instead). */
