@@ -34,6 +34,10 @@ object GraftFunctions {
       require(args.length == 1, "graft_nfc(text)")
       graft.expr.NfcNormalize(args(0))
     },
+    "graft_image_meta" -> { args =>
+      require(args.length == 1, "graft_image_meta(binary)")
+      graft.expr.ImageMeta(args(0))
+    },
     "graft_shingles" -> { args =>
       require(args.length == 2, "graft_shingles(tokens, n)")
       val n = args(1) match {

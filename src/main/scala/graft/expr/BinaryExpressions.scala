@@ -1,0 +1,139 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native binary-payload expressions for the multimodal pipeline.
+  *
+  * Image METADATA (container format + pixel dimensions) lives in the first
+  * few hundred bytes of the payload — extracting it must not require a
+  * decode (the container ships no codecs, and at 100 TB a resolution
+  * filter that decodes every image is the wrong plan). `ImageMeta` parses
+  * the four dominant container headers (PNG, JPEG, GIF, BMP) in a tight
+  * byte loop inside whole-stage codegen, so `width >= 256 AND height >=
+  * 256` is a narrow scan-side predicate that prunes payloads BEFORE any
+  * decode stage — the same pushdown story as Multimodal.centerCrop /
+  * sampleFrames.
+  *
+  * Reference scope note: the reference engine has no binary/image surface
+  * at all; this is part of the beyond-reference training-data layer. */
+case class ImageMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+  override def prettyName: String = "graft_image_meta"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.imageMeta(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.BinaryExpressions.imageMeta($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+object BinaryExpressions {
+
+  def imageMeta(c: Column): Column = Bridge.column(ImageMeta(Bridge.expression(c)))
+
+  private val FmtPng = UTF8String.fromString("png")
+  private val FmtJpeg = UTF8String.fromString("jpeg")
+  private val FmtGif = UTF8String.fromString("gif")
+  private val FmtBmp = UTF8String.fromString("bmp")
+  private val FmtUnknown = UTF8String.fromString("unknown")
+
+  private def row(fmt: UTF8String, w: Any, h: Any): InternalRow =
+    new GenericInternalRow(Array[Any](fmt, w, h))
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** Shared by eval and generated code: sniff the container from its magic
+    * bytes and read the dimensions from the header. A payload whose magic
+    * matches but whose header is truncated/corrupt keeps the sniffed
+    * format with null dimensions (the audit signal "claims PNG, header
+    * unreadable" matters at ingest); unrecognized payloads are
+    * ("unknown", null, null). Never throws — corrupt bytes are data, not
+    * errors, in a crawl. */
+  def imageMeta(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // PNG: 8-byte signature, then IHDR chunk: len(4) "IHDR"(4) width(BE4) height(BE4)
+    if (n >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        (b(4) & 0xFF) == 0x0D && (b(5) & 0xFF) == 0x0A && (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0x0A) {
+      if (n >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = be32(b, 16); val h = be32(b, 20)
+        if (w > 0 && h > 0) return row(FmtPng, w, h)
+      }
+      return row(FmtPng, null, null)
+    }
+    // GIF87a / GIF89a: logical screen width/height, LE16 at 6/8
+    if (n >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      if (n >= 10) return row(FmtGif, le16(b, 6), le16(b, 8))
+      return row(FmtGif, null, null)
+    }
+    // BMP: "BM"; DIB header size at 14 picks the layout — BITMAPCOREHEADER
+    // (12: LE16 dims at 18/20) vs BITMAPINFOHEADER+ (LE32 at 18/22; height
+    // may be negative for top-down rows)
+    if (n >= 2 && b(0) == 'B' && b(1) == 'M') {
+      if (n >= 26) {
+        val dib = le32(b, 14)
+        if (dib == 12) return row(FmtBmp, le16(b, 18), le16(b, 20))
+        if (dib >= 40) return row(FmtBmp, le32(b, 18), math.abs(le32(b, 22)))
+      }
+      return row(FmtBmp, null, null)
+    }
+    // JPEG: FF D8, then marker segments; dimensions live in the first SOFn
+    // (C0-CF except C4=DHT, C8=JPG-extension, CC=DAC): [len][precision]
+    // [height BE16][width BE16]
+    if (n >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < n) {
+        if ((b(i) & 0xFF) != 0xFF) return row(FmtJpeg, null, null) // desynced
+        // skip fill bytes (FF padding before a marker)
+        var j = i
+        while (j < n && (b(j) & 0xFF) == 0xFF) j += 1
+        if (j >= n) return row(FmtJpeg, null, null)
+        val marker = b(j) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) return row(FmtJpeg, null, null) // EOI/SOS before SOF
+        if (marker >= 0xD0 && marker <= 0xD7) { i = j + 1 } // standalone RSTn
+        else {
+          if (j + 2 >= n) return row(FmtJpeg, null, null)
+          val len = be16(b, j + 1)
+          if (len < 2) return row(FmtJpeg, null, null)
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (j + 8 < n) return row(FmtJpeg, be16(b, j + 6), be16(b, j + 4))
+            return row(FmtJpeg, null, null)
+          }
+          i = j + 1 + len
+        }
+      }
+      return row(FmtJpeg, null, null)
+    }
+    row(FmtUnknown, null, null)
+  }
+}

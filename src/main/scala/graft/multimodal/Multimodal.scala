@@ -68,6 +68,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Container metadata (format, width, height) parsed from the payload's
+    * HEADER bytes — no decode, no codec: a native codegen'd byte loop
+    * (PNG IHDR, JPEG SOFn marker scan, GIF screen descriptor, BMP DIB;
+    * `expr/BinaryExpressions.ImageMeta`). The resolution filter every
+    * image pipeline starts with becomes a narrow scan-side predicate that
+    * prunes payloads BEFORE any decode stage. Corrupt headers keep the
+    * sniffed format with null dims (the ingest audit signal); unknown
+    * magic is ("unknown", null, null); null payload is null. */
+  def withImageMeta(df: DataFrame, binaryCol: String, out: String = "img"): DataFrame =
+    df.withColumn(out, graft.expr.BinaryExpressions.imageMeta(col(binaryCol)))
+
+  /** Resolution gate over [[withImageMeta]]: keep payloads whose parsed
+    * dimensions satisfy the floor (unparseable/unknown rows drop — a
+    * filter can't keep what it can't measure). Narrow, codegen'd, no
+    * shuffle. */
+  def filterByResolution(df: DataFrame, binaryCol: String,
+      minWidth: Int, minHeight: Int): DataFrame = {
+    val m = graft.expr.BinaryExpressions.imageMeta(col(binaryCol))
+    df.filter(m.getField("width") >= minWidth && m.getField("height") >= minHeight)
+  }
+
   /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop
     * the payload to `outBytes` BEFORE decode, so trimmed bytes are never
     * decoded — same pushdown story as the frame sampler. Payloads shorter

@@ -724,6 +724,40 @@ object TextOps {
   /** URL pattern (RE2-compatible like the PII set); group 1 is the host. */
   val UrlRe = "https?://([A-Za-z0-9.-]+)"
 
+  /** URL canonicalization for crawl dedup keys — the standard fold before
+    * URL-level dedup / per-domain caps, so `HTTP://Site.com:80/a?utm_x=1#f`
+    * and `http://site.com/a` collapse onto one key:
+    *   1. scheme and host lowercase (path/query case-significant, kept);
+    *   2. `#fragment` dropped;
+    *   3. tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *      a then-empty `?` dropped, a surviving first param re-anchored
+    *      onto `?`;
+    *   4. default ports stripped (`:80` http, `:443` https);
+    *   5. trailing slash trimmed (root `http://host/` → `http://host`).
+    * Deliberately regex/literal-only and RE2-compatible (no lookaround):
+    * the same pattern text replays under Java regex and DuckDB's RE2, so
+    * the fold is oracle-verifiable byte-for-byte. One narrow codegen'd
+    * pass; compose upstream of [[Dedup.exact]] on the URL column. */
+  def canonicalizeUrl(url: Column): Column = {
+    // lowercase scheme://host[:port] only: capture the prefix, rebuild
+    val lowered = concat(
+      lower(regexp_extract(url, "(?i)^(https?://[^/?#]*)", 1)),
+      regexp_replace(url, "(?i)^https?://[^/?#]*", ""))
+    val noFragment = regexp_replace(lowered, "#.*$", "")
+    val trackers = "(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)"
+    // '&'-led tracking params drop whole; a '?'-led one hands its '?' to
+    // the next param; a then-dangling '?' drops — ordered so a literal
+    // '&' in the PATH can never be promoted to a '?'
+    val noAmpTracking = regexp_replace(noFragment, s"&$trackers=[^&#]*", "")
+    val noLeadTracking = regexp_replace(noAmpTracking, s"\\?$trackers=[^&#]*&?", "?")
+    val noTracking = regexp_replace(noLeadTracking, "\\?$", "")
+    val noDefaultPort = regexp_replace(noTracking,
+      "^(http://[^/:?#]*):80(?:([/?#])|$)", "$1$2")
+    val noHttpsPort = regexp_replace(noDefaultPort,
+      "^(https://[^/:?#]*):443(?:([/?#])|$)", "$1$2")
+    regexp_replace(noHttpsPort, "/$", "")
+  }
+
   /** All URL hosts mentioned in a document — the input to domain-level
     * corpus curation (blocklists, per-domain caps, provenance mixing).
     * One codegen'd regexp pass per row. */

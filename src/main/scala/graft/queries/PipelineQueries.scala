@@ -1203,6 +1203,77 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Image-header metadata WITHOUT decode: synthesize real container
+    // headers (PNG IHDR / GIF screen descriptor / BMP DIB / JPEG SOF0
+    // behind an APP0) with dimensions derived from doc_id, parse them
+    // back with the native ImageMeta byte loop. The oracle computes the
+    // expected (format, width, height) from the SAME arithmetic
+    // independently — the full encode→parse round trip is verified
+    // byte-for-byte. Resolution filtering at 100 TB is exactly this
+    // narrow header pass; no codec, no shuffle.
+    "q_image_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 600 + 16).cast(IntegerType).as("w"),
+        (col("doc_id") % 400 + 16).cast(IntegerType).as("h"))
+      def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
+        unhex(lpad(hex(c), hexDigits, "0"))
+      def le16(c: org.apache.spark.sql.Column) = {
+        val x = lpad(hex(c), 4, "0")
+        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      def le32(c: org.apache.spark.sql.Column) = {
+        val x = lpad(hex(c), 8, "0")
+        unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
+        lit(Array[Byte](0, 0, 0, 13)), lit("IHDR").cast(BinaryType),
+        be(col("w"), 8), be(col("h"), 8), lit(Array[Byte](8, 2, 0, 0, 0)))
+      val gif = concat(lit("GIF89a").cast(BinaryType),
+        le16(col("w")), le16(col("h")), lit(Array[Byte](0, 0, 0)))
+      val bmp = concat(lit("BM").cast(BinaryType), lit(new Array[Byte](12)),
+        le32(lit(40)), le32(col("w")), le32(col("h")), lit(new Array[Byte](4)))
+      val jpeg = concat(
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte)),
+        lit(Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 4, 0x4A, 0x46)),
+        lit(Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8)),
+        be(col("h"), 4), be(col("w"), 4),
+        lit(Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)))
+      val payload = when(col("doc_id") % 4 === 0, png)
+        .when(col("doc_id") % 4 === 1, gif)
+        .when(col("doc_id") % 4 === 2, bmp)
+        .otherwise(jpeg)
+      Multimodal.withImageMeta(d.withColumn("payload", payload), "payload")
+        .select(col("doc_id"), col("img.format").as("format"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization — the fold before URL-keyed crawl dedup:
+    // uppercase scheme/host, default ports, fragments, and tracking
+    // params all collapse onto one canonical key. Three messy-URL shapes
+    // synthesized from doc_id; the oracle computes each expected
+    // canonical string independently (byte-for-byte check of the whole
+    // regex fold). One narrow codegen'd pass.
+    "q_url_canon" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 20).cast(StringType).as("a"),
+        (col("doc_id") % 7).cast(StringType).as("b"),
+        (col("doc_id") % 5).cast(StringType).as("c"))
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://Site"), col("a"), lit(".Example.COM:80/Path"),
+            col("b"), lit("/?utm_source=x&q="), col("c"), lit("#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://cdn"), col("a"), lit(".example.com:443/img"),
+            col("b"), lit("?fbclid=abc"), col("c")))
+        .otherwise(
+          concat(lit("http://plain"), col("a"), lit(".example.org/a"),
+            col("b"), lit("/")))
+      d.select(col("doc_id"), TextOps.canonicalizeUrl(url).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heavy hitters via the Misra-Gries sketch (O(k) shuffle state; every
     // true heavy hitter guaranteed into the candidate set) + an exact
     // re-count of candidates only — so the output is exactly the items
@@ -2731,6 +2802,27 @@ object PipelineQueries {
     "q_multimodal" ->
       """SELECT doc_id, len(text)::BIGINT AS n_bytes, 'unknown' AS format,
         |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_image_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  (doc_id % 600 + 16)::INT AS width,
+        |  (doc_id % 400 + 16)::INT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://site' || (doc_id % 20)::VARCHAR
+        |      || '.example.com/Path' || (doc_id % 7)::VARCHAR
+        |      || '/?q=' || (doc_id % 5)::VARCHAR
+        |    WHEN 1 THEN 'https://cdn' || (doc_id % 20)::VARCHAR
+        |      || '.example.com/img' || (doc_id % 7)::VARCHAR
+        |    ELSE 'http://plain' || (doc_id % 20)::VARCHAR
+        |      || '.example.org/a' || (doc_id % 7)::VARCHAR
+        |  END AS canonical_url
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_semdedup" ->

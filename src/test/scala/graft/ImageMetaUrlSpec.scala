@@ -1,0 +1,122 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.TextOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native ImageMeta header parsing (real container bytes, corrupt inputs)
+  * and URL canonicalization edge cases. */
+class ImageMetaUrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def meta(bytes: Array[Byte]): Row = {
+    val df = Seq(Tuple1(bytes)).toDF("payload")
+    Multimodal.withImageMeta(df, "payload")
+      .select($"img.format", $"img.width", $"img.height").head()
+  }
+
+  private def be32(v: Int) = Array[Byte](
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Int) = Array[Byte](
+    v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  test("PNG IHDR dimensions") {
+    val png = pngSig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    assert(meta(png) === Row("png", 640, 480))
+  }
+
+  test("JPEG SOF0 behind APP0+DQT markers; RST-safe scan") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      // APP0 "JFIF" segment, len 16
+      Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++
+      // DQT, len 4 (2 payload bytes)
+      Array[Byte](0xFF.toByte, 0xDB.toByte) ++ be16(4) ++ Array[Byte](0, 1) ++
+      // SOF0: len 17, precision 8, height 1080, width 1920, 3 components
+      Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(1080) ++ be16(1920) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(meta(jpeg) === Row("jpeg", 1920, 1080))
+  }
+
+  test("JPEG progressive (SOF2) also parses") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xC2.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(32) ++ be16(64) ++ Array.fill[Byte](10)(0)
+    assert(meta(jpeg) === Row("jpeg", 64, 32))
+  }
+
+  test("GIF87a and GIF89a screen descriptor (little-endian)") {
+    val gif89 = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+    val gif87 = "GIF87a".getBytes ++ le16(1) ++ le16(65535) ++ Array[Byte](0, 0, 0)
+    assert(meta(gif89) === Row("gif", 320, 200))
+    assert(meta(gif87) === Row("gif", 1, 65535))
+  }
+
+  test("BMP: BITMAPINFOHEADER (negative height = top-down) and CORE header") {
+    val info = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++
+      le32(800) ++ le32(-600) ++ Array.fill[Byte](4)(0)
+    assert(meta(info) === Row("bmp", 800, 600))
+    val core = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(12) ++
+      le16(100) ++ le16(50) ++ Array.fill[Byte](8)(0)
+    assert(meta(core) === Row("bmp", 100, 50))
+  }
+
+  test("corrupt headers keep sniffed format with null dims; unknown magic") {
+    assert(meta(pngSig ++ Array[Byte](0, 0)) === Row("png", null, null))
+    assert(meta(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte))
+      === Row("jpeg", null, null)) // EOI before any SOF
+    assert(meta("GIF89a".getBytes) === Row("gif", null, null))
+    assert(meta("BM".getBytes ++ Array.fill[Byte](10)(0)) === Row("bmp", null, null))
+    assert(meta("plain text".getBytes) === Row("unknown", null, null))
+    assert(meta(Array.empty[Byte]) === Row("unknown", null, null))
+  }
+
+  test("null payload yields a null struct; resolution filter prunes") {
+    val rows = Seq(
+      (1L, pngSig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+        be32(1024) ++ be32(768) ++ Array[Byte](8, 2, 0, 0, 0)),
+      (2L, pngSig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+        be32(64) ++ be32(64) ++ Array[Byte](8, 2, 0, 0, 0)),
+      (3L, "garbage".getBytes),
+      (4L, null)).toDF("id", "payload")
+    val withMeta = Multimodal.withImageMeta(rows, "payload")
+    assert(withMeta.filter($"id" === 4).select($"img").head().isNullAt(0))
+    val kept = Multimodal.filterByResolution(rows, "payload", 256, 256)
+      .select($"id").as[Long].collect().toSeq
+    assert(kept === Seq(1L)) // small, unparseable, and null all drop
+  }
+
+  test("canonicalizeUrl: scheme/host case, ports, fragments, tracking params") {
+    val cases = Seq(
+      "HTTP://Site.Example.COM:80/Path/?utm_source=x&q=1#frag" ->
+        "http://site.example.com/Path/?q=1",
+      "https://cdn.example.com:443/img?fbclid=abc" ->
+        "https://cdn.example.com/img",
+      "http://a.example.org/p/" -> "http://a.example.org/p",
+      "http://a.example.org/" -> "http://a.example.org",
+      // tracker mid-list and at end; non-tracker params keep order
+      "http://h/x?a=1&utm_campaign=c&b=2" -> "http://h/x?a=1&b=2",
+      "http://h/x?a=1&gclid=g" -> "http://h/x?a=1",
+      "http://h/x?utm_a=1&utm_b=2&c=3" -> "http://h/x?c=3",
+      "http://h/x?utm_only=1" -> "http://h/x",
+      // param whose NAME merely starts with a tracker name survives
+      "http://h/x?refresh=1" -> "http://h/x?refresh=1",
+      // literal & in the path is never promoted to '?'
+      "http://h/a&b?utm_x=1" -> "http://h/a&b",
+      // non-default port kept; path case kept
+      "http://h:8080/A" -> "http://h:8080/A",
+      // non-URL text passes through
+      "not a url" -> "not a url")
+    val df = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl($"url").as("c"))
+    assert(df.as[String].collect().toSeq === cases.map(_._2))
+  }
+}
