@@ -166,6 +166,53 @@ object Stats {
     df.withColumn("bin", when(col(c).isNotNull, bin))
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard distribution-drift monitor run between corpus
+    * versions (quality scores, doc lengths, source mixes):
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref), with the bin grid
+    * FIXED from the reference snapshot's exact equi-depth quantiles
+    * (the reference's N·q − 0.5 lerp rule), so the metric is comparable
+    * release-over-release. Rule of thumb: < 0.1 stable, 0.1–0.25 drift
+    * worth a look, > 0.25 action. Probabilities are add-half smoothed
+    * ((n + 0.5) / (N + bins/2)) so empty bins stay defined, and rounded
+    * to 6 decimals BEFORE the log so an SQL oracle replays bit-exactly.
+    *
+    * Output: one row per bin (bin, n_ref, n_cur, p_ref, p_cur,
+    * psi_term); total PSI = sum(psi_term). Scale shape: one bounded
+    * quantile aggregate over the reference + one partial-merged bin
+    * count per side (boundaries travel as literals — the corpus is
+    * never sorted); the bins-sized join/spine is driver-trivial. */
+  def driftPsi(ref: DataFrame, cur: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"driftPsi: need bins >= 2, got $bins")
+    import graft.functions.InterpolatedQuantile
+    val row = ref.filter(col(c).isNotNull)
+      .agg(InterpolatedQuantile.quantilesCol(col(c),
+        (1 until bins).map(_.toDouble / bins)).as("bs")).head()
+    require(!row.isNullAt(0),
+      s"driftPsi: reference '$c' has no non-null values — grid undefined")
+    val bounds = row.getSeq[Double](0)
+    def binned(df: DataFrame, out: String) = {
+      val b = bounds.map(bd => when(col(c) > bd, 1L).otherwise(0L)).reduce(_ + _)
+      df.filter(col(c).isNotNull).select(b.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    }
+    val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))
+    val joined = spine
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .localCheckpoint() // bins-sized; totals derive from the SAME counts
+    val tot = joined.agg(sum(col("n_ref")), sum(col("n_cur"))).head()
+    val (nr, nc) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    def p(n: Column, total: Double) =
+      round((n.cast(DoubleType) + 0.5) / (total + bins * 0.5), 6)
+    joined
+      .withColumn("p_ref", p(col("n_ref"), nr))
+      .withColumn("p_cur", p(col("n_cur"), nc))
+      .withColumn("psi_term",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6))
+  }
+
   /** groupBy/join SKEW diagnosis for a key set — the operational
     * pre-flight for any 100 TB shuffle: the `topK` heaviest keys with
     * row count, corpus share, and `x_mean` = count / mean-key-load. A

@@ -267,6 +267,40 @@ object ParityQueries {
         .orderBy(col("bin"))
     }),
 
+    // Snapshot diff — dataset-version audit: a "new release" of the
+    // documents table is synthesized (every 97th doc removed, every 89th
+    // re-added under a shifted id, every 53rd edited), and
+    // Diff.snapshotDiff must tag exactly the moved rows via ONE
+    // full-outer id join. The oracle replays the same construction with
+    // FULL OUTER JOIN + IS DISTINCT FROM.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldD = docs.select(col("doc_id"), col("text"))
+      val newD = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Diff.snapshotDiff(oldD, newD, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+        .select(col("doc_id"), col("change"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PSI distribution drift between two snapshots: the "current" price
+    // distribution is a planted affine shift of the reference; the bin
+    // grid is FIXED from the reference's exact equi-depth octiles (the
+    // reference N·q−0.5 lerp rule), probabilities add-half smoothed and
+    // rounded before the log so DuckDB replays every psi term.
+    "q_drift_psi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ref = li.select(col("l_extendedprice").as("x"))
+      val cur = li.select((col("l_extendedprice") * 1.05 + 100).as("x"))
+      Stats.driftPsi(ref, cur, "x", 8)
+        .orderBy(col("bin"))
+    }),
+
     // Feature scaling (ML prep): z-standardize l_quantity, min-max
     // l_extendedprice — one stats aggregate each, stats rounded before
     // the division so the oracle replays bit-exactly.
@@ -587,6 +621,55 @@ object ParityQueries {
          |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
          |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |newd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 89 = 0),
+        |d AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM old o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, change FROM d WHERE change <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_drift_psi" -> {
+      val b = (1 to 7).map(j => duckQuantileRaw(s"n*${j / 8.0} - 0.5"))
+      val binCase = (1 to 7).map(j =>
+        s"CASE WHEN x > b$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sv AS (SELECT list_sort(list(l_extendedprice)) s,
+         |             count(l_extendedprice)::DOUBLE n
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT ${b.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(", ")} FROM sv),
+         |refb AS (SELECT ($binCase)::BIGINT AS bin
+         |  FROM (SELECT l_extendedprice AS x FROM lineitem
+         |        WHERE l_extendedprice IS NOT NULL), b),
+         |curb AS (SELECT ($binCase)::BIGINT AS bin
+         |  FROM (SELECT l_extendedprice * 1.05 + 100 AS x FROM lineitem
+         |        WHERE l_extendedprice IS NOT NULL), b),
+         |rc AS (SELECT bin, count(*) AS n_ref FROM refb GROUP BY bin),
+         |cc AS (SELECT bin, count(*) AS n_cur FROM curb GROUP BY bin),
+         |spine AS (SELECT unnest(range(8)) AS bin),
+         |tot AS (SELECT (SELECT sum(n_ref) FROM rc)::DOUBLE AS nr,
+         |               (SELECT sum(n_cur) FROM cc)::DOUBLE AS nc),
+         |j AS (SELECT bin, coalesce(n_ref, 0) AS n_ref,
+         |        coalesce(n_cur, 0) AS n_cur
+         |      FROM spine LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+         |p AS (SELECT bin, n_ref, n_cur,
+         |        round((n_ref + 0.5) / (nr + 4.0), 6) AS p_ref,
+         |        round((n_cur + 0.5) / (nc + 4.0), 6) AS p_cur
+         |      FROM j, tot)
+         |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+         |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+         |FROM p ORDER BY bin""".stripMargin
     },
 
     "q_scale" ->

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Diff, Stats}
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff semantics and PSI drift hand-computed cases. */
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff tags added/removed/changed/unchanged; null-safe compare") {
+    val old = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None: Option[String]), (5L, Option("e"))).toDF("id", "v")
+    val neu = Seq(
+      (1L, Option("a")),               // unchanged
+      (2L, Option("B")),               // changed
+      (4L, Option("now")),             // null -> value = changed
+      (5L, None: Option[String]),      // value -> null = changed
+      (6L, Option("f"))).toDF("id", "v") // added; 3 removed
+    val got = Diff.snapshotDiff(old, neu, Seq("id"), Seq("v"))
+      .select($"id", $"change").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "changed", 6L -> "added"))
+  }
+
+  test("snapshotDiff with no compare columns is pure membership") {
+    val old = Seq(1L, 2L).toDF("id")
+    val neu = Seq(2L, 3L).toDF("id")
+    val got = Diff.snapshotDiff(old, neu, Seq("id"), Nil)
+      .select($"id", $"change").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+  }
+
+  test("diffSummary counts by change type") {
+    val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val neu = Seq((2L, "x"), (3L, "c")).toDF("id", "v")
+    val got = Diff.diffSummary(old, neu, Seq("id"), Seq("v"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("removed" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("driftPsi: identical snapshots give ~zero psi on every bin") {
+    val ref = (1 to 400).map(_.toDouble).toDF("x")
+    val terms = Stats.driftPsi(ref, ref, "x", 4)
+      .select($"psi_term").as[Double].collect()
+    assert(terms.length === 4 && terms.forall(math.abs(_) < 1e-9))
+  }
+
+  test("driftPsi: hand-computed two-bin shift") {
+    // ref: 100 values 1..100 — median boundary = 50.5 (N·q−0.5 lerp);
+    // cur: 100 values all = 80 → bin0 (x<=50.5) holds 0, bin1 holds 100
+    val ref = (1 to 100).map(_.toDouble).toDF("x")
+    val cur = Seq.fill(100)(80.0).toDF("x")
+    val rows = Stats.driftPsi(ref, cur, "x", 2)
+      .orderBy($"bin")
+      .select($"bin", $"n_ref", $"n_cur", $"p_ref", $"p_cur", $"psi_term")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((0L, 50L, 0L), (1L, 50L, 100L)))
+    def r6(x: Double) = // Spark round() = HALF_UP
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pRef = r6(50.5 / 101.0)
+    val pCur0 = r6(0.5 / 101.0)
+    val pCur1 = r6(100.5 / 101.0)
+    def term(pc: Double, pr: Double) = r6((pc - pr) * math.log(pc / pr))
+    assert(rows(0)._6 === term(pCur0, pRef))
+    assert(rows(1)._6 === term(pCur1, pRef))
+    // a hard full-bin shift is far beyond the 0.25 action threshold
+    assert(rows.map(_._6).sum > 0.25)
+  }
+
+  test("driftPsi: empty current bins stay defined via smoothing") {
+    val ref = (1 to 80).map(_.toDouble).toDF("x")
+    val cur = Seq.fill(10)(1.0).toDF("x") // everything lands in bin 0
+    val terms = Stats.driftPsi(ref, cur, "x", 8)
+      .select($"psi_term").as[Double].collect()
+    assert(terms.length === 8 && terms.forall(t => !t.isNaN && !t.isInfinite))
+  }
+}
