@@ -258,13 +258,58 @@ object Dedup {
     * Convergence is detected exactly (a round that changes no label ends
     * the loop); `maxRounds` is a safety bound only. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, smallGraphLimit: Long = 1L << 20): DataFrame = {
     // ids keep their natural type — min/least need only an ordering, and
     // a long cast would null out string/hash ids and silently no-op the
     // whole clustering
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // SMALL-GRAPH FAST PATH — same driver-side pattern as the IVF Lloyd
+    // fit and the BPE merge loop: near-dup candidate graphs are pairs of
+    // DUPS, not the corpus, so they are usually tiny even when the corpus
+    // is 100 TB. Below the bound (~tens of MB collected), union-find on
+    // the driver replaces ~2 shuffles × O(log diameter) rounds of Spark
+    // jobs with ONE collect — identical output (min-id component root;
+    // the distributed path stays spec-equivalent via the
+    // random-vs-union-find differential). The count is free: edges is
+    // already materialized by the localCheckpoint above.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphLimit) {
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != null && p != x) { // path halving
+          val gp = parent.get(p)
+          if (gp != null && gp != p) parent.put(x, gp)
+          x = if (gp != null) gp else p
+          p = parent.get(x)
+        }
+        x
+      }
+      @inline def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val rows = edges.collect()
+      rows.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val id = it.next()
+        out.add(org.apache.spark.sql.Row(id, find(id)))
+      }
+      val idType = edges.schema.fields(0).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("root", idType)))
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(edges)
+      return pairs.sparkSession.createDataFrame(out, schema)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("root")).localCheckpoint()
     var round = 0

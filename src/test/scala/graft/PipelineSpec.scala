@@ -983,6 +983,23 @@ class PipelineSpec extends SparkSpec {
     assert(cc == expected)
   }
 
+  test("connectedComponents: distributed path (smallGraphLimit=0) == driver fast path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val graphs: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("id_a", "id_b"),
+      (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b"),
+      Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }.toDF("id_a", "id_b"))
+    graphs.foreach { g =>
+      val fast = Dedup.connectedComponents(g, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(g, "id_a", "id_b", smallGraphLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == fast)
+    }
+  }
+
   test("dropNearDupClusters keeps the canonical member plus untouched rows") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e")).toDF("doc_id", "text")
