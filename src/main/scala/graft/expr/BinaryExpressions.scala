@@ -48,9 +48,60 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-parse resolution predicate: `width >= minW AND height >= minH`
+  * with ONE header scan. A composed `meta.width >= w AND meta.height >= h`
+  * predicate re-instantiates the parse per field reference once the
+  * optimizer pushes it into a Filter (FilterExec has no subexpression
+  * elimination — plan-audited in ImageMetaUrlSpec); this keeps the gate a
+  * single byte-loop per row. Null / unparseable payloads are false. */
+case class ImageMinResolution(child: Expression, minW: Int, minH: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_image_min_resolution"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && BinaryExpressions.imageAtLeast(
+      v.asInstanceOf[Array[Byte]], minW, minH)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code = childGen.code.toString +
+      s"""
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  graft.expr.BinaryExpressions.imageAtLeast(${childGen.value}, $minW, $minH);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMinResolution =
+    copy(child = newChild)
+}
+
 object BinaryExpressions {
 
   def imageMeta(c: Column): Column = Bridge.column(ImageMeta(Bridge.expression(c)))
+
+  def imageMinResolution(c: Column, minW: Int, minH: Int): Column =
+    Bridge.column(ImageMinResolution(Bridge.expression(c), minW, minH))
+
+  /** Static helper shared by eval and generated code. */
+  def imageAtLeast(b: Array[Byte], minW: Int, minH: Int): Boolean = {
+    val m = imageMeta(b)
+    !m.isNullAt(1) && m.getInt(1) >= minW && m.getInt(2) >= minH
+  }
 
   private val FmtPng = UTF8String.fromString("png")
   private val FmtJpeg = UTF8String.fromString("jpeg")
@@ -91,7 +142,10 @@ object BinaryExpressions {
     // GIF87a / GIF89a: logical screen width/height, LE16 at 6/8
     if (n >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
-      if (n >= 10) return row(FmtGif, le16(b, 6), le16(b, 8))
+      if (n >= 10) {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w > 0 && h > 0) return row(FmtGif, w, h)
+      }
       return row(FmtGif, null, null)
     }
     // BMP: "BM"; DIB header size at 14 picks the layout — BITMAPCOREHEADER
@@ -100,8 +154,15 @@ object BinaryExpressions {
     if (n >= 2 && b(0) == 'B' && b(1) == 'M') {
       if (n >= 26) {
         val dib = le32(b, 14)
-        if (dib == 12) return row(FmtBmp, le16(b, 18), le16(b, 20))
-        if (dib >= 40) return row(FmtBmp, le32(b, 18), math.abs(le32(b, 22)))
+        // non-positive dims = corrupt header -> null dims (height may be
+        // legitimately negative: top-down row order; width may not)
+        if (dib == 12) {
+          val w = le16(b, 18); val h = le16(b, 20)
+          if (w > 0 && h > 0) return row(FmtBmp, w, h)
+        } else if (dib >= 40) {
+          val w = le32(b, 18); val h = math.abs(le32(b, 22))
+          if (w > 0 && h > 0) return row(FmtBmp, w, h)
+        }
       }
       return row(FmtBmp, null, null)
     }
@@ -126,7 +187,10 @@ object BinaryExpressions {
           val isSof = marker >= 0xC0 && marker <= 0xCF &&
             marker != 0xC4 && marker != 0xC8 && marker != 0xCC
           if (isSof) {
-            if (j + 8 < n) return row(FmtJpeg, be16(b, j + 6), be16(b, j + 4))
+            if (j + 8 <= n) { // dims end at j+7 inclusive
+              val w = be16(b, j + 6); val h = be16(b, j + 4)
+              if (w > 0 && h > 0) return row(FmtJpeg, w, h)
+            }
             return row(FmtJpeg, null, null)
           }
           i = j + 1 + len

@@ -40,6 +40,14 @@ case class MisraGriesSketch(
 
   require(k >= 2, s"misra-gries: k must be >= 2 ($k)")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string item column (cast first), got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
@@ -91,7 +99,12 @@ case class MisraGriesSketch(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (ky, c) => out.writeUTF(ky); out.writeLong(c) }
+    // length-prefixed raw UTF-8, not writeUTF: items over 64 KiB (long
+    // URLs, whole-document keys) would hit writeUTF's u2 length limit
+    buf.foreach { case (ky, c) =>
+      val b = ky.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +114,13 @@ case class MisraGriesSketch(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

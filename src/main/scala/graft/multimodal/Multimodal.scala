@@ -84,10 +84,12 @@ object Multimodal {
     * filter can't keep what it can't measure). Narrow, codegen'd, no
     * shuffle. */
   def filterByResolution(df: DataFrame, binaryCol: String,
-      minWidth: Int, minHeight: Int): DataFrame = {
-    val m = graft.expr.BinaryExpressions.imageMeta(col(binaryCol))
-    df.filter(m.getField("width") >= minWidth && m.getField("height") >= minHeight)
-  }
+      minWidth: Int, minHeight: Int): DataFrame =
+    // single-parse native predicate: a composed meta.w >= a AND meta.h >= b
+    // would re-instantiate the header scan per field once pushed into the
+    // Filter (no subexpression elimination there — plan-audited in spec)
+    df.filter(graft.expr.BinaryExpressions.imageMinResolution(
+      col(binaryCol), minWidth, minHeight))
 
   /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop
     * the payload to `outBytes` BEFORE decode, so trimmed bytes are never

@@ -274,8 +274,21 @@ object Dedup {
     // the distributed path stays spec-equivalent via the
     // random-vs-union-find differential). The count is free: edges is
     // already materialized by the localCheckpoint above.
+    //
+    // Only id types whose DRIVER ordering provably matches Spark's `min`
+    // take the fast path: integral types (same total order), and strings
+    // compared as unsigned UTF-8 bytes (Spark's UTF8String order — Java
+    // String.compareTo disagrees beyond the BMP, and Array[Byte] isn't
+    // Comparable at all). Anything else stays on the distributed path,
+    // which orders every Spark type natively.
+    val idTypeFastOrderable = edges.schema.fields(0).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
     val edgeCount = edges.count()
-    if (edgeCount <= smallGraphLimit) {
+    if (idTypeFastOrderable && edgeCount <= smallGraphLimit) {
       val parent = new java.util.HashMap[Any, Any]()
       def find(x0: Any): Any = {
         var x = x0
@@ -288,8 +301,16 @@ object Dedup {
         }
         x
       }
-      @inline def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      @inline def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) => // Spark UTF8String order = unsigned UTF-8 bytes
+          val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+          var i = 0
+          val n = math.min(xb.length, yb.length)
+          var r = 0
+          while (r == 0 && i < n) { r = (xb(i) & 0xFF) - (yb(i) & 0xFF); i += 1 }
+          if (r != 0) r < 0 else xb.length < yb.length
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       val rows = edges.collect()
       rows.foreach { r =>
         val (a, b) = (r.get(0), r.get(1))

@@ -755,7 +755,10 @@ object TextOps {
       "^(http://[^/:?#]*):80(?:([/?#])|$)", "$1$2")
     val noHttpsPort = regexp_replace(noDefaultPort,
       "^(https://[^/:?#]*):443(?:([/?#])|$)", "$1$2")
-    regexp_replace(noHttpsPort, "/$", "")
+    // trim ONE trailing slash, but only when it ends the PATH (no query
+    // present) — "?next=/home/" is a query VALUE; stripping it would
+    // merge distinct URLs onto one dedup key
+    regexp_replace(noHttpsPort, "^([^?]*)/$", "$1")
   }
 
   /** All URL hosts mentioned in a document — the input to domain-level

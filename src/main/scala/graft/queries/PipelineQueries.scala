@@ -2885,6 +2885,7 @@ object PipelineQueries {
       """WITH n AS (SELECT count(lang)::DOUBLE AS n FROM documents)
         |SELECT lang, count(*)::BIGINT AS cnt
         |FROM documents CROSS JOIN n
+        |WHERE lang IS NOT NULL
         |GROUP BY lang, n.n
         |HAVING count(*) > n.n / 6
         |ORDER BY cnt DESC, lang""".stripMargin,

@@ -94,6 +94,17 @@ class ImageMetaUrlSpec extends SparkSpec {
     assert(kept === Seq(1L)) // small, unparseable, and null all drop
   }
 
+  test("filterByResolution parses the header once per row (plan audit)") {
+    // non-local source: a local relation would be constant-folded away
+    val df = spark.range(10)
+      .select(encode($"id".cast("string"), "UTF-8").as("payload"))
+    val plan = Multimodal.filterByResolution(df, "payload", 256, 256)
+      .queryExecution.executedPlan.toString
+    val parses = "graft_image".r.findAllIn(plan).length
+    assert(parses === 1, s"expected one header parse in the plan, got $parses:\n$plan")
+    assert(plan.contains("graft_image_min_resolution"))
+  }
+
   test("canonicalizeUrl: scheme/host case, ports, fragments, tracking params") {
     val cases = Seq(
       "HTTP://Site.Example.COM:80/Path/?utm_source=x&q=1#frag" ->
@@ -113,6 +124,8 @@ class ImageMetaUrlSpec extends SparkSpec {
       "http://h/a&b?utm_x=1" -> "http://h/a&b",
       // non-default port kept; path case kept
       "http://h:8080/A" -> "http://h:8080/A",
+      // a trailing slash inside a QUERY VALUE is data, not path — kept
+      "http://h/x?next=/home/" -> "http://h/x?next=/home/",
       // non-URL text passes through
       "not a url" -> "not a url")
     val df = cases.map(_._1).toDF("url")
