@@ -17,6 +17,46 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic image payloads for the q_image_* queries: real PNG /
+    * GIF / BMP / JPEG container headers with dimensions derived from
+    * doc_id (w = id%600+16, h = id%400+16), format by id%4 — the oracle
+    * replays the arithmetic while Spark round-trips the actual bytes. */
+  private def synthImagePayloads(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      (col("doc_id") % 600 + 16).cast(IntegerType).as("w"),
+      (col("doc_id") % 400 + 16).cast(IntegerType).as("h"))
+    def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
+      unhex(lpad(hex(c), hexDigits, "0"))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 4, "0")
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 8, "0")
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    val png = concat(
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
+      lit(Array[Byte](0, 0, 0, 13)), lit("IHDR").cast(BinaryType),
+      be(col("w"), 8), be(col("h"), 8), lit(Array[Byte](8, 2, 0, 0, 0)))
+    val gif = concat(lit("GIF89a").cast(BinaryType),
+      le16(col("w")), le16(col("h")), lit(Array[Byte](0, 0, 0)))
+    val bmp = concat(lit("BM").cast(BinaryType), lit(new Array[Byte](12)),
+      le32(lit(40)), le32(col("w")), le32(col("h")), lit(new Array[Byte](4)))
+    val jpeg = concat(
+      lit(Array[Byte](0xFF.toByte, 0xD8.toByte)),
+      lit(Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 4, 0x4A, 0x46)),
+      lit(Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8)),
+      be(col("h"), 4), be(col("w"), 4),
+      lit(Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)))
+    d.withColumn("payload",
+      when(col("doc_id") % 4 === 0, png)
+        .when(col("doc_id") % 4 === 1, gif)
+        .when(col("doc_id") % 4 === 2, bmp)
+        .otherwise(jpeg))
+  }
+
   /** Shared harness for the gated REAL StreamingQueries: stage the driver
     * parquet file into a temp dir (the file stream source monitors a
     * DIRECTORY; in production the source already is one), run
@@ -1212,41 +1252,20 @@ object PipelineQueries {
     // byte-for-byte. Resolution filtering at 100 TB is exactly this
     // narrow header pass; no codec, no shuffle.
     "q_image_meta" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 600 + 16).cast(IntegerType).as("w"),
-        (col("doc_id") % 400 + 16).cast(IntegerType).as("h"))
-      def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
-        unhex(lpad(hex(c), hexDigits, "0"))
-      def le16(c: org.apache.spark.sql.Column) = {
-        val x = lpad(hex(c), 4, "0")
-        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
-      }
-      def le32(c: org.apache.spark.sql.Column) = {
-        val x = lpad(hex(c), 8, "0")
-        unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
-          substring(x, 3, 2), substring(x, 1, 2)))
-      }
-      val png = concat(
-        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
-        lit(Array[Byte](0, 0, 0, 13)), lit("IHDR").cast(BinaryType),
-        be(col("w"), 8), be(col("h"), 8), lit(Array[Byte](8, 2, 0, 0, 0)))
-      val gif = concat(lit("GIF89a").cast(BinaryType),
-        le16(col("w")), le16(col("h")), lit(Array[Byte](0, 0, 0)))
-      val bmp = concat(lit("BM").cast(BinaryType), lit(new Array[Byte](12)),
-        le32(lit(40)), le32(col("w")), le32(col("h")), lit(new Array[Byte](4)))
-      val jpeg = concat(
-        lit(Array[Byte](0xFF.toByte, 0xD8.toByte)),
-        lit(Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 4, 0x4A, 0x46)),
-        lit(Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8)),
-        be(col("h"), 4), be(col("w"), 4),
-        lit(Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)))
-      val payload = when(col("doc_id") % 4 === 0, png)
-        .when(col("doc_id") % 4 === 1, gif)
-        .when(col("doc_id") % 4 === 2, bmp)
-        .otherwise(jpeg)
-      Multimodal.withImageMeta(d.withColumn("payload", payload), "payload")
+      Multimodal.withImageMeta(synthImagePayloads(t(s, dir, "documents")), "payload")
         .select(col("doc_id"), col("img.format").as("format"),
           col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The resolution GATE end-to-end: the single-parse native predicate
+    // (ImageMinResolution) prunes the synthesized payloads scan-side;
+    // kept ids replay as pure dimension arithmetic in the oracle. Every
+    // container branch (png/gif/bmp/jpeg) flows through the same gate.
+    "q_image_filter" -> ((s, dir) => {
+      Multimodal.filterByResolution(
+          synthImagePayloads(t(s, dir, "documents")), "payload", 300, 200)
+        .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2811,6 +2830,11 @@ object PipelineQueries {
         |  (doc_id % 600 + 16)::INT AS width,
         |  (doc_id % 400 + 16)::INT AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_image_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE (doc_id % 600 + 16) >= 300 AND (doc_id % 400 + 16) >= 200
+        |ORDER BY doc_id""".stripMargin,
 
     "q_url_canon" ->
       """SELECT doc_id,
