@@ -56,7 +56,8 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("graft_dot", "graft_cosine", "graft_fingerprint", "graft_shingles",
-        "graft_quantile", "graft_zvalue", "graft_redact_pii", "graft_nfc"))
+        "graft_quantile", "graft_zvalue", "graft_redact_pii", "graft_nfc",
+        "graft_image_meta"))
     assert(ext != null)
   }
 }
