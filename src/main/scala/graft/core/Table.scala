@@ -57,9 +57,14 @@ final class Table private[core] (private val inner: DataFrame) {
   /** Insert a column at position i (reference: src/Table.luna:248-249
     * addColumn index col). */
   def addColumnAt(i: Int, name: String, c: Column): Table = {
+    // position computed against the VISIBLE columns, but the projection
+    // runs on `inner` so an already-materialized row index survives
+    // (building on df would silently drop it and force a re-zipIndexed
+    // on the next order-sensitive op)
     val (before, after) = df.columns.splitAt(i)
-    new Table(df.withColumn(name, c)
-      .select((before.map(col) ++ (col(name) +: after.map(col))).toIndexedSeq: _*))
+    val visible = before.map(col) ++ (col(name) +: after.map(col))
+    val cols = if (inner.columns.contains(RowIdx)) visible :+ col(RowIdx) else visible
+    keep(inner.withColumn(name, c).select(cols.toIndexedSeq: _*))
   }
 
   /** Replace-or-append a column by name (reference: src/Table.luna:362-368
@@ -106,12 +111,17 @@ final class Table private[core] (private val inner: DataFrame) {
     require(beg >= 0 && count >= 0,
       s"slice: negative bounds (beg=$beg, count=$count)")
     val ix = indexed
+    // beg + count can overflow (slice(1, Long.MaxValue) = "the rest"):
+    // saturate instead of wrapping to an always-false filter
+    val end = if (count > Long.MaxValue - beg) Long.MaxValue else beg + count
     new Table(
-      ix.filter(col(RowIdx) >= beg && col(RowIdx) < beg + count)
+      ix.filter(col(RowIdx) >= beg && col(RowIdx) < end)
         .withColumn(RowIdx, col(RowIdx) - beg))
   }
   def take(n: Long): Table = slice(0, n)
   def dropRows(n: Long): Table = {
+    require(n >= 0, s"dropRows: negative count ($n)") // a negative shift
+    // would break the gap-free 0-based index every order-sensitive op assumes
     val ix = indexed
     new Table(ix.filter(col(RowIdx) >= n).withColumn(RowIdx, col(RowIdx) - n))
   }
@@ -201,9 +211,9 @@ final class Table private[core] (private val inner: DataFrame) {
     * into index chunks; per chunk compute RUNNING prev/next-valid frames
     * (parallel, one hash shuffle on the chunk id); reduce each chunk to a
     * 2-struct boundary summary (first/last valid (idx, value)); prefix-fill
-    * those O(P) summaries driver-side; broadcast them back as a map literal.
+    * those summaries driver-side; broadcast them back as a map literal.
     * No single-partition WindowExec anywhere — the only global step touches
-    * P rows, not N. */
+    * the chunk summaries (count capped at 2^18, see below), not N rows. */
   private def stitchInterpolate(ix: DataFrame, fields: Seq[StructField]): DataFrame = {
     if (fields.isEmpty) return ix
     // gap-free index invariant: max(RowIdx)+1 == count, and count() can
@@ -211,7 +221,17 @@ final class Table private[core] (private val inner: DataFrame) {
     val n = ix.count()
     if (n == 0) return ix
     val target = ix.sparkSession.sparkContext.defaultParallelism.toLong * 4
-    val chunkSize = math.min(BlockSize, math.max(1024L, (n + target - 1) / target))
+    // chunk COUNT is capped so the boundary-summary collect stays bounded
+    // driver-side (≤ MaxChunks rows of 2 structs per field) even at
+    // 10^13-row tables; past the cap chunks grow beyond BlockSize and the
+    // per-chunk window sorts more rows per task (spillable). A table big
+    // enough to feel that should interpolate per key (interpolateWithin)
+    // — a GLOBAL row-order interpolate at that size is order-serial by
+    // definition.
+    val MaxChunks = 1L << 18
+    val chunkSize = math.max(
+      (n + MaxChunks - 1) / MaxChunks,
+      math.min(BlockSize, math.max(1024L, (n + target - 1) / target)))
     val withChunk = ix.withColumn(BlockCol, floor(col(RowIdx) / chunkSize).cast(LongType))
 
     def valueOf(f: StructField): Column =
@@ -290,14 +310,17 @@ final class Table private[core] (private val inner: DataFrame) {
       case DoubleType => lerped
       case _          => lerped.cast(LongType) // storage-type truncation, reference parity
     }
-    val res = when(vd.isNotNull, vd)
-      .when(pV.isNull, nV)   // leading run -> first valid
-      .when(nV.isNull, pV)   // trailing run -> last valid
+    val res = when(pV.isNull, nV)   // leading run -> first valid
+      .when(nV.isNull, pV)          // trailing run -> last valid
       .otherwise(interior)
-    f.dataType match {
+    val filledVal = f.dataType match {
       case TimestampType => timestamp_micros(res.cast(LongType))
       case dt            => res.cast(dt)
     }
+    // non-null rows keep the ORIGINAL value — routing them through the
+    // double-typed frame would corrupt longs beyond 2^53 (the Within
+    // variant already preserves originals; both paths must agree)
+    when(v.isNotNull, col(f.name)).otherwise(filledVal)
   }
 
   /** Per-key interpolate: null runs fill within each partition key only —

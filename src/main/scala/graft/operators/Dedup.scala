@@ -86,11 +86,13 @@ object Dedup {
     *
     * `maxDocFreq`: the 100 TB skew guard — a shingle appearing in d docs
     * of a block contributes d^2/2 candidate pairs, so one hot shingle
-    * (boilerplate, license headers) can dominate the join. Capping the
-    * posting-list length drops those shingles from candidate generation
-    * (standard prefix-filtering practice). This changes `inter` for pairs
-    * whose ONLY shared shingles are hot, so the default (None) stays
-    * exact; at scale pick a cap ~100-1000. */
+    * (boilerplate, license headers) can dominate the join. Capping drops
+    * hot shingles from the SHINGLE UNIVERSE (standard prefix-filtering
+    * practice): candidates, `inter`, and the sizes all count surviving
+    * shingles only, so the reported jaccard is exact over that reduced
+    * universe and internally consistent. Pairs whose only shared
+    * shingles were hot are missed; the default (None) stays exact over
+    * all shingles; at scale pick a cap ~100-1000. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int, maxDocFreq: Option[Long] = None): DataFrame = {
     // Shingles join as xxhash64 longs, not strings: 8-byte keys instead of
@@ -101,7 +103,6 @@ object Dedup {
     // recompute is a narrow scan, the big join's width is what matters.)
     val idx0 = shingleIndex(docs, textCol, idCol, blockCol, n)
       .withColumn("shingle", xxhash64(col("shingle")))
-    val sizes = idx0.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val idx = maxDocFreq match {
       case Some(cap) =>
         val hot = idx0.groupBy(col("block"), col("shingle"))
@@ -110,6 +111,9 @@ object Dedup {
         idx0.join(hot, Seq("block", "shingle"), "left_anti")
       case None => idx0
     }
+    // sizes over the SAME (possibly capped) universe as `inter`, so the
+    // jaccard denominator and numerator agree
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = idx.select(col(idCol).as("id_a"), col("block"), col("shingle"))
     val b = idx.select(col(idCol).as("id_b"), col("block"), col("shingle"))
     val inter = a.join(b, Seq("block", "shingle"))

@@ -47,9 +47,13 @@ object Joins {
     * equals `left.join(right, keys, how)` for the allowed join modes. */
   def autoSaltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       how: String = "inner", maxSalt: Int = 32): DataFrame = {
-    val hot = graft.operators.Stats.skewReport(left, keys, topK = 1)
-      .select(col("x_mean")).head().getDouble(0)
-    val salt = math.min(maxSalt.toDouble, math.max(1.0, math.ceil(hot))).toInt
+    // an empty (or all-null-keyed) left side has no skew report — the
+    // plain join is trivially right (and trivially empty for inner/left_semi)
+    val report = graft.operators.Stats.skewReport(left, keys, topK = 1)
+      .select(col("x_mean")).collect()
+    if (report.isEmpty) return left.join(right, keys, how)
+    val salt = math.min(maxSalt.toDouble,
+      math.max(1.0, math.ceil(report(0).getDouble(0)))).toInt
     if (salt <= 2) left.join(right, keys, how)
     else saltedJoin(left, right, keys, salt, how)
   }
@@ -68,29 +72,36 @@ object Joins {
     * `maxGramFreq` is the 100 TB skew guard (same rule as
     * Dedup.ngramJaccard): a trigram in d rows contributes d² candidate
     * pairs, so corpus-stopword trigrams ("the", "ing") dominate the join
-    * — capping posting lists drops them from CANDIDATE GENERATION only
-    * (pairs whose only shared trigrams are hot are missed; None stays
-    * exact). */
+    * — capping posting lists removes the hot trigrams from the GRAM
+    * UNIVERSE: candidates, `inter`, AND the sizes all count surviving
+    * trigrams only, so the reported jaccard is exact over that reduced
+    * universe (stopword-filtered similarity) and internally consistent.
+    * Pairs whose only shared trigrams were hot are missed; None stays
+    * exact over all trigrams. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       lId: String, lStr: String, rId: String, rStr: String,
       threshold: Double, maxGramFreq: Option[Long] = None): DataFrame = {
+    require(lId != rId,
+      s"fuzzyJoin: id columns must have distinct names (both '$lId') — " +
+        "the output carries both; rename one side first")
     def index(df: DataFrame, id: String, str: String, side: String): DataFrame =
       df.filter(col(id).isNotNull && col(str).isNotNull)
         .select(col(id).as(side), explode(TextOps.charNgrams(col(str), 3)).as("__g"))
         .select(col(side), graft.expr.TextExpressions.fingerprint(col("__g")).as("__h"))
-    val li = index(left, lId, lStr, lId)
-    val ri = index(right, rId, rStr, rId)
-    val sizeL = li.groupBy(col(lId)).agg(count(lit(1)).as("size_l"))
-    val sizeR = ri.groupBy(col(rId)).agg(count(lit(1)).as("size_r"))
-    def capped(idx: DataFrame, side: String): DataFrame = maxGramFreq match {
-      case Some(cap) =>
-        val hot = li.select(col("__h")).unionAll(ri.select(col("__h")))
+    val li0 = index(left, lId, lStr, lId)
+    val ri0 = index(right, rId, rStr, rId)
+    val (li, ri) = maxGramFreq match {
+      case Some(cap) => // hot set computed ONCE over both sides
+        val hot = li0.select(col("__h")).unionAll(ri0.select(col("__h")))
           .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap).select(col("__h"))
-        idx.join(hot, Seq("__h"), "left_anti")
-      case None => idx
+        (li0.join(hot, Seq("__h"), "left_anti"),
+          ri0.join(hot, Seq("__h"), "left_anti"))
+      case None => (li0, ri0)
     }
-    capped(li, lId).join(capped(ri, rId), Seq("__h"))
+    val sizeL = li.groupBy(col(lId)).agg(count(lit(1)).as("size_l"))
+    val sizeR = ri.groupBy(col(rId)).agg(count(lit(1)).as("size_r"))
+    li.join(ri, Seq("__h"))
       .groupBy(col(lId), col(rId))
       .agg(count(lit(1)).as("inter"))
       .join(sizeL, lId).join(sizeR, rId)
@@ -115,6 +126,9 @@ object Joins {
       lId: String, lStr: String, rId: String, rStr: String,
       maxDist: Int, maxGramFreq: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"fuzzyJoinLev: maxDist $maxDist")
+    require(lId != rId,
+      s"fuzzyJoinLev: id columns must have distinct names (both '$lId') — " +
+        "the output carries both; rename one side first")
     def index(df: DataFrame, id: String, str: String): DataFrame =
       df.filter(col(id).isNotNull && col(str).isNotNull)
         .select(col(id), explode(TextOps.charNgrams(col(str), 3)).as("__g"))
@@ -130,10 +144,12 @@ object Joins {
       case None => (li, ri)
     }
     val cands = lc.join(rc, Seq("__h")).select(col(lId), col(rId)).distinct()
+    // string columns aliased internally so lStr == rStr (both sides named
+    // "name") joins without ambiguity
     cands
-      .join(left.select(col(lId), col(lStr)), Seq(lId))
-      .join(right.select(col(rId), col(rStr)), Seq(rId))
-      .withColumn("dist", levenshtein(col(lStr), col(rStr)))
+      .join(left.select(col(lId), col(lStr).as("__lstr")), Seq(lId))
+      .join(right.select(col(rId), col(rStr).as("__rstr")), Seq(rId))
+      .withColumn("dist", levenshtein(col("__lstr"), col("__rstr")))
       .filter(col("dist") <= maxDist)
       .select(col(lId), col(rId), col("dist"))
   }

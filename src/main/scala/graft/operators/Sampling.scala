@@ -127,19 +127,28 @@ object Sampling {
     * the driver — labels are a mixture spec (sources/languages, tens to
     * hundreds), not data-sized; the weights then travel as a literal
     * map inside the narrow explode. Null labels get defaultWeight 0
-    * (dropped). */
+    * (dropped). `maxWeight` caps any single label's multiplicity (the
+    * per-source epoch cap): under extreme skew a rare label's weight
+    * grows as (n_max/n_l)^(1−tau) and must saturate, not error. */
   def temperatureMix(df: DataFrame, idCol: String, labelCol: String,
-      tau: Double, targetScale: Double = 1.0): DataFrame = {
+      tau: Double, targetScale: Double = 1.0, maxWeight: Double = 100.0): DataFrame = {
     require(tau > 0 && tau <= 1, s"temperatureMix: tau must be in (0, 1], got $tau")
     require(targetScale > 0, "temperatureMix: targetScale must be > 0")
+    require(maxWeight > 0 && maxWeight <= 100,
+      s"temperatureMix: maxWeight must be in (0, 100], got $maxWeight")
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
       .collect().flatMap(r => Option(r.get(0)).map(l => l.toString -> r.getLong(1)))
     require(counts.length <= 10000,
       s"temperatureMix: ${counts.length} labels — this is a mixture spec, not a join key")
     val total = counts.map(_._2).sum.toDouble
     val powSum = counts.map { case (_, n) => math.pow(n.toDouble, tau) }.sum
+    // extreme skew can push a rare label's weight arbitrarily high
+    // (weight ~ (n_max/n_l)^(1-tau)); clamp at maxWeight — the standard
+    // per-source epoch cap — instead of tripping weightedMix's bound with
+    // a context-free error
     val weights = counts.map { case (l, n) =>
-      l -> math.pow(n.toDouble, tau) / powSum * targetScale * total / n
+      l -> math.min(maxWeight,
+        math.pow(n.toDouble, tau) / powSum * targetScale * total / n)
     }.toMap
     weightedMix(df, idCol, labelCol, weights, defaultWeight = 0.0)
   }

@@ -228,6 +228,8 @@ object Stats {
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).localCheckpoint()
     val tot = counts.agg(sum(col("n")), count(lit(1))).head()
+    if (tot.isNullAt(0)) // empty input: no keys, empty report (not an NPE)
+      return counts.withColumn("share", lit(0.0)).withColumn("x_mean", lit(0.0))
     val (total, nKeys) = (tot.getLong(0), tot.getLong(1))
     val mean = total.toDouble / nKeys
     counts

@@ -145,6 +145,14 @@ class AggregatesSpec extends SparkSpec {
     assert(e.getMessage.contains("salt bucket"))
   }
 
+  test("autoSaltedJoin: empty left side joins empty instead of crashing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "d")
+    assert(graft.operators.Joins.autoSaltedJoin(empty, dim, Seq("k")).count() == 0)
+    assert(graft.operators.Stats.skewReport(empty, Seq("k")).count() == 0)
+  }
+
   test("autoSaltedJoin: salted-on-skew result equals the plain join; balanced stays unsalted") {
     import spark.implicits._
     // 60 of 70 rows share key 1 -> x_mean >> 2 -> salted path

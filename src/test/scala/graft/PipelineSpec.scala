@@ -504,6 +504,21 @@ class PipelineSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("fuzzy joins: same-name string columns work; same-name ids rejected clearly") {
+    import spark.implicits._
+    val l = Seq((1L, "abcde")).toDF("lid", "name")
+    val r = Seq((10L, "abcdX")).toDF("rid", "name")
+    // both sides' string column named "name": aliased internally, no ambiguity
+    val lev = graft.operators.Joins.fuzzyJoinLev(l, r, "lid", "name", "rid", "name", 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(lev.toSeq == Seq((1L, 10L, 1)))
+    // identical id names would make the two-id output ambiguous — clear error
+    val both = Seq((1L, "abcde")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Joins.fuzzyJoin(both, both, "id", "name", "id", "name", 0.5))
+    assert(e.getMessage.contains("distinct names"))
+  }
+
   test("trainBpe: hand-computed merge order, deterministic ties, apply round-trip") {
     import spark.implicits._
     // corpus: "abab" x2, "ab" x1 -> pair (a,b) count 5, (b,a) count 2

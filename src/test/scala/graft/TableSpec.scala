@@ -332,4 +332,33 @@ class TableSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(1) == 9999L &&
       r.getLong(2) == 10000L && r.getLong(3) == 10000L)
   }
+
+  test("interpolate preserves long values beyond 2^53 on non-null rows") {
+    import spark.implicits._
+    val big = 9007199254740993L // 2^53 + 1: not double-representable
+    val df = Seq[java.lang.Long](big, null, 10L).toDF("v")
+    val out = Table.of(df).interpolate()
+      .indexed.orderBy(Table.RowIdx)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(out.head == big) // a double round-trip would read ...992
+    assert(out(2) == 10L)
+  }
+
+  test("slice saturates instead of overflowing; dropRows rejects negatives") {
+    val t = Table.of(spark.range(0, 5).toDF("id"))
+    assert(t.slice(1, Long.MaxValue).rowCount == 4) // "the rest" idiom
+    intercept[IllegalArgumentException](t.dropRows(-1))
+  }
+
+  test("addColumnAt keeps a materialized row index (no re-zip)") {
+    val t = Table.fromDF(spark.range(0, 6).toDF("id"), Seq(col("id").desc))
+      .addColumnAt(0, "x", col("id") * 2)
+    // order-sensitive op after the insert still sees the sort's order
+    assert(t.columnNames.head == "x")
+    assert(t.take(2).toDF.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 4L))
+    // the materialized index survived the insert (no second zipIndexed):
+    // indexed must be resolvable without re-deriving order from scratch
+    assert(t.indexed.columns.contains(Table.RowIdx))
+  }
 }
