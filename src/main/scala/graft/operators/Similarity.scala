@@ -95,7 +95,10 @@ object Similarity {
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("neg_id"))
     c.crossJoin(broadcast(a))
-      .filter(col("neg_label") =!= col("__al"))
+      // null-SAFE inequality: a null label is its own "label" — a
+      // null-labeled anchor still mines negatives from every labeled row
+      // (plain =!= nulls out and silently dropped those anchors entirely)
+      .filter(!(col("neg_label") <=> col("__al")))
       .withColumn("cosine", dot(col("__av"), col("__cv")) / (col("__an") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -432,9 +435,10 @@ object Similarity {
   /** Embedding dimensionality, sniffed from one row (embedding columns are
     * fixed-dim). One tiny job; lets the plane family fold to literals. */
   private def vecDim(df: DataFrame, vecCol: String): Int = {
-    val first = df.select(size(col(vecCol))).take(1)
+    val first = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
     require(first.nonEmpty,
-      s"cannot infer embedding dimensionality of '$vecCol': input has no rows")
+      s"cannot infer embedding dimensionality of '$vecCol': no non-null vectors")
     first(0).getInt(0)
   }
 
@@ -457,8 +461,13 @@ object Similarity {
     val sampleCap = 8192
     val n = corpus.count() // parquet count folds to row-group metadata
     val frac = math.min(1.0, sampleCap * 2.0 / math.max(1L, n))
+    // cast to float[] so array<double> corpora fit too (every other entry
+    // point accepts both); null vectors can't seed a centroid
     val sampled = (if (frac < 1.0) corpus.sample(withReplacement = false, frac, 42L) else corpus)
-      .select(col(vecCol)).limit(sampleCap)
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)))
+      .limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = lloyd(sampled, nCells, iters = 8)
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)

@@ -44,11 +44,15 @@ object Stats {
     val nums = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSeq
+    require(nums.nonEmpty,
+      "describe: input has no numeric columns (use describeNa for null profiling)")
     val aggs = nums.flatMap { c =>
       val x = col(c)
       // One buffered quantile aggregate per column (q1/median/q3 share its
       // single sort), not three — see InterpolatedQuantiles.
-      Seq(avg(x).as(s"${c}__mean"),
+      // avg of a DecimalType returns BigDecimal — cast so the hand-built
+      // DoubleType output schema holds for every NumericType
+      Seq(avg(x).cast(DoubleType).as(s"${c}__mean"),
         when(count(x) >= 2, stddev_pop(x)).as(s"${c}__std"),
         min(x).cast(DoubleType).as(s"${c}__min"),
         InterpolatedQuantile.quantilesCol(x, Seq(0.25, 0.5, 0.75)).as(s"${c}__qs"),
@@ -84,10 +88,12 @@ object Stats {
     * distinct value. `rsd` = target relative standard deviation.
     * Sketch output is implementation-defined, so this is spec-verified
     * (error bound vs exact), not oracle-hashed. */
-  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "approxDistinct: no columns given")
     df.agg(
       approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_approx_nd"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx_nd")): _*)
+  }
 
   /** Shannon entropy (bits) of each column's value distribution — the
     * profiling signal for degenerate columns (0 = constant), skewed
@@ -141,7 +147,9 @@ object Stats {
     val w = (hi - lo) / bins
     val bin = least(greatest(floor((col(c) - lo) / w), lit(0.0)), lit(bins - 1.0))
       .cast(LongType)
-    df.filter(col(c).isNotNull)
+    // NaN would otherwise ride greatest/least's NaN-is-greatest ordering
+    // into the top bin looking like a legitimate count — drop like null
+    df.filter(col(c).isNotNull && !isnan(col(c).cast(DoubleType)))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
   }
@@ -163,7 +171,10 @@ object Stats {
       s"equiDepthBins: '$c' has no non-null values — boundaries undefined")
     val bounds = row.getSeq[Double](0)
     val bin = bounds.map(b => when(col(c) > b, 1L).otherwise(0L)).reduce(_ + _)
-    df.withColumn("bin", when(col(c).isNotNull, bin))
+    // NaN > b is true for every boundary -> it would land in the top bin
+    // as if measured; give it the null bin like null
+    df.withColumn("bin",
+      when(col(c).isNotNull && !isnan(col(c).cast(DoubleType)), bin))
   }
 
   /** Population Stability Index between two snapshots of a numeric
@@ -174,8 +185,10 @@ object Stats {
     * (the reference's N·q − 0.5 lerp rule), so the metric is comparable
     * release-over-release. Rule of thumb: < 0.1 stable, 0.1–0.25 drift
     * worth a look, > 0.25 action. Probabilities are add-half smoothed
-    * ((n + 0.5) / (N + bins/2)) so empty bins stay defined, and rounded
-    * to 6 decimals BEFORE the log so an SQL oracle replays bit-exactly.
+    * ((n + 0.5) / (N + bins/2)) so empty bins stay defined, rounded
+    * to 6 decimals BEFORE the log so an SQL oracle replays bit-exactly,
+    * and floored at 1e-6 so the rounding can't underflow an empty bin's
+    * probability to zero at large N.
     *
     * Output: one row per bin (bin, n_ref, n_cur, p_ref, p_cur,
     * psi_term); total PSI = sum(psi_term). Scale shape: one bounded
@@ -204,8 +217,12 @@ object Stats {
       .localCheckpoint() // bins-sized; totals derive from the SAME counts
     val tot = joined.agg(sum(col("n_ref")), sum(col("n_cur"))).head()
     val (nr, nc) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    // the 1e-6 floor keeps the rounded probability positive at any N —
+    // above ~1M rows the smoothed p of an empty bin would round to 0.0
+    // and ln(0) would null out exactly the most-drifted bin's term
     def p(n: Column, total: Double) =
-      round((n.cast(DoubleType) + 0.5) / (total + bins * 0.5), 6)
+      greatest(round((n.cast(DoubleType) + 0.5) / (total + bins * 0.5), 6),
+        lit(1e-6))
     joined
       .withColumn("p_ref", p(col("n_ref"), nr))
       .withColumn("p_cur", p(col("n_cur"), nc))
@@ -254,8 +271,11 @@ object Stats {
     require(!row.isNullAt(0), s"winsorize: '$c' has no non-null values")
     val bounds = row.getSeq[Double](0)
     val (l, h) = (bounds(0), bounds(1))
+    // NaN must pass through unclamped — greatest/least's NaN-is-greatest
+    // ordering would silently rewrite it to the hi bound
+    val x = col(c).cast(DoubleType)
     df.withColumn(s"${c}_wins",
-      least(greatest(col(c).cast(DoubleType), lit(l)), lit(h)))
+      when(isnan(x), x).otherwise(least(greatest(x, lit(l)), lit(h))))
   }
 
   /** Robust outlier flagging via median/MAD: robust z = 0.6745·(x − med) /
@@ -285,6 +305,7 @@ object Stats {
 
   /** Per-column null count + ratio (reference: src/Table.luna:1096-1105). */
   def describeNa(df: DataFrame): DataFrame = {
+    require(df.columns.nonEmpty, "describeNa: input has no columns")
     val aggs = df.columns.flatMap { c =>
       Seq((count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
           ((count(lit(1)) - count(col(c))).cast(DoubleType) / count(lit(1))).as(s"${c}_null_ratio"))
@@ -305,6 +326,7 @@ object Stats {
     val nums = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSeq
+    require(nums.nonEmpty, "correlationMatrix: input has no numeric columns")
     val aggs = for (a <- nums; b <- nums) yield corr(col(a), col(b)).as(s"${a}__$b")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // reshape driver-side: tiny (n_cols^2 values)
@@ -323,6 +345,7 @@ object Stats {
     val nums = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSeq
+    require(nums.nonEmpty, "correlationsWith: input has no numeric columns")
     val aggs = nums.map(c => corr(col(c), col(target)).as(c))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val row = wide.collect()(0)
@@ -367,6 +390,8 @@ object Stats {
       key: String,
       intervalMicros: Long,
       specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    require(intervalMicros > 0, // <= 0 inverts the rangeBetween frame and
+      s"rollingInterval: interval must be > 0, got $intervalMicros") // the ghost spans
     val ord = rollingOrd(df, key)
     val span = math.max(intervalMicros, 1L)
     val d = df.withColumn("__ord", ord)
@@ -545,6 +570,14 @@ object Stats {
     * `window(col, "1 hour")`). */
   def resample(df: DataFrame, tsCol: String, every: String,
       specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    // First/Last would need a total row order: their min/max-of-struct
+    // trick over monotonically_increasing_id is both rejected by Spark
+    // (nondeterministic expression in an aggregate) and partition-order,
+    // not row-order. aggregateByOrdered carries a real index for this.
+    require(!specs.exists(_._2.exists(f =>
+        f == Aggregates.First || f == Aggregates.Last)),
+      "resample: First/Last need a row order — use Table.aggregateByOrdered " +
+        "on a bucket column, which carries the materialized row index")
     val bucket = window(col(tsCol).cast(TimestampType), every)
     val aggs = specs.flatMap { case (c, fns) =>
       fns.map(_.applyTo(c, monotonically_increasing_id()))
@@ -575,6 +608,10 @@ object Stats {
     * false positives) — exactly what a salting/skew-join decision needs.
     * Sketch output is impl-defined → spec-verified like the HLL row. */
   def heavyHitters(df: DataFrame, c: String, support: Double = 0.01): DataFrame =
+    // NOTE: this is the quick freqItems wrapper (one array row, no counts,
+    // impl-defined extras). For exact per-item counts with the same
+    // one-sided guarantee — and an oracle-gated result — use
+    // [[graft.operators.Sketch.heavyHitters]] (Misra-Gries + re-count).
     df.stat.freqItems(Array(c), support)
 
   /** Approximate quantiles (Greenwald-Khanna) — bounded-memory alternative
@@ -593,6 +630,8 @@ object Stats {
       key: String,
       intervalMicros: Long,
       specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    require(intervalMicros > 0,
+      s"rollingIntervalWithin: interval must be > 0, got $intervalMicros")
     val ord = rollingOrd(df, key)
     val w = Window.partitionBy(partitionCols: _*).orderBy(ord)
       .rangeBetween(-(intervalMicros - 1), 0)

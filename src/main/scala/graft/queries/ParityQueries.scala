@@ -664,8 +664,8 @@ object ParityQueries {
          |        coalesce(n_cur, 0) AS n_cur
          |      FROM spine LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
          |p AS (SELECT bin, n_ref, n_cur,
-         |        round((n_ref + 0.5) / (nr + 4.0), 6) AS p_ref,
-         |        round((n_cur + 0.5) / (nc + 4.0), 6) AS p_cur
+         |        greatest(round((n_ref + 0.5) / (nr + 4.0), 6), 1e-6) AS p_ref,
+         |        greatest(round((n_cur + 0.5) / (nc + 4.0), 6), 1e-6) AS p_cur
          |      FROM j, tot)
          |SELECT bin, n_ref, n_cur, p_ref, p_cur,
          |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term

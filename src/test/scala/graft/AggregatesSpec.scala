@@ -587,4 +587,42 @@ class AggregatesSpec extends SparkSpec {
     val want = cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum * b.map(y => (y - mb) * (y - mb)).sum)
     assert(math.abs(got - want) < 1e-12)
   }
+
+  test("NaN is never silently measured: winsorize passes it, bins exclude it") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, Double.NaN).toDF("x")
+    // winsorize: NaN stays NaN (greatest/least would clamp it to hi)
+    val wins = graft.operators.Stats.winsorize(df, "x", 0.0, 1.0)
+      .select("x_wins").collect().map(_.getDouble(0))
+    assert(wins.count(_.isNaN) == 1)
+    // histogram: NaN drops like null, never inflating the top bin
+    val hist = graft.operators.Stats.histogram(df, "x", 0.0, 10.0, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 4)
+    // equiDepthBins: NaN gets the null bin
+    val eq = graft.operators.Stats.equiDepthBins(df, "x", 2)
+      .filter(isnan(col("x"))).select("bin").collect()
+    assert(eq.length == 1 && eq(0).isNullAt(0))
+  }
+
+  test("describe handles DecimalType; empty-numeric inputs error clearly") {
+    import spark.implicits._
+    val df = Seq("1.50", "2.50", "3.50").toDF("s")
+      .select(col("s").cast("decimal(18,2)").as("price"))
+    val d = graft.operators.Stats.describe(df).collect()(0)
+    assert(d.getString(0) == "price" && math.abs(d.getDouble(1) - 2.5) < 1e-12)
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Stats.describe(Seq("a").toDF("s")))
+    assert(e.getMessage.contains("no numeric columns"))
+  }
+
+  test("resample rejects First/Last with a pointed message") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01 00:00:00", 1.0)).toDF("ts", "v")
+      .select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Stats.resample(df, "ts", "1 hour",
+        Seq("v" -> Seq(graft.operators.Aggregates.First))))
+    assert(e.getMessage.contains("row order"))
+  }
 }

@@ -69,6 +69,16 @@ class DiffSpec extends SparkSpec {
     assert(rows.map(_._6).sum > 0.25)
   }
 
+  test("driftPsi: million-row snapshots keep empty-bin terms finite (1e-6 floor)") {
+    val ref = spark.range(2000000).select($"id".cast("double").as("x"))
+    val cur = spark.range(1000).select(lit(5.0).as("x")) // everything in bin 0
+    val rows = Stats.driftPsi(ref, cur, "x", 4)
+      .select($"psi_term").as[Double].collect()
+    // without the floor, cur's empty bins round p to 0.0 -> ln(0) -> null
+    assert(rows.length === 4 && rows.forall(t => !t.isNaN && !t.isInfinite))
+    assert(rows.sum > 0.25) // the drift is still loudly visible
+  }
+
   test("driftPsi: empty current bins stay defined via smoothing") {
     val ref = (1 to 80).map(_.toDouble).toDF("x")
     val cur = Seq.fill(10)(1.0).toDF("x") // everything lands in bin 0
