@@ -97,20 +97,28 @@ object Learn {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val aggs = cols.flatMap { c =>
+      // cast avg too: a DecimalType column's mean is BigDecimal otherwise
       if (method == "zscore")
-        Seq(avg(col(c)).as(s"${c}_m"), stddev_pop(col(c)).as(s"${c}_s"))
+        Seq(avg(col(c)).cast(DoubleType).as(s"${c}_m"),
+          stddev_pop(col(c)).cast(DoubleType).as(s"${c}_s"))
       else Seq(min(col(c)).cast(DoubleType).as(s"${c}_m"),
         max(col(c)).cast(DoubleType).as(s"${c}_s"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val a = r6(row.getDouble(2 * i)); val b = r6(row.getDouble(2 * i + 1))
-      val scaled = method match {
-        case "zscore" if b == 0.0 => lit(null).cast(DoubleType)
-        case "zscore"             => (col(c).cast(DoubleType) - a) / b
-        case _ if b - a == 0.0    => lit(null).cast(DoubleType)
-        case _                    => (col(c).cast(DoubleType) - a) / (b - a)
-      }
+      // all-null column / empty input: stats are null -> the whole scaled
+      // column is null (the documented degenerate rule), not a crash
+      val scaled =
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(null).cast(DoubleType)
+        else {
+          val a = r6(row.getDouble(2 * i)); val b = r6(row.getDouble(2 * i + 1))
+          method match {
+            case "zscore" if b == 0.0 => lit(null).cast(DoubleType)
+            case "zscore"             => (col(c).cast(DoubleType) - a) / b
+            case _ if b - a == 0.0    => lit(null).cast(DoubleType)
+            case _                    => (col(c).cast(DoubleType) - a) / (b - a)
+          }
+        }
       d.withColumn(s"${c}_scaled", scaled)
     }
   }

@@ -39,7 +39,8 @@ object Aggregates {
     def expr(c: Column, r: Column): Column = max(c).cast(DoubleType)
   }
   case object Mean extends AggFn("mean") {
-    def expr(c: Column, r: Column): Column = avg(c)
+    // cast: avg(decimal) returns decimal, breaking the all-double contract
+    def expr(c: Column, r: Column): Column = avg(c).cast(DoubleType)
   }
   /** Counts ALL rows in the group, nulls included (reference: Length's
     * null overload also increments — Analysis.cpp:166-183). */
@@ -107,6 +108,7 @@ object Aggregates {
     * output column per (col, fn). The `table` must carry a row order if
     * First/Last are requested. */
   def aggregateBy(table: Table, key: String, specs: Seq[(String, Seq[AggFn])]): DataFrame = {
+    require(specs.nonEmpty, "aggregateBy: no aggregation specs given")
     validateSpecs(table.schema, specs)
     val needsOrder = specs.exists(_._2.exists(f => f == First || f == Last))
     val base = if (needsOrder) table.indexed else table.df
@@ -122,6 +124,7 @@ object Aggregates {
     * aggregate. Prefer this at scale whenever a natural order key exists. */
   def aggregateByOrdered(df: DataFrame, key: String, orderCols: Seq[Column],
       specs: Seq[(String, Seq[AggFn])]): DataFrame = {
+    require(specs.nonEmpty, "aggregateByOrdered: no aggregation specs given")
     validateSpecs(df.schema, specs)
     val ord = struct(orderCols: _*)
     val aggs = specs.flatMap { case (c, fns) => fns.map(_.applyTo(c, ord)) }

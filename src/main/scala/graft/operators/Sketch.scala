@@ -35,6 +35,16 @@ object Sketch {
     require(numBits / 8 <= MaxSketchBytes,
       s"bloom of $expectedItems items at fpp=$fpp needs ${numBits / 8} bytes " +
         s"(> $MaxSketchBytes); use the exact anti-join path at this scale")
+    // BloomFilterAggregate silently clamps to the runtime-filter planner
+    // confs (defaults: 4M items / 64M bits) — a 1e8-item request would
+    // build an 8 MB filter whose real fp rate is ~50%, not fpp. Lift the
+    // clamp to the explicitly requested size (already bounded by
+    // MaxSketchBytes above).
+    val spark = df.sparkSession
+    def raiseConf(k: String, needed: Long): Unit =
+      if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed.toString)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(key))),
       Literal(expectedItems), Literal(numBits))

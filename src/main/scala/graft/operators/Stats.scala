@@ -648,7 +648,7 @@ object Stats {
       w: org.apache.spark.sql.expressions.WindowSpec): Column = fn match {
     case Aggregates.Minimum  => min(c).over(w).cast(DoubleType)
     case Aggregates.Maximum  => max(c).over(w).cast(DoubleType)
-    case Aggregates.Mean     => avg(c).over(w)
+    case Aggregates.Mean     => avg(c).over(w).cast(DoubleType) // decimal -> double
     case Aggregates.Length   => count(lit(1)).over(w).cast(DoubleType)
     case Aggregates.Sum      => coalesce(sum(c).over(w), lit(0)).cast(DoubleType)
     case Aggregates.Median   => InterpolatedQuantile.medianCol(c).over(w)

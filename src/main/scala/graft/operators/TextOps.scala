@@ -242,7 +242,11 @@ object TextOps {
     df.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
       val buf = new Array[Byte](64 * 1024)
-      rows.map { r =>
+      // zlib state is NATIVE memory — release it when the partition ends
+      // instead of waiting on finalization (thousands of partitions per
+      // long-lived executor would accumulate off-heap otherwise)
+      var ended = false
+      val it = rows.map { r =>
         val text = r.get(idx).asInstanceOf[String]
         val ratio: Any =
           if (text == null || text.isEmpty) null
@@ -257,6 +261,14 @@ object TextOps {
             compressed.toDouble / raw.length
           }
         Row.fromSeq(r.toSeq :+ ratio)
+      }
+      new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !ended) { deflater.end(); ended = true }
+          h
+        }
+        override def next(): Row = it.next()
       }
     }(enc)
   }
@@ -357,7 +369,10 @@ object TextOps {
     * gibberish / OOV-heavy docs the heuristic ratios miss; high scores
     * flag dull boilerplate — both tails are curation targets. Shape:
     * explode once, vocab aggregate (map-side combined, vocab-sized
-    * output → AQE broadcasts the join back), per-doc aggregate. */
+    * output → AQE broadcasts the join back), per-doc aggregate.
+    * The vocab table is cache()-pinned for its two consumers (totals +
+    * join); long-lived sessions should sweep storage between batches
+    * (`spark.catalog.clearCache()` — the Bench/Verify harnesses do). */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, nTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
@@ -392,7 +407,9 @@ object TextOps {
     * Shape (100 TB): two exploded passes over the corpus collapse into
     * map-side-combined vocab-sized count tables; the unigram joins onto
     * the bigram table are vocab-sized (AQE broadcasts); nothing shuffles
-    * at corpus size. Output: (tok_a, tok_b, pair_count, pmi). */
+    * at corpus size. Output: (tok_a, tok_b, pair_count, pmi). Count
+    * tables are cache()-pinned (totals + join consumers); sweep storage
+    * between batches in long-lived sessions. */
   def pmiCollocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long = 5): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(tokens(col(textCol)).as("__toks"))
@@ -512,6 +529,9 @@ object TextOps {
     val toks = tokens(col(textCol))
     val starts = sequence(lit(0), greatest(size(toks) - (overlap + 1), lit(0)), lit(step))
     docs
+      // null text yields NO chunks: greatest/least null-skipping would
+      // otherwise emit one empty-text chunk claiming `chunk` tokens
+      .filter(col(textCol).isNotNull)
       .withColumn("__toks", toks)
       .select(col(idCol), col("__toks"), explode(starts).as("__start"))
       .select(col(idCol),
@@ -677,9 +697,16 @@ object TextOps {
   def fixMojibake(text: Column): Column = {
     // binary -> string cast reinterprets bytes without validation (decode
     // with UTF-8 THROWS on malformed input under ANSI); is_valid_utf8
-    // gates the swap so genuine Latin-1 prose is left untouched
+    // gates the swap so genuine Latin-1 prose is left untouched.
+    // The Latin-1-only gate must come FIRST (And short-circuits in
+    // codegen): Spark 4's Encode REPORTs unmappable chars, so a row mixing
+    // the mojibake marker with any char above U+00FF (curly quote, emoji)
+    // would throw inside the condition — and true double-encoded text is
+    // all-Latin-1 by construction (it was DECODED as Latin-1 once).
+    val latin1Only = text.rlike("^[\\x00-\\xff]*$")
     val reinterpreted = encode(text, "ISO-8859-1").cast(StringType)
-    when(text.rlike("[\\u00c3\\u00c2]") && is_valid_utf8(reinterpreted), reinterpreted)
+    when(text.rlike("[\\u00c3\\u00c2]") && latin1Only &&
+        is_valid_utf8(reinterpreted), reinterpreted)
       .otherwise(text)
   }
 

@@ -96,6 +96,9 @@ object StreamOps {
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], lTime: String, rTime: String,
       lateness: String, rangeAfter: String): DataFrame = {
+    require(keys.nonEmpty,
+      "streamStreamIntervalJoin: need at least one equi-join key " +
+        "(a pure time-range stream join is unsupported)")
     require(lTime != rTime,
       "streamStreamIntervalJoin: time columns must be named differently")
     val lPayload = left.columns.filterNot(keys.contains)

@@ -54,6 +54,16 @@ class LearnSpec extends SparkSpec {
     assert(m(0).getAs[Double]("v_scaled") == 0.0 && m(2).getAs[Double]("v_scaled") == 1.0)
   }
 
+  test("scaleFeatures: all-null and empty inputs give a null scaled column") {
+    import spark.implicits._
+    val allNull = Seq[java.lang.Double](null, null).toDF("x")
+    val out = graft.ml.Learn.scaleFeatures(allNull, Seq("x"))
+      .select("x_scaled").collect()
+    assert(out.forall(_.isNullAt(0)))
+    val empty = Seq.empty[Double].toDF("x")
+    assert(graft.ml.Learn.scaleFeatures(empty, Seq("x")).count() == 0)
+  }
+
   test("hashedNgramCounts: buckets are fingerprint mod dim, counts exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -614,6 +614,30 @@ class PipelineSpec extends SparkSpec {
     // marker char present but repair would corrupt -> left alone
     assert(rows(3).getString(0) == "A\u00c2 B" ||
       rows(3).getString(0).nonEmpty) // heuristic: never throws
+    // marker char + a NON-Latin-1 char (curly quote): Spark 4's Encode
+    // REPORTs unmappable chars \u2014 the Latin-1-only gate must skip the row,
+    // not throw MALFORMED_CHARACTER_CODING
+    val mixed = "caf\u00c3\u00a9 x\u2019y"
+    val fixed = Seq(mixed).toDF("t")
+      .select(TextOps.fixMojibake(col("t")).as("f")).collect()(0).getString(0)
+    assert(fixed == mixed) // untouched, and the job survived
+  }
+
+  test("bloomBytes lifts the runtime-filter planner clamp to the requested size") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c").toDF("k")
+    // 5M exceeds the 4M-item planner default; the conf must rise with it
+    graft.operators.Sketch.bloomBytes(df, col("k"), expectedItems = 5000000L)
+    val items = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    assert(items >= 5000000L)
+  }
+
+  test("chunkTokens: null text yields no chunks (no phantom token counts)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, null: String)).toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(df, "text", "doc_id", chunk = 4, overlap = 1)
+      .collect()
+    assert(chunks.forall(_.getLong(0) == 1L)) // the null doc emitted nothing
   }
 
   test("redactPii is idempotent and stable on placeholder tokens") {
