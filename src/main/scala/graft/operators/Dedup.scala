@@ -223,7 +223,10 @@ object Dedup {
   }
 
   /** Full MinHash near-dup pipeline: signatures -> LSH candidates ->
-    * exact Jaccard verification >= threshold. */
+    * exact Jaccard verification >= threshold. The signature table is
+    * cache()-pinned for its three consumers in the one result plan;
+    * long-lived sessions should sweep storage between batches
+    * (`spark.catalog.clearCache()` — Bench/Verify already do). */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
@@ -265,8 +268,11 @@ object Dedup {
       maxRounds: Int = 25, smallGraphLimit: Long = 1L << 20): DataFrame = {
     // ids keep their natural type — min/least need only an ordering, and
     // a long cast would null out string/hash ids and silently no-op the
-    // whole clustering
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // whole clustering. Null-id edges drop up front: a null can't identify
+    // a node, and the two paths would otherwise diverge on them (driver
+    // compareTo NPEs; distributed joins silently never match nulls).
+    val sym = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     // SMALL-GRAPH FAST PATH — same driver-side pattern as the IVF Lloyd

@@ -154,7 +154,8 @@ object FeatherV1 {
       case 3 => -1000L   // NANO (divide)
       case u => throw new UnsupportedOperationException(s"feather: time unit $u")
     }
-    def tsMicros(raw: Long): Long = if (tsScale > 0) raw * tsScale else raw / -tsScale
+    def tsMicros(raw: Long): Long = // floorDiv: pre-epoch nanos must floor, not truncate toward zero
+      if (tsScale > 0) raw * tsScale else Math.floorDiv(raw, -tsScale)
 
     Array.tabulate[Any](n) { i =>
       if (!valid(i)) null
@@ -359,9 +360,15 @@ object FeatherV1 {
           writePadded(utf8.flatten)
           (UTF8, 0)
         case TimestampType =>
+          // external type depends on spark.sql.datetime.java8API.enabled:
+          // java.sql.Timestamp by default, java.time.Instant when on
           longs { r =>
-            val t = rows(r).getTimestamp(ci)
-            t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+            rows(r).getAs[Any](ci) match {
+              case t: java.sql.Timestamp =>
+                t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+              case t: java.time.Instant =>
+                t.getEpochSecond * 1000000L + t.getNano / 1000L
+            }
           }
           (TIMESTAMP, 2) // MICROSECOND
         case TimestampNTZType =>
@@ -371,7 +378,13 @@ object FeatherV1 {
           }
           (TIMESTAMP, 2)
         case DateType =>
-          ints(r => rows(r).getDate(ci).toLocalDate.toEpochDay.toInt); (DATE, 0)
+          ints { r =>
+            rows(r).getAs[Any](ci) match {
+              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+              case d: java.time.LocalDate => d.toEpochDay.toInt
+            }
+          }
+          (DATE, 0)
         case other => throw new UnsupportedOperationException(
           s"feather write: unsupported column type $other (flatten/stringify first)")
       }

@@ -41,7 +41,14 @@ object TableIO {
     val in = new DataInputStream(new FileInputStream(probe))
     try {
       val magic = new Array[Byte](4)
-      val n = in.read(magic)
+      // read() may legally return short — loop to fill (a short read on a
+      // slow stream would misclassify a real parquet file as CSV)
+      var n = 0
+      var eof = false
+      while (n < 4 && !eof) {
+        val r = in.read(magic, n, 4 - n)
+        if (r < 0) eof = true else n += r
+      }
       if (n < 4) Csv
       else if (magic(0) == 'P' && magic(1) == 'K') Xlsx
       else if (new String(magic, "ASCII") == "FEA1") Feather
@@ -143,8 +150,12 @@ object TableIO {
     * parity path. */
   private def maxFieldCount(spark: SparkSession, path: String, sep: String): Int = {
     import org.apache.spark.sql.functions._
+    // separators inside QUOTED fields must not count: strip "..." spans
+    // (doubled "" inside them included) before splitting, else `1,"x,y"`
+    // reads as 3 fields and fabricates a spurious MISSING_i column
+    val unquoted = regexp_replace(col("value"), "\"([^\"]|\"\")*\"", "")
     spark.read.text(path)
-      .agg(max(size(split(col("value"), java.util.regex.Pattern.quote(sep), -1))))
+      .agg(max(size(split(unquoted, java.util.regex.Pattern.quote(sep), -1))))
       .take(1).headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
       .getOrElse(0)
   }
@@ -171,7 +182,10 @@ object TableIO {
         else if (cells.forall(c => intRe.findFirstIn(c).isDefined)) LongType
         else if (cells.forall(c => dblRe.findFirstIn(c).isDefined)) DoubleType
         else StringType
-      col(f.name).try_cast(dt).as(f.name) // null on parse failure (ANSI-safe)
+      // backtick-quote: header names may contain dots, which a bare
+      // col() would parse as nested-field access
+      val quoted = "`" + f.name.replace("`", "``") + "`"
+      col(quoted).try_cast(dt).as(f.name) // null on parse failure (ANSI-safe)
     }
     raw.select(casts.toSeq: _*)
   }
@@ -206,19 +220,27 @@ object TableIO {
   def readCsvText(spark: SparkSession, text: String,
       opts: CsvOptions = CsvOptions()): DataFrame = {
     import spark.implicits._
+    // same CsvOptions semantics as readCsv: 50-row reference inference
+    // honored, short custom-name lists colN-padded
     val ds = spark.createDataset(text.split("\n", -1).toSeq.filter(_.nonEmpty))
     val base = spark.read
       .option("sep", opts.separator)
-      .option("inferSchema", true)
+      .option("inferSchema", !opts.inferOver50Rows)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .option("nullValue", "")
-    opts.header match {
+    val headered = opts.header match {
       case HeaderFromFirstRow => base.option("header", true).csv(ds)
       case GenerateColumnNames =>
         val df = base.option("header", false).csv(ds)
         df.toDF(df.columns.indices.map(i => s"col$i"): _*)
       case CustomNames(names) =>
-        base.option("header", false).csv(ds).toDF(names: _*)
+        val df = base.option("header", false).csv(ds)
+        val padded = df.columns.indices.map(i =>
+          if (i < names.length) names(i) else s"col$i")
+        df.toDF(padded: _*)
     }
+    if (opts.inferOver50Rows) applyDeducedSchema(spark, headered, opts)
+    else headered
   }
 
   /** Int sequence column source (reference: main.cpp:721-738

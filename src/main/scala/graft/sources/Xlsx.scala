@@ -37,20 +37,23 @@ object Xlsx {
     val out = Vector.newBuilder[String]
     var cur: StringBuilder = null
     var inT = false
+    var inRPh = 0 // phonetic (furigana) runs: their <t> text is NOT cell text
     while (rd.hasNext) {
       rd.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           rd.getLocalName match {
             case "si" => cur = new StringBuilder
             case "t" => inT = true
+            case "rPh" => inRPh += 1
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
-          if (inT && cur != null) cur.append(rd.getText)
+          if (inT && inRPh == 0 && cur != null) cur.append(rd.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           rd.getLocalName match {
-            case "si" => out += cur.result(); cur = null
+            case "si" => out += unescapeCellText(cur.result()); cur = null
             case "t" => inT = false
+            case "rPh" => inRPh -= 1
             case _ =>
           }
         case _ =>
@@ -116,9 +119,10 @@ object Xlsx {
             case "c" if row != null && cellCol >= 0 =>
               val raw = text.result()
               val value = cellType match {
-                case "s" => shared(raw.trim.toInt)
+                case "s" => shared(raw.trim.toInt) // already unescaped
                 case "b" => if (raw.trim == "1") "true" else "false"
-                case _ => raw // n, str, inlineStr all carry their text
+                case "str" | "inlineStr" => unescapeCellText(raw)
+                case _ => raw // n carries a number
               }
               row(cellCol) = value
               if (cellCol + 1 > maxCol) maxCol = cellCol + 1
@@ -164,8 +168,35 @@ object Xlsx {
 
   // ----------------------------------------------------------------- write
 
+  /** ECMA-376 cell-text escape: chars invalid in XML 1.0 (controls except
+    * TAB/LF/CR) would make the whole workbook unreadable — Excel itself
+    * writes them as `_xHHHH_`, escaping a literal collision-shaped `_x`
+    * as `_x005F_x`. [[unescapeCellText]] inverts this on read. */
+  private[sources] def escapeCellText(s: String): String = {
+    val guarded = EscSeqRe.matcher(s).replaceAll("_x005F_x$1_")
+    guarded.flatMap {
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+        f"_x${c.toInt}%04X_"
+      case c => c.toString
+    }
+  }
+  private val EscSeqRe = java.util.regex.Pattern.compile("_x([0-9A-Fa-f]{4})_")
+  private[sources] def unescapeCellText(s: String): String =
+    if (!s.contains("_x")) s
+    else {
+      val m = EscSeqRe.matcher(s)
+      val sb = new StringBuffer
+      while (m.find()) {
+        val cp = Integer.parseInt(m.group(1), 16)
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(cp.toChar.toString))
+      }
+      m.appendTail(sb)
+      sb.toString
+    }
+
   private def xml(s: String): String =
-    s.flatMap {
+    escapeCellText(s).flatMap {
       case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
       case '"' => "&quot;"; case '\'' => "&apos;"; case c => c.toString
     }

@@ -1022,6 +1022,17 @@ class PipelineSpec extends SparkSpec {
     assert(cc == expected)
   }
 
+  test("connectedComponents drops null-id edges on both paths") {
+    import spark.implicits._
+    val pairs = Seq((Some("a"), Some("b")), (None, Some("c")), (Some("d"), None))
+      .toDF("id_a", "id_b")
+    for (limit <- Seq(1L << 20, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", smallGraphLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cc == Map("a" -> "a", "b" -> "a")) // null edges contribute nothing
+    }
+  }
+
   test("connectedComponents: distributed path (smallGraphLimit=0) == driver fast path") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -230,4 +230,31 @@ class TableIOSpec extends SparkSpec {
     assert(rows(0).isNullAt(2))
     assert(rows(1).isNullAt(1))
   }
+
+  test("quoted separators don't fabricate MISSING_i columns (parity path)") {
+    val path = tmp("quoted.csv", "a,b\n1,\"x,y\"\n2,plain\n")
+    val df = TableIO.readCsv(spark, path,
+      TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df.columns.toSeq == Seq("a", "b")) // no MISSING_2 from "x,y"
+    assert(df.filter(col("a") === 1).head().getString(1) == "x,y")
+  }
+
+  test("dotted header names survive the 50-row deduce path") {
+    val path = tmp("dots.csv", "price.usd,qty\n1.5,2\n2.5,3\n")
+    val df = TableIO.readCsv(spark, path,
+      TableIO.CsvOptions(inferOver50Rows = true))
+    assert(df.columns.toSeq == Seq("price.usd", "qty"))
+    assert(df.schema.fields(0).dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("readCsvText matches readCsv semantics: name padding + 50-row rule") {
+    val short = TableIO.readCsvText(spark, "1,2\n3,4",
+      TableIO.CsvOptions(header = TableIO.CustomNames(Seq("a"))))
+    assert(short.columns.toSeq == Seq("a", "col1")) // padded, not thrown
+    val deduced = TableIO.readCsvText(spark, "x\n1\n2",
+      TableIO.CsvOptions(inferOver50Rows = true))
+    assert(deduced.schema.fields(0).dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
 }

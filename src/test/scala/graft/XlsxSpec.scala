@@ -84,4 +84,40 @@ class XlsxSpec extends SparkSpec {
     val custom = Xlsx.read(spark, p, header = TableIO.CustomNames(Seq("only")))
     assert(custom.columns.toSeq == Seq("only", "col1", "col2"))
   }
+
+  test("control characters round-trip via ECMA-376 _xHHHH_ escapes") {
+    import spark.implicits._
+    // NUL and BS are invalid in XML 1.0 — written raw they make the
+    // workbook unreadable; a literal _x0041_ in DATA must also survive
+    val dirty = Seq(("a\u0000b", "tab\tok"), ("_x0041_literal", "cd"))
+      .toDF("x", "y")
+    val p = java.nio.file.Files.createTempDirectory("xlsxctl")
+      .resolve("t.xlsx").toString
+    Xlsx.write(dirty, p)
+    val back = Xlsx.read(spark, p).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSet == Set(("a\u0000b", "tab\tok"), ("_x0041_literal", "cd")))
+  }
+
+  test("phonetic rPh runs in shared strings are not cell text") {
+    // Japanese-Excel style: <si><t>東京</t><rPh sqref="1"><t>トウキョウ</t></rPh></si>
+    val dir = java.nio.file.Files.createTempDirectory("xlsxrph")
+    val p = dir.resolve("t.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1"><si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val got = Xlsx.read(spark, p.toString,
+      header = TableIO.GenerateColumnNames).collect()
+    assert(got.length == 1 && got(0).getString(0) == "東京")
+  }
 }
