@@ -60,11 +60,24 @@ final case class LExpr(col: Column, refs: Set[String],
   def +(o: LExpr): LExpr = bin(o)(_ + _)(promote("plus", _, _))
   def -(o: LExpr): LExpr = bin(o)(_ - _)(promote("minus", _, _))
   def *(o: LExpr): LExpr = bin(o)(_ * _)(promote("times", _, _))
-  /** C++ `/`: integer division when both sides are int64
-    * (reference: LQuery/Functions.h:105). Caller picks via `divLong`. */
-  def /(o: LExpr): LExpr = bin(o)(_ / _)(promote("divide", _, _))
+  /** Spark double division — typed TDouble accordingly. The reference's
+    * `/` on two int64s is INTEGER division (LQuery/Functions.h:105):
+    * express that with [[divLong]] (the JSON wire path selects it
+    * automatically for long÷long, so serialized reference queries are
+    * exact either way). */
+  def /(o: LExpr): LExpr = bin(o)(_ / _) { (ta, tb) =>
+    promote("divide", ta, tb); TDouble
+  }
   def divLong(o: LExpr): LExpr = bin(o) { (a, b) =>
-    try_divide(a.cast(LongType), b.cast(LongType)).cast(LongType)
+    // exact int64 division (truncation toward zero, like C++), null on /0
+    // — try_divide would detour through double and corrupt |q| > 2^53
+    org.apache.spark.sql.graftx.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftx.Bridge.expression(a.cast(LongType)),
+        org.apache.spark.sql.graftx.Bridge.expression(b.cast(LongType)),
+        // LEGACY = null on /0 directly; TRY would still throw in eval and
+        // need a TryEval wrapper on top
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
   } { (ta, tb) => requireNumeric("divide", ta, tb); TLong }
   /** `%` keeps the dividend's sign for both int64 and double — same as
     * Spark `%` (NOT pmod). Reference: LQuery/Functions.h:106-121. */

@@ -34,7 +34,15 @@ object LQueryJson {
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"LQuery JSON parse error at $i: $msg")
-    def parse(): J = { ws(); val v = value(); ws(); if (i != s.length) fail("trailing input"); v }
+    def parse(): J =
+      // truncated/malformed wire input surfaces as the documented
+      // IllegalArgumentException, never a raw StringIndexOutOfBounds /
+      // NumberFormat from an unguarded index or Long.parseLong
+      try { ws(); val v = value(); ws(); if (i != s.length) fail("trailing input"); v }
+      catch {
+        case _: StringIndexOutOfBoundsException => fail("unexpected end of input")
+        case e: NumberFormatException => fail(s"bad number: ${e.getMessage}")
+      }
     private def value(): J = {
       ws()
       if (i >= s.length) fail("eof")

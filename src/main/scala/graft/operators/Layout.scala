@@ -60,9 +60,13 @@ object Layout {
       compressionRatio: Double = 3.0, maxFiles: Int = 100000): Int = {
     require(targetBytes >= 1 && compressionRatio > 0)
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // clamp INSIDE BigDecimal: a stats-less plan reports Long.MaxValue
+    // sizeInBytes, and BigDecimal.toInt is a narrowing wrap that would
+    // turn the huge estimate into a bogus (even negative) file count
     val est = (BigDecimal(estBytes) / compressionRatio / targetBytes)
-      .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
-    val n = math.min(math.max(est, 1), maxFiles)
+      .setScale(0, BigDecimal.RoundingMode.CEILING)
+      .min(BigDecimal(maxFiles)).max(BigDecimal(1)).toInt
+    val n = est
     df.repartition(n).write.mode("overwrite").parquet(path)
     n
   }

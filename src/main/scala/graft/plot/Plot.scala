@@ -276,9 +276,31 @@ private[plot] object Svg {
   private val Cycle = Array("#1f77b4", "#ff7f0e", "#2ca02c", "#d62728",
     "#9467bd", "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf")
 
+  /** Labels come from column names / user strings — a bare '&' or '<'
+    * makes the SVG ill-formed XML (and the data-url form injectable). */
+  private def escXml(s: String): String = s.flatMap {
+    case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+    case '"' => "&quot;"; case c => c.toString
+  }
+
   private def fmt(v: Double): String = {
-    val s = if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
-    else f"$v%.6g".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    val s =
+      if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+      else {
+        // Locale.ROOT (a comma decimal point corrupts SVG path data), and
+        // strip trailing zeros from the MANTISSA only — a blanket reverse
+        // dropWhile would eat the zeros of "2.5e-10"'s exponent
+        val g = String.format(java.util.Locale.ROOT, "%.6g", Double.box(v))
+        val (mant, expPart) = g.indexOf('e') match {
+          case -1 => (g, "")
+          case i  => (g.substring(0, i), g.substring(i))
+        }
+        val trimmed =
+          if (mant.contains('.'))
+            mant.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+          else mant
+        trimmed + expPart
+      }
     if (s == "-0") "0" else s
   }
 
@@ -312,11 +334,15 @@ private[plot] object Svg {
   private def extent(c: Chart): (Double, Double, Double, Double) = {
     val xs = c.layers.flatMap(l => if (l.xs.isEmpty) Nil else Seq(l.xs.min, l.xs.max))
     val ys = c.layers.flatMap {
-      case b: BarsL => Seq(0.0, b.ys.max)
-      case a: AreaL => Seq(a.lo.min, a.hi.max)
-      case g: GridL => Seq(g.yEdges.min, g.yEdges.max)
+      case b: BarsL => if (b.ys.isEmpty) Nil else Seq(0.0, b.ys.max)
+      case a: AreaL => if (a.lo.isEmpty) Nil else Seq(a.lo.min, a.hi.max)
+      case g: GridL => if (g.yEdges.isEmpty) Nil else Seq(g.yEdges.min, g.yEdges.max)
       case l => if (l.ys.isEmpty) Nil else Seq(l.ys.min, l.ys.max)
     }
+    // all-empty layers (every point null / empty table): a clear error
+    // beats empty.min's UnsupportedOperationException mid-render
+    require(xs.nonEmpty && ys.nonEmpty,
+      "plot: no data points to render (all layers empty or all-null)")
     val (x0, x1) = (xs.min, xs.max); val (y0, y1) = (ys.min, ys.max)
     val xp = math.max((x1 - x0) * 0.05, 1e-9); val yp = math.max((y1 - y0) * 0.05, 1e-9)
     (x0 - xp, x1 + xp, y0 - yp, y1 + yp)
@@ -329,7 +355,8 @@ private[plot] object Svg {
     val (x0, x1, y0, y1) = extent(c)
     def sx(v: Double): Double = ox + mL + (v - x0) / (x1 - x0) * pw
     def sy(v: Double): Double = oy + mT + ph - (v - y0) / (y1 - y0) * ph
-    def f(v: Double): String = f"$v%.2f"
+    def f(v: Double): String = // Locale.ROOT: "12,34" breaks SVG numbers
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
     // frame + ticks
     sb ++= s"""<rect x="${ox + mL}" y="${oy + mT}" width="$pw" height="$ph" fill="none" stroke="#333" stroke-width="1"/>"""
@@ -345,9 +372,9 @@ private[plot] object Svg {
       sb ++= s"""<text x="${ox + mL - 7}" y="${f(py + 3)}" font-size="10" text-anchor="end" fill="#333">${fmt(t)}</text>"""
     }
     if (c.xLab.nonEmpty)
-      sb ++= s"""<text x="${ox + mL + pw / 2}" y="${oy + mT + ph + 32}" font-size="11" text-anchor="middle" fill="#111">${c.xLab}</text>"""
+      sb ++= s"""<text x="${ox + mL + pw / 2}" y="${oy + mT + ph + 32}" font-size="11" text-anchor="middle" fill="#111">${escXml(c.xLab)}</text>"""
     if (c.yLab.nonEmpty)
-      sb ++= s"""<text x="${ox + 14}" y="${oy + mT + ph / 2}" font-size="11" text-anchor="middle" fill="#111" transform="rotate(-90 ${ox + 14} ${oy + mT + ph / 2})">${c.yLab}</text>"""
+      sb ++= s"""<text x="${ox + 14}" y="${oy + mT + ph / 2}" font-size="11" text-anchor="middle" fill="#111" transform="rotate(-90 ${ox + 14} ${oy + mT + ph / 2})">${escXml(c.yLab)}</text>"""
 
     // layers (default color cycle; explicit colors override)
     var legendY = oy + mT + 14
@@ -398,7 +425,7 @@ private[plot] object Svg {
       }
       layer.label.foreach { lab =>
         sb ++= s"""<rect x="${ox + mL + pw - 110}" y="${legendY - 8}" width="10" height="10" fill="$colr"/>"""
-        sb ++= s"""<text x="${ox + mL + pw - 96}" y="${legendY + 1}" font-size="10" fill="#111">$lab</text>"""
+        sb ++= s"""<text x="${ox + mL + pw - 96}" y="${legendY + 1}" font-size="10" fill="#111">${escXml(lab)}</text>"""
         legendY += 14
       }
     }

@@ -151,6 +151,16 @@ class LQueryJsonSpec extends SparkSpec {
     assert(compared >= 20) // most random trees are well-typed
   }
 
+  test("truncated / malformed wire input fails with the documented error") {
+    import graft.expr.LQueryJson
+    for (bad <- Seq("""{"predicate": "gt""", """{"x": "unterminated""",
+        """{"n": 99999999999999999999999}""")) {
+      val e = intercept[IllegalArgumentException](
+        LQueryJson.parsePredicate(spark.range(1).toDF("a"), bad))
+      assert(e.getMessage.contains("LQuery JSON parse error"))
+    }
+  }
+
   test("timestampNs literal and calendar ops") {
     import spark.implicits._
     val tdf = Seq((1L, java.sql.Timestamp.valueOf("2018-09-02 00:00:00")))

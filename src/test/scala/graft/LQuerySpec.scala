@@ -74,6 +74,14 @@ class LQuerySpec extends SparkSpec {
     assert(out(7L) == ((3L, 1L)))
     assert(out(-7L) == ((-3L, -1L))) // trunc toward zero; % keeps dividend sign
     assert(out(9L) == ((-4L, 1L)))   // 9/-2 truncates toward zero
+    // exact at 2^53+1 (a double detour truncates to ...992) and null on /0
+    val big = Seq((9007199254740993L, 1L), (5L, 0L)).toDF("x", "y")
+    val bigOut = Table.of(big)
+      .each("q", at("x").divLong(at("y")).toMap)
+      .toDF.select("x", "q").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(bigOut(9007199254740993L) == 9007199254740993L)
+    assert(bigOut(5L) == null)
   }
 
   test("mixed-type comparisons error rather than comparing as false") {
