@@ -74,6 +74,48 @@ object StreamOps {
       }
   }
 
+  case class ShardCandidates(shard: Int, items: Seq[String])
+
+  /** Streaming heavy hitters with O(shards × k) TOTAL state — the
+    * frequent-items profile maintained continuously over an unbounded
+    * stream (hot domains/tokens/keys during ingest), where a groupBy
+    * count would grow state with the vocabulary.
+    *
+    * Shape: items hash onto `shards` parallel Misra-Gries summaries
+    * (graft.functions.MisraGries semantics: ≤ k−1 counters each, the
+    * classic decrement rule), each a [[flatMapGroupsWithState]] group.
+    * An item lives in exactly ONE shard, so its shard-local frequency is
+    * its global frequency and the shard's n is ≤ the global n — the
+    * one-sided guarantee survives sharding: every item with global
+    * frequency > n/k is in its shard's candidate set. Each micro-batch
+    * emits every updated shard's current candidates; consumers union the
+    * shards and (as in batch) re-count candidates exactly if they need
+    * figures, not just the set. State never grows with the stream. */
+  def streamingHeavyHitters(items: Dataset[String], k: Int,
+      shards: Int = 8): Dataset[ShardCandidates] = {
+    require(k >= 2 && shards >= 1, s"streamingHeavyHitters: k=$k shards=$shards")
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(s => math.floorMod(s.hashCode, shards))
+      .flatMapGroupsWithState[Map[String, Long], ShardCandidates](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) =>
+          var buf = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { item =>
+            buf.get(item) match {
+              case Some(c) => buf = buf.updated(item, c + 1)
+              case None if buf.size < k - 1 => buf = buf.updated(item, 1L)
+              case None => // decrement-all; drop dead counters
+                buf = buf.flatMap { case (ky, c) =>
+                  if (c - 1 <= 0) None else Some(ky -> (c - 1))
+                }
+            }
+          }
+          state.update(buf)
+          Iterator.single(ShardCandidates(shard, buf.keys.toSeq.sorted))
+      }
+  }
+
   /** Streaming exact-dedup on a key column with watermark-bounded state:
     * `dropDuplicatesWithinWatermark` keeps only first-seen keys while the
     * state stays bounded by the watermark — the streaming face of

@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: every true >n/k item survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StreamOps.streamingHeavyHitters(input.toDS(), k = 4, shards = 2)
+    val q = out.writeStream.format("memory").queryName("shh")
+      .outputMode("update").start()
+    try {
+      // batch 1: "hot" dominates; batch 2 keeps it hot amid churn
+      input.addData(Seq.fill(30)("hot") ++ (1 to 10).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(20)("hot") ++ (1 to 10).map(i => s"b$i"): _*)
+      q.processAllAvailable()
+      // n = 70, k = 4 -> guarantee: freq > 17.5 must be present; hot = 50
+      val finalCands = spark.sql(
+        """SELECT items FROM (
+          |  SELECT shard, items,
+          |    row_number() OVER (PARTITION BY shard ORDER BY mono DESC) rn
+          |  FROM (SELECT shard, items, monotonically_increasing_id() mono FROM shh))
+          |WHERE rn = 1""".stripMargin)
+        .collect().flatMap(_.getSeq[String](0)).toSet
+      assert(finalCands.contains("hot"))
+      assert(finalCands.size <= 2 * 3) // <= shards * (k-1) bounded state
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
