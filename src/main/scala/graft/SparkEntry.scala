@@ -50,8 +50,11 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"), // integer-valued: sums exact
+          // 2-decimal data: a group mean can sit ON a 6th-decimal rounding
+          // midpoint where ulp-different summation orders round apart —
+          // round the sum first (the project rule from q_rolling)
+          round(round(sum(col("l_discount")), 4) / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -152,7 +155,7 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 4) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(round(sum(l_discount), 4) / count(*), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -243,7 +243,9 @@ object ParityQueries {
         .groupBy((col("k") % 10).as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
           round(sum(col("value")), 4).as("value_sum"))
-        .orderBy(col("bucket"))
+        // pin null placement: a props row without '$.k' gives a null
+        // bucket, and Spark asc defaults NULLS FIRST vs DuckDB's LAST
+        .orderBy(col("bucket").asc_nulls_last)
     }),
 
     // Per-key z-score outliers (|z| >= 2 per event_type): grouped
@@ -475,7 +477,13 @@ object ParityQueries {
           Seq("value" -> Seq(A.Sum, A.Mean, A.Length)))
         .select(col("bucket"),
           round(col("value_sum"), 4).as("value_sum"),
-          round(col("value_mean"), 6).as("value_mean"),
+          // round(sum,4)/count, NOT round(avg,6): a bucket mean that is a
+          // decimal rational can land exactly on a 6th-decimal rounding
+          // midpoint, where Spark's and DuckDB's ulp-different summation
+          // orders round apart (observed ~3/100k on q_rolling before the
+          // same fix)
+          round(round(col("value_sum"), 4) / col("value_length"), 6)
+            .as("value_mean"),
           col("value_length"))
         .orderBy(col("bucket"))
     }),
@@ -585,7 +593,7 @@ object ParityQueries {
         |           FROM events)
         |SELECT k % 10 AS bucket, count(*) AS n, sum(k)::BIGINT AS k_sum,
         |  round(sum(value), 4) AS value_sum
-        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |FROM e GROUP BY bucket ORDER BY bucket NULLS LAST""".stripMargin,
 
     "q_overlap_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
@@ -959,7 +967,7 @@ object ParityQueries {
     "q_resample" ->
       """SELECT date_trunc('hour', ts) AS bucket,
         |  round(sum(value), 4) AS value_sum,
-        |  round(avg(value), 6) AS value_mean,
+        |  round(round(sum(value), 4) / count(*), 6) AS value_mean,
         |  count(*)::DOUBLE AS value_length
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
