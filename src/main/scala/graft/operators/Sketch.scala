@@ -40,16 +40,28 @@ object Sketch {
     // build an 8 MB filter whose real fp rate is ~50%, not fpp. Lift the
     // clamp to the explicitly requested size (already bounded by
     // MaxSketchBytes above).
+    // The lift is scoped, not session-wide: the aggregate reads the confs
+    // when the job is submitted, and `.head()` is eager, so snapshotting
+    // before and restoring in `finally` leaves the session's runtime-filter
+    // planner limits untouched for unrelated queries. (Session confs are
+    // per-session mutable state — concurrent threads sharing ONE session
+    // and racing this block could still observe the lifted value; use
+    // separate sessions (`spark.newSession()`) for concurrent pipelines.)
     val spark = df.sparkSession
-    def raiseConf(k: String, needed: Long): Unit =
-      if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed.toString)
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(key))),
-      Literal(expectedItems), Literal(numBits))
-    val row = df.select(Bridge.column(agg.toAggregateExpression())).head()
-    Option(row.getAs[Array[Byte]](0))
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = confKeys.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confKeys.foreach { case (k, needed) =>
+        if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed.toString)
+      }
+      val agg = new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.expression(key))),
+        Literal(expectedItems), Literal(numBits))
+      val row = df.select(Bridge.column(agg.toAggregateExpression())).head()
+      Option(row.getAs[Array[Byte]](0))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** Codegen'd membership probe against a driver-held sketch. False

@@ -198,7 +198,11 @@ object Stats {
   def driftPsi(ref: DataFrame, cur: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 2, s"driftPsi: need bins >= 2, got $bins")
     import graft.functions.InterpolatedQuantile
-    val row = ref.filter(col(c).isNotNull)
+    // NaN is dropped like null (matching histogram/equiDepthBins/winsorize):
+    // under Spark's NaN-is-greatest ordering a NaN would pass every `> bound`
+    // comparison and silently inflate the top bin as if it were measured data.
+    val measured = col(c).isNotNull && !isnan(col(c).cast(DoubleType))
+    val row = ref.filter(measured)
       .agg(InterpolatedQuantile.quantilesCol(col(c),
         (1 until bins).map(_.toDouble / bins)).as("bs")).head()
     require(!row.isNullAt(0),
@@ -206,7 +210,7 @@ object Stats {
     val bounds = row.getSeq[Double](0)
     def binned(df: DataFrame, out: String) = {
       val b = bounds.map(bd => when(col(c) > bd, 1L).otherwise(0L)).reduce(_ + _)
-      df.filter(col(c).isNotNull).select(b.as("bin"))
+      df.filter(measured).select(b.as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(out))
     }
     val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))

@@ -242,10 +242,15 @@ object TextOps {
     df.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
       val buf = new Array[Byte](64 * 1024)
-      // zlib state is NATIVE memory — release it when the partition ends
-      // instead of waiting on finalization (thousands of partitions per
-      // long-lived executor would accumulate off-heap otherwise)
+      // zlib state is NATIVE memory — release it when the TASK ends, not
+      // at finalization (thousands of partitions per long-lived executor
+      // would accumulate off-heap otherwise). The task-completion listener
+      // covers early termination too (limit/take/failed task), where the
+      // iterator is never drained and an exhaustion check alone would leak.
       var ended = false
+      def end(): Unit = if (!ended) { deflater.end(); ended = true }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => end()))
       val it = rows.map { r =>
         val text = r.get(idx).asInstanceOf[String]
         val ratio: Any =
@@ -265,13 +270,34 @@ object TextOps {
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h && !ended) { deflater.end(); ended = true }
-          h
+          if (!h) end() // eager release on drain (also covers no-TaskContext
+          h             // local iteration, e.g. toLocalIterator in tests)
         }
         override def next(): Row = it.next()
       }
     }(enc)
   }
+
+  /** Compressibility GATE: classifies each row by a compressibility
+    * ratio column — `too_repetitive` below `lo` (templated/boilerplate
+    * text; zlib ratios under ~0.3 are the classic signal),
+    * `high_entropy` above `hi` (random/encoded payloads compress at or
+    * above 1.0), `missing` for null, `ok` otherwise — plus a
+    * `compress_keep` boolean (keep == ok). The ratio source is
+    * pluggable: [[withCompressionRatio]]'s real zlib ratio (JVM-exact,
+    * spec-gated), or any engine-portable proxy such as distinct-bigram
+    * diversity (oracle-gated in `q_compress_gate`). Pure codegen'd
+    * CASE — the gate itself adds no shuffle, no UDF, nothing that
+    * wouldn't fold into the surrounding scan at 100 TB. */
+  def compressionGate(df: org.apache.spark.sql.DataFrame, ratioCol: String,
+      lo: Double, hi: Double, flagOut: String = "compress_flag",
+      keepOut: String = "compress_keep"): org.apache.spark.sql.DataFrame =
+    df.withColumn(flagOut,
+        when(col(ratioCol).isNull, lit("missing"))
+          .when(col(ratioCol) < lo, lit("too_repetitive"))
+          .when(col(ratioCol) > hi, lit("high_entropy"))
+          .otherwise(lit("ok")))
+      .withColumn(keepOut, col(flagOut) === "ok")
 
   /** Distributed BPE tokenizer APPLICATION: the trained merge rules
     * ([[trainBpe]], kilobytes) ship in the task closure and every doc

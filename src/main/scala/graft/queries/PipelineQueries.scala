@@ -17,6 +17,36 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** PINNED BPE merge rules for `q_bpe_applied` — the serving split of
+    * BPE (rules trained/persisted once, applied per batch), mirroring
+    * `q_ann_ivf_pinned`'s pinned-centroid pattern. Rules are authored
+    * for this corpus's vocabulary (table/value/scan/fast/window…) and
+    * exercise chained merges (t+a→ta, ta+b→tab, …) and rule-order
+    * priority. Shared verbatim by the Spark query (via
+    * [[graft.operators.TextOps.withBpeTokens]]) and the oracle-SQL
+    * builder, so the DuckDB oracle replays the application pass
+    * end-to-end. */
+  private val pinnedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), // table
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"), // value
+    ("s", "c"), ("sc", "a"), ("sca", "n"),                // scan
+    ("r", "o"), ("ro", "w"),                              // row
+    ("f", "a"), ("fa", "s"), ("fas", "t"),                // fast
+    ("w", "i"), ("wi", "n"), ("win", "d"),
+    ("wind", "o"), ("windo", "w"),                        // window
+    ("e", "r"), ("o", "r"), ("a", "n"))                   // common pairs
+
+  /** DuckDB replay of graft's polynomial string fingerprint
+    * ((acc*31 + codepoint) mod 1e9+7) over the expression `pd`, scaled
+    * to [-0.5, 0.5) — the pinned pseudo-random component family shared
+    * by the `q_ann_lsh` plane oracle and the `q_pca_ann_pinned`
+    * projection oracle. Inlined per call site because DuckDB lambda
+    * variables can't cross subquery boundaries. */
+  private def polyComponentSql(pd: String): String =
+    s"""(list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(range(1, len($pd) + 1), ci -> ascii(($pd)[ci]))),
+       |        (a, b) -> (a * 31 + b) % 1000000007)::DOUBLE / 1000000007.0 - 0.5)""".stripMargin
+
   /** Deterministic image payloads for the q_image_* queries: real PNG /
     * GIF / BMP / JPEG container headers with dimensions derived from
     * doc_id (w = id%600+16, h = id%400+16), format by id%4 — the oracle
@@ -469,25 +499,49 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Compression-ratio quality signal (zlib level 6, per-partition
-    // Deflater). Deterministic on a fixed JVM but not engine-portable ->
-    // rows-only driver check; CompressBpeSpec pins the semantics.
-    "q_compress" -> ((s, dir) => {
-      TextOps.withCompressionRatio(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), round(col("compress_ratio"), 6).as("compress_ratio"))
+    // Compressibility GATE on a PINNED engine-portable ratio: distinct
+    // token-bigram diversity (low = templated/repetitive, the same
+    // signal zlib's ratio proxies — LZ compression exploits repeated
+    // substrings). Every 5th doc gets a planted 60-token repetition so
+    // all three gate classes fire (<0.5 too_repetitive, >0.995
+    // high_entropy, else ok). The GATE decision is what's hash-gated;
+    // the real zlib ratio path (withCompressionRatio) is JVM-exact but
+    // not engine-portable, so CompressBpeSpec pins those semantics.
+    "q_compress_gate" -> ((s, dir) => {
+      val spam = Seq.fill(60)("spam").mkString(" ")
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + spam)))
+          .otherwise(col("text")).as("text"))
+      val toks = split(col("text"), " ")
+      val bigrams = expr(
+        "transform(sequence(0, size(split(text,' ')) - 2), " +
+          "i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))")
+      val withRatio = synth.withColumn("ratio",
+        when(size(toks) >= 2,
+          size(array_distinct(bigrams)).cast(DoubleType) /
+            (size(toks) - 1).cast(DoubleType))
+          .otherwise(lit(1.0)))
+      TextOps.compressionGate(withRatio, "ratio", lo = 0.5, hi = 0.995)
+        .select(col("doc_id"), round(col("ratio"), 6).as("ratio"),
+          col("compress_flag"), col("compress_keep"))
         .orderBy(col("doc_id"))
     }),
 
-    // BPE train -> distributed apply round trip: merges fit on the driver
-    // (like every reference BPE trainer), application is a narrow
-    // mapPartitions pass. Iterative merges aren't SQL-expressible ->
-    // rows-only driver check; spec gates distributed == driver-side.
-    "q_bpe" -> ((s, dir) => {
+    // BPE APPLICATION with PINNED merge rules — the serving split
+    // (rules trained once, applied per batch), mirroring
+    // q_ann_ivf_pinned. The distributed encoder (per-partition memoized
+    // mapPartitions, TextOps.withBpeTokens) is the 100 TB-relevant
+    // stage, and the oracle replays it end-to-end: bracketed char form
+    // + one left-to-right non-overlapping replace per rule IN ORDER is
+    // exactly applyBpe's merge loop. Training (iterative corpus-global
+    // argmax) stays driver-side + spec-gated (CompressBpeSpec).
+    "q_bpe_applied" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = TextOps.trainBpe(docs, "text", numMerges = 50)
-      TextOps.withBpeTokens(docs, "text", merges)
+      TextOps.withBpeTokens(docs, "text", pinnedBpeMerges)
         .select(col("doc_id"),
-          size(col("bpe_tokens")).cast(LongType).as("n_bpe_tokens"))
+          when(col("bpe_tokens").isNotNull,
+            size(col("bpe_tokens")).cast(LongType)).as("n_bpe_tokens"),
+          array_join(col("bpe_tokens"), "|").as("bpe_joined"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1196,18 +1250,31 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // PCA-compressed ANN: project 64-dim embeddings to 8 dims (spark.ml
-    // PCA), then brute-force top-5 in the reduced space — the d/k-fold
-    // shuffle/memory compression path. Eigenvector signs are
-    // implementation-defined -> rows-only driver check; LearnSpec pins
-    // variance capture and distance preservation.
-    "q_pca_ann" -> ((s, dir) => {
+    // Projection-compressed ANN with a PINNED 64->8 matrix — the
+    // serving split of dimensionality-reduced search (matrix fitted
+    // once offline, reused per batch; same pattern as
+    // q_ann_ivf_pinned's centroids). Components come from the
+    // polynomial fingerprint family ("j:i" -> [-0.5,0.5), the
+    // Johnson-Lindenstrauss random-projection construction), so the
+    // DuckDB oracle replays project + brute-force rank END-TO-END —
+    // which PCA eigenvectors (sign/numerics implementation-defined,
+    // no SQL eigensolver) never could. Each plane folds to a literal
+    // double[64] at plan time: the projection is 8 codegen'd dots per
+    // row, no shuffle. The PCA fit itself (variance capture, distance
+    // preservation, sign canonicalization) is spec-gated in LearnSpec.
+    "q_pca_ann_pinned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (proj, _) = graft.ml.Learn.pcaProject(emb, "embedding", 8)
-      val reduced = proj.select(col("vec_id"), col("pca_vec").as("embedding"))
+      val planes = (0 until 8).map { j =>
+        array((0 until 64).map(i =>
+          Similarity.polyPlaneComponent(j, lit(i))): _*)
+      }
+      val reduced = emb.select(col("vec_id"),
+        array(planes.map(p => Similarity.dot(col("embedding"), p)): _*)
+          .as("embedding"))
       Similarity.bruteForceTopK(reduced, reduced.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2386,6 +2453,89 @@ object PipelineQueries {
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // Pinned 64->8 projection (fingerprint-family components, same
+    // construction the q_ann_lsh oracle replays) + brute-force rank in
+    // the reduced space — project+rank end-to-end.
+    "q_pca_ann_pinned" -> {
+      val pcomp = polyComponentSql("(j::VARCHAR || ':' || (i-1)::VARCHAR)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, list_transform(range(0, 8), j ->
+         |    list_sum(list_transform(range(1, len(v) + 1), i ->
+         |      v[i] * $pcomp))) AS y
+         |  FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.y, c.y) /
+         |      (sqrt(list_dot_product(q.y, q.y)) * sqrt(list_dot_product(c.y, c.y))) AS cos
+         |  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         |  neighbor_id, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // BPE application replay: bracket every char of a word (<c>...),
+    // then one left-to-right non-overlapping replace per pinned rule IN
+    // ORDER — exactly applyBpe's per-rule merge pass (replace() scans
+    // left-to-right and never re-matches inside a replacement; the
+    // <> delimiters make token boundaries unambiguous since the corpus
+    // alphabet is lowercase + space). Token count = '<' count; joined
+    // pieces = strip/convert the delimiters.
+    "q_bpe_applied" -> {
+      val rep = pinnedBpeMerges.foldLeft(
+        "regexp_replace(w, '(.)', '<\\1>', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+         |      w -> $rep) AS reps
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL
+         |    ELSE coalesce(list_sum(list_transform(reps,
+         |      r -> len(r) - len(replace(r, '<', '')))), 0)::BIGINT
+         |  END AS n_bpe_tokens,
+         |  CASE WHEN text IS NULL THEN NULL
+         |    ELSE coalesce(list_aggregate(list_transform(reps,
+         |      r -> replace(replace(replace(r, '><', '|'), '<', ''), '>', '')),
+         |      'string_agg', '|'), '')
+         |  END AS bpe_joined
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // Gate replay: same planted repetition, same distinct-bigram
+    // diversity ratio (exact integer-ratio doubles on both engines, so
+    // the lo/hi comparisons can't drift), same CASE classes.
+    "q_compress_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || trim(repeat('spam ', 60))
+        |         ELSE text END AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+        |      ELSE 1.0 END AS ratio
+        |  FROM r),
+        |f AS (
+        |  SELECT doc_id, ratio,
+        |    CASE WHEN ratio IS NULL THEN 'missing'
+        |         WHEN ratio < 0.5 THEN 'too_repetitive'
+        |         WHEN ratio > 0.995 THEN 'high_entropy'
+        |         ELSE 'ok' END AS compress_flag
+        |  FROM g)
+        |SELECT doc_id, round(ratio, 6) AS ratio, compress_flag,
+        |  compress_flag = 'ok' AS compress_keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_text_clean" ->
       """WITH d AS (SELECT doc_id, text, source, string_split(text, ' ') AS toks

@@ -96,6 +96,8 @@ object StreamOps {
     require(k >= 2 && shards >= 1, s"streamingHeavyHitters: k=$k shards=$shards")
     import items.sparkSession.implicits._
     items
+      .filter((s: String) => s != null) // null carries no frequency; without
+      // this the shard function would NPE on s.hashCode and kill the query
       .groupByKey(s => math.floorMod(s.hashCode, shards))
       .flatMapGroupsWithState[Map[String, Long], ShardCandidates](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {

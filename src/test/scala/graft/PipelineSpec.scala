@@ -623,13 +623,25 @@ class PipelineSpec extends SparkSpec {
     assert(fixed == mixed) // untouched, and the job survived
   }
 
-  test("bloomBytes lifts the runtime-filter planner clamp to the requested size") {
+  test("bloomBytes lifts the planner clamp DURING the build, restores it after") {
     import spark.implicits._
     val df = Seq("a", "b", "c").toDF("k")
-    // 5M exceeds the 4M-item planner default; the conf must rise with it
-    graft.operators.Sketch.bloomBytes(df, col("k"), expectedItems = 5000000L)
-    val items = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
-    assert(items >= 5000000L)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    // 20M items need ~192M bits — well past the 64M-bit planner default,
+    // so an un-lifted clamp would silently build an 8 MB / ~50% fp filter
+    val bloom = graft.operators.Sketch.bloomBytes(df, col("k"),
+      expectedItems = 20000000L).get
+    assert(bloom.length > 20 * 1000 * 1000, // ~24 MB if the lift applied
+      s"bloom is ${bloom.length} bytes — the conf clamp was not lifted")
+    // ... and the session's planner limits are back where they were:
+    // the lift must not leak into unrelated queries' runtime filters
+    assert(spark.conf.get(itemsKey) == items0 && spark.conf.get(bitsKey) == bits0)
+    // membership still exact on inserted keys (no false negatives)
+    val probed = df.select(graft.operators.Sketch.mightContain(bloom, col("k")))
+      .collect().map(_.getBoolean(0))
+    assert(probed.forall(identity))
   }
 
   test("chunkTokens: null text yields no chunks (no phantom token counts)") {
