@@ -91,12 +91,24 @@ object Learn {
     * Stats.zscores). Appends `<c>_scaled` per column; degenerate columns
     * (std or range 0) and null values scale to null. */
   def scaleFeatures(df: DataFrame, cols: Seq[String],
-      method: String = "zscore"): DataFrame = {
-    require(cols.nonEmpty)
-    require(Set("zscore", "minmax").contains(method), s"unknown method $method")
+      method: String = "zscore"): DataFrame =
+    scaleFeaturesMixed(df, cols.map(_ -> method))
+
+  /** Mixed-method feature scaling in ONE stats scan: every (column,
+    * method) pair's statistics travel in a single partial-merged
+    * aggregate row, so a zscore-then-minmax prep chain pays one pass
+    * over the data instead of one eager `.agg().head()` per call —
+    * chained [[scaleFeatures]] calls were the slowest visible bench row
+    * (each call is a sequential full scan; at 100 TB, each is a full
+    * corpus read). Semantics identical to per-call scaling. */
+  def scaleFeaturesMixed(df: DataFrame,
+      specs: Seq[(String, String)]): DataFrame = {
+    require(specs.nonEmpty)
+    specs.foreach { case (c, m) =>
+      require(Set("zscore", "minmax").contains(m), s"unknown method $m for $c") }
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val aggs = cols.flatMap { c =>
+    val aggs = specs.flatMap { case (c, method) =>
       // cast avg too: a DecimalType column's mean is BigDecimal otherwise
       if (method == "zscore")
         Seq(avg(col(c)).cast(DoubleType).as(s"${c}_m"),
@@ -105,7 +117,7 @@ object Learn {
         max(col(c)).cast(DoubleType).as(s"${c}_s"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+    specs.zipWithIndex.foldLeft(df) { case (d, ((c, method), i)) =>
       // all-null column / empty input: stats are null -> the whole scaled
       // column is null (the documented degenerate rule), not a crash
       val scaled =

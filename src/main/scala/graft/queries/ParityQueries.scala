@@ -304,14 +304,15 @@ object ParityQueries {
     }),
 
     // Feature scaling (ML prep): z-standardize l_quantity, min-max
-    // l_extendedprice — one stats aggregate each, stats rounded before
-    // the division so the oracle replays bit-exactly.
+    // l_extendedprice — ONE fused stats aggregate for both methods
+    // (scaleFeaturesMixed), stats rounded before the division so the
+    // oracle replays bit-exactly.
     "q_scale" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
         col("l_quantity"), col("l_extendedprice"))
-      val z = graft.ml.Learn.scaleFeatures(li, Seq("l_quantity"), "zscore")
-      graft.ml.Learn.scaleFeatures(z, Seq("l_extendedprice"), "minmax")
+      graft.ml.Learn.scaleFeaturesMixed(li,
+          Seq("l_quantity" -> "zscore", "l_extendedprice" -> "minmax"))
         .select(col("ord"), round(col("l_quantity_scaled"), 4).as("q_scaled"),
           round(col("l_extendedprice_scaled"), 6).as("p_scaled"))
         .orderBy(col("ord"))
