@@ -224,13 +224,20 @@ object Dedup {
 
   /** Full MinHash near-dup pipeline: signatures -> LSH candidates ->
     * exact Jaccard verification >= threshold. The signature table is
-    * cache()-pinned for its three consumers in the one result plan;
-    * long-lived sessions should sweep storage between batches
-    * (`spark.catalog.clearCache()` — Bench/Verify already do). */
+    * pinned via an EAGER localCheckpoint for its three consumers in the
+    * one result plan — not `cache()`: a CacheManager entry holds a
+    * strong plan-keyed reference that only `clearCache()`/`unpersist`
+    * releases, so a library user composing many pipelines would
+    * accumulate pinned storage. Checkpoint blocks carry no catalog
+    * entry and the ContextCleaner frees them as soon as the caller
+    * drops the result — repeated calls are storage-flat by contract
+    * (spec-gated). Cost: the signature job runs at call time, which
+    * its three consumers need materialized anyway. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN, family).cache()
+    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN, family)
+      .localCheckpoint()
     val cands = minhashLshCandidates(sigs, idCol, k, bands)
     // verify candidates with estimated Jaccard from the full signatures
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))

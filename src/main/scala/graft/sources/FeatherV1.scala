@@ -293,12 +293,27 @@ object FeatherV1 {
     out
   }
 
+  /** Driver-memory guard for [[write]]: Feather v1 is a single-file
+    * exchange format, so the writer collects — above this many rows the
+    * export is refused with a pointer at the scale sinks instead of
+    * OOM-ing the driver. Override per call when the driver heap is
+    * known to fit more. */
+  val DefaultMaxRows: Long = 5L * 1000 * 1000
+
   /** Write a DataFrame as a Feather v1 file. Collects driver-side — v1 is
     * the reference's single-file EXPORT/compat format, not the engine's
     * scale sink (that is Parquet): use it to hand results back to a
-    * reference-toolchain consumer. */
-  def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
+    * reference-toolchain consumer. Refuses above `maxRows` (collect
+    * would OOM the driver silently otherwise); the limit+collect probe
+    * reads at most maxRows+1 rows, never the full overage. */
+  def write(df: DataFrame, path: String, maxRows: Long = DefaultMaxRows): Unit = {
+    val rows = df.limit(math.min(maxRows, Int.MaxValue - 1).toInt + 1).collect()
+    if (rows.length > maxRows)
+      throw new IllegalArgumentException(
+        s"Feather v1 export collects driver-side and $path would exceed " +
+          s"$maxRows rows. Write Parquet for scale (df.write.parquet), or " +
+          "convert a bounded slice via graft.tools.FeatherConvert; raise " +
+          "maxRows explicitly if the driver heap is known to fit it.")
     val n = rows.length
     val out = new java.io.ByteArrayOutputStream()
     out.write("FEA1".getBytes("ASCII"))

@@ -212,7 +212,17 @@ object Xlsx {
     * cells, booleans as boolean cells, everything else (incl.
     * timestamps, as ISO text) as inline strings. */
   def write(df: DataFrame, path: String, header: Boolean = true): Unit = {
-    val rows = df.collect()
+    // XLSX sheets hard-cap at 1,048,576 rows, and the writer collects
+    // driver-side — refuse early with the scale-sink pointer instead of
+    // producing a corrupt sheet or an OOM. The limit+collect probe reads
+    // at most cap+1 rows, never the full overage.
+    val cap = 1048576 - (if (header) 1 else 0)
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new IllegalArgumentException(
+        s"XLSX export collects driver-side and sheets cap at 1,048,576 " +
+          s"rows ($path would exceed $cap data rows). Write Parquet for " +
+          "scale (df.write.parquet) or export a bounded slice.")
     val fields = df.schema.fields
     val sheet = new StringBuilder
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")

@@ -64,6 +64,19 @@ class FeatherSpec extends SparkSpec {
       df.orderBy("i8").collect().map(_.toSeq).toSeq)
   }
 
+  test("write refuses above maxRows with the scale-sink pointer") {
+    val df = spark.range(0, 11).toDF("x")
+    val p = java.nio.file.Files.createTempDirectory("feather")
+      .resolve("cap.feather").toString
+    val e = intercept[IllegalArgumentException] {
+      FeatherV1.write(df, p, maxRows = 10)
+    }
+    assert(e.getMessage.contains("Parquet"))
+    assert(!new java.io.File(p).exists()) // refused BEFORE writing bytes
+    FeatherV1.write(df, p, maxRows = 11)  // at the cap: writes fine
+    assert(FeatherV1.read(spark, p).count() == 11)
+  }
+
   test("reads a null-free v1 file and TableIO.read sniff-dispatches to it") {
     val df = TableIO.read(spark, fixture("nonull.feather"))
     assert(df.count() == 100)

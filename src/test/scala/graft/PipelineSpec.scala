@@ -173,6 +173,23 @@ class PipelineSpec extends SparkSpec {
     assert(out((0L, 100L)) >= 0.5)
   }
 
+  test("minhashNearDups is storage-flat across repeated calls (no cache pin)") {
+    // the signature pin is a localCheckpoint, NOT cache(): no CacheManager
+    // entry survives the call, and the checkpoint blocks are
+    // ContextCleaner-freed once the result is dropped — a library user
+    // composing many pipelines must not accumulate pinned storage
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 3)
+      Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5).count()
+    def live() = spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.currentTimeMillis + 30000
+    while (live() > baseline && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(250)
+    }
+    assert(live() <= baseline,
+      s"persistent RDD blocks grew from $baseline to ${live()} after 3 calls")
+  }
+
   test("minhash polynomial family signatures equal the scalar prefixedFingerprint form") {
     // the parts form (shared fp/pw projection) must be value-identical to
     // the per-seed scalar form, including the long-text fallback path

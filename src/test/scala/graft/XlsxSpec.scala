@@ -120,4 +120,15 @@ class XlsxSpec extends SparkSpec {
       header = TableIO.GenerateColumnNames).collect()
     assert(got.length == 1 && got(0).getString(0) == "東京")
   }
+
+  test("write refuses above the 1,048,576-row sheet cap with the scale-sink pointer") {
+    // header on -> 1,048,575 data rows fit; one more must refuse (XLSX
+    // sheets hard-cap, and the writer collects driver-side)
+    val df = spark.range(0, 1048576L).toDF("x")
+    val p = java.nio.file.Files.createTempDirectory("xlsx")
+      .resolve("cap.xlsx").toString
+    val e = intercept[IllegalArgumentException] { Xlsx.write(df, p) }
+    assert(e.getMessage.contains("Parquet"))
+    assert(!new java.io.File(p).exists())
+  }
 }
