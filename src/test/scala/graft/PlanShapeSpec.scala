@@ -148,6 +148,70 @@ class PlanShapeSpec extends SparkSpec {
       s"q_cap should plan partial+final WindowGroupLimit:\n$cap")
   }
 
+  // ---- plan-shape regression harness v2: broadcast discipline, rank-limit
+  // pushdown, and per-query shuffle ceilings. A future change that regresses
+  // a plan fails HERE, not as a bench surprise next round. ----
+
+  private def planText(name: String, dir: String = "/root/testdata/sf0.001"): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  private def shuffleCount(plan: String): Int =
+    raw"\(\d+\) Exchange\b".r.findAllIn(plan).size // formatted-mode node ids;
+    // BroadcastExchange/ReusedExchange print as their own node names
+
+  test("every brute-force similarity fan-out broadcasts the small side (no cartesian)") {
+    // these paths crossJoin a corpus against a bounded query/anchor set —
+    // the small side MUST broadcast (BroadcastNestedLoopJoin), never plan
+    // a CartesianProduct (both sides shuffled to one task at scale)
+    for (name <- Seq("q_ann_cosine", "q_ann_int8", "q_knn", "q_mrl_ann",
+        "q_pca_ann_pinned", "q_hard_neg")) {
+      val p = planText(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — broadcast hint lost")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$name no longer broadcasts its small side")
+    }
+  }
+
+  test("rank-limited top-k paths keep the WindowGroupLimit pushdown") {
+    // row_number().over(partitionBy(q)) <= k must plan partial+final
+    // WindowGroupLimit (each map task keeps k rows per key BEFORE the
+    // shuffle) — losing it re-sorts and shuffles whole groups
+    for (name <- Seq("q_ann_cosine", "q_ann_int8", "q_knn", "q_mrl_ann",
+        "q_pca_ann_pinned", "q_cap")) {
+      val p = planText(name)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$name lost its partial+final WindowGroupLimit rank pushdown")
+    }
+  }
+
+  test("shuffle-count ceilings hold per named query") {
+    // recorded from the round-4 plans (FormattedMode, sf0.001); a higher
+    // count means a new exchange crept into the plan — justify and
+    // re-record deliberately, never accidentally. (Counts are
+    // partition-count independent; broadcast/reused exchanges excluded.)
+    val ceilings = Map(
+      "q1_agg" -> 2,        // partial+final agg exchange, oracle orderBy
+      "q_join" -> 1,        // dims broadcast; one agg exchange + top-k
+      "q_sort" -> 1,        // one range partition
+      "q_topk" -> 0,        // TakeOrderedAndProject only
+      "q_scale" -> 1,       // fused stats scan + oracle orderBy
+      "q_ann_cosine" -> 2,  // rank + oracle orderBy (corpus never reshuffles)
+      "q_knn" -> 2,
+      "q_mrl_ann" -> 2,
+      "q_pca_ann_pinned" -> 2,
+      "q_minhash" -> 2,     // sig groupBy feeds checkpointed table; band join + verify
+      "q_window_rank" -> 2,
+      "q_cap" -> 2,
+      "q_semdedup" -> 5)    // cell collapse, grid pairs, greedy keep, anti-join
+    val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val n = shuffleCount(planText(name))
+      if (n > cap) Seq(s"$name: $n > $cap") else Nil
+    }
+    assert(over.isEmpty, s"shuffle ceilings exceeded: ${over.mkString("; ")}")
+  }
+
   test("gate contract: every graded query has an oracle (except declared rows-only)") {
     val rowsOnlyByDesign = Set(
       "q_ann_ivf")  // driver-side Lloyd not SQL-expressible; the pinned
