@@ -204,6 +204,63 @@ object TextOps {
     merges.toSeq
   }
 
+  /** BPE training with DISTRIBUTED pair counting — removes [[trainBpe]]'s
+    * `maxWords` driver cap for web-scale vocabularies (hash-like tokens,
+    * URLs, code identifiers can push the word table past driver memory).
+    * The word-frequency table stays a DataFrame; each of the `numMerges`
+    * rounds is (a) one partial-merged pair-count aggregate + a 1-row
+    * argmax fetch (count DESC, then pair — Spark's binary UTF8 string
+    * order, == Java order for ASCII corpora), and (b) a narrow fold-HOF
+    * pass rewriting each word's symbol array, localCheckpoint'ed so the
+    * iterative lineage never accumulates. The fold is exactly
+    * [[applyBpe]]'s left-to-right non-overlapping scan: after a merge
+    * the stack top is `a+b`, which can only spuriously re-match as the
+    * left symbol if `b` were empty — impossible. k rounds x two
+    * vocab-sized jobs; the corpus itself is still scanned ONCE, ever.
+    * [[trainBpe]] remains the small-vocab fast path (one job total);
+    * the spec gates both paths merge-for-merge identical. */
+  def trainBpeDistributed(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, minWordCount: Long = 1L): Seq[(String, String)] = {
+    var state = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minWordCount)
+      .select(split(col("__w"), "").as("syms"), col("__n").as("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairs = state
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2), i =>
+          struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
+        merges += ((a, b))
+        val next = state.withColumn("syms",
+          aggregate(col("syms"),
+            array().cast(ArrayType(StringType)),
+            (acc, x) =>
+              // try_element_at: null (not an ANSI error) on the empty
+              // initial accumulator -> falls through to the append branch
+              when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        state = next
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply trained BPE merges to one word (driver-side helper for
     * tests / vocab inspection — production tokenization bakes the final
     * merge table into a scan-side expression or dictionary). */

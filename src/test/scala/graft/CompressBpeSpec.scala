@@ -46,6 +46,26 @@ class CompressBpeSpec extends SparkSpec {
     assert(TextOps.applyBpe("lowest", merges).mkString == "lowest")
   }
 
+  test("trainBpeDistributed: identical merges to the driver loop, no word cap") {
+    // mixed repeat structure so merge priorities shift between rounds and
+    // chained merges (l+o, lo+w, ...) must fire in the same order
+    val corpus = Seq(
+      (1L, "low lower lowest low low newest"),
+      (2L, "new newer newest new lowest slow slower"),
+      (3L, "window window widow win slow lowest newer"))
+      .toDF("doc_id", "text")
+    val driver = TextOps.trainBpe(corpus, "text", numMerges = 25)
+    val dist = TextOps.trainBpeDistributed(corpus, "text", numMerges = 25)
+    assert(dist == driver, s"\ndistributed: $dist\ndriver:      $driver")
+    // minWordCount threads through identically too
+    assert(TextOps.trainBpeDistributed(corpus, "text", 10, minWordCount = 2L) ==
+      TextOps.trainBpe(corpus, "text", 10, minWordCount = 2L))
+    // early exhaustion: single-char vocab runs out of pairs before numMerges
+    val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(TextOps.trainBpeDistributed(tiny, "text", 5) ==
+      TextOps.trainBpe(tiny, "text", 5))
+  }
+
   test("dsirLogWeights: hand-computed log-likelihood ratios") {
     val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val target = Seq(Tuple1("a a a c")).toDF("text")
