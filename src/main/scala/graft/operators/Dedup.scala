@@ -260,17 +260,20 @@ object Dedup {
     * Shape: iterative hash-min label propagation with pointer jumping —
     * each round first lowers every node's label to the min over its
     * neighbors' labels, then short-circuits label chains by one hop
-    * (label := label(label)), so path lengths square away and rounds are
-    * O(log diameter), not O(diameter) (cf. Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SOCC'14 — this is the hash-min
-    * variant; large-star/small-star would also bound the per-round edge
-    * blowup, unnecessary here because dedup components are tiny cliques/
-    * chains by construction). Each round is two shuffles proportional to
-    * |edges| + |nodes|; labels are localCheckpoint'ed per round so the
-    * iterative plan does not accumulate lineage. Candidate graphs are
-    * sparse (LSH emits ~dup pairs, not the corpus), so |nodes| ≪ corpus.
-    * Convergence is detected exactly (a round that changes no label ends
-    * the loop); `maxRounds` is a safety bound only. */
+    * (label := label(label)) (cf. Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SOCC'14 — this is the hash-min variant).
+    * Jumping squares label chains, so rounds are ~O(log d) when the
+    * chains mirror the graph (monotone-ish id layouts — the common
+    * dedup case of tiny cliques/chains); on adversarial layouts the min
+    * frontier can still walk ~one hop per round, so if `maxRounds`
+    * expires UNCONVERGED the remainder is finished exactly by
+    * [[connectedComponentsStar]] (diameter-independent round bound) on
+    * the label-contracted graph — never a silently-unconverged result.
+    * Each round is two shuffles proportional to |edges| + |nodes|;
+    * labels are localCheckpoint'ed per round so the iterative plan does
+    * not accumulate lineage. Candidate graphs are sparse (LSH emits
+    * ~dup pairs, not the corpus), so |nodes| ≪ corpus. Convergence is
+    * detected exactly (a round that changes no label ends the loop). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25, smallGraphLimit: Long = 1L << 20): DataFrame = {
     // ids keep their natural type — min/least need only an ordering, and
@@ -369,14 +372,123 @@ object Dedup {
           (col("proot") =!= col("prev")).as("changed"))
         .localCheckpoint()
       converged = jumped.filter(col("changed")).isEmpty
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round=$round converged=$converged n=${jumped.count()}")
       // the superseded round's checkpoint blocks are dead as soon as the
       // next round materializes — free them instead of pinning 25 rounds
       org.apache.spark.sql.graftx.Bridge.freeCheckpoint(labels)
       labels = jumped.select(col("id"), col("root"))
       round += 1
     }
+    if (!converged) {
+      // Hash-min + jumping is O(log d) only when the label chains mirror
+      // the graph (monotone-ish id layouts — the common dedup case); on
+      // an ADVERSARIAL layout (e.g. a path with shuffled ids) the min
+      // frontier walks ~one hop per round and maxRounds can expire with
+      // labels still moving. Returning them would be SILENTLY WRONG —
+      // instead finish EXACTLY: contract edges through the current
+      // labels (label values stay within their component, so components
+      // are preserved) and run star contraction — whose round bound is
+      // diameter-independent — on the much smaller contracted graph,
+      // then compose the two label maps.
+      val contracted = edges
+        .join(labels.select(col("id").as("src"), col("root").as("ca")), Seq("src"))
+        .join(labels.select(col("id").as("dst"), col("root").as("cb")), Seq("dst"))
+        .select(col("ca"), col("cb"))
+        .filter(col("ca") =!= col("cb"))
+      val starRoots = connectedComponentsStar(contracted, "ca", "cb")
+        .select(col("id").as("__sid"), col("root").as("__sroot"))
+      val composed = labels.join(starRoots, labels("root") === col("__sid"), "left")
+        .select(labels("id"), coalesce(col("__sroot"), labels("root")).as("root"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(labels)
+      labels = composed
+    }
     org.apache.spark.sql.graftx.Bridge.freeCheckpoint(edges)
     labels
+  }
+
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14, Alg. 2) — the variant for HIGH-DIAMETER graphs.
+    * [[connectedComponents]]'s hash-min + pointer-jumping is the right
+    * default for dedup graphs (tiny cliques/chains), but its per-round
+    * work touches every edge for O(log d) rounds; star contraction
+    * instead REWRITES the edge set toward two-level stars, with the
+    * paper's O(log² n) round bound independent of diameter and
+    * monotonically shrinking the active edge set on path/tree-like
+    * graphs. Same output contract: one (id, root) row per node of
+    * `pairs`, root = component min (Spark ordering; self-loop-only nodes
+    * root to themselves). Each phase is one groupBy-min plus an
+    * edge-sized join, checkpointed per round; convergence = stable
+    * canonical edge set (count + order-free hash, exact count always
+    * re-checked), bounded by `maxRounds`. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val base = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+    val sym = base.union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint()
+    var edges = sym.filter(col("u") =!= col("v")).localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // every node u sees all neighbors; strictly larger neighbors
+      // reconnect to m = min(N(u) ∪ {u})
+      val e2 = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = e2.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      e2.join(mins, Seq("u"))
+        .select(col("u"), col("v"), least(col("mn"), col("u")).as("m"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // attach each edge to its larger endpoint; all of u's smaller
+      // neighbors (and u) reconnect to their min
+      val directed = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withM = directed.join(
+        directed.groupBy(col("u")).agg(min(col("v")).as("m")), Seq("u"))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // canonical-set signature: exact count + order-free hash XOR (no
+    // ANSI overflow, unlike a sum). The loop only STOPS on a signature
+    // match (a collision would stop one round early on an
+    // almost-converged set; maxRounds bounds it anyway)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))"),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var round = 0
+    var converged = sig._1 == 0L
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nsig = signature(next)
+      converged = nsig == sig
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(edges)
+      edges = next
+      sig = nsig
+      round += 1
+    }
+    // converged edges are (child, component-min) stars
+    val roots = edges
+      .select(greatest(col("u"), col("v")).as("id"), least(col("u"), col("v")).as("root"))
+      .groupBy(col("id")).agg(min(col("root")).as("root"))
+    val out = nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(edges)
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(sym)
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(nodes)
+    out
   }
 
   /** Near-dup row filter over a pair graph: drop every row of a component

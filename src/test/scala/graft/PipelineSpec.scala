@@ -1051,6 +1051,54 @@ class PipelineSpec extends SparkSpec {
     assert(cc == expected)
   }
 
+  test("connectedComponentsStar: adversarial shuffled-id path + random graphs + strings") {
+    import spark.implicits._
+    // the case the variant exists for: a high-diameter PATH graph with
+    // ids SHUFFLED so hash-min's label chains can't mirror the graph —
+    // star contraction's round bound is diameter-independent
+    val rnd = new scala.util.Random(13)
+    val perm = rnd.shuffle((0L until 120L).toVector)
+    val path = (0 until 119).map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = asMap(Dedup.connectedComponentsStar(path, "id_a", "id_b"))
+    assert(star.size == 120 && star.values.forall(_ == 0L),
+      "single path component must root at the global min")
+    // seeded random graphs: star == hash-min distributed (these converge
+    // inside the round budget, no fallback involved)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 17
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      assert(asMap(Dedup.connectedComponentsStar(df, "id_a", "id_b")) ==
+        asMap(Dedup.connectedComponents(df, "id_a", "id_b", smallGraphLimit = 0L)),
+        s"trial $trial diverged")
+    }
+    // string ids: Spark ordering used on both sides
+    val spairs = Seq(("doc_b", "doc_a"), ("doc_b", "doc_c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(spairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("doc_a" -> "doc_a", "doc_b" -> "doc_a", "doc_c" -> "doc_a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("connectedComponents falls back to star contraction instead of returning unconverged labels") {
+    import spark.implicits._
+    // a shuffled-id path makes hash-min's min-frontier walk ~1 hop/round:
+    // with maxRounds=3 it CANNOT converge, and pre-fallback the result
+    // was silently wrong. The star fallback must finish it exactly.
+    val rnd = new scala.util.Random(29)
+    val perm = rnd.shuffle((0L until 80L).toVector)
+    val path = (0 until 79).map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(path, "id_a", "id_b",
+        maxRounds = 3, smallGraphLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 80 && cc.values.forall(_ == 0L),
+      s"fallback produced wrong roots: ${cc.values.toSet}")
+  }
+
   test("connectedComponents drops null-id edges on both paths") {
     import spark.implicits._
     val pairs = Seq((Some("a"), Some("b")), (None, Some("c")), (Some("d"), None))
