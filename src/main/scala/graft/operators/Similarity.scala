@@ -218,25 +218,70 @@ object Similarity {
     * nearly every random pair. Low-threshold exact pair mining is
     * inherently quadratic; the engineering answer is even distribution
     * (this grid) plus semantic blocking. For near-dup thresholds (>= ~0.7)
-    * use [[lshNearDupPairs]], which IS sub-quadratic. */
+    * use [[lshNearDupPairs]], which IS sub-quadratic.
+    *
+    * Exact-duplicate collapse: real corpora are duplicate-HEAVY (mirrored
+    * pages, boilerplate), and identical vectors make the quadratic pair
+    * space explode as (dup depth)^2 — measured 20x wall on a corpus with
+    * every vector replicated 10x. So the quadratic stage runs over
+    * DISTINCT (block, vector) groups only; member pairs are then expanded
+    * back by two linear joins, reusing the one cosine computed per group
+    * pair (members are bitwise-identical, so the arithmetic — and the
+    * result set — is exactly what the naive all-member form produces).
+    * Intra-group pairs get dot(v,v)/n^2, again the same expression the
+    * naive form evaluates for those pairs. */
   def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCols: Seq[String] = Nil, grid: Int = 8): DataFrame = {
     require(grid > 0)
-    val e = df.select(col(idCol) +: col(vecCol).as("__v") +:
-      l2Norm(col(vecCol)).as("__n") +: blockCols.map(col): _*)
-      .withColumn("__g", pmod(xxhash64(col(idCol)), lit(grid.toLong)))
+    val base = df.select(col(idCol) +: col(vecCol).as("__v") +: blockCols.map(col): _*)
+    // one row per distinct vector per block; __gid = min member id
+    val groups = base.groupBy(blockCols.map(col) :+ col("__v"): _*)
+      .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__gn"))
+    val members = base.select(col(idCol) +: col("__v") +: blockCols.map(col): _*)
+    val e = groups.withColumn("__n", l2Norm(col("__v")))
+      .withColumn("__g", pmod(xxhash64(col("__gid")), lit(grid.toLong)))
     val ghost = explode(sequence(lit(0L), lit(grid - 1L)))
-    val a = e.select(Seq(col(idCol).as("id_a"), col("__v").as("va"),
+    val a = e.select(Seq(col("__gid").as("ga"), col("__v").as("va"),
         col("__n").as("na")) ++ blockCols.map(col) :+ col("__g").as("gi"): _*)
       .withColumn("gj", ghost)
-    val b = e.select(Seq(col(idCol).as("id_b"), col("__v").as("vb"),
+    val b = e.select(Seq(col("__gid").as("gb"), col("__v").as("vb"),
         col("__n").as("nb")) ++ blockCols.map(col) :+ col("__g").as("gj"): _*)
       .withColumn("gi", ghost)
-    a.join(b, blockCols ++ Seq("gi", "gj"))
-      .filter(col("id_a") < col("id_b"))
+    // quadratic stage: distinct-vector pairs only
+    val repPairs = a.join(b, blockCols ++ Seq("gi", "gj"))
+      .filter(col("ga") < col("gb"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
+      .select((col("ga") +: col("gb") +: col("cosine") +: blockCols.map(col)): _*)
+    // linear expansion: every member of ga pairs with every member of gb
+    val ma = members.select((col(idCol).as("__ida") +: col("__v").as("__va") +:
+      blockCols.map(c => col(c).as(s"__a_$c"))): _*)
+    val mb = members.select((col(idCol).as("__idb") +: col("__v").as("__vb") +:
+      blockCols.map(c => col(c).as(s"__b_$c"))): _*)
+    val gKeyA = groups.select((col("__gid").as("ga") +: col("__v").as("__va") +:
+      blockCols.map(c => col(c).as(s"__a_$c"))): _*)
+    val gKeyB = groups.select((col("__gid").as("gb") +: col("__v").as("__vb") +:
+      blockCols.map(c => col(c).as(s"__b_$c"))): _*)
+    val cross = repPairs
+      .join(gKeyA.join(ma, Seq("__va") ++ blockCols.map(c => s"__a_$c")), Seq("ga"))
+      .join(gKeyB.join(mb, Seq("__vb") ++ blockCols.map(c => s"__b_$c")), Seq("gb"))
+      .select((least(col("__ida"), col("__idb")).as("id_a") +:
+        greatest(col("__ida"), col("__idb")).as("id_b") +:
+        col("cosine") +: blockCols.map(col)): _*)
+    // intra-group pairs: identical vectors, cosine = dot(v,v)/n^2
+    val selfCos = groups.filter(col("__gn") >= 2)
+      .withColumn("__n", l2Norm(col("__v")))
+      .withColumn("cosine", dot(col("__v"), col("__v")) / (col("__n") * col("__n")))
+      .filter(col("cosine") >= threshold)
+    val sa = members.select((col(idCol).as("id_a") +: col("__v") +:
+      blockCols.map(col)): _*)
+    val sb = members.select((col(idCol).as("id_b") +: col("__v") +:
+      blockCols.map(col)): _*)
+    val intra = selfCos.select((col("__v") +: col("cosine") +: blockCols.map(col)): _*)
+      .join(sa, Seq("__v") ++ blockCols).join(sb, Seq("__v") ++ blockCols)
+      .filter(col("id_a") < col("id_b"))
       .select((col("id_a") +: col("id_b") +: col("cosine") +: blockCols.map(col)): _*)
+    cross.unionByName(intra)
   }
 
   /** Sub-quadratic near-dup pairs for HIGH cosine thresholds via banded

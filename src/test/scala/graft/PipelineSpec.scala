@@ -1225,6 +1225,37 @@ class PipelineSpec extends SparkSpec {
     assert(plain.forall { case (x, y) => x % 3 == y % 3 && x < y })
   }
 
+  test("exactNearDupPairs: duplicate-heavy corpus equals driver brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 12 distinct vectors, each replicated 3x (distinct ids) -> the
+    // dup-collapse path must still emit every member pair, including the
+    // intra-group (identical-vector) ones, with the same cosines the
+    // naive all-pairs arithmetic produces
+    val distinctVecs = (0 until 12).map(_ => Array.fill(6)(rnd.nextGaussian().toFloat))
+    val rows = for (rep <- 0 until 3; i <- 0 until 12)
+      yield (rep * 100L + i, i % 2, distinctVecs(i))
+    val vecs = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.2, blockCols = Seq("label"), grid = 3)
+      .select("id_a", "id_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { d += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, la, va) <- rows; (ib, lb, vb) <- rows
+      if ia < ib && la == lb
+      c = cos(va, vb) if c >= 0.2
+    } yield (ia, ib, c)).toSet
+    assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)))
+    // cosines match to float-accumulation exactness (identical arithmetic)
+    val wm = want.map(p => (p._1, p._2) -> p._3).toMap
+    got.foreach { case (a, b, c) => assert(math.abs(c - wm((a, b))) < 1e-9) }
+  }
+
   test("lshNearDupPairs: full recall vs exact at a high threshold") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
