@@ -80,6 +80,28 @@ object Dedup {
     docs.select(col(idCol), col(blockCol).as("block"),
         explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("shingle"))
 
+  /** Exact-duplicate group tagging for the fuzzy-dedup miners: every row
+    * gets `__rep` (min id among rows with bitwise-identical
+    * (blockCols, textCol)) and `__gn` (group size) via one partitioned
+    * window — one shuffle on the dedup key, no join.
+    *
+    * Why: real corpora are duplicate-heavy, and every pairwise miner's
+    * candidate space grows QUADRATICALLY in dup-group depth (a text
+    * replicated d times puts d copies in every band bucket / posting
+    * list -> d^2/2 candidate pairs that all verify identically). Running
+    * the miner over distinct texts and expanding member pairs back with
+    * linear joins produces the IDENTICAL result set — identical texts
+    * share all shingles and signatures, so their pairwise scores are the
+    * constants the expansion emits — at per-distinct-text cost. This is
+    * the standard exact-before-fuzzy dedup ordering, fused into one call. */
+  private def tagExactDupGroups(docs: DataFrame, textCol: String,
+      idCol: String, blockCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((blockCols :+ textCol).map(col): _*)
+    docs.withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("__gn", count(lit(1)).over(w))
+  }
+
   /** Pairwise n-gram Jaccard similarity via inverted-index join.
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b,
     * only pairs sharing >=1 shingle within the same block.
@@ -95,18 +117,30 @@ object Dedup {
     * all shingles; at scale pick a cap ~100-1000. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int, maxDocFreq: Option[Long] = None): DataFrame = {
+    // Exact-dup collapse (see tagExactDupGroups): the inverted index and
+    // the pair join run over DISTINCT (block, text) representatives only.
+    val tagged = tagExactDupGroups(
+      docs.select(col(idCol), col(blockCol), col(textCol)), textCol, idCol,
+      Seq(blockCol))
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+    val members = tagged.select(col(idCol), col("__rep"))
     // Shingles join as xxhash64 longs, not strings: 8-byte keys instead of
     // ~n-token strings in the join's build side. A cross-doc collision
     // within a block needs ~2^32 distinct shingles to become likely.
     // (Carrying per-doc sizes through the big join instead of re-joining
     // them after aggregation was tried and measured 2x SLOWER — the sizes
     // recompute is a narrow scan, the big join's width is what matters.)
-    val idx0 = shingleIndex(docs, textCol, idCol, blockCol, n)
+    val idx0 = shingleIndex(reps, textCol, idCol, blockCol, n)
       .withColumn("shingle", xxhash64(col("shingle")))
     val idx = maxDocFreq match {
       case Some(cap) =>
-        val hot = idx0.groupBy(col("block"), col("shingle"))
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        // doc frequency counts MEMBER docs (weight = group size), so the
+        // hot set — and therefore the result — is identical to the
+        // uncollapsed formulation
+        val weights = reps.select(col(idCol), col("__gn"))
+        val hot = idx0.join(weights, Seq(idCol))
+          .groupBy(col("block"), col("shingle"))
+          .agg(sum(col("__gn")).as("df")).filter(col("df") > cap)
           .select(col("block"), col("shingle"))
         idx0.join(hot, Seq("block", "shingle"), "left_anti")
       case None => idx0
@@ -120,12 +154,39 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast(DoubleType) /
           (col("size_a") + col("size_b") - col("inter")).cast(DoubleType))
+    // linear expansion: member pairs inherit their groups' scores; sizes
+    // swap with the id ordering (size_a belongs to the smaller id's doc)
+    val ma = members.select(col("__rep").as("id_a"), col(idCol).as("__ia"))
+    val mb = members.select(col("__rep").as("id_b"), col(idCol).as("__ib"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("inter"),
+        when(col("__ia") < col("__ib"), col("size_a")).otherwise(col("size_b")).as("size_a"),
+        when(col("__ia") < col("__ib"), col("size_b")).otherwise(col("size_a")).as("size_b"),
+        col("jaccard"))
+    // intra-group pairs: identical texts share every (surviving) shingle —
+    // inter = size_a = size_b = the rep's shingle count; groups whose rep
+    // lost all shingles (short docs, or all-hot under the cap) never pair,
+    // exactly as in the uncollapsed join
+    val g = reps.filter(col("__gn") >= 2)
+      .join(sizes, Seq(idCol))
+      .select(col(idCol).as("__g"), col("n_shingles").as("__s"))
+    val ia = members.select(col("__rep").as("__g"), col(idCol).as("id_a"))
+    val ib = members.select(col("__rep").as("__g"), col(idCol).as("id_b"))
+    val intra = g.join(ia, "__g").join(ib, "__g")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__s").as("inter"),
+        col("__s").as("size_a"), col("__s").as("size_b"),
+        (col("__s").cast(DoubleType) /
+          (col("__s") + col("__s") - col("__s")).cast(DoubleType)).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** n-gram CONTAINMENT via the same inverted-index join as
@@ -236,18 +297,44 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN, family)
+    // Exact-dup collapse (see tagExactDupGroups): signatures, banding and
+    // verification run over DISTINCT texts; member pairs expand back
+    // linearly. Identical texts have identical signatures, so every
+    // intra-group pair is a guaranteed candidate (all bands collide) with
+    // est_jaccard exactly k/k = 1.0 — the constants the expansion emits.
+    val tagged = tagExactDupGroups(docs.select(col(idCol), col(textCol)),
+      textCol, idCol, Nil).localCheckpoint()
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+    val members = tagged.select(col(idCol), col("__rep"))
+    val sigs = minhashSignatures(reps, textCol, idCol, k, shingleN, family)
       .localCheckpoint()
     val cands = minhashLshCandidates(sigs, idCol, k, bands)
     // verify candidates with estimated Jaccard from the full signatures
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
+    val repPairs = cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast(DoubleType) / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val ma = members.select(col("__rep").as("id_a"), col(idCol).as("__ia"))
+    val mb = members.select(col("__rep").as("id_b"), col(idCol).as("__ib"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("est_jaccard"))
+    // intra-group pairs exist only when the rep actually has a signature
+    // (>= shingleN tokens) — shorter docs never enter the pipeline
+    val g = tagged.filter(col(idCol) === col("__rep") && col("__gn") >= 2)
+      .join(sigs.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__g"))
+    val ia = members.select(col("__rep").as("__g"), col(idCol).as("id_a"))
+    val ib = members.select(col("__rep").as("__g"), col(idCol).as("id_b"))
+    val intra = g.join(ia, "__g").join(ib, "__g")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (lit(k).cast(DoubleType) / k).as("est_jaccard"))
+    cross.unionByName(intra).filter(col("est_jaccard") >= threshold)
   }
 
   /** Connected components over an undirected candidate-pair graph — the

@@ -601,6 +601,56 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set((0L, 1L))) // only the rare-shingle pair survives
   }
 
+  test("dup-heavy corpus: minhashNearDups and ngramJaccard equal their uncollapsed forms") {
+    import spark.implicits._
+    // 8 base docs (2 near-dup pairs among them), each replicated 3x with
+    // distinct ids, plus a short doc (no shingles) also replicated — the
+    // exact-dup collapse must reproduce the uncollapsed pipelines' result
+    // sets exactly, including intra-group pairs and the no-shingle gate
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",   // near-dup of 0
+      "one two three four five six seven eight nine",
+      "one two three four five six seven eight ten",    // near-dup of 2
+      "completely different words in this document here",
+      "yet another unrelated piece of text entirely now",
+      "more filler content that matches nothing else at all",
+      "final base document with its own vocabulary set")
+    val rows = (for (rep <- 0 until 3; i <- base.indices)
+      yield (rep * 100L + i, base(i), "blk")) ++
+      (for (rep <- 0 until 3) yield (rep * 100L + 50L, "too short", "blk"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    // uncollapsed minhash reference: the pre-collapse pipeline verbatim
+    val sigsAll = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3)
+    val naiveMh = {
+      val cands = Dedup.minhashLshCandidates(sigsAll, "doc_id", 16, 4)
+      val sa = sigsAll.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val sb = sigsAll.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast(org.apache.spark.sql.types.DoubleType) / 16)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", "est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val gotMh = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotMh == naiveMh)
+    assert(gotMh.exists { case (a, b, j) => a == 0L && b == 100L && j == 1.0 }) // intra pair
+    assert(!gotMh.exists { case (a, b, _) => a % 100 == 50 || b % 100 == 50 }) // short docs never pair
+    // ngramJaccard: spot-check the intra/cross structure + a full count
+    val jac = Dedup.ngramJaccard(docs, "text", "doc_id", "source", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(jac((0L, 100L)) == ((6L, 6L, 6L, 1.0)))     // identical: 6 trigrams
+    val (i01, sa01, sb01, j01) = jac((0L, 1L))          // near-dup cross pair
+    assert(i01 == 5L && sa01 == 6L && sb01 == 6L && math.abs(j01 - 5.0 / 7.0) < 1e-12)
+    assert(jac((1L, 100L)) == ((5L, 6L, 6L, math.abs(5.0 / 7.0)))) // member of 0's group vs 1
+    // every pair is emitted exactly once with id_a < id_b
+    assert(jac.keySet.forall { case (a, b) => a < b })
+  }
+
   test("PII redaction: emails, IPs, digit runs; counts on original text") {
     import spark.implicits._
     val df = Seq(
