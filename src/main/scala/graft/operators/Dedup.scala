@@ -881,18 +881,44 @@ object Dedup {
       maxHamming: Int,
       tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         xxhash64(_)): DataFrame = {
-    val fps = simhashFingerprints(docs, textCol, idCol, tokenHash)
+    // Exact-dup collapse (see tagExactDupGroups): identical texts have
+    // identical fingerprints — every band collides and the hamming is 0 —
+    // so banding and verification run over DISTINCT texts and member
+    // pairs expand back linearly with the constants the naive join emits.
+    val tagged = tagExactDupGroups(docs.select(col(idCol), col(textCol)),
+      textCol, idCol, Nil)
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+    val members = tagged.select(col(idCol), col("__rep"))
+    val fps = simhashFingerprints(reps, textCol, idCol, tokenHash)
     val banded = fps.select(col(idCol), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "key")))
     val a = banded.select(col(idCol).as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
     val b = banded.select(col(idCol).as("id_b"), col("fp").as("fp_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+    val repPairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val ma = members.select(col("__rep").as("id_a"), col(idCol).as("__ia"))
+    val mb = members.select(col("__rep").as("id_b"), col(idCol).as("__ib"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    // intra-group pairs: hamming 0; only for reps that HAVE a fingerprint
+    // (>= 1 token — empty texts never enter the naive join either)
+    val g = reps.filter(col("__gn") >= 2)
+      .join(fps.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__g"))
+    val ia = members.select(col("__rep").as("__g"), col(idCol).as("id_a"))
+    val ib = members.select(col("__rep").as("__g"), col(idCol).as("id_b"))
+    val intra = g.join(ia, "__g").join(ib, "__g")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // same expression type as the cross path (bit_count returns int)
+        TextOps.hamming64(lit(0L), lit(0L)).as("hamming"))
+    cross.unionByName(intra)
   }
 }

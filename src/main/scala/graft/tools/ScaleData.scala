@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   *    replica*stride; foreign keys offset with the SAME stride so every join
   *    path (orders→customer, lineitem→orders/part/supplier) stays valid and
   *    per-key fan-out is preserved exactly.
-  *  - events: event_id/user_id offset; ts shifted by replica seconds so
-  *    watermark/session logic sees distinct instants instead of 10-deep ties.
+  *  - events: event_id/user_id offset; each replica's timestamps shift by
+  *    replica * (source span + 1h), so the TIME AXIS stretches with the
+  *    data. That is how real event data scales (a longer collection
+  *    period), and it keeps rows-per-interval density constant: packing
+  *    N times the rows into the source's fixed span instead would make
+  *    every sliding range-frame's width grow with N, turning any
+  *    O(n*w) window (Spark cannot retract sum/avg from a sliding frame)
+  *    quadratic in the scale factor — measured 32x wall at x10 on
+  *    q_rolling before this stretch. Each offset user's series is
+  *    source-identical, just translated.
   *  - documents: doc_id offset; text kept byte-identical across replicas —
   *    at scale this is the realistic hard case for the dedup/minhash paths
   *    (duplicate-heavy corpus), and n_chars stays consistent.
@@ -83,11 +91,15 @@ object ScaleData {
     write(scale(read("orders"), "o_orderkey" -> ordS, "o_custkey" -> custS), "orders")
     write(scale(read("lineitem"),
       "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS), "lineitem")
+    val tsSpan = read("events")
+      .agg((unix_micros(max(col("ts")).cast("timestamp")) -
+        unix_micros(min(col("ts")).cast("timestamp"))).as("s"))
+      .head().getLong(0)
+    val stepSec = tsSpan / 1000000L + 3600L
     write(
       scale(read("events"), "event_id" -> evS, "user_id" -> userS)
-        // distinct instants per replica; the shift (< factor seconds) is tiny
-        // vs the table's time span so windows/sessions keep their shape
-        .withColumn("ts", col("ts") + expr(s"make_interval(0,0,0,0,0,0, cast(event_id div ${evS}L as int))")),
+        .withColumn("ts", col("ts") +
+          expr(s"make_interval(0,0,0,0,0,0, (event_id div ${evS}L) * ${stepSec}L)")),
       "events")
     write(scale(read("documents"), "doc_id" -> docS), "documents")
     write(scale(read("embeddings"), "vec_id" -> vecS), "embeddings")

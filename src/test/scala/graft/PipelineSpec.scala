@@ -649,6 +649,25 @@ class PipelineSpec extends SparkSpec {
     assert(jac((1L, 100L)) == ((5L, 6L, 6L, math.abs(5.0 / 7.0)))) // member of 0's group vs 1
     // every pair is emitted exactly once with id_a < id_b
     assert(jac.keySet.forall { case (a, b) => a < b })
+    // simhash: collapsed pipeline equals the uncollapsed band join
+    val naiveSh = {
+      val fps = Dedup.simhashFingerprints(docs, "text", "doc_id")
+      val banded = fps.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "key")))
+      val na = banded.select(col("doc_id").as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
+      val nb = banded.select(col("doc_id").as("id_b"), col("fp").as("fp_b"), col("band"), col("key"))
+      na.join(nb, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextOps.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+        .distinct().filter(col("hamming") <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val gotSh = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotSh == naiveSh)
+    assert(gotSh.exists { case (a, b, h) => a == 0L && b == 100L && h == 0 })
   }
 
   test("PII redaction: emails, IPs, digit runs; counts on original text") {
