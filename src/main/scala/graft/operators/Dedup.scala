@@ -885,11 +885,20 @@ object Dedup {
     // identical fingerprints — every band collides and the hamming is 0 —
     // so banding and verification run over DISTINCT texts and member
     // pairs expand back linearly with the constants the naive join emits.
+    // The tag table is pinned with an EAGER localCheckpoint (same
+    // rationale and lifetime contract as minhashNearDups): seven consumers
+    // in the one result plan would otherwise re-execute the full-text
+    // window shuffle wherever ReuseExchange cannot unify them. NB at high
+    // dup depth this query is OUTPUT-bound — a corpus with d-deep dup
+    // groups emits ~d^2/2 member pairs per near-dup group by definition —
+    // and the measured per-pair emit cost stays flat (~6M pairs/s at
+    // 585M pairs).
     val tagged = tagExactDupGroups(docs.select(col(idCol), col(textCol)),
-      textCol, idCol, Nil)
+      textCol, idCol, Nil).localCheckpoint()
     val reps = tagged.filter(col(idCol) === col("__rep"))
     val members = tagged.select(col(idCol), col("__rep"))
     val fps = simhashFingerprints(reps, textCol, idCol, tokenHash)
+      .localCheckpoint()
     val banded = fps.select(col(idCol), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -51,8 +51,16 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // Fact tables are written across max(cpus, factor) files: the source
+    // is a single small file, and explode() preserves its 1-2 input
+    // partitions, so an un-repartitioned x100 write produces 2-3 files of
+    // ~400 MB each — a scan gets ~7 splits for 32 cores and every heavy
+    // query downstream starves (measured 10-20x instead of ~linear).
+    // Real warehouse layouts are many ~100 MB files; reproduce that.
+    val outParts = math.max(cpus.toInt, factor)
+    def write(df: DataFrame, t: String, repartition: Boolean = true): Unit = {
+      val out = if (repartition) df.repartition(outParts) else df
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scale] wrote $t")
     }
 
@@ -83,8 +91,8 @@ object ScaleData {
       out.drop("__rep")
     }
 
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    write(read("region"), "region", repartition = false)
+    write(read("nation"), "nation", repartition = false)
     write(scale(read("customer"), "c_custkey" -> custS), "customer")
     write(scale(read("supplier"), "s_suppkey" -> suppS), "supplier")
     write(scale(read("part"), "p_partkey" -> partS), "part")
