@@ -46,6 +46,32 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Bucketed table write — the shuffle-elision lever for REPEATED joins
+    * and aggregations on a stable key: rows are hash-distributed into
+    * `buckets` files per partition by `bucketCols` and sorted within each
+    * bucket, and the layout is recorded in the catalog. Every later
+    * equi-join or groupBy on the bucket key between tables bucketed the
+    * SAME way plans with NO Exchange on either side (and with the sort
+    * recorded, sort-merge join skips its sorts too) — at 100 TB that
+    * converts the nightly fact-to-fact join from the cluster's biggest
+    * shuffle into a zip of co-located files. Bucketing beats
+    * [[writeZOrdered]] when the workload is join/agg-dominated on one
+    * hot key; z-order wins for multi-dim range scans.
+    *
+    * Catalog-backed by design (bucket metadata lives in the table
+    * catalog, not the files): pass a managed-table name, optionally with
+    * an explicit `path`. Read back with `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String],
+      buckets: Int, path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0,
+      s"writeBucketed: need >=1 bucket column and buckets > 0 (got $buckets)")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(name)
+  }
+
   /** Size-targeted compaction write — the small-files cure: pick the
     * file count from the OPTIMIZER'S size estimate (plan statistics —
     * filters and column pruning already applied, no extra job) scaled

@@ -249,6 +249,27 @@ object SurfaceQueries {
         .select(col("o_orderkey"), z.as("z"))
         .orderBy(col("z"), col("o_orderkey"))
         .limit(200)
+    }),
+
+    // Bucketed co-located join: both sides written bucketBy(custkey) so
+    // the fact-to-dim equi-join plans with NO Exchange on either side
+    // (spec-asserted); the oracle replays the plain join — results are
+    // layout-independent by construction
+    "q_bucket_join" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.operators.Layout.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_b_orders", Seq("o_custkey"), 8, Some(s"$tmp/graft_b_orders"))
+      graft.operators.Layout.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_b_customer", Seq("c_custkey"), 8, Some(s"$tmp/graft_b_customer"))
+      val bo = s.table("graft_b_orders")
+      val bc = s.table("graft_b_customer")
+      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -266,6 +287,12 @@ object SurfaceQueries {
         |   + list_sum(list_transform(range(0, 12),
         |     b -> (((o_orderkey % 4096) >> b) & 1) << (2*b + 1))))::BIGINT AS z
         |FROM orders ORDER BY z, o_orderkey LIMIT 200""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_take_drop" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) - 101 AS pos,

@@ -120,6 +120,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("bucketed tables join with NO exchange and NO sort, and match the plain join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SortExec
+    val tmp = java.nio.file.Files.createTempDirectory("bucketspec").toString
+    val a = (0L until 10000L).map(i => (i, i % 97, i * 1.5)).toDF("id", "k", "v")
+    val b = (0L until 2000L).map(i => (i % 97, s"n${i % 97}")).toDF("k", "name").distinct()
+    graft.operators.Layout.writeBucketed(a, "spec_bucket_a", Seq("k"), 4, Some(s"$tmp/a"))
+    graft.operators.Layout.writeBucketed(b, "spec_bucket_b", Seq("k"), 4, Some(s"$tmp/b"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("spec_bucket_a").join(spark.table("spec_bucket_b"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"bucketed join planned a shuffle:\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"bucketed join re-sorted a sortBy'd bucket:\n$plan")
+      val got = joined.select("k", "id", "v", "name").collect().map(_.toSeq).toSet
+      val want = a.join(b, Seq("k")).select("k", "id", "v", "name")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("NO query in the whole SparkEntry surface plans a partition-less window") {
     val dir = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
