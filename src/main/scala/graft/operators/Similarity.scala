@@ -234,9 +234,15 @@ object Similarity {
       threshold: Double, blockCols: Seq[String] = Nil, grid: Int = 8): DataFrame = {
     require(grid > 0)
     val base = df.select(col(idCol) +: col(vecCol).as("__v") +: blockCols.map(col): _*)
-    // one row per distinct vector per block; __gid = min member id
+    // one row per distinct vector per block; __gid = min member id.
+    // Pinned via eager localCheckpoint — four consumers (pair sides,
+    // member-group keys, intra gate) would otherwise re-run the
+    // distinct-vector aggregation each; blocks are freed by the
+    // ContextCleaner when the caller drops the result (the same
+    // storage-flat contract as minhashNearDups).
     val groups = base.groupBy(blockCols.map(col) :+ col("__v"): _*)
       .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__gn"))
+      .localCheckpoint()
     val members = base.select(col(idCol) +: col("__v") +: blockCols.map(col): _*)
     val e = groups.withColumn("__n", l2Norm(col("__v")))
       .withColumn("__g", pmod(xxhash64(col("__gid")), lit(grid.toLong)))
