@@ -355,12 +355,30 @@ object Similarity {
       .withColumn("cell", -col("__bc.negcell"))
       .withColumn("centroid_sim", col("__bc.sim"))
       .drop("__bc")
-    val e = assigned.select(col(idCol), col(vecCol).as("__v"),
+    // Exact-dup collapse: identical vectors share cell, centroid_sim and
+    // every pairwise cosine, so the quadratic within-cell pair stage runs
+    // over DISTINCT vectors only (dup-heavy corpora make it d^2-fold
+    // otherwise). The greedy keep-rule maps exactly: member m of group g
+    // drops iff SOME earlier-ranked row within cosine > tau exists, and
+    // the earliest such row is always a group's FIRST member — so compute
+    // per group the min "threat" struct theta = min over threatening
+    // groups y (cos(y,g) > tau) of (csim_y, minId_y), folding in g's own
+    // first member when the group's self-cosine clears tau, and keep m
+    // iff theta is absent or ranked after (csim_g, id_m). Differential
+    // spec pins equality with the uncollapsed ordered-pair join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))
+    val tagged = assigned.withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("__gn", count(lit(1)).over(w))
+      .localCheckpoint() // several consumers; storage-flat contract
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+    val e = reps.select(col(idCol), col(vecCol).as("__v"),
         l2Norm(col(vecCol)).as("__n"), col("cell"), col("centroid_sim"))
       .withColumn("__g", pmod(xxhash64(col(idCol)), lit(grid.toLong)))
     val ghost = explode(sequence(lit(0L), lit(grid - 1L)))
-    // each ORDERED pair (winner=a, loser=b) meets in exactly one grid cell:
-    // a owns gi=g(a) ghosted across gj, b owns gj=g(b) ghosted across gi
+    // each ORDERED rep pair (threat=a, target=b) meets in exactly one grid
+    // cell: a owns gi=g(a) ghosted across gj, b owns gj=g(b) ghosted
+    // across gi — both directions present, no rank filter here (a group
+    // ranked AFTER b's first member can still drop b's later members)
     val a = e.select(col(idCol).as("id_a"), col("__v").as("va"),
         col("__n").as("na"), col("cell"), col("centroid_sim").as("csim_a"),
         col("__g").as("gi"))
@@ -369,13 +387,25 @@ object Similarity {
         col("__n").as("nb"), col("cell"), col("centroid_sim").as("csim_b"),
         col("__g").as("gj"))
       .withColumn("gi", ghost)
-    val losers = a.join(b, Seq("cell", "gi", "gj"))
+    val crossThreats = a.join(b, Seq("cell", "gi", "gj"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(struct(col("csim_a"), col("id_a")) < struct(col("csim_b"), col("id_b")))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > tau)
-      .select(col("id_b").as(idCol))
-      .distinct()
-    assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col("id_b").as("__grp"),
+        struct(col("csim_a").as("s"), col("id_a").as("i")).as("__threat"))
+    // intra-group threat: the group's own first member, iff the group has
+    // >= 2 members and its self-cosine (same arithmetic the naive member
+    // pair evaluates) clears tau
+    val selfThreats = reps.filter(col("__gn") >= 2)
+      .withColumn("__n", l2Norm(col(vecCol)))
+      .filter(dot(col(vecCol), col(vecCol)) / (col("__n") * col("__n")) > tau)
+      .select(col(idCol).as("__grp"),
+        struct(col("centroid_sim").as("s"), col(idCol).as("i")).as("__threat"))
+    val theta = crossThreats.unionByName(selfThreats)
+      .groupBy(col("__grp")).agg(min(col("__threat")).as("__theta"))
+    tagged.join(theta, tagged("__rep") === theta("__grp"), "left")
+      .filter(col("__theta").isNull ||
+        !(col("__theta") < struct(col("centroid_sim").as("s"), col(idCol).as("i"))))
+      .drop("__grp", "__theta", "__rep", "__gn")
   }
 
   /** Per-label embedding centroids in long format (label, pos, c): the

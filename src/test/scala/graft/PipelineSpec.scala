@@ -1325,6 +1325,52 @@ class PipelineSpec extends SparkSpec {
     got.foreach { case (a, b, c) => assert(math.abs(c - wm((a, b))) < 1e-9) }
   }
 
+  test("semDedupPinned: duplicate-heavy corpus equals the uncollapsed greedy rule") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val cents = Array.fill(3)(Array.fill(6)(rnd.nextGaussian().toFloat))
+    // 15 distinct vectors: 5 fresh + 5 perturbed near-dups of them + 5
+    // noise, each replicated 3x with distinct ids — intra groups (cos=1),
+    // cross near-dup groups, and interleaved ranks all occur
+    val baseV = Array.fill(5)(Array.fill(6)(rnd.nextGaussian().toFloat))
+    val nearV = baseV.map(v => v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    val noise = Array.fill(5)(Array.fill(6)(rnd.nextGaussian().toFloat))
+    val all = baseV ++ nearV ++ noise
+    val rows = for (rep <- 0 until 3; i <- all.indices)
+      yield (rep * 100L + i, all(i))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semDedupPinned(vecs, "vec_id", "embedding", cents, tau = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // uncollapsed reference: the pre-collapse ordered-pair join verbatim
+    val naive = {
+      val simStructs = cents.zipWithIndex.map { case (cv, i) =>
+        struct(Similarity.cosine(col("embedding"), typedLit(cv.toSeq)).as("sim"),
+          lit(-i).as("negcell"))
+      }
+      val best = element_at(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1)
+      val assigned = vecs.withColumn("__bc", best)
+        .withColumn("cell", -col("__bc.negcell"))
+        .withColumn("centroid_sim", col("__bc.sim")).drop("__bc")
+      val e = assigned.select(col("vec_id"), col("embedding").as("__v"),
+        Similarity.l2Norm(col("embedding")).as("__n"), col("cell"), col("centroid_sim"))
+      val a = e.select(col("vec_id").as("id_a"), col("__v").as("va"), col("__n").as("na"),
+        col("cell"), col("centroid_sim").as("csim_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"),
+        col("cell"), col("centroid_sim").as("csim_b"))
+      val losers = a.join(b, Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(struct(col("csim_a"), col("id_a")) < struct(col("csim_b"), col("id_b")))
+        .filter(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.9)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned.join(losers, Seq("vec_id"), "left_anti")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == naive)
+    // sanity: dup groups keep exactly their first member, so the survivor
+    // count is well below the row count but every distinct direction survives
+    assert(got.size == naive.size && got.size < rows.size)
+  }
+
   test("lshNearDupPairs: full recall vs exact at a high threshold") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
