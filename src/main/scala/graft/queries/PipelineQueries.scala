@@ -93,12 +93,29 @@ object PipelineQueries {
     * `mkAgg(stream)` through a memory sink with one availableNow pass,
     * return the sink table. The staged copy is deleted after termination
     * — results live in the sink. */
+  /** Stage a parquet table (single file OR a directory of part files —
+    * scaled datasets are directories) into `stageDir`; returns the staged
+    * paths for cleanup. Files.copy on a directory copies only the EMPTY
+    * dir, which would silently feed the stream zero rows. */
+  private def stageParquet(tableFile: String,
+      stageDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val src = new java.io.File(tableFile)
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory)
+        src.listFiles().toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      else Seq(src)
+    parts.map { f =>
+      val dst = stageDir.resolve(f.getName)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst
+    }
+  }
+
   private def runAvailableNow(s: SparkSession, tableFile: String,
       prefix: String, outputMode: String)(mkAgg: DataFrame => DataFrame): DataFrame = {
     val schema = s.read.parquet(tableFile).schema
     val stageDir = java.nio.file.Files.createTempDirectory(prefix)
-    val staged = stageDir.resolve(new java.io.File(tableFile).getName)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(tableFile), staged)
+    val staged = stageParquet(tableFile, stageDir)
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful streaming allocates state stores per shuffle partition;
     // size the partition count to the state, not the batch default
@@ -113,7 +130,7 @@ object PipelineQueries {
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
     q.awaitTermination()
-    java.nio.file.Files.deleteIfExists(staged)
+    staged.foreach(java.nio.file.Files.deleteIfExists)
     java.nio.file.Files.deleteIfExists(stageDir)
     s.table(sink)
   }
@@ -127,11 +144,9 @@ object PipelineQueries {
     val schema = s.read.parquet(tableFile).schema
     val dirs = Seq("l", "r").map { side =>
       val d = java.nio.file.Files.createTempDirectory(prefix + side)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(tableFile),
-        d.resolve(new java.io.File(tableFile).getName))
-      d
+      (d, stageParquet(tableFile, d))
     }
-    val Seq(l, r) = dirs.map(d => s.readStream.schema(schema).parquet(d.toString))
+    val Seq(l, r) = dirs.map { case (d, _) => s.readStream.schema(schema).parquet(d.toString) }
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stream-stream joins allocate 4 state stores per shuffle partition
     // (left/right × keyToNumValues/keyWithIndexToValue); size the
@@ -148,8 +163,8 @@ object PipelineQueries {
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
     q.awaitTermination()
-    dirs.foreach { d =>
-      java.nio.file.Files.deleteIfExists(d.resolve(new java.io.File(tableFile).getName))
+    dirs.foreach { case (d, staged) =>
+      staged.foreach(java.nio.file.Files.deleteIfExists)
       java.nio.file.Files.deleteIfExists(d)
     }
     s.table(sink)
@@ -450,6 +465,29 @@ object PipelineQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_distinct_texts"))
         .orderBy(col("lang"))
+    }),
+
+    // Streaming LSH near-dup INGEST FILTER, gated: a REAL StreamingQuery
+    // (file source -> per-row minhash signatures -> banded bucket claims
+    // owned in flatMapGroupsWithState -> memory sink, one availableNow
+    // pass). Owner = min doc id per (band, bucket) is arrival-independent
+    // for a single pass, so the DuckDB oracle replays the ENTIRE pipeline:
+    // signatures, band keys, owners, per-doc candidate flags. Planted
+    // dups: every 10th doc shares one boilerplate text.
+    "q_stream_lsh" -> ((s, dir) => {
+      runAvailableNow(s, s"$dir/documents.parquet", "graft_stream_lsh", "append") {
+        stream =>
+          graft.streaming.StreamOps.streamingLshClaims(
+            stream.select(col("doc_id"),
+              when(col("doc_id") % 10 === 0, lit("shared boilerplate text"))
+                .otherwise(col("text")).as("text")),
+            "text", "doc_id").toDF
+      }
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bands"),
+          max(when(col("owner") =!= col("doc_id"), 1).otherwise(0))
+            .as("is_dup_candidate"))
+        .orderBy(col("doc_id"))
     }),
 
     // Streaming QUALITY GATE: the ingest-time face of the Gopher rules —
@@ -1766,6 +1804,35 @@ object PipelineQueries {
       """SELECT lang, count(DISTINCT CASE WHEN doc_id % 10 = 0
         |    THEN 'shared boilerplate text' ELSE text END) AS n_distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_stream_lsh" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN 'shared boilerplate text' ELSE text END AS text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |owners AS (
+        |  SELECT band, bucket, min(doc_id) AS owner
+        |  FROM bandkey GROUP BY band, bucket)
+        |SELECT b.doc_id, count(*) AS n_bands,
+        |  max(CASE WHEN o.owner <> b.doc_id THEN 1 ELSE 0 END) AS is_dup_candidate
+        |FROM bandkey b JOIN owners o ON o.band = b.band AND o.bucket = b.bucket
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "q_dsir" ->
       """WITH rawtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -160,4 +160,75 @@ object StreamOps {
         lPayload.map(c => col(s"l.$c")) ++
         rPayload.map(c => col(s"r.$c"))).toIndexedSeq: _*)
   }
+
+  case class LshClaim(doc_id: Long, band: Int, bucket: String, owner: Long)
+
+  /** Streaming MinHash-LSH near-dup INGEST FILTER — the streaming face of
+    * `Dedup.minhashLshCandidates`: every incoming doc's k-permutation
+    * signature is banded into `bands` bucket keys, and a per-(band,
+    * bucket) state store remembers the bucket's OWNER (the min doc id
+    * seen). A doc emitting at least one claim with `owner != doc_id`
+    * entered an already-claimed bucket: it is a near-dup CANDIDATE to
+    * route to verification/quarantine; a doc owning all its buckets is a
+    * first sighting. This is the ingest-time shape of LSH dedup — the
+    * corpus-wide band index lives in the state store (O(distinct buckets)
+    * entries holding one long each, RocksDB-able) instead of being
+    * re-joined per batch.
+    *
+    * Signature computation is per-ROW (array_min over a transform of the
+    * shingle set) — stateless and watermark-free, unlike the batch
+    * explode+groupBy formulation, so the only stateful operator is the
+    * bucket registry itself. The polynomial-fingerprint family matches
+    * the batch pipeline bit for bit (shared fp/pw parts per shingle, two
+    * multiplies per seed), so batch signatures, the SQL oracle and the
+    * stream agree on every bucket key.
+    *
+    * Owner determinism: within one micro-batch the owner is
+    * min(state, batch ids) — arrival-order independent; across batches
+    * earlier arrivals own their buckets (the production semantics: the
+    * corpus keeps what it saw first). Docs with fewer than `shingleN`
+    * tokens have no shingles and are passed through untouched by the
+    * caller (they cannot near-dup match — same rule as batch). */
+  def streamingLshClaims(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): Dataset[LshClaim] = {
+    import docs.sparkSession.implicits._
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val shingles = array_distinct(
+      graft.operators.TextOps.shingles(graft.operators.TextOps.tokens(col(textCol)), shingleN))
+    // fp/pw parts once per shingle; each of the k seeds is then two
+    // multiplies and a mod inside its array_min (HOF lambdas get no
+    // subexpression elimination — sharing must be explicit)
+    val parts = transform(col("__sh"), x => {
+      val p = graft.operators.TextOps.fingerprintParts(x).toMap
+      struct(p("fp").as("fp"), p("pw").as("pw"))
+    })
+    val sigCols = (0 until k).map { j =>
+      array_min(transform(col("__parts"), p =>
+        graft.operators.TextOps.prefixedFingerprintFromParts(s"$j:",
+          p.getField("fp"), p.getField("pw")))).as(s"m$j")
+    }
+    val bandCols = (0 until bands).map { b =>
+      val elems = (b * r until (b + 1) * r).map(j => col(s"m$j"))
+      struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bucket"))
+    }
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"), shingles.as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+      .withColumn("__parts", parts)
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .as[(Long, Int, String)]
+    banded
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, LshClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((band, bucket), rows, state) =>
+          val ids = rows.map(_._1).toSeq
+          val owner = (state.getOption.toSeq ++ ids).min
+          state.update(owner)
+          ids.sorted.iterator.map(id => LshClaim(id, band, bucket, owner))
+      }
+  }
 }

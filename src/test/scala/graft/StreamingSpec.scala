@@ -167,4 +167,44 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1L, 100L, 5.0)))
     } finally q.stop()
   }
+
+  test("streaming LSH claims: buckets equal the batch pipeline, owners persist across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),     // exact dup of 10
+      (12L, "one two three four five six seven"),
+      (13L, "totally different words in this line"),
+      (14L, "xy"))                                      // < 3 tokens: no shingles
+    val input = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLshClaims(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("lshclaims")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.take(3): _*) // 10, 11, 12 in batch 1
+      q.processAllAvailable()
+      input.addData((10L, corpus.head._2), corpus(3), corpus(4)) // re-arrival + new
+      q.processAllAvailable()
+      val claims = spark.table("lshclaims")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      // bucket keys must equal the batch banding of batch signatures
+      val batchBuckets = graft.operators.Dedup.minhashBandBuckets(
+        graft.operators.Dedup.minhashSignatures(
+          corpus.toDF("doc_id", "text"), "text", "doc_id", 16, 3,
+          family = graft.operators.Dedup.MinhashFamily.polynomial),
+        "doc_id", 16, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(claims.map(c => (c._1, c._2, c._3)).toSet == batchBuckets)
+      // doc 14 never claims (no shingles); dup doc 11 is flagged in all 4
+      // bands (owner 10); doc 10's re-arrival still owns its buckets
+      assert(!claims.exists(_._1 == 14L))
+      assert(claims.filter(_._1 == 11L).forall(_._4 == 10L))
+      val rearrival = claims.filter(c => c._1 == 10L)
+      assert(rearrival.size == 8 && rearrival.forall(_._4 == 10L)) // 4 bands x 2 arrivals
+      // unique docs own all their buckets
+      assert(claims.filter(_._1 == 13L).forall(_._4 == 13L))
+    } finally q.stop()
+  }
 }
