@@ -67,7 +67,9 @@ object SparkEntry {
         .filter(pred) // typed overload: builder type rules run at bind
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
         .toDF
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // order by every output column so tie order can't flip the hash
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
     }),
 
     // §2.4 LQuery map/each: arithmetic, ternary, calendar fields, int div/mod
@@ -86,7 +88,9 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("ship_year"),
           col("ship_month"), col("ship_day"), col("half_line"), col("line_mod"), col("big_qty"))
         .toDF
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order over all output columns (duplicate (okey, lineno) keys)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"),
+          col("ship_year"), col("ship_month"), col("ship_day"), col("big_qty"))
     }),
 
     // §2.6 multi-key stable sort (order surfaced as explicit rank column)
@@ -164,7 +168,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem
         |WHERE l_quantity < 14.0 AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
 
     "q_map" ->
       """SELECT l_orderkey, l_linenumber,
@@ -176,7 +180,8 @@ object SparkEntry {
         |  l_linenumber % 2 AS line_mod,
         |  CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END AS big_qty
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue, ship_year, ship_month,
+        |  ship_day, big_qty""".stripMargin,
 
     "q_sort" ->
       """SELECT row_number() OVER (ORDER BY o_orderpriority ASC NULLS FIRST,

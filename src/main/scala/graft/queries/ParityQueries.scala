@@ -315,7 +315,7 @@ object ParityQueries {
           Seq("l_quantity" -> "zscore", "l_extendedprice" -> "minmax"))
         .select(col("ord"), round(col("l_quantity_scaled"), 4).as("q_scaled"),
           round(col("l_extendedprice_scaled"), 6).as("p_scaled"))
-        .orderBy(col("ord"))
+        .orderBy(col("ord"), col("q_scaled"), col("p_scaled"))
     }),
 
     // Measured-salt join: every 3rd order is funneled onto customer 1
@@ -392,7 +392,7 @@ object ParityQueries {
         .filter(graft.expr.LQueryJson.parsePredicate(li, json).toFilter)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
         .toDF
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
     }),
 
     // beyond-reference: ranking window functions over partitions
@@ -689,7 +689,7 @@ object ParityQueries {
         |SELECT l_orderkey * 10 + l_linenumber AS ord,
         |  round((l_quantity - m) / sd, 4) AS q_scaled,
         |  round((l_extendedprice - mn) / (mx - mn), 6) AS p_scaled
-        |FROM lineitem, s ORDER BY ord""".stripMargin,
+        |FROM lineitem, s ORDER BY ord, q_scaled, p_scaled""".stripMargin,
 
     "q_salted" ->
       """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
@@ -887,7 +887,7 @@ object ParityQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem
         |WHERE l_quantity < 14.0 AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice,

@@ -39,7 +39,10 @@ object SurfaceQueries {
         .dropNaAt("discount_n")
         .select(col("l_orderkey"), col("l_linenumber"), col("discount_n"), col("tax_n"))
         .toDF
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order: (okey, lineno) is not unique in the synthetic data;
+        // tax_n is nullable -> pin nulls last to match DuckDB's ASC default
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("discount_n"),
+          col("tax_n").asc_nulls_last)
     }),
 
     // §2.8 fillNaAt: fill one column, leave the other's nulls alone
@@ -50,7 +53,8 @@ object SurfaceQueries {
         .fillNaAt("discount_n", 9.99)
         .select(col("l_orderkey"), col("l_linenumber"), col("discount_n"), col("tax_n"))
         .toDF
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("discount_n"),
+          col("tax_n").asc_nulls_last)
     }),
 
     // §2.2 column surgery: insert at position, drop by position, rename
@@ -307,14 +311,14 @@ object SurfaceQueries {
         |    CASE WHEN l_linenumber <> 1 THEN l_tax END AS tax_n
         |  FROM lineitem)
         |SELECT * FROM li WHERE discount_n IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, discount_n, tax_n""".stripMargin,
 
     "q_fillna_at" ->
       """SELECT l_orderkey, l_linenumber,
         |  coalesce(CASE WHEN l_quantity >= 10 THEN l_discount END, 9.99) AS discount_n,
         |  CASE WHEN l_linenumber <> 1 THEN l_tax END AS tax_n
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, discount_n, tax_n""".stripMargin,
 
     "q_column_surgery" ->
       """SELECT n_nationkey, n_nationkey * 2 AS key2, n_name AS name
