@@ -29,6 +29,9 @@ for r, a, b, k in rows:
     if mark:
         flagged += 1
     print(f"{r:7.2f} {a:8.2f} {b:8.2f}  {k}{mark}")
-ts, tb = sum(qs.values()), sum(qb[k] for k in qs if k in qb)
+# totals over the INTERSECTION of query keys on both sides — summing all
+# small-run queries against a subset big run would bias the ratio low
+ts = sum(qs[k] for k in qs if k in qb)
+tb = sum(qb[k] for k in qs if k in qb)
 print(f"\ntotals: small={ts:.1f}s big={tb:.1f}s ratio={tb/ts:.2f} "
       f"(data factor {factor:g}); {flagged} flagged")

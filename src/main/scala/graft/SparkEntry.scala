@@ -125,11 +125,17 @@ object SparkEntry {
     }),
 
     // §2.5 native-Spark extension: 3-way join + agg (TPC-H Q3 shape);
-    // nation/customer sides are broadcast-able dims at any scale
+    // customer is a broadcast-able dim at any scale; the fact-to-fact
+    // lineitem⋈orders leg reads the session's bucketed layout
+    // (BucketedTables: both sides bucketed+sorted on the order key), so
+    // the join AND the (l_orderkey, o_orderdate) aggregation reuse the
+    // bucket partitioning — ZERO shuffle exchanges in the whole plan
+    // (asserted in PlanShapeSpec). At 100 TB this is the nightly
+    // fact-join shape bucketing exists for.
     "q_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
+      val ord = graft.queries.BucketedTables.ordersByOrderkey(s, dir)
+      val li = graft.queries.BucketedTables.lineitemByOrderkey(s, dir)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))

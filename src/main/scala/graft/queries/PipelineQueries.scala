@@ -101,9 +101,18 @@ object PipelineQueries {
       stageDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val src = new java.io.File(tableFile)
     val parts: Seq[java.io.File] =
-      if (src.isDirectory)
-        src.listFiles().toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      else Seq(src)
+      if (src.isDirectory) {
+        val entries = src.listFiles().toSeq
+        // fail LOUDLY on nested layouts (Hive-partitioned dirs): copying
+        // only the top level would silently stream a subset of rows — the
+        // exact silent-wrong-answer this staging exists to prevent
+        val subdirs = entries.filter(_.isDirectory)
+        require(subdirs.isEmpty,
+          s"stageParquet: $tableFile contains subdirectories " +
+            s"(${subdirs.take(3).map(_.getName).mkString(", ")}…) — " +
+            "partitioned layouts are not stageable as a flat file stream")
+        entries.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      } else Seq(src)
     parts.map { f =>
       val dst = stageDir.resolve(f.getName)
       java.nio.file.Files.copy(f.toPath, dst)
@@ -123,13 +132,23 @@ object PipelineQueries {
     val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
-      mkAgg(s.readStream.schema(schema).parquet(stageDir.toString))
+      // pin maxFilesPerTrigger explicitly: stateful owner semantics
+      // (min-of-batch in the LSH registry) are oracle-replayable only
+      // when the whole staged input lands in ONE data micro-batch — a
+      // global maxFilesPerTrigger or >1000 staged parts (AvailableNow's
+      // default chunk) would silently split it
+      mkAgg(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1000000).parquet(stageDir.toString))
         .writeStream.format("memory").queryName(sink)
         .outputMode(outputMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
     q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"runAvailableNow: staged input split across $dataBatches micro-batches " +
+        "— single-batch owner determinism violated")
     staged.foreach(java.nio.file.Files.deleteIfExists)
     java.nio.file.Files.deleteIfExists(stageDir)
     s.table(sink)
@@ -146,7 +165,10 @@ object PipelineQueries {
       val d = java.nio.file.Files.createTempDirectory(prefix + side)
       (d, stageParquet(tableFile, d))
     }
-    val Seq(l, r) = dirs.map { case (d, _) => s.readStream.schema(schema).parquet(d.toString) }
+    val Seq(l, r) = dirs.map { case (d, _) =>
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1000000).parquet(d.toString)
+    }
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stream-stream joins allocate 4 state stores per shuffle partition
     // (left/right × keyToNumValues/keyWithIndexToValue); size the
@@ -488,6 +510,33 @@ object PipelineQueries {
           max(when(col("owner") =!= col("doc_id"), 1).otherwise(0))
             .as("is_dup_candidate"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming LSH with the VERIFY stage closed in-stream, gated: a REAL
+    // StreamingQuery where the bucket registry keeps the owner's full
+    // signature and emits only CONFIRMED near-dups (est-Jaccard >= 0.5 vs
+    // the bucket owner). Two planted dup families: docs %10==0 share text
+    // A (intra-pairs est 1.0), %10==5 share text B = A + one extra token
+    // (intra est 1.0; any A~B band collision yields a partial-est cross
+    // pair). The DuckDB oracle replays the whole pipeline: signatures,
+    // band keys, owners, owner-anchored pairs, signature-compare filter.
+    "q_stream_lsh_verify" -> ((s, dir) => {
+      val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      runAvailableNow(s, s"$dir/documents.parquet", "graft_stream_lshv", "append") {
+        stream =>
+          graft.streaming.StreamOps.streamingLshVerified(
+            stream.select(col("doc_id"),
+              when(col("doc_id") % 10 === 0, lit(textA))
+                .when(col("doc_id") % 10 === 5, lit(textA + " extra"))
+                .otherwise(col("text")).as("text")),
+            "text", "doc_id", threshold = 0.5).toDF
+      }
+        // est is a whole-signature compare — identical from every band;
+        // n_bands = how many bands confirmed the pair
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("est_jaccard")).as("est_jaccard"),
+          count(lit(1)).as("n_bands"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Streaming QUALITY GATE: the ingest-time face of the Gopher rules —
@@ -1833,6 +1882,50 @@ object PipelineQueries {
         |  max(CASE WHEN o.owner <> b.doc_id THEN 1 ELSE 0 END) AS is_dup_candidate
         |FROM bandkey b JOIN owners o ON o.band = b.band AND o.bucket = b.bucket
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_stream_lsh_verify" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 10 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        |    WHEN doc_id % 10 = 5 THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa extra'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j),
+        |bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |owners AS (
+        |  SELECT band, bucket, min(doc_id) AS owner
+        |  FROM bandkey GROUP BY band, bucket),
+        |claims AS (
+        |  SELECT o.owner AS id_a, b.doc_id AS id_b, b.band
+        |  FROM bandkey b JOIN owners o ON o.band = b.band AND o.bucket = b.bucket
+        |  WHERE o.owner <> b.doc_id),
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM claims),
+        |est AS (
+        |  SELECT p.id_a, p.id_b,
+        |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT c.id_a, c.id_b, e.est_jaccard, count(*) AS n_bands
+        |FROM claims c JOIN est e ON e.id_a = c.id_a AND e.id_b = c.id_b
+        |WHERE e.est_jaccard >= 0.5
+        |GROUP BY c.id_a, c.id_b, e.est_jaccard
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     "q_dsir" ->
       """WITH rawtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -260,15 +260,13 @@ object SurfaceQueries {
     // (spec-asserted); the oracle replays the plain join — results are
     // layout-independent by construction
     "q_bucket_join" -> ((s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      graft.operators.Layout.writeBucketed(
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        "graft_b_orders", Seq("o_custkey"), 8, Some(s"$tmp/graft_b_orders"))
-      graft.operators.Layout.writeBucketed(
-        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "graft_b_customer", Seq("c_custkey"), 8, Some(s"$tmp/graft_b_customer"))
-      val bo = s.table("graft_b_orders")
-      val bc = s.table("graft_b_customer")
+      // session-staged bucketed layout (UUID-named catalog tables — see
+      // BucketedTables): the bucket shuffle was paid once at staging; this
+      // join plans exchange-free and sort-free on both sides
+      val bo = BucketedTables.ordersByCustkey(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val bc = BucketedTables.customerByCustkey(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
       bo.join(bc, bo("o_custkey") === bc("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),

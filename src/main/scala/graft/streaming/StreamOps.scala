@@ -161,6 +161,21 @@ object StreamOps {
         rPayload.map(c => col(s"r.$c"))).toIndexedSeq: _*)
   }
 
+  /** Route streaming state through the RocksDB state store provider —
+    * the 100 TB state backend: state lives off-heap/on-disk per executor
+    * with incremental checkpointing, instead of the default in-memory
+    * HDFSBackedStateStore (whose state must fit the executor heap). Set
+    * BEFORE the first `start()`; the provider is pinned per checkpoint.
+    * Changelog checkpointing keeps commit cost proportional to the
+    * per-batch delta, not the full store — the right default for the
+    * large, slowly-growing stores here (LSH bucket registry). */
+  def useRocksDBStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   case class LshClaim(doc_id: Long, band: Int, bucket: String, owner: Long)
 
   /** Streaming MinHash-LSH near-dup INGEST FILTER — the streaming face of
@@ -190,8 +205,110 @@ object StreamOps {
     * tokens have no shingles and are passed through untouched by the
     * caller (they cannot near-dup match — same rule as batch). */
   def streamingLshClaims(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 3): Dataset[LshClaim] = {
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      stateTtl: Option[String] = None): Dataset[LshClaim] = {
     import docs.sparkSession.implicits._
+    val banded = bandedSignatures(docs, textCol, idCol, k, bands, shingleN)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .as[(Long, Int, String)]
+    banded
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, LshClaim](
+        OutputMode.Append(), timeoutFor(stateTtl)) {
+        case ((band, bucket), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = rows.map(_._1).toSeq
+            val owner = (state.getOption.toSeq ++ ids).min
+            state.update(owner)
+            stateTtl.foreach(state.setTimeoutDuration)
+            ids.sorted.iterator.map(id => LshClaim(id, band, bucket, owner))
+          }
+      }
+  }
+
+  case class BucketOwner(owner: Long, sig: Array[Long])
+  case class LshVerified(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  /** Streaming LSH with the VERIFY stage closed in-stream — the full
+    * near-dup loop of batch [[graft.operators.Dedup.minhashNearDups]] at
+    * ingest time: the bucket registry keeps each (band, bucket)'s owner
+    * AND the owner's full k-value signature, so a doc landing in an
+    * already-claimed bucket is signature-compared against the owner right
+    * there (est-Jaccard = matching minhash fraction, the same estimator
+    * batch verification applies to its LSH candidates) and only CONFIRMED
+    * near-dups (est ≥ `threshold`) are emitted — claims that don't
+    * verify (distinct texts that happened to collide on one band) are
+    * dropped in-stream instead of being routed to a batch compare.
+    *
+    * Output: one (id_a = owner, id_b = doc, band, est_jaccard) row per
+    * confirming band; consumers dedupe on (id_a, id_b) (est is a
+    * whole-signature compare, identical from every band). Relative to the
+    * batch miner this emits the owner-anchored SUBSET of verified pairs —
+    * each doc verifies against its buckets' first sighting, not against
+    * every co-bucketed doc (state stays O(distinct buckets), not
+    * O(bucket occupancy)); transitive closure downstream reconstructs
+    * the clusters exactly as it does for the batch pair set.
+    *
+    * State: owner id + k longs per distinct bucket — RocksDB-able (see
+    * [[useRocksDBStateStore]]); `stateTtl` (e.g. "30 days") arms a
+    * processing-time timeout that EVICTS buckets idle longer than the
+    * TTL (the dedup horizon: a re-arrival after eviction becomes a fresh
+    * first sighting — the standard bounded-state trade for an unbounded
+    * corpus). Default None = whole-corpus dedup, state grows with
+    * distinct content. */
+  def streamingLshVerified(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      stateTtl: Option[String] = None): Dataset[LshVerified] = {
+    import docs.sparkSession.implicits._
+    val banded = bandedSignatures(docs, textCol, idCol, k, bands, shingleN)
+      .as[(Long, Int, String, Array[Long])]
+    banded
+      .groupByKey { case (_, band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState[BucketOwner, LshVerified](
+        OutputMode.Append(), timeoutFor(stateTtl)) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // min over state + batch: arrival-order independent within a
+            // micro-batch; across batches the earlier arrival keeps the
+            // bucket (the production semantics — first sighting owns)
+            val batch = rows.map { case (id, _, _, sig) => (id, sig) }.toSeq
+            val (owner, ownerSig) =
+              (state.getOption.map(s => (s.owner, s.sig)).toSeq ++ batch).minBy(_._1)
+            state.update(BucketOwner(owner, ownerSig))
+            stateTtl.foreach(state.setTimeoutDuration)
+            batch.sortBy(_._1).iterator.filter(_._1 != owner).flatMap {
+              case (id, sig) =>
+                var m = 0
+                var j = 0
+                while (j < k) { if (sig(j) == ownerSig(j)) m += 1; j += 1 }
+                val est = m.toDouble / k
+                if (est >= threshold) Some(LshVerified(owner, id, band, est))
+                else None
+            }
+          }
+      }
+  }
+
+  private def timeoutFor(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Per-row banded minhash signatures for the streaming LSH family:
+    * (doc_id, band, bucket, sig) — one row per (doc, band), the full
+    * k-value signature carried alongside so the verify stage can compare
+    * without a second pass. Stateless and watermark-free: signature
+    * computation is array_min over a transform of the doc's own shingle
+    * set, so the only stateful operator downstream is the bucket
+    * registry. The polynomial-fingerprint family matches the batch
+    * pipeline bit for bit (shared fp/pw parts per shingle, two multiplies
+    * per seed), so batch signatures, the SQL oracle and the stream agree
+    * on every bucket key. Docs with fewer than `shingleN` tokens have no
+    * shingles and drop out (they cannot near-dup match — same rule as
+    * batch). */
+  private def bandedSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int, shingleN: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val shingles = array_distinct(
@@ -212,23 +329,14 @@ object StreamOps {
       val elems = (b * r until (b + 1) * r).map(j => col(s"m$j"))
       struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bucket"))
     }
-    val banded = docs
+    docs
       .select(col(idCol).cast("long").as("doc_id"), shingles.as("__sh"))
       .filter(size(col("__sh")) >= 1)
       .withColumn("__parts", parts)
       .select(col("doc_id") +: sigCols: _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .as[(Long, Int, String)]
-    banded
-      .groupByKey { case (_, band, bucket) => (band, bucket) }
-      .flatMapGroupsWithState[Long, LshClaim](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case ((band, bucket), rows, state) =>
-          val ids = rows.map(_._1).toSeq
-          val owner = (state.getOption.toSeq ++ ids).min
-          state.update(owner)
-          ids.sorted.iterator.map(id => LshClaim(id, band, bucket, owner))
-      }
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("sig"))
   }
 }

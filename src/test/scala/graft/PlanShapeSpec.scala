@@ -218,7 +218,9 @@ class PlanShapeSpec extends SparkSpec {
     // partition-count independent; broadcast/reused exchanges excluded.)
     val ceilings = Map(
       "q1_agg" -> 2,        // partial+final agg exchange, oracle orderBy
-      "q_join" -> 1,        // dims broadcast; one agg exchange + top-k
+      "q_join" -> 0,        // bucketed lineitem⋈orders: join AND agg reuse
+                            // the bucket partitioning; top-k shuffles nothing
+      "q_bucket_join" -> 2, // join exchange-free; agg re-keys on mktsegment
       "q_sort" -> 1,        // one range partition
       "q_topk" -> 0,        // TakeOrderedAndProject only
       "q_scale" -> 1,       // fused stats scan + oracle orderBy
@@ -235,6 +237,15 @@ class PlanShapeSpec extends SparkSpec {
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
     }
     assert(over.isEmpty, s"shuffle ceilings exceeded: ${over.mkString("; ")}")
+  }
+
+  test("q_join fact-to-fact leg is fully exchange-free on the session bucketed layout") {
+    // the repeated-join payoff bucketing exists for: lineitem⋈orders and
+    // the (l_orderkey, o_orderdate) aggregation both reuse the bucket
+    // partitioning staged once per session — the WHOLE plan has zero
+    // shuffle exchanges (broadcast exchanges excluded by the regex)
+    val p = planText("q_join")
+    assert(shuffleCount(p) == 0, s"q_join planned a shuffle exchange:\n$p")
   }
 
   test("gate contract: every graded query has an oracle (except declared rows-only)") {

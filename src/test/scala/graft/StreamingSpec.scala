@@ -207,4 +207,124 @@ class StreamingSpec extends SparkSpec {
       assert(claims.filter(_._1 == 13L).forall(_._4 == 13L))
     } finally q.stop()
   }
+
+  test("streaming LSH verify: confirmed pairs equal the owner-anchored batch-verified set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),         // exact dup of 10
+      (12L, "alpha beta gamma delta epsilon zeta eta theta extra"),   // near dup of 10
+      (13L, "one two three four five six seven eight"),
+      (14L, "totally different words in this line here now"),
+      (15L, "xy"))                                                    // no shingles
+    val input = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLshVerified(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("lshverify")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      val got = spark.table("lshverify")
+        .select("id_a", "id_b", "est_jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // independent replay from the BATCH primitives: owner-anchored
+      // claims (owner = bucket min) filtered by the same est-Jaccard
+      val sigs = graft.operators.Dedup.minhashSignatures(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", 16, 3,
+        family = graft.operators.Dedup.MinhashFamily.polynomial)
+      val sigMap = sigs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val buckets = graft.operators.Dedup.minhashBandBuckets(sigs, "doc_id", 16, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      val owners = buckets.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.map(_._1).min }
+      val expect = buckets.flatMap { case (id, band, bucket) =>
+        val owner = owners((band, bucket))
+        if (owner == id) None
+        else {
+          val est = sigMap(id).zip(sigMap(owner)).count { case (a, b) => a == b } / 16.0
+          if (est >= 0.5) Some((owner, id, est)) else None
+        }
+      }.toSet
+      assert(got == expect, s"got $got expect $expect")
+      assert(got.contains((10L, 11L, 1.0)), "exact dup must confirm at est 1.0")
+      assert(got.exists(p => p._1 == 10L && p._2 == 12L), "near dup must confirm")
+      assert(!got.exists(p => p._1 == 15L || p._2 == 15L))
+      // every streaming-confirmed pair is a batch-verified pair (same
+      // estimator, same threshold): the in-stream verify closes the loop
+      // the batch miner closes offline
+      val batchPairs = graft.operators.Dedup.minhashNearDups(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", 0.5,
+        family = graft.operators.Dedup.MinhashFamily.polynomial)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.subsetOf(batchPairs),
+        s"streaming pairs not verified by batch: ${got -- batchPairs}")
+    } finally q.stop()
+  }
+
+  test("streaming LSH verify on the RocksDB state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamOps.useRocksDBStateStore(spark)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLshVerified(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5,
+      stateTtl = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("lshrocks")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      input.addData((20L, "alpha beta gamma delta epsilon zeta")) // later batch
+      q.processAllAvailable()
+      // owner's signature survived in RocksDB state across batches
+      val rows = spark.table("lshrocks")
+        .select("id_a", "id_b", "est_jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((10L, 20L, 1.0)))
+      // and the state operator really ran on RocksDB
+      import scala.jdk.CollectionConverters._
+      val metrics = q.lastProgress.stateOperators.flatMap(_.customMetrics.keySet().asScala)
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator not RocksDB-backed: ${metrics.mkString(", ")}")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stateTtl evicts idle buckets: re-arrival after the horizon is a fresh first sighting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLshVerified(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5,
+      stateTtl = Some("1 millisecond"))
+    val q = out.writeStream.format("memory").queryName("lshttl")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, textA)) // batch 1: doc 10 owns its buckets
+      q.processAllAvailable()
+      Thread.sleep(200) // let the 1 ms TTL expire in processing time
+      // batch 2 carries only unrelated content: doc 10's idle buckets get
+      // their timeout callback and are EVICTED
+      input.addData((99L, "unrelated words that share no shingles at all"))
+      q.processAllAvailable()
+      // batch 3: the same text re-arrives — with the owner evicted it is
+      // a fresh first sighting, NOT a near-dup of doc 10
+      input.addData((20L, textA))
+      q.processAllAvailable()
+      val pairs = spark.table("lshttl").select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!pairs.contains((10L, 20L)),
+        s"evicted owner still matched: ${pairs.mkString(", ")}")
+    } finally q.stop()
+  }
 }
