@@ -22,9 +22,12 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
     // stage the session's bucketed join tables OUTSIDE the timed region —
-    // the one-time layout cost production pays at ingest, not per query
-    try graft.queries.BucketedTables.ensure(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] bucket staging failed: $e") }
+    // the one-time layout cost production pays at ingest, not per query.
+    // On failure the flag rides the JSON result line: q_join/q_bucket_join
+    // would then pay the staging shuffle INSIDE their timed region, and
+    // cross-round comparisons must see that, not argue with the number.
+    val stagingFailed = try { graft.queries.BucketedTables.ensure(spark, sfDir); false }
+    catch { case e: Throwable => System.err.println(s"[bench] bucket staging failed: $e"); true }
     // Optional comma-separated subset (exact names) for targeted scale runs,
     // e.g. SPARK_GRAFT_QUERIES=q1_agg,q_join,q_minhash on the sf10 corpus.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -32,10 +35,14 @@ object Bench {
     // --medianOf N (or SPARK_GRAFT_MEDIAN_OF=N): run each query N times and
     // report the per-query MEDIAN — the noise discipline for cross-round
     // comparisons (single runs see 3-5x GC/co-tenant spikes that vanish on
-    // re-run). Default 1 keeps the full-suite batch cheap.
+    // re-run). Default 3 so recorded artifacts carry the discipline;
+    // override to 1 for quick local sweeps.
+    def parseN(src: String, n: String): Int = n.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"$src must be an integer, got '$n'"))
     val medianOf = math.max(1, args.sliding(2).collectFirst {
-      case Array("--medianOf", n) => n.toInt
-    }.orElse(sys.env.get("SPARK_GRAFT_MEDIAN_OF").map(_.toInt)).getOrElse(1))
+      case Array("--medianOf", n) => parseN("--medianOf", n)
+    }.orElse(sys.env.get("SPARK_GRAFT_MEDIAN_OF").map(parseN("SPARK_GRAFT_MEDIAN_OF", _)))
+      .getOrElse(3))
 
     def sweep(): Unit = {
       // Between runs (OUTSIDE the timed region): drop every cached /
@@ -83,7 +90,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$medianOf}""")
+    val marker = if (stagingFailed) ""","bucket_staging_failed":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$medianOf$marker}""")
     spark.stop()
   }
 }

@@ -131,26 +131,31 @@ object PipelineQueries {
     // (pinned at query start — state layout is fixed per checkpoint).
     val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      // pin maxFilesPerTrigger explicitly: stateful owner semantics
-      // (min-of-batch in the LSH registry) are oracle-replayable only
-      // when the whole staged input lands in ONE data micro-batch — a
-      // global maxFilesPerTrigger or >1000 staged parts (AvailableNow's
-      // default chunk) would silently split it
-      mkAgg(s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1000000).parquet(stageDir.toString))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(outputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches <= 1,
-      s"runAvailableNow: staged input split across $dataBatches micro-batches " +
-        "— single-batch owner determinism violated")
-    staged.foreach(java.nio.file.Files.deleteIfExists)
-    java.nio.file.Files.deleteIfExists(stageDir)
+    // staged copies are cleaned in finally: a query failure (or the
+    // single-batch require below) must not leak them
+    try {
+      val q = try {
+        // pin maxFilesPerTrigger explicitly: stateful owner semantics
+        // (min-of-batch in the LSH registry) are oracle-replayable only
+        // when the whole staged input lands in ONE data micro-batch — a
+        // global maxFilesPerTrigger or >1000 staged parts (AvailableNow's
+        // default chunk) would silently split it
+        mkAgg(s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000000).parquet(stageDir.toString))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(outputMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"runAvailableNow: staged input split across $dataBatches micro-batches " +
+          "— single-batch owner determinism violated")
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists)
+      java.nio.file.Files.deleteIfExists(stageDir)
+    }
     s.table(sink)
   }
 
@@ -177,15 +182,16 @@ object PipelineQueries {
     // for the life of the checkpoint, so it must be set before start()).
     val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      mkJoin(l, r)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(outputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
-    q.awaitTermination()
-    dirs.foreach { case (d, staged) =>
+    try {
+      val q = try {
+        mkJoin(l, r)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(outputMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      q.awaitTermination()
+    } finally dirs.foreach { case (d, staged) =>
       staged.foreach(java.nio.file.Files.deleteIfExists)
       java.nio.file.Files.deleteIfExists(d)
     }

@@ -198,10 +198,12 @@ object StreamOps {
     * multiplies per seed), so batch signatures, the SQL oracle and the
     * stream agree on every bucket key.
     *
-    * Owner determinism: within one micro-batch the owner is
-    * min(state, batch ids) — arrival-order independent; across batches
-    * earlier arrivals own their buckets (the production semantics: the
-    * corpus keeps what it saw first). Docs with fewer than `shingleN`
+    * Owner determinism: FIRST SIGHTING owns. A bucket with standing
+    * state keeps its stored owner no matter what ids later batches carry
+    * (a later-arriving SMALLER doc_id does not steal the bucket — it is
+    * claimed against the standing owner like any other arrival); only an
+    * empty bucket takes the batch min, which makes the within-batch
+    * result arrival-order independent. Docs with fewer than `shingleN`
     * tokens have no shingles and are passed through untouched by the
     * caller (they cannot near-dup match — same rule as batch). */
   def streamingLshClaims(docs: DataFrame, textCol: String, idCol: String,
@@ -219,7 +221,9 @@ object StreamOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val ids = rows.map(_._1).toSeq
-            val owner = (state.getOption.toSeq ++ ids).min
+            // first sighting owns: standing state is authoritative; only
+            // an empty bucket takes the batch min (order-independent)
+            val owner = state.getOption.getOrElse(ids.min)
             state.update(owner)
             stateTtl.foreach(state.setTimeoutDuration)
             ids.sorted.iterator.map(id => LshClaim(id, band, bucket, owner))
@@ -256,7 +260,16 @@ object StreamOps {
     * TTL (the dedup horizon: a re-arrival after eviction becomes a fresh
     * first sighting — the standard bounded-state trade for an unbounded
     * corpus). Default None = whole-corpus dedup, state grows with
-    * distinct content. */
+    * distinct content.
+    *
+    * Trigger note: under ProcessingTimeTimeout Spark schedules a batch on
+    * EVERY trigger even with no new data (timeout processing must run:
+    * `shouldRunAnotherBatch` is unconditionally true), so a TTL'd stream
+    * on the default as-fast-as-possible trigger hot-spins empty
+    * micro-batches, each paying a full state-store commit. Always give
+    * TTL streams an explicit `Trigger.ProcessingTime(...)`; and never
+    * wait on `processAllAvailable()` for one — it can never return
+    * (there is always another batch due). */
   def streamingLshVerified(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       stateTtl: Option[String] = None): Dataset[LshVerified] = {
@@ -270,12 +283,15 @@ object StreamOps {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // min over state + batch: arrival-order independent within a
-            // micro-batch; across batches the earlier arrival keeps the
-            // bucket (the production semantics — first sighting owns)
+            // FIRST SIGHTING OWNS: standing state keeps the bucket (a
+            // later batch carrying a smaller doc_id must NOT steal it —
+            // the displaced owner would never be signature-compared and
+            // the (new, old) pair silently dropped); an empty bucket
+            // takes the batch min, so within one micro-batch the owner
+            // is arrival-order independent
             val batch = rows.map { case (id, _, _, sig) => (id, sig) }.toSeq
-            val (owner, ownerSig) =
-              (state.getOption.map(s => (s.owner, s.sig)).toSeq ++ batch).minBy(_._1)
+            val (owner, ownerSig) = state.getOption
+              .map(s => (s.owner, s.sig)).getOrElse(batch.minBy(_._1))
             state.update(BucketOwner(owner, ownerSig))
             stateTtl.foreach(state.setTimeoutDuration)
             batch.sortBy(_._1).iterator.filter(_._1 != owner).flatMap {

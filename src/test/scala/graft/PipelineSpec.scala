@@ -1446,6 +1446,45 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("n_bytes"))) // null payload -> nulls
   }
 
+  test("real imageio decode: measured dimensions and channel means from fixture bytes") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // fixtures rendered in-test through the JDK encoder: an 8x4 pure-red
+    // PNG and a 5x3 mid-gray JPEG — real compressed image bytes
+    def encode(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode(8, 4, 0xFF0000, "png")
+    val jpg = encode(5, 3, 0x808080, "jpg")
+    val df = Seq(
+      (1L, png),
+      (2L, jpg),
+      (3L, "not an image at all".getBytes("UTF-8")), // undecodable
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.withFeatures(df, "payload",
+      decoder = Multimodal.decodeImageIO).orderBy("id").collect()
+    val fi = out(0).fieldIndex("features")
+    // PNG is lossless: exact dimensions AND exact pixels back
+    val f0 = out(0).getSeq[Float](fi)
+    assert(out(0).getAs[String]("format") == "png")
+    assert(f0(0) == 8f && f0(1) == 4f, s"png dims ${f0.take(2)}")
+    assert(f0(2) == 1f && f0(3) == 0f && f0(4) == 0f, s"png means ${f0.drop(2)}")
+    // JPEG is lossy: exact dimensions, channel means within codec error
+    val f1 = out(1).getSeq[Float](fi)
+    assert(out(1).getAs[String]("format") == "jpeg")
+    assert(f1(0) == 5f && f1(1) == 3f, s"jpeg dims ${f1.take(2)}")
+    for (c <- 2 to 4) assert(math.abs(f1(c) - 128f / 255f) < 0.02, s"jpeg mean ch$c = ${f1(c)}")
+    // undecodable payload: sniffed format survives, features NULL (audit
+    // row, never a silent fake); null payload stays all-null
+    assert(out(2).getAs[String]("format") == "unknown" && out(2).isNullAt(fi))
+    assert(out(3).isNullAt(out(3).fieldIndex("n_bytes")))
+  }
+
   test("frame sampler slices byte payloads before decode") {
     import spark.implicits._
     val df = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("id", "payload")

@@ -264,6 +264,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Deadline-poll for TTL'd streams: under ProcessingTimeTimeout Spark
+    * schedules a batch on EVERY trigger (`shouldRunAnotherBatch` is
+    * unconditionally true — timeout processing must run), so `noNewData`
+    * is never set and `processAllAvailable()` NEVER returns (livelock,
+    * not slowness). Poll the observable instead, and fail fast on a
+    * deadline so the suite terminates either way. */
+  private def pollUntil(what: String, deadlineMs: Long = 90000L)(cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < end) { Thread.sleep(50); ok = cond }
+    assert(ok, s"deadline ${deadlineMs} ms expired waiting for: $what")
+  }
+
+  private def stateRowsTotal(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val p = q.lastProgress
+    if (p == null || p.stateOperators.isEmpty) -1L else p.stateOperators.map(_.numRowsTotal).sum
+  }
+
   test("streaming LSH verify on the RocksDB state store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -273,13 +291,18 @@ class StreamingSpec extends SparkSpec {
     val out = StreamOps.streamingLshVerified(
       input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5,
       stateTtl = Some("1 hour"))
+    // TTL arms ProcessingTimeTimeout: explicit trigger (no hot-spin) and
+    // deadline-polling (processAllAvailable can never return) — see pollUntil
     val q = out.writeStream.format("memory").queryName("lshrocks")
-      .outputMode("append").start()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
     try {
       input.addData((10L, "alpha beta gamma delta epsilon zeta"))
-      q.processAllAvailable()
+      // wait until doc 10's batch COMMITTED, so doc 20 lands in a later one
+      pollUntil("batch 1 (doc 10) committed")(q.recentProgress.exists(_.numInputRows > 0))
       input.addData((20L, "alpha beta gamma delta epsilon zeta")) // later batch
-      q.processAllAvailable()
+      pollUntil("verified pair in sink")(spark.table("lshrocks").limit(1).count() > 0)
       // owner's signature survived in RocksDB state across batches
       val rows = spark.table("lshrocks")
         .select("id_a", "id_b", "est_jaccard").distinct().collect()
@@ -304,27 +327,73 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val textA = "alpha beta gamma delta epsilon zeta"
     val input = MemoryStream[(Long, String)]
-    val out = StreamOps.streamingLshVerified(
-      input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5,
-      stateTtl = Some("1 millisecond"))
+    // claims (not verified) so a FRESH first sighting has a positive
+    // observable: every doc emits owner rows, and post-eviction re-arrival
+    // must own its own buckets
+    val out = StreamOps.streamingLshClaims(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id",
+      stateTtl = Some("500 milliseconds"))
     val q = out.writeStream.format("memory").queryName("lshttl")
-      .outputMode("append").start()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
     try {
       input.addData((10L, textA)) // batch 1: doc 10 owns its buckets
-      q.processAllAvailable()
-      Thread.sleep(200) // let the 1 ms TTL expire in processing time
-      // batch 2 carries only unrelated content: doc 10's idle buckets get
-      // their timeout callback and are EVICTED
-      input.addData((99L, "unrelated words that share no shingles at all"))
-      q.processAllAvailable()
-      // batch 3: the same text re-arrives — with the owner evicted it is
-      // a fresh first sighting, NOT a near-dup of doc 10
+      pollUntil("doc 10 claims in sink")(
+        spark.table("lshttl").filter($"doc_id" === 10L).limit(1).count() > 0)
+      // idle past the TTL: the empty batches the ProcessingTime trigger
+      // keeps scheduling run the timeout callbacks and EVICT the buckets
+      pollUntil("idle buckets evicted (state rows -> 0)")(stateRowsTotal(q) == 0L)
+      // the same text re-arrives — with the owner evicted it is a fresh
+      // first sighting that OWNS its buckets, not a near-dup of doc 10
       input.addData((20L, textA))
-      q.processAllAvailable()
-      val pairs = spark.table("lshttl").select("id_a", "id_b").distinct()
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(!pairs.contains((10L, 20L)),
-        s"evicted owner still matched: ${pairs.mkString(", ")}")
+      pollUntil("doc 20 claims in sink")(
+        spark.table("lshttl").filter($"doc_id" === 20L).limit(1).count() > 0)
+      val owners20 = spark.table("lshttl").filter($"doc_id" === 20L)
+        .select("owner").distinct().collect().map(_.getLong(0)).toSeq
+      assert(owners20 == Seq(20L),
+        s"evicted owner still matched: owners=${owners20.mkString(", ")}")
     } finally q.stop()
+  }
+
+  test("bucket ownership: a later batch with a smaller doc_id cannot steal the bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta"
+    // no TTL -> NoTimeout -> processAllAvailable terminates normally
+    val input = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLshVerified(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("lshsteal")
+      .outputMode("append").start()
+    try {
+      input.addData((20L, text)) // batch 1: doc 20 is the first sighting
+      q.processAllAvailable()
+      input.addData((10L, text)) // batch 2: SMALLER id arrives later
+      q.processAllAvailable()
+      // first sighting stays owner; the late smaller id is verified
+      // against it (pre-fix: owner flipped to 10 and NO pair was emitted)
+      val pairs = spark.table("lshsteal")
+        .select("id_a", "id_b", "est_jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq == Seq((20L, 10L, 1.0)), s"got ${pairs.mkString(", ")}")
+    } finally q.stop()
+
+    // same contract on the claims stream: doc 10's late claims carry the
+    // standing owner 20
+    val input2 = MemoryStream[(Long, String)]
+    val claims = StreamOps.streamingLshClaims(
+      input2.toDF.toDF("doc_id", "text"), "text", "doc_id")
+    val q2 = claims.writeStream.format("memory").queryName("lshsteal2")
+      .outputMode("append").start()
+    try {
+      input2.addData((20L, text))
+      q2.processAllAvailable()
+      input2.addData((10L, text))
+      q2.processAllAvailable()
+      val owners10 = spark.table("lshsteal2").filter($"doc_id" === 10L)
+        .select("owner").distinct().collect().map(_.getLong(0)).toSeq
+      assert(owners10 == Seq(20L), s"late smaller id stole the bucket: $owners10")
+    } finally q2.stop()
   }
 }
