@@ -59,6 +59,41 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // q1_agg with DECIMAL(38,4) aggregation — the exact-total mode for
+    // scale: double sums differ in their last representable digit across
+    // summation orders (measured at sf1: 4th-decimal drift at 1e10-1e11
+    // magnitudes that round(x,4) cannot absorb), while per-row
+    // double->decimal cast is deterministic in both engines (verified on
+    // 1M random doubles) and decimal addition is order-independent —
+    // hash-exact at ANY scale and parallelism. Means are exact too:
+    // round(x, 6) of a double is cross-engine UNSAFE precisely when the
+    // true mean sits on a 6th-decimal midpoint (a 4-decimal sum over a
+    // round count lands there often — measured at sf1 on q_resample), so
+    // the mean is emitted in MICRO-UNITS via pure integral arithmetic:
+    // round_half_up(100·S/n) = (200·S + n) div (2·n) where S is the
+    // sum's exact scale-4 unscaled value. Spark `div` on DECIMAL(38,0)
+    // and DuckDB HUGEINT `//` are both exact at any corpus scale.
+    "q1_agg_exact" -> ((s, dir) => {
+      val dec = DecimalType(38, 4)
+      def microMean(sumCol: String, nCol: String) = expr(
+        s"CAST((CAST($sumCol * 10000 AS DECIMAL(38,0)) * 200 + $nCol) div (2 * $nCol) AS BIGINT)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+            .as("sum_disc_price"),
+          sum(col("l_discount").cast(dec)).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"),
+          microMean("sum_qty", "count_order").as("avg_qty_micros"),
+          microMean("sum_disc", "count_order").as("avg_disc_micros"),
+          col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // §2.4 LQuery filter with any-referenced-null-excludes semantics
     "q_filter" -> ((s, dir) => {
       import LQuery._
@@ -169,6 +204,23 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q1_agg_exact" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+        |    sum(CAST(l_discount AS DECIMAL(38,4))) AS sum_disc,
+        |    count(*) AS count_order
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+        |  CAST((CAST(sum_qty * 10000 AS HUGEINT) * 200 + count_order)
+        |       // (2 * count_order) AS BIGINT) AS avg_qty_micros,
+        |  CAST((CAST(sum_disc * 10000 AS HUGEINT) * 200 + count_order)
+        |       // (2 * count_order) AS BIGINT) AS avg_disc_micros,
+        |  count_order
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount

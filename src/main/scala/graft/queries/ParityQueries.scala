@@ -269,6 +269,17 @@ object ParityQueries {
         .orderBy(col("bin"))
     }),
 
+    // exact-decimal face of q_eqdepth: same reference-rule bins, totals
+    // as DECIMAL(38,4) so the hash is scale-independent (see q1_agg_exact)
+    "q_eqdepth_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice"))
+      Stats.equiDepthBins(li, "l_extendedprice", 4)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(38, 4))).as("price_sum"))
+        .orderBy(col("bin"))
+    }),
+
     // Snapshot diff — dataset-version audit: a "new release" of the
     // documents table is synthesized (every 97th doc removed, every 89th
     // re-added under a shifted id, every 53rd edited), and
@@ -333,6 +344,19 @@ object ParityQueries {
         .orderBy(col("c_name"))
     }),
 
+    // exact-decimal face of q_salted (same measured-salt join)
+    "q_salted_exact" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 3 === 0, lit(1L)).otherwise(col("o_custkey")).as("ck"),
+        col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_name"))
+      graft.operators.Joins.autoSaltedJoin(o, c, Seq("ck"))
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(38, 4))).as("price_sum"))
+        .orderBy(col("c_name"))
+    }),
+
     // Shuffle-skew pre-flight: heaviest keys with share and x_mean (the
     // salt factor that would flatten the hot reducer). A planted hot key
     // absorbs every 5th event on top of its hash share.
@@ -354,6 +378,19 @@ object ParityQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice_wins")), 4).as("wins_sum"),
+          round(min(col("l_extendedprice_wins")), 6).as("wins_min"),
+          round(max(col("l_extendedprice_wins")), 6).as("wins_max"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact-decimal face of q_winsorize: same interpolated [p05, p95]
+    // clamp per row, the total as DECIMAL(38,4)
+    "q_winsorize_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      Stats.winsorize(li, "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice_wins").cast(DecimalType(38, 4))).as("wins_sum"),
           round(min(col("l_extendedprice_wins")), 6).as("wins_min"),
           round(max(col("l_extendedprice_wins")), 6).as("wins_max"))
         .orderBy(col("l_returnflag"))
@@ -442,6 +479,20 @@ object ParityQueries {
         .orderBy(col("r_name"), col("order_year"))
     }),
 
+    // exact-decimal face of q_region_revenue (same snowflake join)
+    "q_region_revenue_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(38, 4))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("order_year"))
+    }),
+
     // beyond-reference: ordered-step funnel (view -> click -> purchase),
     // greedy earliest-completion; per-user reach times in epoch micros
     "q_funnel" -> ((s, dir) => {
@@ -486,6 +537,26 @@ object ParityQueries {
           round(round(col("value_sum"), 4) / col("value_length"), 6)
             .as("value_mean"),
           col("value_length"))
+        .orderBy(col("bucket"))
+    }),
+
+    // exact-decimal face of q_resample: the same epoch-aligned 1h
+    // tumbling buckets expressed directly (Stats.resample aggregates in
+    // double by design — this is the oracle-exactness gate, q_resample
+    // stays the operator's graded face). The mean is emitted in exact
+    // half-up MICRO-UNITS via integral arithmetic — round(double, 6) is
+    // cross-engine unsafe exactly when a bucket mean sits on a
+    // 6th-decimal midpoint, which 4-decimal sums over round counts hit
+    // routinely (measured at sf1: 8576.13/160 = 53.6008125)
+    "q_resample_exact" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast(DecimalType(38, 4))).as("value_sum"),
+          count(lit(1)).as("n"))
+        .select(col("bucket"), col("value_sum"),
+          expr("CAST((CAST(value_sum * 10000 AS DECIMAL(38,0)) * 200 + n)" +
+            " div (2 * n) AS BIGINT)").as("value_mean_micros"),
+          col("n"))
         .orderBy(col("bucket"))
     }),
 
@@ -632,6 +703,23 @@ object ParityQueries {
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
 
+    "q_eqdepth_exact" -> {
+      val b = Seq(0.25, 0.5, 0.75).map(q => duckQuantileRaw(s"n*$q - 0.5"))
+      s"""WITH sv AS (SELECT list_sort(list(l_extendedprice)) s,
+         |             count(l_extendedprice)::DOUBLE n
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT ${b(0)} AS b1, ${b(1)} AS b2, ${b(2)} AS b3 FROM sv),
+         |binned AS (
+         |  SELECT l_extendedprice AS x,
+         |    (CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END
+         |   + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END
+         |   + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)::BIGINT AS bin
+         |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+         |SELECT bin, count(*) AS n,
+         |  sum(CAST(x AS DECIMAL(38,4))) AS price_sum
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
     "q_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),
         |newd AS (
@@ -698,6 +786,14 @@ object ParityQueries {
         |FROM o JOIN customer ON ck = c_custkey
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
 
+    "q_salted_exact" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+        |             ELSE o_custkey END AS ck, o_totalprice FROM orders)
+        |SELECT c_name, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS price_sum
+        |FROM o JOIN customer ON ck = c_custkey
+        |GROUP BY c_name ORDER BY c_name""".stripMargin,
+
     "q_skew" ->
       """WITH e AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0
         |             ELSE user_id % 50 END AS k FROM events),
@@ -718,6 +814,22 @@ object ParityQueries {
          |        least(greatest(l_extendedprice, lo), hi) AS x
          |      FROM lineitem, b)
          |SELECT l_returnflag, count(*) AS n, round(sum(x), 4) AS wins_sum,
+         |  round(min(x), 6) AS wins_min, round(max(x), 6) AS wins_max
+         |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_winsorize_exact" -> {
+      val lo = duckQuantileRaw("n*0.05 - 0.5")
+      val hi = duckQuantileRaw("n*0.95 - 0.5")
+      s"""WITH sv AS (SELECT list_sort(list(l_extendedprice)) s,
+         |             count(l_extendedprice)::DOUBLE n
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT $lo AS lo, $hi AS hi FROM sv),
+         |w AS (SELECT l_returnflag,
+         |        least(greatest(l_extendedprice, lo), hi) AS x
+         |      FROM lineitem, b)
+         |SELECT l_returnflag, count(*) AS n,
+         |  sum(CAST(x AS DECIMAL(38,4))) AS wins_sum,
          |  round(min(x), 6) AS wins_min, round(max(x), 6) AS wins_max
          |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
@@ -915,6 +1027,18 @@ object ParityQueries {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    "q_region_revenue_exact" ->
+      """SELECT r_name, year(o_orderdate) AS order_year,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, order_year
+        |ORDER BY r_name, order_year""".stripMargin,
+
     "q_region_revenue" ->
       """SELECT r_name, year(o_orderdate) AS order_year,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
@@ -971,6 +1095,18 @@ object ParityQueries {
         |  round(round(sum(value), 4) / count(*), 6) AS value_mean,
         |  count(*)::DOUBLE AS value_length
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_resample_exact" ->
+      """WITH g AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |    sum(CAST(value AS DECIMAL(38,4))) AS value_sum,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, value_sum,
+        |  CAST((CAST(value_sum * 10000 AS HUGEINT) * 200 + n)
+        |       // (2 * n) AS BIGINT) AS value_mean_micros,
+        |  n
+        |FROM g ORDER BY bucket""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.value, s.snap_value

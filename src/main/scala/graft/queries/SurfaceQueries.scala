@@ -209,6 +209,18 @@ object SurfaceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // exact-decimal face of q_pivot: same explicit-values pivot, cells
+    // as DECIMAL(38,4) sums (scale-independent hash — see q1_agg_exact)
+    "q_pivot_exact" -> ((s, dir) => {
+      Table.of(t(s, dir, "orders"))
+        .pivotAgg("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
+          sum(col("o_totalprice").cast(DecimalType(38, 4))))
+        .toDF
+        .select(col("o_orderpriority"), col("F").as("sum_f"),
+          col("O").as("sum_o"), col("P").as("sum_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // beyond-reference: unpivot/melt to long format (Expand, narrow)
     "q_unpivot" -> ((s, dir) => {
       val src = t(s, dir, "orders").select(col("o_orderkey"),
@@ -272,6 +284,19 @@ object SurfaceQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 4).as("revenue"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // exact-decimal face of q_bucket_join (same bucketed co-located join)
+    "q_bucket_join_exact" -> ((s, dir) => {
+      val bo = BucketedTables.ordersByCustkey(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+      val bc = BucketedTables.customerByCustkey(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -295,6 +320,22 @@ object SurfaceQueries {
         |  round(sum(o_totalprice), 4) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_bucket_join_exact" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_pivot_exact" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F'
+        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS sum_f,
+        |  sum(CASE WHEN o_orderstatus = 'O'
+        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS sum_o,
+        |  sum(CASE WHEN o_orderstatus = 'P'
+        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS sum_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_take_drop" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) - 101 AS pos,
