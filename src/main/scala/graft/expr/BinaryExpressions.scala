@@ -90,9 +90,88 @@ case class ImageMinResolution(child: Expression, minW: Int, minH: Int)
     copy(child = newChild)
 }
 
+/** Audio-container metadata (RIFF/WAVE) from the payload's HEADER bytes —
+  * the audio face of [[ImageMeta]]: channels / sample rate / bit depth /
+  * frame count / duration without decoding a single sample, so the
+  * "drop clips shorter than N ms, resample-rate gate" every audio
+  * pipeline starts with is a narrow codegen'd scan-side predicate.
+  * Corrupt chunk layouts keep format "wav" with null fields (the ingest
+  * audit signal); non-RIFF payloads are ("unknown", null…). */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_us", LongType, nullable = true)))
+  override def prettyName: String = "graft_audio_meta"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.audioMeta(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.BinaryExpressions.audioMeta($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
+/** Single-parse duration predicate: `duration_us >= minUs` with ONE
+  * header scan (same rationale as [[ImageMinResolution]] — FilterExec has
+  * no subexpression elimination, so a composed meta.duration_us >= x
+  * would re-parse per field). Null / unparseable payloads are false. */
+case class AudioMinDuration(child: Expression, minUs: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_audio_min_duration"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && BinaryExpressions.audioAtLeast(v.asInstanceOf[Array[Byte]], minUs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code = childGen.code.toString +
+      s"""
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  graft.expr.BinaryExpressions.audioAtLeast(${childGen.value}, ${minUs}L);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMinDuration =
+    copy(child = newChild)
+}
+
 object BinaryExpressions {
 
   def imageMeta(c: Column): Column = Bridge.column(ImageMeta(Bridge.expression(c)))
+
+  def audioMeta(c: Column): Column = Bridge.column(AudioMeta(Bridge.expression(c)))
+
+  def audioMinDuration(c: Column, minUs: Long): Column =
+    Bridge.column(AudioMinDuration(Bridge.expression(c), minUs))
 
   def imageMinResolution(c: Column, minW: Int, minH: Int): Column =
     Bridge.column(ImageMinResolution(Bridge.expression(c), minW, minH))
@@ -199,5 +278,58 @@ object BinaryExpressions {
       return row(FmtJpeg, null, null)
     }
     row(FmtUnknown, null, null)
+  }
+
+  private val FmtWav = UTF8String.fromString("wav")
+
+  private def audioRow(fmt: UTF8String, ch: Any, rate: Any, bits: Any,
+      frames: Any, durUs: Any): InternalRow =
+    new GenericInternalRow(Array[Any](fmt, ch, rate, bits, frames, durUs))
+
+  /** Shared by eval and generated code. */
+  def audioAtLeast(b: Array[Byte], minUs: Long): Boolean = {
+    val m = audioMeta(b)
+    !m.isNullAt(5) && m.getLong(5) >= minUs
+  }
+
+  /** RIFF/WAVE header parse — chunk scan for "fmt " (channels LE16,
+    * sample rate LE32, bits LE16, block align LE16) and "data" (payload
+    * size LE32); frames = dataSize / blockAlign, duration_us =
+    * frames · 10⁶ / rate (floor). Chunks are word-aligned (odd sizes
+    * carry a pad byte). The scan stops at the data chunk HEADER — sample
+    * bytes are never touched, truncated bodies don't matter. Corrupt
+    * layouts (no fmt/data chunk, zero rate/align, nonsensical sizes)
+    * keep format "wav" with null fields; non-RIFF-WAVE payloads are
+    * ("unknown", null…). Never throws — corrupt bytes are data, not
+    * errors, in a crawl. */
+  def audioMeta(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return audioRow(FmtUnknown, null, null, null, null, null)
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= n && dataSize < 0) {
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > n)
+          return audioRow(FmtWav, null, null, null, null, null)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataSize = size // header only — never read the sample bytes
+      }
+      if (size > Int.MaxValue - 16) // absurd chunk size: corrupt header
+        return audioRow(FmtWav, null, null, null, null, null)
+      i += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataSize < 0)
+      return audioRow(FmtWav, null, null, null, null, null)
+    val frames = dataSize / blockAlign
+    val durUs = frames * 1000000L / rate
+    audioRow(FmtWav, channels, rate, bits, frames, durUs)
   }
 }

@@ -139,6 +139,22 @@ object Multimodal {
     df.filter(graft.expr.BinaryExpressions.imageMinResolution(
       col(binaryCol), minWidth, minHeight))
 
+  /** Audio-container metadata (RIFF/WAVE) from the payload's header —
+    * channels / sample rate / bit depth / frame count / duration without
+    * decoding a sample (`expr/BinaryExpressions.AudioMeta`): the audio
+    * face of [[withImageMeta]]. Corrupt chunk layouts keep format "wav"
+    * with null fields; non-RIFF payloads are ("unknown", null…). */
+  def withAudioMeta(df: DataFrame, binaryCol: String, out: String = "audio"): DataFrame =
+    df.withColumn(out, graft.expr.BinaryExpressions.audioMeta(col(binaryCol)))
+
+  /** Duration gate over [[withAudioMeta]]: keep payloads at least
+    * `minUs` long (unparseable rows drop). Single-parse codegen'd
+    * predicate, narrow, no shuffle — the "drop sub-second clips" filter
+    * every audio pipeline starts with, applied scan-side BEFORE any
+    * decode stage. */
+  def filterByDuration(df: DataFrame, binaryCol: String, minUs: Long): DataFrame =
+    df.filter(graft.expr.BinaryExpressions.audioMinDuration(col(binaryCol), minUs))
+
   /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop
     * the payload to `outBytes` BEFORE decode, so trimmed bytes are never
     * decoded — same pushdown story as the frame sampler. Payloads shorter

@@ -87,6 +87,35 @@ object PipelineQueries {
         .otherwise(jpeg))
   }
 
+  /** Synthetic RIFF/WAVE payloads — real WAV header bytes (fmt + data
+    * chunks) with audio parameters derived from doc_id (channels =
+    * id%2+1, rate = 8000·(id%3+1), 16-bit, frames = id%500+1); the
+    * oracle replays the arithmetic while Spark round-trips the actual
+    * bytes. The data chunk carries its size but no body — AudioMeta
+    * stops at the chunk header, sample bytes are never read. */
+  private def synthAudioPayloads(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      (col("doc_id") % 2 + 1).cast(IntegerType).as("ch"),
+      ((col("doc_id") % 3 + 1) * 8000).cast(IntegerType).as("rate"),
+      (col("doc_id") % 500 + 1).cast(IntegerType).as("frames"))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 4, "0")
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 8, "0")
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    val dataSize = col("frames") * col("ch") * 2
+    d.withColumn("payload", concat(
+      lit("RIFF").cast(BinaryType), le32(dataSize + 36), lit("WAVE").cast(BinaryType),
+      lit("fmt ").cast(BinaryType), le32(lit(16)),
+      le16(lit(1)), le16(col("ch")), le32(col("rate")),
+      le32(col("rate") * col("ch") * 2), le16(col("ch") * 2), le16(lit(16)),
+      lit("data").cast(BinaryType), le32(dataSize)))
+  }
+
   /** Shared harness for the gated REAL StreamingQueries: stage the driver
     * parquet file into a temp dir (the file stream source monitors a
     * DIRECTORY; in production the source already is one), run
@@ -1427,6 +1456,30 @@ object PipelineQueries {
     "q_image_filter" -> ((s, dir) => {
       Multimodal.filterByResolution(
           synthImagePayloads(t(s, dir, "documents")), "payload", 300, 200)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Audio metadata WITHOUT decode: RIFF/WAVE header parse (channels,
+    // sample rate, bit depth, frames, duration) as one codegen'd byte
+    // loop over synthesized real WAV headers — the audio face of
+    // q_image_meta. The oracle replays the id-derived parameters; Spark
+    // round-trips the actual bytes.
+    "q_audio_meta" -> ((s, dir) => {
+      Multimodal.withAudioMeta(synthAudioPayloads(t(s, dir, "documents")), "payload")
+        .select(col("doc_id"), col("audio.format").as("format"),
+          col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.bits").as("bits"), col("audio.n_frames").as("n_frames"),
+          col("audio.duration_us").as("duration_us"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The duration GATE end-to-end: single-parse native predicate prunes
+    // sub-20ms clips scan-side; kept ids replay as pure arithmetic.
+    "q_audio_filter" -> ((s, dir) => {
+      Multimodal.filterByDuration(
+          synthAudioPayloads(t(s, dir, "documents")), "payload", 20000L)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -3152,6 +3205,21 @@ object PipelineQueries {
     "q_image_filter" ->
       """SELECT doc_id FROM documents
         |WHERE (doc_id % 600 + 16) >= 300 AND (doc_id % 400 + 16) >= 200
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  (doc_id % 2 + 1)::INT AS channels,
+        |  ((doc_id % 3 + 1) * 8000)::INT AS sample_rate,
+        |  16::INT AS bits,
+        |  (doc_id % 500 + 1)::BIGINT AS n_frames,
+        |  (((doc_id % 500 + 1) * 1000000) // ((doc_id % 3 + 1) * 8000))::BIGINT
+        |    AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_audio_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE ((doc_id % 500 + 1) * 1000000) // ((doc_id % 3 + 1) * 8000) >= 20000
         |ORDER BY doc_id""".stripMargin,
 
     "q_url_canon" ->

@@ -105,6 +105,80 @@ class ImageMetaUrlSpec extends SparkSpec {
     assert(plan.contains("graft_image_min_resolution"))
   }
 
+  // ---- AudioMeta (RIFF/WAVE) ----
+
+  private def ameta(bytes: Array[Byte]): Row = {
+    val df = Seq(Tuple1(bytes)).toDF("payload")
+    Multimodal.withAudioMeta(df, "payload")
+      .select($"audio.format", $"audio.channels", $"audio.sample_rate",
+        $"audio.bits", $"audio.n_frames", $"audio.duration_us").head()
+  }
+
+  private def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int,
+      preChunks: Array[Byte] = Array.empty, body: Boolean = true): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits)
+    val data = "data".getBytes ++ le32(dataBytes) ++
+      (if (body) Array.fill[Byte](dataBytes)(7) else Array.empty[Byte])
+    val chunks = preChunks ++ fmt ++ data
+    "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+  }
+
+  test("WAV fmt+data parse: channels, rate, bits, frames, duration") {
+    // 2ch 16-bit 44.1kHz, 44100 frames (1 s): blockAlign 4
+    assert(ameta(wav(2, 44100, 16, 44100 * 4)) ===
+      Row("wav", 2, 44100, 16, 44100L, 1000000L))
+    // mono 8kHz, 80 frames = 10 ms
+    assert(ameta(wav(1, 8000, 16, 80 * 2)) === Row("wav", 1, 8000, 16, 80L, 10000L))
+  }
+
+  test("WAV chunk scan skips foreign chunks and honors word alignment") {
+    // odd-sized LIST chunk (size 5 -> 1 pad byte) before fmt
+    val list = "LIST".getBytes ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    assert(ameta(wav(2, 16000, 16, 160 * 4, preChunks = list)) ===
+      Row("wav", 2, 16000, 16, 160L, 10000L))
+    // data chunk header with no body still parses (meta never reads samples)
+    assert(ameta(wav(1, 8000, 16, 8000 * 2, body = false)) ===
+      Row("wav", 1, 8000, 16, 8000L, 1000000L))
+  }
+
+  test("corrupt WAV keeps format with null fields; unknown magic") {
+    // RIFF/WAVE but no chunks at all
+    assert(ameta("RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes) ===
+      Row("wav", null, null, null, null, null))
+    // fmt without data
+    val noData = "RIFF".getBytes ++ le32(28) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    assert(ameta(noData) === Row("wav", null, null, null, null, null))
+    // truncated fmt chunk
+    assert(ameta("RIFF".getBytes ++ le32(12) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16)) === Row("wav", null, null, null, null, null))
+    // zero sample rate is corrupt, not a divide-by-zero
+    assert(ameta(wav(1, 0, 16, 100)) === Row("wav", null, null, null, null, null))
+    assert(ameta("not audio".getBytes) === Row("unknown", null, null, null, null, null))
+    assert(ameta(Array.empty[Byte]) === Row("unknown", null, null, null, null, null))
+  }
+
+  test("filterByDuration prunes short/corrupt/null payloads with one parse") {
+    val rows = Seq(
+      (1L, wav(2, 44100, 16, 44100 * 4)), // 1 s — kept at 20 ms gate
+      (2L, wav(1, 8000, 16, 80 * 2)),     // 10 ms — dropped
+      (3L, "garbage".getBytes),
+      (4L, null)).toDF("id", "payload")
+    val kept = Multimodal.filterByDuration(rows, "payload", 20000L)
+      .select($"id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+    // plan audit: exactly one header parse per row
+    val src = spark.range(10)
+      .select(encode($"id".cast("string"), "UTF-8").as("payload"))
+    val plan = Multimodal.filterByDuration(src, "payload", 20000L)
+      .queryExecution.executedPlan.toString
+    assert("graft_audio".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("graft_audio_min_duration"))
+  }
+
   test("canonicalizeUrl: scheme/host case, ports, fragments, tracking params") {
     val cases = Seq(
       "HTTP://Site.Example.COM:80/Path/?utm_source=x&q=1#frag" ->

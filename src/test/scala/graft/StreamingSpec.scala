@@ -356,6 +356,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LSH registry survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // failure-recovery semantics at scale: a restarted query must resume
+    // the bucket registry (owner + signature) from the checkpoint, not
+    // re-learn the corpus — otherwise every executor loss resets dedup
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // memory sink can't recover from a checkpoint — use the file sink,
+    // the production shape anyway (exactly-once via _spark_metadata)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val text = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLshVerified(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((10L, text)) // doc 10 owns its buckets, state checkpointed
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // RESTART from the same checkpoint
+    try {
+      input.addData((20L, text)) // dup arrives after the restart
+      q2.processAllAvailable()
+      val pairs = spark.read.parquet(outDir)
+        .select("id_a", "id_b", "est_jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.contains((10L, 20L, 1.0)),
+        s"restarted query lost the registry: ${pairs.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("bucket ownership: a later batch with a smaller doc_id cannot steal the bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
