@@ -231,7 +231,14 @@ class PlanShapeSpec extends SparkSpec {
       "q_minhash" -> 2,     // sig groupBy feeds checkpointed table; band join + verify
       "q_window_rank" -> 2,
       "q_cap" -> 2,
-      "q_semdedup" -> 5)    // cell collapse, grid pairs, greedy keep, anti-join
+      "q_semdedup" -> 5,    // cell collapse, grid pairs, greedy keep, anti-join
+      // round-6 additions: exact-decimal twins keep their originals'
+      // shapes (the cast is row-local); audio meta/gate are one narrow
+      // parse pass + the oracle orderBy
+      "q1_agg_exact" -> 2,
+      "q_bucket_join_exact" -> 2,
+      "q_audio_meta" -> 1,
+      "q_audio_filter" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
