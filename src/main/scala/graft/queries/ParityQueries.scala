@@ -301,6 +301,26 @@ object ParityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CDC merge: applyChanges(old, snapshotDiff(old, new)) must EQUAL the
+    // new release — the oracle states the post-merge table directly (same
+    // synthesized release as q_snapshot_diff), so the roundtrip property
+    // IS the graded check: a faithful change capture faithfully applied.
+    "q_cdc_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldD = docs.select(col("doc_id"), col("text"))
+      val newD = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val changes = graft.operators.Diff.snapshotDiff(
+          oldD, newD, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+      graft.operators.Diff.applyChanges(oldD, changes, Seq("doc_id"), Seq("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PSI distribution drift between two snapshots: the "current" price
     // distribution is a planted affine shift of the reference; the bin
     // grid is FIXED from the reference's exact equi-depth octiles (the
@@ -719,6 +739,14 @@ object ParityQueries {
          |  sum(CAST(x AS DECIMAL(38,4))) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
+
+    "q_cdc_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 89 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),

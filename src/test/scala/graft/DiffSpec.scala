@@ -31,6 +31,37 @@ class DiffSpec extends SparkSpec {
     assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
   }
 
+  test("applyChanges roundtrip: old + snapshotDiff(old, new) == new, incl. null transitions") {
+    val old = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None: Option[String]), (5L, Option("e"))).toDF("id", "v")
+    val neu = Seq(
+      (1L, Option("a")), (2L, Option("B")), (4L, Option("now")),
+      (5L, None: Option[String]), (6L, Option("f"))).toDF("id", "v")
+    val changes = Diff.snapshotDiff(old, neu, Seq("id"), Seq("v"))
+      .filter(col("change") =!= "unchanged")
+    val merged = Diff.applyChanges(old, changes, Seq("id"), Seq("v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(merged == neu.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet)
+    // unfiltered diff (unchanged rows present) applies identically
+    val mergedAll = Diff.applyChanges(old,
+        Diff.snapshotDiff(old, neu, Seq("id"), Seq("v")), Seq("id"), Seq("v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(mergedAll == merged)
+    // seeded random churn: the roundtrip holds on arbitrary edit mixes
+    val rnd = new scala.util.Random(41)
+    val o2 = (0L until 300L).map(i => (i, Option(s"v$i"))).toDF("id", "v")
+    val n2 = (0L until 340L).flatMap { i =>
+      if (i < 300 && rnd.nextDouble() < 0.15) None // removed
+      else if (i >= 300 && rnd.nextDouble() < 0.5) None // never added
+      else Some((i, if (rnd.nextDouble() < 0.2) None else Option(s"v${i}${rnd.nextInt(3)}")))
+    }.toDF("id", "v")
+    val m2 = Diff.applyChanges(o2,
+        Diff.snapshotDiff(o2, n2, Seq("id"), Seq("v")), Seq("id"), Seq("v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(m2 == n2.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet)
+  }
+
   test("diffSummary counts by change type") {
     val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val neu = Seq((2L, "x"), (3L, "c")).toDF("id", "v")

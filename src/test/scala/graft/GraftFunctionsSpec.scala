@@ -52,12 +52,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got == 1.5) // n = 4*0.25-0.5 = 0.5 -> lerp(v[0], v[1], .5)
   }
 
+  test("graft_audio_meta parses a WAV header through the SQL surface") {
+    GraftFunctions.register(spark)
+    // mono 8kHz 16-bit, 80 frames (10 ms), built as a hex literal
+    def le16(v: Int) = f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x"
+    def le32(v: Int) = le16(v & 0xFFFF) + le16((v >> 16) & 0xFFFF)
+    def ascii(s: String) = s.getBytes.map(b => f"$b%02x").mkString
+    val hexWav = ascii("RIFF") + le32(4 + 24 + 8 + 160) + ascii("WAVE") +
+      ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(8000) +
+      le32(16000) + le16(2) + le16(16) + ascii("data") + le32(160)
+    val r = spark.sql(
+      s"SELECT graft_audio_meta(unhex('$hexWav')) AS a").select(
+      "a.format", "a.channels", "a.sample_rate", "a.n_frames", "a.duration_us")
+      .collect()(0)
+    assert(r.getString(0) == "wav" && r.getInt(1) == 1 && r.getInt(2) == 8000)
+    assert(r.getLong(3) == 80L && r.getLong(4) == 10000L)
+  }
+
   test("GraftExtensions constructs and exposes the full function set") {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("graft_dot", "graft_cosine", "graft_fingerprint", "graft_shingles",
         "graft_quantile", "graft_zvalue", "graft_redact_pii", "graft_nfc",
-        "graft_image_meta"))
+        "graft_image_meta", "graft_audio_meta"))
     assert(ext != null)
   }
 }
