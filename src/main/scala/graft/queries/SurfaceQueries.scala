@@ -116,6 +116,19 @@ object SurfaceQueries {
       TableIO.read(s, tmp).orderBy(col("o_orderkey"))
     }),
 
+    // §2.1 Avro round-trip: write through the engine's hand-rolled Avro
+    // container writer (no spark-avro in this distribution), sniff-read
+    // back distributed, hash against the original parquet.
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/orders.avro"
+      TableIO.write(src, tmp)
+      TableIO.read(s, tmp).orderBy(col("o_orderkey"))
+    }),
+
     "q_json_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -375,6 +388,10 @@ object SurfaceQueries {
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "q_xlsx_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_avro_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 

@@ -24,6 +24,7 @@ object TableIO {
   case object Xlsx extends Format
   case object Orc extends Format
   case object Json extends Format
+  case object Avro extends Format
 
   /** Sniff the on-disk signature: zip magic (XLSX), "FEA1" (Feather v1),
     * "PAR1" (Parquet), "ORC" head magic CONFIRMED by the tail postscript
@@ -55,6 +56,8 @@ object TableIO {
       else if (new String(magic, "ASCII") == "PAR1") Parquet
       else if (magic(0) == 'O' && magic(1) == 'R' && magic(2) == 'C'
           && orcTailMagic(probe)) Orc
+      else if (magic(0) == 'O' && magic(1) == 'b' && magic(2) == 'j'
+          && magic(3) == 1) Avro
       else if (magic(0) == '{' && magic(1) == '"') Json
       else Csv
     } finally in.close()
@@ -81,6 +84,7 @@ object TableIO {
     case Xlsx    => graft.sources.Xlsx.read(spark, path) // single-file exchange path
     case Orc     => spark.read.orc(path)
     case Json    => spark.read.json(path) // schema inferred; timestamps stringify
+    case Avro    => AvroIO.read(spark, path) // distributed per-file container scan
   }
 
   /** Reference CSV knobs (reference: native_libs/src/IO/csv.h:62-80):
@@ -301,6 +305,9 @@ object TableIO {
       FeatherV1.write(df, path)
     else if (lower.endsWith(".orc"))
       df.write.mode("overwrite").orc(path)
+    else if (lower.endsWith(".avro"))
+      AvroIO.write(df, path) // guarded driver-side exchange path, like Feather
+
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
       df.write.mode("overwrite").json(path)
     else

@@ -257,4 +257,54 @@ class TableIOSpec extends SparkSpec {
     assert(deduced.schema.fields(0).dataType ==
       org.apache.spark.sql.types.LongType)
   }
+
+  test("Avro round-trip: all scalar types + nulls; sniff dispatches on Obj magic") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val src = Seq(
+      (1L, Option(2), Option(3.5), Option(true), Option("hi"),
+        Option(Timestamp.valueOf("2024-01-02 03:04:05.123456")),
+        Option("bin".getBytes("UTF-8"))),
+      (2L, None: Option[Int], None: Option[Double], None: Option[Boolean],
+        None: Option[String], None: Option[Timestamp], None: Option[Array[Byte]]))
+      .toDF("id", "i", "d", "b", "s", "ts", "bin")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_spec")
+    val path = dir.resolve("t.avro").toString
+    TableIO.write(src, path)
+    assert(TableIO.sniff(path) == TableIO.Avro)
+    val back = TableIO.read(spark, path).orderBy("id").collect()
+    val orig = src.orderBy("id").collect()
+    assert(back.length == 2)
+    for (c <- Seq("id", "i", "d", "b", "s", "ts")) {
+      val idx = src.schema.fieldIndex(c)
+      assert(back(0).get(idx) == orig(0).get(idx), s"col $c")
+      assert(back(1).isNullAt(idx) == orig(1).isNullAt(idx), s"col $c null")
+    }
+    assert(back(0).getAs[Array[Byte]]("bin").toSeq == "bin".getBytes("UTF-8").toSeq)
+    assert(back(1).isNullAt(src.schema.fieldIndex("bin")))
+    // reader schema mirrors the writer union convention
+    assert(TableIO.read(spark, path).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // exchange-path guard refuses oversized writes
+    val big = spark.range(0, 10).toDF("id")
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.write(big, dir.resolve("big.avro").toString, maxRows = 5)
+    }
+  }
+
+  test("Avro directory of part files reads whole (small files combine into tasks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_parts")
+    for (p <- 0 until 3) {
+      val part = (p * 10 until p * 10 + 10).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v")
+      graft.sources.AvroIO.write(part, dir.resolve(f"part-$p%05d.avro").toString)
+    }
+    val back = TableIO.read(spark, dir.toString)
+    // CombineFileInputFormat packs tiny files into few tasks (the
+    // small-files cure); every row from every part must still arrive
+    assert(back.count() == 30)
+    assert(back.orderBy("id").select("v").as[String].collect()
+      .toSeq == (0 until 30).map(i => s"v$i"))
+  }
 }
