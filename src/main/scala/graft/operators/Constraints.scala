@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declarative data-quality constraints — the expectation-suite gate a
+  * production ingest runs before a dataset version is accepted
+  * (Deequ-style checks, re-expressed Spark-first): completeness,
+  * range/format conformance, key uniqueness, referential integrity.
+  *
+  * Everything is counted in exact integers and thresholds are
+  * PARTS-PER-MILLION longs, so a verdict is identical at any scale and
+  * parallelism — a fraction-typed metric would wobble in its last
+  * double digit across summation orders and make the gate itself flaky
+  * (the same cross-engine trap the exact-decimal aggregation mode
+  * closes for totals).
+  *
+  * Scale shape: every ROW-LOCAL check (completeness, range, regex)
+  * folds into ONE aggregate pass over the table — adding checks adds
+  * conditional-sum columns, not scans. Uniqueness rides the same pass
+  * as count_distinct (one Expand). Referential integrity is one LEFT
+  * ANTI join per reference (dedup'd reference side, broadcast-able
+  * when the key universe is dim-sized). Verdict rows are one per
+  * check — driver-side assembly of scalars, never data.
+  */
+object Constraints {
+
+  sealed trait Check
+  /** Completeness: at most `maxNullPpm` of rows may be null. */
+  final case class NotNull(col: String, maxNullPpm: Long = 0L) extends Check
+  /** Conformance: rows outside [lo, hi] (nulls count as violations) ≤ ppm. */
+  final case class InRange(col: String, lo: Double, hi: Double,
+      maxViolPpm: Long = 0L) extends Check
+  /** Format: rows not fully matching `regex` (nulls violate) ≤ ppm. */
+  final case class MatchesRegex(col: String, regex: String,
+      maxViolPpm: Long = 0L) extends Check
+  /** Key uniqueness: duplicate rows (beyond the first per key) ≤ ppm.
+    * Null keys group like values (a repeated null key is a duplicate). */
+  final case class Unique(cols: Seq[String], maxDupPpm: Long = 0L) extends Check
+  /** Referential integrity: rows whose `col` has no match in
+    * `refTable.refCol` ≤ ppm (null FKs are orphans — declare them away
+    * with a prior NotNull if nulls are legal). */
+  final case class RefIntegrity(col: String, ref: DataFrame, refCol: String,
+      maxOrphanPpm: Long = 0L) extends Check
+
+  val schema: StructType = StructType(Seq(
+    StructField("chk", StringType, nullable = false),
+    StructField("col_name", StringType, nullable = false),
+    StructField("violations", LongType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("threshold_ppm", LongType, nullable = false),
+    StructField("passed", BooleanType, nullable = false)))
+
+  /** Run the suite; one verdict row per check:
+    * (chk, col_name, violations, total, threshold_ppm,
+    *  passed = violations · 10⁶ ≤ threshold_ppm · total). */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Constraints.validate: empty suite")
+    val spark = df.sparkSession
+    // one fused aggregate pass: count(*) + a conditional sum per
+    // row-local check + a countDistinct per Unique
+    val rowLocal: Seq[(Check, org.apache.spark.sql.Column)] = checks.collect {
+      case c @ NotNull(col0, _) =>
+        c -> sum(when(col(col0).isNull, 1L).otherwise(0L))
+      case c @ InRange(col0, lo, hi, _) =>
+        c -> sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
+          .otherwise(0L))
+      case c @ MatchesRegex(col0, re, _) =>
+        c -> sum(when(col(col0).isNull || !col(col0).rlike("^(?:" + re + ")$"), 1L)
+          .otherwise(0L))
+      case c @ Unique(cols0, _) =>
+        // duplicates beyond the first per key; null keys group like values
+        c -> (count(lit(1)) - count_distinct(struct(cols0.map(col): _*)))
+    }
+    val aggCols = count(lit(1)).as("__total") +:
+      rowLocal.zipWithIndex.map { case ((_, e), i) => e.as(s"__m$i") }
+    val aggRow = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val total = aggRow.getLong(0)
+
+    def verdict(chk: String, colName: String, viol: Long, ppm: Long): Row =
+      Row(chk, colName, viol, total, ppm,
+        // exact integer gate — no fraction, no double, no scale drift
+        viol * 1000000L <= ppm * total)
+
+    val rows = checks.map { c =>
+      c match {
+        case NotNull(col0, ppm) =>
+          val i = rowLocal.indexWhere(_._1 eq c)
+          verdict("not_null", col0, aggRow.getLong(i + 1), ppm)
+        case InRange(col0, _, _, ppm) =>
+          val i = rowLocal.indexWhere(_._1 eq c)
+          verdict("in_range", col0, aggRow.getLong(i + 1), ppm)
+        case MatchesRegex(col0, _, ppm) =>
+          val i = rowLocal.indexWhere(_._1 eq c)
+          verdict("matches_regex", col0, aggRow.getLong(i + 1), ppm)
+        case Unique(cols0, ppm) =>
+          val i = rowLocal.indexWhere(_._1 eq c)
+          verdict("unique", cols0.mkString(","), aggRow.getLong(i + 1), ppm)
+        case RefIntegrity(col0, ref, refCol, ppm) =>
+          val orphans = df.select(col(col0))
+            .join(ref.select(col(refCol).as(col0)).distinct(), Seq(col0), "left_anti")
+            .count()
+          verdict("ref_integrity", col0, orphans, ppm)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** True iff every check in the suite passed — the ingest gate bit. */
+  def holds(df: DataFrame, checks: Seq[Check]): Boolean =
+    validate(df, checks).filter(!col("passed")).isEmpty
+}

@@ -301,6 +301,30 @@ object ParityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Declarative data-quality gate (expectation suite): completeness,
+    // range/format conformance, key uniqueness, referential integrity —
+    // exact integer counts, PPM thresholds (a fraction metric would
+    // wobble in its last double digit at scale and make the gate itself
+    // flaky). Planted dirt: every 100th order's quantity nulled (passes
+    // the 2% completeness budget); the [0, 0.05] discount range and the
+    // (l_orderkey, l_linenumber) "key" genuinely FAIL on this data —
+    // a suite that can only pass proves nothing.
+    "q_constraints" -> ((s, dir) => {
+      import graft.operators.Constraints._
+      val li = t(s, dir, "lineitem")
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 100 === 0, lit(null).cast(DoubleType))
+            .otherwise(col("l_quantity")))
+      graft.operators.Constraints.validate(li, Seq(
+        NotNull("l_quantity", maxNullPpm = 20000L),
+        NotNull("l_extendedprice"),
+        InRange("l_discount", 0.0, 0.05),
+        MatchesRegex("l_returnflag", "[ANR]"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+        .orderBy(col("chk"), col("col_name"))
+    }),
+
     // CDC merge: applyChanges(old, snapshotDiff(old, new)) must EQUAL the
     // new release — the oracle states the post-merge table directly (same
     // synthesized release as q_snapshot_diff), so the roundtrip property
@@ -739,6 +763,39 @@ object ParityQueries {
          |  sum(CAST(x AS DECIMAL(38,4))) AS price_sum
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
+
+    "q_constraints" ->
+      """WITH li AS (SELECT *,
+        |    CASE WHEN l_orderkey % 100 = 0 THEN NULL ELSE l_quantity END AS qty
+        |  FROM lineitem),
+        |m AS (SELECT count(*)::BIGINT AS total,
+        |    sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn_qty,
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn_price,
+        |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+        |             OR l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS v_range,
+        |    sum(CASE WHEN l_returnflag IS NULL
+        |             OR NOT regexp_full_match(l_returnflag, '[ANR]')
+        |        THEN 1 ELSE 0 END)::BIGINT AS v_re,
+        |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS v_dup
+        |  FROM li),
+        |ri AS (SELECT count(*)::BIGINT AS v_ri FROM li l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT * FROM (
+        |  SELECT 'in_range' AS chk, 'l_discount' AS col_name,
+        |    v_range AS violations, total, 0::BIGINT AS threshold_ppm,
+        |    v_range = 0 AS passed FROM m
+        |  UNION ALL SELECT 'matches_regex', 'l_returnflag', v_re, total,
+        |    0::BIGINT, v_re = 0 FROM m
+        |  UNION ALL SELECT 'not_null', 'l_extendedprice', v_nn_price, total,
+        |    0::BIGINT, v_nn_price = 0 FROM m
+        |  UNION ALL SELECT 'not_null', 'l_quantity', v_nn_qty, total,
+        |    20000::BIGINT, v_nn_qty * 1000000 <= 20000 * total FROM m
+        |  UNION ALL SELECT 'ref_integrity', 'l_orderkey', v_ri, total,
+        |    0::BIGINT, v_ri = 0 FROM m, ri
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', v_dup, total,
+        |    0::BIGINT, v_dup = 0 FROM m)
+        |ORDER BY chk, col_name""".stripMargin,
 
     "q_cdc_upsert" ->
       """SELECT doc_id,
