@@ -111,4 +111,52 @@ object Constraints {
   /** True iff every check in the suite passed — the ingest gate bit. */
   def holds(df: DataFrame, checks: Seq[Check]): Boolean =
     validate(df, checks).filter(!col("passed")).isEmpty
+
+  // ---- streaming face: observed metrics on the ingest stream ----
+
+  /** Attach the suite's ROW-LOCAL checks to a (possibly streaming)
+    * DataFrame via `Dataset.observe` — quality metrics ride the existing
+    * plan with ZERO extra passes or state, surfacing per micro-batch in
+    * `StreamingQueryProgress.observedMetrics(name)` (batch: via
+    * QueryExecutionListener). This is the production shape for quality
+    * monitoring DURING ingest: the gate aggregates what already flows.
+    *
+    * Only row-local checks are observable (observe forbids distinct
+    * aggregates and can't join): Unique / RefIntegrity throw — run
+    * those through [[validate]] on the landed data instead. */
+  def observed(df: DataFrame, name: String, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Constraints.observed: empty suite")
+    val metricCols = checks.zipWithIndex.map {
+      case (NotNull(col0, _), i) =>
+        sum(when(col(col0).isNull, 1L).otherwise(0L)).as(s"v$i")
+      case (InRange(col0, lo, hi, _), i) =>
+        sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
+          .otherwise(0L)).as(s"v$i")
+      case (MatchesRegex(col0, re, _), i) =>
+        sum(when(col(col0).isNull || !col(col0).rlike("^(?:" + re + ")$"), 1L)
+          .otherwise(0L)).as(s"v$i")
+      case (c, _) => throw new IllegalArgumentException(
+        s"Constraints.observed: only row-local checks are observable, got $c " +
+          "(run Unique/RefIntegrity via validate() on the landed data)")
+    }
+    df.observe(name, count(lit(1)).as("total"), metricCols: _*)
+  }
+
+  /** Decode one observed-metrics row (from
+    * `StreamingQueryProgress.observedMetrics` or a listener) back into
+    * verdict rows — same exact integer PPM gate as [[validate]]. */
+  def verdictsFrom(metrics: Row, checks: Seq[Check]): Seq[Row] = {
+    val total = metrics.getAs[Long]("total")
+    checks.zipWithIndex.map { case (c, i) =>
+      val viol = metrics.getAs[Long](s"v$i")
+      val (chk, colName, ppm) = c match {
+        case NotNull(col0, p) => ("not_null", col0, p)
+        case InRange(col0, _, _, p) => ("in_range", col0, p)
+        case MatchesRegex(col0, _, p) => ("matches_regex", col0, p)
+        case other => throw new IllegalArgumentException(
+          s"Constraints.verdictsFrom: non-observable check $other")
+      }
+      Row(chk, colName, viol, total, ppm, viol * 1000000L <= ppm * total)
+    }
+  }
 }

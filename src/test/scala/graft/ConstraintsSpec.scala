@@ -56,6 +56,30 @@ class ConstraintsSpec extends SparkSpec {
     assert(!Constraints.holds(df, Seq(NotNull("amount"))))
   }
 
+  test("observed constraints ride an ingest stream; metrics decode to exact verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Option[Double])]
+    val checks: Seq[Check] = Seq(
+      NotNull("amount", maxNullPpm = 350000L), // 1 of 3 null = 333,333 ppm -> passes
+      InRange("amount", 0.0, 100.0))           // null + (-5) = 2 violations -> fails
+    val out = Constraints.observed(input.toDF.toDF("id", "amount"), "dq", checks)
+    val q = out.writeStream.format("noop").outputMode("append").start()
+    try {
+      input.addData((1L, Some(10.0)), (2L, None), (3L, Some(-5.0)))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("dq"))).last
+      val v = Constraints.verdictsFrom(m, checks)
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+      assert(v == Seq(
+        ("not_null", 1L, 3L, true),
+        ("in_range", 2L, 3L, false)))
+    } finally q.stop()
+    // non-row-local checks are rejected up front, not silently dropped
+    intercept[IllegalArgumentException] {
+      Constraints.observed(df, "dq2", Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("row-local checks fold into ONE aggregate pass (no per-check scans)") {
     val suite: Seq[Check] = Seq(NotNull("amount"), InRange("amount", 0, 100),
       MatchesRegex("email", ".*"), Unique(Seq("id")))
