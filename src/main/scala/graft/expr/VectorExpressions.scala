@@ -142,10 +142,62 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance Σ(aᵢ−bᵢ)² in ONE fused pass; null if lengths
+  * differ. Arithmetic is exactly `(a-b)*(a-b)` accumulated left-to-right
+  * — bit-identical to DuckDB's `list_dot_product(diff, diff)` over an
+  * elementwise diff, which is what the PQ oracle replays. */
+case class SquaredDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, i, ta) - get(b, i, tb)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getterJava(a, i, ta)} - ${getterJava(b, i, tb)};
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredDistance =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product Column. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd fused squared L2 distance Column. */
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.column(SquaredDistance(Bridge.expression(a), Bridge.expression(b)))
 
   /** Codegen'd fused cosine similarity Column. */
   def cosine(a: Column, b: Column): Column =

@@ -33,6 +33,10 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused squared L2 distance Σ(aᵢ−bᵢ)² (see expr.SquaredDistance). */
+  def sqDistCol(a: Column, b: Column): Column =
+    graft.expr.VectorExpressions.sqDist(a, b)
+
   /** Fused single-pass cosine (dot + both norms + divide in one loop). */
   def cosine(a: Column, b: Column): Column = graft.expr.VectorExpressions.cosine(a, b)
 
@@ -630,5 +634,92 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  // ---- Product Quantization (PQ) — the memory-bound ANN path ----
+
+  /** Per-subspace distance-array columns `__da_0..__da_{m-1}` (each an
+    * array of K squared L2 distances to that subspace's codebook) —
+    * shared by encoding (argmin) and query-side ADC tables. Pure
+    * per-row projection: codebooks fold to literal arrays at plan time,
+    * each entry is one fused [[graft.expr.SquaredDistance]] over the
+    * projected subvector slice. No shuffle, no UDF. */
+  private def withPqDistArrays(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], idAs: String): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val sliced = df.select(
+      col(idCol).as(idAs) +:
+        (0 until m).map(s =>
+          slice(col(vecCol), s * sub + 1, sub).as(s"__sub_$s")): _*)
+    sliced.select(
+      col(idAs) +:
+        (0 until m).map { s =>
+          array(codebooks(s).map(cw =>
+            graft.expr.VectorExpressions.sqDist(col(s"__sub_$s"),
+              typedLit(cw.toSeq))): _*).as(s"__da_$s")
+        }: _*)
+  }
+
+  /** Product-Quantization ANN with asymmetric distance computation
+    * (ADC) — the MEMORY-bound serving path: the corpus is encoded to
+    * m codebook indices per vector (m·log₂K bits, e.g. 8 bytes for a
+    * 64-dim float vector at m=8, K=256 — a 32x shrink), and each query
+    * scores candidates by summing per-subspace LOOKUP tables instead of
+    * touching raw vectors (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011). At 100 TB the codes table
+    * replaces the embedding column in the scan — the classic trade when
+    * the raw vectors no longer fit the cluster's memory budget.
+    *
+    * `codebooks(s)(j)` is centroid j of subspace s (all subspaces the
+    * same width; d = m·width). Codebooks are CALLER-PINNED (fitted
+    * offline — the serving split, same pattern as
+    * [[ivfTopKWithCentroids]]), so the whole pipeline is deterministic:
+    * encode = first-index argmin per subspace; ADC sum is an explicit
+    * left-associated m-term add; ranking breaks ties on neighbor id.
+    * Queries broadcast; the corpus streams one narrow pass — encode and
+    * score are both per-row projections, the only shuffle is the final
+    * per-query top-k rank.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist) — adc_dist is the
+    * APPROXIMATE squared L2 distance (quantization error included;
+    * recall is spec-gated, exactness when vectors sit ON centroids). */
+  def pqTopKADC(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1 && codebooks.forall(_.length == codebooks(0).length),
+      "pqTopKADC: ragged codebooks")
+    // corpus -> m small int codes (argmin = FIRST index of the min
+    // distance: deterministic tie rule, replayed by the oracle)
+    val codes = withPqDistArrays(corpus, idCol, vecCol, codebooks, "neighbor_id")
+      .select(col("neighbor_id") +:
+        (0 until m).map(s =>
+          (array_position(col(s"__da_$s"), array_min(col(s"__da_$s"))) - 1)
+            .cast("int").as(s"__code_$s")): _*)
+    // queries keep their distance arrays: these ARE the ADC tables
+    val q = withPqDistArrays(queries, idCol, vecCol, codebooks, "query_id")
+    // ADC score: explicit left-associated m-term sum of table lookups —
+    // fixed addition order keeps the double bit-identical across engines
+    val adc = (0 until m).map(s =>
+      element_at(col(s"__da_$s"), col(s"__code_$s") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Pin PQ codebooks from data rows (the deterministic serving-split
+    * fit stand-in, like q_ann_ivf_pinned's centroids): codebook j of
+    * every subspace comes from the j-th row of `rows` (each a full
+    * d-dim vector, sliced per subspace). */
+  def pqCodebooksFromRows(rows: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
+    require(rows.nonEmpty && rows(0).length % m == 0,
+      s"pqCodebooksFromRows: dim ${rows.headOption.fold(0)(_.length)} not divisible by m=$m")
+    val sub = rows(0).length / m
+    Array.tabulate(m)(s => rows.map(r => r.slice(s * sub, (s + 1) * sub)))
   }
 }

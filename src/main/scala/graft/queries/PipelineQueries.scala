@@ -1374,6 +1374,25 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-Quantization ANN with PINNED codebooks (subvectors of
+    // vec_id < 16, m=8 subspaces x 16 codewords) — the MEMORY-bound
+    // serving path: corpus becomes 8 small codes per vector, queries
+    // score by summing per-subspace lookup tables (ADC). Deterministic
+    // end-to-end (first-index argmin, left-associated ADC sum, id tie
+    // break), so the oracle replays encode + table lookup + rank.
+    "q_pq_ann_pinned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rows = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding").cast(ArrayType(DoubleType))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val books = Similarity.pqCodebooksFromRows(rows, m = 8)
+      Similarity.pqTopKADC(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, books)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Projection-compressed ANN with a PINNED 64->8 matrix — the
     // serving split of dimensionality-reduced search (matrix fitted
     // once offline, reused per batch; same pattern as
@@ -3287,6 +3306,44 @@ object PipelineQueries {
         |SELECT qid AS query_id,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
         |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_ann_pinned" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS j, v AS c FROM v WHERE vec_id < 16),
+        |d AS (
+        |  SELECT v.vec_id, sp.s, cb.j,
+        |    list_dot_product(
+        |      list_transform(range(1, 9), i -> v.v[sp.s*8 + i] - cb.c[sp.s*8 + i]),
+        |      list_transform(range(1, 9), i -> v.v[sp.s*8 + i] - cb.c[sp.s*8 + i])) AS d
+        |  FROM v, range(8) sp(s), cb),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        |t AS (
+        |  SELECT dq.vec_id AS qid, cc.vec_id AS nid, dq.s, dq.d AS term
+        |  FROM d dq JOIN codes cc ON cc.s = dq.s AND cc.code = dq.j
+        |  WHERE dq.vec_id < 10 AND cc.vec_id <> dq.vec_id),
+        |adc AS (
+        |  SELECT qid, nid,
+        |    sum(CASE WHEN s=0 THEN term END) AS t0,
+        |    sum(CASE WHEN s=1 THEN term END) AS t1,
+        |    sum(CASE WHEN s=2 THEN term END) AS t2,
+        |    sum(CASE WHEN s=3 THEN term END) AS t3,
+        |    sum(CASE WHEN s=4 THEN term END) AS t4,
+        |    sum(CASE WHEN s=5 THEN term END) AS t5,
+        |    sum(CASE WHEN s=6 THEN term END) AS t6,
+        |    sum(CASE WHEN s=7 THEN term END) AS t7
+        |  FROM t GROUP BY qid, nid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    ((((((t0 + t1) + t2) + t3) + t4) + t5) + t6) + t7 AS ad
+        |  FROM adc)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ad, nid) AS rank,
+        |  nid AS neighbor_id, round(ad, 6) AS adc_dist
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

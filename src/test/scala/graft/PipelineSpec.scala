@@ -1429,6 +1429,48 @@ class PipelineSpec extends SparkSpec {
     assert(e.isNullAt(2))
   }
 
+  test("PQ-ADC: asymmetric zero on own cluster, deterministic ties, sqDist contract") {
+    import spark.implicits._
+    // sqDist unit contract first: codegen'd Σ(a-b)^2, null on mismatch
+    val sq = Seq((Seq(1.0, 2.0), Seq(3.0, 5.0), Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b", "f")
+      .select(Similarity.sqDistCol(col("a"), col("b")).as("d"),
+        Similarity.sqDistCol(col("a"), col("f")).as("mismatch")).head()
+    assert(sq.getDouble(0) == 13.0)
+    assert(sq.isNullAt(1))
+    // 4 well-separated centers in R^16; 20 noisy members each; codebooks
+    // pinned AT the centers (m=4, K=4). A query sitting ON center i has
+    // ADC-table entry 0 for codeword i in every subspace, and every
+    // member of cluster i encodes to codeword i -> adc_dist EXACTLY 0,
+    // so its top-10 is the 10 smallest member ids of its own cluster
+    // (the deterministic id tie-break among the zero distances).
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 10))
+    val members = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (100L + i, c.map(x => x + rnd.nextGaussian() * 0.05).toSeq)
+    }
+    val corpus = members.toDF("vec_id", "embedding")
+    val queries = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooksFromRows(centers, m = 4)
+    val got = Similarity.pqTopKADC(corpus, queries, "vec_id", "embedding", 10, books)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    for (qi <- 0 until 4) {
+      val mine = got.filter(_._1 == qi).sortBy(_._2)
+      val expectIds = members.map(_._1).filter(id => (id - 100) % 4 == qi).sorted.take(10)
+      assert(mine.map(_._3).toSeq == expectIds, s"query $qi neighbors")
+      assert(mine.forall(_._4 == 0.0), s"query $qi asymmetric distance must be exactly 0")
+    }
+    // duplicate codewords: encoding takes the FIRST index of the min
+    val dupBooks = Similarity.pqCodebooksFromRows(
+      Array(centers(0), centers(0), centers(1)), m = 4)
+    val one = Similarity.pqTopKADC(corpus.limit(1), queries.filter($"vec_id" === 0),
+      "vec_id", "embedding", 1, dupBooks).collect()
+    assert(one.length == 1) // builds + ranks without ambiguity
+  }
+
   test("multimodal decode plumbing: per-partition stub, null passthrough") {
     import spark.implicits._
     val df = Seq(
