@@ -643,23 +643,31 @@ object Similarity {
     * shared by encoding (argmin) and query-side ADC tables. Pure
     * per-row projection: codebooks fold to literal arrays at plan time,
     * each entry is one fused [[graft.expr.SquaredDistance]] over the
-    * projected subvector slice. No shuffle, no UDF. */
-  private def withPqDistArrays(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]], idAs: String): DataFrame = {
+    * projected subvector slice. No shuffle, no UDF. `keep` columns pass
+    * through (id, cell, …). */
+  private def pqDistArrays(df: DataFrame, keep: Seq[String], vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val sliced = df.select(
-      col(idCol).as(idAs) +:
+      keep.map(col) ++
         (0 until m).map(s =>
           slice(col(vecCol), s * sub + 1, sub).as(s"__sub_$s")): _*)
     sliced.select(
-      col(idAs) +:
+      keep.map(col) ++
         (0 until m).map { s =>
           array(codebooks(s).map(cw =>
             graft.expr.VectorExpressions.sqDist(col(s"__sub_$s"),
               typedLit(cw.toSeq))): _*).as(s"__da_$s")
         }: _*)
   }
+
+  /** Distance arrays → first-index-argmin code columns `__code_0..`. */
+  private def pqCodeCols(df: DataFrame, keep: Seq[String], m: Int): DataFrame =
+    df.select(keep.map(col) ++
+      (0 until m).map(s =>
+        (array_position(col(s"__da_$s"), array_min(col(s"__da_$s"))) - 1)
+          .cast("int").as(s"__code_$s")): _*)
 
   /** Product-Quantization ANN with asymmetric distance computation
     * (ADC) — the MEMORY-bound serving path: the corpus is encoded to
@@ -691,25 +699,73 @@ object Similarity {
       "pqTopKADC: ragged codebooks")
     // corpus -> m small int codes (argmin = FIRST index of the min
     // distance: deterministic tie rule, replayed by the oracle)
-    val codes = withPqDistArrays(corpus, idCol, vecCol, codebooks, "neighbor_id")
-      .select(col("neighbor_id") +:
-        (0 until m).map(s =>
-          (array_position(col(s"__da_$s"), array_min(col(s"__da_$s"))) - 1)
-            .cast("int").as(s"__code_$s")): _*)
+    val codes = pqCodeCols(
+      pqDistArrays(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        Seq("neighbor_id"), "__v", codebooks),
+      Seq("neighbor_id"), m)
     // queries keep their distance arrays: these ARE the ADC tables
-    val q = withPqDistArrays(queries, idCol, vecCol, codebooks, "query_id")
-    // ADC score: explicit left-associated m-term sum of table lookups —
-    // fixed addition order keeps the double bit-identical across engines
+    pqRank(codes, pqDistArrays(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+      Seq("query_id"), "__v", codebooks), m, k, joinOnCell = false)
+  }
+
+  /** Shared ADC scoring + rank: join corpus codes to query ADC tables
+    * (by probed cell, or full cross for flat PQ), score by the explicit
+    * left-associated m-term lookup sum, rank per query with the id tie
+    * break. */
+  private def pqRank(codes: DataFrame, q: DataFrame, m: Int, k: Int,
+      joinOnCell: Boolean): DataFrame = {
     val adc = (0 until m).map(s =>
       element_at(col(s"__da_$s"), col(s"__code_$s") + 1)).reduce(_ + _)
+    val joined =
+      if (joinOnCell) codes.join(broadcast(q), Seq("cell"))
+      else codes.crossJoin(broadcast(q))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    codes.crossJoin(broadcast(q))
+    joined
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_dist", adc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** IVF-PQ — the composed 100 TB index (coarse cell pruning × compact
+    * codes, FAISS `IndexIVFPQ` shape, raw-vector PQ): the corpus is
+    * partitioned into IVF cells (cosine argmax against `cellCentroids`,
+    * lower-index tie break — identical to [[ivfTopKWithCentroids]]) AND
+    * encoded to m PQ codes; a query probes its `nProbe` nearest cells
+    * and ADC-scores ONLY their members from lookup tables. Work per
+    * query drops from |corpus| to |probed cells|, and the scan reads
+    * codes (bytes), not vectors — the two axes of ANN scale
+    * (candidates × bytes-per-candidate) pruned at once. Cell assignment
+    * and encoding are per-row projections over plan-time literal
+    * centroids/codebooks; queries broadcast; the only shuffle is the
+    * final per-query top-k. Fully deterministic with pinned inputs —
+    * `q_ivfpq_pinned` replays cells + codes + lookup + rank in SQL. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cellCentroids: Array[Array[Float]], nProbe: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    def assign(df: DataFrame, id: String, top: Int): DataFrame = {
+      val simStructs = cellCentroids.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(col("__v"), typedLit(cv.toSeq)).as("sim"),
+          lit(-i).as("negcell"))
+      }
+      val topCells = slice(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1, top)
+      df.select(col(idCol).as(id), col(vecCol).as("__v"))
+        .select(col(id), col("__v"), explode(topCells).as("bc"))
+        .select(col(id), col("__v"), (-col("bc.negcell")).as("cell"))
+    }
+    val codes = pqCodeCols(
+      pqDistArrays(assign(corpus, "neighbor_id", 1),
+        Seq("neighbor_id", "cell"), "__v", codebooks),
+      Seq("neighbor_id", "cell"), m)
+    val q = pqDistArrays(assign(queries, "query_id", nProbe),
+      Seq("query_id", "cell"), "__v", codebooks)
+    // corpus rows live in exactly one cell and probed cells are distinct,
+    // so a (query, neighbor) pair cannot repeat — no distinct needed
+    pqRank(codes, q, m, k, joinOnCell = true)
   }
 
   /** Pin PQ codebooks from data rows (the deterministic serving-split

@@ -1393,6 +1393,26 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The COMPOSED index: IVF cells × PQ codes (FAISS IndexIVFPQ shape,
+    // raw-vector PQ) — per query, work drops from |corpus| to |probed
+    // cells| AND candidates are scored from byte codes, not vectors.
+    // Same pinned rows serve as cell centroids and PQ codebooks; the
+    // oracle replays cells + codes + table lookups + rank end-to-end.
+    "q_ivfpq_pinned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pinned = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      val cellCents = pinned.select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val books = Similarity.pqCodebooksFromRows(
+        pinned.select(col("embedding").cast(ArrayType(DoubleType))).collect()
+          .map(_.getSeq[Double](0).toArray), m = 8)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, cellCents, nProbe = 4, books)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Projection-compressed ANN with a PINNED 64->8 matrix — the
     // serving split of dimensionality-reduced search (matrix fitted
     // once offline, reused per batch; same pattern as
@@ -3306,6 +3326,59 @@ object PipelineQueries {
         |SELECT qid AS query_id,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
         |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivfpq_pinned" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 16),
+        |sim AS (
+        |  SELECT vec_id, cid,
+        |    list_dot_product(v, c) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS s
+        |  FROM v, cent),
+        |corpus_cell AS (
+        |  SELECT vec_id AS nid, cid AS cell FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |query_cell AS (
+        |  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 4),
+        |d AS (
+        |  SELECT v.vec_id, sp.s, cb.cid AS j,
+        |    list_dot_product(
+        |      list_transform(range(1, 9), i -> v.v[sp.s*8 + i] - cb.c[sp.s*8 + i]),
+        |      list_transform(range(1, 9), i -> v.v[sp.s*8 + i] - cb.c[sp.s*8 + i])) AS d
+        |  FROM v, range(8) sp(s), cent cb),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        |cand AS (
+        |  SELECT qc.qid, nc.nid FROM query_cell qc JOIN corpus_cell nc USING (cell)
+        |  WHERE nc.nid <> qc.qid),
+        |t AS (
+        |  SELECT cand.qid, cand.nid, dq.s, dq.d AS term
+        |  FROM cand
+        |  JOIN codes co ON co.vec_id = cand.nid
+        |  JOIN d dq ON dq.vec_id = cand.qid AND dq.s = co.s AND dq.j = co.code),
+        |adc AS (
+        |  SELECT qid, nid,
+        |    sum(CASE WHEN s=0 THEN term END) AS t0,
+        |    sum(CASE WHEN s=1 THEN term END) AS t1,
+        |    sum(CASE WHEN s=2 THEN term END) AS t2,
+        |    sum(CASE WHEN s=3 THEN term END) AS t3,
+        |    sum(CASE WHEN s=4 THEN term END) AS t4,
+        |    sum(CASE WHEN s=5 THEN term END) AS t5,
+        |    sum(CASE WHEN s=6 THEN term END) AS t6,
+        |    sum(CASE WHEN s=7 THEN term END) AS t7
+        |  FROM t GROUP BY qid, nid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    ((((((t0 + t1) + t2) + t3) + t4) + t5) + t6) + t7 AS ad
+        |  FROM adc)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ad, nid) AS rank,
+        |  nid AS neighbor_id, round(ad, 6) AS adc_dist
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

@@ -1469,6 +1469,24 @@ class PipelineSpec extends SparkSpec {
     val one = Similarity.pqTopKADC(corpus.limit(1), queries.filter($"vec_id" === 0),
       "vec_id", "embedding", 1, dupBooks).collect()
     assert(one.length == 1) // builds + ranks without ambiguity
+
+    // IVF-PQ composition: probing EVERY cell must equal flat PQ exactly
+    // (pruning only removes candidates; with none removed the scores,
+    // ties and ranks are identical), and nProbe=1 keeps each
+    // center-query inside its own cluster's cell — top-10 still the
+    // zero-distance members
+    val cellCents = centers.map(_.map(_.toFloat))
+    val flat = Similarity.pqTopKADC(corpus, queries, "vec_id", "embedding", 10, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fullProbe = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        10, cellCents, nProbe = 4, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fullProbe == flat, "full probe must equal flat PQ")
+    val probe1 = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        10, cellCents, nProbe = 1, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(probe1.length == 40) // 10 per query
+    assert(probe1.forall(_._4 == 0.0), "own-cell members quantize to distance 0")
   }
 
   test("multimodal decode plumbing: per-partition stub, null passthrough") {
