@@ -590,6 +590,34 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Gap-filled (DENSE) tumbling resample: like [[resample]], but the
+    * output carries EVERY bucket of the observed time span — hours with
+    * no events appear with count 0 and null aggregates, which is what a
+    * downstream chart, anomaly detector, or rolling model actually
+    * needs (a sparse resample silently hides outages as missing rows).
+    *
+    * Shape: aggregate first (shrinks to |buckets|), then LEFT JOIN a
+    * generated bucket SPINE — `sequence(min, max, interval)` exploded
+    * from ONE scalar row, never a per-row blowup. The spine is
+    * span-sized (tiny next to the data), the join key is the bucket
+    * itself; at 100 TB the cost stays the aggregate's. */
+  def resampleDense(df: DataFrame, tsCol: String, every: String,
+      specs: Seq[(String, Seq[Aggregates.AggFn])]): DataFrame = {
+    val sparse = resample(df, tsCol, every, specs)
+    val bounds = sparse.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL $every"))).as("bucket"))
+    val countCols = specs.collect { case (c, fns) if fns.contains(Aggregates.Length) =>
+      s"${c}_length"
+    }
+    val filled = spine.join(sparse, Seq("bucket"), "left")
+    // absent buckets mean ZERO observations: lengths are 0, not null
+    countCols.foldLeft(filled) { (d, cc) =>
+      d.withColumn(cc, coalesce(col(cc), lit(0.0)))
+    }
+  }
+
   /** Top-k rows per group by an explicit order — "top sources per
     * language", "top domains per shard". `order` must be TOTAL within a
     * group (add a key tie-break) or ranks are nondeterministic. Plans as

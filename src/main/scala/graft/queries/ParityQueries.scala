@@ -584,6 +584,17 @@ object ParityQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Gap-FILLED resample: the sparse high-value event slice (172 rows
+    // over a 715-hour span, 560 EMPTY hours) — the dense spine surfaces
+    // gaps as (null sum, 0 count) rows: outages visible, not missing.
+    "q_resample_dense" -> ((s, dir) => {
+      Stats.resampleDense(events(s, dir).filter(col("value") > 200),
+          "ts", "1 hour", Seq("value" -> Seq(A.Sum, A.Length)))
+        .select(col("bucket"), round(col("value_sum"), 4).as("value_sum"),
+          col("value_length"))
+        .orderBy(col("bucket"))
+    }),
+
     // exact-decimal face of q_resample: the same epoch-aligned 1h
     // tumbling buckets expressed directly (Stats.resample aggregates in
     // double by design — this is the oracle-exactness gate, q_resample
@@ -1180,6 +1191,18 @@ object ParityQueries {
         |  round(round(sum(value), 4) / count(*), 6) AS value_mean,
         |  count(*)::DOUBLE AS value_length
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_resample_dense" ->
+      """WITH src AS (SELECT * FROM events WHERE value > 200),
+        |agg AS (SELECT date_trunc('hour', ts) AS b,
+        |          round(sum(value), 4) AS s, count(*)::DOUBLE AS n
+        |        FROM src GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM agg),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |          FROM bounds)
+        |SELECT bucket, s AS value_sum, coalesce(n, 0) AS value_length
+        |FROM spine LEFT JOIN agg ON b = bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_resample_exact" ->
       """WITH g AS (

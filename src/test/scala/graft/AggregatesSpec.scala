@@ -625,4 +625,31 @@ class AggregatesSpec extends SparkSpec {
         Seq("v" -> Seq(graft.operators.Aggregates.First))))
     assert(e.getMessage.contains("row order"))
   }
+
+  test("resampleDense fills interior gaps with count 0 / null aggregates") {
+    import spark.implicits._
+    // events at hours 00, 01, 04 — hours 02 and 03 are EMPTY
+    val df = Seq(
+      ("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:40:00", 2.0),
+      ("2024-01-01 01:05:00", 4.0), ("2024-01-01 04:59:00", 8.0))
+      .toDF("ts", "v")
+      .select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val out = graft.operators.Stats.resampleDense(df, "ts", "1 hour",
+        Seq("v" -> Seq(graft.operators.Aggregates.Sum,
+          graft.operators.Aggregates.Length)))
+      .orderBy("bucket").collect()
+    assert(out.length == 5) // 00..04 inclusive — the full spine
+    assert(out.map(_.getDouble(out.head.fieldIndex("v_length"))).toSeq ==
+      Seq(2.0, 1.0, 0.0, 0.0, 1.0))
+    val sumIdx = out.head.fieldIndex("v_sum")
+    assert(out(0).getDouble(sumIdx) == 3.0 && out(1).getDouble(sumIdx) == 4.0)
+    assert(out(2).isNullAt(sumIdx) && out(3).isNullAt(sumIdx)) // empty -> null sum
+    assert(out(4).getDouble(sumIdx) == 8.0)
+    // gapless data: dense == sparse resample row-for-row
+    val dense2 = graft.operators.Stats.resampleDense(df.limit(3), "ts", "1 hour",
+      Seq("v" -> Seq(graft.operators.Aggregates.Sum))).orderBy("bucket").collect()
+    val sparse2 = graft.operators.Stats.resample(df.limit(3), "ts", "1 hour",
+      Seq("v" -> Seq(graft.operators.Aggregates.Sum))).orderBy("bucket").collect()
+    assert(dense2.map(_.toSeq).toSeq == sparse2.map(_.toSeq).toSeq)
+  }
 }
