@@ -698,14 +698,18 @@ object Similarity {
     require(m >= 1 && codebooks.forall(_.length == codebooks(0).length),
       "pqTopKADC: ragged codebooks")
     // corpus -> m small int codes (argmin = FIRST index of the min
-    // distance: deterministic tie rule, replayed by the oracle)
+    // distance: deterministic tie rule, replayed by the oracle). Null
+    // vectors drop up front: a null distance would otherwise sort FIRST
+    // in the rank window (asc nulls-first) and fabricate neighbors
     val codes = pqCodeCols(
-      pqDistArrays(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      pqDistArrays(corpus.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
         Seq("neighbor_id"), "__v", codebooks),
       Seq("neighbor_id"), m)
     // queries keep their distance arrays: these ARE the ADC tables
     pqRank(codes, pqDistArrays(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+      queries.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__v")),
       Seq("query_id"), "__v", codebooks), m, k, joinOnCell = false)
   }
 
@@ -753,7 +757,10 @@ object Similarity {
           lit(-i).as("negcell"))
       }
       val topCells = slice(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1, top)
-      df.select(col(idCol).as(id), col(vecCol).as("__v"))
+      // null vectors drop (same rationale as pqTopKADC: null cosines and
+      // null ADC distances would sort first and fabricate results)
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), col(vecCol).as("__v"))
         .select(col(id), col("__v"), explode(topCells).as("bc"))
         .select(col(id), col("__v"), (-col("bc.negcell")).as("cell"))
     }

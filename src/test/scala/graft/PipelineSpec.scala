@@ -1487,6 +1487,17 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(probe1.length == 40) // 10 per query
     assert(probe1.forall(_._4 == 0.0), "own-cell members quantize to distance 0")
+
+    // null vectors drop — a null ADC distance would otherwise sort FIRST
+    // in the rank window and fabricate neighbors
+    val withNull = corpus.unionByName(
+      Seq((999L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding"))
+    val gotN = Similarity.pqTopKADC(withNull, queries, "vec_id", "embedding", 10, books)
+      .collect()
+    assert(!gotN.exists(_.getLong(2) == 999L))
+    val gotN2 = Similarity.ivfPqTopK(withNull, queries, "vec_id", "embedding",
+      10, cellCents, nProbe = 4, books).collect()
+    assert(!gotN2.exists(_.getLong(2) == 999L))
   }
 
   test("multimodal decode plumbing: per-partition stub, null passthrough") {
