@@ -145,6 +145,34 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("snapshotDiff over bucketed snapshots plans NO exchange and NO sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SortExec
+    // the Diff scaladoc's 100 TB claim, held to plan evidence: two
+    // releases bucketed on the id full-outer-diff by zipping co-located
+    // buckets — the nightly version audit without re-shuffling either
+    val tmp = java.nio.file.Files.createTempDirectory("diffbucket").toString
+    val oldRel = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "text")
+    val newRel = (0L until 5200L).filter(_ % 31 != 0)
+      .map(i => (i, if (i % 53 == 0) s"v$i!" else s"v$i")).toDF("id", "text")
+    graft.operators.Layout.writeBucketed(oldRel, "spec_diff_old", Seq("id"), 4, Some(s"$tmp/o"))
+    graft.operators.Layout.writeBucketed(newRel, "spec_diff_new", Seq("id"), 4, Some(s"$tmp/n"))
+    val diffed = graft.operators.Diff.snapshotDiff(
+      spark.table("spec_diff_old"), spark.table("spec_diff_new"),
+      Seq("id"), Seq("text")).filter(col("change") =!= "unchanged")
+    val plan = diffed.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"bucketed snapshotDiff planned a shuffle:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"bucketed snapshotDiff re-sorted a sortBy'd bucket:\n$plan")
+    // and the tags equal the unbucketed diff
+    val want = graft.operators.Diff.snapshotDiff(oldRel, newRel, Seq("id"), Seq("text"))
+      .filter(col("change") =!= "unchanged")
+      .select("id", "change").collect().map(_.toSeq).toSet
+    assert(diffed.select("id", "change").collect().map(_.toSeq).toSet == want)
+  }
+
   test("NO query in the whole SparkEntry surface plans a partition-less window") {
     val dir = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
