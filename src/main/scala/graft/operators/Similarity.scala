@@ -775,6 +775,50 @@ object Similarity {
     pqRank(codes, q, m, k, joinOnCell = true)
   }
 
+  /** RESIDUAL IVF-PQ — the canonical form (FAISS `by_residual=true`):
+    * PQ quantizes the residual `x − C(cell(x))` instead of the raw
+    * vector, so the codebooks only need to span the WITHIN-cell spread —
+    * at equal bits this is strictly finer quantization (the coarse
+    * structure is already paid for by the cell id), which is why it is
+    * the production default. The query's ADC table is rebuilt PER PROBED
+    * CELL (`q − C(cell)` differs per cell — the asymmetric part now
+    * depends on the probe), still a per-row projection over plan-time
+    * literals. Same determinism contract as [[ivfPqTopK]]; pin the
+    * residual codebooks from rows that are NOT the cell centroids
+    * (a centroid's own residual is the zero vector). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cellCentroids: Array[Array[Float]], nProbe: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    // double-typed centroid table literal: residual arithmetic must run
+    // in DOUBLE on both engines (float subtraction would round first)
+    val centsD = cellCentroids.map(_.map(_.toDouble).toSeq).toSeq
+    def assignResidual(df: DataFrame, id: String, top: Int): DataFrame = {
+      val vD = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      val simStructs = cellCentroids.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(col("__v"), typedLit(cv.toSeq)).as("sim"),
+          lit(-i).as("negcell"))
+      }
+      val topCells = slice(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1, top)
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), vD.as("__v"))
+        .select(col(id), col("__v"), explode(topCells).as("bc"))
+        .select(col(id), col("__v"), (-col("bc.negcell")).as("cell"))
+        // residual = v − C(cell), elementwise in double
+        .select(col(id), col("cell"),
+          zip_with(col("__v"), element_at(typedLit(centsD), col("cell") + 1),
+            (a, b) => a - b).as("__v"))
+    }
+    val codes = pqCodeCols(
+      pqDistArrays(assignResidual(corpus, "neighbor_id", 1),
+        Seq("neighbor_id", "cell"), "__v", codebooks),
+      Seq("neighbor_id", "cell"), m)
+    val q = pqDistArrays(assignResidual(queries, "query_id", nProbe),
+      Seq("query_id", "cell"), "__v", codebooks)
+    pqRank(codes, q, m, k, joinOnCell = true)
+  }
+
   /** Pin PQ codebooks from data rows (the deterministic serving-split
     * fit stand-in, like q_ann_ivf_pinned's centroids): codebook j of
     * every subspace comes from the j-th row of `rows` (each a full

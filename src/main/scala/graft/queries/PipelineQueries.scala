@@ -1413,6 +1413,51 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // RESIDUAL IVF-PQ (FAISS by_residual=true, the production default):
+    // PQ quantizes x − C(cell) so the codebooks span only the
+    // within-cell spread; the query ADC table is rebuilt per probed
+    // cell. Cells pinned from vec_id < 16; residual codebooks pinned
+    // from the RESIDUALS of vec_id in [16, 32) (a centroid's own
+    // residual is zero — different rows must seed the codebooks). The
+    // driver-side residual computation mirrors the engine's cosine
+    // argmax (left-fold double accumulation, lower-index ties) exactly,
+    // and the oracle rebuilds the same codebooks from its own CTEs.
+    "q_ivfpq_residual_pinned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      val centsD = cents.map(_.map(_.toDouble))
+      val pin2 = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast(ArrayType(DoubleType))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      def cellOf(v: Array[Double]): Int = {
+        var best = -1
+        var bestSim = Double.NegativeInfinity
+        for (ci <- centsD.indices) {
+          val c = centsD(ci)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < v.length) {
+            dot += v(i) * c(i); na += v(i) * v(i); nb += c(i) * c(i); i += 1
+          }
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (sim > bestSim) { bestSim = sim; best = ci } // tie keeps lower ci
+        }
+        best
+      }
+      val resRows = pin2.map { r =>
+        val c = centsD(cellOf(r))
+        Array.tabulate(r.length)(i => r(i) - c(i))
+      }
+      val books = Similarity.pqCodebooksFromRows(resRows, m = 8)
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, cents, nProbe = 4, books)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Projection-compressed ANN with a PINNED 64->8 matrix — the
     // serving split of dimensionality-reduced search (matrix fitted
     // once offline, reused per batch; same pattern as
@@ -3326,6 +3371,84 @@ object PipelineQueries {
         |SELECT qid AS query_id,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
         |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivfpq_residual_pinned" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 16),
+        |sim AS (
+        |  SELECT vec_id, cid,
+        |    list_dot_product(v, c) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS s
+        |  FROM v, cent),
+        |corpus_cell AS (
+        |  SELECT vec_id AS nid, cid AS cell FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |query_cell AS (
+        |  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 4),
+        |cb AS (
+        |  SELECT v.vec_id - 16 AS j,
+        |    list_transform(range(1, 65), i -> v.v[i] - cent.c[i]) AS c
+        |  FROM v
+        |  JOIN corpus_cell cc ON cc.nid = v.vec_id
+        |  JOIN cent ON cent.cid = cc.cell
+        |  WHERE v.vec_id >= 16 AND v.vec_id < 32),
+        |resid AS (
+        |  SELECT v.vec_id, cc.cell,
+        |    list_transform(range(1, 65), i -> v.v[i] - cent.c[i]) AS r
+        |  FROM v JOIN corpus_cell cc ON cc.nid = v.vec_id
+        |  JOIN cent ON cent.cid = cc.cell),
+        |d AS (
+        |  SELECT resid.vec_id, sp.s, cb.j,
+        |    list_dot_product(
+        |      list_transform(range(1, 9), i -> resid.r[sp.s*8 + i] - cb.c[sp.s*8 + i]),
+        |      list_transform(range(1, 9), i -> resid.r[sp.s*8 + i] - cb.c[sp.s*8 + i])) AS d
+        |  FROM resid, range(8) sp(s), cb),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+        |qresid AS (
+        |  SELECT qc.qid, qc.cell,
+        |    list_transform(range(1, 65), i -> v.v[i] - cent.c[i]) AS r
+        |  FROM query_cell qc JOIN v ON v.vec_id = qc.qid
+        |  JOIN cent ON cent.cid = qc.cell),
+        |dq AS (
+        |  SELECT q.qid, q.cell, sp.s, cb.j,
+        |    list_dot_product(
+        |      list_transform(range(1, 9), i -> q.r[sp.s*8 + i] - cb.c[sp.s*8 + i]),
+        |      list_transform(range(1, 9), i -> q.r[sp.s*8 + i] - cb.c[sp.s*8 + i])) AS d
+        |  FROM qresid q, range(8) sp(s), cb),
+        |cand AS (
+        |  SELECT qc.qid, nc.nid, qc.cell
+        |  FROM query_cell qc JOIN corpus_cell nc USING (cell)
+        |  WHERE nc.nid <> qc.qid),
+        |t AS (
+        |  SELECT cand.qid, cand.nid, dq.s, dq.d AS term
+        |  FROM cand
+        |  JOIN codes co ON co.vec_id = cand.nid
+        |  JOIN dq ON dq.qid = cand.qid AND dq.cell = cand.cell
+        |        AND dq.s = co.s AND dq.j = co.code),
+        |adc AS (
+        |  SELECT qid, nid,
+        |    sum(CASE WHEN s=0 THEN term END) AS t0,
+        |    sum(CASE WHEN s=1 THEN term END) AS t1,
+        |    sum(CASE WHEN s=2 THEN term END) AS t2,
+        |    sum(CASE WHEN s=3 THEN term END) AS t3,
+        |    sum(CASE WHEN s=4 THEN term END) AS t4,
+        |    sum(CASE WHEN s=5 THEN term END) AS t5,
+        |    sum(CASE WHEN s=6 THEN term END) AS t6,
+        |    sum(CASE WHEN s=7 THEN term END) AS t7
+        |  FROM t GROUP BY qid, nid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    ((((((t0 + t1) + t2) + t3) + t4) + t5) + t6) + t7 AS ad
+        |  FROM adc)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ad, nid) AS rank,
+        |  nid AS neighbor_id, round(ad, 6) AS adc_dist
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

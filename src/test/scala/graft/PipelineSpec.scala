@@ -1500,6 +1500,47 @@ class PipelineSpec extends SparkSpec {
     assert(!gotN2.exists(_.getLong(2) == 999L))
   }
 
+  test("residual IVF-PQ: ADC approximates codeword norms, ranks by offset group") {
+    import spark.implicits._
+    // 4 cells; per cell, 2 points at center + offset r_j for each of 4
+    // offsets (|r_0| < |r_1| < |r_2| < |r_3|). Residual codebooks pinned
+    // at the EXACT offsets: a center query has zero residual, so its ADC
+    // entry for codeword j is ||r_j||^2 — candidates rank by offset
+    // group. Tolerance: cell centroids pass through FLOAT (the
+    // cellCentroids contract), so residuals carry ~1e-7/element of
+    // float-rounding — far below the ~0.5 group spacing.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 10))
+    val offsets = Array.tabulate(4)(j => Array.fill(16)((j + 1) * 0.1))
+    val corpus = (for {
+      c <- 0 until 4; j <- 0 until 4; rep <- 0 until 2
+    } yield {
+      val p = centers(c).indices.map(i => centers(c)(i) + offsets(j)(i))
+      (1000L + c * 100 + j * 10 + rep, p)
+    }).toDF("vec_id", "embedding")
+    val queries = centers.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }.toSeq.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooksFromRows(offsets, m = 4)
+    val cellCents = centers.map(_.map(_.toFloat))
+    val got = Similarity.ivfPqResidualTopK(corpus, queries, "vec_id", "embedding",
+        8, cellCents, nProbe = 1, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val normSq = offsets.map(o => o.foldLeft(0.0)((a, x) => a + x * x))
+    for (qi <- 0 until 4) {
+      val mine = got.filter(_._1 == qi).sortBy(_._2)
+      assert(mine.length == 8)
+      assert(mine.forall(m => (m._3 - 1000) / 100 == qi), s"query $qi left its cell")
+      // ranks 1-2 -> offset group 0, 3-4 -> group 1, ... each adc within
+      // float-roundtrip error of the exact codeword norm
+      for ((m, idx) <- mine.zipWithIndex) {
+        val j = idx / 2
+        assert(((m._3 - 1000) % 100) / 10 == j, s"query $qi rank ${m._2} wrong group")
+        assert(math.abs(m._4 - normSq(j)) < 1e-5,
+          s"query $qi adc ${m._4} vs ||r_$j||^2 ${normSq(j)}")
+      }
+    }
+  }
+
   test("multimodal decode plumbing: per-partition stub, null passthrough") {
     import spark.implicits._
     val df = Seq(
