@@ -26,6 +26,10 @@ object GraftFunctions {
       require(args.length == 2, "graft_cosine(arrayA, arrayB)")
       CosineSimilarity(args(0), args(1))
     },
+    "graft_sqdist" -> { args =>
+      require(args.length == 2, "graft_sqdist(arrayA, arrayB)")
+      graft.expr.SquaredDistance(args(0), args(1))
+    },
     "graft_fingerprint" -> { args =>
       require(args.length == 1, "graft_fingerprint(text)")
       PolynomialFingerprint(args(0))

@@ -10,10 +10,12 @@ class GraftFunctionsSpec extends SparkSpec {
         |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |  round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
         |  graft_fingerprint('ab') AS f,
-        |  graft_shingles(array('a', 'b', 'c'), 2) AS sh
+        |  graft_shingles(array('a', 'b', 'c'), 2) AS sh,
+        |  graft_sqdist(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS sq
       """.stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
+    assert(r.getAs[Double]("sq") == 13.0)
     // fingerprint('ab') = (0*31+97)*31+98 mod 1e9+7 = 3105
     assert(r.getLong(2) == 97L * 31 + 98)
     assert(r.getSeq[String](3) == Seq("a b", "b c"))
@@ -72,9 +74,9 @@ class GraftFunctionsSpec extends SparkSpec {
   test("GraftExtensions constructs and exposes the full function set") {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("graft_dot", "graft_cosine", "graft_fingerprint", "graft_shingles",
-        "graft_quantile", "graft_zvalue", "graft_redact_pii", "graft_nfc",
-        "graft_image_meta", "graft_audio_meta"))
+      Set("graft_dot", "graft_cosine", "graft_sqdist", "graft_fingerprint",
+        "graft_shingles", "graft_quantile", "graft_zvalue", "graft_redact_pii",
+        "graft_nfc", "graft_image_meta", "graft_audio_meta"))
     assert(ext != null)
   }
 }
