@@ -76,6 +76,54 @@ object Diff {
       .unionByName(upserts)
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view face of
+    * CDC: given a standing grouped aggregate (`keyCols`,
+    * `<measure>_sum` DECIMAL columns, row count `n`) and a
+    * [[snapshotDiff]] change set, produce the aggregate OVER THE NEW
+    * RELEASE without rescanning it: removed/changed rows retract their
+    * OLD contributions (negated), added/changed rows add their NEW ones,
+    * the delta (churn-sized) merges into the standing aggregate with one
+    * full-outer join, and groups whose count reaches zero vanish —
+    * exactly as a from-scratch GROUP BY would omit them.
+    *
+    * Contract (spec'd + oracle-gated): maintained ≡ recomputed, row for
+    * row — which REQUIRES decimal measures: decimal addition is
+    * associative-commutative, so retract-then-add lands on the identical
+    * sum a fresh scan produces; double sums would drift and the view
+    * could never be audited against a recompute again.
+    *
+    * Scale shape: cost is O(churn) + O(|groups|) — the nightly rollup
+    * refresh touches the changes and the (small) aggregate, never the
+    * 100 TB fact history. Grouping keys may themselves change between
+    * releases (a re-labeled doc moves between groups): old keys come
+    * from the change row's old-side columns, new keys from `_new`. */
+  def maintainAgg(oldAgg: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "maintainAgg: need at least one grouping key")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 4)
+    val neg = changes.filter(col("change").isin("removed", "changed"))
+      .select(keyCols.map(col) ++
+        measureCols.map(c => (-col(c).cast(dec)).as(s"${c}_sum")) :+
+        lit(-1L).as("n"): _*)
+    val pos = changes.filter(col("change").isin("added", "changed"))
+      .select(keyCols.map(c => col(c + "_new").as(c)) ++
+        measureCols.map(c => col(c + "_new").cast(dec).as(s"${c}_sum")) :+
+        lit(1L).as("n"): _*)
+    val delta = neg.unionByName(pos)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(s"${measureCols.head}_sum")).as(s"${measureCols.head}_sum"),
+        (measureCols.tail.map(c => sum(col(s"${c}_sum")).as(s"${c}_sum")) :+
+          sum(col("n")).as("n")): _*)
+    val merged = oldAgg.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        measureCols.map { c =>
+          (coalesce(oldAgg(s"${c}_sum"), lit(0).cast(dec)) +
+            coalesce(delta(s"${c}_sum"), lit(0).cast(dec))).as(s"${c}_sum")
+        } :+
+        (coalesce(oldAgg("n"), lit(0L)) + coalesce(delta("n"), lit(0L))).as("n"): _*)
+    merged.filter(col("n") > 0)
+  }
+
   /** Aggregate view of [[snapshotDiff]]: (change, n) — the one-line
     * health answer ("release 14 → 15: +1.2M added, 40k changed"). */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame,

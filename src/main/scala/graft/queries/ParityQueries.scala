@@ -345,6 +345,34 @@ object ParityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental aggregate maintenance: the standing per-lang rollup of
+    // release 1 is updated from the CDC change set alone (retract old
+    // contributions, add new, merge churn-sized delta) — the oracle
+    // recomputes the rollup from the FULL new release, so maintained ≡
+    // recomputed IS the graded property. Decimal measures make the two
+    // arithmetically identical at any scale.
+    "q_incr_agg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mk = (d: DataFrame) => d.select(col("doc_id"), col("lang"),
+        col("n_chars"), col("text"))
+      val oldD = mk(docs)
+      val newD = mk(docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars"), col("text"))))
+      val oldAgg = oldD.groupBy(col("lang"))
+        .agg(sum(col("n_chars").cast(DecimalType(38, 4))).as("n_chars_sum"),
+          count(lit(1)).as("n"))
+      val changes = graft.operators.Diff.snapshotDiff(
+          oldD, newD, Seq("doc_id"), Seq("lang", "n_chars", "text"))
+        .filter(col("change") =!= "unchanged")
+      graft.operators.Diff.maintainAgg(oldAgg, changes, Seq("lang"), Seq("n_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // PSI distribution drift between two snapshots: the "current" price
     // distribution is a planted affine shift of the reference; the bin
     // grid is FIXED from the reference's exact equi-depth octiles (the
@@ -807,6 +835,16 @@ object ParityQueries {
         |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', v_dup, total,
         |    0::BIGINT, v_dup = 0 FROM m)
         |ORDER BY chk, col_name""".stripMargin,
+
+    "q_incr_agg" ->
+      """WITH newd AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 89 = 0)
+        |SELECT lang, sum(CAST(n_chars AS DECIMAL(38,4))) AS n_chars_sum,
+        |  count(*) AS n
+        |FROM newd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_cdc_upsert" ->
       """SELECT doc_id,

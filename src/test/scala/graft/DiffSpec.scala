@@ -62,6 +62,42 @@ class DiffSpec extends SparkSpec {
     assert(m2 == n2.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet)
   }
 
+  test("maintainAgg: maintained rollup == recomputed, incl. key moves and group extinction") {
+    import org.apache.spark.sql.types.DecimalType
+    def mkAgg(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("k"))
+      .agg(sum(col("m").cast(DecimalType(38, 4))).as("m_sum"), count(lit(1)).as("n"))
+    // old release: groups a (2 rows), b (2), c (1)
+    val old = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "b", 40L), (5L, "c", 50L)).toDF("id", "k", "m")
+    // new: id2 re-labeled a->b (KEY MOVE), id3 measure edit, id5 removed
+    // (group c goes EXTINCT), id6 added into new group d
+    val neu = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "b", 31L),
+      (4L, "b", 40L), (6L, "d", 60L)).toDF("id", "k", "m")
+    val changes = Diff.snapshotDiff(old, neu, Seq("id"), Seq("k", "m"))
+      .filter(col("change") =!= "unchanged")
+    val maintained = Diff.maintainAgg(mkAgg(old), changes, Seq("k"), Seq("m"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+    val recomputed = mkAgg(neu)
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+    assert(maintained == recomputed, s"maintained $maintained vs $recomputed")
+    assert(!maintained.exists(_._1 == "c"), "extinct group must vanish")
+    // seeded random churn differential
+    val rnd = new scala.util.Random(31)
+    val o2 = (0L until 400L).map(i => (i, s"k${i % 7}", (i % 13) + 1)).toDF("id", "k", "m")
+    val n2 = (0L until 430L).flatMap { i =>
+      if (i < 400 && rnd.nextDouble() < 0.2) None
+      else if (i >= 400 && rnd.nextDouble() < 0.5) None
+      else Some((i, s"k${rnd.nextInt(7)}", (rnd.nextInt(13) + 1).toLong))
+    }.toDF("id", "k", "m")
+    val ch2 = Diff.snapshotDiff(o2, n2, Seq("id"), Seq("k", "m"))
+      .filter(col("change") =!= "unchanged")
+    val m2 = Diff.maintainAgg(mkAgg(o2), ch2, Seq("k"), Seq("m"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+    val r2 = mkAgg(n2)
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+    assert(m2 == r2)
+  }
+
   test("diffSummary counts by change type") {
     val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val neu = Seq((2L, "x"), (3L, "c")).toDF("id", "v")
