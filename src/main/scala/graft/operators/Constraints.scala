@@ -60,15 +60,18 @@ object Constraints {
     val spark = df.sparkSession
     // one fused aggregate pass: count(*) + a conditional sum per
     // row-local check + a countDistinct per Unique
+    // coalesce(sum, 0): a conditional sum over an EMPTY table is null,
+    // and a null violation count would NPE the verdict unboxing — an
+    // empty dataset has zero violations, not unknown ones
     val rowLocal: Seq[(Check, org.apache.spark.sql.Column)] = checks.collect {
       case c @ NotNull(col0, _) =>
-        c -> sum(when(col(col0).isNull, 1L).otherwise(0L))
+        c -> coalesce(sum(when(col(col0).isNull, 1L).otherwise(0L)), lit(0L))
       case c @ InRange(col0, lo, hi, _) =>
-        c -> sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
-          .otherwise(0L))
+        c -> coalesce(sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
+          .otherwise(0L)), lit(0L))
       case c @ MatchesRegex(col0, re, _) =>
-        c -> sum(when(col(col0).isNull || !col(col0).rlike("^(?:" + re + ")$"), 1L)
-          .otherwise(0L))
+        c -> coalesce(sum(when(col(col0).isNull || !col(col0).rlike("^(?:" + re + ")$"), 1L)
+          .otherwise(0L)), lit(0L))
       case c @ Unique(cols0, _) =>
         // duplicates beyond the first per key; null keys group like values
         c -> (count(lit(1)) - count_distinct(struct(cols0.map(col): _*)))
@@ -126,15 +129,17 @@ object Constraints {
     * those through [[validate]] on the landed data instead. */
   def observed(df: DataFrame, name: String, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Constraints.observed: empty suite")
+    // coalesce(sum, 0): an EMPTY micro-batch reports null sums, and a
+    // null metric would NPE verdictsFrom's unboxing
     val metricCols = checks.zipWithIndex.map {
       case (NotNull(col0, _), i) =>
-        sum(when(col(col0).isNull, 1L).otherwise(0L)).as(s"v$i")
+        coalesce(sum(when(col(col0).isNull, 1L).otherwise(0L)), lit(0L)).as(s"v$i")
       case (InRange(col0, lo, hi, _), i) =>
-        sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
-          .otherwise(0L)).as(s"v$i")
+        coalesce(sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
+          .otherwise(0L)), lit(0L)).as(s"v$i")
       case (MatchesRegex(col0, re, _), i) =>
-        sum(when(col(col0).isNull || !col(col0).rlike("^(?:" + re + ")$"), 1L)
-          .otherwise(0L)).as(s"v$i")
+        coalesce(sum(when(col(col0).isNull || !col(col0).rlike("^(?:" + re + ")$"), 1L)
+          .otherwise(0L)), lit(0L)).as(s"v$i")
       case (c, _) => throw new IllegalArgumentException(
         s"Constraints.observed: only row-local checks are observable, got $c " +
           "(run Unique/RefIntegrity via validate() on the landed data)")

@@ -114,13 +114,25 @@ object Diff {
       .agg(sum(col(s"${measureCols.head}_sum")).as(s"${measureCols.head}_sum"),
         (measureCols.tail.map(c => sum(col(s"${c}_sum")).as(s"${c}_sum")) :+
           sum(col("n")).as("n")): _*)
-    val merged = oldAgg.join(delta, keyCols, "full_outer")
-      .select(keyCols.map(col) ++
+    // NULL-SAFE key join: groupBy puts null keys in a real group, and a
+    // plain equi-join would never match it across the merge (two
+    // disjoint null-group rows instead of one maintained group).
+    // Explicit aliases: oldAgg and delta often share lineage (both built
+    // off the same release frames), which would otherwise trip Spark's
+    // ambiguous-self-join detection.
+    val o = oldAgg.alias("__mv_old")
+    val d = delta.alias("__mv_delta")
+    val joinCond = keyCols
+      .map(k => col(s"__mv_old.$k") <=> col(s"__mv_delta.$k")).reduce(_ && _)
+    val merged = o.join(d, joinCond, "full_outer")
+      .select(keyCols.map(k =>
+          coalesce(col(s"__mv_old.$k"), col(s"__mv_delta.$k")).as(k)) ++
         measureCols.map { c =>
-          (coalesce(oldAgg(s"${c}_sum"), lit(0).cast(dec)) +
-            coalesce(delta(s"${c}_sum"), lit(0).cast(dec))).as(s"${c}_sum")
+          (coalesce(col(s"__mv_old.${c}_sum"), lit(0).cast(dec)) +
+            coalesce(col(s"__mv_delta.${c}_sum"), lit(0).cast(dec))).as(s"${c}_sum")
         } :+
-        (coalesce(oldAgg("n"), lit(0L)) + coalesce(delta("n"), lit(0L))).as("n"): _*)
+        (coalesce(col("__mv_old.n"), lit(0L)) +
+          coalesce(col("__mv_delta.n"), lit(0L))).as("n"): _*)
     merged.filter(col("n") > 0)
   }
 

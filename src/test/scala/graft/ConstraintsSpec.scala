@@ -56,6 +56,18 @@ class ConstraintsSpec extends SparkSpec {
     assert(!Constraints.holds(df, Seq(NotNull("amount"))))
   }
 
+  test("empty dataset: zero violations everywhere, every check passes") {
+    // a conditional sum over an empty table is null — the verdicts must
+    // read it as ZERO violations, not NPE on the unboxing
+    val empty = df.filter(lit(false))
+    val v = Constraints.validate(empty, Seq(
+      NotNull("amount"), InRange("amount", 0.0, 1.0),
+      MatchesRegex("email", ".*"), Unique(Seq("id")),
+      RefIntegrity("country", Seq("US").toDF("c"), "c"))).collect()
+    assert(v.length == 5)
+    assert(v.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getBoolean(5)))
+  }
+
   test("observed constraints ride an ingest stream; metrics decode to exact verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Option[Double])]

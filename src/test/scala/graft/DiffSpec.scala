@@ -81,21 +81,28 @@ class DiffSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
     assert(maintained == recomputed, s"maintained $maintained vs $recomputed")
     assert(!maintained.exists(_._1 == "c"), "extinct group must vanish")
-    // seeded random churn differential
+    // seeded random churn differential — INCLUDING null grouping keys
+    // (groupBy puts nulls in a real group; the merge join must be
+    // null-safe or that group splits in two)
     val rnd = new scala.util.Random(31)
-    val o2 = (0L until 400L).map(i => (i, s"k${i % 7}", (i % 13) + 1)).toDF("id", "k", "m")
+    def key(i: Long): Option[String] =
+      if (i % 11 == 0) None else Some(s"k${(i % 7)}")
+    val o2 = (0L until 400L).map(i => (i, key(i), (i % 13) + 1)).toDF("id", "k", "m")
     val n2 = (0L until 430L).flatMap { i =>
       if (i < 400 && rnd.nextDouble() < 0.2) None
       else if (i >= 400 && rnd.nextDouble() < 0.5) None
-      else Some((i, s"k${rnd.nextInt(7)}", (rnd.nextInt(13) + 1).toLong))
+      else Some((i,
+        if (rnd.nextDouble() < 0.1) Option.empty[String] else Some(s"k${rnd.nextInt(7)}"),
+        (rnd.nextInt(13) + 1).toLong))
     }.toDF("id", "k", "m")
     val ch2 = Diff.snapshotDiff(o2, n2, Seq("id"), Seq("k", "m"))
       .filter(col("change") =!= "unchanged")
     val m2 = Diff.maintainAgg(mkAgg(o2), ch2, Seq("k"), Seq("m"))
-      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+      .collect().map(r => (Option(r.getString(0)), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
     val r2 = mkAgg(n2)
-      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+      .collect().map(r => (Option(r.getString(0)), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
     assert(m2 == r2)
+    assert(m2.exists(_._1.isEmpty), "null-key group must be maintained as ONE group")
   }
 
   test("diffSummary counts by change type") {
