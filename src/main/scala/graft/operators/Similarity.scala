@@ -729,6 +729,10 @@ object Similarity {
     joined
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_dist", adc)
+      // wrong-dimension vectors surface as null distances (sqDist's
+      // length-mismatch contract); they must not sort FIRST in the
+      // ascending rank window and fabricate neighbors
+      .filter(col("adc_dist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
@@ -826,6 +830,8 @@ object Similarity {
   def pqCodebooksFromRows(rows: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
     require(rows.nonEmpty && rows(0).length % m == 0,
       s"pqCodebooksFromRows: dim ${rows.headOption.fold(0)(_.length)} not divisible by m=$m")
+    require(rows.forall(_.length == rows(0).length),
+      "pqCodebooksFromRows: ragged rows (all codebook seeds must share the dimension)")
     val sub = rows(0).length / m
     Array.tabulate(m)(s => rows.map(r => r.slice(s * sub, (s + 1) * sub)))
   }
