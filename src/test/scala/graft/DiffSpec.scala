@@ -105,6 +105,55 @@ class DiffSpec extends SparkSpec {
     assert(m2.exists(_._1.isEmpty), "null-key group must be maintained as ONE group")
   }
 
+  test("maintainAgg as a foreachBatch consumer keeps the rollup fresh across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types.DecimalType
+    // the end-to-end CDC story: change batches stream in, the standing
+    // rollup is refreshed incrementally per micro-batch — never a full
+    // rescan. localCheckpoint per refresh keeps lineage flat (the
+    // production consumer would write the rollup table per batch).
+    def mkAgg(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("k"))
+      .agg(sum(col("m").cast(DecimalType(38, 4))).as("m_sum"), count(lit(1)).as("n"))
+    val r0 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "k", "m")
+    val r1 = Seq((1L, "a", 10L), (2L, "b", 21L), (4L, "c", 40L)).toDF("id", "k", "m") // move+edit, del 3, add 4
+    val r2 = Seq((1L, "a", 10L), (2L, "b", 21L), (5L, "c", 50L)).toDF("id", "k", "m") // del 4, add 5
+    val ch1 = Diff.snapshotDiff(r0, r1, Seq("id"), Seq("k", "m"))
+      .filter(col("change") =!= "unchanged").collect()
+    val ch2 = Diff.snapshotDiff(r1, r2, Seq("id"), Seq("k", "m"))
+      .filter(col("change") =!= "unchanged").collect()
+    val chSchema = Diff.snapshotDiff(r0, r1, Seq("id"), Seq("k", "m")).schema
+
+    @volatile var rollup = mkAgg(r0).localCheckpoint()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = input.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each tick carries one release's change set (stand-in for a CDC
+        // source emitting diff-shaped rows)
+        val ticks = batch.select("value").collect().map(_.getInt(0))
+        ticks.sorted.foreach { t =>
+          import scala.jdk.CollectionConverters._
+          val rows: Seq[org.apache.spark.sql.Row] = (if (t == 1) ch1 else ch2).toSeq
+          val changes = spark.createDataFrame(rows.asJava, chSchema)
+          val next = Diff.maintainAgg(rollup, changes, Seq("k"), Seq("m"))
+            .localCheckpoint()
+          org.apache.spark.sql.graftx.Bridge.freeCheckpoint(rollup)
+          rollup = next
+        }
+      }
+      .start()
+    try {
+      input.addData(1)
+      q.processAllAvailable()
+      input.addData(2) // second release lands in a LATER micro-batch
+      q.processAllAvailable()
+      val got = rollup.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+      val want = mkAgg(r2).collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSet
+      assert(got == want, s"streamed rollup $got vs recompute $want")
+    } finally q.stop()
+  }
+
   test("diffSummary counts by change type") {
     val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val neu = Seq((2L, "x"), (3L, "c")).toDF("id", "v")
