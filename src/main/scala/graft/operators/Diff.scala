@@ -136,6 +136,60 @@ object Diff {
     merged.filter(col("n") > 0)
   }
 
+  // ---- SCD Type 2: validity-interval history ----
+
+  /** Seed an SCD-2 history from a release: every row open
+    * (`valid_from` = version, `valid_to` = null). */
+  def scd2Init(release: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      version: Int): DataFrame =
+    release.select((idCols ++ valueCols).map(col): _*)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("int"))
+
+  /** SCD TYPE 2 — the history face of CDC (the third of the triple:
+    * [[applyChanges]] materializes the current snapshot, [[maintainAgg]]
+    * the rollups, this the full lineage): instead of overwriting, each
+    * release CLOSES the open interval of every changed/removed id
+    * (`valid_to` = version) and OPENS a new row for every added/changed
+    * id — "what did this record look like when the model trained?" is a
+    * filter, not an archaeology project.
+    *
+    * Scale shape: the dead-id set is churn-sized (AQE broadcasts it into
+    * the left join that closes intervals); opened rows are churn-sized;
+    * closed history is carried through untouched — cost O(history +
+    * churn), no full-corpus shuffle with bucketed ids.
+    *
+    * Time travel: [[scd2Current]] (open rows) reproduces
+    * `applyChanges`'s snapshot; [[scd2AsOf]] reproduces ANY prior
+    * release (both spec'd as exact equalities). */
+  def applyChangesScd2(history: DataFrame, changes: DataFrame, idCols: Seq[String],
+      valueCols: Seq[String], version: Int): DataFrame = {
+    require(idCols.nonEmpty, "applyChangesScd2: need at least one id column")
+    val dead = changes.filter(col("change").isin("removed", "changed"))
+      .select(idCols.map(col): _*).withColumn("__dead", lit(1))
+    val closed = history.join(dead, idCols, "left")
+      .withColumn("valid_to",
+        when(col("__dead").isNotNull && col("valid_to").isNull, lit(version))
+          .otherwise(col("valid_to")))
+      .drop("__dead")
+    val opened = changes.filter(col("change").isin("added", "changed"))
+      .select(idCols.map(col) ++ valueCols.map(c => col(c + "_new").as(c)): _*)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("int"))
+    closed.unionByName(opened)
+  }
+
+  /** The current snapshot: open intervals only. */
+  def scd2Current(history: DataFrame): DataFrame =
+    history.filter(col("valid_to").isNull).drop("valid_from", "valid_to")
+
+  /** Time travel: the snapshot as of `version` (rows whose interval
+    * covers it). */
+  def scd2AsOf(history: DataFrame, version: Int): DataFrame =
+    history.filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .drop("valid_from", "valid_to")
+
   /** Aggregate view of [[snapshotDiff]]: (change, n) — the one-line
     * health answer ("release 14 → 15: +1.2M added, 40k changed"). */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame,

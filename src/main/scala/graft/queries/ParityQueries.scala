@@ -345,6 +345,29 @@ object ParityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SCD Type 2 history: release 2 closes the intervals of
+    // changed/removed docs and opens new rows — the oracle states the
+    // expected history directly (originals closed where touched, new
+    // versions and additions open at v2), so the history contract IS
+    // the graded check.
+    "q_scd2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldD = docs.select(col("doc_id"), col("text"))
+      val newD = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hist1 = graft.operators.Diff.scd2Init(oldD, Seq("doc_id"), Seq("text"), 1)
+      val changes = graft.operators.Diff.snapshotDiff(
+          oldD, newD, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+      graft.operators.Diff.applyChangesScd2(
+          hist1, changes, Seq("doc_id"), Seq("text"), version = 2)
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
     // Incremental aggregate maintenance: the standing per-lang rollup of
     // release 1 is updated from the CDC change set alone (retract old
     // contributions, add new, merge churn-sized delta) — the oracle
@@ -835,6 +858,18 @@ object ParityQueries {
         |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', v_dup, total,
         |    0::BIGINT, v_dup = 0 FROM m)
         |ORDER BY chk, col_name""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT doc_id, text, 1 AS valid_from,
+        |  CASE WHEN doc_id % 97 = 0 OR doc_id % 53 = 0 THEN 2 END AS valid_to
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, text || ' v2', 2, NULL FROM documents
+        |WHERE doc_id % 53 = 0 AND doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, text, 2, NULL FROM documents
+        |WHERE doc_id % 89 = 0
+        |ORDER BY doc_id, valid_from""".stripMargin,
 
     "q_incr_agg" ->
       """WITH newd AS (

@@ -154,6 +154,33 @@ class DiffSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2: intervals close/open per release; current == applyChanges; asOf time-travels") {
+    val r0 = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c"))).toDF("id", "v")
+    val r1 = Seq((1L, Option("a")), (2L, Option("B")), (4L, Option("d"))).toDF("id", "v")
+    val r2 = Seq((1L, Option("A")), (2L, Option("B")), (5L, Option("e"))).toDF("id", "v")
+    def ch(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Diff.snapshotDiff(a, b, Seq("id"), Seq("v")).filter(col("change") =!= "unchanged")
+    val h1 = Diff.scd2Init(r0, Seq("id"), Seq("v"), 1)
+    val h2 = Diff.applyChangesScd2(h1, ch(r0, r1), Seq("id"), Seq("v"), 2)
+    val h3 = Diff.applyChangesScd2(h2, ch(r1, r2), Seq("id"), Seq("v"), 3)
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // current == the merge path's snapshot at every release
+    assert(snap(Diff.scd2Current(h3)) == snap(r2))
+    assert(snap(Diff.scd2AsOf(h3, 2)) == snap(r1)) // time travel to v2
+    assert(snap(Diff.scd2AsOf(h3, 1)) == snap(r0)) // ... and v1
+    // interval audit: id 2 has exactly one closed (1->2) + one open (2->)
+    val id2 = h3.filter(col("id") === 2L)
+      .select("v", "valid_from", "valid_to").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toSet
+    assert(id2 == Set(("b", 1, Some(2)), ("B", 2, None)))
+    // removed id 3 is closed and never reopened; history rows = old + churn
+    assert(h3.filter(col("id") === 3L).collect()
+      .forall(r => r.getInt(r.fieldIndex("valid_to")) == 2))
+    assert(h3.count() == 3 + 2 + 2) // init + (v2 changed+added) + (v3 changed+added)
+  }
+
   test("diffSummary counts by change type") {
     val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val neu = Seq((2L, "x"), (3L, "c")).toDF("id", "v")
