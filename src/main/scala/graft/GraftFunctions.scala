@@ -34,6 +34,10 @@ object GraftFunctions {
       require(args.length == 1, "graft_fingerprint(text)")
       PolynomialFingerprint(args(0))
     },
+    "graft_mix63" -> { args =>
+      require(args.length == 1, "graft_mix63(bigint)")
+      graft.expr.Mix63(args(0))
+    },
     "graft_nfc" -> { args =>
       require(args.length == 1, "graft_nfc(text)")
       graft.expr.NfcNormalize(args(0))

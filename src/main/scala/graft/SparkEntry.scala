@@ -38,7 +38,7 @@ object SparkEntry {
   // ---- the operator inventory ----------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
     graft.queries.ParityQueries.queries ++ graft.queries.PipelineQueries.queries ++
-    graft.queries.SurfaceQueries.queries
+    graft.queries.SurfaceQueries.queries ++ graft.queries.SketchQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -191,7 +191,7 @@ object SparkEntry {
   // ---- oracle SQL (DuckDB dialect, same table names) -------------------
   def oracleSql: Map[String, String] = baseOracle ++
     graft.queries.ParityQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
-    graft.queries.SurfaceQueries.oracleSql
+    graft.queries.SurfaceQueries.oracleSql ++ graft.queries.SketchQueries.oracleSql
 
   private val baseOracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * over the UTF8String's bytes inside whole-stage codegen. Byte-wise ==
   * the char-wise definition for ASCII text (the oracle's `ascii(text[i])`
   * equals the byte for ASCII); differential-spec'd against the HOF. */
-case class PolynomialFingerprint(child: Expression, init: Long = 0L)
+case class PolynomialFingerprint(child: Expression, init: Long = 0L,
+    mult: Long = 31L, mod: Long = 1000000007L)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_fingerprint"
@@ -32,7 +33,7 @@ case class PolynomialFingerprint(child: Expression, init: Long = 0L)
     val n = s.numBytes()
     var acc = init // fp(prefix || text) = fold over text seeded with fp(prefix)
     var i = 0
-    while (i < n) { acc = (acc * 31L + (s.getByte(i) & 0xFF)) % 1000000007L; i += 1 }
+    while (i < n) { acc = (acc * mult + (s.getByte(i) & 0xFF)) % mod; i += 1 }
     acc
   }
 
@@ -45,7 +46,7 @@ case class PolynomialFingerprint(child: Expression, init: Long = 0L)
          |int $n = $s.numBytes();
          |long $acc = ${init}L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc = ($acc * 31L + ($s.getByte($i) & 0xFF)) % 1000000007L;
+         |  $acc = ($acc * ${mult}L + ($s.getByte($i) & 0xFF)) % ${mod}L;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -299,4 +300,13 @@ object TextExpressions {
     * when several seeds appear in one projection. */
   def seededFingerprint(c: Column, init: Long): Column =
     Bridge.column(PolynomialFingerprint(Bridge.expression(c), init))
+
+  /** Seeded fingerprint from a DIFFERENT (mult, mod) polynomial family.
+    * Two same-family fingerprints with different seeds are NOT
+    * independent — fp_s1(x) − fp_s2(x) ≡ (s1−s2)·31^len (mod P) depends
+    * only on the length — so any construction needing two independent
+    * hash coordinates (e.g. a wide sketch hash) must vary the FAMILY,
+    * not just the seed. */
+  def seededFingerprint(c: Column, init: Long, mult: Long, mod: Long): Column =
+    Bridge.column(PolynomialFingerprint(Bridge.expression(c), init, mult, mod))
 }

@@ -72,6 +72,229 @@ object Sketch {
       Literal(bloom, BinaryType),
       new XxHash64(Seq(Bridge.expression(key)))))
 
+  // ---- distinct-count sketches ----------------------------------------
+  //
+  // HLL and KMV share one property bloom lacks: the sketch of a UNION is
+  // a cheap merge of the sketches (register-max / bottom-k-of-union), and
+  // the merge is ORDER-INVARIANT — any partitioning, any merge tree, any
+  // duplicate multiplicity yields bit-identical registers. That is what
+  // makes them safe under Spark's nondeterministic partial-aggregation
+  // order AND exactly replayable by an external engine, unlike KLL /
+  // t-digest whose compactions depend on merge order. Hashing is the
+  // repo's pinned polynomial family (not xxhash64) precisely so the
+  // DuckDB oracle can recompute every register.
+
+  /** Pinned uniform 63-bit hash shared by the HLL/KMV sketches and their
+    * oracle replays: mix63(fpA("<tag>1:"||s)·P2 + fpB("<tag>2:"||s)).
+    *
+    * Two layers, each fixing a measured failure mode:
+    *  - fpA is the repo's (31, 1e9+7) polynomial family, fpB a DIFFERENT
+    *    family (131, 999999937). Two same-family fingerprints with
+    *    different seeds would NOT do — their difference is
+    *    (s1−s2)·31^len mod P, a function of the LENGTH alone — leaving
+    *    ~30 bits of joint entropy and length-degenerate low bits.
+    *  - the combined value is exactly uniform on [0, P1·P2) in VALUE,
+    *    but its high-order BITS still carry the strings' prefix/
+    *    magnitude structure (short sequential keys cluster — measured
+    *    5–20× HLL undercounts on 'item-N'); [[graft.expr.Mix63]]
+    *    avalanches all 63 output bits so sketches may slice register
+    *    index and rank bits anywhere.
+    *
+    * One codegen'd fingerprint pass per family + a 5-op finalizer. */
+  def pinnedHash(item: Column, tag: String): Column = {
+    import graft.expr.TextExpressions.seededFingerprint
+    import graft.operators.{TextOps => T}
+    import org.apache.spark.sql.functions._
+    graft.expr.Mix63.mix63(
+      seededFingerprint(item, T.fingerprintOf(tag + "1:")) * lit(HashP2) +
+        seededFingerprint(item, fingerprintOfB(tag + "2:"), HashMultB, HashP2))
+  }
+
+  /** Moduli/multiplier of the two pinned polynomial families. */
+  val HashP: Long = 1000000007L
+  val HashP2: Long = 999999937L
+  val HashMultB: Long = 131L
+
+  /** Prefix fingerprint in the second (131, 999999937) family — the seed
+    * constant an oracle inlines for fpB. */
+  def fingerprintOfB(s: String): Long = {
+    var acc = 0L
+    s.getBytes("UTF-8").foreach(b => acc = (acc * HashMultB + (b & 0xFF)) % HashP2)
+    acc
+  }
+
+  /** Exclusive upper bound of [[pinnedHash]]: 2^63 (the mix63 mask).
+    * (k−1)·U ratio arithmetic over it exceeds Long range, so estimates go
+    * through DECIMAL(38,0) `div` / HUGEINT `//` — both exact. */
+  val HashRange: java.math.BigInteger =
+    java.math.BigInteger.valueOf(2).pow(63)
+
+  /** Suffix width for the HLL rank: the hash's low p bits pick the
+    * register, the next `HllW` bits feed the leading-zero rank. 40 bits
+    * keeps every derived integer (2^(W+1−rho) sums over ≤2^14 registers)
+    * exactly representable in BIGINT *and* in DOUBLE (≤2^51 < 2^53), so
+    * the final estimate division is a single IEEE op both engines agree
+    * on bit-for-bit. */
+  val HllW: Int = 40
+
+  /** HyperLogLog distinct-count registers + raw estimate per group.
+    *
+    * Shape at 100 TB: `groupBy(group, register)` max-aggregates with full
+    * map-side combine — each partition ships ≤ m rows per group however
+    * many billions of rows it scanned — then an m-row-per-group rollup.
+    * Two narrow shuffles, O(groups·m) total state, no distinct, no sort.
+    *
+    * Output per group: `hll_raw` = floor(α_m·m²·2^(W+1) / Σ_j 2^(W+1−M_j))
+    * (the Flajolet et al. raw estimate, computed from the exact integer
+    * register sum so external replays agree exactly — see the scaladoc on
+    * [[HllW]]) and `v_zero` = count of untouched registers. The
+    * linear-counting small-range correction (m·ln(m/V)) is deliberately
+    * NOT emitted: ln is the one step whose last-ulp is not pinned across
+    * engines; callers needing it apply it driver-side (the spec does).
+    * Relative error of the raw estimate ≈ 1.04/√m once n ≳ 2.5m. */
+  /** The estimate numerator α_m·m²·2^(W+1) as the ONE double both the
+    * distributed query and any external replay must share bit-for-bit:
+    * replays embed `java.lang.Double.toString(hllConstant(p))` (shortest
+    * round-trip repr — correctly-rounded parsers recover the identical
+    * double). */
+  def hllConstant(p: Int): Double = {
+    require(p >= 4 && p <= 14, s"p must be in [4,14]: $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    alpha * m * m * math.pow(2, HllW + 1)
+  }
+
+  def hllDistinct(df: DataFrame, item: Column, groupCols: Seq[String],
+      p: Int = 10, tag: String = "hll"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = 1 << p
+    val W = HllW
+    val c = hllConstant(p)
+    val h = pinnedHash(item, tag)
+    val y = shiftright(h, p).bitwiseAND(lit((1L << W) - 1L))
+    val rho = when(y === 0L, lit(W + 1))
+      .otherwise(lit(W + 1) - length(bin(y)))
+    val g = groupCols.map(col)
+    val regs = df
+      .select(g :+ (h % m).cast("int").as("__idx") :+ rho.as("__rho"): _*)
+      .groupBy(g :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__m"))
+    regs.groupBy(g: _*)
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - __m)")).as("__st"),
+        count(lit(1)).as("__touched"))
+      .select(g ++ Seq(
+        floor(lit(c) /
+          (col("__st") + (lit(m.toLong) - col("__touched")) * lit(1L << (W + 1)))
+            .cast("double")).cast("long").as("hll_raw"),
+        (lit(m.toLong) - col("__touched")).as("v_zero")): _*)
+  }
+
+  /** Linear-counting correction applied driver-side to a [[hllDistinct]]
+    * row (the small-range branch of the HLL paper): when zero registers
+    * remain and the raw estimate is under 2.5m, m·ln(m/V) is the better
+    * estimator. Kept OUT of the distributed/oracle-gated output — see
+    * [[hllDistinct]]'s scaladoc for why ln can't cross engines. */
+  def hllCorrected(p: Int, hllRaw: Long, vZero: Long): Long = {
+    val m = 1L << p
+    if (vZero > 0 && hllRaw <= (2.5 * m).toLong)
+      math.rint(m * math.log(m.toDouble / vZero)).toLong
+    else hllRaw
+  }
+
+  /** KMV (bottom-k) distinct sketch per group: the k smallest DISTINCT
+    * pinned hashes. Unlike HLL it supports SET ALGEBRA on the sketches —
+    * the bottom-k of a union is computable from the two sketches alone,
+    * which [[kmvOverlap]] uses to estimate intersection sizes without
+    * ever joining the corpora.
+    *
+    * Shape at 100 TB: `dropDuplicates(group, h)` partial-aggregates
+    * map-side (duplicate hashes collapse before the shuffle), then the
+    * `row_number ≤ k` filter plans a WindowGroupLimit — Spark pushes the
+    * per-group limit BELOW the window exchange, so each map task ships at
+    * most k rows per group (asserted in PlanShapeSpec). */
+  def kmvSketch(df: DataFrame, item: Column, groupCols: Seq[String],
+      k: Int, tag: String = "kmv"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2: $k")
+    val g = groupCols.map(col)
+    val d = df.select(g :+ pinnedHash(item, tag).as("__h"): _*)
+      .dropDuplicates(groupCols :+ "__h")
+    if (groupCols.isEmpty)
+      // global sketch: sort+limit plans TakeOrderedAndProject — each map
+      // task keeps its own k smallest, one tiny merge; never a
+      // partition-less window
+      d.orderBy(col("__h")).limit(k)
+    else {
+      val w = Window.partitionBy(g: _*).orderBy(col("__h"))
+      d.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .drop("__rk")
+    }
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: (k−1)·U/h_(k) with
+    * U = P² the hash range — EXACT integral arithmetic (DECIMAL(38,0)
+    * `div`; DuckDB replays with HUGEINT `//`), so the estimate is pinned
+    * at any scale. Groups with fewer than k distinct hashes report the
+    * sketch size itself (the sketch IS the distinct set there, modulo a
+    * ~2^-60-probability hash collision). Relative error ≈ 1/√(k−2). */
+  def kmvDistinct(df: DataFrame, item: Column, groupCols: Seq[String],
+      k: Int, tag: String = "kmv"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = groupCols.map(col)
+    kmvSketch(df, item, groupCols, k, tag)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("__cnt"), max(col("__h")).as("__kth"))
+      .select(g :+
+        when(col("__cnt") < k, col("__cnt")).otherwise(
+          expr(s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashRange AS DECIMAL(38,0)) div __kth AS BIGINT)"))
+          .as("kmv_est"): _*)
+  }
+
+  /** Cross-corpus overlap estimated from two KMV sketches ALONE — the
+    * decontamination-at-scale shape: corpus A is 100 TB of training text,
+    * corpus B an eval set; neither is re-read and nothing is joined but
+    * two ≤k-row sketches. Bottom-k of the sketch-hash union is a valid
+    * KMV sketch of A∪B; the fraction of it present in BOTH input sketches
+    * estimates Jaccard, scaled by the union estimate to an intersection
+    * size (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD'07).
+    *
+    * One row: n_a/n_b (sketch sizes), est_union, k_matches,
+    * est_intersection — all pinned integral arithmetic. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, item: Column, k: Int,
+      tag: String = "kmv"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ka = kmvSketch(a, item, Nil, k, tag).select(col("__h").as("ha"))
+    val kb = kmvSketch(b, item, Nil, k, tag).select(col("__h").as("hb"))
+    // bottom-k of the sketch-hash union is itself a KMV sketch of A∪B;
+    // ≤2k rows total, so the limit and both membership joins are trivial
+    val union = ka.select(col("ha").as("__h"))
+      .unionByName(kb.select(col("hb").as("__h"))).distinct()
+      .orderBy(col("__h")).limit(k)
+    val matched = union
+      .join(broadcast(ka), union("__h") === col("ha"), "left")
+      .join(broadcast(kb), union("__h") === col("hb"), "left")
+      .agg(count(lit(1)).as("__cnt"), max(col("__h")).as("__kth"),
+        count(when(col("ha").isNotNull && col("hb").isNotNull, 1)).as("k_matches"))
+    val estU = when(col("__cnt") < k, col("__cnt")).otherwise(
+      expr(s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashRange AS DECIMAL(38,0)) div __kth AS BIGINT)"))
+    matched
+      .crossJoin(broadcast(ka.agg(count(lit(1)).as("n_a"))))
+      .crossJoin(broadcast(kb.agg(count(lit(1)).as("n_b"))))
+      .select(col("n_a"), col("n_b"), estU.as("est_union"), col("k_matches"),
+        col("__cnt"))
+      .select(col("n_a"), col("n_b"), col("est_union"), col("k_matches"),
+        expr(s"CAST(CAST(k_matches AS DECIMAL(38,0)) * est_union div GREATEST(__cnt, 1) AS BIGINT)")
+          .as("est_intersection"))
+  }
+
   /** Exact heavy hitters (items with frequency > n/k) in TWO passes with
     * O(k) shuffle state — never a vocabulary-sized count table:
     *

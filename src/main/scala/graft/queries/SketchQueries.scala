@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.operators.{Sketch, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated faces of the distinct-count sketches (beyond-reference;
+  * the cardinality-estimation layer a 100 TB pipeline runs BEFORE any
+  * exact distinct/join: sizing dedup work, choosing broadcast vs shuffle,
+  * estimating eval-set contamination without touching the corpus).
+  *
+  * Both sketches are merge-order-invariant (register max / bottom-k), so
+  * their output is deterministic under ANY Spark partitioning and a
+  * DuckDB oracle replays every register from the pinned polynomial hash.
+  * The one cross-engine hazard — the HLL estimate's floating division —
+  * is confined to a single IEEE op on exactly-representable integers and
+  * a shared shortest-repr constant (see [[Sketch.hllConstant]]). */
+object SketchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** DuckDB replay of [[Sketch.pinnedHash]] over expression `e`:
+    * fpA(seed1)·P2 + fpB(seed2) with the two distinct polynomial
+    * families, seeds inlined as precomputed prefix fingerprints
+    * (polynomial prefix identity — same trick the Spark side's
+    * seededFingerprint uses). */
+  private def hashSql(e: String, tag: String): String = {
+    def fp(init: Long, mult: Long, mod: Long) =
+      s"""list_reduce(list_prepend(${init}::BIGINT,
+         |      list_transform(range(1, len($e) + 1), i -> ascii(($e)[i]))),
+         |      (a, b) -> (a * $mult + b) % $mod)""".stripMargin
+    s"(${fp(TextOps.fingerprintOf(tag + "1:"), 31L, Sketch.HashP)} * ${Sketch.HashP2}\n     + ${fp(Sketch.fingerprintOfB(tag + "2:"), Sketch.HashMultB, Sketch.HashP2)})"
+  }
+
+  /** DuckDB replay of [[graft.expr.Mix63]] over column expression `e`
+    * (expected cheap — a column reference, since the nesting duplicates
+    * it): fmix64 in HUGEINT arithmetic. HUGEINT is a signed INT128, so a
+    * 64×64 multiply would overflow — each wrapping multiply splits the
+    * CONSTANT into 32-bit limbs: x·c mod 2^64 =
+    * (xl·cl + ((xl·ch + xh·cl) mod 2^32)·2^32) mod 2^64, every
+    * intermediate < 2^66. Differentially verified against the native
+    * expression in SketchDistinctSpec. */
+  private def mixSql(e: String): String = {
+    val M64 = "18446744073709551616::HUGEINT" // 2^64
+    val B = "4294967296::HUGEINT"             // 2^32
+    def mul(xe: String, c: Long): String = {
+      val cl = c & 0xFFFFFFFFL
+      val ch = (c >>> 32) & 0xFFFFFFFFL
+      s"""(((($xe) % $B) * ${cl}::HUGEINT
+         | + (((($xe) % $B) * ${ch}::HUGEINT + (($xe) // $B) * ${cl}::HUGEINT) % $B) * $B)
+         | % $M64)""".stripMargin
+    }
+    def x(xe: String) = s"xor(($xe), ($xe) >> 33)"
+    val x1 = x(s"($e)::HUGEINT")
+    val x2 = mul(x1, graft.expr.Mix63.C1)
+    val x3 = x(x2)
+    val x4 = mul(x3, graft.expr.Mix63.C2)
+    val x5 = x(x4)
+    s"CAST(($x5) % 9223372036854775808::HUGEINT AS BIGINT)"
+  }
+
+  private val HllP = 4 // m=16: per-lang counts stay in the raw-estimate
+                       // regime (n > 2.5m) at every driver SF
+  private val KmvK = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HLL distinct docs per language + an ALL rollup, next to the exact
+    // count the estimate stands in for at scale. p=4 keeps even the
+    // smallest language group (≈64 docs at sf0.01) above the 2.5m
+    // raw-estimate floor; production would run p=10..14 (the accuracy
+    // spec measures p=10 at 3% error on 20k distinct).
+    "q_hll_distinct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"), col("text"))
+      val both = docs.unionByName(docs.withColumn("lang", lit("ALL")))
+      Sketch.hllDistinct(both, col("text"), Seq("lang"), p = HllP)
+        .join(both.groupBy("lang").agg(countDistinct(col("text")).as("n_exact")), "lang")
+        .select(col("lang"), col("n_exact"), col("hll_raw"), col("v_zero"))
+        .orderBy(col("lang"))
+    }),
+
+    // KMV bottom-k distinct estimate per language: groups under k report
+    // exactly (the sketch IS the distinct set), larger groups report
+    // (k−1)·U/h_(k) in pinned integral arithmetic.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"), col("text"))
+      Sketch.kmvDistinct(docs, col("text"), Seq("lang"), k = KmvK)
+        .join(docs.groupBy("lang").agg(countDistinct(col("text")).as("n_exact")), "lang")
+        .select(col("lang"), col("n_exact"), col("kmv_est"))
+        .orderBy(col("lang"))
+    }),
+
+    // Decontamination sizing from sketches alone: corpus A = all document
+    // texts, corpus B = a planted eval set (every 7th doc's text = the
+    // contamination, plus 60 eval-only probes that must NOT count).
+    // est_intersection comes from the two 64-row sketches without joining
+    // the corpora; exact_intersection rides along as the honesty column.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = docs.select(col("text"))
+      val b = docs.filter(col("doc_id") % 7 === 0).select(col("text"))
+        .unionByName(s.range(60)
+          .select(concat(lit("eval-only doc "), col("id")).as("text")))
+      val exact = a.distinct().join(b.distinct(), "text")
+        .agg(count(lit(1)).as("exact_intersection"))
+      Sketch.kmvOverlap(a, b, col("text"), k = KmvK)
+        .crossJoin(broadcast(exact))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_hll_distinct" -> {
+      val m = 1 << HllP
+      val w = Sketch.HllW
+      val mask = (1L << w) - 1
+      val empty = 1L << (w + 1)
+      val c = java.lang.Double.toString(Sketch.hllConstant(HllP))
+      s"""WITH docs AS (
+         |  SELECT lang, text FROM documents
+         |  UNION ALL
+         |  SELECT 'ALL' AS lang, text FROM documents),
+         |h0 AS (
+         |  SELECT lang, ${hashSql("text", "hll")} AS h
+         |  FROM docs),
+         |h AS (SELECT lang, ${mixSql("h")} AS h FROM h0),
+         |r AS (
+         |  SELECT lang, h % $m AS idx,
+         |    CASE WHEN ((h >> $HllP) & $mask) = 0 THEN ${w + 1}
+         |         ELSE ${w + 1} - length(bin((h >> $HllP) & $mask)) END AS rho
+         |  FROM h),
+         |reg AS (SELECT lang, idx, max(rho) AS mx FROM r GROUP BY lang, idx),
+         |agg AS (
+         |  SELECT lang, sum(1::BIGINT << (${w + 1} - mx)) AS st, count(*) AS touched
+         |  FROM reg GROUP BY lang),
+         |ex AS (SELECT lang, count(DISTINCT text) AS n_exact FROM docs GROUP BY lang)
+         |SELECT a.lang, ex.n_exact,
+         |  CAST(floor($c / CAST(st + ($m - touched) * ${empty} AS DOUBLE)) AS BIGINT) AS hll_raw,
+         |  CAST($m - touched AS BIGINT) AS v_zero
+         |FROM agg a JOIN ex ON a.lang = ex.lang
+         |ORDER BY a.lang""".stripMargin
+    },
+
+    "q_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT lang, text FROM documents),
+         |h0 AS (SELECT lang, ${hashSql("text", "kmv")} AS h FROM d),
+         |h AS (SELECT DISTINCT lang, ${mixSql("h")} AS h FROM h0),
+         |rk AS (SELECT lang, h,
+         |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM h),
+         |sk AS (SELECT lang, count(*) AS cnt, max(h) AS kth
+         |       FROM rk WHERE rk <= $KmvK GROUP BY lang),
+         |ex AS (SELECT lang, count(DISTINCT text) AS n_exact FROM documents GROUP BY lang)
+         |SELECT sk.lang, ex.n_exact,
+         |  CASE WHEN cnt < $KmvK THEN cnt
+         |       ELSE CAST((${KmvK - 1}::HUGEINT * ${Sketch.HashRange}::HUGEINT) // kth AS BIGINT)
+         |  END AS kmv_est
+         |FROM sk JOIN ex ON sk.lang = ex.lang
+         |ORDER BY sk.lang""".stripMargin,
+
+    "q_kmv_overlap" ->
+      s"""WITH a_items AS (SELECT DISTINCT text FROM documents),
+         |b_items AS (
+         |  SELECT DISTINCT text FROM (
+         |    SELECT text FROM documents WHERE doc_id % 7 = 0
+         |    UNION ALL
+         |    SELECT 'eval-only doc ' || i::VARCHAR AS text FROM range(60) t(i))),
+         |ha0 AS (SELECT ${hashSql("text", "kmv")} AS h FROM a_items),
+         |hb0 AS (SELECT ${hashSql("text", "kmv")} AS h FROM b_items),
+         |ha AS (SELECT DISTINCT ${mixSql("h")} AS h FROM ha0),
+         |hb AS (SELECT DISTINCT ${mixSql("h")} AS h FROM hb0),
+         |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ha)
+         |       WHERE rk <= $KmvK),
+         |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hb)
+         |       WHERE rk <= $KmvK),
+         |un AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)),
+         |uk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM un)
+         |       WHERE rk <= $KmvK),
+         |m AS (SELECT count(*) AS cnt, max(h) AS kth,
+         |        count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+         |                           AND h IN (SELECT h FROM kb)) AS k_matches
+         |      FROM uk),
+         |eu AS (SELECT cnt, k_matches,
+         |         CASE WHEN cnt < $KmvK THEN cnt
+         |              ELSE CAST((${KmvK - 1}::HUGEINT * ${Sketch.HashRange}::HUGEINT) // kth AS BIGINT)
+         |         END AS est_union
+         |       FROM m),
+         |na AS (SELECT count(*) AS n_a FROM ka),
+         |nb AS (SELECT count(*) AS n_b FROM kb),
+         |ex AS (SELECT count(*) AS exact_intersection
+         |       FROM a_items JOIN b_items ON a_items.text = b_items.text)
+         |SELECT n_a, n_b, est_union, k_matches,
+         |  CAST((k_matches::HUGEINT * est_union::HUGEINT) // GREATEST(cnt, 1) AS BIGINT)
+         |    AS est_intersection,
+         |  exact_intersection
+         |FROM eu, na, nb, ex""".stripMargin
+  )
+}

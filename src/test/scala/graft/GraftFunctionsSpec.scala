@@ -11,7 +11,8 @@ class GraftFunctionsSpec extends SparkSpec {
         |  round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
         |  graft_fingerprint('ab') AS f,
         |  graft_shingles(array('a', 'b', 'c'), 2) AS sh,
-        |  graft_sqdist(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS sq
+        |  graft_sqdist(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS sq,
+        |  graft_mix63(CAST(123456789 AS BIGINT)) AS mx
       """.stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
@@ -19,6 +20,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // fingerprint('ab') = (0*31+97)*31+98 mod 1e9+7 = 3105
     assert(r.getLong(2) == 97L * 31 + 98)
     assert(r.getSeq[String](3) == Seq("a b", "b c"))
+    assert(r.getAs[Long]("mx") == graft.expr.Mix63(123456789L))
   }
 
   test("graft_zvalue and graft_redact_pii compose through the SQL surface") {
@@ -75,8 +77,8 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("graft_dot", "graft_cosine", "graft_sqdist", "graft_fingerprint",
-        "graft_shingles", "graft_quantile", "graft_zvalue", "graft_redact_pii",
-        "graft_nfc", "graft_image_meta", "graft_audio_meta"))
+        "graft_mix63", "graft_shingles", "graft_quantile", "graft_zvalue",
+        "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta"))
     assert(ext != null)
   }
 }

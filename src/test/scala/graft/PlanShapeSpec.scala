@@ -266,7 +266,15 @@ class PlanShapeSpec extends SparkSpec {
       "q1_agg_exact" -> 2,
       "q_bucket_join_exact" -> 2,
       "q_audio_meta" -> 1,
-      "q_audio_filter" -> 1)
+      "q_audio_filter" -> 1,
+      // distinct-count sketches: the sketch pipelines themselves are 2
+      // exchanges (partial-agg'd registers / WindowGroupLimit'd bottom-k
+      // + rollup); the rest is each graded query's EXACT honesty column
+      // (countDistinct = 2, overlap's exact join more) — production runs
+      // the sketch alone
+      "q_hll_distinct" -> 5,
+      "q_kmv_distinct" -> 5,
+      "q_kmv_overlap" -> 9)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil

@@ -1,0 +1,128 @@
+package graft
+
+import graft.expr.Mix63
+import graft.operators.Sketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketches: merge-order invariance (the property that
+  * makes them safe under Spark partial aggregation AND oracle-replayable),
+  * estimator accuracy at production register counts, hash-quality
+  * regressions (short sequential keys — the case the raw polynomial
+  * family measurably failed on), and the scale-shaped plans. */
+class SketchDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def items(n: Int, prefix: String = "item-"): DataFrame =
+    spark.range(n).select(concat(lit(prefix), col("id")).as("t"),
+      (col("id") % 5).cast("string").as("g"))
+
+  private def relErr(est: Long, n: Long): Double = math.abs(est - n).toDouble / n
+
+  // ---- Mix63 ----------------------------------------------------------
+
+  test("Mix63 expression matches the reference implementation") {
+    val xs = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789012345678L,
+      (1L << 60) - 1, 42L)
+    val got = xs.toDF("x").select(Mix63.mix63(col("x"))).as[Long].collect()
+    assert(got.toSeq == xs.map(Mix63.apply))
+    assert(got.forall(_ >= 0L), "mix63 output must be non-negative")
+  }
+
+  test("pinnedHash avalanches short sequential keys (rho is geometric)") {
+    // the regression that motivated mix63: 20k 'item-N' keys must fill
+    // HLL rank buckets geometrically, not cluster by string structure
+    val counts = items(20000)
+      .select(Sketch.pinnedHash(col("t"), "hll").as("h"))
+      .select(shiftright(col("h"), 10).bitwiseAND(lit((1L << 40) - 1)).as("y"))
+      .select(when(col("y") === 0, 41).otherwise(lit(41) - length(bin(col("y")))).as("rho"))
+      .groupBy("rho").count().orderBy("rho")
+      .as[(Int, Long)].collect().toMap
+    // P(rho=r) = 2^-r: each bucket within 25% of expectation for r <= 4
+    (1 to 4).foreach { r =>
+      val expect = 20000.0 / (1L << r)
+      assert(math.abs(counts(r) - expect) / expect < 0.25,
+        s"rho=$r count ${counts(r)} far from $expect")
+    }
+  }
+
+  // ---- HLL ------------------------------------------------------------
+
+  test("hllDistinct is invariant under partitioning and duplication") {
+    val base = items(5000)
+    val a = Sketch.hllDistinct(base, col("t"), Seq("g"), p = 8).orderBy("g").collect()
+    val b = Sketch.hllDistinct(base.repartition(13), col("t"), Seq("g"), p = 8)
+      .orderBy("g").collect()
+    val c = Sketch.hllDistinct(base.unionByName(base).repartition(3, col("t")),
+      col("t"), Seq("g"), p = 8).orderBy("g").collect()
+    assert(a.toSeq == b.toSeq, "partitioning changed HLL registers")
+    assert(a.toSeq == c.toSeq, "duplicates changed HLL registers")
+  }
+
+  test("hllDistinct raw estimate: ~3% at p=10 over 20k distinct") {
+    val Seq((est, v)) = Sketch.hllDistinct(items(20000), col("t"), Nil, p = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(relErr(est, 20000) < 0.10, s"raw estimate $est too far from 20000")
+    assert(v == 0, "no register should stay empty at n >> m")
+  }
+
+  test("hllCorrected applies linear counting in the small range") {
+    val Seq((raw, v)) = Sketch.hllDistinct(items(100), col("t"), Nil, p = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(v > 0, "small n must leave empty registers")
+    val corrected = Sketch.hllCorrected(10, raw, v)
+    assert(relErr(corrected, 100) < 0.15,
+      s"linear-counting estimate $corrected too far from 100")
+  }
+
+  // ---- KMV ------------------------------------------------------------
+
+  test("kmvDistinct is exact below k and ~6% at k=256 over 20k distinct") {
+    val small = Sketch.kmvDistinct(items(40), col("t"), Nil, k = 64)
+      .as[Long].collect()
+    assert(small.toSeq == Seq(40L), "under-k group must report exactly")
+    val Seq(est) = Sketch.kmvDistinct(items(20000), col("t"), Nil, k = 256)
+      .as[Long].collect().toSeq
+    assert(relErr(est, 20000) < 0.20, s"KMV estimate $est too far from 20000")
+  }
+
+  test("kmvSketch is invariant under partitioning and duplication") {
+    val base = items(5000)
+    val a = Sketch.kmvSketch(base, col("t"), Seq("g"), 64).orderBy("g", "__h").collect()
+    val b = Sketch.kmvSketch(base.unionByName(base).repartition(7), col("t"), Seq("g"), 64)
+      .orderBy("g", "__h").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("kmvOverlap estimates a planted intersection from sketches alone") {
+    val a = spark.range(15000).select(concat(lit("item-"), col("id")).as("t"))
+    val b = spark.range(5000, 20000).select(concat(lit("item-"), col("id")).as("t"))
+    val row = Sketch.kmvOverlap(a, b, col("t"), k = 256).collect().head
+    val (nA, nB, estU, matches, estI) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nA == 256 && nB == 256)
+    assert(relErr(estU, 20000) < 0.20, s"union estimate $estU far from 20000")
+    assert(matches > 0)
+    assert(relErr(estI, 10000) < 0.35, s"intersection estimate $estI far from 10000")
+  }
+
+  test("kmvOverlap with disjoint corpora estimates zero intersection") {
+    val a = spark.range(1000).select(concat(lit("a-"), col("id")).as("t"))
+    val b = spark.range(1000).select(concat(lit("b-"), col("id")).as("t"))
+    val row = Sketch.kmvOverlap(a, b, col("t"), k = 64).collect().head
+    assert(row.getLong(3) == 0 && row.getLong(4) == 0)
+  }
+
+  // ---- plan shape -----------------------------------------------------
+
+  test("grouped kmvSketch plans the WindowGroupLimit pushdown; global plans TakeOrdered") {
+    val grouped = Sketch.kmvSketch(items(5000), col("t"), Seq("g"), 64)
+    val gp = grouped.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(gp).size >= 2,
+      s"grouped sketch should plan partial+final WindowGroupLimit:\n$gp")
+    val global = Sketch.kmvSketch(items(5000), col("t"), Nil, 64)
+    val pp = global.queryExecution.executedPlan.toString
+    assert(pp.contains("TakeOrderedAndProject"),
+      s"global sketch should plan TakeOrderedAndProject:\n$pp")
+  }
+}
