@@ -115,6 +115,78 @@ object Constraints {
   def holds(df: DataFrame, checks: Seq[Check]): Boolean =
     validate(df, checks).filter(!col("passed")).isEmpty
 
+  // ---- suites as data: config-table (de)serialization ----------------
+
+  /** Config-table schema for suites-as-data: one row per check, typed
+    * parameter columns (unused ones null), so a suite can live NEXT TO
+    * the dataset it gates — same parquet directory, same snapshot/SCD2
+    * versioning, same diff tooling — instead of being compiled into job
+    * code that drifts independently of the data contract. */
+  val suiteSchema: StructType = StructType(Seq(
+    StructField("chk", StringType, nullable = false),
+    StructField("col_name", StringType, nullable = false), // comma-joined for unique
+    StructField("lo", DoubleType, nullable = true),
+    StructField("hi", DoubleType, nullable = true),
+    StructField("regex", StringType, nullable = true),
+    StructField("ref_table", StringType, nullable = true),
+    StructField("ref_col", StringType, nullable = true),
+    StructField("threshold_ppm", LongType, nullable = false)))
+
+  /** Parse a config table into a runnable suite. The config is collected
+    * driver-side BY DESIGN (a suite is tens of rows — it is metadata,
+    * not data) and ordered by (chk, col_name, threshold_ppm) so a
+    * distributed config source yields a deterministic suite.
+    * `resolve` maps a `ref_table` name to its DataFrame for
+    * referential-integrity checks. Unknown check kinds and missing
+    * parameters fail loudly — a silently-skipped check is a gate that
+    * lies. */
+  def suiteFrom(config: DataFrame,
+      resolve: String => DataFrame = name => throw new IllegalArgumentException(
+        s"Constraints.suiteFrom: no resolver provided for ref table '$name'")): Seq[Check] = {
+    val rows = config
+      .select(suiteSchema.fieldNames.map(col).toSeq: _*)
+      .collect()
+      .sortBy(r => (r.getString(0), r.getString(1), r.getLong(7)))
+    require(rows.nonEmpty, "Constraints.suiteFrom: empty config table")
+    rows.toSeq.map { r =>
+      val chk = r.getString(0); val cn = r.getString(1); val ppm = r.getLong(7)
+      def need[T](i: Int, what: String): T = {
+        require(!r.isNullAt(i), s"Constraints.suiteFrom: $chk($cn) needs $what")
+        r.get(i).asInstanceOf[T]
+      }
+      chk match {
+        case "not_null"      => NotNull(cn, ppm)
+        case "in_range"      => InRange(cn, need[Double](2, "lo"), need[Double](3, "hi"), ppm)
+        case "matches_regex" => MatchesRegex(cn, need[String](4, "regex"), ppm)
+        case "unique"        => Unique(cn.split(",").toSeq, ppm)
+        case "ref_integrity" =>
+          RefIntegrity(cn, resolve(need[String](5, "ref_table")), need[String](6, "ref_col"), ppm)
+        case other => throw new IllegalArgumentException(
+          s"Constraints.suiteFrom: unknown check kind '$other' for column '$cn'")
+      }
+    }
+  }
+
+  /** Serialize a suite back to config rows ([[suiteSchema]]) — the
+    * round-trip face of [[suiteFrom]]. `refName` supplies the stored
+    * name of each RefIntegrity's reference table (a DataFrame has no
+    * canonical name). */
+  def suiteDf(spark: SparkSession, checks: Seq[Check],
+      refName: RefIntegrity => String = c => throw new IllegalArgumentException(
+        s"Constraints.suiteDf: provide refName to serialize $c")): DataFrame = {
+    require(checks.nonEmpty, "Constraints.suiteDf: empty suite")
+    val rows = checks.map {
+      case NotNull(cn, ppm)          => Row("not_null", cn, null, null, null, null, null, ppm)
+      case InRange(cn, lo, hi, ppm)  => Row("in_range", cn, lo, hi, null, null, null, ppm)
+      case MatchesRegex(cn, re, ppm) => Row("matches_regex", cn, null, null, re, null, null, ppm)
+      case Unique(cols0, ppm)        => Row("unique", cols0.mkString(","), null, null, null, null, null, ppm)
+      case c @ RefIntegrity(cn, _, refCol, ppm) =>
+        Row("ref_integrity", cn, null, null, null, refName(c), refCol, ppm)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, suiteSchema)
+  }
+
   // ---- streaming face: observed metrics on the ingest stream ----
 
   /** Attach the suite's ROW-LOCAL checks to a (possibly streaming)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Table
 import graft.operators.{Aggregates => A, Stats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -323,6 +323,35 @@ object ParityQueries {
         Unique(Seq("l_orderkey", "l_linenumber")),
         RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
         .orderBy(col("chk"), col("col_name"))
+    }),
+
+    // Suites-as-data: the SAME constraint engine, but the suite lives in
+    // a config TABLE (Constraints.suiteSchema) that versions with the
+    // dataset it gates — serialized via suiteDf, parsed back via
+    // suiteFrom (with a resolver for the referential check's table),
+    // then validated. The round-trip is part of the graded path: a
+    // config row that parsed into the wrong check would flip a verdict.
+    // Planted outcomes: 'zh' docs are orphans vs the allowed-langs ref
+    // (fails), text uniqueness fails once the corpus carries dup docs
+    // (sf0.1+), n_chars range rides a 10% violation budget.
+    "q_constraint_suite" -> ((s, dir) => {
+      import graft.operators.Constraints
+      import graft.operators.Constraints._
+      val docs = t(s, dir, "documents")
+      val langs = s.createDataFrame(
+        java.util.Arrays.asList(Row("en"), Row("de"), Row("es"), Row("fr")),
+        StructType(Seq(StructField("lang", StringType, nullable = false))))
+      val suite: Seq[Check] = Seq(
+        NotNull("text"), NotNull("lang"),
+        InRange("n_chars", 1.0, 1500.0, maxViolPpm = 100000L),
+        MatchesRegex("lang", "[a-z]{2}"),
+        Unique(Seq("doc_id")), Unique(Seq("text")),
+        RefIntegrity("lang", langs, "lang"))
+      val config = Constraints.suiteDf(s, suite, _ => "langs")
+      val parsed = Constraints.suiteFrom(config,
+        { case "langs" => langs
+          case other => throw new IllegalArgumentException(s"unknown ref $other") })
+      Constraints.validate(docs, parsed).orderBy(col("chk"), col("col_name"))
     }),
 
     // CDC merge: applyChanges(old, snapshotDiff(old, new)) must EQUAL the
@@ -857,6 +886,38 @@ object ParityQueries {
         |    0::BIGINT, v_ri = 0 FROM m, ri
         |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', v_dup, total,
         |    0::BIGINT, v_dup = 0 FROM m)
+        |ORDER BY chk, col_name""".stripMargin,
+
+    "q_constraint_suite" ->
+      """WITH m AS (SELECT count(*)::BIGINT AS total,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn_text,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn_lang,
+        |    sum(CASE WHEN n_chars IS NULL OR n_chars < 1.0
+        |             OR n_chars > 1500.0 THEN 1 ELSE 0 END)::BIGINT AS v_range,
+        |    sum(CASE WHEN lang IS NULL
+        |             OR NOT regexp_full_match(lang, '[a-z]{2}')
+        |        THEN 1 ELSE 0 END)::BIGINT AS v_re,
+        |    (count(*) - count(DISTINCT doc_id))::BIGINT AS v_dup_id,
+        |    (count(*) - count(DISTINCT text))::BIGINT AS v_dup_text
+        |  FROM documents),
+        |ri AS (SELECT count(*)::BIGINT AS v_ri FROM documents
+        |       WHERE lang NOT IN ('en', 'de', 'es', 'fr'))
+        |SELECT * FROM (
+        |  SELECT 'in_range' AS chk, 'n_chars' AS col_name,
+        |    v_range AS violations, total, 100000::BIGINT AS threshold_ppm,
+        |    v_range * 1000000 <= 100000 * total AS passed FROM m
+        |  UNION ALL SELECT 'matches_regex', 'lang', v_re, total,
+        |    0::BIGINT, v_re = 0 FROM m
+        |  UNION ALL SELECT 'not_null', 'lang', v_nn_lang, total,
+        |    0::BIGINT, v_nn_lang = 0 FROM m
+        |  UNION ALL SELECT 'not_null', 'text', v_nn_text, total,
+        |    0::BIGINT, v_nn_text = 0 FROM m
+        |  UNION ALL SELECT 'ref_integrity', 'lang', v_ri, total,
+        |    0::BIGINT, v_ri = 0 FROM m, ri
+        |  UNION ALL SELECT 'unique', 'doc_id', v_dup_id, total,
+        |    0::BIGINT, v_dup_id = 0 FROM m
+        |  UNION ALL SELECT 'unique', 'text', v_dup_text, total,
+        |    0::BIGINT, v_dup_text = 0 FROM m)
         |ORDER BY chk, col_name""".stripMargin,
 
     "q_scd2" ->

@@ -104,4 +104,43 @@ class ConstraintsSpec extends SparkSpec {
     // and the verdict row count equals the suite size
     assert(Constraints.validate(df, suite).count() == suite.size)
   }
+
+  test("suites-as-data: suiteDf -> suiteFrom round-trips every check kind") {
+    val ref = Seq(("US"), ("DE")).toDF("code")
+    val suite: Seq[Check] = Seq(
+      NotNull("amount", 100L),
+      InRange("amount", 0.0, 100.0, 5L),
+      MatchesRegex("email", ".*@.*", 0L),
+      Unique(Seq("id", "country")),
+      RefIntegrity("country", ref, "code", 7L))
+    val config = Constraints.suiteDf(spark, suite, _ => "codes")
+    assert(config.schema == Constraints.suiteSchema)
+    val parsed = Constraints.suiteFrom(config, { case "codes" => ref })
+    // suiteFrom orders by (chk, col_name, ppm); compare kind-by-kind
+    // (RefIntegrity holds a DataFrame — compare its serializable parts)
+    def key(c: Check): (String, String, Long) = c match {
+      case NotNull(n, p) => ("not_null", n, p)
+      case InRange(n, lo, hi, p) => ("in_range", s"$n:$lo:$hi", p)
+      case MatchesRegex(n, re, p) => ("matches_regex", s"$n:$re", p)
+      case Unique(ns, p) => ("unique", ns.mkString(","), p)
+      case RefIntegrity(n, _, rc, p) => ("ref_integrity", s"$n:$rc", p)
+    }
+    assert(parsed.map(key).toSet == suite.map(key).toSet)
+    // and the parsed suite validates identically to the original
+    assert(Constraints.validate(df, parsed).orderBy("chk", "col_name").collect().toSeq ==
+      Constraints.validate(df, suite).orderBy("chk", "col_name").collect().toSeq)
+  }
+
+  test("suites-as-data: unknown kinds and missing parameters fail loudly") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    def cfg(rows: Row*) =
+      spark.createDataFrame(rows.asJava, Constraints.suiteSchema)
+    val bad = cfg(Row("no_such_check", "c", null, null, null, null, null, 0L))
+    assertThrows[IllegalArgumentException](Constraints.suiteFrom(bad))
+    val missing = cfg(Row("in_range", "c", null, 5.0, null, null, null, 0L))
+    assertThrows[IllegalArgumentException](Constraints.suiteFrom(missing))
+    val noRef = cfg(Row("ref_integrity", "c", null, null, null, "t", "k", 0L))
+    assertThrows[IllegalArgumentException](Constraints.suiteFrom(noRef))
+  }
 }
