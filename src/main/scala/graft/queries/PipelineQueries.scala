@@ -1374,6 +1374,35 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Maintained IVF index: the embedding corpus takes a CDC release
+    // (drop %97, flip sign of %53, add %89 under new ids) and the
+    // MATERIALIZED (id, cell) index is refreshed from the change set
+    // alone — unchanged assignments carried forward, only the churn ever
+    // scored against the pinned centroids. The oracle recomputes the
+    // index from the FULL new release, so maintained == recomputed IS
+    // the graded property (the q_incr_agg pattern, now for the vector
+    // index: nightly embedding refresh stays O(churn) at corpus scale).
+    "q_ivf_maintain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val oldC = emb.select(col("vec_id"), col("embedding"))
+      val newC = emb.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 53 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 89 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val changes = graft.operators.Diff.snapshotDiff(
+          oldC, newC, Seq("vec_id"), Seq("embedding"))
+        .filter(col("change") =!= "unchanged")
+      val oldIdx = Similarity.ivfIndex(oldC, "vec_id", "embedding", cents)
+      Similarity.ivfIndexMaintain(oldIdx, changes, "vec_id", "embedding", cents)
+        .orderBy(col("vec_id"))
+    }),
+
     // Product-Quantization ANN with PINNED codebooks (subvectors of
     // vec_id < 16, m=8 subspaces x 16 codewords) — the MEMORY-bound
     // serving path: corpus becomes 8 small codes per vector, queries
@@ -3374,6 +3403,27 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivf_maintain" ->
+      """WITH newc AS (
+        |  SELECT vec_id, CASE WHEN vec_id % 53 = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> -x)
+        |      ELSE embedding::DOUBLE[] END AS v
+        |  FROM embeddings WHERE vec_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[]
+        |  FROM embeddings WHERE vec_id % 89 = 0),
+        |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        |         FROM embeddings WHERE vec_id < 16),
+        |sim AS (
+        |  SELECT vec_id, cid,
+        |    list_dot_product(v, c) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS s
+        |  FROM newc, cent)
+        |SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cid AS cell FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_ivfpq_residual_pinned" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -229,6 +229,31 @@ class DiffSpec extends SparkSpec {
     assert(rows.sum > 0.25) // the drift is still loudly visible
   }
 
+  test("ivfIndexMaintain equals full re-assignment over a seeded random churn") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val cents = Array.fill(4)(vec())
+    val oldRows = (0L until 200L).map(i => (i, vec()))
+    // churn: every 7th removed, every 5th (surviving) re-embedded, 30 added
+    val newRows = oldRows.filterNot(_._1 % 7 == 0).map { case (i, v) =>
+      if (i % 5 == 0) (i, vec()) else (i, v)
+    } ++ (1000L until 1030L).map(i => (i, vec()))
+    val oldDf = oldRows.toDF("id", "v")
+    val newDf = newRows.toDF("id", "v")
+    val changes = Diff.snapshotDiff(oldDf, newDf, Seq("id"), Seq("v"))
+      .filter(col("change") =!= "unchanged")
+    val maintained = Similarity.ivfIndexMaintain(
+      Similarity.ivfIndex(oldDf, "id", "v", cents), changes, "id", "v", cents)
+      .orderBy("id").collect().toSeq
+    val recomputed = Similarity.ivfIndex(newDf, "id", "v", cents)
+      .orderBy("id").collect().toSeq
+    assert(maintained == recomputed,
+      "maintained index must equal full re-assignment bit for bit")
+    // and the churn really is churn-sized: changes rows << corpus
+    assert(changes.count() < 100)
+  }
+
   test("driftPsi: empty current bins stay defined via smoothing") {
     val ref = (1 to 80).map(_.toDouble).toDF("x")
     val cur = Seq.fill(10)(1.0).toDF("x") // everything lands in bin 0
