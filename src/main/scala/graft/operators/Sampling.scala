@@ -190,4 +190,59 @@ object Sampling {
       else coalesce(element_at(typedLit(pctByLabel), col(labelCol)), lit(defaultPct))
     df.filter(splitBucket(col(idCol)) < pct)
   }
+
+  /** Priority sample (Duffield–Lund–Thorup, JACM'07): a weight-aware
+    * fixed-size sample that supports UNBIASED subset-sum estimation after
+    * the fact — sample k docs once ∝ weight (tokens, chars, bytes), then
+    * estimate the total weight of ANY predicate-defined slice from the k
+    * rows alone: E[Σ_{sampled ∧ P} est_w] = Σ_P w. The after-the-fact part
+    * is what a 100 TB curation loop wants: one standing sample answers
+    * slice-size questions that were not known when the sample was drawn.
+    *
+    * Per row, priority q = w / u with u uniform on (0, 1]; the k largest
+    * priorities are the sample, τ = the (k+1)-th largest, and each sampled
+    * row carries the DLT estimator est_w = max(w, τ) (groups with ≤ k rows
+    * keep everything with est_w = w exactly — τ is null). Priority
+    * sampling has near-optimal variance among all k-row subset-sum
+    * sketches (Szegedy STOC'06).
+    *
+    * Deterministic, not pseudo-random: u = toDouble(pinnedHash(id)+1)/2^63
+    * — ONE int→double rounding then an exact power-of-two scale, and q one
+    * IEEE division; every arithmetic step is bit-reproducible in any
+    * engine (same discipline as [[Sketch.kmvDistinct]]), so an SQL oracle
+    * replays the exact sample and estimators, and the sample is stable
+    * across runs/partitionings. Scale shape: q is a row-local projection;
+    * the rank limit plans as partial+final WindowGroupLimit, so ≤ k+1 rows
+    * per group leave each map task regardless of corpus size; τ is a
+    * ≤|groups|-row broadcast.
+    *
+    * Weights must be positive (w ≤ 0 never enters the sample: q ≤ 0 while
+    * genuine priorities are > 0; such rows also contribute nothing to a
+    * subset sum a caller would estimate). */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      groupCols: Seq[String] = Nil, tag: String = "psamp"): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (Sketch.pinnedHash(col(idCol).cast(StringType), tag) + lit(1L))
+      .cast(DoubleType) /
+      lit(9223372036854775808.0) // 2^63: exact double, exact scale
+    val keep = df.columns.map(col).toSeq
+    val win = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__q").desc, col(idCol))
+    val ranked = df
+      .select(keep :+ weight.cast(DoubleType).as("__w"): _*)
+      .withColumn("__q", col("__w") / u)
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k + 1)
+    val tau = ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("__rk") === k + 1, col("__q"))).as("__tau"))
+    val sampled = ranked.filter(col("__rk") <= k)
+    val joined =
+      if (groupCols.isEmpty) sampled.crossJoin(broadcast(tau))
+      else sampled.join(broadcast(tau), groupCols)
+    joined.select(keep ++ Seq(col("__w").as("w"),
+      col("__rk").as("sample_rank"),
+      greatest(col("__w"), coalesce(col("__tau"), col("__w"))).as("est_w"),
+      col("__tau").as("tau")): _*)
+  }
 }

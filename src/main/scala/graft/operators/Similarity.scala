@@ -566,6 +566,37 @@ object Similarity {
     * iteration) — the `q_ann_ivf_pinned` oracle recomputes assignment,
     * probing, and ranking end-to-end in SQL. Ties in the cell argmax
     * break toward the lower centroid index. */
+  /** Pinned ±1 sign diagonal for [[hadamardSignRotate]], derived from the
+    * polynomial fingerprint family (parity of fp("<tag>:j")) so external
+    * replays inline the same 64 signs. */
+  def hadamardSigns(dim: Int, tag: String = "opq"): Array[Double] =
+    Array.tabulate(dim) { j =>
+      if (TextOps.fingerprintOf(s"$tag:$j") % 2 == 0) 1.0 else -1.0
+    }
+
+  /** OPQ-style structured rotation y = H·D·x/√dim — the Hadamard ×
+    * pinned-sign-diagonal transform fast PQ implementations use instead
+    * of a dense learned rotation (same role as OPQ's R: decorrelate /
+    * spread energy across the PQ subspaces; H_ij = (−1)^popcount(i∧j)).
+    * Exactly orthogonal, and — unlike a learned rotation — exactly
+    * REPLAYABLE: with dim an even power of two, 1/√dim is a power of two
+    * (64 → 0.125), every matrix entry is ±signs(j)·0.125 (all exact
+    * doubles), and each output component is one fused native dot in
+    * index order, so an external engine reproduces the rotation bit for
+    * bit (`q_opq_ann_pinned`). A row-local projection: no shuffle, and
+    * PQ/IVF downstream see an ordinary vector column. */
+  def hadamardSignRotate(vec: Column, dim: Int, tag: String = "opq"): Column = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two: $dim")
+    val inv = 1.0 / math.sqrt(dim.toDouble)
+    val signs = hadamardSigns(dim, tag)
+    val rows = Array.tabulate(dim) { i =>
+      Array.tabulate(dim) { j =>
+        (if (Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0) * signs(j) * inv
+      }
+    }
+    array(rows.toIndexedSeq.map(r => dot(vec, typedLit(r.toSeq))): _*)
+  }
+
   /** Cell id of `vec` against pinned centroids — argmax cosine, ties to
     * the lower centroid index. A PURE per-row function of the vector
     * (no shuffle, no state), which is exactly what makes the

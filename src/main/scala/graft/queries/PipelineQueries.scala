@@ -1403,6 +1403,34 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Maintained MinHash LSH index: the documents corpus takes a CDC
+    // release (drop %97, append ' v2' to %53, re-add %89 under new ids)
+    // and the MATERIALIZED signature table refreshes from the change set
+    // alone — only added/changed texts are re-shingled/re-hashed. The
+    // oracle recomputes every signature from the FULL new release, so
+    // maintained == recomputed IS the graded property: with q_incr_agg,
+    // q_scd2 and q_ivf_maintain this closes the O(churn) refresh story
+    // for the dedup index as well.
+    "q_lsh_maintain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newC = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val changes = graft.operators.Diff.snapshotDiff(
+          docs, newC, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+      val oldIdx = Dedup.minhashSignatures(docs, "text", "doc_id",
+        k = 16, shingleN = 3, family = Dedup.MinhashFamily.polynomial)
+      Dedup.minhashIndexMaintain(oldIdx, changes, "text", "doc_id",
+          k = 16, shingleN = 3, family = Dedup.MinhashFamily.polynomial)
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), _.cast(StringType)), ",").as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Product-Quantization ANN with PINNED codebooks (subvectors of
     // vec_id < 16, m=8 subspaces x 16 codewords) — the MEMORY-bound
     // serving path: corpus becomes 8 small codes per vector, queries
@@ -1416,6 +1444,34 @@ object PipelineQueries {
         .map(_.getSeq[Double](0).toArray)
       val books = Similarity.pqCodebooksFromRows(rows, m = 8)
       Similarity.pqTopKADC(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, books)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // OPQ-style rotated PQ: the corpus is pre-rotated by the Hadamard ×
+    // pinned-sign-diagonal transform (the structured rotation fast-PQ
+    // implementations use in OPQ's role — decorrelate/spread energy
+    // across subspaces) and then PQ-encoded exactly like
+    // q_pq_ann_pinned. The rotation is exactly orthogonal AND exactly
+    // replayable (every matrix entry is ±0.125; each component one
+    // index-ordered dot), so the oracle recomputes rotation + codebooks
+    // + encode + ADC + rank end-to-end.
+    "q_opq_ann_pinned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def rot(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+        Similarity.hadamardSignRotate(col("embedding"), 64).as("embedding"))
+      // localCheckpoint: materialize the rotation ONCE — without the
+      // barrier CollapseProject inlines the 64-dot rotation array into
+      // each of the 128 downstream per-codeword sqDists and the
+      // generated code explodes (measured: codegen OOM)
+      val rotated = rot(emb).localCheckpoint()
+      val rows = rotated.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val books = Similarity.pqCodebooksFromRows(rows, m = 8)
+      Similarity.pqTopKADC(rotated, rotated.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5, books)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("adc_dist"), 6).as("adc_dist"))
@@ -3425,6 +3481,33 @@ object PipelineQueries {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1)
         |ORDER BY vec_id""".stripMargin,
 
+    // maintained == recomputed: the oracle re-derives EVERY signature
+    // from the full new release (same shingle/polynomial replay as
+    // q_minhash) — the Spark side only ever touched the churn
+    "q_lsh_maintain" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 89 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM newdocs)),
+        |hj AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(cat) + 1), i -> ascii(cat[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, j, j::VARCHAR || ':' || shingle AS cat
+        |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j))),
+        |sig AS (SELECT doc_id, j, min(h) AS m FROM hj GROUP BY doc_id, j)
+        |SELECT doc_id, string_agg(m::VARCHAR, ',' ORDER BY j) AS sig
+        |FROM sig GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_ivfpq_residual_pinned" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 16),
@@ -3555,6 +3638,56 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_opq_ann_pinned" -> {
+      // ±0.125 sign row (signs(j)/√64), inlined so the oracle's rotation
+      // rows are the SAME exact doubles the Spark literal rows carry
+      val s8 = graft.operators.Similarity.hadamardSigns(64)
+        .map(s => java.lang.Double.toString(s * 0.125)).mkString("[", ", ", "]")
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         |v AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 64), i ->
+         |      list_dot_product(x, list_transform(range(1, 65), j ->
+         |        CASE WHEN bit_count(i & (j-1)) % 2 = 0 THEN ($s8)[j]
+         |             ELSE -(($s8)[j]) END))) AS v
+         |  FROM raw),
+         |cb AS (SELECT vec_id AS j, v AS c FROM v WHERE vec_id < 16),
+         |d AS (
+         |  SELECT v.vec_id, sp.s, cb.j,
+         |    list_dot_product(
+         |      list_transform(range(1, 9), i -> v.v[sp.s*8 + i] - cb.c[sp.s*8 + i]),
+         |      list_transform(range(1, 9), i -> v.v[sp.s*8 + i] - cb.c[sp.s*8 + i])) AS d
+         |  FROM v, range(8) sp(s), cb),
+         |codes AS (
+         |  SELECT vec_id, s, j AS code FROM d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1),
+         |t AS (
+         |  SELECT dq.vec_id AS qid, cc.vec_id AS nid, dq.s, dq.d AS term
+         |  FROM d dq JOIN codes cc ON cc.s = dq.s AND cc.code = dq.j
+         |  WHERE dq.vec_id < 10 AND cc.vec_id <> dq.vec_id),
+         |adc AS (
+         |  SELECT qid, nid,
+         |    sum(CASE WHEN s=0 THEN term END) AS t0,
+         |    sum(CASE WHEN s=1 THEN term END) AS t1,
+         |    sum(CASE WHEN s=2 THEN term END) AS t2,
+         |    sum(CASE WHEN s=3 THEN term END) AS t3,
+         |    sum(CASE WHEN s=4 THEN term END) AS t4,
+         |    sum(CASE WHEN s=5 THEN term END) AS t5,
+         |    sum(CASE WHEN s=6 THEN term END) AS t6,
+         |    sum(CASE WHEN s=7 THEN term END) AS t7
+         |  FROM t GROUP BY qid, nid),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    ((((((t0 + t1) + t2) + t3) + t4) + t5) + t6) + t7 AS ad
+         |  FROM adc)
+         |SELECT qid AS query_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY ad, nid) AS rank,
+         |  nid AS neighbor_id, round(ad, 6) AS adc_dist
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_pq_ann_pinned" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

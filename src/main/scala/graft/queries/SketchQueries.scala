@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Sketch, TextOps}
+import graft.operators.{Sampling, Sketch, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,7 @@ object SketchQueries {
   private val HllP = 4 // m=16: per-lang counts stay in the raw-estimate
                        // regime (n > 2.5m) at every driver SF
   private val KmvK = 64
+  private val PsK = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -106,10 +107,60 @@ object SketchQueries {
         .agg(count(lit(1)).as("exact_intersection"))
       Sketch.kmvOverlap(a, b, col("text"), k = KmvK)
         .crossJoin(broadcast(exact))
+    }),
+
+    // Priority sampling (Duffield–Lund–Thorup): ONE standing 64-doc
+    // sample drawn ∝ n_chars answers per-lang size questions it was not
+    // drawn for — est_chars is the unbiased DLT subset-sum estimate of
+    // each language's total chars from the sample alone; exact_chars is
+    // the honesty column. Estimator sums go through DECIMAL(38,4) so the
+    // ≤64-term addition is order-invariant (the double faces would hash-
+    // drift under Spark's partial-agg order).
+    "q_priority_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val samp = Sampling.prioritySample(docs, "doc_id", col("n_chars"), PsK)
+      val est = samp.groupBy("lang").agg(
+        sum(col("est_w").cast("decimal(38,4)")).as("est_chars"),
+        count(lit(1)).as("n_sampled"))
+      val exact = docs.groupBy("lang")
+        .agg(sum(col("n_chars")).as("exact_chars"))
+      exact.join(est, Seq("lang"), "left")
+        .select(col("lang"), col("exact_chars"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("est_chars"), lit(0).cast("decimal(38,4)")).as("est_chars"))
+        .orderBy(col("lang"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+         |h0 AS (SELECT doc_id, lang, n_chars,
+         |         ${hashSql("CAST(doc_id AS VARCHAR)", "psamp")} AS h FROM d),
+         |h1 AS (SELECT doc_id, lang, n_chars, ${mixSql("h")} AS h FROM h0),
+         |pri AS (SELECT doc_id, lang, n_chars,
+         |          CAST(n_chars AS DOUBLE) /
+         |            (CAST(h + 1 AS DOUBLE) / 9223372036854775808::DOUBLE) AS q
+         |        FROM h1),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM pri),
+         |tau AS (SELECT max(CASE WHEN rk = ${PsK + 1} THEN q END) AS tau
+         |        FROM rk WHERE rk <= ${PsK + 1}),
+         |samp AS (SELECT lang,
+         |           CAST(GREATEST(CAST(n_chars AS DOUBLE),
+         |                COALESCE((SELECT tau FROM tau), CAST(n_chars AS DOUBLE)))
+         |             AS DECIMAL(38,4)) AS est
+         |         FROM rk WHERE rk <= $PsK),
+         |est AS (SELECT lang, sum(est) AS est_chars, count(*) AS n_sampled
+         |        FROM samp GROUP BY lang),
+         |ex AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS exact_chars
+         |       FROM documents GROUP BY lang)
+         |SELECT ex.lang, ex.exact_chars,
+         |  COALESCE(n_sampled, 0) AS n_sampled,
+         |  COALESCE(est_chars, 0.0000::DECIMAL(38,4)) AS est_chars
+         |FROM ex LEFT JOIN est ON ex.lang = est.lang
+         |ORDER BY ex.lang""".stripMargin,
 
     "q_hll_distinct" -> {
       val m = 1 << HllP

@@ -254,6 +254,35 @@ class DiffSpec extends SparkSpec {
     assert(changes.count() < 100)
   }
 
+  test("minhashIndexMaintain equals full re-signing over a seeded random churn") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def text() = Seq.fill(6 + rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ")
+    val oldRows = (0L until 150L).map(i => (i, text()))
+    // churn: every 7th removed, every 5th survivor rewritten, 20 added —
+    // and one rewrite drops below shingleN tokens (must LEAVE the index)
+    val newRows = oldRows.filterNot(_._1 % 7 == 0).map { case (i, t0) =>
+      if (i == 10L) (i, "too short")
+      else if (i % 5 == 0) (i, text()) else (i, t0)
+    } ++ (1000L until 1020L).map(i => (i, text()))
+    val oldDf = oldRows.toDF("id", "text")
+    val newDf = newRows.toDF("id", "text")
+    val changes = Diff.snapshotDiff(oldDf, newDf, Seq("id"), Seq("text"))
+      .filter(col("change") =!= "unchanged")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "text", "id", k = 8, shingleN = 3)
+    val maintained = Dedup.minhashIndexMaintain(
+        sigs(oldDf), changes, "text", "id", k = 8, shingleN = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val recomputed = sigs(newDf)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(maintained == recomputed,
+      "maintained signature index must equal full re-signing bit for bit")
+    assert(!maintained.exists(_._1 == 10L), "sub-shingle rewrite must leave the index")
+    assert(changes.count() < 80) // churn-sized, not corpus-sized
+  }
+
   test("driftPsi: empty current bins stay defined via smoothing") {
     val ref = (1 to 80).map(_.toDouble).toDF("x")
     val cur = Seq.fill(10)(1.0).toDF("x") // everything lands in bin 0

@@ -373,6 +373,57 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("lang") === "de").count() == df.filter(col("lang") === "de").count())
   }
 
+  test("prioritySample: equals the sequential DLT model; k>=n keeps all with est_w = w") {
+    import spark.implicits._
+    val n = 1000
+    val df = (0L until n.toLong).map(i => (i, s"g${i % 4}", (i % 37) + 1L))
+      .toDF("id", "grp", "w").repartition(13) // partitioning must not matter
+    val k = 32
+    val got = graft.operators.Sampling.prioritySample(df, "id", col("w"), k)
+      .orderBy(col("sample_rank")).collect()
+    // sequential model: same pinned hash, same u, same priority, same ties
+    val hashes = spark.range(n.toLong)
+      .select(col("id"), graft.operators.Sketch.pinnedHash(
+        col("id").cast("string"), "psamp").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = (0L until n.toLong).map { i =>
+      val u = (hashes(i) + 1L).toDouble / 9223372036854775808.0
+      val w = (i % 37) + 1L
+      (i, w, w.toDouble / u)
+    }.sortBy { case (id, _, q) => (-q, id) }
+    val tau = model(k)._3 // (k+1)-th largest priority
+    val expect = model.take(k).map { case (id, w, _) => (id, math.max(w.toDouble, tau)) }
+    assert(got.map(r => (r.getLong(0), r.getDouble(r.fieldIndex("est_w")))).toSeq == expect)
+    assert(got.forall(_.getDouble(got.head.fieldIndex("tau")) == tau))
+    // k >= n: the sample IS the population, tau null, est_w = w exactly
+    val all = graft.operators.Sampling.prioritySample(df, "id", col("w"), n + 5)
+      .collect()
+    assert(all.length == n)
+    assert(all.forall(r => r.isNullAt(r.fieldIndex("tau")) &&
+      r.getDouble(r.fieldIndex("est_w")) == r.getDouble(r.fieldIndex("w"))))
+  }
+
+  test("prioritySample: per-group k, per-group tau, and unbiased-total sanity") {
+    import spark.implicits._
+    val n = 4096
+    val df = (0L until n.toLong).map(i => (i, s"g${i % 3}", (i % 101) + 1L))
+      .toDF("id", "grp", "w")
+    val out = graft.operators.Sampling.prioritySample(
+      df, "id", col("w"), 16, groupCols = Seq("grp")).collect()
+    assert(out.groupBy(_.getString(1)).forall(_._2.length == 16))
+    // each group carries its own tau = the group's 17th-largest priority
+    assert(out.groupBy(_.getString(1)).values.forall { rows =>
+      rows.map(_.getDouble(rows.head.fieldIndex("tau"))).distinct.length == 1
+    })
+    // DLT subset-sum estimate of the TOTAL weight: k=256 global sample,
+    // sigma ~ W/sqrt(k-1) ~ 6.3% of W — assert within 30% (5 sigma)
+    val est = graft.operators.Sampling.prioritySample(df, "id", col("w"), 256)
+      .agg(sum(col("est_w"))).head.getDouble(0)
+    val exact = df.agg(sum(col("w"))).head.getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.30,
+      s"DLT total estimate too far off: est=$est exact=$exact")
+  }
+
   test("brute-force cosine top-k: exact neighbors on a constructed corpus") {
     import spark.implicits._
     val vecs = Seq(
@@ -1498,6 +1549,32 @@ class PipelineSpec extends SparkSpec {
     val gotN2 = Similarity.ivfPqTopK(withNull, queries, "vec_id", "embedding",
       10, cellCents, nProbe = 4, books).collect()
     assert(!gotN2.exists(_.getLong(2) == 999L))
+  }
+
+  test("hadamardSignRotate: orthogonal (norms/dots preserved), deterministic, power-of-two gate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    val rot = df.select($"id", Similarity.hadamardSignRotate($"v", 16).as("y"),
+        $"v")
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    rot.foreach { case (_, y, x) =>
+      val ny = y.map(a => a * a).sum
+      val nx = x.map(a => a * a).sum
+      assert(math.abs(ny - nx) < 1e-9, s"rotation must preserve norms: $nx -> $ny")
+    }
+    // pairwise dot preservation on the first two rows
+    val Seq(a, b) = rot.take(2).map(_._2).toSeq
+    val Seq(xa, xb) = rot.take(2).map(_._3).toSeq
+    val dy = a.zip(b).map { case (p, q) => p * q }.sum
+    val dx = xa.zip(xb).map { case (p, q) => p * q }.sum
+    assert(math.abs(dy - dx) < 1e-9, "rotation must preserve inner products")
+    // deterministic across evaluations
+    val again = df.select(Similarity.hadamardSignRotate($"v", 16).as("y"))
+      .as[Seq[Double]].collect()
+    assert(again.toSeq == rot.map(_._2).toSeq)
+    assertThrows[IllegalArgumentException](Similarity.hadamardSignRotate($"v", 12))
   }
 
   test("residual IVF-PQ: ADC approximates codeword norms, ranks by offset group") {

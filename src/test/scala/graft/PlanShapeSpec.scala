@@ -3,7 +3,7 @@ package graft
 import graft.core.Table
 import graft.operators.{Aggregates, Stats}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, GlobalLimit, LogicalPlan, Project => LProject, Window => LWindow}
 import org.apache.spark.sql.functions._
 
 /** Scale-shape assertions: the global-order operators (shift, interpolate,
@@ -14,9 +14,20 @@ import org.apache.spark.sql.functions._
   * partitionSpec. */
 class PlanShapeSpec extends SparkSpec {
 
+  // a partition-less Window whose input is already constant-bounded by a
+  // Limit (InferWindowGroupLimit's rewrite of a global row_number<=k
+  // filter: the heavy lifting became TakeOrderedAndProject, the Window
+  // only ranks the surviving <=k rows) is NOT a scale hazard — exempt it
+  private def limitBounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit => true
+    case pr: LProject => limitBounded(pr.child)
+    case f: LFilter => limitBounded(f.child)
+    case _ => false
+  }
+
   private def globalWindows(df: DataFrame): Seq[LWindow] =
     df.queryExecution.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
+      case w: LWindow if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
     }
 
   private def sample: Table = {
@@ -274,12 +285,36 @@ class PlanShapeSpec extends SparkSpec {
       // the sketch alone
       "q_hll_distinct" -> 5,
       "q_kmv_distinct" -> 5,
-      "q_kmv_overlap" -> 9)
+      "q_kmv_overlap" -> 9,
+      // OPQ-rotated PQ: the rotation is a row-local projection cut from
+      // downstream codegen by a localCheckpoint barrier; the PQ serving
+      // plan itself keeps the flat-PQ shape (rank + oracle orderBy)
+      "q_opq_ann_pinned" -> 2,
+      // DLT sample: both rank branches are TakeOrderedAndProject (no
+      // shuffle); the 2 = exact-honesty agg + the oracle orderBy
+      "q_priority_sample" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
     }
     assert(over.isEmpty, s"shuffle ceilings exceeded: ${over.mkString("; ")}")
+  }
+
+  test("prioritySample: global rank limits plan as TakeOrderedAndProject; grouped as WindowGroupLimit") {
+    // the DLT rank limit must push to map tasks — <= k+1 rows per task
+    // reach the driver-side merge regardless of corpus size. Spark
+    // rewrites the GLOBAL (empty-partition) row_number<=k filter to a
+    // Limit, which plans as TakeOrderedAndProject in BOTH branches
+    // (sample and tau); the grouped face keeps WindowGroupLimit.
+    val p = planText("q_priority_sample")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"q_priority_sample lost its map-side rank-limit pushdown:\n$p")
+    val grouped = graft.operators.Sampling.prioritySample(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", col("n_chars"), 8, groupCols = Seq("lang"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("WindowGroupLimit".r.findAllIn(grouped).size >= 2,
+      s"grouped prioritySample lost its partial+final WindowGroupLimit:\n$grouped")
   }
 
   test("q_join fact-to-fact leg is fully exchange-free on the session bucketed layout") {
