@@ -226,7 +226,10 @@ object Sampling {
     val u = (Sketch.pinnedHash(col(idCol).cast(StringType), tag) + lit(1L))
       .cast(DoubleType) /
       lit(9223372036854775808.0) // 2^63: exact double, exact scale
-    val keep = df.columns.map(col).toSeq
+    // output contract: a double `w` weight column plus sample_rank /
+    // est_w / tau — an input column literally named "w" is replaced by
+    // the (cast) weight rather than duplicated
+    val keep = df.columns.filterNot(_ == "w").map(col).toSeq
     val win = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__q").desc, col(idCol))
     val ranked = df

@@ -574,6 +574,32 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Streaming PRIORITY SAMPLE, gated: a REAL StreamingQuery maintains
+    // the DLT weighted sample in O(shards × (k+1)) state during ingest
+    // (per-shard running top-(k+1) by priority — merge-order-invariant,
+    // so the result is batch-identical by construction). The finish
+    // merges shard lists → global rank → τ → est_w = max(w, τ). The
+    // DuckDB oracle computes the PURE BATCH sample — streamed == batch
+    // IS the graded property, estimators included bit for bit.
+    "q_stream_priority" -> ((s, dir) => {
+      val shardTop = runAvailableNow(s, s"$dir/documents.parquet",
+          "graft_stream_prio", "update") { stream =>
+        graft.streaming.StreamOps.streamingPrioritySample(
+          stream.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 64).toDF
+      }
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, col("id"))
+      val ranked = shardTop.withColumn("__rk", row_number().over(win))
+        .filter(col("__rk") <= 65)
+      val tau = ranked.agg(max(when(col("__rk") === 65, col("q"))).as("__tau"))
+      ranked.filter(col("__rk") <= 64).crossJoin(broadcast(tau))
+        .select(col("__rk").as("sample_rank"), col("id").as("doc_id"),
+          col("w").cast(LongType).as("n_chars"),
+          greatest(col("w"), coalesce(col("__tau"), col("w"))).as("est_w"))
+        .orderBy(col("sample_rank"))
+    }),
+
     // Streaming QUALITY GATE: the ingest-time face of the Gopher rules —
     // a real StreamingQuery filters each micro-batch stateless-ly (the
     // flags are row-local, so the stream needs no state store at all) and
@@ -2173,6 +2199,27 @@ object PipelineQueries {
         |SELECT doc_id, round(sum(lr), 6) AS log_weight, count(*) AS n_tokens
         |FROM rawtok JOIN ratio USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // streamed == batch: the oracle computes the pure batch DLT sample —
+    // per-shard running top-(k+1) state is merge-order-invariant, so the
+    // stream MUST land exactly here regardless of micro-batch boundaries
+    "q_stream_priority" ->
+      s"""WITH h0 AS (SELECT doc_id, n_chars,
+         |         ${SketchQueries.hashSql("CAST(doc_id AS VARCHAR)", "psamp")} AS h
+         |       FROM documents),
+         |h1 AS (SELECT doc_id, n_chars, ${SketchQueries.mixSql("h")} AS h FROM h0),
+         |pri AS (SELECT doc_id, n_chars,
+         |          CAST(n_chars AS DOUBLE) /
+         |            (CAST(h + 1 AS DOUBLE) / 9223372036854775808::DOUBLE) AS q
+         |        FROM h1),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM pri),
+         |tau AS (SELECT max(CASE WHEN rk = 65 THEN q END) AS tau
+         |        FROM rk WHERE rk <= 65)
+         |SELECT rk AS sample_rank, doc_id, n_chars,
+         |  GREATEST(CAST(n_chars AS DOUBLE),
+         |    COALESCE((SELECT tau FROM tau), CAST(n_chars AS DOUBLE))) AS est_w
+         |FROM rk WHERE rk <= 64
+         |ORDER BY sample_rank""".stripMargin,
 
     "q_stream_quality" ->
       """WITH base AS (

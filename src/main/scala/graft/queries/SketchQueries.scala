@@ -25,7 +25,7 @@ object SketchQueries {
     * families, seeds inlined as precomputed prefix fingerprints
     * (polynomial prefix identity — same trick the Spark side's
     * seededFingerprint uses). */
-  private def hashSql(e: String, tag: String): String = {
+  private[queries] def hashSql(e: String, tag: String): String = {
     def fp(init: Long, mult: Long, mod: Long) =
       s"""list_reduce(list_prepend(${init}::BIGINT,
          |      list_transform(range(1, len($e) + 1), i -> ascii(($e)[i]))),
@@ -41,7 +41,7 @@ object SketchQueries {
     * (xl·cl + ((xl·ch + xh·cl) mod 2^32)·2^32) mod 2^64, every
     * intermediate < 2^66. Differentially verified against the native
     * expression in SketchDistinctSpec. */
-  private def mixSql(e: String): String = {
+  private[queries] def mixSql(e: String): String = {
     val M64 = "18446744073709551616::HUGEINT" // 2^64
     val B = "4294967296::HUGEINT"             // 2^32
     def mul(xe: String, c: Long): String = {

@@ -118,6 +118,55 @@ object StreamOps {
       }
   }
 
+  case class PriorityEntry(id: Long, w: Double, q: Double)
+  case class ShardSample(shard: Int, id: Long, w: Double, q: Double)
+
+  /** Streaming DLT priority sample with O(shards × (k+1)) TOTAL state —
+    * the standing weighted sample maintained continuously during ingest
+    * (the batch face is [[graft.operators.Sampling.prioritySample]]).
+    *
+    * Rows hash onto `shards` parallel groups; each shard's state is its
+    * current top-(k+1) entries by (priority desc, id). A running top-m
+    * of a growing set is MERGE-ORDER-INVARIANT (the same property that
+    * makes the HLL register max and the KMV bottom-k honest), so the
+    * final state is independent of batch boundaries and arrival order —
+    * which is what lets an SQL oracle replay the streamed sample as a
+    * pure batch computation. Every global top-(k+1) row is inside its
+    * own shard's top-(k+1), so the consumer-side finish (union shards →
+    * rank → τ at k+1 → est_w = max(w, τ)) reconstructs the batch DLT
+    * sample EXACTLY, estimators included. Priorities use the same
+    * pinned-hash arithmetic as batch (one int→double rounding, one
+    * exact 2^-63 scale, one IEEE division — bit-reproducible).
+    *
+    * Each micro-batch every updated shard re-emits its full current
+    * list (Update mode); consumers take the latest emission per shard.
+    * State never grows with the stream: ≤ k+1 entries per shard. */
+  def streamingPrioritySample(docs: DataFrame, idCol: String, wCol: String,
+      k: Int, shards: Int = 8, tag: String = "psamp"): Dataset[ShardSample] = {
+    require(k >= 1 && shards >= 1,
+      s"streamingPrioritySample: k=$k shards=$shards")
+    import docs.sparkSession.implicits._
+    val u = (graft.operators.Sketch.pinnedHash(col(idCol).cast("string"), tag)
+      + lit(1L)).cast("double") / lit(9223372036854775808.0)
+    docs
+      .filter(col(idCol).isNotNull && col(wCol).isNotNull) // null id/w rows
+      // carry no weight and would NPE the primitive-field encoder
+      .select(col(idCol).cast("long").as("id"),
+        col(wCol).cast("double").as("w"),
+        (col(wCol).cast("double") / u).as("q"))
+      .as[PriorityEntry]
+      .groupByKey(e => math.floorMod(e.id, shards).toInt)
+      .flatMapGroupsWithState[Seq[PriorityEntry], ShardSample](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[PriorityEntry],
+            state: GroupState[Seq[PriorityEntry]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ rows)
+            .sortBy(e => (-e.q, e.id)).take(k + 1)
+          state.update(merged)
+          merged.iterator.map(e => ShardSample(shard, e.id, e.w, e.q))
+      }
+  }
+
   /** Streaming exact-dedup on a key column with watermark-bounded state:
     * `dropDuplicatesWithinWatermark` keeps only first-seen keys while the
     * state stays bounded by the watermark — the streaming face of

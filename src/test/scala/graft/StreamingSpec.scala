@@ -123,6 +123,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming priority sample: final shard states reconstruct the batch DLT sample across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 300L).map(i => (i, (i % 41 + 1).toDouble))
+    val k = 16
+    val input = MemoryStream[(Long, Double)]
+    val out = StreamOps.streamingPrioritySample(
+      input.toDF.toDF("id", "w"), "id", "w", k = k, shards = 4)
+    val q = out.writeStream.format("memory").queryName("sps")
+      .outputMode("update").start()
+    try {
+      // three arbitrary batch splits — the running top-(k+1) per shard is
+      // merge-order-invariant, so the final states must not care. Assert
+      // the state bound per batch: every emission (= the shard's full
+      // current state) adds <= k+1 rows per shard to the update sink.
+      def perShardCounts() = spark.table("sps").groupBy("shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var prev = Map.empty[Int, Long]
+      for (slice <- Seq(rows.slice(100, 300), rows.slice(0, 50), rows.slice(50, 100))) {
+        input.addData(slice: _*)
+        q.processAllAvailable()
+        val now = perShardCounts()
+        assert(now.forall { case (s, c) => c - prev.getOrElse(s, 0L) <= k + 1 },
+          s"a shard emitted more than its k+1-entry state: prev=$prev now=$now")
+        prev = now
+      }
+      // union of emissions, dedup'd by entry: an id's (w, q) never changes,
+      // and an entry EVICTED from a shard's top-(k+1) has k+1 better rows
+      // in its own shard — so stale rows can never reach the global
+      // top-(k+1) and the dedup'd union merges exactly like final states
+      val latest = spark.table("sps").select("shard", "id", "w", "q").distinct()
+      // finish: global rank over shard lists == batch prioritySample
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, col("id"))
+      val ranked = latest.withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= k + 1)
+      val tauV = ranked.filter(col("rk") === k + 1)
+        .select("q").collect().headOption.map(_.getDouble(0))
+      val got = ranked.filter(col("rk") <= k)
+        .withColumn("est_w", greatest(col("w"), lit(tauV.getOrElse(0.0))))
+        .select("id", "w", "est_w").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val want = graft.operators.Sampling.prioritySample(
+          rows.toDF("id", "w"), "id", col("w"), k)
+        .select("id", "w", "est_w").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(got == want,
+        "streamed shard-merged sample must equal the batch DLT sample exactly")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
