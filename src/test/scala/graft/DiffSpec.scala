@@ -154,6 +154,61 @@ class DiffSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashIndexMaintain as a foreachBatch consumer keeps the LSH index fresh across micro-batches") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming leg of the dedup-index refresh story: release change
+    // sets arrive in separate micro-batches, the standing signature
+    // index refreshes per batch — never a full re-sign
+    def mkTexts(seed: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("one", "two", "three", "four", "five", "six")
+      (0L until n.toLong).map(i =>
+        (i, Seq.fill(5 + rnd.nextInt(5))(words(rnd.nextInt(words.length))).mkString(" ")))
+    }
+    val r0 = mkTexts(1, 60).toDF("id", "text")
+    val r1 = mkTexts(1, 60).filterNot(_._1 % 9 == 0)
+      .map { case (i, t0) => if (i % 4 == 0) (i, t0 + " edited") else (i, t0) }
+      .toDF("id", "text")
+    val r2raw = mkTexts(1, 60).filterNot(i => i._1 % 9 == 0 || i._1 % 7 == 0)
+      .map { case (i, t0) => if (i % 4 == 0) (i, t0 + " edited") else (i, t0) } ++
+      (500L until 510L).map(i => (i, s"brand new doc number $i with words"))
+    val r2 = r2raw.toDF("id", "text")
+    def ch(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Diff.snapshotDiff(a, b, Seq("id"), Seq("text")).filter(col("change") =!= "unchanged")
+    val ch1 = ch(r0, r1).collect()
+    val ch2 = ch(r1, r2).collect()
+    val chSchema = ch(r0, r1).schema
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(d, "text", "id", k = 8, shingleN = 3)
+
+    @volatile var index = sigs(r0).localCheckpoint()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = input.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ticks = batch.select("value").collect().map(_.getInt(0))
+        ticks.sorted.foreach { t =>
+          import scala.jdk.CollectionConverters._
+          val rows: Seq[org.apache.spark.sql.Row] = (if (t == 1) ch1 else ch2).toSeq
+          val changes = spark.createDataFrame(rows.asJava, chSchema)
+          val next = Dedup.minhashIndexMaintain(index, changes, "text", "id",
+            k = 8, shingleN = 3).localCheckpoint()
+          org.apache.spark.sql.graftx.Bridge.freeCheckpoint(index)
+          index = next
+        }
+      }
+      .start()
+    try {
+      input.addData(1)
+      q.processAllAvailable()
+      input.addData(2)
+      q.processAllAvailable()
+      val got = index.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      val want = sigs(r2).collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(got == want, "streamed index must equal full re-sign of the latest release")
+    } finally q.stop()
+  }
+
   test("SCD2: intervals close/open per release; current == applyChanges; asOf time-travels") {
     val r0 = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c"))).toDF("id", "v")
     val r1 = Seq((1L, Option("a")), (2L, Option("B")), (4L, Option("d"))).toDF("id", "v")
