@@ -30,7 +30,7 @@ def frame_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -41,6 +41,9 @@ def main(sf_dir, out_dir):
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name} (witnessed separately)")
+            continue
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
             print(f"FAIL {name}: no spark result written")
@@ -83,4 +86,8 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated query names to skip (e.g. the
+    # PQ-family oracles, ~25-min 64M-row CTEs each at sf10, when their
+    # exactness at that SF is already recorded from a separate run)
+    skip = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))

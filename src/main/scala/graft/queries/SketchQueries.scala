@@ -130,6 +130,21 @@ object SketchQueries {
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
           coalesce(col("est_chars"), lit(0).cast("decimal(38,4)")).as("est_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // STRATIFIED priority sampling: an independent DLT sample per
+    // language (k=16 each, per-group τ) — the per-source quota face a
+    // mixing pipeline runs. Emits the sample rows themselves, so the
+    // oracle gates the grouped machinery (partial+final WindowGroupLimit
+    // path) row by row: per-group ranks, per-group τ, estimators.
+    "q_priority_sample_by" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Sampling.prioritySample(docs, "doc_id", col("n_chars"), 16,
+          groupCols = Seq("lang"))
+        .select(col("lang"), col("sample_rank"), col("doc_id"),
+          col("n_chars"), col("est_w"))
+        .orderBy(col("lang"), col("sample_rank"))
     })
   )
 
@@ -161,6 +176,26 @@ object SketchQueries {
          |  COALESCE(est_chars, 0.0000::DECIMAL(38,4)) AS est_chars
          |FROM ex LEFT JOIN est ON ex.lang = est.lang
          |ORDER BY ex.lang""".stripMargin,
+
+    "q_priority_sample_by" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+         |h0 AS (SELECT doc_id, lang, n_chars,
+         |         ${hashSql("CAST(doc_id AS VARCHAR)", "psamp")} AS h FROM d),
+         |h1 AS (SELECT doc_id, lang, n_chars, ${mixSql("h")} AS h FROM h0),
+         |pri AS (SELECT doc_id, lang, n_chars,
+         |          CAST(n_chars AS DOUBLE) /
+         |            (CAST(h + 1 AS DOUBLE) / 9223372036854775808::DOUBLE) AS q
+         |        FROM h1),
+         |rk AS (SELECT *, row_number()
+         |         OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk FROM pri),
+         |tau AS (SELECT lang, max(CASE WHEN rk = 17 THEN q END) AS tau
+         |        FROM rk WHERE rk <= 17 GROUP BY lang)
+         |SELECT rk.lang, rk.rk AS sample_rank, rk.doc_id, rk.n_chars,
+         |  GREATEST(CAST(rk.n_chars AS DOUBLE),
+         |    COALESCE(tau.tau, CAST(rk.n_chars AS DOUBLE))) AS est_w
+         |FROM rk JOIN tau ON rk.lang = tau.lang
+         |WHERE rk.rk <= 16
+         |ORDER BY rk.lang, sample_rank""".stripMargin,
 
     "q_hll_distinct" -> {
       val m = 1 << HllP

@@ -184,6 +184,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(diffed.select("id", "change").collect().map(_.toSeq).toSet == want)
   }
 
+  test("bucketed signature index: maintain never re-shuffles the standing index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the q_lsh_maintain scaladoc's 100 TB claim, held to plan evidence:
+    // with the standing index AND the change set bucketed on the id, the
+    // dead-id anti-join zips co-located buckets — the only exchanges in
+    // the whole refresh belong to re-signing the CHURN (its shingle
+    // groupBy), never to the corpus-sized index
+    val tmp = java.nio.file.Files.createTempDirectory("lshidxbucket").toString
+    val words = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    val docs = (0L until 400L).map(i =>
+      (i, (0 until 6).map(j => words(((i + j) % 6).toInt)).mkString(" ")))
+      .toDF("id", "text")
+    val newRel = (0L until 430L).filter(_ % 13 != 0).map(i =>
+      (i, (0 until 6).map(j => words(((i + j + (if (i % 17 == 0) 1 else 0)) % 6).toInt))
+        .mkString(" "))).toDF("id", "text")
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.minhashSignatures(d, "text", "id", k = 8, shingleN = 3)
+    graft.operators.Layout.writeBucketed(sigs(docs), "spec_lshidx", Seq("id"), 4, Some(s"$tmp/i"))
+    val ch = graft.operators.Diff.snapshotDiff(docs, newRel, Seq("id"), Seq("text"))
+      .filter(col("change") =!= "unchanged")
+    graft.operators.Layout.writeBucketed(ch, "spec_lshch", Seq("id"), 4, Some(s"$tmp/c"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the
+      // co-located SMJ path: at corpus scale the dead-id set may exceed
+      // broadcast size, and the claim must hold WITHOUT broadcast
+      val maintained = graft.operators.Dedup.minhashIndexMaintain(
+        spark.table("spec_lshidx"), spark.table("spec_lshch"),
+        "text", "id", k = 8, shingleN = 3)
+      val plan = maintained.queryExecution.executedPlan
+      val badShuffles = plan.collect { case e: ShuffleExchangeLike => e }
+        .filter(_.treeString.contains("spec_lshidx"))
+      assert(badShuffles.isEmpty,
+        s"the standing index was re-shuffled:\n${badShuffles.mkString("\n")}")
+      // and the refresh is still exact
+      val got = maintained.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      val want = sigs(newRel).collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("NO query in the whole SparkEntry surface plans a partition-less window") {
     val dir = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -292,7 +334,11 @@ class PlanShapeSpec extends SparkSpec {
       "q_opq_ann_pinned" -> 2,
       // DLT sample: both rank branches are TakeOrderedAndProject (no
       // shuffle); the 2 = exact-honesty agg + the oracle orderBy
-      "q_priority_sample" -> 2)
+      "q_priority_sample" -> 2,
+      // stratified face: one hash exchange per rank branch (partial+
+      // final WindowGroupLimit keeps <=k+1 rows/lang per map task
+      // ahead of each) + the oracle orderBy
+      "q_priority_sample_by" -> 3)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
