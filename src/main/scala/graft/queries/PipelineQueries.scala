@@ -36,6 +36,11 @@ object PipelineQueries {
     ("wind", "o"), ("windo", "w"),                        // window
     ("e", "r"), ("o", "r"), ("a", "n"))                   // common pairs
 
+  /** Merge rounds for `q_bpe_train` — small enough that the generated
+    * K-stage DuckDB oracle replay stays readable, large enough to force
+    * chained merges (later rounds merge symbols built by earlier ones). */
+  private val bpeTrainRounds = 6
+
   /** DuckDB replay of graft's polynomial string fingerprint
     * ((acc*31 + codepoint) mod 1e9+7) over the expression `pd`, scaled
     * to [-0.5, 0.5) — the pinned pseudo-random component family shared
@@ -235,13 +240,13 @@ object PipelineQueries {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df.withColumn("ts", col("ts").cast(TimestampType))
 
-  /** documents augmented with deterministic near-duplicates (doc_id+100000,
+  /** documents augmented with deterministic near-duplicates (doc_id+1e12,
     * one token appended) so near-dup detection has planted positives. */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text", "source")
     docs.unionByName(
       docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text"),
           col("source")))
   }
@@ -695,6 +700,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer TRAINING (Sennrich merge loop), oracle-gated
+    // end-to-end: the corpus collapses to a word-frequency table in ONE
+    // map-side-combined pass, then each of the K merge rounds is a
+    // vocab-sized pair-count aggregate + a 1-row argmax (count DESC,
+    // then (a,b) binary — Spark UTF8 == DuckDB binary on this ASCII
+    // corpus) + a narrow fold rewriting each word's symbol array
+    // (TextOps.trainBpeDistributed — the no-driver-cap scale path; at
+    // 100 TB the corpus is still scanned exactly once). The oracle
+    // replays ALL K rounds in generated SQL: bracketed char encoding +
+    // one left-to-right non-overlapping replace per learned rule, the
+    // same trick q_bpe_applied's oracle uses for the serving split.
+    // Completes the tokenizer lifecycle gate: train (here) -> apply
+    // (q_bpe_applied) -> vocab/OOV stats (q_vocab, q_oov).
+    "q_bpe_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.trainBpeDistributed(
+        docs, "text", numMerges = bpeTrainRounds, minWordCount = 2L)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("step", "lhs", "rhs")
+        .orderBy(col("step"))
+    }),
+
     // Duplicated-span REMOVAL (Lee et al. ExactSubstr action): every 7th
     // doc carries the same 26-token tail, so its pure-tail 15-grams
     // duplicate corpus-wide and the tail is trimmed; boundary windows
@@ -783,7 +812,7 @@ object PipelineQueries {
     "q_sem_decon" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val evalSet = emb.filter(col("vec_id") < 20)
-      val planted = evalSet.select((col("vec_id") + 10000).as("vec_id"),
+      val planted = evalSet.select((col("vec_id") + 1000000000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val corpus = emb.filter(col("vec_id") >= 20)
         .select(col("vec_id"), col("embedding")).unionByName(planted)
@@ -1072,7 +1101,7 @@ object PipelineQueries {
     "q_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val snippets = docs.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 25)).as("text"),
           col("source"))
       val corpus = docs.select(col("doc_id"), col("text"), col("source"))
@@ -1154,10 +1183,10 @@ object PipelineQueries {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val chained = docs
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra extra")).as("text")))
       val pairs = Dedup.minhashNearDups(chained, "text", "doc_id", threshold = 0.5,
           family = Dedup.MinhashFamily.polynomial)
@@ -1281,17 +1310,17 @@ object PipelineQueries {
     // Near-dup CLUSTERING: the stage after pair mining. MinHash LSH pairs
     // (polynomial family, oracle-replayable) -> connected components ->
     // one row per cluster: canonical (min) id, size, member list. Planted
-    // CHAINS (base, +100000 " extra", +200000 " extra extra") force real
+    // CHAINS (base, +1e12 " extra", +2e12 " extra extra") force real
     // transitive closure — a and a+200000 may never share a band, but the
     // cluster still unites them through a+100000.
     "q_dedup_cluster" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val chained = docs
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra extra")).as("text")))
       val pairs = Dedup.minhashNearDups(chained, "text", "doc_id", threshold = 0.5,
           family = Dedup.MinhashFamily.polynomial)
@@ -1312,10 +1341,10 @@ object PipelineQueries {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val chained = docs
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra extra")).as("text")))
       val pairs = Dedup.minhashNearDups(chained, "text", "doc_id",
         threshold = 0.5, family = Dedup.MinhashFamily.polynomial)
@@ -1333,10 +1362,10 @@ object PipelineQueries {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val chained = docs
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
         .unionByName(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra extra")).as("text")))
       val pairs = Dedup.minhashNearDups(chained, "text", "doc_id", threshold = 0.5,
           family = Dedup.MinhashFamily.polynomial)
@@ -1420,7 +1449,7 @@ object PipelineQueries {
             transform(col("embedding"), x => -x))
             .otherwise(col("embedding")).as("embedding"))
         .unionByName(emb.filter(col("vec_id") % 89 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 1000000000000L).as("vec_id"), col("embedding")))
       val changes = graft.operators.Diff.snapshotDiff(
           oldC, newC, Seq("vec_id"), Seq("embedding"))
         .filter(col("change") =!= "unchanged")
@@ -1444,7 +1473,7 @@ object PipelineQueries {
           when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 89 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
       val changes = graft.operators.Diff.snapshotDiff(
           docs, newC, Seq("doc_id"), Seq("text"))
         .filter(col("change") =!= "unchanged")
@@ -1600,13 +1629,13 @@ object PipelineQueries {
     // SemDeDup with PINNED data-point centroids (vec_id < 8): cluster via
     // per-row argmax (no shuffle), grid-decomposed within-cell pair join,
     // greedy farthest-from-centroid keep rule. 20 planted exact copies
-    // (vec_id+100000) MUST drop (cos 1.0 vs their originals, same cell);
+    // (vec_id+1e12) MUST drop (cos 1.0 vs their originals, same cell);
     // tau=0.3 also drops naturally-close pairs. Oracle replays assignment,
     // ranking, pair threshold, and the anti-join end-to-end.
     "q_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 1000000000000L).as("vec_id"), col("embedding"))
       val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
@@ -2464,7 +2493,7 @@ object PipelineQueries {
         |corpus AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 20
         |  UNION ALL
-        |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 2)
+        |  SELECT vec_id + 1000000000000, list_transform(embedding::DOUBLE[], x -> x * 2)
         |  FROM embeddings WHERE vec_id < 20),
         |scored AS (
         |  SELECT c.vec_id, ev.eid,
@@ -2526,7 +2555,7 @@ object PipelineQueries {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id + 1000000000000, text || ' extra' FROM documents WHERE doc_id < 20),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 1),
@@ -2562,9 +2591,9 @@ object PipelineQueries {
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  SELECT doc_id + 1000000000000, text || ' extra' FROM documents WHERE doc_id < 20
         |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id + 2000000000000, text || ' extra extra' FROM documents WHERE doc_id < 20),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 1),
@@ -2610,9 +2639,9 @@ object PipelineQueries {
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  SELECT doc_id + 1000000000000, text || ' extra' FROM documents WHERE doc_id < 20
         |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id + 2000000000000, text || ' extra extra' FROM documents WHERE doc_id < 20),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 1),
@@ -2670,9 +2699,9 @@ object PipelineQueries {
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  SELECT doc_id + 1000000000000, text || ' extra' FROM documents WHERE doc_id < 20
         |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id + 2000000000000, text || ' extra extra' FROM documents WHERE doc_id < 20),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 1),
@@ -2727,7 +2756,7 @@ object PipelineQueries {
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20),
+         |  SELECT doc_id + 1000000000000, text || ' extra' FROM documents WHERE doc_id < 20),
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
          |catd AS (SELECT doc_id, '0:' || t AS c0, '1:' || t AS c1,
          |                '2:' || t AS c2, '3:' || t AS c3 FROM tok),
@@ -2946,6 +2975,45 @@ object PipelineQueries {
          |FROM d ORDER BY doc_id""".stripMargin
     },
 
+    // TRAINING loop replay, all K rounds in one generated SQL: word-freq
+    // table -> per round (pair-count aggregate over the bracketed
+    // encodings, argmax with the count-DESC-then-binary-(a,b) tie-break,
+    // one greedy left-to-right non-overlapping replace applying the
+    // winner). replace()'s scan-forward-past-the-replacement semantics
+    // IS BPE's non-overlap rule ("a a a" + (a,a) -> "aa a"), identical
+    // in DuckDB and in the fold-based Spark rewrite.
+    "q_bpe_train" -> {
+      val rounds = (1 to bpeTrainRounds).map { i =>
+        s"""p$i AS (
+           |  SELECT pp.a AS a, pp.b AS b, sum(cnt) AS c FROM (
+           |    SELECT unnest(list_transform(range(1, len(toks)),
+           |      ii -> struct_pack(a := toks[ii], b := toks[ii + 1]))) AS pp, cnt
+           |    FROM (SELECT string_split(substr(enc, 2, len(enc) - 2), '><') AS toks,
+           |                 cnt
+           |          FROM w${i - 1}))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(enc, '<' || a || '><' || b || '>',
+           |                 '<' || a || b || '>') AS enc, cnt
+           |  FROM w${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      val steps = (1 to bpeTrainRounds)
+        .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS enc, cnt FROM (
+         |    SELECT w, count(*)::BIGINT AS cnt
+         |    FROM (SELECT unnest(list_filter(string_split(text, ' '),
+         |                                    x -> x <> '')) AS w
+         |          FROM documents)
+         |    GROUP BY w HAVING count(*) >= 2)),
+         |$rounds
+         |SELECT * FROM (
+         |  $steps)
+         |ORDER BY step""".stripMargin
+    },
+
     // Gate replay: same planted repetition, same distinct-bigram
     // diversity ratio (exact integer-ratio doubles on both engines, so
     // the lo/hi comparisons can't drift), same CASE classes.
@@ -3064,7 +3132,7 @@ object PipelineQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 1000000000000,
         |    array_to_string((string_split(text, ' '))[1:25], ' '), source
         |  FROM documents WHERE doc_id < 40),
         |sh AS (
@@ -3219,9 +3287,9 @@ object PipelineQueries {
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+        |  SELECT doc_id + 1000000000000, text || ' extra' FROM documents WHERE doc_id < 20
         |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id + 2000000000000, text || ' extra extra' FROM documents WHERE doc_id < 20),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 1),
@@ -3455,7 +3523,7 @@ object PipelineQueries {
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
+        |  SELECT vec_id + 1000000000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
         |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
         |         FROM embeddings WHERE vec_id < 8),
         |sim AS (SELECT vec_id, cid,
@@ -3514,7 +3582,7 @@ object PipelineQueries {
         |      ELSE embedding::DOUBLE[] END AS v
         |  FROM embeddings WHERE vec_id % 97 <> 0
         |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding::DOUBLE[]
+        |  SELECT vec_id + 1000000000000, embedding::DOUBLE[]
         |  FROM embeddings WHERE vec_id % 89 = 0),
         |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
         |         FROM embeddings WHERE vec_id < 16),
@@ -3537,7 +3605,7 @@ object PipelineQueries {
         |    CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 97 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 89 = 0),
+        |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 89 = 0),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(toks) - 1),

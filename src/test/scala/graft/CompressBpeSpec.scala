@@ -66,6 +66,18 @@ class CompressBpeSpec extends SparkSpec {
       TextOps.trainBpe(tiny, "text", 5))
   }
 
+  test("q_bpe_train: query output equals the driver-loop trainer on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_bpe_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val want = TextOps.trainBpe(docs, "text", numMerges = got.length,
+        minWordCount = 2L)
+      .zipWithIndex.map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+    assert(got.toSeq == want, s"\ngot:  ${got.toSeq}\nwant: $want")
+    assert(got.length == 6) // corpus must not exhaust before the K rounds
+  }
+
   test("dsirLogWeights: hand-computed log-likelihood ratios") {
     val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val target = Seq(Tuple1("a a a c")).toDF("text")
