@@ -190,6 +190,39 @@ object Diff {
         (col("valid_to").isNull || col("valid_to") > version))
       .drop("valid_from", "valid_to")
 
+  /** As-of ENRICHMENT against an SCD-2 history: each fact row joins the
+    * dimension version in effect at the fact's OWN version column —
+    * "train on the metadata the doc had when the event happened", the
+    * point-in-time join that makes SCD-2 histories useful rather than
+    * archival. Facts with no covering interval (id not yet added, or
+    * already removed at that version) keep null dimension values.
+    *
+    * Scale shape: an equi hash join on the id columns — the interval
+    * predicate rides along as the join's residual condition, NOT a
+    * range-join blowup, because intervals per id are few (churn count)
+    * and disjoint, so each fact matches at most one history row. At
+    * 100 TB this is the same plan as any fact→dim enrichment: shuffle
+    * (or bucket-colocate) on id, nothing else.
+    *
+    * Dimension value column names must not collide with fact column
+    * names (rename on the way in if they do). */
+  def scd2EnrichAsOf(facts: DataFrame, history: DataFrame,
+      idCols: Seq[String], versionCol: String): DataFrame = {
+    require(idCols.nonEmpty, "scd2EnrichAsOf: need at least one id column")
+    val f = facts.alias("__fact")
+    val h = history.alias("__dim")
+    val cond = idCols.map(k => col(s"__fact.$k") === col(s"__dim.$k"))
+      .reduce(_ && _) &&
+      col("__dim.valid_from") <= col(s"__fact.$versionCol") &&
+      (col("__dim.valid_to").isNull ||
+        col("__dim.valid_to") > col(s"__fact.$versionCol"))
+    val dimVals = history.columns
+      .filterNot(c => idCols.contains(c) || c == "valid_from" || c == "valid_to")
+    f.join(h, cond, "left")
+      .select(facts.columns.map(c => col(s"__fact.$c")) ++
+        dimVals.map(c => col(s"__dim.$c")): _*)
+  }
+
   /** Aggregate view of [[snapshotDiff]]: (change, n) — the one-line
     * health answer ("release 14 → 15: +1.2M added, 40k changed"). */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame,

@@ -397,6 +397,39 @@ object ParityQueries {
         .orderBy(col("doc_id"), col("valid_from"))
     }),
 
+    // Point-in-time ENRICHMENT against the SCD-2 history: every fact
+    // carries its own as-of version (even ids ask for v1, odd and the
+    // v2-added ids ask for v2) and joins the dimension text in effect
+    // THEN — v1 facts see pre-rewrite text, v2 facts see the ' v2'
+    // rewrites, facts on ids removed at v2 (or not yet added at v1) get
+    // null. One equi hash join on doc_id with the interval predicate as
+    // residual condition; intervals per id are churn-few and disjoint,
+    // so this stays a plain fact→dim join at any scale.
+    "q_scd2_asof" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldD = docs.select(col("doc_id"), col("text"))
+      val newD = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hist1 = graft.operators.Diff.scd2Init(oldD, Seq("doc_id"), Seq("text"), 1)
+      val changes = graft.operators.Diff.snapshotDiff(
+          oldD, newD, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+      val hist = graft.operators.Diff.applyChangesScd2(
+        hist1, changes, Seq("doc_id"), Seq("text"), version = 2)
+      val facts = docs.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(2)).as("v"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit(2).as("v")))
+      graft.operators.Diff.scd2EnrichAsOf(
+          facts, hist.withColumnRenamed("text", "dim_text"),
+          Seq("doc_id"), "v")
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental aggregate maintenance: the standing per-lang rollup of
     // release 1 is updated from the CDC change set alone (retract old
     // contributions, add new, merge churn-sized delta) — the oracle
@@ -931,6 +964,27 @@ object ParityQueries {
         |SELECT doc_id + 1000000, text, 2, NULL FROM documents
         |WHERE doc_id % 89 = 0
         |ORDER BY doc_id, valid_from""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH hist AS (
+        |  SELECT doc_id, text, 1 AS valid_from,
+        |    CASE WHEN doc_id % 97 = 0 OR doc_id % 53 = 0 THEN 2 END AS valid_to
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', 2, NULL FROM documents
+        |  WHERE doc_id % 53 = 0 AND doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 2, NULL FROM documents
+        |  WHERE doc_id % 89 = 0),
+        |f AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 2 FROM documents WHERE doc_id % 89 = 0)
+        |SELECT f.doc_id, f.v, h.text AS dim_text
+        |FROM f LEFT JOIN hist h ON f.doc_id = h.doc_id
+        |  AND h.valid_from <= f.v AND (h.valid_to IS NULL OR h.valid_to > f.v)
+        |ORDER BY f.doc_id""".stripMargin,
 
     "q_incr_agg" ->
       """WITH newd AS (

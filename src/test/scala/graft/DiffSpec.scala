@@ -236,6 +236,33 @@ class DiffSpec extends SparkSpec {
     assert(h3.count() == 3 + 2 + 2) // init + (v2 changed+added) + (v3 changed+added)
   }
 
+  test("scd2EnrichAsOf: per-fact versions hit the covering interval; misses stay null") {
+    val r0 = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c"))).toDF("id", "v")
+    val r1 = Seq((1L, Option("a")), (2L, Option("B")), (4L, Option("d"))).toDF("id", "v")
+    val r2 = Seq((1L, Option("A")), (2L, Option("B")), (5L, Option("e"))).toDF("id", "v")
+    def ch(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Diff.snapshotDiff(a, b, Seq("id"), Seq("v")).filter(col("change") =!= "unchanged")
+    val h3 = Diff.applyChangesScd2(
+      Diff.applyChangesScd2(Diff.scd2Init(r0, Seq("id"), Seq("v"), 1),
+        ch(r0, r1), Seq("id"), Seq("v"), 2),
+      ch(r1, r2), Seq("id"), Seq("v"), 3).withColumnRenamed("v", "dim_v")
+    val facts = Seq(
+      (1L, 1), (1L, 3),       // changed at v3: sees "a" then "A"
+      (2L, 2),                // changed at v2: sees "B"
+      (3L, 3),                // removed at v2: null at v3
+      (5L, 1), (5L, 3),       // added at v3: null at v1, "e" at v3
+      (9L, 2))                // never existed: null
+      .toDF("id", "asof")
+    val got = Diff.scd2EnrichAsOf(facts, h3, Seq("id"), "asof")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 1, Some("a")), (1L, 3, Some("A")), (2L, 2, Some("B")),
+      (3L, 3, None), (5L, 1, None), (5L, 3, Some("e")), (9L, 2, None)))
+    // every fact survives exactly once (disjoint intervals -> at most one hit)
+    assert(Diff.scd2EnrichAsOf(facts, h3, Seq("id"), "asof").count() == 7)
+  }
+
   test("diffSummary counts by change type") {
     val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val neu = Seq((2L, "x"), (3L, "c")).toDF("id", "v")

@@ -338,7 +338,17 @@ class PlanShapeSpec extends SparkSpec {
       // stratified face: one hash exchange per rank branch (partial+
       // final WindowGroupLimit keeps <=k+1 rows/lang per map task
       // ahead of each) + the oracle orderBy
-      "q_priority_sample_by" -> 3)
+      "q_priority_sample_by" -> 3,
+      // BPE training output is the driver-side merge table (kilobytes):
+      // LocalTableScan + the oracle orderBy. The distributed work (one
+      // corpus scan + K vocab-sized rounds) happens inside
+      // trainBpeDistributed before this frame exists.
+      "q_bpe_train" -> 1,
+      // SCD2 as-of enrichment: the operator itself is ONE equi join on
+      // doc_id (interval predicate as residual) = 2 exchanges + the
+      // oracle orderBy; the other 6 build the 2-release history fixture
+      // (snapshotDiff full-outer + the interval-close join + unions)
+      "q_scd2_asof" -> 9)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
