@@ -248,4 +248,39 @@ object Sampling {
       greatest(col("__w"), coalesce(col("__tau"), col("__w"))).as("est_w"),
       col("__tau").as("tau")): _*)
   }
+
+  /** Deterministic training-shard assignment: fingerprint(id) mod
+    * nShards. Same reproducibility contract as [[splitBucket]] — no RNG,
+    * engine-replayable, stable under re-partitioning and incremental
+    * growth (a new doc never moves an old doc's shard). The physical
+    * write is `df.repartition(nShards, shardOf(...)).sortWithinPartitions
+    * (id)` + write: byte-identical shards from any cluster layout. */
+  def shardOf(id: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    TextOps.fingerprint(id.cast(StringType)) % nShards
+  }
+
+  /** Shard MANIFEST — the verification artifact a reproducible output
+    * stage publishes next to the shards: per shard, row count, token
+    * count, id range, and an order-independent content checksum (the
+    * SUM of per-row fingerprints of `id:text`, so the manifest is
+    * invariant to partition layout and task scheduling; each row term is
+    * < 1e9, so a BIGINT sum is exact past 9e9 rows per shard). Consumers
+    * re-derive the manifest after download/compaction and diff — any
+    * dropped, duplicated, or bit-flipped row moves the checksum. One
+    * scan + a nShards-group aggregate: free at any scale. */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame =
+    df.select(shardOf(col(idCol), nShards).as("shard"),
+        col(idCol).as("__id"),
+        TextOps.tokenCount(col(textCol)).as("__ntok"),
+        TextOps.fingerprint(
+          concat(col(idCol).cast(StringType), lit(":"), col(textCol)))
+          .as("__rowfp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"),
+        sum(col("__rowfp")).as("content_sum"))
 }

@@ -439,6 +439,19 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // Reproducible OUTPUT SHARDING manifest: deterministic shard
+    // assignment (fingerprint(id) mod 16 — no RNG, stable under
+    // incremental growth) plus the per-shard verification artifact a
+    // training-data publisher ships next to the shards: counts, token
+    // totals, id range, and an order-independent content checksum (sum
+    // of per-row fingerprints — invariant to partition layout, moved by
+    // any dropped/duplicated/corrupted row). One scan + a 16-group agg.
+    "q_shard_manifest" -> ((s, dir) => {
+      graft.operators.Sampling.shardManifest(
+          t(s, dir, "documents"), "doc_id", "text", nShards = 16)
+        .orderBy(col("shard"))
+    }),
+
     // Structured Streaming, gated: a REAL StreamingQuery (file source →
     // tumbling event-time windows -> memory sink, one availableNow pass)
     // whose final result the batch oracle replays. Complete output mode:
@@ -2096,6 +2109,26 @@ object PipelineQueries {
         |  THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n, sum(doc_id)::BIGINT AS id_sum, sum(n_chars)::BIGINT AS chars_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id::VARCHAR AS ids,
+        |    doc_id::VARCHAR || ':' || text AS rowkey
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(ids) + 1), i -> ascii(ids[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 16 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS ntok,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(rowkey) + 1), i -> ascii(rowkey[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS rowfp
+        |  FROM d)
+        |SELECT shard, count(*) AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  sum(rowfp)::BIGINT AS content_sum
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_stream_join" ->
       """SELECT n_name, count(*) AS n, round(sum(value), 4) AS value_sum

@@ -850,6 +850,37 @@ class PipelineSpec extends SparkSpec {
     assert(repacked == got.map(r => (r._1, r._4)).toSet)
   }
 
+  test("shardManifest: layout-invariant, matches driver model, detects corruption") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"doc $i body ${"w " * (i % 5).toInt}".trim))
+    val df = rows.toDF("id", "text")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.shardManifest(d, "id", "text", nShards = 8)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val m1 = manifest(df)
+    // partition layout / row order never moves the manifest
+    assert(manifest(df.repartition(13)) == m1)
+    assert(manifest(df.orderBy(col("text"))) == m1)
+    // driver model: same fingerprint arithmetic
+    val fpOf = (s: String) => graft.operators.TextOps.fingerprintOf(s)
+    val want = rows.groupBy { case (id, _) => fpOf(id.toString) % 8 }
+      .map { case (sh, rs) =>
+        sh -> (rs.size.toLong,
+          rs.map(_._2.split(' ').length.toLong).sum,
+          rs.map(_._1).min, rs.map(_._1).max,
+          rs.map { case (id, t) => fpOf(s"$id:$t") }.sum)
+      }
+    assert(m1 == want)
+    // a single flipped byte moves exactly that shard's checksum
+    val corrupted = df.withColumn("text",
+      when(col("id") === 17L, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val m2 = manifest(corrupted)
+    val dirty = fpOf("17") % 8
+    assert(m2(dirty)._5 != m1(dirty)._5)
+    assert(m2.filterNot(_._1 == dirty) == m1.filterNot(_._1 == dirty))
+  }
+
   test("capPerLabel property: equals the driver fingerprint-rank model") {
     import spark.implicits._
     val rnd = new scala.util.Random(61)
