@@ -292,6 +292,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning injects on selective dim -> fact shuffle joins") {
+    // At 100 TB a selective dim filter should prune the FACT SCAN, not
+    // just the join: Spark's InjectRuntimeFilter builds a bloom of the
+    // filtered dim keys and pushes bloom_filter_might_contain into the
+    // fact side. It's on by default but gated on the fact side scanning
+    // > 10 GB (exactly the production regime) — lower the gate to prove
+    // the mechanism fires on our join shape at test scale. Broadcast is
+    // disabled because a broadcast join already prunes via its own
+    // runtime mechanisms; the bloom matters for the shuffle-join regime.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+      val plan = j.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"runtime bloom filter no longer injected:\n${plan.take(1500)}")
+      // and the result is unaffected by the pruning
+      assert(!j.collect().head.isNullAt(1))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("shuffle-count ceilings hold per named query") {
     // recorded from the round-4 plans (FormattedMode, sf0.001); a higher
     // count means a new exchange crept into the plan — justify and
@@ -344,6 +377,8 @@ class PlanShapeSpec extends SparkSpec {
       // corpus scan + K vocab-sized rounds) happens inside
       // trainBpeDistributed before this frame exists.
       "q_bpe_train" -> 1,
+      // shard manifest: partial+final 16-group agg + the oracle orderBy
+      "q_shard_manifest" -> 2,
       // SCD2 as-of enrichment: the operator itself is ONE equi join on
       // doc_id (interval predicate as residual) = 2 exchanges + the
       // oracle orderBy; the other 6 build the 2-release history fixture
