@@ -50,6 +50,10 @@ object GraftFunctions {
       require(args.length == 1, "graft_audio_meta(binary)")
       graft.expr.AudioMeta(args(0))
     },
+    "graft_video_meta" -> { args =>
+      require(args.length == 1, "graft_video_meta(binary)")
+      graft.expr.VideoMeta(args(0))
+    },
     "graft_shingles" -> { args =>
       require(args.length == 2, "graft_shingles(tokens, n)")
       val n = args(1) match {

@@ -90,6 +90,81 @@ case class ImageMinResolution(child: Expression, minW: Int, minH: Int)
     copy(child = newChild)
 }
 
+/** Video-container metadata (ISO-BMFF / MP4) from the payload's HEADER
+  * boxes — the video face of [[ImageMeta]]/[[AudioMeta]]: brand, movie
+  * timescale/duration, first video track's pixel dimensions, and the
+  * sample tables that drive frame extraction (stts frame count + delta,
+  * stsz fixed sample size, stco/co64 first chunk offset, mdat payload
+  * size) without touching a single coded frame. At 100 TB the "drop
+  * sub-5s clips, gate on resolution, pick k frames per clip" pipeline
+  * head becomes narrow scan-side arithmetic: the sampler turns these
+  * fields into (pts, byte-range) pairs, so only the sampled frames are
+  * ever ranged-read and decoded. Corrupt box layouts keep the ftyp brand
+  * with null fields (the ingest audit signal); non-BMFF payloads are
+  * ("unknown", null…). */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryExpressions.videoMetaType
+  override def prettyName: String = "graft_video_meta"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.videoMeta(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.BinaryExpressions.videoMeta($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
+}
+
+/** Single-parse video gate: `duration_us >= minUs AND width >= minW AND
+  * height >= minH` with ONE box walk (same rationale as
+  * [[ImageMinResolution]] — FilterExec has no subexpression elimination,
+  * so composed meta-field predicates re-parse per field). Null /
+  * unparseable payloads are false. */
+case class VideoGate(child: Expression, minUs: Long, minW: Int, minH: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_video_gate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && BinaryExpressions.videoAtLeast(
+      v.asInstanceOf[Array[Byte]], minUs, minW, minH)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code = childGen.code.toString +
+      s"""
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  graft.expr.BinaryExpressions.videoAtLeast(${childGen.value}, ${minUs}L, $minW, $minH);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoGate =
+    copy(child = newChild)
+}
+
 /** Audio-container metadata (RIFF/WAVE) from the payload's HEADER bytes —
   * the audio face of [[ImageMeta]]: channels / sample rate / bit depth /
   * frame count / duration without decoding a single sample, so the
@@ -331,5 +406,231 @@ object BinaryExpressions {
     val frames = dataSize / blockAlign
     val durUs = frames * 1000000L / rate
     audioRow(FmtWav, channels, rate, bits, frames, durUs)
+  }
+
+  // ---- ISO-BMFF (MP4) ----
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = true),
+    StructField("duration_ticks", LongType, nullable = true),
+    StructField("duration_us", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("frame_delta", IntegerType, nullable = true),
+    StructField("sample_size", IntegerType, nullable = true),
+    StructField("chunk_offset", LongType, nullable = true),
+    StructField("mdat_size", LongType, nullable = true)))
+
+  def videoMeta(c: Column): Column = Bridge.column(VideoMeta(Bridge.expression(c)))
+
+  def videoGate(c: Column, minUs: Long, minW: Int, minH: Int): Column =
+    Bridge.column(VideoGate(Bridge.expression(c), minUs, minW, minH))
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+
+  private def videoRow(fmt: UTF8String, ts: Any, dur: Any, durUs: Any,
+      w: Any, h: Any, tracks: Any, frames: Any, delta: Any, ssz: Any,
+      coff: Any, mdat: Any): InternalRow =
+    new GenericInternalRow(Array[Any](fmt, ts, dur, durUs, w, h, tracks,
+      frames, delta, ssz, coff, mdat))
+
+  /** Shared by eval and generated code. */
+  def videoAtLeast(b: Array[Byte], minUs: Long, minW: Int, minH: Int): Boolean = {
+    val m = videoMeta(b)
+    !m.isNullAt(3) && m.getLong(3) >= minUs &&
+      !m.isNullAt(4) && m.getInt(4) >= minW &&
+      !m.isNullAt(5) && m.getInt(5) >= minH
+  }
+
+  /** ISO-BMFF box walk. Boxes are `size(BE32) type(4cc) payload…`;
+    * size==1 carries a 64-bit largesize after the type (files >4 GB),
+    * size==0 means "to end of enclosure". The file must lead with `ftyp`
+    * (its major brand is the format); `moov` is walked for `mvhd`
+    * (timescale, duration — v0 u32 / v1 u64 layouts) and each `trak`
+    * ('tkhd' 16.16 fixed-point dims; `mdia/minf/stbl` for `stts` total
+    * sample count + first delta, `stsz` fixed sample size, `stco`/`co64`
+    * first chunk offset). `mdat` contributes only its DECLARED payload
+    * size — the walk never reads coded bytes, so header-only payloads
+    * (and truncated bodies) parse fine. Any structural violation outside
+    * mdat keeps the brand with null fields. Never throws — corrupt bytes
+    * are data, not errors, in a crawl. */
+  def videoMeta(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    val allNull = (fmt: UTF8String) =>
+      videoRow(fmt, null, null, null, null, null, null, null, null, null, null, null)
+    if (n < 16 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p')
+      return allNull(FmtUnknown)
+    val ftypSize = be32(b, 0).toLong & 0xFFFFFFFFL
+    if (ftypSize < 16 || ftypSize > n) return allNull(FmtUnknown)
+    val brand = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 8, 12))
+
+    var timescale = -1; var durTicks = -1L
+    var width = -1; var height = -1
+    var moovSeen = false; var nTracks = 0
+    var nFrames = -1L; var delta = -1; var sampleSize = -1; var chunkOff = -1L
+    var mdatSize = -1L
+
+    // header decode, two reads to keep full 64-bit ends (a declared
+    // largesize mdat on a header-only payload can exceed 2^31; packing
+    // (ps, end) into one long would truncate it). -1 = structural error.
+    def payloadStart(i: Long, limit: Long): Long = {
+      if (i + 8 > limit) return -1L
+      val s32 = be32(b, i.toInt).toLong & 0xFFFFFFFFL
+      if (s32 == 1) { if (i + 16 > limit) -1L else i + 16 } else i + 8
+    }
+    def boxEnd(i: Long, limit: Long): Long = {
+      if (i + 8 > limit) return -1L
+      var size = be32(b, i.toInt).toLong & 0xFFFFFFFFL
+      var hl = 8L
+      if (size == 1) {
+        if (i + 16 > limit) return -1L
+        size = be64(b, i.toInt + 8); hl = 16L
+      } else if (size == 0) size = limit - i
+      if (size < hl) -1L else i + size
+    }
+    def is4cc(i: Long, a: Char, b2: Char, c: Char, d: Char): Boolean = {
+      val j = i.toInt + 4
+      b(j) == a && b(j + 1) == b2 && b(j + 2) == c && b(j + 3) == d
+    }
+
+    // stbl children: stts / stsz / stco / co64
+    def walkStbl(from: Long, to: Long): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val ps0 = payloadStart(i, to); val end = boxEnd(i, to)
+        if (ps0 < 0 || end < 0 || end > to) return false
+        val ps = ps0.toInt
+        if (is4cc(i, 's', 't', 't', 's')) {
+          if (ps + 8 > end) return false
+          val ec = be32(b, ps + 4)
+          if (ec < 0 || ps + 8 + 8L * ec > end) return false
+          var total = 0L; var k = 0
+          while (k < ec) {
+            total += be32(b, ps + 8 + 8 * k).toLong & 0xFFFFFFFFL
+            k += 1
+          }
+          if (nFrames < 0) nFrames = total
+          if (delta < 0 && ec >= 1) delta = be32(b, ps + 12)
+        } else if (is4cc(i, 's', 't', 's', 'z')) {
+          if (ps + 12 > end) return false
+          val fixed = be32(b, ps + 4)
+          if (sampleSize < 0 && fixed > 0) sampleSize = fixed
+          if (nFrames < 0) nFrames = be32(b, ps + 8).toLong & 0xFFFFFFFFL
+        } else if (is4cc(i, 's', 't', 'c', 'o')) {
+          if (ps + 8 > end) return false
+          if (chunkOff < 0 && be32(b, ps + 4) >= 1 && ps + 12 <= end)
+            chunkOff = be32(b, ps + 8).toLong & 0xFFFFFFFFL
+        } else if (is4cc(i, 'c', 'o', '6', '4')) {
+          if (ps + 8 > end) return false
+          if (chunkOff < 0 && be32(b, ps + 4) >= 1 && ps + 16 <= end)
+            chunkOff = be64(b, ps + 8)
+        }
+        i = end
+      }
+      true
+    }
+    // mdia -> minf -> stbl: pure container descent
+    def descend(from: Long, to: Long, a: Char, b2: Char, c: Char, d: Char)(
+        inner: (Long, Long) => Boolean): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val ps = payloadStart(i, to); val end = boxEnd(i, to)
+        if (ps < 0 || end < 0 || end > to) return false
+        if (is4cc(i, a, b2, c, d)) return inner(ps, end)
+        i = end
+      }
+      true // absent container: fields stay null, not corrupt
+    }
+    def walkTrak(from: Long, to: Long): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val ps0 = payloadStart(i, to); val end = boxEnd(i, to)
+        if (ps0 < 0 || end < 0 || end > to) return false
+        val ps = ps0.toInt
+        if (is4cc(i, 't', 'k', 'h', 'd')) {
+          val v = b(ps) & 0xFF
+          val dimOff = if (v == 1) ps + 88 else ps + 76
+          if (dimOff + 8 <= end) {
+            val w = be32(b, dimOff) >>> 16
+            val hh = be32(b, dimOff + 4) >>> 16
+            if (width < 0 && w > 0 && hh > 0) { width = w; height = hh }
+          }
+        } else if (is4cc(i, 'm', 'd', 'i', 'a')) {
+          val ok = descend(ps, end, 'm', 'i', 'n', 'f') { (p2, e2) =>
+            descend(p2, e2, 's', 't', 'b', 'l')(walkStbl)
+          }
+          if (!ok) return false
+        }
+        i = end
+      }
+      true
+    }
+    def walkMoov(from: Long, to: Long): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val ps0 = payloadStart(i, to); val end = boxEnd(i, to)
+        if (ps0 < 0 || end < 0 || end > to) return false
+        val ps = ps0.toInt
+        if (is4cc(i, 'm', 'v', 'h', 'd')) {
+          val v = b(ps) & 0xFF
+          if (v == 1) {
+            if (ps + 32 > end) return false
+            timescale = be32(b, ps + 20)
+            durTicks = be64(b, ps + 24)
+          } else {
+            if (ps + 20 > end) return false
+            timescale = be32(b, ps + 12)
+            durTicks = be32(b, ps + 16).toLong & 0xFFFFFFFFL
+          }
+        } else if (is4cc(i, 't', 'r', 'a', 'k')) {
+          nTracks += 1
+          if (!walkTrak(ps, end)) return false
+        }
+        i = end
+      }
+      true
+    }
+
+    var i = 0L
+    var ok = true
+    while (ok && i + 8 <= n) {
+      val ps = payloadStart(i, n.toLong); val end = boxEnd(i, n.toLong)
+      if (ps < 0 || end < 0) ok = false
+      else {
+        if (is4cc(i, 'm', 'd', 'a', 't')) {
+          // declared payload size; body may be absent/truncated — that's
+          // fine, the walk never reads it. Stop here: nothing after an
+          // overrunning mdat is addressable anyway.
+          if (mdatSize < 0) mdatSize = end - ps
+          i = if (end > n) n.toLong else end
+        } else if (end > n) ok = false // non-mdat boxes must be whole
+        else {
+          if (is4cc(i, 'm', 'o', 'o', 'v')) {
+            moovSeen = true
+            ok = walkMoov(ps, end)
+          }
+          i = end
+        }
+      }
+    }
+    if (!ok) return allNull(brand)
+    val durUs: Any =
+      if (timescale > 0 && durTicks >= 0) durTicks * 1000000L / timescale else null
+    videoRow(brand,
+      if (timescale > 0) timescale else null,
+      if (durTicks >= 0) durTicks else null,
+      durUs,
+      if (width > 0) width else null,
+      if (height > 0) height else null,
+      if (moovSeen) nTracks else null,
+      if (nFrames >= 0) nFrames else null,
+      if (delta > 0) delta else null,
+      if (sampleSize > 0) sampleSize else null,
+      if (chunkOff >= 0) chunkOff else null,
+      if (mdatSize >= 0) mdatSize else null)
   }
 }

@@ -155,6 +155,68 @@ object Multimodal {
   def filterByDuration(df: DataFrame, binaryCol: String, minUs: Long): DataFrame =
     df.filter(graft.expr.BinaryExpressions.audioMinDuration(col(binaryCol), minUs))
 
+  /** Video-container metadata (ISO-BMFF/MP4) from the payload's header
+    * boxes — brand, movie timescale/duration, track dims, and the sample
+    * tables (stts/stsz/stco) that drive frame extraction, without touching
+    * a coded frame (`expr/BinaryExpressions.VideoMeta`): the video face of
+    * [[withImageMeta]]/[[withAudioMeta]]. Corrupt box layouts keep the
+    * ftyp brand with null fields; non-BMFF payloads are ("unknown", null…). */
+  def withVideoMeta(df: DataFrame, binaryCol: String, out: String = "video"): DataFrame =
+    df.withColumn(out, graft.expr.BinaryExpressions.videoMeta(col(binaryCol)))
+
+  /** Clip gate over [[withVideoMeta]]: keep payloads at least `minUs` long
+    * AND at least `minW`×`minH` (unparseable rows drop). Single-parse
+    * codegen'd predicate, narrow, no shuffle — the "drop short/low-res
+    * clips" filter every video pipeline starts with, applied scan-side
+    * BEFORE any ranged frame read. */
+  def filterByVideo(df: DataFrame, binaryCol: String,
+      minUs: Long, minWidth: Int, minHeight: Int): DataFrame =
+    df.filter(graft.expr.BinaryExpressions.videoGate(
+      col(binaryCol), minUs, minWidth, minHeight))
+
+  /** Uniform k-frame sampling plan from the container's OWN sample tables:
+    * frame j of k maps to sample index `⌊j·n_frames/k⌋` (deduplicated, so
+    * clips shorter than k frames yield every frame once), and each sampled
+    * index becomes `(frame_idx, pts_us, byte_offset, byte_len)` from
+    * stts delta / stco first-chunk offset / stsz fixed size — the exact
+    * ranged-read list a decode stage consumes, computed row-locally with
+    * ZERO shuffle and zero coded bytes touched. Rows whose containers
+    * lack the needed tables (or are corrupt) drop: a sampler can't
+    * schedule reads it can't address.
+    *
+    * The parsed struct is materialized under its own column BEFORE the
+    * array transform: higher-order-function lambdas have no subexpression
+    * elimination, so referencing the raw parse inside the lambda would
+    * re-walk the boxes per element (measured pitfall — see
+    * q_compress_gate note in PLANS.md). */
+  def sampleFrameRanges(df: DataFrame, binaryCol: String, k: Int,
+      out: String = "frames"): DataFrame = {
+    require(k >= 1, s"sampleFrameRanges: k must be >= 1, got $k")
+    import org.apache.spark.sql.graftx.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(IntegralDivide(
+        Bridge.expression(a.cast(LongType)), Bridge.expression(b.cast(LongType))))
+    val metaCol = "__vm_" + out
+    val m = col(metaCol)
+    df.withColumn(metaCol, graft.expr.BinaryExpressions.videoMeta(col(binaryCol)))
+      .where(m.getField("n_frames").isNotNull && m.getField("n_frames") > 0 &&
+        m.getField("frame_delta").isNotNull && m.getField("sample_size").isNotNull &&
+        m.getField("chunk_offset").isNotNull && m.getField("timescale").isNotNull)
+      .withColumn(out, array_distinct(transform(
+        sequence(lit(0L), lit(k - 1L)), j => {
+          val idx = idiv(j * m.getField("n_frames"), lit(k.toLong))
+          struct(
+            idx.as("frame_idx"),
+            idiv(idx * m.getField("frame_delta").cast(LongType) * lit(1000000L),
+              m.getField("timescale")).as("pts_us"),
+            (m.getField("chunk_offset") +
+              idx * m.getField("sample_size").cast(LongType)).as("byte_offset"),
+            m.getField("sample_size").cast(LongType).as("byte_len"))
+        })))
+      .drop(metaCol)
+  }
+
   /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop
     * the payload to `outBytes` BEFORE decode, so trimmed bytes are never
     * decoded — same pushdown story as the frame sampler. Payloads shorter

@@ -226,6 +226,45 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bucketed BM25 postings: maintain never re-shuffles the standing index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // same 100 TB claim as the signature index, for the retrieval index:
+    // with postings AND change set bucketed on doc_id, the dead-id
+    // anti-join zips co-located buckets — the only exchanges in the
+    // refresh belong to re-tokenizing the CHURN, never to the
+    // corpus-sized postings table
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idxbucket").toString
+    val words = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    val docs = (0L until 400L).map(i =>
+      (i, (0 until 6).map(j => words(((i + j) % 6).toInt)).mkString(" ")))
+      .toDF("id", "text")
+    val newRel = (0L until 430L).filter(_ % 13 != 0).map(i =>
+      (i, (0 until 6).map(j => words(((i + j + (if (i % 17 == 0) 1 else 0)) % 6).toInt))
+        .mkString(" "))).toDF("id", "text")
+    graft.operators.Layout.writeBucketed(
+      graft.operators.Search.bm25Index(docs, "text", "id"),
+      "spec_bm25idx", Seq("id"), 4, Some(s"$tmp/i"))
+    val ch = graft.operators.Diff.snapshotDiff(docs, newRel, Seq("id"), Seq("text"))
+      .filter(col("change") =!= "unchanged")
+    graft.operators.Layout.writeBucketed(ch, "spec_bm25ch", Seq("id"), 4, Some(s"$tmp/c"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val maintained = graft.operators.Search.bm25IndexMaintain(
+        spark.table("spec_bm25idx"), spark.table("spec_bm25ch"), "text", "id")
+      val plan = maintained.queryExecution.executedPlan
+      val badShuffles = plan.collect { case e: ShuffleExchangeLike => e }
+        .filter(_.treeString.contains("spec_bm25idx"))
+      assert(badShuffles.isEmpty,
+        s"the standing postings were re-shuffled:\n${badShuffles.mkString("\n")}")
+      val got = maintained.collect().map(_.toSeq).toSet
+      val want = graft.operators.Search.bm25Index(newRel, "text", "id")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("NO query in the whole SparkEntry surface plans a partition-less window") {
     val dir = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -379,6 +418,17 @@ class PlanShapeSpec extends SparkSpec {
       "q_bpe_train" -> 1,
       // shard manifest: partial+final 16-group agg + the oracle orderBy
       "q_shard_manifest" -> 2,
+      // video family: one native box-walk projection/predicate + the
+      // oracle orderBy; the frame sampler is row-local (explode of a
+      // row-computed array — no shuffle of its own)
+      "q_video_meta" -> 1,
+      "q_video_filter" -> 1,
+      "q_frame_sample" -> 1,
+      // maintained BM25 postings: snapshotDiff full-outer (2) + the
+      // in-query old-index build (2) + dead-id anti-join + churn
+      // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
+      // below proves the standing index itself never re-shuffles
+      "q_bm25_maintain" -> 7,
       // SCD2 as-of enrichment: the operator itself is ONE equi join on
       // doc_id (interval predicate as residual) = 2 exchanges + the
       // oracle orderBy; the other 6 build the 2-release history fixture

@@ -72,4 +72,54 @@ class SearchSpec extends SparkSpec {
     assert(byId(3L) === 1L)
     assert(!byId.contains(0L))
   }
+
+  test("bm25FromIndex over the materialized index == bm25 over the corpus") {
+    val idx = Search.bm25Index(corpus, "text", "doc_id")
+    // the index is exactly the per-(doc,term) tf + dl table
+    val postings = idx.collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(postings((0L, "spark")) === ((3L, 2L)))
+    assert(postings((0L, "join")) === ((3L, 1L)))
+    assert(postings((1L, "the")) === ((4L, 1L)))
+    assert(postings.size === 10) // 10 distinct (doc, term) pairs
+    val direct = Search.bm25(corpus, "text", "doc_id", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = Search.bm25FromIndex(idx, "doc_id", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served.keySet === direct.keySet)
+    served.foreach { case (id, s) => assert(math.abs(s - direct(id)) < 1e-12) }
+  }
+
+  test("bm25IndexMaintain: maintained == recomputed under seeded churn") {
+    val docs = spark.range(200).select($"id".as("doc_id"),
+      concat_ws(" ", lit("term"), ($"id" % 7).cast("string"),
+        lit("word"), ($"id" % 13).cast("string"),
+        lit("tok"), ($"id" % 3).cast("string")).as("text"))
+    // churn: drop %17, rewrite %11 (changed text changes postings),
+    // re-add %19 under new ids; one rewrite collapses to a 1-token text
+    val newRel = docs.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id", when($"doc_id" % 11 === 0,
+          when($"doc_id" === 33, lit("solo")) // degenerate rewrite
+            .otherwise(concat($"text", lit(" extra extra"))))
+        .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % 19 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val changes = graft.operators.Diff.snapshotDiff(
+        docs, newRel, Seq("doc_id"), Seq("text"))
+      .filter($"change" =!= "unchanged")
+    val maintained = Search.bm25IndexMaintain(
+      Search.bm25Index(docs, "text", "doc_id"), changes, "text", "doc_id")
+    val recomputed = Search.bm25Index(newRel, "text", "doc_id")
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty)
+    // the degenerate rewrite's postings really did shrink to one row
+    assert(maintained.filter($"doc_id" === 33).count() === 1)
+    // and serving from the maintained index == direct BM25 on the release
+    val direct = Search.bm25(newRel, "text", "doc_id", Seq("term", "extra"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = Search.bm25FromIndex(maintained, "doc_id", Seq("term", "extra"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served.keySet === direct.keySet)
+    served.foreach { case (id, s) => assert(math.abs(s - direct(id)) < 1e-9) }
+  }
 }

@@ -1,0 +1,205 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Native VideoMeta ISO-BMFF box parsing (v0/v1 headers, largesize/co64
+  * 64-bit paths, corrupt inputs), the single-parse clip gate, and the
+  * sample-table-driven frame sampler. */
+object VideoSynth extends Serializable {
+  def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  def be32(v: Long) = Array[Byte](
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+
+  def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  def ftyp(brand: String = "isom") =
+    box("ftyp", brand.getBytes ++ be32(0x200L) ++ "mp41".getBytes)
+
+  val matrix = be32(0x10000L) ++ be32(0) ++ be32(0) ++
+    be32(0) ++ be32(0x10000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  def mvhd0(ts: Int, dur: Long) =
+    box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts.toLong) ++ be32(dur) ++
+      be32(0x10000L) ++ be16(0x100) ++ be16(0) ++ be64(0) ++ matrix ++
+      Array.fill[Byte](24)(0) ++ be32(2))
+
+  def mvhd1(ts: Int, dur: Long) =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(ts.toLong) ++ be64(dur) ++
+      be32(0x10000L) ++ be16(0x100) ++ be16(0) ++ be64(0) ++ matrix ++
+      Array.fill[Byte](24)(0) ++ be32(2))
+
+  def tkhd0(w: Int, h: Int, dur: Long) =
+    box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+      be32(dur) ++ be64(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  def tkhd1(w: Int, h: Int, dur: Long) =
+    box("tkhd", Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++ be32(1) ++
+      be32(0) ++ be64(dur) ++ be64(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      be16(0) ++ matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  def stbl(nf: Long, delta: Int, ss: Int, chunkOff: Long,
+      co64: Boolean = false) = {
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(nf) ++ be32(delta.toLong))
+    val stsz = box("stsz", be32(0) ++ be32(ss.toLong) ++ be32(nf))
+    val stco =
+      if (co64) box("co64", be32(0) ++ be32(1) ++ be64(chunkOff))
+      else box("stco", be32(0) ++ be32(1) ++ be32(chunkOff))
+    box("stbl", stts ++ stsz ++ stco)
+  }
+
+  def trak(tkhd: Array[Byte], st: Array[Byte]) =
+    box("trak", tkhd ++ box("mdia", box("minf", st)))
+
+  def mp4(ts: Int = 24000, nf: Long = 100, delta: Int = 1000,
+      w: Int = 640, h: Int = 480, ss: Int = 900,
+      v1: Boolean = false, co64: Boolean = false,
+      largesizeMdat: Boolean = false): Array[Byte] = {
+    val dur = nf * delta
+    val head = ftyp() ++ box("moov",
+      (if (v1) mvhd1(ts, dur) else mvhd0(ts, dur)) ++
+        trak(if (v1) tkhd1(w, h, dur) else tkhd0(w, h, dur),
+          stbl(nf, delta, ss, chunkOff = 0, co64 = co64)))
+    // header-only mdat: declared payload, no body (parser never reads it)
+    val mdatHdr =
+      if (largesizeMdat) be32(1) ++ "mdat".getBytes ++ be64(16L + nf * ss)
+      else be32(8L + nf * ss) ++ "mdat".getBytes
+    // fix the chunk offset now that the header length is known
+    val bytes = head ++ mdatHdr
+    val coff = bytes.length.toLong
+    patchChunkOffset(bytes, coff, co64)
+  }
+
+  /** Rewrite the stco/co64 first entry in place (test helper: the synth
+    * builds head-first, so the data offset is only known at the end). */
+  def patchChunkOffset(b: Array[Byte], off: Long, co64: Boolean): Array[Byte] = {
+    val tag = if (co64) "co64" else "stco"
+    val idx = b.sliding(4).indexWhere(_.sameElements(tag.getBytes))
+    require(idx > 0, "no chunk-offset box found")
+    val at = idx + 4 + 8 // past type, verflags, entry_count
+    val enc = if (co64) be64(off) else be32(off)
+    val out = b.clone()
+    System.arraycopy(enc, 0, out, at, enc.length)
+    out
+  }
+}
+
+/** Native VideoMeta box parsing over [[VideoSynth]] containers. */
+class VideoMetaSpec extends SparkSpec {
+  import spark.implicits._
+  import VideoSynth._
+
+  private def meta(bytes: Array[Byte]): Row = {
+    val df = Seq(Tuple1(bytes)).toDF("payload")
+    Multimodal.withVideoMeta(df, "payload").select(
+      $"video.format", $"video.timescale", $"video.duration_ticks",
+      $"video.duration_us", $"video.width", $"video.height",
+      $"video.n_tracks", $"video.n_frames", $"video.frame_delta",
+      $"video.sample_size", $"video.chunk_offset", $"video.mdat_size").head()
+  }
+
+  test("MP4 v0 box walk: brand, mvhd, tkhd dims, sample tables, mdat") {
+    val b = mp4(ts = 24000, nf = 100, delta = 1000, w = 640, h = 480, ss = 900)
+    val m = meta(b)
+    // chunk offset = where the (absent) mdat body would start = total
+    // header length = the whole buffer, since bodies are never written
+    assert(m === Row("isom", 24000, 100000L, 100000L * 1000000L / 24000L,
+      640, 480, 1, 100L, 1000, 900, b.length.toLong, 90000L))
+  }
+
+  test("v1 (64-bit) mvhd/tkhd, co64 chunk offsets, largesize mdat") {
+    val b = mp4(ts = 90000, nf = 50, delta = 3000, w = 1920, h = 1080,
+      ss = 4000, v1 = true, co64 = true, largesizeMdat = true)
+    val m = meta(b)
+    assert(m.getString(0) === "isom")
+    assert(m.getInt(1) === 90000)
+    assert(m.getLong(2) === 150000L)
+    assert(m.getLong(3) === 150000L * 1000000L / 90000L)
+    assert((m.getInt(4), m.getInt(5)) === ((1920, 1080)))
+    assert(m.getLong(7) === 50L)
+    assert(m.getInt(8) === 3000)
+    assert(m.getInt(9) === 4000)
+    assert(m.getLong(10) === b.length.toLong)
+    assert(m.getLong(11) === 200000L)
+  }
+
+  test("corrupt layouts keep brand with nulls; unknown magic; foreign boxes skip") {
+    // truncated moov (declared size overruns the buffer)
+    val trunc = ftyp() ++ be32(500) ++ "moov".getBytes ++ Array.fill[Byte](20)(0)
+    assert(meta(trunc) === Row("isom", null, null, null, null, null, null,
+      null, null, null, null, null))
+    // child box overruns its parent
+    val badChild = ftyp() ++ box("moov", be32(9999) ++ "mvhd".getBytes ++ be32(0))
+    assert(meta(badChild) === Row("isom", null, null, null, null, null, null,
+      null, null, null, null, null))
+    // not BMFF at all
+    assert(meta("not a video".getBytes).getString(0) === "unknown")
+    // ftyp alone: brand parses, structural fields stay null (n_tracks too —
+    // no moov means "tracks unknown", not zero)
+    assert(meta(ftyp("mp42")) === Row("mp42", null, null, null, null, null,
+      null, null, null, null, null, null))
+    // unrecognized sibling boxes are skipped, not fatal
+    val withFree = ftyp() ++ box("free", Array.fill[Byte](11)(3)) ++
+      mp4().drop(ftyp().length)
+    assert(meta(withFree).getLong(7) === 100L)
+  }
+
+  test("single-parse clip gate == composed post-parse filter (differential)") {
+    // built over Range (not a LocalRelation, which Catalyst would fold
+    // through the filter at optimize time, leaving no plan to audit)
+    val mk = udf { id: Long =>
+      mp4(ts = (24 + (id % 3) * 3).toInt * 1000, nf = id % 240 + 1,
+        w = (320 + (id % 4) * 160).toInt, h = (240 + (id % 3) * 120).toInt)
+    }
+    val df = spark.range(200).select($"id".as("doc_id"), mk($"id").as("payload"))
+    val gated = Multimodal.filterByVideo(df, "payload", 5000000L, 480, 360)
+      .select("doc_id").as[Long].collect().sorted
+    val composed = Multimodal.withVideoMeta(df, "payload")
+      .where($"video.duration_us" >= 5000000L &&
+        $"video.width" >= 480 && $"video.height" >= 360)
+      .select("doc_id").as[Long].collect().sorted
+    assert(gated.sameElements(composed))
+    assert(gated.nonEmpty && gated.length < 200)
+    // one box walk in the gate's plan, not one per meta field
+    val plan = Multimodal.filterByVideo(df, "payload", 5000000L, 480, 360)
+      .queryExecution.executedPlan.toString
+    assert("graft_video".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("frame sampler: container-table-driven (pts, byte-range) list") {
+    val b = mp4(ts = 24000, nf = 100, delta = 1000, ss = 900)
+    val df = Seq((1L, b)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrameRanges(df, "payload", 8)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.pts_us", $"f.byte_offset", $"f.byte_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(frames.map(_._1).toSeq === Seq(0L, 12L, 25L, 37L, 50L, 62L, 75L, 87L))
+    frames.foreach { case (idx, pts, off, len) =>
+      assert(pts === idx * 1000L * 1000000L / 24000L)
+      assert(off === meta(b).getLong(10) + idx * 900L)
+      assert(len === 900L)
+    }
+    // clips shorter than k yield each frame exactly once
+    val short = Seq((2L, mp4(nf = 3, ss = 100))).toDF("doc_id", "payload")
+    val sf = Multimodal.sampleFrameRanges(short, "payload", 8)
+      .select(explode($"frames").as("f")).select($"f.frame_idx")
+      .as[Long].collect().sorted
+    assert(sf.toSeq === Seq(0L, 1L, 2L))
+    // rows without addressable sample tables drop (can't schedule reads)
+    val noTables = Seq((3L, ftyp())).toDF("doc_id", "payload")
+    assert(Multimodal.sampleFrameRanges(noTables, "payload", 8).count() === 0)
+  }
+
+  test("graft_video_meta SQL surface") {
+    GraftFunctions.register(spark)
+    Seq(Tuple1(mp4(nf = 42))).toDF("payload").createOrReplaceTempView("vids")
+    val r = spark.sql(
+      "SELECT graft_video_meta(payload).n_frames AS nf FROM vids").head()
+    assert(r.getLong(0) === 42L)
+  }
+}
