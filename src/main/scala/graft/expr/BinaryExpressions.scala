@@ -124,6 +124,39 @@ case class VideoMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sync-sample (keyframe) table from the ISO-BMFF `stss` box, as 0-based
+  * frame indices. A decoder can only START at a sync sample, so a frame
+  * sampler that ignores stss schedules reads it cannot decode; snapping
+  * each sampled index to the greatest keyframe at or before it is the
+  * standard seek semantics. NULL when the payload is not BMFF, the box
+  * layout is corrupt, or stss is absent — absence means every sample is
+  * a sync point (ISO 14496-12 §8.6.2: no stss ⇒ all sync), so callers
+  * treat null as "no snapping needed". */
+case class VideoSyncSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_video_sync_samples"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.videoSyncSamples(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.expr.BinaryExpressions.videoSyncSamples($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoSyncSamples =
+    copy(child = newChild)
+}
+
 /** Single-parse video gate: `duration_us >= minUs AND width >= minW AND
   * height >= minH` with ONE box walk (same rationale as
   * [[ImageMinResolution]] — FilterExec has no subexpression elimination,
@@ -444,6 +477,82 @@ object BinaryExpressions {
     !m.isNullAt(3) && m.getLong(3) >= minUs &&
       !m.isNullAt(4) && m.getInt(4) >= minW &&
       !m.isNullAt(5) && m.getInt(5) >= minH
+  }
+
+  def videoSyncSamples(c: Column): Column =
+    Bridge.column(VideoSyncSamples(Bridge.expression(c)))
+
+  /** Targeted stss walk (ftyp → moov → first trak → mdia → minf → stbl →
+    * stss), returning the sync samples as 0-BASED frame indices (stss
+    * stores 1-based sample numbers). Null on non-BMFF / corrupt layout /
+    * absent stss — see [[VideoSyncSamples]] for the null contract. */
+  def videoSyncSamples(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = b.length
+    if (n < 16 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return null
+    val ftypSize = be32(b, 0).toLong & 0xFFFFFFFFL
+    if (ftypSize < 16 || ftypSize > n) return null
+
+    def payloadStart(i: Long, limit: Long): Long = {
+      if (i + 8 > limit) return -1L
+      val s32 = be32(b, i.toInt).toLong & 0xFFFFFFFFL
+      if (s32 == 1) { if (i + 16 > limit) -1L else i + 16 } else i + 8
+    }
+    def boxEnd(i: Long, limit: Long): Long = {
+      if (i + 8 > limit) return -1L
+      var size = be32(b, i.toInt).toLong & 0xFFFFFFFFL
+      var hl = 8L
+      if (size == 1) {
+        if (i + 16 > limit) return -1L
+        size = be64(b, i.toInt + 8); hl = 16L
+      } else if (size == 0) size = limit - i
+      if (size < hl) -1L else i + size
+    }
+    def is4cc(i: Long, a: Char, b2: Char, c: Char, d: Char): Boolean = {
+      val j = i.toInt + 4
+      b(j) == a && b(j + 1) == b2 && b(j + 2) == c && b(j + 3) == d
+    }
+    // find the first child box with the given 4cc; returns (ps, end) or null
+    def find(from: Long, to: Long, a: Char, b2: Char, c: Char, d: Char): (Long, Long) = {
+      var i = from
+      while (i + 8 <= to) {
+        val ps = payloadStart(i, to); val end = boxEnd(i, to)
+        if (ps < 0 || end < 0 || end > to) return null
+        if (is4cc(i, a, b2, c, d)) return (ps, end)
+        i = end
+      }
+      null
+    }
+    // top level: locate moov (mdat may declare an overrunning size; only
+    // boxes BEFORE it are addressable, which is where moov lives in any
+    // streamable file)
+    var moov: (Long, Long) = null
+    var i = 0L
+    while (moov == null && i + 8 <= n) {
+      val ps = payloadStart(i, n.toLong); val end = boxEnd(i, n.toLong)
+      if (ps < 0 || end < 0) return null
+      if (is4cc(i, 'm', 'o', 'o', 'v')) { if (end > n) return null; moov = (ps, end) }
+      else if (is4cc(i, 'm', 'd', 'a', 't')) i = if (end > n) n.toLong else end
+      else if (end > n) return null
+      else i = end
+    }
+    if (moov == null) return null
+    val trak = find(moov._1, moov._2, 't', 'r', 'a', 'k'); if (trak == null) return null
+    val mdia = find(trak._1, trak._2, 'm', 'd', 'i', 'a'); if (mdia == null) return null
+    val minf = find(mdia._1, mdia._2, 'm', 'i', 'n', 'f'); if (minf == null) return null
+    val stbl = find(minf._1, minf._2, 's', 't', 'b', 'l'); if (stbl == null) return null
+    val stss = find(stbl._1, stbl._2, 's', 't', 's', 's'); if (stss == null) return null
+    val ps = stss._1.toInt; val end = stss._2
+    if (ps + 8 > end) return null
+    val ec = be32(b, ps + 4)
+    if (ec < 0 || ps + 8 + 4L * ec > end) return null
+    val out = new Array[Long](ec)
+    var k = 0
+    while (k < ec) {
+      // 1-based sample numbers -> 0-based frame indices
+      out(k) = (be32(b, ps + 8 + 4 * k).toLong & 0xFFFFFFFFL) - 1L
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** ISO-BMFF box walk. Boxes are `size(BE32) type(4cc) payload…`;

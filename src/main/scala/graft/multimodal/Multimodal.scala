@@ -190,7 +190,7 @@ object Multimodal {
     * re-walk the boxes per element (measured pitfall — see
     * q_compress_gate note in PLANS.md). */
   def sampleFrameRanges(df: DataFrame, binaryCol: String, k: Int,
-      out: String = "frames"): DataFrame = {
+      out: String = "frames", snapToKeyframes: Boolean = false): DataFrame = {
     require(k >= 1, s"sampleFrameRanges: k must be >= 1, got $k")
     import org.apache.spark.sql.graftx.Bridge
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
@@ -198,14 +198,32 @@ object Multimodal {
       Bridge.column(IntegralDivide(
         Bridge.expression(a.cast(LongType)), Bridge.expression(b.cast(LongType))))
     val metaCol = "__vm_" + out
+    val keysCol = "__vk_" + out
     val m = col(metaCol)
-    df.withColumn(metaCol, graft.expr.BinaryExpressions.videoMeta(col(binaryCol)))
+    val base = df
+      .withColumn(metaCol, graft.expr.BinaryExpressions.videoMeta(col(binaryCol)))
       .where(m.getField("n_frames").isNotNull && m.getField("n_frames") > 0 &&
         m.getField("frame_delta").isNotNull && m.getField("sample_size").isNotNull &&
         m.getField("chunk_offset").isNotNull && m.getField("timescale").isNotNull)
+    // keyframe snapping: a decoder can only START at a sync sample, so
+    // each uniform index moves to the greatest stss entry at or before
+    // it. Null stss = every sample is sync (ISO 14496-12 §8.6.2) = no
+    // move. Parsed ONCE under its own column — HOF lambdas have no
+    // subexpression elimination.
+    val withKeys =
+      if (snapToKeyframes) base.withColumn(keysCol,
+        graft.expr.BinaryExpressions.videoSyncSamples(col(binaryCol)))
+      else base
+    withKeys
       .withColumn(out, array_distinct(transform(
         sequence(lit(0L), lit(k - 1L)), j => {
-          val idx = idiv(j * m.getField("n_frames"), lit(k.toLong))
+          val uni = idiv(j * m.getField("n_frames"), lit(k.toLong))
+          val idx =
+            if (!snapToKeyframes) uni
+            else when(col(keysCol).isNull, uni).otherwise(
+              // greatest keyframe <= uni; a malformed table whose first
+              // sync sits after uni falls back to the raw index
+              coalesce(array_max(filter(col(keysCol), ky => ky <= uni)), uni))
           struct(
             idx.as("frame_idx"),
             idiv(idx * m.getField("frame_delta").cast(LongType) * lit(1000000L),
@@ -214,7 +232,7 @@ object Multimodal {
               idx * m.getField("sample_size").cast(LongType)).as("byte_offset"),
             m.getField("sample_size").cast(LongType).as("byte_len"))
         })))
-      .drop(metaCol)
+      .drop(metaCol, keysCol)
   }
 
   /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop

@@ -103,13 +103,14 @@ object PipelineQueries {
     * declares n_frames·sample_size payload bytes but carries none —
     * the parser stops at the header, coded bytes are never read. The
     * oracle replays the id arithmetic; Spark round-trips actual bytes. */
+  private def be32c(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c.cast(IntegerType)), 8, "0"))
+  private def hexLit(h: String) = lit(
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+  private val matrixId = "00010000 00000000 00000000 00000000 00010000 00000000" +
+    " 00000000 00000000 40000000"
+
   private def synthVideoPayloads(docs: DataFrame): DataFrame = {
-    def be32c(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c.cast(IntegerType)), 8, "0"))
-    def hexLit(h: String) = lit(
-      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
-    val matrixId = "00010000 00000000 00000000 00000000 00010000 00000000" +
-      " 00000000 00000000 40000000"
     val d = docs.select(col("doc_id"),
       (when(col("doc_id") % 3 === 0, 24).when(col("doc_id") % 3 === 1, 25)
         .otherwise(30) * 1000).cast(IntegerType).as("ts"),
@@ -142,6 +143,55 @@ object PipelineQueries {
       // stco(20): 1 chunk at offset 332 (= 20 ftyp + 304 moov + 8 mdat hdr)
       hexLit("00000014 7374636F 00000000 00000001 0000014C"),
       // mdat header: declared payload nf*ss, no body
+      be32c(col("nf") * col("ss") + 8), hexLit("6D646174")))
+  }
+
+  /** [[synthVideoPayloads]] plus a real `stss` sync-sample box: keyframes
+    * every gop = 8+4·(id%3) frames (1-based sample numbers 1, 1+gop, …),
+    * so every enclosing box size — and the stco chunk offset — shifts by
+    * the entry-list length, all computed per row and parsed back out.
+    * Keyframe grid uniform by construction ⇒ the snap `⌊idx/gop⌋·gop` is
+    * exactly replayable in SQL. */
+  private def synthVideoKeyframePayloads(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      (when(col("doc_id") % 3 === 0, 24).when(col("doc_id") % 3 === 1, 25)
+        .otherwise(30) * 1000).cast(IntegerType).as("ts"),
+      (col("doc_id") % 240 + 1).cast(IntegerType).as("nf"),
+      (lit(320) + (col("doc_id") % 4) * 160).cast(IntegerType).as("w"),
+      (lit(240) + (col("doc_id") % 3) * 120).cast(IntegerType).as("h"),
+      (lit(800) + (col("doc_id") % 5) * 100).cast(IntegerType).as("ss"),
+      (lit(8) + (col("doc_id") % 3) * 4).cast(IntegerType).as("gop"))
+      .withColumn("entries",
+        floor((col("nf") + col("gop") - 1) / col("gop")).cast(IntegerType))
+      .withColumn("stss_sz", lit(16) + col("entries") * 4)
+    val dur = col("nf") * 1000
+    val stssEntries = unhex(array_join(
+      transform(sequence(lit(0), col("entries") - 1),
+        e => lpad(hex((lit(1) + e * col("gop")).cast(IntegerType)), 8, "0")), ""))
+    d.withColumn("payload", concat(
+      hexLit("00000014 66747970 69736F6D 00000200 6D703431"),
+      // moov: 304 + stss grows every enclosure on the stbl path
+      be32c(col("stss_sz") + 304), hexLit("6D6F6F76"),
+      hexLit("0000006C 6D766864 00000000 00000000 00000000"),
+      be32c(col("ts")), be32c(dur),
+      hexLit("00010000 01000000 00000000 00000000 " + matrixId +
+        " 000000000000000000000000 000000000000000000000000 00000002"),
+      be32c(col("stss_sz") + 188), hexLit("7472616B"),
+      hexLit("0000005C 746B6864 00000007 00000000 00000000 00000001 00000000"),
+      be32c(dur),
+      hexLit("00000000 00000000 00000000 00000000 " + matrixId),
+      be32c(col("w") * 65536), be32c(col("h") * 65536),
+      be32c(col("stss_sz") + 88), hexLit("6D646961"),
+      be32c(col("stss_sz") + 80), hexLit("6D696E66"),
+      be32c(col("stss_sz") + 72), hexLit("7374626C"),
+      hexLit("00000018 73747473 00000000 00000001"),
+      be32c(col("nf")), hexLit("000003E8"),
+      hexLit("00000014 7374737A 00000000"), be32c(col("ss")), be32c(col("nf")),
+      // stco: single chunk at 332 + stss_sz (every header before mdat grew)
+      hexLit("00000014 7374636F 00000000 00000001"), be32c(col("stss_sz") + 332),
+      // stss: verflags, entry_count, then the 1-based sync sample numbers
+      be32c(col("stss_sz")), hexLit("73747373 00000000"), be32c(col("entries")),
+      stssEntries,
       be32c(col("nf") * col("ss") + 8), hexLit("6D646174")))
   }
 
@@ -1550,6 +1600,25 @@ object PipelineQueries {
         .select(col("doc_id"),
           array_join(transform(col("sig"), _.cast(StringType)), ",").as("sig"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Keyframe-aware frame sampling: the containers now carry a real
+    // stss sync-sample box (keyframes every gop frames), and each
+    // uniform index snaps to the greatest keyframe at or before it —
+    // the seek semantics a real decoder imposes (it can only START at a
+    // sync sample). Every box size and the chunk offset shift by the
+    // per-clip stss entry list; the oracle replays the snap rule
+    // floor(idx/gop)*gop and the shifted byte arithmetic end-to-end.
+    "q_keyframe_sample" -> ((s, dir) => {
+      Multimodal.sampleFrameRanges(
+          synthVideoKeyframePayloads(t(s, dir, "documents")), "payload", 8,
+          snapToKeyframes = true)
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.pts_us").as("pts_us"),
+          col("f.byte_offset").as("byte_offset"),
+          col("f.byte_len").as("byte_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Maintained BM25 inverted index: the same CDC release as
@@ -3817,6 +3886,26 @@ object PipelineQueries {
         |SELECT doc_id, string_agg(m::VARCHAR, ',' ORDER BY j) AS sig
         |FROM sig GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_keyframe_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END
+        |      * 1000)::BIGINT AS ts,
+        |    (doc_id % 240 + 1)::BIGINT AS nf,
+        |    (800 + (doc_id % 5) * 100)::BIGINT AS ss,
+        |    (8 + (doc_id % 3) * 4)::BIGINT AS gop
+        |  FROM documents),
+        |f AS (
+        |  SELECT DISTINCT doc_id, ts, ss,
+        |    (((r.j * nf) // 8) // gop) * gop AS frame_idx,
+        |    332 + 16 + 4 * ((nf + gop - 1) // gop) AS coff
+        |  FROM p CROSS JOIN range(8) r(j))
+        |SELECT doc_id, frame_idx,
+        |  (frame_idx * 1000 * 1000000) // ts AS pts_us,
+        |  (coff + frame_idx * ss)::BIGINT AS byte_offset,
+        |  ss AS byte_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_bm25_maintain" ->
       """WITH newdocs AS (

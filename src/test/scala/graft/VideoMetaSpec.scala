@@ -44,13 +44,20 @@ object VideoSynth extends Serializable {
       be16(0) ++ matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
 
   def stbl(nf: Long, delta: Int, ss: Int, chunkOff: Long,
-      co64: Boolean = false) = {
+      co64: Boolean = false, gop: Int = 0) = {
     val stts = box("stts", be32(0) ++ be32(1) ++ be32(nf) ++ be32(delta.toLong))
     val stsz = box("stsz", be32(0) ++ be32(ss.toLong) ++ be32(nf))
     val stco =
       if (co64) box("co64", be32(0) ++ be32(1) ++ be64(chunkOff))
       else box("stco", be32(0) ++ be32(1) ++ be32(chunkOff))
-    box("stbl", stts ++ stsz ++ stco)
+    val stss =
+      if (gop <= 0) Array.empty[Byte]
+      else {
+        val syncs = (1L to nf by gop.toLong).toArray // 1-based sample numbers
+        box("stss", be32(0) ++ be32(syncs.length.toLong) ++
+          syncs.flatMap(be32))
+      }
+    box("stbl", stts ++ stsz ++ stco ++ stss)
   }
 
   def trak(tkhd: Array[Byte], st: Array[Byte]) =
@@ -59,12 +66,12 @@ object VideoSynth extends Serializable {
   def mp4(ts: Int = 24000, nf: Long = 100, delta: Int = 1000,
       w: Int = 640, h: Int = 480, ss: Int = 900,
       v1: Boolean = false, co64: Boolean = false,
-      largesizeMdat: Boolean = false): Array[Byte] = {
+      largesizeMdat: Boolean = false, gop: Int = 0): Array[Byte] = {
     val dur = nf * delta
     val head = ftyp() ++ box("moov",
       (if (v1) mvhd1(ts, dur) else mvhd0(ts, dur)) ++
         trak(if (v1) tkhd1(w, h, dur) else tkhd0(w, h, dur),
-          stbl(nf, delta, ss, chunkOff = 0, co64 = co64)))
+          stbl(nf, delta, ss, chunkOff = 0, co64 = co64, gop = gop)))
     // header-only mdat: declared payload, no body (parser never reads it)
     val mdatHdr =
       if (largesizeMdat) be32(1) ++ "mdat".getBytes ++ be64(16L + nf * ss)
@@ -193,6 +200,42 @@ class VideoMetaSpec extends SparkSpec {
     // rows without addressable sample tables drop (can't schedule reads)
     val noTables = Seq((3L, ftyp())).toDF("doc_id", "payload")
     assert(Multimodal.sampleFrameRanges(noTables, "payload", 8).count() === 0)
+  }
+
+  test("stss sync samples parse 0-based; snapping moves reads to keyframes") {
+    import graft.expr.BinaryExpressions
+    // stss entries 1, 9, 17, 25 (1-based) -> 0-based frame indices
+    val withKeys = mp4(nf = 25, gop = 8)
+    val keys = Seq(Tuple1(withKeys)).toDF("payload")
+      .select(BinaryExpressions.videoSyncSamples($"payload").as("k"))
+      .head().getSeq[Long](0)
+    assert(keys === Seq(0L, 8L, 16L, 24L))
+    // no stss -> null (ISO: absence means every sample is sync)
+    assert(Seq(Tuple1(mp4())).toDF("payload")
+      .select(BinaryExpressions.videoSyncSamples($"payload").as("k"))
+      .head().isNullAt(0))
+
+    // snapping: uniform indices floor(j*100/8) land on the gop-12 grid
+    val clip = mp4(nf = 100, gop = 12, ss = 900)
+    val df = Seq((1L, clip)).toDF("doc_id", "payload")
+    val snapped = Multimodal.sampleFrameRanges(df, "payload", 8,
+        snapToKeyframes = true)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.byte_offset").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // uniform 0,12,25,37,50,62,75,87 -> snapped 0,12,24,36,48,60,72,84
+    assert(snapped.map(_._1).toSeq === Seq(0L, 12L, 24L, 36L, 48L, 60L, 72L, 84L))
+    val coff = meta(clip).getLong(10)
+    snapped.foreach { case (idx, off) => assert(off === coff + idx * 900L) }
+    // without stss, snapToKeyframes is a no-op (null keys -> raw indices)
+    val plain = Seq((1L, mp4(nf = 100))).toDF("doc_id", "payload")
+    val a = Multimodal.sampleFrameRanges(plain, "payload", 8, snapToKeyframes = true)
+      .select(explode($"frames").as("f")).select($"f.frame_idx")
+      .as[Long].collect().sorted.toSeq
+    val b = Multimodal.sampleFrameRanges(plain, "payload", 8)
+      .select(explode($"frames").as("f")).select($"f.frame_idx")
+      .as[Long].collect().sorted.toSeq
+    assert(a === b)
   }
 
   test("graft_video_meta SQL surface") {
