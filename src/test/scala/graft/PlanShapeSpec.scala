@@ -364,6 +364,44 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("AQE splits skewed shuffle-join partitions at runtime (skew=true)") {
+    import spark.implicits._
+    // At 100 TB the hot-key partition is what kills a shuffle join; the
+    // engine's answer is layered: autoSalted for KNOWN skew, and Spark's
+    // OptimizeSkewedJoin for skew discovered AT RUNTIME. Prove the
+    // runtime layer actually fires on our join shape: one key carrying
+    // ~99% of a side must come out of AQE re-planned as a split SMJ
+    // (skew=true), with the join result unchanged. Thresholds are
+    // lowered so test-sized data crosses the production gates.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(400000).select(
+        when($"id" % 100 < 99, 0L).otherwise($"id" % 32).as("k"),
+        concat(lit("padpadpadpadpadpadpadpadpadpad-"), $"id").as("payload"))
+      val right = spark.range(32).select($"id".as("k"), ($"id" * 10).as("v"))
+      val j = left.join(right, "k")
+      // drive THIS QueryExecution's adaptive plan (a write/count would
+      // execute a separate QE instance and leave this one isFinalPlan=false)
+      val qe = j.queryExecution
+      val n = qe.executedPlan.execute().count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not re-plan the skewed join:\n${plan.take(2000)}")
+      assert(n === 400000L) // every left row has its dim match
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("shuffle-count ceilings hold per named query") {
     // recorded from the round-4 plans (FormattedMode, sf0.001); a higher
     // count means a new exchange crept into the plan — justify and
