@@ -157,6 +157,48 @@ case class VideoSyncSamples(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-parse "frame sampler can address this clip" predicate: the
+  * container carries positive stts frame count + delta, a fixed stsz
+  * sample size, a chunk offset and a timescale. [[VideoMeta]] field
+  * predicates would re-instantiate the box walk — and anything feeding
+  * the payload column — once per field when the optimizer pushes the
+  * filter down (FilterExec has no subexpression elimination; measured
+  * 6x synth+walk per row on q_keyframe_sample). Null / unparseable
+  * payloads are false. */
+case class VideoSampleable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_video_sampleable"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && BinaryExpressions.videoSampleable(v.asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code = childGen.code.toString +
+      s"""
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  graft.expr.BinaryExpressions.videoSampleable(${childGen.value});
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoSampleable =
+    copy(child = newChild)
+}
+
 /** Single-parse video gate: `duration_us >= minUs AND width >= minW AND
   * height >= minH` with ONE box walk (same rationale as
   * [[ImageMinResolution]] — FilterExec has no subexpression elimination,
@@ -481,6 +523,18 @@ object BinaryExpressions {
 
   def videoSyncSamples(c: Column): Column =
     Bridge.column(VideoSyncSamples(Bridge.expression(c)))
+
+  def videoSampleable(c: Column): Column =
+    Bridge.column(VideoSampleable(Bridge.expression(c)))
+
+  /** Shared by eval and generated code: every field the frame sampler
+    * needs is present and positive, in ONE box walk. */
+  def videoSampleable(b: Array[Byte]): Boolean = {
+    val m = videoMeta(b)
+    // timescale(1), n_frames(7), frame_delta(8), sample_size(9), chunk_offset(10)
+    !m.isNullAt(1) && !m.isNullAt(7) && m.getLong(7) > 0 &&
+      !m.isNullAt(8) && !m.isNullAt(9) && !m.isNullAt(10)
+  }
 
   /** Targeted stss walk (ftyp → moov → first trak → mdia → minf → stbl →
     * stss), returning the sync samples as 0-BASED frame indices (stss

@@ -200,11 +200,14 @@ object Multimodal {
     val metaCol = "__vm_" + out
     val keysCol = "__vk_" + out
     val m = col(metaCol)
+    // the addressability gate is ONE native predicate, not 6 meta-field
+    // predicates: the optimizer pushes the filter below the meta
+    // projection, and FilterExec has no subexpression elimination — each
+    // field reference would re-instantiate the box walk AND whatever
+    // feeds the payload column (measured 6x per row before this)
     val base = df
+      .where(graft.expr.BinaryExpressions.videoSampleable(col(binaryCol)))
       .withColumn(metaCol, graft.expr.BinaryExpressions.videoMeta(col(binaryCol)))
-      .where(m.getField("n_frames").isNotNull && m.getField("n_frames") > 0 &&
-        m.getField("frame_delta").isNotNull && m.getField("sample_size").isNotNull &&
-        m.getField("chunk_offset").isNotNull && m.getField("timescale").isNotNull)
     // keyframe snapping: a decoder can only START at a sync sample, so
     // each uniform index moves to the greatest stss entry at or before
     // it. Null stss = every sample is sync (ISO 14496-12 §8.6.2) = no
@@ -214,24 +217,30 @@ object Multimodal {
       if (snapToKeyframes) base.withColumn(keysCol,
         graft.expr.BinaryExpressions.videoSyncSamples(col(binaryCol)))
       else base
+    // two-stage build: dedup the (possibly expensive, snap-filtered)
+    // INDEX array first, then derive each struct field as plain
+    // arithmetic on the element. Collapsing both into one transform is
+    // a measured 40x regression: once the array feeds an explode, the
+    // optimizer's struct-field extraction re-evaluates the producing
+    // lambda per field, and the nested snap filter is not a lambda you
+    // want run 4x per emitted frame.
+    val idxArr = array_distinct(transform(
+      sequence(lit(0L), lit(k - 1L)), j => {
+        val uni = idiv(j * m.getField("n_frames"), lit(k.toLong))
+        if (!snapToKeyframes) uni
+        else when(col(keysCol).isNull, uni).otherwise(
+          // greatest keyframe <= uni; a malformed table whose first
+          // sync sits after uni falls back to the raw index
+          coalesce(array_max(filter(col(keysCol), ky => ky <= uni)), uni))
+      }))
     withKeys
-      .withColumn(out, array_distinct(transform(
-        sequence(lit(0L), lit(k - 1L)), j => {
-          val uni = idiv(j * m.getField("n_frames"), lit(k.toLong))
-          val idx =
-            if (!snapToKeyframes) uni
-            else when(col(keysCol).isNull, uni).otherwise(
-              // greatest keyframe <= uni; a malformed table whose first
-              // sync sits after uni falls back to the raw index
-              coalesce(array_max(filter(col(keysCol), ky => ky <= uni)), uni))
-          struct(
-            idx.as("frame_idx"),
-            idiv(idx * m.getField("frame_delta").cast(LongType) * lit(1000000L),
-              m.getField("timescale")).as("pts_us"),
-            (m.getField("chunk_offset") +
-              idx * m.getField("sample_size").cast(LongType)).as("byte_offset"),
-            m.getField("sample_size").cast(LongType).as("byte_len"))
-        })))
+      .withColumn(out, transform(idxArr, idx => struct(
+        idx.as("frame_idx"),
+        idiv(idx * m.getField("frame_delta").cast(LongType) * lit(1000000L),
+          m.getField("timescale")).as("pts_us"),
+        (m.getField("chunk_offset") +
+          idx * m.getField("sample_size").cast(LongType)).as("byte_offset"),
+        m.getField("sample_size").cast(LongType).as("byte_len"))))
       .drop(metaCol, keysCol)
   }
 

@@ -152,6 +152,10 @@ object PipelineQueries {
     * the entry-list length, all computed per row and parsed back out.
     * Keyframe grid uniform by construction ⇒ the snap `⌊idx/gop⌋·gop` is
     * exactly replayable in SQL. */
+  // dev-probe hook (tools/KfProbe): expose the keyframe synth
+  private[graft] def kfProbeSynth(docs: DataFrame): DataFrame =
+    synthVideoKeyframePayloads(docs)
+
   private def synthVideoKeyframePayloads(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"),
       (when(col("doc_id") % 3 === 0, 24).when(col("doc_id") % 3 === 1, 25)
@@ -1610,9 +1614,10 @@ object PipelineQueries {
     // per-clip stss entry list; the oracle replays the snap rule
     // floor(idx/gop)*gop and the shifted byte arithmetic end-to-end.
     "q_keyframe_sample" -> ((s, dir) => {
+      // localCheckpoint: same harness-only barrier as q_frame_sample
       Multimodal.sampleFrameRanges(
-          synthVideoKeyframePayloads(t(s, dir, "documents")), "payload", 8,
-          snapToKeyframes = true)
+          synthVideoKeyframePayloads(t(s, dir, "documents")).localCheckpoint(),
+          "payload", 8, snapToKeyframes = true)
         .select(col("doc_id"), explode(col("frames")).as("f"))
         .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
           col("f.pts_us").as("pts_us"),
@@ -1903,8 +1908,13 @@ object PipelineQueries {
     // yield each frame exactly once. The oracle replays the index rule
     // floor(j*n_frames/8) and the byte arithmetic end-to-end.
     "q_frame_sample" -> ((s, dir) => {
+      // localCheckpoint: materialize the synthesized payloads ONCE. The
+      // sampler's consumers (addressability gate, meta parse, index HOF)
+      // each count as a use site after stage fusion, and the inline
+      // synth re-expands at every one (measured 20x on the keyframe
+      // variant; STORED payloads — the production case — don't pay this)
       Multimodal.sampleFrameRanges(
-          synthVideoPayloads(t(s, dir, "documents")), "payload", 8)
+          synthVideoPayloads(t(s, dir, "documents")).localCheckpoint(), "payload", 8)
         .select(col("doc_id"), explode(col("frames")).as("f"))
         .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
           col("f.pts_us").as("pts_us"),

@@ -129,6 +129,21 @@ object SurfaceQueries {
       TableIO.read(s, tmp).orderBy(col("o_orderkey"))
     }),
 
+    // TFRecord/tf.Example round-trip: the training-pipeline handoff
+    // format (tf.data.TFRecordDataset), hand-rolled on the public
+    // framing + protobuf wire specs; write framed tf.Examples, read
+    // back distributed (CRC-verified) against the declared schema,
+    // hash against the original parquet.
+    "q_tfrecord_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .orderBy(col("doc_id")).limit(200)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tfr").toString +
+        "/docs.tfrecord"
+      graft.sources.TFRecordIO.write(src, tmp)
+      graft.sources.TFRecordIO.read(s, tmp, src.schema).orderBy(col("doc_id"))
+    }),
+
     "q_json_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -402,6 +417,10 @@ object SurfaceQueries {
     "q_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q_tfrecord_roundtrip" ->
+      """SELECT doc_id, lang, text, n_chars
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "q_group_lists" ->
       """SELECT CASE WHEN o_orderkey % 97 <> 0 THEN o_orderpriority END AS prio_n,

@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.TFRecordIO
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TFRecord framing (masked CRC32C) and tf.Example wire encode/decode. */
+class TFRecordSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("framing: records roundtrip; any corrupt byte is a CRC error") {
+    val recs = Seq("alpha".getBytes, Array.empty[Byte], Array.fill[Byte](1000)(7))
+    val buf = recs.map(TFRecordIO.frame).reduce(_ ++ _)
+    val back = TFRecordIO.frames(buf).toSeq
+    assert(back.map(_.toSeq) === recs.map(_.toSeq))
+    // flip one byte anywhere -> some frame's CRC or bounds check trips
+    for (i <- buf.indices by 7) {
+      val bad = buf.clone(); bad(i) = (bad(i) ^ 0x40).toByte
+      assertThrows[Exception](TFRecordIO.frames(bad).toList)
+    }
+    // the CRC32C primitive matches the public check vector
+    val c = new java.util.zip.CRC32C(); c.update("123456789".getBytes, 0, 9)
+    assert(c.getValue === 0xE3069283L)
+  }
+
+  private val fullSchema = StructType(Seq(
+    StructField("id", LongType), StructField("n", IntegerType),
+    StructField("flag", BooleanType), StructField("score", FloatType),
+    StructField("name", StringType), StructField("blob", BinaryType),
+    StructField("ids", ArrayType(LongType)),
+    StructField("emb", ArrayType(FloatType)),
+    StructField("tags", ArrayType(StringType))))
+
+  test("tf.Example roundtrip: every supported type, nulls as absent features") {
+    val rows = Seq(
+      Row(7L, 3, true, 1.5f, "héllo", Array[Byte](1, 2, 3),
+        Seq(1L, 2L, 3L), Seq(0.25f, -4f), Seq("a", "bb")),
+      Row(null, null, null, null, null, null, null, null, null),
+      Row(-9L, -1, false, Float.NaN, "", Array.empty[Byte],
+        Seq.empty[Long], Seq.empty[Float], Seq.empty[String]))
+    rows.foreach { r =>
+      val back = TFRecordIO.decodeExample(fullSchema,
+        TFRecordIO.exampleBytes(fullSchema, r))
+      fullSchema.fields.indices.foreach { i =>
+        (r.get(i), back.get(i)) match {
+          case (null, b) => assert(b == null, s"field $i")
+          case (a: Array[Byte], b) =>
+            assert(a.toSeq == b.asInstanceOf[Array[Byte]].toSeq, s"field $i")
+          case (a: Float, b: Float) if a.isNaN => assert(b.isNaN, s"field $i")
+          case (a, b) => assert(a == b, s"field $i")
+        }
+      }
+    }
+    // empty lists encode as PRESENT features with zero elements — they
+    // come back empty, not null (absent means null)
+    val empties = TFRecordIO.decodeExample(fullSchema,
+      TFRecordIO.exampleBytes(fullSchema, rows(2)))
+    assert(empties.getSeq[Long](6).isEmpty && !empties.isNullAt(6))
+  }
+
+  test("decode arity and kind contracts") {
+    val s1 = StructType(Seq(StructField("x", LongType)))
+    val multi = TFRecordIO.exampleBytes(
+      StructType(Seq(StructField("x", ArrayType(LongType)))),
+      Row(Seq(1L, 2L)))
+    // multi-value list into a scalar field: error, never silent truncation
+    assertThrows[IllegalArgumentException](TFRecordIO.decodeExample(s1, multi))
+    // kind mismatch: float_list where the schema says long
+    val f = TFRecordIO.exampleBytes(
+      StructType(Seq(StructField("x", FloatType))), Row(1.0f))
+    assertThrows[IllegalArgumentException](TFRecordIO.decodeExample(s1, f))
+    // doubles are rejected at encode (tf.Example has no double list)
+    assertThrows[IllegalArgumentException](TFRecordIO.exampleBytes(
+      StructType(Seq(StructField("x", DoubleType))), Row(1.0)))
+  }
+
+  test("file roundtrip: guarded write, distributed read over a shard directory") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("emb", ArrayType(FloatType))))
+    val df = spark.range(300).select($"id",
+      concat(lit("doc-"), $"id").as("name"),
+      array(($"id" * 2).cast("float"), lit(0.5f)).as("emb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfr").toString
+    // two shards, as a sharded export would lay them out
+    TFRecordIO.write(df.where($"id" < 150), s"$dir/part-0.tfrecord")
+    TFRecordIO.write(df.where($"id" >= 150), s"$dir/part-1.tfrecord")
+    val back = TFRecordIO.read(spark, dir, schema).orderBy("id")
+    assert(back.count() === 300)
+    val rows = back.collect()
+    assert(rows(7) === Row(7L, "doc-7", Seq(14f, 0.5f)))
+    assert(rows(299) === Row(299L, "doc-299", Seq(598f, 0.5f)))
+    // the distributed encoder produces byte-identical records
+    val viaCol = TFRecordIO.toExampleBytes(df.where($"id" === 7).select(
+      $"id", $"name", $"emb")).select("record").head().getAs[Array[Byte]](0)
+    val viaDriver = TFRecordIO.exampleBytes(schema, Row(7L, "doc-7", Seq(14f, 0.5f)))
+    assert(viaCol.toSeq === viaDriver.toSeq)
+  }
+}
