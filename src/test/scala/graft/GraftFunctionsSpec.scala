@@ -78,7 +78,8 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("graft_dot", "graft_cosine", "graft_sqdist", "graft_fingerprint",
         "graft_mix63", "graft_shingles", "graft_quantile", "graft_zvalue",
-        "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta"))
+        "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta",
+        "graft_video_meta"))
     assert(ext != null)
   }
 }
