@@ -238,6 +238,36 @@ class VideoMetaSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("fuzz: random and bit-flipped containers never throw (crawl bytes are data)") {
+    import graft.expr.BinaryExpressions
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // pure-random buffers of every small size
+    (0 until 400).foreach { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      BinaryExpressions.videoMeta(b)
+      BinaryExpressions.videoSyncSamples(b)
+      BinaryExpressions.videoAtLeast(b, 1L, 1, 1)
+      BinaryExpressions.videoSampleable(b)
+    }
+    // structured fuzz: a VALID container with every byte position mutated
+    // (size fields, 4ccs, counts — each lands somewhere adversarial)
+    val base = mp4(nf = 25, gop = 8, v1 = false)
+    base.indices.foreach { i =>
+      (1 to 3).foreach { _ =>
+        val bad = base.clone(); bad(i) = (rnd.nextInt(256) - 128).toByte
+        BinaryExpressions.videoMeta(bad)
+        BinaryExpressions.videoSyncSamples(bad)
+        BinaryExpressions.videoSampleable(bad)
+      }
+    }
+    // truncations at every length
+    base.indices.foreach { n =>
+      val cut = java.util.Arrays.copyOf(base, n)
+      BinaryExpressions.videoMeta(cut)
+      BinaryExpressions.videoSyncSamples(cut)
+    }
+  }
+
   test("graft_video_meta SQL surface") {
     GraftFunctions.register(spark)
     Seq(Tuple1(mp4(nf = 42))).toDF("payload").createOrReplaceTempView("vids")
