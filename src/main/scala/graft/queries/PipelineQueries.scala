@@ -1626,6 +1626,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Versioned table end-to-end: create v0 from documents, apply the
+    // CDC release (drop %97, ' v2' %53, re-add %89) as a copy-on-write
+    // overwrite commit (v1), then compact (v2) — and read ALL THREE
+    // versions back via time travel AFTER every commit has landed. One
+    // row per version: exact count, id sum, and an order-independent
+    // content checksum (sum of per-row fingerprints), so v0 proves
+    // snapshot isolation survived two later commits and v2 proves
+    // compaction is content-identical. The oracle replays each
+    // version's expected contents from pure arithmetic.
+    "q_table_versions" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vt").toString + "/docs"
+      VersionedTable.create(docs, path)
+      val newRel = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+      val changes = graft.operators.Diff.snapshotDiff(
+          VersionedTable.read(s, path), newRel, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+      val merged = graft.operators.Diff.applyChanges(
+        VersionedTable.read(s, path), changes, Seq("doc_id"), Seq("text"))
+      VersionedTable.commit(merged, path, "overwrite")
+      VersionedTable.compact(s, path, targetBytes = 64L * 1024 * 1024)
+      val stats = (0L to 2L).map { v =>
+        VersionedTable.readVersion(s, path, v).select(lit(v).as("version"),
+          col("doc_id"),
+          TextOps.fingerprint(concat(col("doc_id").cast(StringType),
+            lit(":"), col("text"))).as("fp"))
+      }.reduce(_ unionByName _)
+      stats.groupBy(col("version"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("fp")).as("content_sum"))
+        .orderBy(col("version"))
+    }),
+
     // Maintained BM25 inverted index: the same CDC release as
     // q_lsh_maintain (drop %97, ' v2' %53, re-add %89 under new ids),
     // applied to the MATERIALIZED postings table — unchanged docs carry
@@ -3916,6 +3955,35 @@ object PipelineQueries {
         |  (coff + frame_idx * ss)::BIGINT AS byte_offset,
         |  ss AS byte_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_table_versions" ->
+      """WITH fp AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT doc_id, text,
+        |          doc_id::VARCHAR || ':' || text AS k FROM documents)),
+        |newrel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 89 = 0),
+        |nfp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT doc_id, doc_id::VARCHAR || ':' || text AS k FROM newrel)),
+        |v0 AS (SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_docs,
+        |         sum(doc_id)::BIGINT AS id_sum, sum(f)::BIGINT AS content_sum FROM fp),
+        |v12 AS (SELECT count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+        |          sum(f)::BIGINT AS content_sum FROM nfp)
+        |SELECT * FROM v0
+        |UNION ALL SELECT 1, n_docs, id_sum, content_sum FROM v12
+        |UNION ALL SELECT 2, n_docs, id_sum, content_sum FROM v12
+        |ORDER BY version""".stripMargin,
 
     "q_bm25_maintain" ->
       """WITH newdocs AS (

@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Versioned-table commit protocol: atomic publish, time travel,
+  * content-identical compaction, CDC copy-on-write, vacuum, and the
+  * optimistic same-version conflict. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh() =
+    java.nio.file.Files.createTempDirectory("graft_vt").toString + "/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("create / append / overwrite with exact time travel") {
+    val path = fresh()
+    val v0 = VersionedTable.create(
+      spark.range(10).select($"id", ($"id" * 2).as("x")), path)
+    assert(v0 === 0L)
+    val v1 = VersionedTable.commit(
+      spark.range(10, 15).select($"id", ($"id" * 2).as("x")), path, "append")
+    val v2 = VersionedTable.commit(
+      spark.range(100, 103).select($"id", ($"id" * 2).as("x")), path, "overwrite")
+    assert((v1, v2) === ((1L, 2L)))
+    // every version still reads exactly its own contents
+    assert(ids(VersionedTable.readVersion(spark, path, 0)) === (0L until 10L))
+    assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L until 15L))
+    assert(ids(VersionedTable.readVersion(spark, path, 2)) === (100L until 103L))
+    assert(ids(VersionedTable.read(spark, path)) === (100L until 103L))
+    assert(VersionedTable.versions(path) === Seq(0L, 1L, 2L))
+  }
+
+  test("staged files without a manifest are invisible to readers") {
+    val path = fresh()
+    VersionedTable.create(spark.range(5).toDF("id"), path)
+    // drop an orphan parquet straight into data/ (a crashed commit)
+    spark.range(1000, 1002).toDF("id").write
+      .parquet(java.nio.file.Paths.get(path, "orphan").toString)
+    val part = new java.io.File(s"$path/orphan").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(path, "data", "orphan.parquet"))
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 5L)) // unseen
+  }
+
+  test("compaction commits identical content as a new version") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(2000).repartition(16).select($"id", ($"id" % 7).as("g")), path)
+    VersionedTable.commit(
+      spark.range(2000, 2500).select($"id", ($"id" % 7).as("g")), path, "append")
+    val before = VersionedTable.read(spark, path)
+    val nFilesBefore = VersionedTable.filesAt(path, 1).length
+    val v = VersionedTable.compact(spark, path, targetBytes = 64L * 1024 * 1024)
+    assert(v === 2L)
+    val after = VersionedTable.readVersion(spark, path, 2)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(VersionedTable.filesAt(path, 2).length < nFilesBefore)
+    // pre-compaction versions still read
+    assert(VersionedTable.readVersion(spark, path, 1).count() === 2500)
+  }
+
+  test("CDC copy-on-write: applyChanges release becomes an overwrite commit") {
+    val path = fresh()
+    val old = spark.range(100).select($"id", concat(lit("t"), $"id").as("text"))
+    VersionedTable.create(old, path)
+    val newRel = old.where($"id" % 10 =!= 0)
+      .select($"id", when($"id" % 7 === 0, concat($"text", lit("!")))
+        .otherwise($"text").as("text"))
+    val changes = graft.operators.Diff.snapshotDiff(
+        VersionedTable.read(spark, path), newRel, Seq("id"), Seq("text"))
+      .filter($"change" =!= "unchanged")
+    val merged = graft.operators.Diff.applyChanges(
+      VersionedTable.read(spark, path), changes, Seq("id"), Seq("text"))
+    VersionedTable.commit(merged, path, "overwrite")
+    val got = VersionedTable.read(spark, path)
+    assert(got.exceptAll(newRel).isEmpty && newRel.exceptAll(got).isEmpty)
+    // and v0 is still the pre-release table
+    assert(VersionedTable.readVersion(spark, path, 0).count() === 100)
+  }
+
+  test("same-version race: exactly one committer wins") {
+    val path = fresh()
+    VersionedTable.create(spark.range(3).toDF("id"), path)
+    // two committers both computed against v0 and target v1: the second
+    // publish lands on an existing manifest name and must fail atomically
+    VersionedTable.publish(path, 1L, 0L, "append",
+      VersionedTable.filesAt(path, 0L).map(f =>
+        "data/" + java.nio.file.Paths.get(f).getFileName))
+    assertThrows[IllegalStateException](
+      VersionedTable.publish(path, 1L, 0L, "append", Seq.empty))
+    // the winner's manifest is intact and readable
+    assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L until 3L))
+  }
+
+  test("vacuum drops pre-retention versions and their unreferenced files") {
+    val path = fresh()
+    VersionedTable.create(spark.range(10).toDF("id"), path)
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), path, "overwrite")
+    VersionedTable.commit(spark.range(20, 30).toDF("id"), path, "overwrite")
+    val dataFiles = () => new java.io.File(s"$path/data").listFiles().count(_.isFile)
+    val before = dataFiles()
+    VersionedTable.vacuum(path, keepVersions = 1)
+    assert(VersionedTable.versions(path) === Seq(2L))
+    assert(dataFiles() < before)
+    assert(ids(VersionedTable.read(spark, path)) === (20L until 30L))
+    assertThrows[IllegalArgumentException](
+      VersionedTable.readVersion(spark, path, 0))
+  }
+}
