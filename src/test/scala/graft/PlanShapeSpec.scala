@@ -468,6 +468,12 @@ class PlanShapeSpec extends SparkSpec {
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
       // below proves the standing index itself never re-shuffles
       "q_bm25_maintain" -> 7,
+      // versioned-table stats: one agg exchange + the oracle orderBy
+      // (the commit protocol itself ran eagerly; the frame is 3 pinned
+      // parquet reads unioned)
+      "q_table_versions" -> 2,
+      // tfrecord roundtrip: the read is an RDD scan; one oracle orderBy
+      "q_tfrecord_roundtrip" -> 1,
       // SCD2 as-of enrichment: the operator itself is ONE equi join on
       // doc_id (interval predicate as residual) = 2 exchanges + the
       // oracle orderBy; the other 6 build the 2-release history fixture
