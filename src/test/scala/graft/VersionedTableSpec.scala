@@ -96,6 +96,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L until 3L))
   }
 
+  test("streaming ingest as foreachBatch append commits: one version per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // the ingest story end-to-end: micro-batches land as atomic append
+    // commits, so a reader NEVER sees a partial batch — it reads the
+    // last published version; the commit log doubles as ingest lineage
+    val path = fresh()
+    VersionedTable.create(spark.range(0, 5).toDF("id"), path)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          VersionedTable.commit(batch.select(col("value").as("id")), path, "append")
+        (): Unit
+      }
+      .start()
+    try {
+      input.addData(5L, 6L)
+      q.processAllAvailable()
+      val afterFirst = ids(VersionedTable.read(spark, path))
+      assert(afterFirst === (0L to 6L))
+      input.addData(7L, 8L, 9L)
+      q.processAllAvailable()
+      assert(ids(VersionedTable.read(spark, path)) === (0L to 9L))
+      // one version per non-empty batch, all time-travelable
+      assert(VersionedTable.versions(path) === Seq(0L, 1L, 2L))
+      assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L to 6L))
+    } finally q.stop()
+  }
+
   test("vacuum drops pre-retention versions and their unreferenced files") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
