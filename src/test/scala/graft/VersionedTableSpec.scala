@@ -125,6 +125,32 @@ class VersionedTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifest-level data skipping: range reads prune files without opening them") {
+    val path = fresh()
+    // range-partitioned write -> tight per-file id ranges (the z-order /
+    // sorted-layout situation the skip stats are built for)
+    VersionedTable.create(
+      spark.range(10000).toDF("id").repartitionByRange(8, col("id")), path)
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    val all = VersionedTable.filesAt(path, 0L)
+    val pruned = VersionedTable.filesForRange(path, 0L, "id", 2000L, 2500L)
+    assert(pruned.nonEmpty && pruned.length < all.length,
+      s"no pruning: ${pruned.length} of ${all.length}")
+    // skipped read == full-scan filter, row for row
+    val got = ids(VersionedTable.readWhere(spark, path, 0L, "id", 2000L, 2500L))
+    assert(got === (2000L to 2500L))
+    // a miss range prunes everything and still returns a typed empty frame
+    assert(VersionedTable.filesForRange(path, 0L, "id", 90000L, 99000L).isEmpty)
+    assert(VersionedTable.readWhere(spark, path, 0L, "id", 90000L, 99000L).count() === 0)
+    // without a sidecar, skipping degrades to read-everything (never loses rows)
+    val noStats = fresh()
+    VersionedTable.create(spark.range(100).toDF("id"), noStats)
+    assert(VersionedTable.filesForRange(noStats, 0L, "id", 5L, 7L) ===
+      VersionedTable.filesAt(noStats, 0L))
+    assert(ids(VersionedTable.readWhere(spark, noStats, 0L, "id", 5L, 7L)) ===
+      (5L to 7L))
+  }
+
   test("vacuum drops pre-retention versions and their unreferenced files") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
