@@ -50,7 +50,9 @@ object VersionedTable {
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toSeq
       .map(_.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+      // exactly vNNNNNNNN.json — stats sidecars (vN.stats.col.json) are
+      // version METADATA, not versions
+      .collect { case n if n.matches("v\\d{8}\\.json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
       .sorted
   }
@@ -226,6 +228,63 @@ object VersionedTable {
       // all files pruned: empty frame with the table's schema
       readVersion(spark, path, v).where(org.apache.spark.sql.functions.lit(false))
     } else spark.read.parquet(files: _*).where(c(col) >= lo && c(col) <= hi)
+  }
+
+  /** FILE-LEVEL copy-on-write CDC commit: rewrite only the files whose
+    * `idCol` [min,max] range (stats sidecar) can contain a churned id;
+    * every other file is carried into the new manifest untouched — at
+    * 100 TB this is the difference between rewriting the table nightly
+    * and rewriting O(churn-touched files). Differentially spec'd
+    * against the full [[graft.operators.Diff.applyChanges]] merge:
+    * identical content, untouched files byte-identical (same manifest
+    * entries). Requires a stats sidecar for `idCol` on the current
+    * version (write one post-commit via [[writeStats]]); without it the
+    * commit falls back to a full copy-on-write rewrite — skipping must
+    * never lose a change. Added rows (ids inside no file's range) land
+    * in the rewrite batch's new files. The new version gets a fresh
+    * stats sidecar (carried files keep their entries; rewritten files
+    * are re-measured). */
+  def commitCdcCow(spark: SparkSession, path: String, changes: DataFrame,
+      idCol: String, valueCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col => c, broadcast, lit}
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val all = filesAt(path, cur)
+    val sidecar = versionsDir(path).resolve(f"v$cur%08d.stats.${idCol}.json")
+    val rel = (abs: String) => Paths.get(path).relativize(Paths.get(abs)).toString
+    val (touchedAbs, carriedRel) =
+      if (!Files.exists(sidecar)) (all, Seq.empty[String]) // no stats: full COW
+      else {
+        val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
+        val stats = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
+          .collect { case entry(f, mn, mx) => (f, mn.toLong, mx.toLong) }.toSeq
+        val statMap = stats.map(s => s._1 -> (s._2, s._3)).toMap
+        // which file ranges does the churn hit? churn-sized join against
+        // the (tiny, broadcast) interval list — ids never collect
+        val intervals = spark.createDataFrame(
+          stats.map(s => (s._1, s._2, s._3))).toDF("__file", "__lo", "__hi")
+        val touched = changes.select(c(idCol).as("__id")).distinct()
+          .join(broadcast(intervals),
+            c("__id") >= c("__lo") && c("__id") <= c("__hi"))
+          .select("__file").distinct().collect().map(_.getString(0)).toSet
+        val (t, carry) = all.partition(a => statMap.get(rel(a)).isEmpty ||
+          touched.contains(rel(a)))
+        (t, carry.map(rel))
+      }
+    // rewrite = merge the changes into ONLY the touched files' rows;
+    // added ids live in no file, so they always join the rewrite batch
+    val oldSubset =
+      if (touchedAbs.isEmpty)
+        readVersion(spark, path, cur).where(lit(false)) // pure insert
+      else spark.read.parquet(touchedAbs: _*)
+    val rewritten = graft.operators.Diff.applyChanges(
+      oldSubset, changes, Seq(idCol), valueCols)
+    val newFiles = stage(rewritten, path)
+    val v = cur + 1
+    publish(path, v, cur, "cdc-cow", carriedRel ++ newFiles)
+    // refresh the skip stats: carried entries persist, new files measured
+    if (Files.exists(sidecar)) writeStats(spark, path, v, idCol)
+    v
   }
 
   /** Rewrite the CURRENT file set into ~`targetBytes` files and commit

@@ -151,6 +151,48 @@ class VersionedTableSpec extends SparkSpec {
       (5L to 7L))
   }
 
+  test("file-level COW CDC: only churn-touched files rewrite, content == full merge") {
+    import graft.operators.Diff
+    val path = fresh()
+    // 8 range-partitioned files over ids 0..9999 -> tight per-file ranges
+    val old = spark.range(10000)
+      .select($"id", concat(lit("t"), $"id").as("text"))
+      .repartitionByRange(8, col("id"))
+    VersionedTable.create(old, path)
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    val filesBefore = VersionedTable.filesAt(path, 0L).map(
+      f => java.nio.file.Paths.get(f).getFileName.toString)
+    // churn confined to high ids (+ brand-new inserts above the range)
+    val newRel = old.where(!($"id" >= 9000L && $"id" % 3 === 0))
+      .select($"id", when($"id" >= 9500L, concat($"text", lit("!")))
+        .otherwise($"text").as("text"))
+      .unionByName(spark.range(20000, 20005)
+        .select($"id", concat(lit("n"), $"id").as("text")))
+    val changes = Diff.snapshotDiff(old, newRel, Seq("id"), Seq("text"))
+      .filter($"change" =!= "unchanged")
+    val v = VersionedTable.commitCdcCow(spark, path, changes, "id", Seq("text"))
+    assert(v === 1L)
+    // content identical to the full merge / the new release
+    val got = VersionedTable.read(spark, path)
+    assert(got.exceptAll(newRel).isEmpty && newRel.exceptAll(got).isEmpty)
+    // most of v0's files were CARRIED byte-identically into v1
+    val filesAfter = VersionedTable.filesAt(path, 1L).map(
+      f => java.nio.file.Paths.get(f).getFileName.toString)
+    val carried = filesAfter.toSet.intersect(filesBefore.toSet)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files carried, got ${carried.size}")
+    assert(filesAfter.toSet != filesBefore.toSet) // something did rewrite
+    // and the refreshed stats still skip correctly on the new version
+    assert(ids(VersionedTable.readWhere(spark, path, 1L, "id", 20000L, 30000L))
+      === (20000L until 20005L))
+    // no-sidecar table: falls back to full COW, content still exact
+    val plain = fresh()
+    VersionedTable.create(old, plain)
+    VersionedTable.commitCdcCow(spark, plain, changes, "id", Seq("text"))
+    val got2 = VersionedTable.read(spark, plain)
+    assert(got2.exceptAll(newRel).isEmpty && newRel.exceptAll(got2).isEmpty)
+  }
+
   test("vacuum drops pre-retention versions and their unreferenced files") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
