@@ -146,12 +146,17 @@ object VersionedTable {
     v
   }
 
-  /** Read an exact version — the manifest's files, nothing else. */
-  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+  /** Read an exact version — the manifest's files, nothing else.
+    * `mergeSchema` unions the file schemas (SCHEMA EVOLUTION: a commit
+    * may add columns; old files then read the new column as null —
+    * parquet's standard widening). Off by default: the single-schema
+    * read skips the footer-merge pass. */
+  def readVersion(spark: SparkSession, path: String, v: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = filesAt(path, v)
     require(files.nonEmpty,
       s"VersionedTable: version $v of $path has no data files (schema unknowable)")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
   /** Read the latest version. */

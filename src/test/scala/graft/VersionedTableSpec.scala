@@ -193,6 +193,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(got2.exceptAll(newRel).isEmpty && newRel.exceptAll(got2).isEmpty)
   }
 
+  test("schema evolution: appended columns read as null for pre-evolution files") {
+    val path = fresh()
+    VersionedTable.create(spark.range(5).select($"id"), path)
+    VersionedTable.commit(
+      spark.range(5, 8).select($"id", lit("en").as("lang")), path, "append")
+    val merged = VersionedTable.readVersion(spark, path, 1, mergeSchema = true)
+    assert(merged.columns.toSeq === Seq("id", "lang"))
+    val byId = merged.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId(0L).isEmpty && byId(5L).contains("en"))
+    assert(merged.count() === 8)
+    // time travel to v0 still sees the ORIGINAL schema, not the evolved one
+    assert(VersionedTable.readVersion(spark, path, 0,
+      mergeSchema = true).columns.toSeq === Seq("id"))
+  }
+
   test("vacuum drops pre-retention versions and their unreferenced files") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
