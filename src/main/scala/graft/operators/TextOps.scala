@@ -936,6 +936,75 @@ object TextOps {
     }
   }
 
+  // ---- Cavnar–Trenkle n-gram language ID (Cavnar & Trenkle 1994, ----
+  // ---- "N-Gram-Based Text Categorization": rank-order profiles,  ----
+  // ---- out-of-place distance)                                    ----
+
+  /** Character n-grams of a text, one per start offset WITH
+    * multiplicity (the CT feature space — unlike [[charNgrams]], which
+    * dedups for Jaccard). Projected ONCE by callers — HOF lambdas
+    * re-evaluate referenced subtrees per element. */
+  def charNgramsAll(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** TRAIN: rank-order profiles per language — the top `k` char n-grams
+    * by (count desc, gram asc), rank 1-based. Deterministic: every tie
+    * breaks lexicographically. One explode + grouped count + per-lang
+    * WindowGroupLimit (map-side top-k before the exchange); profile
+    * size is `langs × k` rows — broadcastable at any corpus size. */
+  def trainLangProfiles(docs: DataFrame, textCol: String, langCol: String,
+      n: Int = 3, k: Int = 300): DataFrame = {
+    docs.select(col(langCol).as("lang"), explode(charNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("__cnt").desc, col("gram"))))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("gram"), col("rank").cast(LongType))
+  }
+
+  /** APPLY: classify each doc by out-of-place distance against the
+    * trained profiles — for each of the doc's top `m` grams, the
+    * |doc_rank − profile_rank| displacement, with a fixed `k` penalty
+    * for grams absent from a profile; argmin over languages, ties to
+    * the lexicographically first. Scale shape: the doc-side is a
+    * per-doc-partitioned rank (never a global window), the profile
+    * side broadcasts, and the distance aggregate carries ≤ m·|langs|
+    * rows per doc. Docs shorter than the n-gram width score every
+    * profile equally and take the first language. */
+  def langIdCt(docs: DataFrame, textCol: String, idCol: String,
+      profiles: DataFrame, n: Int = 3, m: Int = 50): DataFrame = {
+    val k = 300L // absent-gram penalty = profile capacity
+    // explode_outer: a doc too short for even one n-gram keeps ONE
+    // null-gram row, which matches no profile -> every language scores
+    // the flat penalty and the tie resolves to the first (the doc would
+    // otherwise vanish from the output)
+    val docGrams = docs
+      .select(col(idCol), explode_outer(charNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("__cnt").desc, col("gram"))))
+      .filter(col("__rank") <= m)
+    val langs = profiles.select(col("lang")).distinct()
+    // every (doc-gram, lang) pair scores: matched grams by displacement,
+    // absent grams by the k penalty (left join against the profile)
+    val scored = docGrams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles.withColumnRenamed("rank", "__prank")),
+        Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("__rank") - col("__prank")), lit(k)))
+        .as("__dist"))
+    scored.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("__dist").asc, col("lang"))))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("__dist").as("ct_dist"))
+  }
+
   /** Rolling polynomial fingerprint: acc = (acc*31 + code) mod 1e9+7 — a
     * deterministic document hash any SQL oracle can recompute. Native
     * codegen'd byte loop (graft.expr.TextExpressions); == the char-wise

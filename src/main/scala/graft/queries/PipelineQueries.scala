@@ -1626,6 +1626,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL n-gram language ID — Cavnar–Trenkle 1994 rank-order profiles
+    // with out-of-place distance (the canonical "n-gram heuristic"; the
+    // marker-token langId in q_text_stats is its toy stand-in): train
+    // per-language top-300 char-trigram rank profiles ON the corpus
+    // labels, classify every doc by summed rank displacement (penalty
+    // 300 for grams absent from a profile), argmin with lexicographic
+    // ties. Every step is deterministic, so the oracle replays
+    // train + apply end-to-end in SQL.
+    "q_langid_ct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val profiles = TextOps.trainLangProfiles(docs, "text", "lang")
+      TextOps.langIdCt(docs, "text", "doc_id", profiles)
+        .orderBy(col("doc_id"))
+    }),
+
     // Versioned table end-to-end: create v0 from documents, apply the
     // CDC release (drop %97, ' v2' %53, re-add %89) as a copy-on-write
     // overwrite commit (v1), then compact (v2) — and read ALL THREE
@@ -3955,6 +3970,36 @@ object PipelineQueries {
         |  (coff + frame_idx * ss)::BIGINT AS byte_offset,
         |  ss AS byte_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_langid_ct" ->
+      """WITH tri AS (
+        |  SELECT lang, doc_id,
+        |    unnest(list_transform(range(1, len(text) - 1), i -> text[i:i+2])) AS gram
+        |  FROM documents WHERE len(text) >= 3),
+        |prof AS (
+        |  SELECT lang, gram, rank FROM (
+        |    SELECT lang, gram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |    FROM (SELECT lang, gram, count(*) AS cnt FROM tri GROUP BY 1, 2))
+        |  WHERE rank <= 300),
+        |langs AS (SELECT DISTINCT lang FROM tri),
+        |dg AS (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS drank
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2)
+        |  QUALIFY drank <= 50),
+        |short AS (SELECT doc_id FROM documents WHERE len(text) < 3),
+        |scored AS (
+        |  SELECT d.doc_id, l.lang,
+        |    sum(coalesce(abs(d.drank - p.rank), 300))::BIGINT AS dist
+        |  FROM dg d CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT s.doc_id, l.lang, 300::BIGINT FROM short s CROSS JOIN langs l)
+        |SELECT doc_id, lang AS lang_pred, dist AS ct_dist FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_table_versions" ->
       """WITH fp AS (

@@ -1734,4 +1734,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => Set("en", "de", "es").contains(r.getString(0))))
     assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
+
+  test("Cavnar-Trenkle langid: rank profiles, out-of-place distance, hand-checked") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    // two tiny "languages" with disjoint dominant trigrams
+    val train = Seq(
+      (1L, "aaaa bbbb", "xx"), (2L, "aaaa aaaa", "xx"),
+      (3L, "zzzz yyyy", "yy"), (4L, "zzzz zzzz", "yy")).toDF("doc_id", "text", "lang")
+    val prof = TextOps.trainLangProfiles(train, "text", "lang", n = 3, k = 4)
+    val pm = prof.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "aaaa aaaa"+"aaaa bbbb": 'aaa' occurs 2+2=4 times -> rank 1 for xx
+    assert(pm(("xx", "aaa")) === 1L)
+    assert(pm(("yy", "zzz")) === 1L)
+    assert(prof.groupBy("lang").count().collect().forall(_.getLong(1) <= 4))
+    // classification: an 'aaa'-heavy doc lands in xx, a 'zzz'-heavy in yy
+    val docs = Seq((10L, "aaaa aaa"), (11L, "zzzzzz"), (12L, "q")).toDF("doc_id", "text")
+    val got = TextOps.langIdCt(docs, "text", "doc_id", prof, n = 3, m = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(10L)._1 === "xx")
+    assert(got(11L)._1 === "yy")
+    // sub-trigram doc: flat penalty on every language, tie -> first lang
+    assert(got(12L) === (("xx", 300L)))
+    // determinism: same inputs, same distances, twice
+    val again = TextOps.langIdCt(docs, "text", "doc_id", prof, n = 3, m = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again === got)
+  }
 }

@@ -468,6 +468,10 @@ class PlanShapeSpec extends SparkSpec {
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
       // below proves the standing index itself never re-shuffles
       "q_bm25_maintain" -> 7,
+      // CT langid: gram counts + rank windows on both the profile and
+      // doc sides (profile side is langs-tiny and broadcasts into the
+      // scorer), distance agg, argmin window, oracle orderBy
+      "q_langid_ct" -> 7,
       // versioned-table stats: one agg exchange + the oracle orderBy
       // (the commit protocol itself ran eagerly; the frame is 3 pinned
       // parquet reads unioned)
