@@ -693,4 +693,73 @@ object Stats {
       when(up - down =!= 0.0, lit(100.0) * up / (up - down))
     case other => throw new IllegalArgumentException(s"rollingInterval: unsupported ${other.fnName}")
   }
+
+  // ---- Poisson bootstrap (the large-scale bootstrap: per-row ----
+  // ---- Poisson(1) replicate weights instead of resampling —   ----
+  // ---- Chamandy et al. 2012, "Estimating Uncertainty for      ----
+  // ---- Massive Data Streams")                                 ----
+
+  /** Poisson(1) inverse CDF over the cumulative literals — the SAME
+    * constants an SQL oracle inlines, so the weights replay exactly.
+    * Capped at 8 (P ≈ 1e-6 tail). */
+  private val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  private def poissonInv(u: Column): Column =
+    PoissonCdf1.zipWithIndex.foldRight(lit(PoissonCdf1.length): Column) {
+      case ((c, k), acc) => when(u < c, k).otherwise(acc)
+    }
+
+  /** Per-replicate weighted sums for a Poisson bootstrap of `measure`:
+    * row r gets weight `Poisson(1)` in replicate b, derived
+    * DETERMINISTICALLY from the pinned hash of `id:b` (same recipe as
+    * the DLT sample: one int→double rounding + one exact 2^-63 scale),
+    * so an SQL oracle replays every weight, and the replicate set is
+    * stable across runs and partitionings. Output: one row per
+    * replicate with the effective count (Σw) and the weighted
+    * DECIMAL(38,4) sum (order-invariant addition — the double sum
+    * would hash-drift under partial-agg order).
+    *
+    * Scale shape: the B-way explode is narrow and feeds a partial
+    * aggregate keyed on the replicate — ≤ B rows leave each map task
+    * no matter the corpus size; nothing corpus-sized shuffles. The
+    * point of the Poisson form IS this one-pass shape: a true
+    * resample would need B materialized copies. */
+  def poissonBootstrap(df: DataFrame, idCol: String, measure: Column,
+      b: Int, tag: String = "boot"): DataFrame = {
+    require(b >= 1, s"poissonBootstrap: need b >= 1, got $b")
+    val base = df.select(col(idCol).cast(StringType).as("__id"),
+        measure.cast(DoubleType).as("__m"))
+      .withColumn("replicate", explode(sequence(lit(0L), lit(b - 1L))))
+    val u = (Sketch.pinnedHash(
+        concat(col("__id"), lit(":"), col("replicate").cast(StringType)), tag)
+      + lit(1L)).cast(DoubleType) /
+      lit(9223372036854775808.0) // 2^63: exact double, exact scale
+    base.withColumn("__w", poissonInv(u))
+      // one IEEE multiply then the deterministic double->decimal cast:
+      // both replay bit-identically in any engine
+      .withColumn("__wm", (col("__m") * col("__w")).cast(DecimalType(38, 4)))
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w")).cast(LongType).as("n_eff"),
+        sum(col("__wm")).as("sum_w"))
+  }
+
+  /** Percentile CI from the replicate table: the [⌊α/2·(B−1)⌋,
+    * ⌊(1−α/2)·(B−1)⌋] ORDER STATISTICS of the replicate means —
+    * deterministic, no interpolation ambiguity. The replicate table is
+    * B rows; this is a driver-free finish over a tiny frame. */
+  def bootstrapCI(replicates: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val mean = (col("sum_w") / col("n_eff")).cast(DoubleType)
+    replicates.filter(col("n_eff") > 0)
+      .agg(sort_array(collect_list(mean)).as("__ms"))
+      .select(
+        element_at(col("__ms"),
+          (floor(lit(alpha / 2) * (size(col("__ms")) - 1)) + 1).cast(IntegerType))
+          .as("ci_lo"),
+        element_at(col("__ms"),
+          (floor(lit(1.0 - alpha / 2) * (size(col("__ms")) - 1)) + 1).cast(IntegerType))
+          .as("ci_hi"))
+  }
 }

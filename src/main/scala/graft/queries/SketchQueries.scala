@@ -132,6 +132,23 @@ object SketchQueries {
         .orderBy(col("lang"))
     }),
 
+    // Poisson bootstrap (Chamandy et al. 2012) — uncertainty for
+    // pipeline metrics in ONE pass: every row draws a deterministic
+    // Poisson(1) weight per replicate from the pinned hash of id:b, so
+    // the 64 replicate sums (and the CI order statistics on top) are
+    // bit-reproducible and fully oracle-replayable. Means ride the
+    // half-up integral micro-unit formula (round(double,6) is
+    // cross-engine unsafe at midpoints).
+    "q_bootstrap" -> ((s, dir) => {
+      val reps = graft.operators.Stats.poissonBootstrap(
+        t(s, dir, "documents"), "doc_id", col("n_chars"), b = 64)
+      reps.select(col("replicate"), col("n_eff"), col("sum_w"),
+          when(col("n_eff") > 0,
+            expr("CAST((CAST(sum_w * 10000 AS DECIMAL(38,0)) * 200 + n_eff)" +
+              " div (2 * n_eff) AS BIGINT)")).as("mean_micros"))
+        .orderBy(col("replicate"))
+    }),
+
     // STRATIFIED priority sampling: an independent DLT sample per
     // language (k=16 each, per-group τ) — the per-source quota face a
     // mixing pipeline runs. Emits the sample rows themselves, so the
@@ -176,6 +193,37 @@ object SketchQueries {
          |  COALESCE(est_chars, 0.0000::DECIMAL(38,4)) AS est_chars
          |FROM ex LEFT JOIN est ON ex.lang = est.lang
          |ORDER BY ex.lang""".stripMargin,
+
+    "q_bootstrap" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, n_chars, r.b
+         |  FROM documents CROSS JOIN range(64) r(b)),
+         |h0 AS (SELECT doc_id, n_chars, b,
+         |  ${hashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", "boot")} AS h
+         |  FROM e),
+         |h1 AS (SELECT n_chars, b, ${mixSql("h")} AS h2 FROM h0),
+         |w AS (SELECT b, n_chars,
+         |  CASE WHEN u < 0.36787944117144233 THEN 0
+         |       WHEN u < 0.7357588823428847 THEN 1
+         |       WHEN u < 0.9196986029286058 THEN 2
+         |       WHEN u < 0.9810118431238463 THEN 3
+         |       WHEN u < 0.9963401531726563 THEN 4
+         |       WHEN u < 0.9994058151824183 THEN 5
+         |       WHEN u < 0.999916758850712 THEN 6
+         |       WHEN u < 0.9999897508033253 THEN 7
+         |       ELSE 8 END AS w
+         |  FROM (SELECT b, n_chars,
+         |          CAST(h2 + 1 AS DOUBLE) / 9223372036854775808::DOUBLE AS u
+         |        FROM h1)),
+         |agg AS (
+         |  SELECT b AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    sum(CAST(CAST(n_chars AS DOUBLE) * w AS DECIMAL(38,4))) AS sum_w
+         |  FROM w GROUP BY b)
+         |SELECT replicate, n_eff, sum_w,
+         |  CASE WHEN n_eff > 0 THEN
+         |    CAST((CAST(sum_w * 10000 AS HUGEINT) * 200 + n_eff)
+         |         // (2 * n_eff) AS BIGINT) END AS mean_micros
+         |FROM agg ORDER BY replicate""".stripMargin,
 
     "q_priority_sample_by" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),

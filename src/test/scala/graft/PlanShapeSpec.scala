@@ -468,6 +468,9 @@ class PlanShapeSpec extends SparkSpec {
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
       // below proves the standing index itself never re-shuffles
       "q_bm25_maintain" -> 7,
+      // Poisson bootstrap: ONE partial agg keyed on the replicate
+      // (<= B rows leave each map task) + the oracle orderBy
+      "q_bootstrap" -> 2,
       // CT langid: gram counts + rank windows on both the profile and
       // doc sides (profile side is langs-tiny and broadcasts into the
       // scorer), distance agg, argmin window, oracle orderBy

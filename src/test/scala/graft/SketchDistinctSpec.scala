@@ -125,4 +125,38 @@ class SketchDistinctSpec extends SparkSpec {
     assert(pp.contains("TakeOrderedAndProject"),
       s"global sketch should plan TakeOrderedAndProject:\n$pp")
   }
+
+  test("Poisson bootstrap: deterministic weights, partition invariance, CI finish") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val df = spark.range(2000).select($"id", ($"id" % 100 + 1).cast("double").as("x"))
+    val reps = Stats.poissonBootstrap(df, "id", col("x"), b = 32)
+    val rows = reps.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDecimal(2))).toMap
+    assert(rows.size === 32)
+    // Poisson(1) weights: total effective count over replicates ~ B*n
+    // (32*2000 = 64k; 5 sigma ~ 1300)
+    val totalW = rows.values.map(_._1).sum
+    assert(math.abs(totalW - 64000L) < 1300, s"total weight $totalW")
+    // every replicate mean is in the measure's range
+    rows.values.foreach { case (n, s) =>
+      val m = s.doubleValue / n
+      assert(m > 40 && m < 62, s"replicate mean $m out of range")
+    }
+    // partition layout cannot move a single weight
+    val rows2 = Stats.poissonBootstrap(df.repartition(13), "id", col("x"), b = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(rows2 === rows)
+    // CI finish: order statistics of the replicate means, lo <= point <= hi
+    val ci = Stats.bootstrapCI(reps).head()
+    val point = df.agg(avg($"x")).head().getDouble(0)
+    assert(ci.getDouble(0) <= point && point <= ci.getDouble(1),
+      s"CI [${ci.getDouble(0)}, ${ci.getDouble(1)}] missed $point")
+    // hand-check the order-statistic rule on a known replicate table
+    val fixed = (0 until 10).map(i => (i.toLong, 1L,
+      new java.math.BigDecimal(i))).toDF("replicate", "n_eff", "sum_w")
+    val c2 = Stats.bootstrapCI(fixed, alpha = 0.2).head()
+    // floor(0.1*9)=0 -> element 1 (value 0); floor(0.9*9)=8 -> element 9 (value 8)
+    assert(c2.getDouble(0) === 0.0 && c2.getDouble(1) === 8.0)
+  }
 }
