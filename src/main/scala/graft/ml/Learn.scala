@@ -4,9 +4,9 @@ import org.apache.spark.ml.classification.{LogisticRegression => MlLogisticRegre
 import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{LinearRegression => MlLinearRegression}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
 
 /** ML bridge (reference: native_libs/learn/Learn.cpp:88-273, src/Learn Luna API)
   * re-expressed on spark.ml: the reference embeds CPython+sklearn for
@@ -227,4 +227,56 @@ object Learn {
     predictions.groupBy(col(y).cast(DoubleType).as("label"), col("prediction"))
       .agg(count(lit(1)).as("count"))
       .orderBy("label", "prediction")
+
+  /** ROC AUC via the Mann–Whitney identity over GROUPED score buckets —
+    * integer-exact and scale-safe: scores collapse to their distinct
+    * values (bounded bucket table), concordant pairs come from a
+    * bucket-level self-join on `a.score > b.score` (ties count half),
+    * never a global rank window (a partition-less window materializes
+    * the corpus on one task — the plan shape this repo bans). Returns
+    * ONE row: `auc_num2` = 2·concordant + ties, `auc_den2` = 2·P·N, and
+    * the half-up ppm — all BIGINT, so any SQL engine replays it exactly.
+    * AUC = auc_num2 / auc_den2. */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val buckets = df.select(score.as("__s"), label.cast(BooleanType).as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n0"))
+    val a = buckets.select(col("__s").as("__sa"), col("__n1").as("__a1"),
+      col("__n0").as("__a0"))
+    val b = buckets.select(col("__s").as("__sb"), col("__n1").as("__b1"),
+      col("__n0").as("__b0"))
+    val conc = a.join(b, col("__sa") > col("__sb"))
+      .agg(coalesce(sum(col("__a1") * col("__b0")), lit(0L)).as("__conc"))
+    val ties = buckets
+      .agg(coalesce(sum(col("__n1") * col("__n0")), lit(0L)).as("__ties"),
+        sum(col("__n1")).as("__p"), sum(col("__n0")).as("__n"))
+    conc.crossJoin(ties).select(
+      (col("__conc") * 2 + col("__ties")).as("auc_num2"),
+      (col("__p") * col("__n") * 2).as("auc_den2"),
+      when(col("__p") > 0 && col("__n") > 0,
+        // DECIMAL(38,0) headroom: num2 * 2e6 outgrows a long near sf100
+        expr("CAST((CAST(__conc * 2 + __ties AS DECIMAL(38,0)) * 2000000" +
+          " + __p * __n * 2) div (2 * (__p * __n * 2)) AS BIGINT)")).as("auc_ppm"))
+  }
+
+  /** Reliability (calibration) bins: equal-width score bins carrying the
+    * exact positive counts — the grouped aggregate a calibration curve
+    * plots. Integer outputs only (counts + half-up ppm positive rate),
+    * fully oracle-replayable; one partial-merged aggregate. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"calibrationBins: need hi > lo, bins > 0")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((score - lo) / w), lit(0.0)), lit(bins - 1.0))
+      .cast(LongType)
+    df.select(bin.as("bin"), label.cast(BooleanType).as("__y"))
+      .where(col("bin").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_ppm",
+        expr("CAST((n_pos * 2000000 + n) div (2 * n) AS BIGINT)"))
+  }
 }

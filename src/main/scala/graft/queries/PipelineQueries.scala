@@ -1626,6 +1626,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ROC AUC, integer-exact: Mann–Whitney over grouped score buckets
+    // (concordant pairs from a bounded bucket self-join, ties half) —
+    // the in-pipeline classifier eval that never ranks the corpus in
+    // one partition. Score = n_chars; label = a fingerprint-derived
+    // pseudo-label whose positive rate grows with length, so AUC lands
+    // strictly between 0.5 and 1 and every count replays exactly.
+    "q_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ml.Learn.aucExact(d, col("n_chars"),
+        TextOps.fingerprint(col("text")) % 1000 * 2 < col("n_chars"))
+    }),
+
+    // Reliability/calibration bins for the same score-label pair:
+    // equal-width bins with exact positive counts and half-up ppm rates.
+    "q_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ml.Learn.calibrationBins(d, col("n_chars").cast(DoubleType),
+          TextOps.fingerprint(col("text")) % 1000 * 2 < col("n_chars"),
+          lo = 0.0, hi = 1000.0, bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // REAL n-gram language ID — Cavnar–Trenkle 1994 rank-order profiles
     // with out-of-place distance (the canonical "n-gram heuristic"; the
     // marker-token langId in q_text_stats is its toy stand-in): train
@@ -3970,6 +3992,47 @@ object PipelineQueries {
         |  (coff + frame_idx * ss)::BIGINT AS byte_offset,
         |  ss AS byte_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_auc" ->
+      """WITH fp AS (
+        |  SELECT n_chars,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(text) + 1), i -> ascii(text[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM documents),
+        |l AS (SELECT n_chars AS s, ((f % 1000) * 2 < n_chars) AS y FROM fp),
+        |b AS (SELECT s,
+        |        sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n0
+        |      FROM l GROUP BY s),
+        |conc AS (SELECT coalesce(sum(a.n1 * bb.n0), 0)::BIGINT AS c
+        |         FROM b a JOIN b bb ON a.s > bb.s),
+        |t AS (SELECT coalesce(sum(n1 * n0), 0)::BIGINT AS ties,
+        |        sum(n1)::BIGINT AS p, sum(n0)::BIGINT AS n FROM b)
+        |SELECT (c * 2 + ties)::BIGINT AS auc_num2,
+        |  (p * n * 2)::BIGINT AS auc_den2,
+        |  CASE WHEN p > 0 AND n > 0 THEN
+        |    CAST(((c * 2 + ties)::HUGEINT * 2000000 + p * n * 2)
+        |         // (2 * (p * n * 2)) AS BIGINT) END AS auc_ppm
+        |FROM conc, t""".stripMargin,
+
+    "q_calibration" ->
+      """WITH fp AS (
+        |  SELECT n_chars,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(text) + 1), i -> ascii(text[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM documents),
+        |l AS (
+        |  SELECT CAST(least(greatest(floor(n_chars::DOUBLE / 100), 0), 9)
+        |           AS BIGINT) AS bin,
+        |    ((f % 1000) * 2 < n_chars) AS y
+        |  FROM fp)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  CAST((sum(CASE WHEN y THEN 1 ELSE 0 END)::HUGEINT * 2000000 + count(*))
+        |       // (2 * count(*)) AS BIGINT) AS pos_rate_ppm
+        |FROM l GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_langid_ct" ->
       """WITH tri AS (

@@ -125,4 +125,38 @@ class LearnSpec extends SparkSpec {
     val dProj = d(two(0).getSeq[Float](1), two(1).getSeq[Float](1))
     assert(math.abs(dOrig - dProj) < 1e-2, s"$dOrig vs $dProj")
   }
+
+  test("aucExact: hand-computed Mann-Whitney with ties; degenerate guards") {
+    import spark.implicits._
+    // scores 1,2,2,3; labels F,F,T,T: 3 concordant pairs + 1 tie of 4
+    // -> AUC = 3.5/4 = 0.875
+    val df = Seq((1, false), (2, false), (2, true), (3, true)).toDF("s", "y")
+    val r = Learn.aucExact(df, col("s"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((7L, 8L, 875000L)))
+    // perfect separation -> AUC 1; anti-separation -> 0
+    val perfect = Seq((1, false), (2, true)).toDF("s", "y")
+    assert(Learn.aucExact(perfect, col("s"), col("y")).head().getLong(2) === 1000000L)
+    val anti = Seq((2, false), (1, true)).toDF("s", "y")
+    assert(Learn.aucExact(anti, col("s"), col("y")).head().getLong(2) === 0L)
+    // one-class input: ppm is null, not a division error
+    val oneClass = Seq((1, true), (2, true)).toDF("s", "y")
+    assert(Learn.aucExact(oneClass, col("s"), col("y")).head().isNullAt(2))
+    // no global window / no corpus-wide rank in the plan
+    val plan = Learn.aucExact(df, col("s"), col("y"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number") && !plan.contains("Window"), plan)
+  }
+
+  test("calibrationBins: exact counts, clamping, half-up ppm") {
+    import spark.implicits._
+    val df = Seq((0.05, true), (0.05, false), (0.05, false), // bin 0: 1/3
+      (0.55, true), (0.55, true),                            // bin 5: 2/2
+      (1.7, false)                                           // clamps to bin 9
+    ).toDF("s", "y")
+    val bins = Learn.calibrationBins(df, col("s"), col("y"), 0.0, 1.0, 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.toSeq === Seq((0L, 3L, 1L, 333333L), (5L, 2L, 2L, 1000000L),
+      (9L, 1L, 0L, 0L)))
+  }
 }

@@ -468,6 +468,11 @@ class PlanShapeSpec extends SparkSpec {
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
       // below proves the standing index itself never re-shuffles
       "q_bm25_maintain" -> 7,
+      // integer-exact AUC: two bucket aggs + the bounded bucket
+      // self-join (broadcast) + two scalar aggs; calibration is one
+      // partial agg + the oracle orderBy
+      "q_auc" -> 4,
+      "q_calibration" -> 2,
       // Poisson bootstrap: ONE partial agg keyed on the replicate
       // (<= B rows leave each map task) + the oracle orderBy
       "q_bootstrap" -> 2,
