@@ -468,10 +468,12 @@ class PlanShapeSpec extends SparkSpec {
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
       // below proves the standing index itself never re-shuffles
       "q_bm25_maintain" -> 7,
-      // integer-exact AUC: two bucket aggs + the bounded bucket
-      // self-join (broadcast) + two scalar aggs; calibration is one
-      // partial agg + the oracle orderBy
-      "q_auc" -> 4,
+      // integer-exact AUC: the bucket aggregate re-plans under each of
+      // its three consumers (self-join a/b sides + the ties scalar) —
+      // 5 exchanges total, every one over the BOUNDED bucket table, so
+      // re-computation is the right trade vs caching a corpus-derived
+      // frame per call
+      "q_auc" -> 5,
       "q_calibration" -> 2,
       // Poisson bootstrap: ONE partial agg keyed on the replicate
       // (<= B rows leave each map task) + the oracle orderBy
