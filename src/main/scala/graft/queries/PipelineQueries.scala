@@ -1626,6 +1626,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // MULTIMODAL curation — the faces compose into one pipeline: the
+    // native video clip gate (duration/resolution, single parse,
+    // scan-side) prunes first, survivors' TEXT flows through the
+    // quality gate -> exact dedup -> hash split -> manifest aggregate.
+    // The oracle replays every stage: video arithmetic, quality score,
+    // min-id dedup, split fingerprint, grouped sums.
+    "q_curate_mm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keptIds = Multimodal.filterByVideo(
+          synthVideoPayloads(docs), "payload", 5000000L, 480, 360)
+        .select(col("doc_id"))
+      val scored = docs.join(keptIds, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast(LongType))
+        .withColumn("q", round(TextOps.qualityScore(col("text")), 6))
+        .filter(col("q") >= 0.5 && col("n_tokens") >= 20)
+      val canon = Dedup.dropExactDups(scored, "text", "doc_id")
+      canon
+        .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 80))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_sum"),
+          round(sum(col("q")), 4).as("q_sum"))
+        .orderBy(col("split"))
+    }),
+
     // ROC AUC, integer-exact: Mann–Whitney over grouped score buckets
     // (concordant pairs from a bounded bucket self-join, ties half) —
     // the in-pipeline classifier eval that never ranks the corpus in
@@ -3992,6 +4017,38 @@ object PipelineQueries {
         |  (coff + frame_idx * ss)::BIGINT AS byte_offset,
         |  ss AS byte_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_curate_mm" ->
+      """WITH vid AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ((doc_id % 240 + 1) * 1000 * 1000000)
+        |      // (CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END
+        |         * 1000) >= 5000000
+        |    AND 320 + (doc_id % 4) * 160 >= 480
+        |    AND 240 + (doc_id % 3) * 120 >= 360),
+        |d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id IN (SELECT doc_id FROM vid)),
+        |scored AS (
+        |  SELECT doc_id, text, len(toks)::BIGINT AS n_tokens, round(
+        |      0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+        |    + 0.3 * (1.0 - len(list_filter(toks, t -> t IN ('a','the')))::DOUBLE / len(toks))
+        |    + 0.3 * least(1.0, len(toks)::DOUBLE / 100.0), 6) AS q
+        |  FROM d),
+        |qualified AS (SELECT * FROM scored WHERE q >= 0.5 AND n_tokens >= 20),
+        |canon AS (
+        |  SELECT * FROM
+        |    (SELECT *, min(doc_id) OVER (PARTITION BY text) AS mk FROM qualified)
+        |  WHERE doc_id = mk),
+        |tagged AS (
+        |  SELECT *, CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(doc_id::VARCHAR) + 1),
+        |        i -> ascii((doc_id::VARCHAR)[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split
+        |  FROM canon)
+        |SELECT split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens_sum,
+        |  round(sum(q), 4) AS q_sum
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
 
     "q_auc" ->
       """WITH fp AS (
