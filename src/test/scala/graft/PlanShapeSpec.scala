@@ -468,6 +468,9 @@ class PlanShapeSpec extends SparkSpec {
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec
       // below proves the standing index itself never re-shuffles
       "q_bm25_maintain" -> 7,
+      // multimodal curation: semi-join rides a broadcast; dedup window
+      // re-key + manifest agg + oracle orderBy are the only shuffles
+      "q_curate_mm" -> 3,
       // integer-exact AUC: the bucket aggregate re-plans under each of
       // its three consumers (self-join a/b sides + the ties scalar) —
       // 5 exchanges total, every one over the BOUNDED bucket table, so
