@@ -493,10 +493,15 @@ object BinaryExpressions {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_tracks", IntegerType, nullable = true),
+    // stts deltas are MEDIA ticks (the video trak's mdhd), not movie
+    // ticks — pts arithmetic must use this when present
+    StructField("media_timescale", IntegerType, nullable = true),
     StructField("n_frames", LongType, nullable = true),
     StructField("frame_delta", IntegerType, nullable = true),
     StructField("sample_size", IntegerType, nullable = true),
     StructField("chunk_offset", LongType, nullable = true),
+    // offset + idx*size byte addressing is only sound single-chunk
+    StructField("n_chunks", IntegerType, nullable = true),
     StructField("mdat_size", LongType, nullable = true)))
 
   def videoMeta(c: Column): Column = Bridge.column(VideoMeta(Bridge.expression(c)))
@@ -508,10 +513,10 @@ object BinaryExpressions {
     ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
 
   private def videoRow(fmt: UTF8String, ts: Any, dur: Any, durUs: Any,
-      w: Any, h: Any, tracks: Any, frames: Any, delta: Any, ssz: Any,
-      coff: Any, mdat: Any): InternalRow =
+      w: Any, h: Any, tracks: Any, mediaTs: Any, frames: Any, delta: Any,
+      ssz: Any, coff: Any, chunks: Any, mdat: Any): InternalRow =
     new GenericInternalRow(Array[Any](fmt, ts, dur, durUs, w, h, tracks,
-      frames, delta, ssz, coff, mdat))
+      mediaTs, frames, delta, ssz, coff, chunks, mdat))
 
   /** Shared by eval and generated code. */
   def videoAtLeast(b: Array[Byte], minUs: Long, minW: Int, minH: Int): Boolean = {
@@ -528,73 +533,131 @@ object BinaryExpressions {
     Bridge.column(VideoSampleable(Bridge.expression(c)))
 
   /** Shared by eval and generated code: every field the frame sampler
-    * needs is present and positive, in ONE box walk. */
+    * needs is present and positive, in ONE box walk. A multi-chunk
+    * layout (interleaved A/V) fails the gate: `offset + idx*size`
+    * addressing would read other chunks' bytes as frames. */
   def videoSampleable(b: Array[Byte]): Boolean = {
     val m = videoMeta(b)
-    // timescale(1), n_frames(7), frame_delta(8), sample_size(9), chunk_offset(10)
-    !m.isNullAt(1) && !m.isNullAt(7) && m.getLong(7) > 0 &&
-      !m.isNullAt(8) && !m.isNullAt(9) && !m.isNullAt(10)
+    // fields: timescale(1) media_timescale(7) n_frames(8) frame_delta(9)
+    //         sample_size(10) chunk_offset(11) n_chunks(12)
+    (!m.isNullAt(7) || !m.isNullAt(1)) &&
+      !m.isNullAt(8) && m.getLong(8) > 0 &&
+      !m.isNullAt(9) && !m.isNullAt(10) && !m.isNullAt(11) &&
+      !m.isNullAt(12) && m.getInt(12) == 1
   }
 
-  /** Targeted stss walk (ftyp → moov → first trak → mdia → minf → stbl →
-    * stss), returning the sync samples as 0-BASED frame indices (stss
-    * stores 1-based sample numbers). Null on non-BMFF / corrupt layout /
-    * absent stss — see [[VideoSyncSamples]] for the null contract. */
-  def videoSyncSamples(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+  // ---- shared ISO-BMFF box-walk core (ONE copy: videoMeta and ----
+  // ---- videoSyncSamples both parse through these)              ----
+
+  /** Payload start of the box at `i` (accounts for 64-bit largesize);
+    * -1 on structural error. Two reads keep full 64-bit ends — a
+    * declared largesize mdat on a header-only payload can exceed 2^31,
+    * so packing (ps, end) into one long would truncate it. */
+  private def boxPayloadStart(b: Array[Byte], i: Long, limit: Long): Long = {
+    if (i + 8 > limit) return -1L
+    val s32 = be32(b, i.toInt).toLong & 0xFFFFFFFFL
+    if (s32 == 1) { if (i + 16 > limit) -1L else i + 16 } else i + 8
+  }
+
+  /** End offset (i + declared size) of the box at `i`; -1 on error. */
+  private def boxEndAt(b: Array[Byte], i: Long, limit: Long): Long = {
+    if (i + 8 > limit) return -1L
+    var size = be32(b, i.toInt).toLong & 0xFFFFFFFFL
+    var hl = 8L
+    if (size == 1) {
+      if (i + 16 > limit) return -1L
+      size = be64(b, i.toInt + 8); hl = 16L
+    } else if (size == 0) size = limit - i
+    if (size < hl) -1L else i + size
+  }
+
+  private def is4ccAt(b: Array[Byte], i: Long, t: String): Boolean = {
+    val j = i.toInt + 4
+    b(j) == t.charAt(0) && b(j + 1) == t.charAt(1) &&
+      b(j + 2) == t.charAt(2) && b(j + 3) == t.charAt(3)
+  }
+
+  /** First child box with the given 4cc inside [from, to); null if
+    * absent or the child layout is corrupt. */
+  private def findBox(b: Array[Byte], from: Long, to: Long, t: String): (Long, Long) = {
+    var i = from
+    while (i + 8 <= to) {
+      val ps = boxPayloadStart(b, i, to); val end = boxEndAt(b, i, to)
+      if (ps < 0 || end < 0 || end > to) return null
+      if (is4ccAt(b, i, t)) return (ps, end)
+      i = end
+    }
+    null
+  }
+
+  /** tkhd pixel dims (16.16 fixed-point, v0/v1 layouts) of the trak at
+    * [ps, end); null when absent/zero. */
+  private def trakDims(b: Array[Byte], ps: Long, end: Long): (Int, Int) = {
+    val tk = findBox(b, ps, end, "tkhd")
+    if (tk == null) return null
+    val tps = tk._1.toInt
+    val v = b(tps) & 0xFF
+    val dimOff = if (v == 1) tps + 88 else tps + 76
+    if (dimOff + 8 > tk._2) return null
+    val w = be32(b, dimOff) >>> 16
+    val h = be32(b, dimOff + 4) >>> 16
+    if (w > 0 && h > 0) (w, h) else null
+  }
+
+  /** Locate moov's payload bounds; null on non-BMFF / corrupt / absent.
+    * mdat may declare an overrunning size (header-only payloads); only
+    * boxes BEFORE it are addressable, which is where moov lives in any
+    * streamable file. */
+  private def findMoov(b: Array[Byte]): (Long, Long) = {
     val n = b.length
-    if (n < 16 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return null
+    if (n < 16 || !is4ccAt(b, 0, "ftyp")) return null
     val ftypSize = be32(b, 0).toLong & 0xFFFFFFFFL
     if (ftypSize < 16 || ftypSize > n) return null
-
-    def payloadStart(i: Long, limit: Long): Long = {
-      if (i + 8 > limit) return -1L
-      val s32 = be32(b, i.toInt).toLong & 0xFFFFFFFFL
-      if (s32 == 1) { if (i + 16 > limit) -1L else i + 16 } else i + 8
-    }
-    def boxEnd(i: Long, limit: Long): Long = {
-      if (i + 8 > limit) return -1L
-      var size = be32(b, i.toInt).toLong & 0xFFFFFFFFL
-      var hl = 8L
-      if (size == 1) {
-        if (i + 16 > limit) return -1L
-        size = be64(b, i.toInt + 8); hl = 16L
-      } else if (size == 0) size = limit - i
-      if (size < hl) -1L else i + size
-    }
-    def is4cc(i: Long, a: Char, b2: Char, c: Char, d: Char): Boolean = {
-      val j = i.toInt + 4
-      b(j) == a && b(j + 1) == b2 && b(j + 2) == c && b(j + 3) == d
-    }
-    // find the first child box with the given 4cc; returns (ps, end) or null
-    def find(from: Long, to: Long, a: Char, b2: Char, c: Char, d: Char): (Long, Long) = {
-      var i = from
-      while (i + 8 <= to) {
-        val ps = payloadStart(i, to); val end = boxEnd(i, to)
-        if (ps < 0 || end < 0 || end > to) return null
-        if (is4cc(i, a, b2, c, d)) return (ps, end)
-        i = end
-      }
-      null
-    }
-    // top level: locate moov (mdat may declare an overrunning size; only
-    // boxes BEFORE it are addressable, which is where moov lives in any
-    // streamable file)
-    var moov: (Long, Long) = null
     var i = 0L
-    while (moov == null && i + 8 <= n) {
-      val ps = payloadStart(i, n.toLong); val end = boxEnd(i, n.toLong)
+    while (i + 8 <= n) {
+      val ps = boxPayloadStart(b, i, n.toLong); val end = boxEndAt(b, i, n.toLong)
       if (ps < 0 || end < 0) return null
-      if (is4cc(i, 'm', 'o', 'o', 'v')) { if (end > n) return null; moov = (ps, end) }
-      else if (is4cc(i, 'm', 'd', 'a', 't')) i = if (end > n) n.toLong else end
+      if (is4ccAt(b, i, "moov")) { if (end > n) return null; return (ps, end) }
+      if (is4ccAt(b, i, "mdat")) i = if (end > n) n.toLong else end
       else if (end > n) return null
       else i = end
     }
-    if (moov == null) return null
-    val trak = find(moov._1, moov._2, 't', 'r', 'a', 'k'); if (trak == null) return null
-    val mdia = find(trak._1, trak._2, 'm', 'd', 'i', 'a'); if (mdia == null) return null
-    val minf = find(mdia._1, mdia._2, 'm', 'i', 'n', 'f'); if (minf == null) return null
-    val stbl = find(minf._1, minf._2, 's', 't', 'b', 'l'); if (stbl == null) return null
-    val stss = find(stbl._1, stbl._2, 's', 't', 's', 's'); if (stss == null) return null
+    null
+  }
+
+  /** The VIDEO trak of a moov: the first trak whose tkhd carries
+    * positive pixel dims (audio traks have zero dims), falling back to
+    * the first trak when none does — an audio-first muxed file must not
+    * hand the sampler its audio sample tables. Null if no trak / corrupt. */
+  private def findVideoTrak(b: Array[Byte], moovPs: Long, moovEnd: Long): (Long, Long) = {
+    var first: (Long, Long) = null
+    var i = moovPs
+    while (i + 8 <= moovEnd) {
+      val ps = boxPayloadStart(b, i, moovEnd); val end = boxEndAt(b, i, moovEnd)
+      if (ps < 0 || end < 0 || end > moovEnd) return first
+      if (is4ccAt(b, i, "trak")) {
+        if (first == null) first = (ps, end)
+        if (trakDims(b, ps, end) != null) return (ps, end)
+      }
+      i = end
+    }
+    first
+  }
+
+  /** Targeted stss walk (ftyp → moov → VIDEO trak → mdia → minf → stbl →
+    * stss), returning the sync samples as 0-BASED frame indices (stss
+    * stores 1-based sample numbers). The trak is selected like
+    * [[videoMeta]] does — first with positive tkhd dims — so an
+    * audio-first file cannot hide the video keyframe table. Null on
+    * non-BMFF / corrupt layout / absent stss — see [[VideoSyncSamples]]
+    * for the null contract. */
+  def videoSyncSamples(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val moov = findMoov(b); if (moov == null) return null
+    val trak = findVideoTrak(b, moov._1, moov._2); if (trak == null) return null
+    val mdia = findBox(b, trak._1, trak._2, "mdia"); if (mdia == null) return null
+    val minf = findBox(b, mdia._1, mdia._2, "minf"); if (minf == null) return null
+    val stbl = findBox(b, minf._1, minf._2, "stbl"); if (stbl == null) return null
+    val stss = findBox(b, stbl._1, stbl._2, "stss"); if (stss == null) return null
     val ps = stss._1.toInt; val end = stss._2
     if (ps + 8 > end) return null
     val ec = be32(b, ps + 4)
@@ -613,20 +676,26 @@ object BinaryExpressions {
     * size==1 carries a 64-bit largesize after the type (files >4 GB),
     * size==0 means "to end of enclosure". The file must lead with `ftyp`
     * (its major brand is the format); `moov` is walked for `mvhd`
-    * (timescale, duration — v0 u32 / v1 u64 layouts) and each `trak`
-    * ('tkhd' 16.16 fixed-point dims; `mdia/minf/stbl` for `stts` total
-    * sample count + first delta, `stsz` fixed sample size, `stco`/`co64`
-    * first chunk offset). `mdat` contributes only its DECLARED payload
-    * size — the walk never reads coded bytes, so header-only payloads
-    * (and truncated bodies) parse fine. Any structural violation outside
-    * mdat keeps the brand with null fields. Never throws — corrupt bytes
-    * are data, not errors, in a crawl. */
+    * (timescale, duration — v0 u32 / v1 u64 layouts), the track count,
+    * and THE VIDEO TRAK (first with positive tkhd dims, else the first
+    * trak): its 16.16 dims, its mdhd MEDIA timescale (stts deltas are in
+    * media ticks, NOT movie ticks — a typical encoder has
+    * mvhd.timescale=1000 but video media timescale 15360), and its
+    * sample tables (`stts` total count + first delta, `stsz` fixed
+    * size, `stco`/`co64` first chunk offset + CHUNK COUNT — byte
+    * addressing by `offset + idx·size` is only sound in a single-chunk
+    * layout, so the count is part of the metadata). `mdat` contributes
+    * only its DECLARED payload size — the walk never reads coded bytes,
+    * so header-only payloads (and truncated bodies) parse fine. Any
+    * structural violation outside mdat keeps the brand with null
+    * fields. Never throws — corrupt bytes are data, not errors, in a
+    * crawl. */
   def videoMeta(b: Array[Byte]): InternalRow = {
     val n = b.length
     val allNull = (fmt: UTF8String) =>
-      videoRow(fmt, null, null, null, null, null, null, null, null, null, null, null)
-    if (n < 16 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p')
-      return allNull(FmtUnknown)
+      videoRow(fmt, null, null, null, null, null, null, null, null, null,
+        null, null, null, null)
+    if (n < 16 || !is4ccAt(b, 0, "ftyp")) return allNull(FmtUnknown)
     val ftypSize = be32(b, 0).toLong & 0xFFFFFFFFL
     if (ftypSize < 16 || ftypSize > n) return allNull(FmtUnknown)
     val brand = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 8, 12))
@@ -634,40 +703,20 @@ object BinaryExpressions {
     var timescale = -1; var durTicks = -1L
     var width = -1; var height = -1
     var moovSeen = false; var nTracks = 0
-    var nFrames = -1L; var delta = -1; var sampleSize = -1; var chunkOff = -1L
+    var mediaTs = -1
+    var nFrames = -1L; var delta = -1; var sampleSize = -1
+    var chunkOff = -1L; var nChunks = -1
     var mdatSize = -1L
+    var corrupt = false
 
-    // header decode, two reads to keep full 64-bit ends (a declared
-    // largesize mdat on a header-only payload can exceed 2^31; packing
-    // (ps, end) into one long would truncate it). -1 = structural error.
-    def payloadStart(i: Long, limit: Long): Long = {
-      if (i + 8 > limit) return -1L
-      val s32 = be32(b, i.toInt).toLong & 0xFFFFFFFFL
-      if (s32 == 1) { if (i + 16 > limit) -1L else i + 16 } else i + 8
-    }
-    def boxEnd(i: Long, limit: Long): Long = {
-      if (i + 8 > limit) return -1L
-      var size = be32(b, i.toInt).toLong & 0xFFFFFFFFL
-      var hl = 8L
-      if (size == 1) {
-        if (i + 16 > limit) return -1L
-        size = be64(b, i.toInt + 8); hl = 16L
-      } else if (size == 0) size = limit - i
-      if (size < hl) -1L else i + size
-    }
-    def is4cc(i: Long, a: Char, b2: Char, c: Char, d: Char): Boolean = {
-      val j = i.toInt + 4
-      b(j) == a && b(j + 1) == b2 && b(j + 2) == c && b(j + 3) == d
-    }
-
-    // stbl children: stts / stsz / stco / co64
+    // sample tables of the SELECTED trak only
     def walkStbl(from: Long, to: Long): Boolean = {
       var i = from
       while (i + 8 <= to) {
-        val ps0 = payloadStart(i, to); val end = boxEnd(i, to)
+        val ps0 = boxPayloadStart(b, i, to); val end = boxEndAt(b, i, to)
         if (ps0 < 0 || end < 0 || end > to) return false
         val ps = ps0.toInt
-        if (is4cc(i, 's', 't', 't', 's')) {
+        if (is4ccAt(b, i, "stts")) {
           if (ps + 8 > end) return false
           val ec = be32(b, ps + 4)
           if (ec < 0 || ps + 8 + 8L * ec > end) return false
@@ -678,109 +727,106 @@ object BinaryExpressions {
           }
           if (nFrames < 0) nFrames = total
           if (delta < 0 && ec >= 1) delta = be32(b, ps + 12)
-        } else if (is4cc(i, 's', 't', 's', 'z')) {
+        } else if (is4ccAt(b, i, "stsz")) {
           if (ps + 12 > end) return false
           val fixed = be32(b, ps + 4)
           if (sampleSize < 0 && fixed > 0) sampleSize = fixed
           if (nFrames < 0) nFrames = be32(b, ps + 8).toLong & 0xFFFFFFFFL
-        } else if (is4cc(i, 's', 't', 'c', 'o')) {
+        } else if (is4ccAt(b, i, "stco")) {
           if (ps + 8 > end) return false
-          if (chunkOff < 0 && be32(b, ps + 4) >= 1 && ps + 12 <= end)
+          val ec = be32(b, ps + 4)
+          if (nChunks < 0 && ec >= 0) nChunks = ec
+          if (chunkOff < 0 && ec >= 1 && ps + 12 <= end)
             chunkOff = be32(b, ps + 8).toLong & 0xFFFFFFFFL
-        } else if (is4cc(i, 'c', 'o', '6', '4')) {
+        } else if (is4ccAt(b, i, "co64")) {
           if (ps + 8 > end) return false
-          if (chunkOff < 0 && be32(b, ps + 4) >= 1 && ps + 16 <= end)
+          val ec = be32(b, ps + 4)
+          if (nChunks < 0 && ec >= 0) nChunks = ec
+          if (chunkOff < 0 && ec >= 1 && ps + 16 <= end)
             chunkOff = be64(b, ps + 8)
         }
         i = end
       }
       true
     }
-    // mdia -> minf -> stbl: pure container descent
-    def descend(from: Long, to: Long, a: Char, b2: Char, c: Char, d: Char)(
-        inner: (Long, Long) => Boolean): Boolean = {
-      var i = from
-      while (i + 8 <= to) {
-        val ps = payloadStart(i, to); val end = boxEnd(i, to)
-        if (ps < 0 || end < 0 || end > to) return false
-        if (is4cc(i, a, b2, c, d)) return inner(ps, end)
-        i = end
+    // the selected trak: dims + mdhd media timescale + sample tables
+    def walkVideoTrak(trakPs: Long, trakEnd: Long): Boolean = {
+      trakDims(b, trakPs, trakEnd) match {
+        case null =>
+        case (w, h) => width = w; height = h
       }
-      true // absent container: fields stay null, not corrupt
-    }
-    def walkTrak(from: Long, to: Long): Boolean = {
-      var i = from
-      while (i + 8 <= to) {
-        val ps0 = payloadStart(i, to); val end = boxEnd(i, to)
-        if (ps0 < 0 || end < 0 || end > to) return false
-        val ps = ps0.toInt
-        if (is4cc(i, 't', 'k', 'h', 'd')) {
-          val v = b(ps) & 0xFF
-          val dimOff = if (v == 1) ps + 88 else ps + 76
-          if (dimOff + 8 <= end) {
-            val w = be32(b, dimOff) >>> 16
-            val hh = be32(b, dimOff + 4) >>> 16
-            if (width < 0 && w > 0 && hh > 0) { width = w; height = hh }
-          }
-        } else if (is4cc(i, 'm', 'd', 'i', 'a')) {
-          val ok = descend(ps, end, 'm', 'i', 'n', 'f') { (p2, e2) =>
-            descend(p2, e2, 's', 't', 'b', 'l')(walkStbl)
-          }
-          if (!ok) return false
-        }
-        i = end
+      val mdia = findBox(b, trakPs, trakEnd, "mdia")
+      if (mdia == null) return true // headerless trak: fields stay null
+      val mdhd = findBox(b, mdia._1, mdia._2, "mdhd")
+      if (mdhd != null) {
+        val ps = mdhd._1.toInt
+        val v = b(ps) & 0xFF
+        if (v == 1) { if (ps + 24 <= mdhd._2) mediaTs = be32(b, ps + 20) }
+        else { if (ps + 16 <= mdhd._2) mediaTs = be32(b, ps + 12) }
       }
-      true
-    }
-    def walkMoov(from: Long, to: Long): Boolean = {
-      var i = from
-      while (i + 8 <= to) {
-        val ps0 = payloadStart(i, to); val end = boxEnd(i, to)
-        if (ps0 < 0 || end < 0 || end > to) return false
-        val ps = ps0.toInt
-        if (is4cc(i, 'm', 'v', 'h', 'd')) {
-          val v = b(ps) & 0xFF
-          if (v == 1) {
-            if (ps + 32 > end) return false
-            timescale = be32(b, ps + 20)
-            durTicks = be64(b, ps + 24)
-          } else {
-            if (ps + 20 > end) return false
-            timescale = be32(b, ps + 12)
-            durTicks = be32(b, ps + 16).toLong & 0xFFFFFFFFL
-          }
-        } else if (is4cc(i, 't', 'r', 'a', 'k')) {
-          nTracks += 1
-          if (!walkTrak(ps, end)) return false
-        }
-        i = end
-      }
-      true
+      val minf = findBox(b, mdia._1, mdia._2, "minf")
+      if (minf == null) return true
+      val stbl = findBox(b, minf._1, minf._2, "stbl")
+      if (stbl == null) return true
+      walkStbl(stbl._1, stbl._2)
     }
 
-    var i = 0L
-    var ok = true
-    while (ok && i + 8 <= n) {
-      val ps = payloadStart(i, n.toLong); val end = boxEnd(i, n.toLong)
-      if (ps < 0 || end < 0) ok = false
-      else {
-        if (is4cc(i, 'm', 'd', 'a', 't')) {
-          // declared payload size; body may be absent/truncated — that's
-          // fine, the walk never reads it. Stop here: nothing after an
-          // overrunning mdat is addressable anyway.
-          if (mdatSize < 0) mdatSize = end - ps
-          i = if (end > n) n.toLong else end
-        } else if (end > n) ok = false // non-mdat boxes must be whole
+    val moovB = findMoov(b)
+    if (moovB != null) {
+      moovSeen = true
+      // mvhd + track count
+      var i = moovB._1
+      while (!corrupt && i + 8 <= moovB._2) {
+        val ps0 = boxPayloadStart(b, i, moovB._2); val end = boxEndAt(b, i, moovB._2)
+        if (ps0 < 0 || end < 0 || end > moovB._2) corrupt = true
         else {
-          if (is4cc(i, 'm', 'o', 'o', 'v')) {
-            moovSeen = true
-            ok = walkMoov(ps, end)
-          }
+          val ps = ps0.toInt
+          if (is4ccAt(b, i, "mvhd")) {
+            val v = b(ps) & 0xFF
+            if (v == 1) {
+              if (ps + 32 > end) corrupt = true
+              else { timescale = be32(b, ps + 20); durTicks = be64(b, ps + 24) }
+            } else {
+              if (ps + 20 > end) corrupt = true
+              else {
+                timescale = be32(b, ps + 12)
+                durTicks = be32(b, ps + 16).toLong & 0xFFFFFFFFL
+              }
+            }
+          } else if (is4ccAt(b, i, "trak")) nTracks += 1
           i = end
         }
       }
+      if (!corrupt) {
+        val trak = findVideoTrak(b, moovB._1, moovB._2)
+        if (trak != null && !walkVideoTrak(trak._1, trak._2)) corrupt = true
+      }
+    } else {
+      // distinguish "no moov" (fields null) from a corrupt top level:
+      // findMoov returns null for both, so re-validate the top walk
+      if (n < 16 || !is4ccAt(b, 0, "ftyp")) return allNull(FmtUnknown)
+      var i = 0L
+      while (!corrupt && i + 8 <= n) {
+        val ps = boxPayloadStart(b, i, n.toLong); val end = boxEndAt(b, i, n.toLong)
+        if (ps < 0 || end < 0) corrupt = true
+        else if (is4ccAt(b, i, "mdat")) i = if (end > n) n.toLong else end
+        else if (end > n) corrupt = true
+        else i = end
+      }
     }
-    if (!ok) return allNull(brand)
+    if (!corrupt) {
+      // mdat declared size (top level; may overrun a header-only payload)
+      var i = 0L
+      var go = true
+      while (go && i + 8 <= n) {
+        val ps = boxPayloadStart(b, i, n.toLong); val end = boxEndAt(b, i, n.toLong)
+        if (ps < 0 || end < 0) go = false
+        else if (is4ccAt(b, i, "mdat")) { mdatSize = end - ps; go = false }
+        else if (end > n) go = false
+        else i = end
+      }
+    }
+    if (corrupt) return allNull(brand)
     val durUs: Any =
       if (timescale > 0 && durTicks >= 0) durTicks * 1000000L / timescale else null
     videoRow(brand,
@@ -790,10 +836,12 @@ object BinaryExpressions {
       if (width > 0) width else null,
       if (height > 0) height else null,
       if (moovSeen) nTracks else null,
+      if (mediaTs > 0) mediaTs else null,
       if (nFrames >= 0) nFrames else null,
       if (delta > 0) delta else null,
       if (sampleSize > 0) sampleSize else null,
       if (chunkOff >= 0) chunkOff else null,
+      if (nChunks >= 0) nChunks else null,
       if (mdatSize >= 0) mdatSize else null)
   }
 }

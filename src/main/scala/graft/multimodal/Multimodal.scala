@@ -208,6 +208,13 @@ object Multimodal {
     val base = df
       .where(graft.expr.BinaryExpressions.videoSampleable(col(binaryCol)))
       .withColumn(metaCol, graft.expr.BinaryExpressions.videoMeta(col(binaryCol)))
+    // stts deltas are MEDIA ticks: pts arithmetic uses the video trak's
+    // mdhd timescale; movie timescale is only the fallback for headers
+    // that carry no mdhd (a typical encoder has mvhd 1000 vs video
+    // media 15360 — dividing by the wrong one skews every pts ~15x)
+    val ptsScale = coalesce(
+      col(metaCol).getField("media_timescale"),
+      col(metaCol).getField("timescale")).cast(LongType)
     // keyframe snapping: a decoder can only START at a sync sample, so
     // each uniform index moves to the greatest stss entry at or before
     // it. Null stss = every sample is sync (ISO 14496-12 §8.6.2) = no
@@ -237,7 +244,7 @@ object Multimodal {
       .withColumn(out, transform(idxArr, idx => struct(
         idx.as("frame_idx"),
         idiv(idx * m.getField("frame_delta").cast(LongType) * lit(1000000L),
-          m.getField("timescale")).as("pts_us"),
+          ptsScale).as("pts_us"),
         (m.getField("chunk_offset") +
           idx * m.getField("sample_size").cast(LongType)).as("byte_offset"),
         m.getField("sample_size").cast(LongType).as("byte_len"))))

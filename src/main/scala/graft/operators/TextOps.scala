@@ -975,8 +975,14 @@ object TextOps {
     * rows per doc. Docs shorter than the n-gram width score every
     * profile equally and take the first language. */
   def langIdCt(docs: DataFrame, textCol: String, idCol: String,
-      profiles: DataFrame, n: Int = 3, m: Int = 50): DataFrame = {
-    val k = 300L // absent-gram penalty = profile capacity
+      profiles: DataFrame, n: Int = 3, m: Int = 50,
+      profileK: Int = 300): DataFrame = {
+    // absent-gram penalty = the TRAINING profile capacity (pass the k
+    // used in trainLangProfiles): with a smaller penalty than the
+    // deepest possible rank, matching a gram at rank > penalty would
+    // cost MORE than a language that never saw it - inverting the
+    // out-of-place semantics
+    val k = profileK.toLong
     // explode_outer: a doc too short for even one n-gram keeps ONE
     // null-gram row, which matches no profile -> every language scores
     // the flat penalty and the tie resolves to the first (the doc would

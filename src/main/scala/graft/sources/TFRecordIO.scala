@@ -120,7 +120,10 @@ object TFRecordIO {
       }
       out // unreachable
     }
-    def fixed32(): Int = { val v = readLe32(b, i); i += 4; v }
+    def fixed32(): Int = {
+      require(i + 4 <= to, "TFRecord: truncated fixed32")
+      val v = readLe32(b, i); i += 4; v
+    }
     /** Read a tag; returns (field, wire). */
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
     /** Bounds of a length-delimited field; advances past it. */
@@ -131,9 +134,9 @@ object TFRecordIO {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(): Unit
-      case 1 => i += 8
+      case 1 => require(i + 8 <= to, "TFRecord: truncated fixed64"); i += 8
       case 2 => delimited(): Unit
-      case 5 => i += 4
+      case 5 => require(i + 4 <= to, "TFRecord: truncated fixed32"); i += 4
       case other => throw new IllegalArgumentException(s"TFRecord: wire type $other")
     }
   }
@@ -325,13 +328,21 @@ object TFRecordIO {
         case None => null
         case Some((kind, list)) => (sf.dataType, kind) match {
           case (LongType, 3) => scalar(sf.name, int64s(list))
-          case (IntegerType, 3) => scalar(sf.name, int64s(list)).toInt
+          case (IntegerType, 3) =>
+            val v = scalar(sf.name, int64s(list))
+            require(v >= Int.MinValue && v <= Int.MaxValue,
+              s"TFRecordIO: feature '${sf.name}' value $v overflows IntegerType")
+            v.toInt
           case (BooleanType, 3) => scalar(sf.name, int64s(list)) != 0L
           case (FloatType, 2) => scalar(sf.name, floats(list))
           case (StringType, 1) => new String(scalar(sf.name, bytess(list)), "UTF-8")
           case (BinaryType, 1) => scalar(sf.name, bytess(list))
           case (ArrayType(LongType, _), 3) => int64s(list)
-          case (ArrayType(IntegerType, _), 3) => int64s(list).map(_.toInt)
+          case (ArrayType(IntegerType, _), 3) => int64s(list).map { v =>
+            require(v >= Int.MinValue && v <= Int.MaxValue,
+              s"TFRecordIO: feature '${sf.name}' value $v overflows IntegerType")
+            v.toInt
+          }
           case (ArrayType(FloatType, _), 2) => floats(list)
           case (ArrayType(StringType, _), 1) => bytess(list).map(new String(_, "UTF-8"))
           case (dt, k) => throw new IllegalArgumentException(

@@ -287,8 +287,25 @@ object VersionedTable {
     val newFiles = stage(rewritten, path)
     val v = cur + 1
     publish(path, v, cur, "cdc-cow", carriedRel ++ newFiles)
-    // refresh the skip stats: carried entries persist, new files measured
-    if (Files.exists(sidecar)) writeStats(spark, path, v, idCol)
+    // refresh the skip stats O(churn): carried files KEEP their old
+    // sidecar entries verbatim (their bytes didn't move), only the new
+    // files are measured — re-running writeStats over the whole version
+    // would full-scan a 100 TB table per nightly commit
+    if (Files.exists(sidecar)) {
+      val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
+      val old = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
+        .collect { case e @ entry(f, _, _) => f -> e }.toMap
+      val carried = carriedRel.flatMap(f => old.get(f))
+      val fresh = fileStats(spark, path,
+          newFiles.map(f => Paths.get(path).resolve(f).toString), idCol)
+        .toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+          s"""{"file":"${esc(f)}","min":$lo,"max":$hi}"""
+        }
+      val target = versionsDir(path).resolve(f"v$v%08d.stats.${idCol}.json")
+      val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, (carried ++ fresh).mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
     v
   }
 
@@ -311,14 +328,20 @@ object VersionedTable {
   /** Delete data files not referenced by the newest `keepVersions`
     * manifests (older manifests are dropped too — their versions become
     * unreadable, which is the contract a pinned reader must respect
-    * before the retention window closes). */
-  def vacuum(path: String, keepVersions: Int): Unit = {
+    * before the retention window closes). `minAgeMs` is the in-flight
+    * guard (Delta-style): a CONCURRENT committer's staged files are
+    * already in data/ but referenced by no manifest yet — deleting
+    * them would corrupt the commit the moment its manifest lands, so
+    * only unreferenced files older than the window are eligible. */
+  def vacuum(path: String, keepVersions: Int,
+      minAgeMs: Long = 60L * 60 * 1000): Unit = {
     require(keepVersions >= 1, "VersionedTable.vacuum: keep at least 1 version")
     val vs = versions(path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     val live = keep.flatMap(filesAt(path, _)).map(Paths.get(_).getFileName.toString).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     Option(dataDir(path).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !live.contains(f.getName))
+      .filter(f => f.isFile && !live.contains(f.getName) && f.lastModified() < cutoff)
       .foreach(_.delete())
     drop.foreach { v =>
       Files.deleteIfExists(versionFile(path, v))

@@ -1750,14 +1750,19 @@ class PipelineSpec extends SparkSpec {
     assert(prof.groupBy("lang").count().collect().forall(_.getLong(1) <= 4))
     // classification: an 'aaa'-heavy doc lands in xx, a 'zzz'-heavy in yy
     val docs = Seq((10L, "aaaa aaa"), (11L, "zzzzzz"), (12L, "q")).toDF("doc_id", "text")
-    val got = TextOps.langIdCt(docs, "text", "doc_id", prof, n = 3, m = 4)
+    // penalty follows the TRAINING capacity (k=4 here): a smaller
+    // penalty than the deepest rank would make matched grams cost more
+    // than unknown ones
+    val got = TextOps.langIdCt(docs, "text", "doc_id", prof, n = 3, m = 4,
+        profileK = 4)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got(10L)._1 === "xx")
     assert(got(11L)._1 === "yy")
     // sub-trigram doc: flat penalty on every language, tie -> first lang
-    assert(got(12L) === (("xx", 300L)))
+    assert(got(12L) === (("xx", 4L)))
     // determinism: same inputs, same distances, twice
-    val again = TextOps.langIdCt(docs, "text", "doc_id", prof, n = 3, m = 4)
+    val again = TextOps.langIdCt(docs, "text", "doc_id", prof, n = 3, m = 4,
+        profileK = 4)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(again === got)
   }

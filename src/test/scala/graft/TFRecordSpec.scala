@@ -73,6 +73,19 @@ class TFRecordSpec extends SparkSpec {
     // doubles are rejected at encode (tf.Example has no double list)
     assertThrows[IllegalArgumentException](TFRecordIO.exampleBytes(
       StructType(Seq(StructField("x", DoubleType))), Row(1.0)))
+    // int64 overflowing IntegerType is an error, never a silent .toInt
+    val big = TFRecordIO.exampleBytes(
+      StructType(Seq(StructField("x", LongType))), Row(4294967301L))
+    assertThrows[IllegalArgumentException](TFRecordIO.decodeExample(
+      StructType(Seq(StructField("x", IntegerType))), big))
+    // malformed proto inside a CRC-valid frame: truncated fixed32 is a
+    // deliberate error, not an ArrayIndexOutOfBounds from an executor
+    val f32 = TFRecordIO.exampleBytes(
+      StructType(Seq(StructField("x", FloatType))), Row(1.5f))
+    val cut = java.util.Arrays.copyOf(f32, f32.length - 2)
+    val e = intercept[Exception](TFRecordIO.decodeExample(
+      StructType(Seq(StructField("x", FloatType))), cut))
+    assert(e.getMessage.contains("TFRecord"), e.toString)
   }
 
   test("file roundtrip: guarded write, distributed read over a shard directory") {

@@ -215,8 +215,14 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commit(spark.range(20, 30).toDF("id"), path, "overwrite")
     val dataFiles = () => new java.io.File(s"$path/data").listFiles().count(_.isFile)
     val before = dataFiles()
+    // in-flight guard: with the default retention window, unreferenced
+    // files this fresh are a CONCURRENT committer's staging — data
+    // survives even though the old manifests are dropped
     VersionedTable.vacuum(path, keepVersions = 1)
     assert(VersionedTable.versions(path) === Seq(2L))
+    assert(dataFiles() === before)
+    // past the window they are garbage and go
+    VersionedTable.vacuum(path, keepVersions = 1, minAgeMs = 0L)
     assert(dataFiles() < before)
     assert(ids(VersionedTable.read(spark, path)) === (20L until 30L))
     assertThrows[IllegalArgumentException](

@@ -60,8 +60,33 @@ object VideoSynth extends Serializable {
     box("stbl", stts ++ stsz ++ stco ++ stss)
   }
 
-  def trak(tkhd: Array[Byte], st: Array[Byte]) =
-    box("trak", tkhd ++ box("mdia", box("minf", st)))
+  def mdhd0(ts: Int) =
+    box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts.toLong) ++ be32(0) ++
+      be16(0x55C4) ++ be16(0))
+
+  def trak(tkhd: Array[Byte], st: Array[Byte], mediaTs: Int = 0) =
+    box("trak", tkhd ++ box("mdia",
+      (if (mediaTs > 0) mdhd0(mediaTs) else Array.empty[Byte]) ++ box("minf", st)))
+
+  /** An audio-like trak: tkhd with ZERO dims plus its own sample tables
+    * (the decoy an audio-first muxed file places before the video trak). */
+  def audioTrak(nSamples: Long, ss: Int) =
+    trak(tkhd0(0, 0, nSamples), stbl(nSamples, 1024, ss, chunkOff = 4444))
+
+  /** stbl whose stco is pre-set to 0 for later patching via
+    * [[patchChunkOffset]] (fixture builders that append mdat last). */
+  def patchedStbl(nf: Long, delta: Int, ss: Int) =
+    stbl(nf, delta, ss, chunkOff = 0)
+
+  /** stbl with a MULTI-entry stco — the interleaved-chunk layout the
+    * addressability gate must reject. */
+  def stblMultiChunk(nf: Long, delta: Int, ss: Int, offsets: Seq[Long]) = {
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(nf) ++ be32(delta.toLong))
+    val stsz = box("stsz", be32(0) ++ be32(ss.toLong) ++ be32(nf))
+    val stco = box("stco", be32(0) ++ be32(offsets.length.toLong) ++
+      offsets.toArray.flatMap(be32))
+    box("stbl", stts ++ stsz ++ stco)
+  }
 
   def mp4(ts: Int = 24000, nf: Long = 100, delta: Int = 1000,
       w: Int = 640, h: Int = 480, ss: Int = 900,
@@ -236,6 +261,64 @@ class VideoMetaSpec extends SparkSpec {
       .select(explode($"frames").as("f")).select($"f.frame_idx")
       .as[Long].collect().sorted.toSeq
     assert(a === b)
+  }
+
+  test("real-MP4 shapes: audio-first trak selection, mdhd media pts, multi-chunk gate") {
+    import graft.expr.BinaryExpressions
+    def metaAll(bytes: Array[Byte]): Row = {
+      val df = Seq(Tuple1(bytes)).toDF("payload")
+      Multimodal.withVideoMeta(df, "payload").select(
+        $"video.width", $"video.height", $"video.n_frames",
+        $"video.sample_size", $"video.chunk_offset",
+        $"video.media_timescale", $"video.n_chunks", $"video.n_tracks").head()
+    }
+    // audio-first file: audio trak (zero dims, its own big sample tables)
+    // BEFORE the video trak — dims AND sample tables must come from the
+    // VIDEO trak, never mixed across traks
+    val audioFirst = ftyp() ++ box("moov",
+      mvhd0(1000, 4000) ++
+        audioTrak(nSamples = 216000, ss = 128) ++
+        trak(tkhd0(640, 480, 4000), stbl(96, 512, 900, chunkOff = 332),
+          mediaTs = 15360))
+    val m = metaAll(audioFirst)
+    assert((m.getInt(0), m.getInt(1)) === ((640, 480)))
+    assert(m.getLong(2) === 96L)     // video frames, not 216000 audio samples
+    assert(m.getInt(3) === 900)      // video sample size, not 128
+    assert(m.getLong(4) === 332L)    // video chunk offset, not 4444
+    assert(m.getInt(5) === 15360)    // the video trak's MEDIA timescale
+    assert(m.getInt(7) === 2)
+    // stss selection follows the same rule: the audio trak has no stss,
+    // the video trak's must still be found
+    val audioFirstKeys = ftyp() ++ box("moov",
+      mvhd0(1000, 4000) ++
+        audioTrak(nSamples = 1000, ss = 128) ++
+        trak(tkhd0(320, 240, 4000), stbl(48, 512, 900, 0, gop = 12)))
+    val keys = Seq(Tuple1(audioFirstKeys)).toDF("payload")
+      .select(BinaryExpressions.videoSyncSamples($"payload").as("k"))
+      .head().getSeq[Long](0)
+    assert(keys === Seq(0L, 12L, 24L, 36L))
+    // pts arithmetic divides by MEDIA ticks when mdhd is present:
+    // delta 512 @ media 15360 = 33,333 us/frame (mvhd 1000 would say 512ms)
+    val clip = ftyp() ++ box("moov",
+      mvhd0(1000, 4000) ++
+        trak(tkhd0(640, 480, 4000),
+          VideoSynth.patchedStbl(96, 512, 900), mediaTs = 15360)) ++
+      (be32(8L + 96 * 900) ++ "mdat".getBytes)
+    val patched = patchChunkOffset(clip, clip.length.toLong, co64 = false)
+    val pts = Multimodal.sampleFrameRanges(
+        Seq((1L, patched)).toDF("doc_id", "payload"), "payload", 4)
+      .select(explode($"frames").as("f")).select($"f.frame_idx", $"f.pts_us")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    pts.foreach { case (idx, p) => assert(p === idx * 512L * 1000000L / 15360L) }
+    // a multi-chunk layout fails the addressability gate: offset+idx*size
+    // would read other chunks' bytes as frames
+    val multiChunk = ftyp() ++ box("moov",
+      mvhd0(1000, 4000) ++
+        trak(tkhd0(640, 480, 4000),
+          VideoSynth.stblMultiChunk(96, 512, 900, Seq(332L, 99000L))))
+    assert(!BinaryExpressions.videoSampleable(multiChunk))
+    assert(Multimodal.sampleFrameRanges(
+      Seq((1L, multiChunk)).toDF("doc_id", "payload"), "payload", 4).count() === 0)
   }
 
   test("fuzz: random and bit-flipped containers never throw (crawl bytes are data)") {
