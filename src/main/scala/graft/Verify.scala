@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // streaming queries grade through a MEMORY sink (driver-side by
+      // definition); at sf10 q_stream_session's Complete-mode result is
+      // ~1 GiB and trips the 1 GiB default. The sink is harness, not
+      // operator: production session streams write to real sinks.
+      .config("spark.driver.maxResultSize", "4g")
       // driver testdata events.ts is TIMESTAMP(NANOS); read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
