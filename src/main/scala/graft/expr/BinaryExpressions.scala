@@ -199,6 +199,47 @@ case class VideoSampleable(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** FULL sample-table frame addressing as ONE native call: `k` uniformly
+  * sampled frames of an ISO-BMFF payload as (frame_idx, pts_us,
+  * byte_offset, byte_len) structs, honoring the container semantics the
+  * simple column sampler cannot express —
+  *  - stts with MULTIPLE entries: pts is the cumulative delta sum up to
+  *    the sample, in mdhd MEDIA ticks (mvhd fallback);
+  *  - stsc chunk mapping + multi-entry stco/co64: interleaved-A/V files
+  *    address correctly instead of being rejected;
+  *  - stsz with PER-SAMPLE sizes: offsets accumulate real sizes within
+  *    the chunk, lengths are per-frame;
+  *  - optional stss snapping (greatest sync sample ≤ the uniform index).
+  * NULL when the payload's tables can't address a frame (non-BMFF,
+  * corrupt, missing tables) — a sampler must not schedule reads it
+  * can't prove. Row-local, zero shuffle, coded bytes never touched. */
+case class VideoFrameRanges(child: Expression, k: Int, snap: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, s"VideoFrameRanges: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(BinaryExpressions.frameRangeType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_video_frame_ranges"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.videoFrameRanges(input.asInstanceOf[Array[Byte]], k, snap)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.expr.BinaryExpressions.videoFrameRanges($s, $k, $snap);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameRanges =
+    copy(child = newChild)
+}
+
 /** Single-parse video gate: `duration_us >= minUs AND width >= minW AND
   * height >= minH` with ONE box walk (same rationale as
   * [[ImageMinResolution]] — FilterExec has no subexpression elimination,
@@ -642,6 +683,173 @@ object BinaryExpressions {
       i = end
     }
     first
+  }
+
+  val frameRangeType: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("pts_us", LongType, nullable = false),
+    StructField("byte_offset", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+
+  def videoFrameRanges(c: Column, k: Int, snap: Boolean): Column =
+    Bridge.column(VideoFrameRanges(Bridge.expression(c), k, snap))
+
+  /** Full-addressing sampler — see [[VideoFrameRanges]]. ONE forward
+    * pass over the sample tables up to the largest sampled index:
+    * pts accumulates stts deltas (multi-entry), the chunk cursor
+    * follows stsc (absent stsc = the single-chunk shorthand, valid
+    * only when stco has exactly one entry), offsets accumulate real
+    * stsz sizes within each chunk (fixed or per-sample). Any
+    * inconsistency (tables missing, counts short, chunk cursor past
+    * stco) returns null — never a fabricated byte range. */
+  def videoFrameRanges(b: Array[Byte], k: Int,
+      snap: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val moov = findMoov(b); if (moov == null) return null
+    val trak = findVideoTrak(b, moov._1, moov._2); if (trak == null) return null
+    val mdia = findBox(b, trak._1, trak._2, "mdia"); if (mdia == null) return null
+    val minf = findBox(b, mdia._1, mdia._2, "minf"); if (minf == null) return null
+    val stbl = findBox(b, minf._1, minf._2, "stbl"); if (stbl == null) return null
+
+    // timescale: mdhd media ticks, mvhd movie ticks as fallback
+    var ts = -1L
+    val mdhd = findBox(b, mdia._1, mdia._2, "mdhd")
+    if (mdhd != null) {
+      val ps = mdhd._1.toInt; val v = b(ps) & 0xFF
+      if (v == 1) { if (ps + 24 <= mdhd._2) ts = be32(b, ps + 20).toLong }
+      else if (ps + 16 <= mdhd._2) ts = be32(b, ps + 12).toLong
+    }
+    if (ts <= 0) {
+      val mvhd = findBox(b, moov._1, moov._2, "mvhd")
+      if (mvhd != null) {
+        val ps = mvhd._1.toInt; val v = b(ps) & 0xFF
+        if (v == 1) { if (ps + 24 <= mvhd._2) ts = be32(b, ps + 20).toLong }
+        else if (ps + 16 <= mvhd._2) ts = be32(b, ps + 12).toLong
+      }
+    }
+    if (ts <= 0) return null
+
+    // stts: (count, delta) entries; total sample count
+    val stts = findBox(b, stbl._1, stbl._2, "stts"); if (stts == null) return null
+    val sttsPs = stts._1.toInt
+    if (sttsPs + 8 > stts._2) return null
+    val sttsN = be32(b, sttsPs + 4)
+    if (sttsN <= 0 || sttsPs + 8 + 8L * sttsN > stts._2) return null
+    var total = 0L
+    var e = 0
+    while (e < sttsN) {
+      total += be32(b, sttsPs + 8 + 8 * e).toLong & 0xFFFFFFFFL
+      e += 1
+    }
+    if (total <= 0) return null
+
+    // stsz: fixed size, or the per-sample size table
+    val stsz = findBox(b, stbl._1, stbl._2, "stsz"); if (stsz == null) return null
+    val stszPs = stsz._1.toInt
+    if (stszPs + 12 > stsz._2) return null
+    val fixedSz = be32(b, stszPs + 4)
+    val stszCnt = be32(b, stszPs + 8).toLong & 0xFFFFFFFFL
+    if (fixedSz <= 0) {
+      if (stszCnt < total || stszPs + 12 + 4L * total > stsz._2) return null
+    }
+    def sizeOf(i: Long): Long =
+      if (fixedSz > 0) fixedSz.toLong
+      else be32(b, stszPs + 12 + 4 * i.toInt).toLong & 0xFFFFFFFFL
+
+    // stco/co64 chunk offsets
+    var co = findBox(b, stbl._1, stbl._2, "stco")
+    val co64 = co == null
+    if (co64) co = findBox(b, stbl._1, stbl._2, "co64")
+    if (co == null) return null
+    val coPs = co._1.toInt
+    if (coPs + 8 > co._2) return null
+    val nChunks = be32(b, coPs + 4)
+    val width = if (co64) 8 else 4
+    if (nChunks <= 0 || coPs + 8 + width.toLong * nChunks > co._2) return null
+    def chunkOff(c: Int): Long = // c is 0-based
+      if (co64) be64(b, coPs + 8 + 8 * c)
+      else be32(b, coPs + 8 + 4 * c).toLong & 0xFFFFFFFFL
+
+    // stsc: (first_chunk 1-based, samples_per_chunk) runs; absent stsc
+    // is the single-chunk shorthand our simple synth writes
+    val stsc = findBox(b, stbl._1, stbl._2, "stsc")
+    var stscPs = -1; var stscN = 0
+    if (stsc != null) {
+      stscPs = stsc._1.toInt
+      if (stscPs + 8 > stsc._2) return null
+      stscN = be32(b, stscPs + 4)
+      if (stscN < 0 || stscPs + 8 + 12L * stscN > stsc._2) return null
+      if (stscN >= 1 && be32(b, stscPs + 8) != 1) return null // must start at chunk 1
+    }
+    if ((stsc == null || stscN == 0) && nChunks != 1) return null
+    def stscFirstChunk(e: Int): Int = be32(b, stscPs + 8 + 12 * e)
+    def stscSpc(e: Int): Long = be32(b, stscPs + 12 + 12 * e).toLong & 0xFFFFFFFFL
+
+    // sampled indices: uniform floor(j*total/k), deduped (ascending)
+    var raw = new Array[Long](k)
+    var j = 0
+    while (j < k) { raw(j) = j * total / k; j += 1 }
+    if (snap) {
+      val sync = videoSyncSamples(b)
+      if (sync != null) {
+        val keys = sync.toLongArray()
+        var p = 0
+        var jj = 0
+        while (jj < k) {
+          // greatest key <= raw(jj); raw ascending, keys ascending
+          while (p + 1 < keys.length && keys(p + 1) <= raw(jj)) p += 1
+          if (keys.length > 0 && keys(p) <= raw(jj)) raw(jj) = keys(p)
+          jj += 1
+        }
+      }
+    }
+    val idxs = raw.distinct.sorted
+    val maxIdx = idxs.last
+    if (maxIdx >= total) return null
+
+    // ONE forward pass to the largest sampled index
+    val out = new Array[Any](idxs.length)
+    var want = 0
+    var ptsTicks = 0L
+    var sttsE = 0
+    var sttsLeft = be32(b, sttsPs + 8).toLong & 0xFFFFFFFFL
+    var sttsDelta = be32(b, sttsPs + 12).toLong & 0xFFFFFFFFL
+    var chunk = 0 // 0-based
+    var stscE = 0
+    var chunkLeft =
+      if (stsc != null && stscN > 0) stscSpc(0) else total
+    var offInChunk = 0L
+    var i = 0L
+    while (i <= maxIdx) {
+      if (chunkLeft <= 0 || chunk >= nChunks) return null // tables inconsistent
+      if (want < idxs.length && i == idxs(want)) {
+        out(want) = new GenericInternalRow(Array[Any](
+          i, ptsTicks * 1000000L / ts, chunkOff(chunk) + offInChunk, sizeOf(i)))
+        want += 1
+      }
+      // advance one sample
+      offInChunk += sizeOf(i)
+      chunkLeft -= 1
+      if (chunkLeft == 0 && i < maxIdx) {
+        chunk += 1
+        offInChunk = 0L
+        if (stsc != null && stscN > 0) {
+          // does the NEXT stsc run start at this chunk (1-based)?
+          if (stscE + 1 < stscN && stscFirstChunk(stscE + 1) == chunk + 1) stscE += 1
+          chunkLeft = stscSpc(stscE)
+        } else chunkLeft = total // single-chunk shorthand: never exhausts
+      }
+      while (sttsLeft == 0 && sttsE + 1 < sttsN) {
+        sttsE += 1
+        sttsLeft = be32(b, sttsPs + 8 + 8 * sttsE).toLong & 0xFFFFFFFFL
+        sttsDelta = be32(b, sttsPs + 12 + 8 * sttsE).toLong & 0xFFFFFFFFL
+      }
+      if (sttsLeft <= 0 && i < maxIdx) return null
+      ptsTicks += sttsDelta
+      sttsLeft -= 1
+      i += 1
+    }
+    if (want < idxs.length) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Targeted stss walk (ftyp → moov → VIDEO trak → mdia → minf → stbl →

@@ -251,6 +251,20 @@ object Multimodal {
       .drop(metaCol, keysCol)
   }
 
+  /** FULL-ADDRESSING frame sampler — the native-expression face of
+    * [[sampleFrameRanges]] for containers the simple column pipeline
+    * can't address: multi-entry stts (cumulative pts), stsc chunk
+    * mapping over multi-entry stco/co64 (interleaved-A/V files),
+    * per-sample stsz sizes, optional stss snapping — all in ONE
+    * codegen'd call per row (`expr/BinaryExpressions.VideoFrameRanges`).
+    * Rows whose tables cannot PROVE an address for every sampled frame
+    * drop (the expression returns null) — never a fabricated range. */
+  def sampleFrameRangesFull(df: DataFrame, binaryCol: String, k: Int,
+      out: String = "frames", snapToKeyframes: Boolean = false): DataFrame =
+    df.withColumn(out, graft.expr.BinaryExpressions.videoFrameRanges(
+        col(binaryCol), k, snapToKeyframes))
+      .where(col(out).isNotNull)
+
   /** Resize plumbing, byte-space stand-in for a pixel resize: center-crop
     * the payload to `outBytes` BEFORE decode, so trimmed bytes are never
     * decoded — same pushdown story as the frame sampler. Payloads shorter

@@ -199,6 +199,57 @@ object PipelineQueries {
       be32c(col("nf") * col("ss") + 8), hexLit("6D646174")))
   }
 
+  /** [[synthVideoPayloads]] with the INTERLEAVED-chunk layout real muxers
+    * write: video samples grouped 16-per-chunk (one stsc run), chunks
+    * separated by 64-byte foreign gaps (the audio interleave stand-in),
+    * so stco carries ceil(nf/16) non-contiguous offsets. Every offset is
+    * id arithmetic: data base = 356 + 4·nChunks (all boxes fixed except
+    * the stco list), chunk c starts at base + c·(16·ss + 64). */
+  private def synthVideoChunkedPayloads(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      (when(col("doc_id") % 3 === 0, 24).when(col("doc_id") % 3 === 1, 25)
+        .otherwise(30) * 1000).cast(IntegerType).as("ts"),
+      (col("doc_id") % 240 + 1).cast(IntegerType).as("nf"),
+      (lit(800) + (col("doc_id") % 5) * 100).cast(IntegerType).as("ss"))
+      .withColumn("nc", floor((col("nf") + 15) / 16).cast(IntegerType))
+      .withColumn("stco_sz", lit(16) + col("nc") * 4)
+      .withColumn("base", lit(356) + col("nc") * 4)
+    val dur = col("nf") * 1000
+    val stcoEntries = unhex(array_join(
+      transform(sequence(lit(0), col("nc") - 1),
+        c => lpad(hex((col("base") + c * (col("ss") * 16 + 64))
+          .cast(IntegerType)), 8, "0")), ""))
+    val lastChunk = col("nf") - (col("nc") - 1) * 16
+    d.withColumn("payload", concat(
+      hexLit("00000014 66747970 69736F6D 00000200 6D703431"),
+      be32c(col("stco_sz") + 312), hexLit("6D6F6F76"),
+      hexLit("0000006C 6D766864 00000000 00000000 00000000"),
+      be32c(col("ts")), be32c(dur),
+      hexLit("00010000 01000000 00000000 00000000 " + matrixId +
+        " 000000000000000000000000 000000000000000000000000 00000002"),
+      be32c(col("stco_sz") + 196), hexLit("7472616B"),
+      hexLit("0000005C 746B6864 00000007 00000000 00000000 00000001 00000000"),
+      be32c(dur),
+      hexLit("00000000 00000000 00000000 00000000 " + matrixId),
+      be32c(lit(640) * 65536), be32c(lit(480) * 65536),
+      be32c(col("stco_sz") + 96), hexLit("6D646961"),
+      be32c(col("stco_sz") + 88), hexLit("6D696E66"),
+      be32c(col("stco_sz") + 80), hexLit("7374626C"),
+      hexLit("00000018 73747473 00000000 00000001"),
+      be32c(col("nf")), hexLit("000003E8"),
+      hexLit("00000014 7374737A 00000000"), be32c(col("ss")), be32c(col("nf")),
+      // stsc: ONE run — every chunk carries 16 samples (the trailing
+      // chunk is naturally short)
+      hexLit("0000001C 73747363 00000000 00000001 00000001"),
+      hexLit("00000010 00000001"),
+      // stco: ceil(nf/16) interleaved chunk offsets
+      be32c(col("stco_sz")), hexLit("7374636F 00000000"), be32c(col("nc")),
+      stcoEntries,
+      // mdat: last chunk end - data base, declared only
+      be32c((col("nc") - 1) * (col("ss") * 16 + 64) + lastChunk * col("ss") + 8),
+      hexLit("6D646174")))
+  }
+
   /** Synthetic RIFF/WAVE payloads — real WAV header bytes (fmt + data
     * chunks) with audio parameters derived from doc_id (channels =
     * id%2+1, rate = 8000·(id%3+1), 16-bit, frames = id%500+1); the
@@ -1725,6 +1776,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
           sum(col("fp")).as("content_sum"))
         .orderBy(col("version"))
+    }),
+
+    // Frame sampling over the INTERLEAVED-chunk layout real muxers
+    // write — the native full-addressing sampler (one codegen'd call):
+    // stsc maps each sampled index to its chunk, stco supplies that
+    // chunk's non-contiguous offset (64-byte foreign gaps between
+    // chunks), the offset accumulates within the chunk. The oracle
+    // replays chunk = idx div 16 and base + chunk·(16·ss+64) +
+    // (idx mod 16)·ss end-to-end — byte ranges a single-chunk formula
+    // would get wrong for every frame past the first chunk.
+    "q_frame_sample_chunked" -> ((s, dir) => {
+      Multimodal.sampleFrameRangesFull(
+          synthVideoChunkedPayloads(t(s, dir, "documents")).localCheckpoint(),
+          "payload", 8)
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.pts_us").as("pts_us"),
+          col("f.byte_offset").as("byte_offset"),
+          col("f.byte_len").as("byte_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Maintained BM25 inverted index: the same CDC release as
@@ -4149,6 +4220,26 @@ object PipelineQueries {
         |UNION ALL SELECT 1, n_docs, id_sum, content_sum FROM v12
         |UNION ALL SELECT 2, n_docs, id_sum, content_sum FROM v12
         |ORDER BY version""".stripMargin,
+
+    "q_frame_sample_chunked" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END
+        |      * 1000)::BIGINT AS ts,
+        |    (doc_id % 240 + 1)::BIGINT AS nf,
+        |    (800 + (doc_id % 5) * 100)::BIGINT AS ss
+        |  FROM documents),
+        |f AS (
+        |  SELECT DISTINCT doc_id, ts, ss,
+        |    (r.j * nf) // 8 AS frame_idx,
+        |    356 + 4 * ((nf + 15) // 16) AS base
+        |  FROM p CROSS JOIN range(8) r(j))
+        |SELECT doc_id, frame_idx,
+        |  (frame_idx * 1000 * 1000000) // ts AS pts_us,
+        |  (base + (frame_idx // 16) * (16 * ss + 64)
+        |        + (frame_idx % 16) * ss)::BIGINT AS byte_offset,
+        |  ss AS byte_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_bm25_maintain" ->
       """WITH newdocs AS (

@@ -463,6 +463,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_video_filter" -> 1,
       "q_frame_sample" -> 1,
       "q_keyframe_sample" -> 1,
+      "q_frame_sample_chunked" -> 1,
       // maintained BM25 postings: snapshotDiff full-outer (2) + the
       // in-query old-index build (2) + dead-id anti-join + churn
       // re-tokenize groupBy + oracle orderBy; the bucketed-layout spec

@@ -321,6 +321,75 @@ class VideoMetaSpec extends SparkSpec {
       Seq((1L, multiChunk)).toDF("doc_id", "payload"), "payload", 4).count() === 0)
   }
 
+  test("native full-addressing sampler: stsc chunks, multi-entry stts, variable stsz") {
+    import graft.expr.BinaryExpressions
+    def ranges(bytes: Array[Byte], k: Int, snap: Boolean = false) = {
+      val r = BinaryExpressions.videoFrameRanges(bytes, k, snap)
+      if (r == null) null
+      else (0 until r.numElements()).map { i =>
+        val row = r.getStruct(i, 4)
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      }
+    }
+    // differential vs the column sampler on the simple single-chunk layout
+    val simple = mp4(ts = 24000, nf = 100, delta = 1000, ss = 900)
+    val viaCols = Multimodal.sampleFrameRanges(
+        Seq((1L, simple)).toDF("doc_id", "payload"), "payload", 8)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.pts_us", $"f.byte_offset", $"f.byte_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ranges(simple, 8) === viaCols)
+    // and the keyframe-snapped variants agree too
+    val snapped = mp4(nf = 100, gop = 12, ss = 900)
+    val viaColsSnap = Multimodal.sampleFrameRanges(
+        Seq((1L, snapped)).toDF("doc_id", "payload"), "payload", 8,
+        snapToKeyframes = true)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.pts_us", $"f.byte_offset", $"f.byte_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ranges(snapped, 8, snap = true) === viaColsSnap)
+
+    // multi-entry stts: 3 frames at delta 100 then 3 at delta 500 —
+    // pts is the CUMULATIVE sum, media timescale 1000 -> us = ticks*1000
+    val stts2 = box("stts", be32(0) ++ be32(2) ++
+      be32(3) ++ be32(100) ++ be32(3) ++ be32(500))
+    val stsz6 = box("stsz", be32(0) ++ be32(10) ++ be32(6))
+    val stco1 = box("stco", be32(0) ++ be32(1) ++ be32(0))
+    val multiStts = patchChunkOffset(
+      ftyp() ++ box("moov", mvhd0(1000, 2100) ++
+        trak(tkhd0(64, 48, 2100), box("stbl", stts2 ++ stsz6 ++ stco1))),
+      0, co64 = false)
+    val ptsAll = ranges(multiStts, 6).map(r => r._1 -> r._2).toMap
+    assert(ptsAll === Map(0L -> 0L, 1L -> 100000L, 2L -> 200000L,
+      3L -> 300000L, 4L -> 800000L, 5L -> 1300000L))
+
+    // variable stsz: per-sample sizes accumulate into offsets and lengths
+    val sizes = Seq(10L, 20L, 30L, 40L)
+    val stszVar = box("stsz", be32(0) ++ be32(0) ++ be32(4) ++
+      sizes.toArray.flatMap(be32))
+    val stts4 = box("stts", be32(0) ++ be32(1) ++ be32(4) ++ be32(100))
+    val stcoAt = box("stco", be32(0) ++ be32(1) ++ be32(1000))
+    val varSz = ftyp() ++ box("moov", mvhd0(1000, 400) ++
+      trak(tkhd0(64, 48, 400), box("stbl", stts4 ++ stszVar ++ stcoAt)))
+    val got = ranges(varSz, 4)
+    assert(got === Seq((0L, 0L, 1000L, 10L), (1L, 100000L, 1010L, 20L),
+      (2L, 200000L, 1030L, 30L), (3L, 300000L, 1060L, 40L)))
+
+    // stsc chunk mapping: 2 samples/chunk over chunks at 100 and 900 —
+    // sample 2 starts chunk 1 at offset 900, NOT 100 + 2*10
+    val stsc2 = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(2) ++ be32(1))
+    val stco2 = box("stco", be32(0) ++ be32(2) ++ be32(100) ++ be32(900))
+    val stszF = box("stsz", be32(0) ++ be32(10) ++ be32(4))
+    val chunked = ftyp() ++ box("moov", mvhd0(1000, 400) ++
+      trak(tkhd0(64, 48, 400), box("stbl", stts4 ++ stszF ++ stsc2 ++ stco2)))
+    assert(ranges(chunked, 4).map(r => r._1 -> r._3) ===
+      Seq(0L -> 100L, 1L -> 110L, 2L -> 900L, 3L -> 910L))
+    // multi-chunk WITHOUT stsc is unaddressable -> null, never a guess
+    val noStsc = ftyp() ++ box("moov", mvhd0(1000, 400) ++
+      trak(tkhd0(64, 48, 400), box("stbl", stts4 ++ stszF ++ stco2)))
+    assert(ranges(noStsc, 4) === null)
+  }
+
   test("fuzz: random and bit-flipped containers never throw (crawl bytes are data)") {
     import graft.expr.BinaryExpressions
     val rnd = new scala.util.Random(0xC0FFEE)
@@ -331,6 +400,7 @@ class VideoMetaSpec extends SparkSpec {
       BinaryExpressions.videoSyncSamples(b)
       BinaryExpressions.videoAtLeast(b, 1L, 1, 1)
       BinaryExpressions.videoSampleable(b)
+      BinaryExpressions.videoFrameRanges(b, 4, true)
     }
     // structured fuzz: a VALID container with every byte position mutated
     // (size fields, 4ccs, counts — each lands somewhere adversarial)
@@ -341,6 +411,7 @@ class VideoMetaSpec extends SparkSpec {
         BinaryExpressions.videoMeta(bad)
         BinaryExpressions.videoSyncSamples(bad)
         BinaryExpressions.videoSampleable(bad)
+        BinaryExpressions.videoFrameRanges(bad, 4, true)
       }
     }
     // truncations at every length
