@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import java.io.{BufferedOutputStream, File, FileOutputStream}
@@ -230,6 +231,51 @@ object TFRecordIO {
       val framed = frame(exampleBytes(schema, r))
       os.write(framed, 0, framed.length)
     } finally os.close()
+  }
+
+  /** DISTRIBUTED sharded export — the production TFRecord writer (the
+    * guarded [[write]] is the small exchange path): rows shard by the
+    * pinned fingerprint of `idCol` (deterministic, replayable —
+    * [[graft.operators.Sampling.shardOf]]), colocate per shard, sort by
+    * id within the shard, and each executor streams its shards' framed
+    * tf.Examples straight to `dir/part-NNNNN.tfrecord` through the
+    * Hadoop FileSystem API (local FS here, HDFS/object stores on a
+    * cluster — no driver collect, no maxRows guard needed). Determinism
+    * is byte-level: same input → identical shard files, so the export
+    * composes with the shard-manifest verification artifact. Returns
+    * the shard count. */
+  def writeSharded(df: DataFrame, dir: String, idCol: String,
+      nShards: Int): Int = {
+    require(nShards >= 1, s"TFRecordIO.writeSharded: nShards must be >= 1")
+    val schema = df.schema
+    df.withColumn("__shard", graft.operators.Sampling.shardOf(col(idCol), nShards))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col(idCol))
+      .foreachPartition { rows: Iterator[Row] =>
+        // default Hadoop conf resolves local paths and standard
+        // cluster filesystems; Spark's SerializableConfiguration is
+        // private[spark], and the writer needs no session-specific keys
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+        var current = -1L
+        var out: java.io.OutputStream = null
+        val shardIdx = schema.length // __shard rides as the LAST column
+        try {
+          rows.foreach { r =>
+            val shard = r.getLong(shardIdx)
+            if (shard != current) {
+              if (out != null) out.close()
+              out = fs.create(new org.apache.hadoop.fs.Path(
+                dir, f"part-$shard%05d.tfrecord"), true)
+              current = shard
+            }
+            val framed = frame(exampleBytes(schema,
+              Row.fromSeq(r.toSeq.dropRight(1))))
+            out.write(framed, 0, framed.length)
+          }
+        } finally if (out != null) out.close()
+      }
+    nShards
   }
 
   // ---- tf.Example decode ----

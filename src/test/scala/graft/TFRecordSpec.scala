@@ -110,4 +110,39 @@ class TFRecordSpec extends SparkSpec {
     val viaDriver = TFRecordIO.exampleBytes(schema, Row(7L, "doc-7", Seq(14f, 0.5f)))
     assert(viaCol.toSeq === viaDriver.toSeq)
   }
+
+  test("writeSharded: distributed export, deterministic bytes, shardOf placement") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = spark.range(500).select($"id", concat(lit("d"), $"id").as("name"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfrs").toString
+    TFRecordIO.writeSharded(df, s"$dir/a", "id", nShards = 8)
+    // full roundtrip across all shards
+    val back = TFRecordIO.read(spark, s"$dir/a", schema)
+    assert(back.count() === 500)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === (0L until 500L))
+    // placement honors the pinned shard fingerprint
+    val want = df.withColumn("s",
+        graft.operators.Sampling.shardOf(col("id"), 8))
+      .groupBy("s").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { sh =>
+      val f = s"$dir/a/part-$sh%05d.tfrecord".format(sh)
+      val p = new java.io.File(f"$dir/a/part-$sh%05d.tfrecord")
+      if (want.getOrElse(sh.toLong, 0L) > 0) {
+        val n = TFRecordIO.frames(
+          java.nio.file.Files.readAllBytes(p.toPath)).size
+        assert(n.toLong === want(sh.toLong), s"shard $sh")
+      }
+    }
+    // byte determinism: a second export writes identical files
+    TFRecordIO.writeSharded(df.repartition(7), s"$dir/b", "id", nShards = 8)
+    (0 until 8).foreach { sh =>
+      val a = new java.io.File(f"$dir/a/part-$sh%05d.tfrecord")
+      val b = new java.io.File(f"$dir/b/part-$sh%05d.tfrecord")
+      assert(a.exists === b.exists, s"shard $sh presence")
+      if (a.exists) assert(
+        java.nio.file.Files.readAllBytes(a.toPath).toSeq ===
+          java.nio.file.Files.readAllBytes(b.toPath).toSeq, s"shard $sh bytes")
+    }
+  }
 }
