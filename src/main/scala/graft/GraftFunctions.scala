@@ -54,6 +54,22 @@ object GraftFunctions {
       require(args.length == 1, "graft_video_meta(binary)")
       graft.expr.VideoMeta(args(0))
     },
+    "graft_video_frame_ranges" -> { args =>
+      require(args.length == 3, "graft_video_frame_ranges(binary, k, snap)")
+      val k = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_video_frame_ranges: k must be a literal, got $other")
+      }
+      val snap = args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toBoolean
+        case other => throw new IllegalArgumentException(
+          s"graft_video_frame_ranges: snap must be a literal, got $other")
+      }
+      graft.expr.VideoFrameRanges(args(0), k, snap)
+    },
     "graft_shingles" -> { args =>
       require(args.length == 2, "graft_shingles(tokens, n)")
       val n = args(1) match {

@@ -79,7 +79,7 @@ class GraftFunctionsSpec extends SparkSpec {
       Set("graft_dot", "graft_cosine", "graft_sqdist", "graft_fingerprint",
         "graft_mix63", "graft_shingles", "graft_quantile", "graft_zvalue",
         "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta",
-        "graft_video_meta"))
+        "graft_video_meta", "graft_video_frame_ranges"))
     assert(ext != null)
   }
 }

@@ -428,5 +428,11 @@ class VideoMetaSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT graft_video_meta(payload).n_frames AS nf FROM vids").head()
     assert(r.getLong(0) === 42L)
+    // and the full-addressing sampler rides the SQL surface too
+    val fr = spark.sql(
+      "SELECT f.frame_idx AS i FROM vids " +
+        "LATERAL VIEW explode(graft_video_frame_ranges(payload, 4, false)) t AS f")
+      .collect().map(_.getLong(0)).sorted
+    assert(fr.toSeq === Seq(0L, 10L, 21L, 31L))
   }
 }
