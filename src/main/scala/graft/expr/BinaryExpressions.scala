@@ -666,23 +666,40 @@ object BinaryExpressions {
     null
   }
 
-  /** The VIDEO trak of a moov: the first trak whose tkhd carries
-    * positive pixel dims (audio traks have zero dims), falling back to
-    * the first trak when none does — an audio-first muxed file must not
-    * hand the sampler its audio sample tables. Null if no trak / corrupt. */
+  /** The mdia/hdlr handler_type 4cc of a trak ('vide', 'soun', …), or
+    * null when absent/truncated. hdlr payload: version/flags(4),
+    * pre_defined(4), handler_type(4cc). */
+  private def trakHandler(b: Array[Byte], ps: Long, end: Long): String = {
+    val mdia = findBox(b, ps, end, "mdia")
+    if (mdia == null) return null
+    val hdlr = findBox(b, mdia._1, mdia._2, "hdlr")
+    if (hdlr == null || hdlr._1 + 12 > hdlr._2) return null
+    new String(b, hdlr._1.toInt + 8, 4, "US-ASCII")
+  }
+
+  /** The VIDEO trak of a moov, by the spec-exact rule first: the trak
+    * whose mdia/hdlr handler_type is 'vide'; then the dims heuristic
+    * (first trak with positive tkhd pixel dims — audio traks have zero
+    * dims) for headers without hdlr; then the first trak. An
+    * audio-first muxed file must never hand the sampler its audio
+    * sample tables — even one whose audio tkhd carries (bogus) dims,
+    * which only the hdlr rule catches. Null if no trak / corrupt. */
   private def findVideoTrak(b: Array[Byte], moovPs: Long, moovEnd: Long): (Long, Long) = {
     var first: (Long, Long) = null
+    var firstDims: (Long, Long) = null
     var i = moovPs
     while (i + 8 <= moovEnd) {
       val ps = boxPayloadStart(b, i, moovEnd); val end = boxEndAt(b, i, moovEnd)
-      if (ps < 0 || end < 0 || end > moovEnd) return first
+      if (ps < 0 || end < 0 || end > moovEnd)
+        return if (firstDims != null) firstDims else first
       if (is4ccAt(b, i, "trak")) {
         if (first == null) first = (ps, end)
-        if (trakDims(b, ps, end) != null) return (ps, end)
+        if (trakHandler(b, ps, end) == "vide") return (ps, end)
+        if (firstDims == null && trakDims(b, ps, end) != null) firstDims = (ps, end)
       }
       i = end
     }
-    first
+    if (firstDims != null) firstDims else first
   }
 
   val frameRangeType: StructType = StructType(Seq(

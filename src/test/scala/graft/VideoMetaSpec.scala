@@ -64,9 +64,16 @@ object VideoSynth extends Serializable {
     box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts.toLong) ++ be32(0) ++
       be16(0x55C4) ++ be16(0))
 
-  def trak(tkhd: Array[Byte], st: Array[Byte], mediaTs: Int = 0) =
+  def hdlr(handlerType: String) =
+    box("hdlr", be32(0) ++ be32(0) ++ handlerType.getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(0) :+ 0.toByte)
+
+  def trak(tkhd: Array[Byte], st: Array[Byte], mediaTs: Int = 0,
+      handler: String = "") =
     box("trak", tkhd ++ box("mdia",
-      (if (mediaTs > 0) mdhd0(mediaTs) else Array.empty[Byte]) ++ box("minf", st)))
+      (if (mediaTs > 0) mdhd0(mediaTs) else Array.empty[Byte]) ++
+        (if (handler.nonEmpty) hdlr(handler) else Array.empty[Byte]) ++
+        box("minf", st)))
 
   /** An audio-like trak: tkhd with ZERO dims plus its own sample tables
     * (the decoy an audio-first muxed file places before the video trak). */
@@ -388,6 +395,28 @@ class VideoMetaSpec extends SparkSpec {
     val noStsc = ftyp() ++ box("moov", mvhd0(1000, 400) ++
       trak(tkhd0(64, 48, 400), box("stbl", stts4 ++ stszF ++ stco2)))
     assert(ranges(noStsc, 4) === null)
+  }
+
+  test("hdlr handler_type beats the dims heuristic for track selection") {
+    // a decoy audio trak carrying BOGUS nonzero dims (broken muxer) but
+    // hdlr 'soun' - only the spec-exact hdlr rule avoids it
+    val decoy = ftyp() ++ box("moov", mvhd0(1000, 4000) ++
+      trak(tkhd0(999, 999, 4000), stbl(216000, 1024, 128, chunkOff = 4444),
+        handler = "soun") ++
+      trak(tkhd0(640, 480, 4000), stbl(96, 512, 900, chunkOff = 332),
+        handler = "vide"))
+    val m = Multimodal.withVideoMeta(
+        Seq(Tuple1(decoy)).toDF("payload"), "payload")
+      .select($"video.width", $"video.n_frames", $"video.sample_size").head()
+    assert((m.getInt(0), m.getLong(1), m.getInt(2)) === ((640, 96L, 900)))
+    // headers WITHOUT hdlr keep the dims-heuristic behavior (regression)
+    val noHdlr = ftyp() ++ box("moov", mvhd0(1000, 4000) ++
+      audioTrak(1000, 128) ++
+      trak(tkhd0(320, 240, 4000), stbl(48, 512, 900, 0)))
+    val m2 = Multimodal.withVideoMeta(
+        Seq(Tuple1(noHdlr)).toDF("payload"), "payload")
+      .select($"video.width", $"video.n_frames").head()
+    assert((m2.getInt(0), m2.getLong(1)) === ((320, 48L)))
   }
 
   test("fuzz: random and bit-flipped containers never throw (crawl bytes are data)") {
