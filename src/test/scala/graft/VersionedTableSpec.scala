@@ -208,6 +208,33 @@ class VersionedTableSpec extends SparkSpec {
       mergeSchema = true).columns.toSeq === Seq("id"))
   }
 
+  test("optimize: z-order + stats in one commit tightens skip pruning") {
+    val path = fresh()
+    // a scattered layout: ids round-robin across partitions, so every
+    // file's [min,max] id range spans nearly the whole table and a
+    // range read can prune NOTHING
+    VersionedTable.create(
+      spark.range(8000).toDF("id").repartition(8), path)
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    val before = VersionedTable.filesForRange(path, 0L, "id", 1000L, 1200L)
+    assert(before.length === VersionedTable.filesAt(path, 0L).length,
+      "scattered layout should be unprunable")
+    val v = VersionedTable.optimize(spark, path, targetBytes = 8L * 1024,
+      zorderCols = Seq("id"), statsCol = Some("id"))
+    assert(v === 1L)
+    // identical content, time travel intact
+    val after = VersionedTable.readVersion(spark, path, 1)
+    assert(after.count() === 8000 &&
+      after.exceptAll(VersionedTable.readVersion(spark, path, 0)).isEmpty)
+    // the same range read now prunes most files
+    val all1 = VersionedTable.filesAt(path, 1L)
+    val pruned = VersionedTable.filesForRange(path, 1L, "id", 1000L, 1200L)
+    assert(all1.length >= 4 && pruned.length < all1.length / 2,
+      s"optimize did not tighten pruning: ${pruned.length} of ${all1.length}")
+    assert(ids(VersionedTable.readWhere(spark, path, 1L, "id", 1000L, 1200L))
+      === (1000L to 1200L))
+  }
+
   test("vacuum drops pre-retention versions and their unreferenced files") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
