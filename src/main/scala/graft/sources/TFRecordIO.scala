@@ -245,8 +245,11 @@ object TFRecordIO {
     * composes with the shard-manifest verification artifact. Returns
     * the shard count. */
   def writeSharded(df: DataFrame, dir: String, idCol: String,
-      nShards: Int): Int = {
+      nShards: Int, codec: String = "none"): Int = {
     require(nShards >= 1, s"TFRecordIO.writeSharded: nShards must be >= 1")
+    require(codec == "none" || codec == "gzip",
+      s"TFRecordIO.writeSharded: codec must be none|gzip, got $codec")
+    val gz = codec == "gzip"
     val schema = df.schema
     df.withColumn("__shard", graft.operators.Sampling.shardOf(col(idCol), nShards))
       .repartition(nShards, col("__shard"))
@@ -257,6 +260,8 @@ object TFRecordIO {
         // private[spark], and the writer needs no session-specific keys
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+        fs.setWriteChecksum(false) // no .crc sidecars: TFRecord frames
+        // carry their own CRC32C per record
         var current = -1L
         var out: java.io.OutputStream = null
         val shardIdx = schema.length // __shard rides as the LAST column
@@ -265,8 +270,12 @@ object TFRecordIO {
             val shard = r.getLong(shardIdx)
             if (shard != current) {
               if (out != null) out.close()
-              out = fs.create(new org.apache.hadoop.fs.Path(
-                dir, f"part-$shard%05d.tfrecord"), true)
+              val name =
+                if (gz) f"part-$shard%05d.tfrecord.gz"
+                else f"part-$shard%05d.tfrecord"
+              val raw = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+              // whole-file gzip — the layout tf.data's GZIP option reads
+              out = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
               current = shard
             }
             val framed = frame(exampleBytes(schema,
@@ -406,7 +415,15 @@ object TFRecordIO {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val rdd = spark.sparkContext.binaryFiles(path)
       .flatMap { case (_, stream) =>
-        val bytes = stream.toArray()
+        var bytes = stream.toArray()
+        // gzip members sniff by MAGIC (1F 8B), not extension
+        if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
+            (bytes(1) & 0xFF) == 0x8B) {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          bytes = in.readAllBytes()
+          in.close()
+        }
         frames(bytes).map(decodeExample(schema, _))
       }
     spark.createDataFrame(rdd, schema)

@@ -134,6 +134,15 @@ class TFRecordSpec extends SparkSpec {
         assert(n.toLong === want(sh.toLong), s"shard $sh")
       }
     }
+    // gzip codec: compressed shards sniff by magic on read and
+    // roundtrip identically (tf.data's GZIP compression_type layout)
+    TFRecordIO.writeSharded(df, s"$dir/gz", "id", nShards = 4, codec = "gzip")
+    val gzFiles = new java.io.File(s"$dir/gz").listFiles()
+      .filterNot(_.getName.startsWith("."))
+    assert(gzFiles.nonEmpty && gzFiles.forall(_.getName.endsWith(".tfrecord.gz")))
+    val gzBack = TFRecordIO.read(spark, s"$dir/gz", schema)
+    assert(gzBack.count() === 500)
+    assert(gzBack.orderBy("id").collect().map(_.getLong(0)).toSeq === (0L until 500L))
     // byte determinism: a second export writes identical files
     TFRecordIO.writeSharded(df.repartition(7), s"$dir/b", "id", nShards = 8)
     (0 until 8).foreach { sh =>
