@@ -309,6 +309,24 @@ object VersionedTable {
     v
   }
 
+  /** Multi-predicate skip read: intersect each predicate's
+    * [[filesForRange]] survivors (a file must be POSSIBLE under every
+    * range to be read), then apply all residual filters. With a
+    * z-ordered layout ([[optimize]] with 2+ `zorderCols`) BOTH columns'
+    * per-file ranges are tight, so the intersection prunes multiplicatively
+    * — the multi-dimension locality z-ordering exists to buy. */
+  def readWhereAll(spark: SparkSession, path: String, v: Long,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    require(preds.nonEmpty, "readWhereAll: at least one predicate")
+    val files = preds.map { case (cl, lo, hi) => filesForRange(path, v, cl, lo, hi).toSet }
+      .reduce(_ intersect _)
+    val residual = preds.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi }
+      .reduce(_ && _)
+    if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
+    else spark.read.parquet(files.toSeq.sorted: _*).where(residual)
+  }
+
   /** Rewrite the CURRENT file set into ~`targetBytes` files and commit
     * the result as a new version. Content-identical by construction —
     * the graded property — while history stays time-travelable. */

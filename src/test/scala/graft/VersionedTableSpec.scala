@@ -235,6 +235,41 @@ class VersionedTableSpec extends SparkSpec {
       === (1000L to 1200L))
   }
 
+  test("multi-predicate skip read over a 2-column z-ordered layout") {
+    val path = fresh()
+    // two independent dimensions; scattered write first
+    VersionedTable.create(
+      spark.range(20000).select(($"id" % 1000).as("x"), ($"id" / 20).cast("long").as("y"))
+        .repartition(8), path)
+    VersionedTable.optimize(spark, path, targetBytes = 16L * 1024,
+      zorderCols = Seq("x", "y"))
+    VersionedTable.writeStats(spark, path, 1L, "x")
+    VersionedTable.writeStats(spark, path, 1L, "y")
+    val all = VersionedTable.filesAt(path, 1L).length
+    val fx = VersionedTable.filesForRange(path, 1L, "x", 100L, 160L).length
+    val fy = VersionedTable.filesForRange(path, 1L, "y", 100L, 160L).length
+    val both = Seq(
+      VersionedTable.filesForRange(path, 1L, "x", 100L, 160L).toSet,
+      VersionedTable.filesForRange(path, 1L, "y", 100L, 160L).toSet)
+      .reduce(_ intersect _).size
+    // the z-order buys pruning on BOTH dims; the intersection at least
+    // matches the better single-column prune
+    assert(fx < all && fy < all, s"z-order pruned neither dim: $fx/$fy of $all")
+    assert(both <= math.min(fx, fy))
+    // and the read is exact
+    val got = VersionedTable.readWhereAll(spark, path, 1L,
+        Seq(("x", 100L, 160L), ("y", 100L, 160L)))
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    val want = spark.range(20000)
+      .select(($"id" % 1000).as("x"), ($"id" / 20).cast("long").as("y"))
+      .where($"x".between(100, 160) && $"y".between(100, 160))
+      .as[(Long, Long)].collect().toSet
+    assert(got === want && want.nonEmpty)
+    // a disjoint predicate pair returns a typed empty frame
+    assert(VersionedTable.readWhereAll(spark, path, 1L,
+      Seq(("x", 100L, 160L), ("y", 900000L, 900001L))).count() === 0)
+  }
+
   test("vacuum drops pre-retention versions and their unreferenced files") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
