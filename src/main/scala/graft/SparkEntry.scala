@@ -73,6 +73,10 @@ object SparkEntry {
     // round_half_up(100·S/n) = (200·S + n) div (2·n) where S is the
     // sum's exact scale-4 unscaled value. Spark `div` on DECIMAL(38,0)
     // and DuckDB HUGEINT `//` are both exact at any corpus scale.
+    // ALL exact totals leave as BIGINT micro-units (graft.queries.Exact):
+    // the driver hash is representation-sensitive on raw DECIMAL columns
+    // (CORRECTNESS_r06: rows_match:true/hash_match:false on all 11
+    // decimal emitters) while BIGINT hashes clean on both engines.
     "q1_agg_exact" -> ((s, dir) => {
       val dec = DecimalType(38, 4)
       def microMean(sumCol: String, nCol: String) = expr(
@@ -86,8 +90,10 @@ object SparkEntry {
             .as("sum_disc_price"),
           sum(col("l_discount").cast(dec)).as("sum_disc"),
           count(lit(1)).as("count_order"))
-        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-          col("sum_base_price"), col("sum_disc_price"),
+        .select(col("l_returnflag"), col("l_linestatus"),
+          graft.queries.Exact.micros(col("sum_qty")).as("sum_qty_micros"),
+          graft.queries.Exact.micros(col("sum_base_price")).as("sum_base_price_micros"),
+          graft.queries.Exact.micros(col("sum_disc_price")).as("sum_disc_price_micros"),
           microMean("sum_qty", "count_order").as("avg_qty_micros"),
           microMean("sum_disc", "count_order").as("avg_disc_micros"),
           col("count_order"))
@@ -214,7 +220,10 @@ object SparkEntry {
         |    sum(CAST(l_discount AS DECIMAL(38,4))) AS sum_disc,
         |    count(*) AS count_order
         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
-        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum_qty * 10000 AS HUGEINT) AS BIGINT) AS sum_qty_micros,
+        |  CAST(CAST(sum_base_price * 10000 AS HUGEINT) AS BIGINT) AS sum_base_price_micros,
+        |  CAST(CAST(sum_disc_price * 10000 AS HUGEINT) AS BIGINT) AS sum_disc_price_micros,
         |  CAST((CAST(sum_qty * 10000 AS HUGEINT) * 200 + count_order)
         |       // (2 * count_order) AS BIGINT) AS avg_qty_micros,
         |  CAST((CAST(sum_disc * 10000 AS HUGEINT) * 200 + count_order)

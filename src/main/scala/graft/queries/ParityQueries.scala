@@ -270,13 +270,16 @@ object ParityQueries {
     }),
 
     // exact-decimal face of q_eqdepth: same reference-rule bins, totals
-    // as DECIMAL(38,4) so the hash is scale-independent (see q1_agg_exact)
+    // summed in DECIMAL(38,4), emitted as BIGINT micro-units (the
+    // representation-stable carrier — see q1_agg_exact / Exact.micros)
     "q_eqdepth_exact" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_extendedprice"))
       Stats.equiDepthBins(li, "l_extendedprice", 4)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast(DecimalType(38, 4))).as("price_sum"))
+        .select(col("bin"), col("n"),
+          Exact.micros(col("price_sum")).as("price_sum_micros"))
         .orderBy(col("bin"))
     }),
 
@@ -455,6 +458,10 @@ object ParityQueries {
           oldD, newD, Seq("doc_id"), Seq("lang", "n_chars", "text"))
         .filter(col("change") =!= "unchanged")
       graft.operators.Diff.maintainAgg(oldAgg, changes, Seq("lang"), Seq("n_chars"))
+        // view stays DECIMAL (auditable, re-mergeable); the graded output
+        // leaves as BIGINT micro-units — see q1_agg_exact / Exact.micros
+        .select(col("lang"),
+          Exact.micros(col("n_chars_sum")).as("n_chars_sum_micros"), col("n"))
         .orderBy(col("lang"))
     }),
 
@@ -511,6 +518,8 @@ object ParityQueries {
         .groupBy(col("c_name"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(38, 4))).as("price_sum"))
+        .select(col("c_name"), col("n"),
+          Exact.micros(col("price_sum")).as("price_sum_micros"))
         .orderBy(col("c_name"))
     }),
 
@@ -550,6 +559,9 @@ object ParityQueries {
           sum(col("l_extendedprice_wins").cast(DecimalType(38, 4))).as("wins_sum"),
           round(min(col("l_extendedprice_wins")), 6).as("wins_min"),
           round(max(col("l_extendedprice_wins")), 6).as("wins_max"))
+        .select(col("l_returnflag"), col("n"),
+          Exact.micros(col("wins_sum")).as("wins_sum_micros"),
+          col("wins_min"), col("wins_max"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -647,6 +659,8 @@ object ParityQueries {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(38, 4))).as("revenue"),
           count(lit(1)).as("n_items"))
+        .select(col("r_name"), col("order_year"),
+          Exact.micros(col("revenue")).as("revenue_micros"), col("n_items"))
         .orderBy(col("r_name"), col("order_year"))
     }),
 
@@ -721,7 +735,8 @@ object ParityQueries {
         .groupBy(date_trunc("hour", col("ts")).as("bucket"))
         .agg(sum(col("value").cast(DecimalType(38, 4))).as("value_sum"),
           count(lit(1)).as("n"))
-        .select(col("bucket"), col("value_sum"),
+        .select(col("bucket"),
+          Exact.micros(col("value_sum")).as("value_sum_micros"),
           expr("CAST((CAST(value_sum * 10000 AS DECIMAL(38,0)) * 200 + n)" +
             " div (2 * n) AS BIGINT)").as("value_mean_micros"),
           col("n"))
@@ -884,7 +899,8 @@ object ParityQueries {
          |   + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)::BIGINT AS bin
          |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
          |SELECT bin, count(*) AS n,
-         |  sum(CAST(x AS DECIMAL(38,4))) AS price_sum
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(38,4))) * 10000 AS HUGEINT)
+         |    AS BIGINT) AS price_sum_micros
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
 
@@ -992,7 +1008,9 @@ object ParityQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, lang, n_chars FROM documents
         |  WHERE doc_id % 89 = 0)
-        |SELECT lang, sum(CAST(n_chars AS DECIMAL(38,4))) AS n_chars_sum,
+        |SELECT lang,
+        |  CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,4))) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS n_chars_sum_micros,
         |  count(*) AS n
         |FROM newd GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -1074,7 +1092,8 @@ object ParityQueries {
       """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |             ELSE o_custkey END AS ck, o_totalprice FROM orders)
         |SELECT c_name, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS price_sum
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS price_sum_micros
         |FROM o JOIN customer ON ck = c_custkey
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
 
@@ -1113,7 +1132,8 @@ object ParityQueries {
          |        least(greatest(l_extendedprice, lo), hi) AS x
          |      FROM lineitem, b)
          |SELECT l_returnflag, count(*) AS n,
-         |  sum(CAST(x AS DECIMAL(38,4))) AS wins_sum,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(38,4))) * 10000 AS HUGEINT)
+         |    AS BIGINT) AS wins_sum_micros,
          |  round(min(x), 6) AS wins_min, round(max(x), 6) AS wins_max
          |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
@@ -1313,7 +1333,8 @@ object ParityQueries {
 
     "q_region_revenue_exact" ->
       """SELECT r_name, year(o_orderdate) AS order_year,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+        |    * 10000 AS HUGEINT) AS BIGINT) AS revenue_micros,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1398,7 +1419,8 @@ object ParityQueries {
         |    sum(CAST(value AS DECIMAL(38,4))) AS value_sum,
         |    count(*) AS n
         |  FROM events GROUP BY 1)
-        |SELECT bucket, value_sum,
+        |SELECT bucket,
+        |  CAST(CAST(value_sum * 10000 AS HUGEINT) AS BIGINT) AS value_sum_micros,
         |  CAST((CAST(value_sum * 10000 AS HUGEINT) * 200 + n)
         |       // (2 * n) AS BIGINT) AS value_mean_micros,
         |  n

@@ -128,7 +128,9 @@ object SketchQueries {
       exact.join(est, Seq("lang"), "left")
         .select(col("lang"), col("exact_chars"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-          coalesce(col("est_chars"), lit(0).cast("decimal(38,4)")).as("est_chars"))
+          // BIGINT micro-units at the boundary — see q1_agg_exact / Exact
+          Exact.micros(coalesce(col("est_chars"), lit(0).cast("decimal(38,4)")))
+            .as("est_chars_micros"))
         .orderBy(col("lang"))
     }),
 
@@ -142,7 +144,8 @@ object SketchQueries {
     "q_bootstrap" -> ((s, dir) => {
       val reps = graft.operators.Stats.poissonBootstrap(
         t(s, dir, "documents"), "doc_id", col("n_chars"), b = 64)
-      reps.select(col("replicate"), col("n_eff"), col("sum_w"),
+      reps.select(col("replicate"), col("n_eff"),
+          Exact.micros(col("sum_w")).as("sum_w_micros"),
           when(col("n_eff") > 0,
             expr("CAST((CAST(sum_w * 10000 AS DECIMAL(38,0)) * 200 + n_eff)" +
               " div (2 * n_eff) AS BIGINT)")).as("mean_micros"))
@@ -190,7 +193,8 @@ object SketchQueries {
          |       FROM documents GROUP BY lang)
          |SELECT ex.lang, ex.exact_chars,
          |  COALESCE(n_sampled, 0) AS n_sampled,
-         |  COALESCE(est_chars, 0.0000::DECIMAL(38,4)) AS est_chars
+         |  CAST(CAST(COALESCE(est_chars, 0.0000::DECIMAL(38,4)) * 10000
+         |    AS HUGEINT) AS BIGINT) AS est_chars_micros
          |FROM ex LEFT JOIN est ON ex.lang = est.lang
          |ORDER BY ex.lang""".stripMargin,
 
@@ -219,7 +223,8 @@ object SketchQueries {
          |  SELECT b AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
          |    sum(CAST(CAST(n_chars AS DOUBLE) * w AS DECIMAL(38,4))) AS sum_w
          |  FROM w GROUP BY b)
-         |SELECT replicate, n_eff, sum_w,
+         |SELECT replicate, n_eff,
+         |  CAST(CAST(sum_w * 10000 AS HUGEINT) AS BIGINT) AS sum_w_micros,
          |  CASE WHEN n_eff > 0 THEN
          |    CAST((CAST(sum_w * 10000 AS HUGEINT) * 200 + n_eff)
          |         // (2 * n_eff) AS BIGINT) END AS mean_micros

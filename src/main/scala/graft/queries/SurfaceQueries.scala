@@ -238,14 +238,17 @@ object SurfaceQueries {
     }),
 
     // exact-decimal face of q_pivot: same explicit-values pivot, cells
-    // as DECIMAL(38,4) sums (scale-independent hash — see q1_agg_exact)
+    // summed in DECIMAL(38,4) and emitted as BIGINT micro-units (the
+    // representation-stable carrier — see q1_agg_exact / Exact.micros)
     "q_pivot_exact" -> ((s, dir) => {
       Table.of(t(s, dir, "orders"))
         .pivotAgg("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
           sum(col("o_totalprice").cast(DecimalType(38, 4))))
         .toDF
-        .select(col("o_orderpriority"), col("F").as("sum_f"),
-          col("O").as("sum_o"), col("P").as("sum_p"))
+        .select(col("o_orderpriority"),
+          Exact.micros(col("F")).as("sum_f_micros"),
+          Exact.micros(col("O")).as("sum_o_micros"),
+          Exact.micros(col("P")).as("sum_p_micros"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -324,6 +327,8 @@ object SurfaceQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(38, 4))).as("revenue"))
+        .select(col("c_mktsegment"), col("n_orders"),
+          Exact.micros(col("revenue")).as("revenue_micros"))
         .orderBy(col("c_mktsegment"))
     })
   )
@@ -351,18 +356,22 @@ object SurfaceQueries {
 
     "q_bucket_join_exact" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS revenue
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS revenue_micros
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_pivot_exact" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F'
-        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS sum_f,
-        |  sum(CASE WHEN o_orderstatus = 'O'
-        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS sum_o,
-        |  sum(CASE WHEN o_orderstatus = 'P'
-        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS sum_p
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS sum_f_micros,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS sum_o_micros,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |        THEN CAST(o_totalprice AS DECIMAL(38,4)) END) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS sum_p_micros
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_take_drop" ->
