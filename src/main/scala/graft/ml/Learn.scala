@@ -271,7 +271,11 @@ object Learn {
     val w = (hi - lo) / bins
     val bin = least(greatest(floor((score - lo) / w), lit(0.0)), lit(bins - 1.0))
       .cast(LongType)
-    df.select(bin.as("bin"), label.cast(BooleanType).as("__y"))
+    // NaN scores: floor(NaN) is NaN, and under Spark's NaN-is-greatest
+    // ordering least(greatest(NaN, 0), bins-1) lands in the TOP bin as
+    // if measured — same guard as Stats.histogram
+    df.where(!isnan(score.cast(DoubleType)))
+      .select(bin.as("bin"), label.cast(BooleanType).as("__y"))
       .where(col("bin").isNotNull && col("__y").isNotNull)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),

@@ -414,16 +414,25 @@ object TFRecordIO {
     * parse_example feature spec. Both frame CRCs verify on every record. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val rdd = spark.sparkContext.binaryFiles(path)
-      .flatMap { case (_, stream) =>
-        var bytes = stream.toArray()
-        // gzip members sniff by MAGIC (1F 8B), not extension
-        if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
-            (bytes(1) & 0xFF) == 0x8B) {
+      .flatMap { case (file, stream) =>
+        val raw = stream.toArray()
+        def gunzip(b: Array[Byte]): Array[Byte] = {
           val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          bytes = in.readAllBytes()
-          in.close()
+            new java.io.ByteArrayInputStream(b))
+          try in.readAllBytes() finally in.close()
         }
+        // Route by extension first (writeSharded names .tfrecord.gz
+        // deterministically). The 1F 8B magic sniff alone is NOT a safe
+        // router: an uncompressed file whose first record length is
+        // ≡ 0x8B1F (mod 2^16) starts with the same two bytes (~1/65536
+        // of shards at scale) — so a sniffed gunzip that fails falls
+        // back to parsing the bytes as raw frames (whose CRCs verify).
+        val bytes =
+          if (file.endsWith(".gz")) gunzip(raw)
+          else if (raw.length >= 2 && (raw(0) & 0xFF) == 0x1F &&
+              (raw(1) & 0xFF) == 0x8B)
+            try gunzip(raw) catch { case _: java.io.IOException => raw }
+          else raw
         frames(bytes).map(decodeExample(schema, _))
       }
     spark.createDataFrame(rdd, schema)

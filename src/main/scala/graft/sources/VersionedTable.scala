@@ -177,6 +177,11 @@ object VersionedTable {
       .groupBy(input_file_name().as("__f"))
       .agg(min(c(col)).cast("long").as("__lo"), max(c(col)).cast("long").as("__hi"))
       .collect()
+      // a file whose stats column is entirely null (or absent after a
+      // mergeSchema evolution commit) has null min/max: leave it OUT of
+      // the stats map — filesForRange treats a missing entry as "keep",
+      // so the file stays readable instead of NPE-ing the sidecar write
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .map { r =>
         val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
           .getFileName.toString

@@ -160,7 +160,15 @@ object StreamOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (shard: Int, rows: Iterator[PriorityEntry],
             state: GroupState[Seq[PriorityEntry]]) =>
+          // dedup by id BEFORE truncating: an at-least-once re-delivery
+          // (or the same id recurring in a later batch) must not occupy
+          // two of the shard's k+1 slots — that would evict a genuine
+          // entry and corrupt τ/est_w vs the batch DLT sample this
+          // stream promises to reconstruct exactly. Priorities are a
+          // pure function of (id, w), so duplicates are exact copies
+          // and keeping the first is keeping the only value.
           val merged = (state.getOption.getOrElse(Seq.empty) ++ rows)
+            .groupBy(_.id).map(_._2.head).toSeq
             .sortBy(e => (-e.q, e.id)).take(k + 1)
           state.update(merged)
           merged.iterator.map(e => ShardSample(shard, e.id, e.w, e.q))

@@ -158,5 +158,13 @@ class LearnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(bins.toSeq === Seq((0L, 3L, 1L, 333333L), (5L, 2L, 2L, 1000000L),
       (9L, 1L, 0L, 0L)))
+    // NaN scores are unmeasured, not "greatest": without the guard,
+    // floor(NaN) + NaN-is-greatest ordering would clamp them into the
+    // TOP bin as if they were real observations (Stats.histogram's rule)
+    val withNaN = Seq((0.95, true), (Double.NaN, true), (Double.NaN, false))
+      .toDF("s", "y")
+    val top = Learn.calibrationBins(withNaN, col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq((9L, 1L, 1L)))
   }
 }

@@ -141,7 +141,12 @@ class StreamingSpec extends SparkSpec {
       def perShardCounts() = spark.table("sps").groupBy("shard").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       var prev = Map.empty[Int, Long]
-      for (slice <- Seq(rows.slice(100, 300), rows.slice(0, 50), rows.slice(50, 100))) {
+      // the 4th slice RE-DELIVERS every row (at-least-once semantics):
+      // a re-delivered id must not occupy two of a shard's k+1 slots —
+      // state merges dedup by id before truncating, so the final states
+      // (and τ/est_w below) are identical to exactly-once delivery
+      for (slice <- Seq(rows.slice(100, 300), rows.slice(0, 50), rows.slice(50, 100),
+          rows)) {
         input.addData(slice: _*)
         q.processAllAvailable()
         val now = perShardCounts()

@@ -154,4 +154,34 @@ class TFRecordSpec extends SparkSpec {
           java.nio.file.Files.readAllBytes(b.toPath).toSeq, s"shard $sh bytes")
     }
   }
+
+  test("read: uncompressed shard whose first length bytes spell the gzip magic") {
+    // A raw TFRecord file starts with the first record's u64-LE payload
+    // length: a payload of exactly 0x8B1F = 35615 bytes makes the file
+    // begin 1F 8B — the gzip magic. The reader must not die in
+    // GZIPInputStream on it (~1/65536 of shards at scale): the sniffed
+    // gunzip fails and falls back to raw frame parsing.
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("blob", BinaryType)))
+    def payload(n: Int) =
+      TFRecordIO.exampleBytes(schema, Row(1L, Array.fill[Byte](n)(42)))
+    // converge blob size so the framed payload is exactly 35615 bytes
+    // (encoding overhead is deterministic; varint length steps are ≤ +1)
+    var n = 35550
+    var p = payload(n)
+    while (p.length != 35615) { n += 35615 - p.length; p = payload(n) }
+    val second = TFRecordIO.exampleBytes(schema, Row(2L, Array[Byte](7)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfr_magic")
+    val f = dir.resolve("part-00000.tfrecord")
+    java.nio.file.Files.write(f, TFRecordIO.frame(p) ++ TFRecordIO.frame(second))
+    assert { // preconditions: really starts 1F 8B, really not gzip
+      val head = java.nio.file.Files.readAllBytes(f).take(2)
+      (head(0) & 0xFF) == 0x1F && (head(1) & 0xFF) == 0x8B
+    }
+    val back = TFRecordIO.read(spark, dir.toString, schema).orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getLong(0) === 1L &&
+      back(0).getAs[Array[Byte]](1).length === n)
+    assert(back(1).getLong(0) === 2L)
+  }
 }

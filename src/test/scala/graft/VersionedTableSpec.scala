@@ -151,6 +151,25 @@ class VersionedTableSpec extends SparkSpec {
       (5L to 7L))
   }
 
+  test("skip stats: a file with an all-null stats column stays unskippable, not fatal") {
+    val path = fresh()
+    // file A: real values; file B: the stats column entirely null — the
+    // per-file min/max aggregate yields null/null for B, which must be
+    // left OUT of the sidecar (missing entry == keep), not NPE writeStats
+    val a = spark.range(100).select(col("id"), col("id").as("k"))
+    val b = spark.range(100, 150)
+      .select(col("id"), lit(null).cast("long").as("k"))
+    VersionedTable.create(a.coalesce(1).union(b.coalesce(1)), path)
+    VersionedTable.writeStats(spark, path, 0L, "k") // must not throw
+    val all = VersionedTable.filesAt(path, 0L)
+    val kept = VersionedTable.filesForRange(path, 0L, "k", 10L, 20L)
+    // the all-null file has no sidecar entry -> kept; pure-A files prune normally
+    assert(kept.nonEmpty && kept.length <= all.length)
+    val got = VersionedTable.readWhere(spark, path, 0L, "k", 10L, 20L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (10L to 20L))
+  }
+
   test("file-level COW CDC: only churn-touched files rewrite, content == full merge") {
     import graft.operators.Diff
     val path = fresh()
