@@ -325,4 +325,83 @@ object Sketch {
       .filter(col("cnt") > col("__n") / k)
       .select(col("item"), col("cnt"))
   }
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ----
+
+  /** Build a Count-Min sketch of `item` frequencies: a d×w counter
+    * matrix as rows `(r, bucket, cnt)` where row r's bucket is
+    * `pinnedHash(item, "tag:r") mod w`. Point estimates read the MINIMUM
+    * of an item's d counters — always ≥ the true count, and ≤ true +
+    * (e/w)·N with probability 1 − e^−d under the standard analysis.
+    *
+    * Complements [[heavyHitters]] (exact top-k): CMS answers frequency
+    * questions about ARBITRARY items after the fact — including items
+    * never enumerated — from O(d·w) state, and two sketches estimate
+    * their inner product Σ_k f_a(k)·f_b(k), i.e. an equi-join's output
+    * cardinality, without touching either corpus again
+    * ([[cmsInnerProduct]]).
+    *
+    * Shape at 100 TB: counters are ADDITIVE, so `groupBy(r, bucket)`
+    * sum-aggregates with full map-side combine — each partition ships
+    * ≤ d·w rows however many billions it scanned, and sketches of
+    * shards/releases union+re-sum into the corpus sketch (merge-order-
+    * invariant, the same property as the HLL register max). The d hash
+    * rows explode per input row but collapse in the partial aggregate;
+    * everything is codegen'd pinned-hash arithmetic, no UDF.
+    *
+    * Determinism: buckets are pure functions of (item, tag), so the
+    * sketch — and every estimate off it — is bit-reproducible across
+    * partitionings and replayable by an external SQL engine. */
+  def cmsSketch(df: DataFrame, item: Column, d: Int, w: Int,
+      tag: String = "cms"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(d >= 1 && d <= 8, s"cmsSketch: d=$d (1..8; depth beyond 8 buys < 0.04% failure mass)")
+    require(w >= 2, s"cmsSketch: w=$w")
+    val rows = (0 until d).map { r =>
+      struct(lit(r).as("r"),
+        pmod(pinnedHash(item.cast("string"), s"$tag:$r"), lit(w.toLong)).as("bucket"))
+    }
+    df.filter(item.isNotNull)
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` (any frame with distinct
+    * probe items in `probeItem`) against a [[cmsSketch]]: min over the
+    * d counters, 0 for a bucket no item touched. The sketch (≤ d·w
+    * rows) broadcasts; probes stream through one narrow join + one
+    * aggregate keyed on the probe — never a corpus rescan. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, probeItem: Column,
+      d: Int, w: Int, tag: String = "cms"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until d).map { r =>
+      struct(lit(r).as("r"),
+        pmod(pinnedHash(probeItem.cast("string"), s"$tag:$r"), lit(w.toLong)).as("bucket"))
+    }
+    probes.filter(probeItem.isNotNull)
+      .select(probeItem.as("item"), explode(array(rows: _*)).as("rb"))
+      .select(col("item"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** Inner-product (equi-join output cardinality) estimate from two
+    * sketches built with the SAME (d, w, tag): per row r,
+    * Σ_bucket cntA·cntB collapses hash collisions upward, so the row
+    * minimum is an upper-bound estimate of Σ_k f_a(k)·f_b(k) with the
+    * same (e/w)·Na·Nb error analysis. This is the classic sketch-side
+    * join-size estimator: plan decisions (broadcast vs shuffle vs salt)
+    * from two ≤ d·w-row tables, zero corpus access. Output one row:
+    * `(est_join_size)`. */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("__cb")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).as("est_join_size"))
+  }
 }

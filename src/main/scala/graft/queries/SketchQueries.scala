@@ -64,6 +64,19 @@ object SketchQueries {
                        // regime (n > 2.5m) at every driver SF
   private val KmvK = 64
   private val PsK = 64
+  private val CmsD = 3      // CMS depth: 3 independent hash rows
+  private val CmsW = 64     // q_cms width: 50 keys in 64 buckets — collisions real
+  // inner-product excess ≈ Na·Nb/w per row: w must scale with the
+  // distinct-key count for a usable join estimate (production sizes
+  // w ≈ keys/ε; at w=256 the sf0.01 estimate was 6.7× exact — measured)
+  private val CmsJoinW = 4096
+
+  /** One UNION ALL leg of the CMS replay: row `r`'s bucket for key
+    * column `k` (BIGINT) under tag `t` — hash → mix63 → mod w. */
+  private def cmsLegSql(r: Int, w: Int, t: String, from: String): String =
+    s"""SELECT k, $r AS r, (${mixSql("h")}) % $w AS bucket
+       |  FROM (SELECT k, ${hashSql("CAST(k AS VARCHAR)", s"$t:$r")} AS h
+       |        FROM $from)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -152,6 +165,40 @@ object SketchQueries {
         .orderBy(col("replicate"))
     }),
 
+    // Count-Min sketch: d×w counter matrix over the q_skew key stream
+    // (planted hot key 0 absorbs every 5th event). Point estimates =
+    // min over d counters — always ≥ exact (the honesty column), tight
+    // when the min row dodges collisions. w=64 against 50 keys FORCES
+    // collisions so the min is doing real work, not vacuously exact.
+    "q_cms" -> ((s, dir) => {
+      val keys = t(s, dir, "events").select(
+        when(col("event_id") % 5 === 0, lit(0L))
+          .otherwise(col("user_id") % 50).as("k"))
+      val sk = Sketch.cmsSketch(keys, col("k"), d = CmsD, w = CmsW)
+      val probes = keys.filter(col("k") < 10).distinct()
+      val exact = keys.filter(col("k") < 10).groupBy(col("k").as("item"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      Sketch.cmsEstimate(sk, probes, col("k"), d = CmsD, w = CmsW)
+        .join(exact, "item")
+        .select(col("item"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("item"))
+    }),
+
+    // Join-size estimation from two CMS sketches (the classic inner-
+    // product estimator): |orders ⋈ customer| from two ≤ d·w-row
+    // tables, zero corpus re-access — the sketch-side cardinality
+    // input a planner needs to pick broadcast vs shuffle vs salt
+    // BEFORE paying the join. est ≥ exact; exact is the honesty column.
+    "q_cms_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val est = Sketch.cmsInnerProduct(
+        Sketch.cmsSketch(o, col("k"), CmsD, CmsJoinW, "cmsj"),
+        Sketch.cmsSketch(c, col("k"), CmsD, CmsJoinW, "cmsj"))
+      val exact = o.join(c, "k").agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+    }),
+
     // STRATIFIED priority sampling: an independent DLT sample per
     // language (k=16 each, per-group τ) — the per-source quota face a
     // mixing pipeline runs. Emits the sample rows themselves, so the
@@ -229,6 +276,36 @@ object SketchQueries {
          |    CAST((CAST(sum_w * 10000 AS HUGEINT) * 200 + n_eff)
          |         // (2 * n_eff) AS BIGINT) END AS mean_micros
          |FROM agg ORDER BY replicate""".stripMargin,
+
+    "q_cms" ->
+      s"""WITH keys AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0
+         |               ELSE user_id % 50 END AS k FROM events),
+         |hb AS (${(0 until CmsD).map(cmsLegSql(_, CmsW, "cms", "keys"))
+                    .mkString("\n UNION ALL\n")}),
+         |sk AS (SELECT r, bucket, count(*) AS cnt FROM hb GROUP BY r, bucket),
+         |pr AS (SELECT DISTINCT k, r, bucket FROM hb WHERE k < 10),
+         |est AS (SELECT k AS item,
+         |          CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est_cnt
+         |        FROM pr LEFT JOIN sk USING (r, bucket) GROUP BY k),
+         |ex AS (SELECT k AS item, count(*) AS exact_cnt
+         |       FROM keys WHERE k < 10 GROUP BY k)
+         |SELECT item, est_cnt, exact_cnt
+         |FROM est JOIN ex USING (item) ORDER BY item""".stripMargin,
+
+    "q_cms_join" ->
+      s"""WITH o AS (SELECT o_custkey AS k FROM orders),
+         |c AS (SELECT c_custkey AS k FROM customer),
+         |oh AS (${(0 until CmsD).map(cmsLegSql(_, CmsJoinW, "cmsj", "o"))
+                    .mkString("\n UNION ALL\n")}),
+         |ch AS (${(0 until CmsD).map(cmsLegSql(_, CmsJoinW, "cmsj", "c"))
+                    .mkString("\n UNION ALL\n")}),
+         |osk AS (SELECT r, bucket, count(*) AS cnt FROM oh GROUP BY r, bucket),
+         |csk AS (SELECT r, bucket, count(*) AS cnt FROM ch GROUP BY r, bucket),
+         |dot AS (SELECT r, CAST(sum(osk.cnt * csk.cnt) AS BIGINT) AS d
+         |        FROM osk JOIN csk USING (r, bucket) GROUP BY r),
+         |est AS (SELECT CAST(min(d) AS BIGINT) AS est_join_size FROM dot),
+         |ex AS (SELECT count(*) AS exact_join_size FROM o JOIN c USING (k))
+         |SELECT est_join_size, exact_join_size FROM est, ex""".stripMargin,
 
     "q_priority_sample_by" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),

@@ -126,6 +126,64 @@ class SketchDistinctSpec extends SparkSpec {
       s"global sketch should plan TakeOrderedAndProject:\n$pp")
   }
 
+  test("Count-Min: overestimate-only, exact when wide, merge == rebuild") {
+    // skewed stream: item-i appears i+1 times (5050 rows, 100 distinct)
+    val df = spark.range(100).select(col("id"))
+      .withColumn("n", col("id") + 1)
+      .select(explode(sequence(lit(1L), col("n"))).as("_"), col("id"))
+      .select(concat(lit("item-"), col("id")).as("t"), col("id"))
+    val exact = df.groupBy(col("t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = df.select(col("t")).distinct()
+    // narrow sketch (collisions certain: 100 keys, 32 buckets): every
+    // estimate must still be >= exact — CMS never undercounts
+    val skN = Sketch.cmsSketch(df, col("t"), d = 3, w = 32)
+    val estN = Sketch.cmsEstimate(skN, probes, col("t"), d = 3, w = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, n) => estN(k) >= n },
+      "CMS must never undercount")
+    assert(estN.exists { case (k, e) => e > exact(k) },
+      "w=32 over 100 keys should actually collide")
+    // wide sketch (4096 buckets, 100 keys): whp every min-row is
+    // collision-free -> estimates exactly equal the true counts
+    val skW = Sketch.cmsSketch(df, col("t"), d = 3, w = 4096)
+    val estW = Sketch.cmsEstimate(skW, probes, col("t"), d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW === exact, "wide CMS should be exact on 100 keys")
+    // state bound + partition invariance + shard-merge == full rebuild
+    assert(skN.count() <= 3 * 32)
+    val skRepart = Sketch.cmsSketch(df.repartition(13), col("t"), d = 3, w = 32)
+    assert(skN.orderBy("r", "bucket").collect().toSeq ===
+      skRepart.orderBy("r", "bucket").collect().toSeq)
+    val half1 = Sketch.cmsSketch(df.filter(col("id") < 50), col("t"), 3, 32)
+    val half2 = Sketch.cmsSketch(df.filter(col("id") >= 50), col("t"), 3, 32)
+    val merged = half1.unionByName(half2)
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.orderBy("r", "bucket").collect().toSeq ===
+      skN.orderBy("r", "bucket").collect().toSeq,
+      "shard sketches must re-sum into the corpus sketch")
+  }
+
+  test("Count-Min inner product bounds the equi-join size from sketches alone") {
+    val a = spark.range(2000).select((col("id") % 500).cast("string").as("t"))
+    val b = spark.range(1500).select((col("id") % 300).cast("string").as("t"))
+    val exactJoin = a.join(b, "t").count()
+    def est(w: Int) = Sketch.cmsInnerProduct(
+        Sketch.cmsSketch(a, col("t"), 3, w, "ip"),
+        Sketch.cmsSketch(b, col("t"), 3, w, "ip"))
+      .collect().head.getLong(0)
+    // upper bound at any width. NOT exact even when wide: per-key point
+    // estimates only need SOME row collision-free for that key, but the
+    // inner product needs an ENTIRE row collision-free — a birthday
+    // event over all 500 keys. Assert the standard error bound instead:
+    // excess ≤ Na·Nb/w per row (expectation; min over d rows is tighter).
+    val e64 = est(64); val e8k = est(8192)
+    assert(e64 >= exactJoin && e8k >= exactJoin)
+    assert(e8k <= e64, "wider sketch must not estimate worse")
+    assert(e8k - exactJoin <= 2000L * 1500L / 8192,
+      s"wide CMS inner product $e8k too far above exact $exactJoin")
+  }
+
   test("Poisson bootstrap: deterministic weights, partition invariance, CI finish") {
     import graft.operators.Stats
     import spark.implicits._
