@@ -156,7 +156,11 @@ object VersionedTable {
     val files = filesAt(path, v)
     require(files.nonEmpty,
       s"VersionedTable: version $v of $path has no data files (schema unknowable)")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    // basePath recovers hive partition columns from `data/k=v/` path
+    // segments when the table is partitioned; on a flat layout it is
+    // inert (no k=v directories, no inference)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .option("basePath", dataDir(path).toString).parquet(files: _*)
   }
 
   /** Read the latest version. */
@@ -183,9 +187,16 @@ object VersionedTable {
       // so the file stays readable instead of NPE-ing the sidecar write
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .map { r =>
-        val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString
-        s"data/$name" -> (r.getLong(1), r.getLong(2))
+        val abs = Paths.get(new java.net.URI(r.getString(0)).getPath)
+        // key by table-relative path so partitioned files
+        // (data/k=v/file) match filesForRange's relativize; fall back
+        // to the flat form if the roots don't share a prefix
+        val rel =
+          try Paths.get(path).toAbsolutePath.normalize
+            .relativize(abs.toAbsolutePath.normalize).toString
+          catch { case _: IllegalArgumentException =>
+            s"data/${abs.getFileName.toString}" }
+        rel -> (r.getLong(1), r.getLong(2))
       }.toMap
   }
 
@@ -332,9 +343,142 @@ object VersionedTable {
     else spark.read.parquet(files.toSeq.sorted: _*).where(residual)
   }
 
+  // ---- hive-style partitioned layout ----
+
+  /** Stage `df` hive-partitioned on `partCol`: immutable files land
+    * under `data/<partCol>=<value>/`, the layout every engine's
+    * partition discovery understands. Returns relative paths. */
+  private def stagePartitioned(df: DataFrame, path: String,
+      partCol: String): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = Paths.get(path, s".staging-$commitId")
+    df.write.partitionBy(partCol).parquet(tmp.toString)
+    Files.createDirectories(dataDir(path))
+    val partDirs = tmp.toFile.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .sortBy(_.getName)
+    val rel = partDirs.flatMap { pd =>
+      val target = dataDir(path).resolve(pd.getName)
+      Files.createDirectories(target)
+      pd.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.map { case (p, i) =>
+          val name = f"$commitId-part$i%05d.parquet"
+          Files.move(p.toPath, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          s"data/${pd.getName}/$name"
+        }
+    }.toSeq
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(tmp.toFile)
+    rel
+  }
+
+  /** Create version 0 hive-partitioned on `partCol`. Partition pruning
+    * then needs NO stats sidecar: the partition value is in the path,
+    * the manifest is the index, and [[filesForPartitions]] is exact —
+    * at 100 TB this is the primary prune (date/source), with the stats
+    * sidecar as the secondary in-partition skip
+    * ([[readWherePartitionsAnd]]). One layout per table: don't mix
+    * flat [[commit]]s into a partitioned table (partition discovery
+    * needs consistent directory depth). */
+  def createPartitioned(df: DataFrame, path: String, partCol: String): Long = {
+    require(versions(path).isEmpty, s"VersionedTable: $path already exists")
+    publish(path, 0L, -1L, s"create-partitioned:$partCol",
+      stagePartitioned(df, path, partCol))
+    0L
+  }
+
+  /** Commit against a partitioned table. Modes: `append` adds files,
+    * `overwrite` replaces the whole file set, and `overwritePartitions`
+    * — the production daily-ingest mode — replaces ONLY the partitions
+    * present in `df` and carries every other partition's files forward
+    * untouched (dynamic partition overwrite, file-level COW). */
+  def commitPartitioned(df: DataFrame, path: String, partCol: String,
+      mode: String = "append"): Long = {
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val newFiles = stagePartitioned(df, path, partCol)
+    val old = filesAt(path, cur)
+      .map(a => Paths.get(path).relativize(Paths.get(a)).toString)
+    def dirOf(rel: String) = Paths.get(rel).getParent.getFileName.toString
+    val files = mode match {
+      case "append" => old ++ newFiles
+      case "overwrite" => newFiles
+      case "overwritePartitions" =>
+        val touched = newFiles.map(dirOf).toSet
+        old.filterNot(f => touched.contains(dirOf(f))) ++ newFiles
+      case other => throw new IllegalArgumentException(
+        "VersionedTable.commitPartitioned: mode must be " +
+          s"append|overwrite|overwritePartitions, got $other")
+    }
+    val v = cur + 1
+    publish(path, v, cur, s"$mode-partitioned:$partCol", files)
+    v
+  }
+
+  /** Partition values present in a version — decoded from the manifest
+    * paths alone, no directory listing or file open. (Values appear as
+    * Spark's partition-path encoding; keep partition values simple.) */
+  def partitionsAt(path: String, v: Long, partCol: String): Seq[String] = {
+    val pre = partCol + "="
+    filesAt(path, v).flatMap { abs =>
+      val parent = Paths.get(abs).getParent.getFileName.toString
+      if (parent.startsWith(pre)) Some(parent.stripPrefix(pre)) else None
+    }.distinct.sorted
+  }
+
+  /** The version's files in the named partitions — exact pruning by
+    * path arithmetic on the manifest. */
+  def filesForPartitions(path: String, v: Long, partCol: String,
+      values: Seq[String]): Seq[String] = {
+    val want = values.map(x => s"$partCol=$x").toSet
+    filesAt(path, v).filter(abs =>
+      want.contains(Paths.get(abs).getParent.getFileName.toString))
+  }
+
+  /** Partition-pruned read: only the named partitions' files are ever
+    * listed or opened; the partition column is recovered from the
+    * paths (basePath). */
+  def readWherePartitions(spark: SparkSession, path: String, v: Long,
+      partCol: String, values: Seq[String]): DataFrame = {
+    val files = filesForPartitions(path, v, partCol, values)
+    if (files.isEmpty)
+      readVersion(spark, path, v).where(org.apache.spark.sql.functions.lit(false))
+    else spark.read.option("basePath", dataDir(path).toString)
+      .parquet(files.sorted: _*)
+  }
+
+  /** The composed 100 TB read: partition pruning FIRST (exact, from
+    * manifest paths), then per-file stats skipping WITHIN the surviving
+    * partitions, then the residual range filters. */
+  def readWherePartitionsAnd(spark: SparkSession, path: String, v: Long,
+      partCol: String, values: Seq[String],
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val byPart = filesForPartitions(path, v, partCol, values).toSet
+    val files = preds.map { case (cl, lo, hi) =>
+      filesForRange(path, v, cl, lo, hi).toSet }
+      .foldLeft(byPart)(_ intersect _)
+    if (files.isEmpty)
+      readVersion(spark, path, v).where(lit(false))
+    else {
+      val residual = preds.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi }
+        .foldLeft(lit(true))(_ && _)
+      spark.read.option("basePath", dataDir(path).toString)
+        .parquet(files.toSeq.sorted: _*).where(residual)
+    }
+  }
+
   /** Rewrite the CURRENT file set into ~`targetBytes` files and commit
     * the result as a new version. Content-identical by construction —
-    * the graded property — while history stays time-travelable. */
+    * the graded property — while history stays time-travelable. (On a
+    * partitioned table the rewrite keeps the partition VALUES — the
+    * column is recovered via basePath before the rewrite — but
+    * flattens the directory layout; use [[commitPartitioned]] with
+    * `overwritePartitions` to compact per partition instead.) */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Long = {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
@@ -398,11 +542,20 @@ object VersionedTable {
     require(keepVersions >= 1, "VersionedTable.vacuum: keep at least 1 version")
     val vs = versions(path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
-    val live = keep.flatMap(filesAt(path, _)).map(Paths.get(_).getFileName.toString).toSet
+    // liveness keyed by path relative to data/ — partitioned layouts
+    // reuse file NAMES across `k=v` subdirs, so a bare-name key could
+    // never reclaim a dead partition file shadowed by a live namesake
+    val live = keep.flatMap(filesAt(path, _))
+      .map(a => dataDir(path).toAbsolutePath.normalize
+        .relativize(Paths.get(a).toAbsolutePath.normalize).toString).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    Option(dataDir(path).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !live.contains(f.getName) && f.lastModified() < cutoff)
-      .foreach(_.delete())
+    def sweep(dir: File, prefix: String): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) sweep(f, prefix + f.getName + "/")
+        else if (!live.contains(prefix + f.getName) && f.lastModified() < cutoff)
+          f.delete()
+      }
+    sweep(dataDir(path).toFile, "")
     drop.foreach { v =>
       Files.deleteIfExists(versionFile(path, v))
       // stats sidecars of the dropped version go with it

@@ -151,6 +151,54 @@ class VersionedTableSpec extends SparkSpec {
       (5L to 7L))
   }
 
+  test("partitioned layout: path pruning, dynamic partition overwrite, composed skip") {
+    val path = fresh()
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 4).cast("string").as("src"))
+    // range-cluster ids so per-file [min,max] tighten WITHIN partitions
+    VersionedTable.createPartitioned(
+      df.repartitionByRange(4, col("id")), path, "src")
+    // the partition column comes back on plain reads (basePath recovery)
+    val v0df = VersionedTable.read(spark, path)
+    assert(v0df.columns.toSet === Set("id", "src") && v0df.count() === 1000)
+    assert(VersionedTable.partitionsAt(path, 0L, "src") ===
+      Seq("0", "1", "2", "3"))
+    // partition-pruned read: only src=1 files listed, exact rows
+    val all0 = VersionedTable.filesAt(path, 0L)
+    val f1 = VersionedTable.filesForPartitions(path, 0L, "src", Seq("1"))
+    assert(f1.nonEmpty && f1.size < all0.size && f1.forall(_.contains("src=1")))
+    assert(VersionedTable.readWherePartitions(spark, path, 0L, "src", Seq("1"))
+      .select("id").as[Long].collect().sorted.toSeq === (1L until 1000L by 4))
+    // dynamic partition overwrite: src=2 replaced, every other
+    // partition's files carried forward UNTOUCHED (same paths)
+    val repl = spark.range(5000, 5010).select(col("id"), lit("2").as("src"))
+    val v1 = VersionedTable.commitPartitioned(repl, path, "src",
+      "overwritePartitions")
+    assert(VersionedTable.filesForPartitions(path, v1, "src", Seq("1")).toSet
+      === f1.toSet)
+    val afterIds = VersionedTable.readVersion(spark, path, v1)
+      .filter(col("src") === "2").select("id").as[Long].collect().sorted.toSeq
+    assert(afterIds === (5000L until 5010L))
+    assert(VersionedTable.readVersion(spark, path, v1).count() === 750 + 10)
+    // time travel still sees the pre-overwrite partition
+    assert(VersionedTable.readVersion(spark, path, 0L).count() === 1000)
+    // composed read: exact partition prune FIRST, stats skip WITHIN
+    VersionedTable.writeStats(spark, path, v1, "id")
+    val byPart = VersionedTable.filesForPartitions(path, v1, "src",
+      Seq("1", "2")).toSet
+    val byBoth = byPart intersect
+      VersionedTable.filesForRange(path, v1, "id", 0L, 100L).toSet
+    assert(byBoth.nonEmpty && byBoth.size < byPart.size,
+      s"stats skip should prune within partitions: ${byBoth.size} of ${byPart.size}")
+    val comp = VersionedTable.readWherePartitionsAnd(spark, path, v1,
+        "src", Seq("1", "2"), Seq(("id", 0L, 100L)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(comp === (1L to 100L by 4), "src=1 ids ≤100; replaced src=2 all ≥5000")
+    // empty partition set: typed empty frame, not an error
+    assert(VersionedTable.readWherePartitions(spark, path, v1, "src",
+      Seq("9")).count() === 0)
+  }
+
   test("skip stats: a file with an all-null stats column stays unskippable, not fatal") {
     val path = fresh()
     // file A: real values; file B: the stats column entirely null — the

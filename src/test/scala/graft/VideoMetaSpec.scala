@@ -397,6 +397,42 @@ class VideoMetaSpec extends SparkSpec {
     assert(ranges(noStsc, 4) === null)
   }
 
+  test("gate consolidation: native addressability strictly extends the column gate") {
+    // the production entry is sampleFrameRangesFull — gate = "the table
+    // walk PROVED an address for every sampled frame" (ranges non-null).
+    // The column face's single-chunk gate is the ORACLE-replayable
+    // subset; this spec pins the role split: gate implication (column ⊆
+    // native), equal results on the shared rows, and the unprovable
+    // layouts (multi-chunk without stsc, garbage) rejected by BOTH.
+    val simple = mp4(ts = 24000, nf = 100, delta = 1000, ss = 900)
+    val stts4 = box("stts", be32(0) ++ be32(1) ++ be32(4) ++ be32(100))
+    val stszF = box("stsz", be32(0) ++ be32(10) ++ be32(4))
+    val stsc2 = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(2) ++ be32(1))
+    val stco2 = box("stco", be32(0) ++ be32(2) ++ be32(100) ++ be32(900))
+    val chunked = ftyp() ++ box("moov", mvhd0(1000, 400) ++
+      trak(tkhd0(64, 48, 400), box("stbl", stts4 ++ stszF ++ stsc2 ++ stco2)))
+    val noStsc = ftyp() ++ box("moov", mvhd0(1000, 400) ++
+      trak(tkhd0(64, 48, 400), box("stbl", stts4 ++ stszF ++ stco2)))
+    val junk = Array.fill[Byte](64)(33)
+    val corpus = Seq((1L, simple), (2L, chunked), (3L, noStsc), (4L, junk))
+      .toDF("doc_id", "payload")
+    def flat(df: org.apache.spark.sql.DataFrame, id: Long) = df
+      .filter($"doc_id" === id).select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.pts_us", $"f.byte_offset", $"f.byte_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaCols = Multimodal.sampleFrameRanges(corpus, "payload", 4)
+    assert(viaCols.select("doc_id").as[Long].collect().toSeq === Seq(1L),
+      "column gate admits exactly the single-chunk layout")
+    val viaFull = Multimodal.sampleFrameRangesFull(corpus, "payload", 4)
+    assert(viaFull.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "native gate adds the stsc-addressable layout, still rejects unprovable")
+    assert(flat(viaFull, 1L) === flat(viaCols, 1L),
+      "shared rows: native == column, range for range")
+    assert(flat(viaFull, 2L).map(r => r._1 -> r._3) ===
+      Seq(0L -> 100L, 1L -> 110L, 2L -> 900L, 3L -> 910L),
+      "the added row is addressed through stsc, not offset+idx*size")
+  }
+
   test("hdlr handler_type beats the dims heuristic for track selection") {
     // a decoy audio trak carrying BOGUS nonzero dims (broken muxer) but
     // hdlr 'soun' - only the spec-exact hdlr rule avoids it
