@@ -1778,6 +1778,44 @@ object PipelineQueries {
         .orderBy(col("version"))
     }),
 
+    // Partitioned versioned table end-to-end: create v0 hive-partitioned
+    // on lang, then re-release ONE partition (de: drop %3, ' r2' tag on
+    // %2) as a dynamic-partition-overwrite commit — the daily-ingest
+    // shape. Three graded views, all read through the PRUNED path so the
+    // partition value's path round-trip (directory name -> recovered
+    // column) is itself under the oracle: v0 = time travel after the
+    // overwrite landed; v1 = all partitions via filesForPartitions
+    // (untouched langs carry v0's very files); v1_de = the single
+    // replaced partition. Per-(view, lang) exact count, id sum, and
+    // order-independent content checksum; the oracle replays every
+    // view's expected contents from pure arithmetic over documents.
+    "q_table_partitions" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtp").toString + "/docs"
+      VersionedTable.createPartitioned(docs, path, "lang")
+      val deNew = docs.filter(col("lang") === "de" && col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 2 === 0, concat(col("text"), lit(" r2")))
+            .otherwise(col("text")).as("text"))
+      val v1 = VersionedTable.commitPartitioned(deNew, path, "lang",
+        "overwritePartitions")
+      def view(name: String, df: DataFrame) = df.select(lit(name).as("view"),
+        col("lang"), col("doc_id"),
+        TextOps.fingerprint(concat(col("doc_id").cast(StringType),
+          lit(":"), col("text"))).as("fp"))
+      val langs = VersionedTable.partitionsAt(path, v1, "lang")
+      view("v0", VersionedTable.readVersion(s, path, 0L))
+        .unionByName(view("v1",
+          VersionedTable.readWherePartitions(s, path, v1, "lang", langs)))
+        .unionByName(view("v1_de",
+          VersionedTable.readWherePartitions(s, path, v1, "lang", Seq("de"))))
+        .groupBy(col("view"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("fp")).as("content_sum"))
+        .orderBy(col("view"), col("lang"))
+    }),
+
     // Frame sampling over the INTERLEAVED-chunk layout real muxers
     // write — the native full-addressing sampler (one codegen'd call):
     // stsc maps each sampled index to its chunk, stco supplies that
@@ -4220,6 +4258,38 @@ object PipelineQueries {
         |UNION ALL SELECT 1, n_docs, id_sum, content_sum FROM v12
         |UNION ALL SELECT 2, n_docs, id_sum, content_sum FROM v12
         |ORDER BY version""".stripMargin,
+
+    "q_table_partitions" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT doc_id, lang,
+        |          doc_id::VARCHAR || ':' || text AS k FROM documents)),
+        |den AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' r2' ELSE text END AS text
+        |  FROM documents WHERE lang = 'de' AND doc_id % 3 <> 0),
+        |dfp AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT doc_id, lang, doc_id::VARCHAR || ':' || text AS k FROM den)),
+        |v1all AS (
+        |  SELECT doc_id, lang, f FROM fp WHERE lang <> 'de'
+        |  UNION ALL SELECT doc_id, lang, f FROM dfp)
+        |SELECT 'v0' AS view, lang, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS id_sum, sum(f)::BIGINT AS content_sum
+        |FROM fp GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1', lang, count(*)::BIGINT, sum(doc_id)::BIGINT, sum(f)::BIGINT
+        |FROM v1all GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1_de', lang, count(*)::BIGINT, sum(doc_id)::BIGINT, sum(f)::BIGINT
+        |FROM dfp GROUP BY lang
+        |ORDER BY view, lang""".stripMargin,
 
     "q_frame_sample_chunked" ->
       """WITH p AS (

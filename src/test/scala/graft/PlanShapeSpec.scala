@@ -496,7 +496,17 @@ class PlanShapeSpec extends SparkSpec {
       // doc_id (interval predicate as residual) = 2 exchanges + the
       // oracle orderBy; the other 6 build the 2-release history fixture
       // (snapshotDiff full-outer + the interval-close join + unions)
-      "q_scd2_asof" -> 9)
+      "q_scd2_asof" -> 9,
+      // round-7: CMS sketch build is ONE partial-combined agg (≤ d·w
+      // rows/partition); the rest is probe distinct + the exact honesty
+      // aggregate + oracle orderBy (sketch + exact both broadcast)
+      "q_cms" -> 4,
+      // two sketch builds + dot groupBy/min + the exact honesty join's
+      // agg; production runs the two sketch legs alone
+      "q_cms_join" -> 5,
+      // partitioned versioned table: the three pruned reads are pinned
+      // parquet scans unioned; one agg exchange + the oracle orderBy
+      "q_table_partitions" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
