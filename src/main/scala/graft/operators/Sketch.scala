@@ -352,17 +352,25 @@ object Sketch {
     * Determinism: buckets are pure functions of (item, tag), so the
     * sketch — and every estimate off it — is bit-reproducible across
     * partitionings and replayable by an external SQL engine. */
+  /** The d (row, bucket) coordinates of `item` as an array column —
+    * shared by the batch build, the probe side, and the streaming face
+    * so all three hash identically by construction. */
+  private[graft] def cmsBuckets(item: Column, d: Int, w: Int,
+      tag: String): Column = {
+    import org.apache.spark.sql.functions._
+    require(d >= 1 && d <= 8, s"cms: d=$d (1..8; depth beyond 8 buys < 0.04% failure mass)")
+    require(w >= 2, s"cms: w=$w")
+    array((0 until d).map { r =>
+      struct(lit(r).as("r"),
+        pmod(pinnedHash(item.cast("string"), s"$tag:$r"), lit(w.toLong)).as("bucket"))
+    }: _*)
+  }
+
   def cmsSketch(df: DataFrame, item: Column, d: Int, w: Int,
       tag: String = "cms"): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(d >= 1 && d <= 8, s"cmsSketch: d=$d (1..8; depth beyond 8 buys < 0.04% failure mass)")
-    require(w >= 2, s"cmsSketch: w=$w")
-    val rows = (0 until d).map { r =>
-      struct(lit(r).as("r"),
-        pmod(pinnedHash(item.cast("string"), s"$tag:$r"), lit(w.toLong)).as("bucket"))
-    }
     df.filter(item.isNotNull)
-      .select(explode(array(rows: _*)).as("rb"))
+      .select(explode(cmsBuckets(item, d, w, tag)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -375,12 +383,8 @@ object Sketch {
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, probeItem: Column,
       d: Int, w: Int, tag: String = "cms"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rows = (0 until d).map { r =>
-      struct(lit(r).as("r"),
-        pmod(pinnedHash(probeItem.cast("string"), s"$tag:$r"), lit(w.toLong)).as("bucket"))
-    }
     probes.filter(probeItem.isNotNull)
-      .select(probeItem.as("item"), explode(array(rows: _*)).as("rb"))
+      .select(probeItem.as("item"), explode(cmsBuckets(probeItem, d, w, tag)).as("rb"))
       .select(col("item"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(col("item"))

@@ -776,6 +776,34 @@ object PipelineQueries {
         .orderBy(col("sample_rank"))
     }),
 
+    // Streaming Count-Min sketch, gated: a REAL StreamingQuery maintains
+    // the d×w counter matrix as a plain streaming aggregate (complete
+    // mode — the state IS the sketch, bounded at d·w rows forever), then
+    // the batch-side consumer finish reads point estimates off the
+    // streamed sketch exactly like q_cms does off the batch build.
+    // Streamed == batch is by construction (additive counters are
+    // merge-order-invariant), which is what lets q_cms's own DuckDB
+    // oracle grade the streaming face end-to-end.
+    "q_stream_cms" -> ((s, dir) => {
+      def keyOf(df: DataFrame) =
+        df.select(when(col("event_id") % 5 === 0, lit(0L))
+          .otherwise(col("user_id") % 50).as("k"))
+      val sketch = runAvailableNow(s, s"$dir/events.parquet",
+          "graft_stream_cms", "complete") { stream =>
+        graft.streaming.StreamOps.streamingCms(keyOf(stream), col("k"),
+          SketchQueries.CmsD, SketchQueries.CmsW)
+      }
+      val keys = keyOf(t(s, dir, "events"))
+      val probes = keys.filter(col("k") < 10).distinct()
+      val exact = keys.filter(col("k") < 10).groupBy(col("k").as("item"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      graft.operators.Sketch.cmsEstimate(sketch, probes, col("k"),
+          SketchQueries.CmsD, SketchQueries.CmsW)
+        .join(exact, "item")
+        .select(col("item"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("item"))
+    }),
+
     // Streaming QUALITY GATE: the ingest-time face of the Gopher rules —
     // a real StreamingQuery filters each micro-batch stateless-ly (the
     // flags are row-local, so the stream needs no state store at all) and
@@ -2694,6 +2722,10 @@ object PipelineQueries {
          |    COALESCE((SELECT tau FROM tau), CAST(n_chars AS DOUBLE))) AS est_w
          |FROM rk WHERE rk <= 64
          |ORDER BY sample_rank""".stripMargin,
+
+    // streamed == batch by construction (additive counters), so the
+    // streaming face grades against the batch CMS oracle verbatim
+    "q_stream_cms" -> SketchQueries.oracleSql("q_cms"),
 
     "q_stream_quality" ->
       """WITH base AS (

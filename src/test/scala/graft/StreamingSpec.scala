@@ -123,6 +123,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: the maintained counter matrix equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = (0L until 300L).map(i => i % 37)
+    val input = MemoryStream[Long]
+    val out = StreamOps.streamingCms(input.toDF.toDF("k"), col("k"), 3, 32)
+    val q = out.writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      // arbitrary batch splits: additive counters are merge-order-
+      // invariant, so the final state must not care
+      for (slice <- Seq(items.slice(200, 300), items.slice(0, 120),
+          items.slice(120, 200))) {
+        input.addData(slice: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("scms").orderBy("r", "bucket").collect().toSeq
+      val batch = graft.operators.Sketch.cmsSketch(
+          items.toDF("k"), col("k"), 3, 32)
+        .orderBy("r", "bucket").collect().toSeq
+      assert(streamed === batch,
+        "streamed counter matrix must equal the batch sketch bit for bit")
+      assert(streamed.length <= 3 * 32, "state bounded at d*w rows")
+    } finally q.stop()
+  }
+
   test("streaming priority sample: final shard states reconstruct the batch DLT sample across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
