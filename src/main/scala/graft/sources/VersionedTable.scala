@@ -307,21 +307,65 @@ object VersionedTable {
     // sidecar entries verbatim (their bytes didn't move), only the new
     // files are measured — re-running writeStats over the whole version
     // would full-scan a 100 TB table per nightly commit
-    if (Files.exists(sidecar)) {
-      val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
-      val old = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
-        .collect { case e @ entry(f, _, _) => f -> e }.toMap
-      val carried = carriedRel.flatMap(f => old.get(f))
-      val fresh = fileStats(spark, path,
-          newFiles.map(f => Paths.get(path).resolve(f).toString), idCol)
-        .toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
-          s"""{"file":"${esc(f)}","min":$lo,"max":$hi}"""
-        }
-      val target = versionsDir(path).resolve(f"v$v%08d.stats.${idCol}.json")
-      val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, (carried ++ fresh).mkString("\n").getBytes("UTF-8"))
-      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
-    }
+    refreshStatsSidecar(spark, path, cur, v, idCol, carriedRel, newFiles)
+    v
+  }
+
+  /** O(churn) stats-sidecar carry-forward: if version `fromV` has a
+    * sidecar for `statCol`, write `toV`'s as carried files' entries
+    * verbatim (their bytes didn't move) + fresh measurements of ONLY
+    * the new files. No-op when `fromV` had no sidecar. */
+  private def refreshStatsSidecar(spark: SparkSession, path: String,
+      fromV: Long, toV: Long, statCol: String,
+      carriedRel: Seq[String], newFiles: Seq[String]): Unit = {
+    val sidecar = versionsDir(path).resolve(f"v$fromV%08d.stats.${statCol}.json")
+    if (!Files.exists(sidecar)) return
+    val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
+    val old = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
+      .collect { case e @ entry(f, _, _) => f -> e }.toMap
+    val carried = carriedRel.flatMap(f => old.get(f))
+    val fresh = fileStats(spark, path,
+        newFiles.map(f => Paths.get(path).resolve(f).toString), statCol)
+      .toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+        s"""{"file":"${esc(f)}","min":$lo,"max":$hi}"""
+      }
+    val target = versionsDir(path).resolve(f"v$toV%08d.stats.${statCol}.json")
+    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, (carried ++ fresh).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Per-partition OPTIMIZE — the nightly layout pass of a PARTITIONED
+    * table: rewrite ONLY the named partitions' files into ~`targetBytes`
+    * files range-clustered on `sortCol` (tight per-file [min,max]),
+    * carry every other partition's files forward untouched behind ONE
+    * manifest publish, and refresh the `sortCol` stats sidecar
+    * O(rewritten) — carried files keep their entries verbatim. At
+    * 100 TB this is "compact yesterday's partition" without touching
+    * the other 3,000 partitions or re-scanning them for stats.
+    * ([[compact]] flattens a partitioned layout; this keeps it.) */
+  def optimizePartitioned(spark: SparkSession, path: String, partCol: String,
+      values: Seq[String], targetBytes: Long, sortCol: String): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val sel = filesForPartitions(path, cur, partCol, values)
+    require(sel.nonEmpty,
+      s"VersionedTable.optimizePartitioned: no files in partitions $values")
+    val selSet = sel.toSet
+    val rel = (abs: String) => Paths.get(path).relativize(Paths.get(abs)).toString
+    val carriedRel = filesAt(path, cur).filterNot(selSet).map(rel)
+    val bytes = sel.map(f => new File(f).length()).sum
+    val parts = math.max(values.length,
+      math.ceil(bytes.toDouble / targetBytes).toInt)
+    val arranged = spark.read.option("basePath", dataDir(path).toString)
+      .parquet(sel.sorted: _*)
+      .repartitionByRange(parts, c(partCol), c(sortCol))
+      .sortWithinPartitions(c(partCol), c(sortCol))
+    val newFiles = stagePartitioned(arranged, path, partCol)
+    val v = cur + 1
+    publish(path, v, cur, s"optimize-partitioned:$partCol", carriedRel ++ newFiles)
+    refreshStatsSidecar(spark, path, cur, v, sortCol, carriedRel, newFiles)
     v
   }
 

@@ -199,6 +199,45 @@ class VersionedTableSpec extends SparkSpec {
       Seq("9")).count() === 0)
   }
 
+  test("optimizePartitioned: one partition re-clusters, others carried, stats O(rewritten)") {
+    val path = fresh()
+    // shuffled ids -> 8 tasks x 2 values = 16 small files, per-file id
+    // ranges all WIDE (nothing prunes inside a partition)
+    val df = spark.range(2000).select(col("id"), (col("id") % 2).cast("string").as("src"))
+    VersionedTable.createPartitioned(df.repartition(8), path, "src")
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    val src0Before = VersionedTable.filesForPartitions(path, 0L, "src", Seq("0"))
+    val src1Before = VersionedTable.filesForPartitions(path, 0L, "src", Seq("1"))
+    val wide = src1Before.toSet intersect
+      VersionedTable.filesForRange(path, 0L, "id", 100L, 140L).toSet
+    assert(wide.size === src1Before.size, "pre-optimize: nothing prunes in src=1")
+    // rewrite src=1 into ~4 range-clustered files
+    val selBytes = src1Before.map(f => new java.io.File(f).length()).sum
+    val v1 = VersionedTable.optimizePartitioned(spark, path, "src", Seq("1"),
+      targetBytes = math.max(1L, selBytes / 4), sortCol = "id")
+    // untouched partition: the very same files, path for path
+    assert(VersionedTable.filesForPartitions(path, v1, "src", Seq("0")).toSet
+      === src0Before.toSet)
+    // rewritten partition: fewer files, still under src=1/
+    val src1After = VersionedTable.filesForPartitions(path, v1, "src", Seq("1"))
+    assert(src1After.size < src1Before.size && src1After.forall(_.contains("src=1")))
+    // content identical across the optimize
+    assert(ids(VersionedTable.readVersion(spark, path, v1)) ===
+      ids(VersionedTable.readVersion(spark, path, 0L)))
+    // the refreshed sidecar covers EVERY v1 file (an impossible range
+    // prunes everything — a missing entry would be kept), and the
+    // re-clustered layout now prunes inside src=1
+    assert(VersionedTable.filesForRange(path, v1, "id", -10L, -1L).isEmpty)
+    val narrow = src1After.toSet intersect
+      VersionedTable.filesForRange(path, v1, "id", 100L, 140L).toSet
+    assert(narrow.size < src1After.size,
+      s"post-optimize range read should prune: ${narrow.size} of ${src1After.size}")
+    val got = VersionedTable.readWherePartitionsAnd(spark, path, v1,
+        "src", Seq("1"), Seq(("id", 100L, 140L)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (101L to 139L by 2))
+  }
+
   test("skip stats: a file with an all-null stats column stays unskippable, not fatal") {
     val path = fresh()
     // file A: real values; file B: the stats column entirely null — the
