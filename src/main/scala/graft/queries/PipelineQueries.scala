@@ -1844,6 +1844,28 @@ object PipelineQueries {
         .orderBy(col("view"), col("lang"))
     }),
 
+    // Row-level CDC OUT of the partitioned table: the same de-partition
+    // re-release as q_table_partitions, then changeFeed(v0, v1) — which
+    // reads ONLY the manifests' symmetric difference (here exactly the
+    // de partition's files, never the other languages') and must still
+    // equal the LOGICAL diff of the two versions, which is what the
+    // oracle replays from pure arithmetic.
+    "q_table_changefeed" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtc").toString + "/docs"
+      VersionedTable.createPartitioned(docs, path, "lang")
+      val deNew = docs.filter(col("lang") === "de" && col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 2 === 0, concat(col("text"), lit(" r2")))
+            .otherwise(col("text")).as("text"))
+      val v1 = VersionedTable.commitPartitioned(deNew, path, "lang",
+        "overwritePartitions")
+      VersionedTable.changeFeed(s, path, 0L, v1, Seq("doc_id"), Seq("lang", "text"))
+        .select(col("doc_id"), col("change"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over the INTERLEAVED-chunk layout real muxers
     // write — the native full-addressing sampler (one codegen'd call):
     // stsc maps each sampled index to its chunk, stco supplies that
@@ -4322,6 +4344,14 @@ object PipelineQueries {
         |SELECT 'v1_de', lang, count(*)::BIGINT, sum(doc_id)::BIGINT, sum(f)::BIGINT
         |FROM dfp GROUP BY lang
         |ORDER BY view, lang""".stripMargin,
+
+    "q_table_changefeed" ->
+      """SELECT doc_id, 'removed' AS change FROM documents
+        |WHERE lang = 'de' AND doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'changed' FROM documents
+        |WHERE lang = 'de' AND doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample_chunked" ->
       """WITH p AS (

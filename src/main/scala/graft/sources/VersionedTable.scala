@@ -335,6 +335,32 @@ object VersionedTable {
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Row-level CHANGE FEED between two versions, computed from
+    * O(changed files) — never a full-table diff: rows in files carried
+    * by both manifests cannot have changed, so only the manifests'
+    * symmetric difference is ever read (with `overwritePartitions`
+    * commits that is exactly the churned partitions; with COW commits
+    * exactly the rewritten files). Output = the standard diff contract
+    * (`change` ∈ added/removed/changed with `_new` value columns),
+    * identical to diffing the full versions — a spec asserts both.
+    * A pure-compaction step diffs its rewrite to an EMPTY feed (all
+    * rows unchanged), which is the correct, if laborious, answer. */
+  def changeFeed(spark: SparkSession, path: String, fromV: Long, toV: Long,
+      idCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val before = filesAt(path, fromV).toSet
+    val after = filesAt(path, toV).toSet
+    def rd(fs: Set[String], v: Long) =
+      if (fs.isEmpty) readVersion(spark, path, v).where(lit(false))
+      else spark.read.option("basePath", dataDir(path).toString)
+        .parquet(fs.toSeq.sorted: _*)
+    val sel = (idCols ++ valueCols).map(c)
+    graft.operators.Diff.snapshotDiff(
+        rd(before -- after, fromV).select(sel: _*),
+        rd(after -- before, toV).select(sel: _*), idCols, valueCols)
+      .filter(c("change") =!= "unchanged")
+  }
+
   /** Per-partition OPTIMIZE — the nightly layout pass of a PARTITIONED
     * table: rewrite ONLY the named partitions' files into ~`targetBytes`
     * files range-clustered on `sortCol` (tight per-file [min,max]),

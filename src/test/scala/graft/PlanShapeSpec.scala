@@ -506,7 +506,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_cms_join" -> 5,
       // partitioned versioned table: the three pruned reads are pinned
       // parquet scans unioned; one agg exchange + the oracle orderBy
-      "q_table_partitions" -> 2)
+      "q_table_partitions" -> 2,
+      // change feed: ONE full-outer diff join over the symmetric-
+      // difference files only (2 exchanges) + the oracle orderBy
+      "q_table_changefeed" -> 3)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil

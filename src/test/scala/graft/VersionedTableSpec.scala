@@ -238,6 +238,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(got === (101L to 139L by 2))
   }
 
+  test("changeFeed: row-level CDC out of the table from O(changed files)") {
+    val path = fresh()
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 2).cast("string").as("src"),
+      concat(lit("t"), col("id")).as("text"))
+    VersionedTable.createPartitioned(df.repartition(4), path, "src")
+    // churn src=1 only: drop %3, retext %5 — src=0 files never move
+    val newSrc1 = df.filter(col("src") === "1" && col("id") % 3 =!= 0)
+      .withColumn("text", when(col("id") % 5 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val v1 = VersionedTable.commitPartitioned(newSrc1, path, "src",
+      "overwritePartitions")
+    // scope first: the manifests' symmetric difference IS src=1
+    val b = VersionedTable.filesAt(path, 0L).toSet
+    val a = VersionedTable.filesAt(path, v1).toSet
+    assert(((b -- a) ++ (a -- b)).nonEmpty &&
+      ((b -- a) ++ (a -- b)).forall(_.contains("src=1")),
+      "only the churned partition's files may differ between manifests")
+    val feed = VersionedTable.changeFeed(spark, path, 0L, v1,
+      Seq("id"), Seq("src", "text"))
+    val odd = (1L until 1000L by 2)
+    val want = (odd.filter(_ % 3 == 0).map(_ -> "removed") ++
+      odd.filter(i => i % 3 != 0 && i % 5 == 0).map(_ -> "changed")).toSet
+    val got = feed.select(col("id"), col("change"))
+      .as[(Long, String)].collect().toSet
+    assert(got === want)
+    // the file-pruned feed equals the full-version diff exactly
+    val full = graft.operators.Diff.snapshotDiff(
+        VersionedTable.readVersion(spark, path, 0L).select("id", "src", "text"),
+        VersionedTable.readVersion(spark, path, v1).select("id", "src", "text"),
+        Seq("id"), Seq("src", "text"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("id"), col("change")).as[(Long, String)].collect().toSet
+    assert(full === got)
+    // a pure layout pass (optimize of src=0) diffs to an EMPTY feed
+    val v2 = VersionedTable.optimizePartitioned(spark, path, "src", Seq("0"),
+      targetBytes = 1L << 30, sortCol = "id")
+    assert(VersionedTable.changeFeed(spark, path, v1, v2,
+      Seq("id"), Seq("src", "text")).count() === 0)
+  }
+
   test("skip stats: a file with an all-null stats column stays unskippable, not fatal") {
     val path = fresh()
     // file A: real values; file B: the stats column entirely null — the
