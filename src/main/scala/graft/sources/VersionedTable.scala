@@ -335,6 +335,50 @@ object VersionedTable {
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Manifest action label of a version (empty if unparseable). */
+  def actionAt(path: String, v: Long): String = {
+    val txt = new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
+    """"action":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+  }
+
+  /** EXACTLY-ONCE streaming ingest commit. `foreachBatch` is
+    * at-least-once: a crash between the table commit and the
+    * checkpoint advance replays the micro-batch on restart, and the
+    * plain [[commit]] sink would append it twice. This sink records
+    * `stream:<streamId>:batch:<batchId>` as the manifest action, and a
+    * replayed batchId (≤ the newest one this stream committed) becomes
+    * a no-op — idempotent retry + atomic manifest publish = each batch
+    * lands in the table exactly once. A concurrent duplicate retry
+    * that loses the same-version publish race re-checks and degrades
+    * to the same no-op instead of failing the stream.
+    * Returns Some(version) when this call committed, None on replay. */
+  def commitStreamBatch(df: DataFrame, path: String, streamId: String,
+      batchId: Long, mode: String = "append"): Option[Long] = {
+    val tag = s"stream:$streamId:batch:"
+    def newestDone(): Option[Long] = versions(path).reverseIterator
+      .map(v => actionAt(path, v))
+      .collectFirst { case a if a.startsWith(tag) =>
+        a.stripPrefix(tag).takeWhile(_.isDigit).toLong }
+    if (newestDone().exists(_ >= batchId)) return None
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val newFiles = stage(df, path)
+    val files = mode match {
+      case "append" =>
+        filesAt(path, cur).map(a =>
+          Paths.get(path).relativize(Paths.get(a)).toString) ++ newFiles
+      case "overwrite" => newFiles
+      case other => throw new IllegalArgumentException(
+        s"VersionedTable.commitStreamBatch: mode must be append|overwrite, got $other")
+    }
+    try { publish(path, cur + 1, cur, s"$tag$batchId:$mode", files); Some(cur + 1) }
+    catch { case e: IllegalStateException =>
+      // lost the same-version race; if the winner was OUR batch
+      // (duplicate concurrent retry), this is the intended no-op
+      if (newestDone().exists(_ >= batchId)) None else throw e
+    }
+  }
+
   /** Row-level CHANGE FEED between two versions, computed from
     * O(changed files) — never a full-table diff: rows in files carried
     * by both manifests cannot have changed, so only the manifests'

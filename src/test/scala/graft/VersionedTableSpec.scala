@@ -125,6 +125,41 @@ class VersionedTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("commitStreamBatch: a replayed micro-batch is a no-op (exactly-once ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh()
+    VersionedTable.create(spark.range(0, 5).toDF("id"), path)
+    // a real streaming sink wired through the idempotent commit
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          VersionedTable.commitStreamBatch(
+            batch.select(col("value").as("id")), path, "ingest-a", bid)
+        (): Unit
+      }
+      .start()
+    try {
+      input.addData(5L, 6L); q.processAllAvailable()
+      input.addData(7L, 8L); q.processAllAvailable()
+      assert(ids(VersionedTable.read(spark, path)) === (0L to 8L))
+    } finally q.stop()
+    // crash-replay simulation: the sink re-delivers an already-committed
+    // batchId after restart — must be a no-op, not a duplicate append
+    val before = VersionedTable.versions(path)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(7, 9).toDF("id"), path, "ingest-a", 1L).isEmpty)
+    assert(VersionedTable.versions(path) === before)
+    assert(ids(VersionedTable.read(spark, path)) === (0L to 8L))
+    // the NEXT batch still commits, and an unrelated stream's batch 0
+    // is not shadowed by this stream's progress
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(9, 11).toDF("id"), path, "ingest-a", 2L).nonEmpty)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(11, 12).toDF("id"), path, "ingest-b", 0L).nonEmpty)
+    assert(ids(VersionedTable.read(spark, path)) === (0L to 11L))
+  }
+
   test("manifest-level data skipping: range reads prune files without opening them") {
     val path = fresh()
     // range-partitioned write -> tight per-file id ranges (the z-order /
