@@ -316,6 +316,40 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** REAL PCM DECODE — 16-bit WAV sample statistics in exact integer
+  * arithmetic: one codegen'd pass over the data chunk's samples yields
+  * `(n_samples, peak_abs, sum_abs, sum_sq)` — the inputs every audio
+  * quality gate derives from (RMS = sqrt(sum_sq/n), clipping =
+  * peak_abs at full scale, silence = sum_abs ≈ 0). All-integer output
+  * keeps the decode oracle-replayable (no IEEE accumulation to drift).
+  * Null — never a fabricated number — when the payload is not integer
+  * PCM16 WAV or the declared data chunk is truncated/odd-sized.
+  * sum_sq is exact in a long up to ~8.6e9 samples (2^63 / 32768²) —
+  * a 24-hour stereo 48 kHz file is 3.5e8. */
+case class AudioPcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryExpressions.audioPcmType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_pcm_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.audioPcmStats(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.expr.BinaryExpressions.audioPcmStats($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioPcmStats =
+    copy(child = newChild)
+}
+
 /** Single-parse duration predicate: `duration_us >= minUs` with ONE
   * header scan (same rationale as [[ImageMinResolution]] — FilterExec has
   * no subexpression elimination, so a composed meta.duration_us >= x
@@ -522,6 +556,61 @@ object BinaryExpressions {
     val frames = dataSize / blockAlign
     val durUs = frames * 1000000L / rate
     audioRow(FmtWav, channels, rate, bits, frames, durUs)
+  }
+
+  val audioPcmType: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  def audioPcmStats(c: Column): Column =
+    Bridge.column(AudioPcmStats(Bridge.expression(c)))
+
+  /** Shared by eval and generated code — see [[AudioPcmStats]]. Unlike
+    * [[audioMeta]], the data chunk's BODY must be fully present: this
+    * is the decode, not the header scan. */
+  def audioPcmStats(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var i = 12
+    var fmtCode = -1; var bits = -1
+    var dataOff = -1L; var dataSize = -1L
+    while (i + 8 <= n && dataSize < 0) {
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > n) return null
+        fmtCode = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8L; dataSize = size
+      }
+      if (size > Int.MaxValue - 16) return null
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    // integer PCM (WAVE_FORMAT_PCM = 1), 16-bit, even-sized body, fully
+    // present — anything else is not decodable here, and a decoder must
+    // never fabricate statistics
+    if (fmtCode != 1 || bits != 16 || dataOff < 0 || (dataSize & 1L) == 1L ||
+        dataOff + dataSize > n) return null
+    val count = (dataSize / 2).toInt
+    var j = 0; var peak = 0; var sumAbs = 0L; var sumSq = 0L
+    var p = dataOff.toInt
+    while (j < count) {
+      val s = ((b(p) & 0xFF) | (b(p + 1) << 8)).toShort.toInt
+      val a = if (s < 0) -s else s // abs(-32768) = 32768, still exact in Int
+      if (a > peak) peak = a
+      sumAbs += a
+      sumSq += s.toLong * s
+      j += 1; p += 2
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    row.update(0, count.toLong)
+    row.update(1, peak)
+    row.update(2, sumAbs)
+    row.update(3, sumSq)
+    row
   }
 
   // ---- ISO-BMFF (MP4) ----

@@ -147,6 +147,14 @@ object Multimodal {
   def withAudioMeta(df: DataFrame, binaryCol: String, out: String = "audio"): DataFrame =
     df.withColumn(out, graft.expr.BinaryExpressions.audioMeta(col(binaryCol)))
 
+  /** REAL PCM decode — exact integer sample statistics of 16-bit WAV
+    * payloads (`n_samples`, `peak_abs`, `sum_abs`, `sum_sq`), one
+    * codegen'd pass per row, no UDF, no shuffle. Rows that are not
+    * fully-present integer PCM16 get null (a decoder never fabricates).
+    * RMS/clipping/silence gates derive scan-side from the struct. */
+  def withPcmStats(df: DataFrame, binaryCol: String, out: String = "pcm"): DataFrame =
+    df.withColumn(out, graft.expr.BinaryExpressions.audioPcmStats(col(binaryCol)))
+
   /** Duration gate over [[withAudioMeta]]: keep payloads at least
     * `minUs` long (unparseable rows drop). Single-parse codegen'd
     * predicate, narrow, no shuffle — the "drop sub-second clips" filter

@@ -279,6 +279,46 @@ object PipelineQueries {
       lit("data").cast(BinaryType), le32(dataSize)))
   }
 
+  /** WAV payloads WITH a PCM body — the decode fixture: samples
+    * alternate two doc_id-derived values a = id%251−125, b = −(id%97)
+    * (so sums have real structure but replay as pure arithmetic:
+    * ceil(n/2) copies of a, floor(n/2) of b). The body is built as
+    * `unhex(repeat(<8 hex chars>, n/2))` — constant-size column work,
+    * no per-sample HOF fold. */
+  private def synthAudioPcmPayloads(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      (col("doc_id") % 2 + 1).cast(IntegerType).as("ch"),
+      ((col("doc_id") % 3 + 1) * 8000).cast(IntegerType).as("rate"),
+      (col("doc_id") % 200 + 1).cast(IntegerType).as("frames"),
+      (col("doc_id") % 251 - 125).cast(IntegerType).as("sa"),
+      (-(col("doc_id") % 97)).cast(IntegerType).as("sb"))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 4, "0")
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def le32(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 8, "0")
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    // unsigned-16 hex of a (possibly negative) sample, little-endian
+    def le16hex(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(pmod(c, lit(65536))), 4, "0")
+      concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    val n = col("frames") * col("ch")
+    val dataSize = n * 2
+    val pair = concat(le16hex(col("sa")), le16hex(col("sb")))
+    val body = unhex(concat(repeat(pair, (n / 2).cast(IntegerType)),
+      when(n % 2 === 1, le16hex(col("sa"))).otherwise(lit(""))))
+    d.withColumn("payload", concat(
+      lit("RIFF").cast(BinaryType), le32(dataSize + 36), lit("WAVE").cast(BinaryType),
+      lit("fmt ").cast(BinaryType), le32(lit(16)),
+      le16(lit(1)), le16(col("ch")), le32(col("rate")),
+      le32(col("rate") * col("ch") * 2), le16(col("ch") * 2), le16(lit(16)),
+      lit("data").cast(BinaryType), le32(dataSize), body))
+  }
+
   /** Shared harness for the gated REAL StreamingQueries: stage the driver
     * parquet file into a temp dir (the file stream source monitors a
     * DIRECTORY; in production the source already is one), run
@@ -2121,6 +2161,21 @@ object PipelineQueries {
           col("audio.sample_rate").as("sample_rate"),
           col("audio.bits").as("bits"), col("audio.n_frames").as("n_frames"),
           col("audio.duration_us").as("duration_us"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL PCM DECODE end-to-end: WAV payloads carry an actual 16-bit
+    // sample body (two alternating doc_id-derived values), and the
+    // native decode expression reads every sample into exact integer
+    // stats — n_samples, peak_abs, sum_abs, sum_sq. The oracle replays
+    // the sums as pure arithmetic over the ceil/floor split of the
+    // alternation; Spark decodes the actual bytes it synthesized.
+    "q_audio_pcm" -> ((s, dir) => {
+      Multimodal.withPcmStats(
+          synthAudioPcmPayloads(t(s, dir, "documents")), "payload")
+        .select(col("doc_id"), col("pcm.n_samples").as("n_samples"),
+          col("pcm.peak_abs").as("peak_abs"),
+          col("pcm.sum_abs").as("sum_abs"), col("pcm.sum_sq").as("sum_sq"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4004,6 +4059,21 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |WHERE ((doc_id % 500 + 1) * 1000000) // ((doc_id % 3 + 1) * 8000) >= 20000
         |ORDER BY doc_id""".stripMargin,
+
+    "q_audio_pcm" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 200 + 1) * (doc_id % 2 + 1))::BIGINT AS n,
+        |    (doc_id % 251 - 125)::BIGINT AS a,
+        |    (-(doc_id % 97))::BIGINT AS b
+        |  FROM documents),
+        |q AS (SELECT doc_id, n, (n + 1) // 2 AS na, n // 2 AS nb, a, b FROM p)
+        |SELECT doc_id, n AS n_samples,
+        |  (CASE WHEN nb > 0 THEN GREATEST(abs(a), abs(b))
+        |        ELSE abs(a) END)::INT AS peak_abs,
+        |  (na * abs(a) + nb * abs(b))::BIGINT AS sum_abs,
+        |  (na * a * a + nb * b * b)::BIGINT AS sum_sq
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "q_video_meta" ->
       """SELECT doc_id, 'isom' AS format,

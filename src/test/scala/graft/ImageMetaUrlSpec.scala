@@ -161,6 +161,56 @@ class ImageMetaUrlSpec extends SparkSpec {
     assert(ameta(Array.empty[Byte]) === Row("unknown", null, null, null, null, null))
   }
 
+  test("AudioPcmStats: real PCM decode, exact integer stats, never fabricated") {
+    def wavPcm(channels: Int, rate: Int, samples: Array[Short],
+        bits: Int = 16, fmtCode: Int = 1): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val body = samples.flatMap(s => le16(s & 0xFFFF))
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(fmtCode) ++ le16(channels) ++
+        le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits)
+      val data = "data".getBytes ++ le32(body.length) ++ body
+      val chunks = fmt ++ data
+      "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+    }
+    def stats(bytes: Array[Byte]): Row = {
+      val df = Seq(Tuple1(bytes)).toDF("payload")
+      Multimodal.withPcmStats(df, "payload").select($"pcm").head().getAs[Row](0)
+    }
+    // random samples: the decode must equal a sequential model exactly
+    val rnd = new scala.util.Random(0xA0D10)
+    val samples = Array.fill(777)((rnd.nextInt(65536) - 32768).toShort)
+    val want = (samples.length.toLong,
+      samples.map(s => math.abs(s.toInt)).max,
+      samples.map(s => math.abs(s.toInt).toLong).sum,
+      samples.map(s => s.toLong * s).sum)
+    val got = stats(wavPcm(1, 8000, samples))
+    assert((got.getLong(0), got.getInt(1), got.getLong(2), got.getLong(3)) === want)
+    // Short.MinValue: |−32768| = 32768 must not overflow to negative
+    val edge = stats(wavPcm(2, 16000, Array[Short](Short.MinValue, 0)))
+    assert(edge.getInt(1) === 32768 && edge.getLong(2) === 32768L &&
+      edge.getLong(3) === 32768L * 32768L)
+    // a decoder never fabricates: truncated body, odd-sized data,
+    // 8-bit, non-PCM fmt code, garbage — all null
+    def pcmNull(bytes: Array[Byte]): Boolean = {
+      val df = Seq(Tuple1(bytes)).toDF("payload")
+      Multimodal.withPcmStats(df, "payload").select($"pcm").head().isNullAt(0)
+    }
+    val full = wavPcm(1, 8000, samples)
+    assert(pcmNull(java.util.Arrays.copyOf(full, full.length - 3)))
+    val oddData = "RIFF".getBytes ++ le32(4 + 24 + 8 + 3) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16)) ++
+      "data".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3)
+    assert(pcmNull(oddData))
+    assert(pcmNull(wavPcm(1, 8000, samples.take(4), bits = 8)))
+    assert(pcmNull(wavPcm(1, 8000, samples.take(4), fmtCode = 3))) // float PCM
+    assert(pcmNull("not audio at all".getBytes))
+    // AudioMeta (header scan) still parses what the decoder refuses:
+    // the header-only fixture decodes to null but metas fine
+    assert(pcmNull(wav(1, 8000, 16, 80 * 2, body = false)))
+    assert(ameta(wav(1, 8000, 16, 80 * 2, body = false)).getString(0) === "wav")
+  }
+
   test("filterByDuration prunes short/corrupt/null payloads with one parse") {
     val rows = Seq(
       (1L, wav(2, 44100, 16, 44100 * 4)), // 1 s — kept at 20 ms gate
