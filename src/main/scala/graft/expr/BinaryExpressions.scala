@@ -350,6 +350,51 @@ case class AudioPcmStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-DECODE signal gate: "not silent, not clipped" in ONE pass
+  * over the samples — mean |s| ≥ minMeanAbsMilli/1000 (silence floor,
+  * exact integer cross-multiply: sum_abs·1000 ≥ n·minMeanAbsMilli) AND
+  * peak_abs ≤ maxPeak (clipping ceiling). The FilterExec rationale of
+  * [[AudioMinDuration]] applies doubly here: a composed filter on two
+  * [[AudioPcmStats]] struct fields would run the full sample pass per
+  * field. Undecodable payloads are false — gates drop what they cannot
+  * prove. */
+case class AudioPcmGate(child: Expression, minMeanAbsMilli: Long, maxPeak: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_audio_pcm_gate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && BinaryExpressions.audioPcmGate(
+      v.asInstanceOf[Array[Byte]], minMeanAbsMilli, maxPeak)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code = childGen.code.toString +
+      s"""
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  graft.expr.BinaryExpressions.audioPcmGate(${childGen.value},
+         |    ${minMeanAbsMilli}L, $maxPeak);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioPcmGate =
+    copy(child = newChild)
+}
+
 /** Single-parse duration predicate: `duration_us >= minUs` with ONE
   * header scan (same rationale as [[ImageMinResolution]] — FilterExec has
   * no subexpression elimination, so a composed meta.duration_us >= x
@@ -566,6 +611,18 @@ object BinaryExpressions {
 
   def audioPcmStats(c: Column): Column =
     Bridge.column(AudioPcmStats(Bridge.expression(c)))
+
+  def audioPcmGate(c: Column, minMeanAbsMilli: Long, maxPeak: Int): Column =
+    Bridge.column(AudioPcmGate(Bridge.expression(c), minMeanAbsMilli, maxPeak))
+
+  /** Shared by eval and generated code — see [[AudioPcmGate]]: one
+    * sample pass, exact integer cross-multiply for the mean floor. */
+  def audioPcmGate(b: Array[Byte], minMeanAbsMilli: Long, maxPeak: Int): Boolean = {
+    val st = audioPcmStats(b)
+    st != null && st.getLong(0) > 0 &&
+      st.getLong(2) * 1000L >= st.getLong(0) * minMeanAbsMilli &&
+      st.getInt(1) <= maxPeak
+  }
 
   /** Shared by eval and generated code — see [[AudioPcmStats]]. Unlike
     * [[audioMeta]], the data chunk's BODY must be fully present: this

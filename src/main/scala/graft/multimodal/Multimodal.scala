@@ -155,6 +155,16 @@ object Multimodal {
   def withPcmStats(df: DataFrame, binaryCol: String, out: String = "pcm"): DataFrame =
     df.withColumn(out, graft.expr.BinaryExpressions.audioPcmStats(col(binaryCol)))
 
+  /** Decode-derived signal gate over [[withPcmStats]]'s pass: keep
+    * clips that are neither silent (mean |s| ≥ minMeanAbsMilli/1000)
+    * nor clipped (peak_abs ≤ maxPeak) — ONE sample pass per row
+    * (a composed two-field filter on the stats struct would decode
+    * twice under FilterExec), undecodable rows drop. */
+  def filterBySignal(df: DataFrame, binaryCol: String,
+      minMeanAbsMilli: Long, maxPeak: Int = 32767): DataFrame =
+    df.where(graft.expr.BinaryExpressions.audioPcmGate(
+      col(binaryCol), minMeanAbsMilli, maxPeak))
+
   /** Duration gate over [[withAudioMeta]]: keep payloads at least
     * `minUs` long (unparseable rows drop). Single-parse codegen'd
     * predicate, narrow, no shuffle — the "drop sub-second clips" filter

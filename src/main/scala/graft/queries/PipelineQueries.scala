@@ -2179,6 +2179,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The decode-derived SIGNAL gate end-to-end: one native sample pass
+    // per row drops silent (mean |s| < 30) and clipped (peak > 120)
+    // clips scan-side; kept ids replay as ceil/floor arithmetic over
+    // the alternating-sample body.
+    "q_audio_gate" -> ((s, dir) => {
+      Multimodal.filterBySignal(
+          synthAudioPcmPayloads(t(s, dir, "documents")), "payload",
+          minMeanAbsMilli = 30000L, maxPeak = 120)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The duration GATE end-to-end: single-parse native predicate prunes
     // sub-20ms clips scan-side; kept ids replay as pure arithmetic.
     "q_audio_filter" -> ((s, dir) => {
@@ -4058,6 +4070,21 @@ object PipelineQueries {
     "q_audio_filter" ->
       """SELECT doc_id FROM documents
         |WHERE ((doc_id % 500 + 1) * 1000000) // ((doc_id % 3 + 1) * 8000) >= 20000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_audio_gate" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 200 + 1) * (doc_id % 2 + 1))::BIGINT AS n,
+        |    (doc_id % 251 - 125)::BIGINT AS a,
+        |    (-(doc_id % 97))::BIGINT AS b
+        |  FROM documents),
+        |q AS (SELECT doc_id, n, (n + 1) // 2 AS na, n // 2 AS nb, a, b FROM p)
+        |SELECT doc_id FROM q
+        |WHERE n > 0
+        |  AND (na * abs(a) + nb * abs(b)) * 1000 >= n * 30000
+        |  AND (CASE WHEN nb > 0 THEN GREATEST(abs(a), abs(b))
+        |            ELSE abs(a) END) <= 120
         |ORDER BY doc_id""".stripMargin,
 
     "q_audio_pcm" ->

@@ -211,6 +211,35 @@ class ImageMetaUrlSpec extends SparkSpec {
     assert(ameta(wav(1, 8000, 16, 80 * 2, body = false)).getString(0) === "wav")
   }
 
+  test("filterBySignal: silence floor + clipping ceiling, one decode per row") {
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val body = samples.flatMap(s => le16(s & 0xFFFF))
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      val data = "data".getBytes ++ le32(body.length) ++ body
+      "RIFF".getBytes ++ le32(4 + fmt.length + data.length) ++
+        "WAVE".getBytes ++ fmt ++ data
+    }
+    val rows = Seq(
+      (1L, wavOf(Array[Short](100, -100, 100, -100))),  // mean 100: keeps
+      (2L, wavOf(Array[Short](1, 0, -1, 0))),           // near-silent: drops
+      (3L, wavOf(Array[Short](100, 32767))),            // clipped: drops
+      (4L, "garbage".getBytes)                          // undecodable: drops
+    ).toDF("id", "payload")
+    val kept = Multimodal.filterBySignal(rows, "payload",
+        minMeanAbsMilli = 50000L, maxPeak = 30000)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L))
+    // ONE decode in the plan: the gate is a single native predicate,
+    // not a per-field re-decode of the stats struct. (Over spark.range —
+    // a Seq.toDF LocalRelation constant-folds the whole filter away.)
+    val rangeRows = spark.range(10)
+      .select(encode($"id".cast("string"), "UTF-8").as("payload"))
+    val plan = Multimodal.filterBySignal(rangeRows, "payload", 50000L, 30000)
+      .queryExecution.executedPlan.toString
+    assert("graft_audio_pcm".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("filterByDuration prunes short/corrupt/null payloads with one parse") {
     val rows = Seq(
       (1L, wav(2, 44100, 16, 44100 * 4)), // 1 s — kept at 20 ms gate
