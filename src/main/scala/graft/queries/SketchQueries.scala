@@ -78,6 +78,11 @@ object SketchQueries {
        |  FROM (SELECT k, ${hashSql("CAST(k AS VARCHAR)", s"$t:$r")} AS h
        |        FROM $from)""".stripMargin
 
+  /** Text-item variant of [[cmsLegSql]] (hash the `text` column raw). */
+  private def cmsLegTextSql(r: Int, w: Int, t: String, from: String): String =
+    s"""SELECT $r AS r, (${mixSql("h")}) % $w AS bucket
+       |  FROM (SELECT ${hashSql("text", s"$t:$r")} AS h FROM $from)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // HLL distinct docs per language + an ALL rollup, next to the exact
@@ -199,6 +204,30 @@ object SketchQueries {
       est.crossJoin(broadcast(exact))
     }),
 
+    // Maintained CMS: the standing frequency sketch of release 1 is
+    // updated from the CDC change set ALONE (removed/changed-old
+    // subtract, added/changed-new add — counters are a turnstile, the
+    // property HLL's maxes and KMV's bottom-k lack) and must equal a
+    // full rebuild over release 2 bit for bit, which is exactly what
+    // the oracle computes. Closes the O(churn) maintained-index family
+    // for the sketch layer.
+    "q_cms_maintain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newD = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val oldSketch = Sketch.cmsSketch(docs, col("text"), CmsD, CmsW, "cmsm")
+      val changes = graft.operators.Diff.snapshotDiff(
+          docs, newD, Seq("doc_id"), Seq("text"))
+        .filter(col("change") =!= "unchanged")
+      Sketch.cmsMaintain(oldSketch, changes, col("text"), col("text_new"),
+          CmsD, CmsW, "cmsm")
+        .orderBy(col("r"), col("bucket"))
+    }),
+
     // STRATIFIED priority sampling: an independent DLT sample per
     // language (k=16 each, per-group τ) — the per-source quota face a
     // mixing pipeline runs. Emits the sample rows themselves, so the
@@ -306,6 +335,17 @@ object SketchQueries {
          |est AS (SELECT CAST(min(d) AS BIGINT) AS est_join_size FROM dot),
          |ex AS (SELECT count(*) AS exact_join_size FROM o JOIN c USING (k))
          |SELECT est_join_size, exact_join_size FROM est, ex""".stripMargin,
+
+    "q_cms_maintain" ->
+      s"""WITH newd AS (
+         |  SELECT CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT text FROM documents WHERE doc_id % 89 = 0),
+         |hb AS (${(0 until CmsD).map(cmsLegTextSql(_, CmsW, "cmsm", "newd"))
+                    .mkString("\n UNION ALL\n")})
+         |SELECT r, bucket, count(*) AS cnt FROM hb
+         |GROUP BY r, bucket ORDER BY r, bucket""".stripMargin,
 
     "q_priority_sample_by" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),

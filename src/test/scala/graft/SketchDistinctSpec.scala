@@ -164,6 +164,41 @@ class SketchDistinctSpec extends SparkSpec {
       "shard sketches must re-sum into the corpus sketch")
   }
 
+  test("Count-Min maintain: CDC churn updates the sketch to exactly the rebuild") {
+    import graft.operators.Diff
+    val rnd = new scala.util.Random(0xCE11)
+    val oldRows = (0L until 400L).map(i => (i, s"item-${i % 90}"))
+    // seeded random churn: ~15% removed, ~15% retexted, 40 added
+    val removed = oldRows.filter(_ => rnd.nextDouble() < 0.15).map(_._1).toSet
+    val newRows = oldRows.filterNot(r => removed(r._1)).map { case (id, t) =>
+      if (rnd.nextDouble() < 0.15) (id, s"item-${rnd.nextInt(90)}-v2") else (id, t)
+    } ++ (1000L until 1040L).map(i => (i, s"item-${rnd.nextInt(90)}"))
+    val oldD = oldRows.toDF("id", "t")
+    val newD = newRows.toDF("id", "t")
+    val changes = Diff.snapshotDiff(oldD, newD, Seq("id"), Seq("t"))
+      .filter(col("change") =!= "unchanged")
+    val maintained = Sketch.cmsMaintain(
+        Sketch.cmsSketch(oldD, col("t"), 3, 32, "m"), changes,
+        col("t"), col("t_new"), 3, 32, "m")
+      .orderBy("r", "bucket").collect().toSeq
+    val rebuilt = Sketch.cmsSketch(newD, col("t"), 3, 32, "m")
+      .orderBy("r", "bucket").collect().toSeq
+    assert(maintained === rebuilt,
+      "maintained sketch must equal the rebuild bit for bit")
+    // turnstile eviction-to-zero: removing a bucket's ONLY occupant
+    // drops the row, exactly as the rebuild would omit it
+    val solo = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "t")
+    val soloNew = Seq((2L, "beta")).toDF("id", "t")
+    val ch2 = Diff.snapshotDiff(solo, soloNew, Seq("id"), Seq("t"))
+      .filter(col("change") =!= "unchanged")
+    val m2 = Sketch.cmsMaintain(Sketch.cmsSketch(solo, col("t"), 3, 32, "m"),
+        ch2, col("t"), col("t_new"), 3, 32, "m")
+      .orderBy("r", "bucket").collect().toSeq
+    val r2 = Sketch.cmsSketch(soloNew, col("t"), 3, 32, "m")
+      .orderBy("r", "bucket").collect().toSeq
+    assert(m2 === r2, "a bucket emptied by deletion must vanish like the rebuild")
+  }
+
   test("Count-Min inner product bounds the equi-join size from sketches alone") {
     val a = spark.range(2000).select((col("id") % 500).cast("string").as("t"))
     val b = spark.range(1500).select((col("id") % 300).cast("string").as("t"))
