@@ -509,7 +509,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_table_partitions" -> 2,
       // change feed: ONE full-outer diff join over the symmetric-
       // difference files only (2 exchanges) + the oracle orderBy
-      "q_table_changefeed" -> 3)
+      "q_table_changefeed" -> 3,
+      // PCM decode family: one native sample pass per row + orderBy
+      "q_audio_pcm" -> 1,
+      "q_audio_gate" -> 1,
+      // maintained CMS: old-sketch agg + the diff's full-outer join
+      // feeding churn-sized deltas + the re-sum (orderBy rides it)
+      "q_cms_maintain" -> 3)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
