@@ -123,6 +123,22 @@ object Sketch {
     acc
   }
 
+  /** Driver-side replica of [[pinnedHash]] — bit-identical on any string
+    * (spec-asserted against the Column form), for MANIFEST-side probes
+    * that must agree with the distributed writer: e.g. the versioned
+    * table's bloom-sidecar key lookup hashes the probe key on the
+    * driver and tests bits no executor ever computes again. */
+  def pinnedHashScala(item: String, tag: String): Long = {
+    def fp(s: String, init: Long, mult: Long, mod: Long): Long = {
+      var acc = init
+      s.getBytes("UTF-8").foreach(b => acc = (acc * mult + (b & 0xFF)) % mod)
+      acc
+    }
+    graft.expr.Mix63(
+      fp(item, graft.operators.TextOps.fingerprintOf(tag + "1:"), 31L, HashP) * HashP2 +
+        fp(item, fingerprintOfB(tag + "2:"), HashMultB, HashP2))
+  }
+
   /** Exclusive upper bound of [[pinnedHash]]: 2^63 (the mix63 mask).
     * (k−1)·U ratio arithmetic over it exceeds Long range, so estimates go
     * through DECIMAL(38,0) `div` / HUGEINT `//` — both exact. */

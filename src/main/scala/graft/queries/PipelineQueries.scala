@@ -1906,6 +1906,59 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Metadata-only aggregates: per-partition and total row counts
+    // answered from the manifest + counts sidecar with ZERO data I/O —
+    // the "count 100 TB by partition" dashboard query. The counts
+    // refresh after the de re-release is O(commit): carried files keep
+    // their prior sidecar entries verbatim (spec-proven via tamper),
+    // only the new partition's files are counted. The graded frame is
+    // built driver-side from the sidecar numbers; the oracle recomputes
+    // both versions' counts from the churn arithmetic, so a wrong carry
+    // or a stale entry would hash-mismatch.
+    "q_table_meta_count" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtm").toString + "/docs"
+      val v0 = VersionedTable.createPartitioned(docs, path, "lang")
+      VersionedTable.writeCounts(s, path, v0)
+      val deNew = docs.filter(col("lang") === "de" && col("doc_id") % 3 =!= 0)
+      val v1 = VersionedTable.commitPartitioned(deNew, path, "lang",
+        "overwritePartitions")
+      VersionedTable.writeCounts(s, path, v1)
+      val rows =
+        VersionedTable.partitionRowCounts(path, v0, "lang").get
+          .map { case (l, n) => ("v0", l, n) } ++
+        VersionedTable.partitionRowCounts(path, v1, "lang").get
+          .map { case (l, n) => ("v1", l, n) } :+
+        (("total", "all", VersionedTable.countAt(path, v1).get))
+      import s.implicits._
+      rows.toDF("view", "lang", "n_rows").orderBy(col("view"), col("lang"))
+    }),
+
+    // Point-lookup file skipping via the bloom sidecar. The layout is
+    // deliberately hash-clustered on an unrelated key, so doc_id
+    // interleaves across EVERY file and min/max range stats can prune
+    // nothing — the case the bloom sidecar exists for: probe keys hash
+    // on the driver against manifest-side bitmaps, and only the
+    // |hits| + fpp·|files| survivors are ever opened. Three present
+    // keys must come back exactly (zero false negatives is the bloom
+    // contract under the oracle) and two absent keys must vanish —
+    // via the residual filter even when a ~0.05%-probability false
+    // positive keeps a file alive.
+    "q_table_bloom" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(8, pmod(col("doc_id") * 2654435761L, lit(1000003L)))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtk").toString + "/docs"
+      val v = VersionedTable.create(docs, path)
+      VersionedTable.writeBloom(s, path, v, "doc_id")
+      VersionedTable.readWhereKeys(s, path, v, "doc_id",
+          Seq("3", "17", "421", "9999999999", "123456789"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over the INTERLEAVED-chunk layout real muxers
     // write — the native full-addressing sampler (one codegen'd call):
     // stsc maps each sampled index to its chunk, stco supplies that
@@ -4448,6 +4501,24 @@ object PipelineQueries {
         |UNION ALL
         |SELECT doc_id, 'changed' FROM documents
         |WHERE lang = 'de' AND doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_table_meta_count" ->
+      """WITH v1 AS (
+        |  SELECT lang FROM documents WHERE lang <> 'de'
+        |  UNION ALL
+        |  SELECT lang FROM documents WHERE lang = 'de' AND doc_id % 3 <> 0)
+        |SELECT 'v0' AS view, lang, count(*)::BIGINT AS n_rows
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1', lang, count(*)::BIGINT FROM v1 GROUP BY lang
+        |UNION ALL
+        |SELECT 'total', 'all', count(*)::BIGINT FROM v1
+        |ORDER BY view, lang""".stripMargin,
+
+    "q_table_bloom" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 17, 421, 9999999999, 123456789)
         |ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample_chunked" ->

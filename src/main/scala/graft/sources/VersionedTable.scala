@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import java.io.File
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -584,6 +584,218 @@ object VersionedTable {
       spark.read.option("basePath", dataDir(path).toString)
         .parquet(files.toSeq.sorted: _*).where(residual)
     }
+  }
+
+  // ---- row-count sidecar: metadata-only aggregates ----
+
+  private def relPathOf(path: String, fileUri: String): String = {
+    val abs = Paths.get(new java.net.URI(fileUri).getPath)
+    try Paths.get(path).toAbsolutePath.normalize
+      .relativize(abs.toAbsolutePath.normalize).toString
+    catch { case _: IllegalArgumentException =>
+      s"data/${abs.getFileName.toString}" }
+  }
+
+  private def relsAt(path: String, v: Long): Seq[String] =
+    filesAt(path, v).map(a => Paths.get(path).relativize(Paths.get(a)).toString)
+
+  private def countsFile(path: String, v: Long): Path =
+    versionsDir(path).resolve(f"v$v%08d.counts.json")
+
+  private def parseCounts(p: Path): Map[String, Long] = {
+    val entry = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .collect { case entry(f, n) => f -> n.toLong }.toMap
+  }
+
+  /** Per-file row counts: `_versions/vN.counts.json`. Data files are
+    * immutable, so a rel-path's count can never change — entries
+    * already measured by any prior version's sidecar carry verbatim
+    * and only the new files are counted, one distributed pass over
+    * O(commit), not O(table). (A file counted as 0 rows is a genuine
+    * empty parquet file: it groups to no row, so it defaults to 0.) */
+  def writeCounts(spark: SparkSession, path: String, v: Long): Unit = {
+    val rels = relsAt(path, v)
+    val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
+      .map(pv => countsFile(path, pv)).filter(Files.exists(_))
+      .foldLeft(Map.empty[String, Long])((acc, p) => parseCounts(p) ++ acc)
+    val fresh = rels.filterNot(prior.contains)
+    val measured: Map[String, Long] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{count, input_file_name, lit}
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+          .collect()
+          .map(r => relPathOf(path, r.getString(0)) -> r.getLong(1)).toMap
+      }
+    val body = rels.map(f => f -> prior.getOrElse(f, measured.getOrElse(f, 0L)))
+      .sortBy(_._1)
+      .map { case (f, n) => s"""{"file":"${esc(f)}","rows":$n}""" }.mkString("\n")
+    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, countsFile(path, v), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Exact row count of a version from the manifest + counts sidecar
+    * alone — no data file is opened, no cluster is touched. None when
+    * the sidecar is missing or does not cover every manifest file:
+    * a metadata answer must never silently undercount. */
+  def countAt(path: String, v: Long): Option[Long] = {
+    val p = countsFile(path, v)
+    if (!Files.exists(p)) return None
+    val counts = parseCounts(p)
+    val rels = relsAt(path, v)
+    if (rels.forall(counts.contains)) Some(rels.map(counts).sum) else None
+  }
+
+  /** Per-partition exact row counts, metadata-only: GROUP BY partition
+    * answered by path arithmetic over the manifest joined with the
+    * counts sidecar — "count 100 TB by partition" at zero data I/O,
+    * the query every ingest dashboard runs hourly. Coverage rule as
+    * [[countAt]]; requires a partitioned layout on `partCol`. */
+  def partitionRowCounts(path: String, v: Long,
+      partCol: String): Option[Seq[(String, Long)]] = {
+    val p = countsFile(path, v)
+    if (!Files.exists(p)) return None
+    val counts = parseCounts(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(counts.contains)) return None
+    val pre = partCol + "="
+    Some(rels.groupBy { rel =>
+        val parent = Paths.get(rel).getParent.getFileName.toString
+        require(parent.startsWith(pre),
+          s"VersionedTable.partitionRowCounts: $rel is not under $pre<value>/")
+        parent.stripPrefix(pre)
+      }.map { case (k, fs) => k -> fs.map(counts).sum }
+      .toSeq.sortBy(_._1))
+  }
+
+  // ---- bloom sidecar: equality point-lookup file skipping ----
+
+  /** Probes per key (Kirsch–Mitzenmacher double hashing). */
+  private val BloomK = 7
+
+  private def bloomFile(path: String, v: Long, col: String): Path =
+    versionsDir(path).resolve(f"v$v%08d.bloom.${col}.json")
+
+  private def bloomTagA(col: String) = s"vtbloom-a:$col"
+  private def bloomTagB(col: String) = s"vtbloom-b:$col"
+
+  /** The k bit positions for one key — MUST mirror [[writeBloom]]'s
+    * column arithmetic exactly (both sides spec-asserted): base =
+    * pmod(h1, m), step = pmod(h2, 2^31−1)+1, pos_i = (base+i·step)%m.
+    * h1,h2 ∈ [0,2^63) so i·step ≤ 6·2^31 never overflows the sum. */
+  private def bloomPositions(h1: Long, h2: Long, m: Long, k: Int): Array[Long] = {
+    val base = h1 % m
+    val step = h2 % 2147483647L + 1L
+    Array.tabulate(k)(i => (base + i * step) % m)
+  }
+
+  /** Per-file Bloom filter over `col` (canonicalized as its string
+    * form): `_versions/vN.bloom.<col>.json`. The point-lookup
+    * complement of the min/max stats sidecar: range stats prune
+    * nothing when the column interleaves across files (any
+    * hash-clustered or ingest-ordered layout), while a bloom answers
+    * "which of 100k files can contain THIS doc_id" driver-side in
+    * microseconds. Each file's filter is sized at `bitsPerKey` bits
+    * per non-null row (k=7 probes → ~0.05% false positives at the
+    * default 16, ~0.8% at 10), so small and huge files prune with the
+    * same fidelity. Cost honesty: the sidecar totals bitsPerKey/8
+    * bytes per row (2 B/key at default) — at 10^11 rows that is a
+    * couple hundred GB, which production would shard alongside the
+    * manifest or push into parquet footers; the manifest-side variant
+    * exists so a DRIVER can answer point probes with zero cluster
+    * round-trips. Bits build distributedly: k positions explode per
+    * row, `bit_or` folds words map-side, ≤ m/64 rows per file ever
+    * reach the driver. A file whose `col` is entirely null gets an
+    * explicit empty filter (prunes every probe — correctly). */
+  def writeBloom(spark: SparkSession, path: String, v: Long, col: String,
+      bitsPerKey: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{array, broadcast, ceil, count,
+      explode, expr, greatest, input_file_name, lit, pmod, shiftright, col => c}
+    import graft.operators.Sketch
+    val files = filesAt(path, v)
+    val rows = spark.read.option("basePath", dataDir(path).toString)
+      .parquet(files: _*)
+      .filter(c(col).isNotNull)
+      .select(input_file_name().as("__f"), c(col).cast("string").as("__s"))
+    val sizes = rows.groupBy("__f").agg(count(lit(1)).as("__n"))
+      .withColumn("__m", greatest(lit(64L),
+        ceil(c("__n") * bitsPerKey / 64.0).cast("long") * 64L))
+    val words = rows.join(broadcast(sizes.select("__f", "__m")), "__f")
+      .withColumn("__h1m", pmod(Sketch.pinnedHash(c("__s"), bloomTagA(col)), c("__m")))
+      .withColumn("__step",
+        pmod(Sketch.pinnedHash(c("__s"), bloomTagB(col)), lit(2147483647L)) + 1L)
+      .select(c("__f"), explode(array((0 until BloomK).map(i =>
+        pmod(c("__h1m") + lit(i.toLong) * c("__step"), c("__m"))): _*)).as("__pos"))
+      .select(c("__f"), shiftright(c("__pos"), 6).as("__w"),
+        expr("shiftleft(1L, cast(__pos % 64 as int))").as("__b"))
+      .groupBy("__f", "__w").agg(expr("bit_or(__b)").as("__v"))
+      .collect()
+    val mByFile = sizes.collect()
+      .map(r => relPathOf(path, r.getString(0)) -> r.getLong(2)).toMap
+    val wordsByFile = words.groupBy(r => relPathOf(path, r.getString(0)))
+    val body = relsAt(path, v).sorted.map { rel =>
+      val m = mByFile.getOrElse(rel, 64L)
+      val ws = wordsByFile.getOrElse(rel, Array.empty[Row])
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        .map { case (w, bits) => s"$w:${java.lang.Long.toHexString(bits)}" }
+        .mkString(",")
+      s"""{"file":"${esc(rel)}","m":$m,"k":$BloomK,"words":"$ws"}"""
+    }.mkString("\n")
+    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, bloomFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The version's files that may contain ANY of `keys` on `col`, per
+    * the bloom sidecar: probe keys hash on the DRIVER and test k bits
+    * of manifest-side metadata — no file opens, no job. Files without
+    * an entry (or a missing sidecar) are kept: skipping must never
+    * lose rows. Keys canonicalize as strings, matching the writer. */
+  def filesForKeys(path: String, v: Long, col: String,
+      keys: Seq[String]): Seq[String] = {
+    val all = filesAt(path, v)
+    val side = bloomFile(path, v, col)
+    if (!Files.exists(side)) return all
+    val entry = """\{"file":"([^"]+)","m":(\d+),"k":(\d+),"words":"([^"]*)"\}""".r
+    val blooms = new String(Files.readAllBytes(side), "UTF-8").split("\n")
+      .collect { case entry(f, m, k, ws) =>
+        val wordMap = ws.split(",").iterator.filter(_.nonEmpty).map { kv =>
+          val Array(i, h) = kv.split(":")
+          i.toLong -> java.lang.Long.parseUnsignedLong(h, 16)
+        }.toMap
+        f -> ((m.toLong, k.toInt, wordMap))
+      }.toMap
+    val hashed = keys.map(s => (
+      graft.operators.Sketch.pinnedHashScala(s, bloomTagA(col)),
+      graft.operators.Sketch.pinnedHashScala(s, bloomTagB(col))))
+    all.filter { abs =>
+      val rel = Paths.get(path).relativize(Paths.get(abs)).toString
+      blooms.get(rel) match {
+        case None => true
+        case Some((m, k, wordMap)) => hashed.exists { case (h1, h2) =>
+          bloomPositions(h1, h2, m, k).forall(pos =>
+            (wordMap.getOrElse(pos >>> 6, 0L) & (1L << (pos & 63).toInt)) != 0L)
+        }
+      }
+    }
+  }
+
+  /** Point-lookup read: bloom-prune the file list driver-side, read
+    * only the survivors, apply the residual IN filter. The "find these
+    * 5 documents in 100 TB" read — file count touched is
+    * |hits| + fpp·|files|, not |files|. */
+  def readWhereKeys(spark: SparkSession, path: String, v: Long,
+      col: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val files = filesForKeys(path, v, col, keys)
+    if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
+    else spark.read.option("basePath", dataDir(path).toString)
+      .parquet(files.sorted: _*)
+      .where(c(col).cast("string").isin(keys: _*))
   }
 
   /** Rewrite the CURRENT file set into ~`targetBytes` files and commit

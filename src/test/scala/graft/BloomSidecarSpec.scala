@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Sketch
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Manifest-side point-lookup pruning (bloom sidecar) and metadata-only
+  * aggregates (counts sidecar) for the versioned table. */
+class BloomSidecarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh() =
+    java.nio.file.Files.createTempDirectory("graft_vtb").toString + "/t"
+
+  private def dataFiles(path: String, v: Long): Seq[String] =
+    VersionedTable.filesAt(path, v)
+
+  test("pinnedHashScala is bit-identical to the Column pinnedHash") {
+    val samples = Seq("", "a", "item-42", "日本語テキスト", "x" * 300,
+      "4611686018427387904", "-7")
+    val viaColumn = samples.toDF("s")
+      .select(col("s"), Sketch.pinnedHash(col("s"), "vtbloom-a:id").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(Sketch.pinnedHashScala(s, "vtbloom-a:id") === viaColumn(s), s)
+    }
+  }
+
+  // a layout where range stats are USELESS for id lookups: ids
+  // interleave across every file (hash-clustered on an unrelated key)
+  private def interleavedTable(): (String, Long) = {
+    val path = fresh()
+    val df = spark.range(4000).select($"id", pmod($"id" * 2654435761L, lit(97L)).as("grp"))
+      .repartition(8, $"grp")
+    val v = VersionedTable.create(df, path)
+    (path, v)
+  }
+
+  test("bloom sidecar: zero false negatives, real pruning, missing sidecar keeps all") {
+    val (path, v) = interleavedTable()
+    val all = dataFiles(path, v)
+    assert(all.size === 8)
+    // no sidecar yet: every probe keeps every file
+    assert(VersionedTable.filesForKeys(path, v, "id", Seq("17")) === all)
+    VersionedTable.writeBloom(spark, path, v, "id")
+    // every present key: the pruned read returns exactly the full-scan rows
+    val probes = Seq(0L, 1L, 17L, 1999L, 3999L).map(_.toString)
+    val pruned = VersionedTable.readWhereKeys(spark, path, v, "id", probes)
+      .select("id").as[Long].collect().sorted
+    assert(pruned === Array(0L, 1L, 17L, 1999L, 3999L))
+    // pruning is real: a single key survives far fewer than 8 files
+    val survivors = VersionedTable.filesForKeys(path, v, "id", Seq("17"))
+    assert(survivors.nonEmpty && survivors.size <= 2,
+      s"expected <=2 of 8 files for one key, got ${survivors.size}")
+    // absent keys prune everything (fpp ~0.05% at 16 bits/key)
+    val absent = (100000L until 100050L).map(_.toString)
+    val kept = VersionedTable.filesForKeys(path, v, "id", absent)
+    assert(kept.size <= 1, s"absent keys kept ${kept.size} files")
+    assert(VersionedTable.readWhereKeys(spark, path, v, "id", Seq("100001"))
+      .count() === 0L)
+  }
+
+  test("bloom sidecar: an all-null file gets an explicit empty filter and prunes") {
+    val path = fresh()
+    val v0 = VersionedTable.create(
+      spark.range(100).select($"id".as("k"), lit(1L).as("x")).coalesce(1), path)
+    VersionedTable.commit(
+      spark.range(5).select(lit(null).cast("long").as("k"), lit(2L).as("x"))
+        .coalesce(1), path, "append")
+    val v1 = VersionedTable.latestVersion(path).get
+    VersionedTable.writeBloom(spark, path, v1, "k")
+    // the null-only file cannot contain key "7": exactly one file survives
+    assert(VersionedTable.filesForKeys(path, v1, "k", Seq("7")).size === 1)
+    assert(VersionedTable.readWhereKeys(spark, path, v1, "k", Seq("7"))
+      .select("k").as[Long].collect() === Array(7L))
+  }
+
+  test("counts sidecar: exact countAt; refresh carries prior entries verbatim") {
+    val path = fresh()
+    val v0 = VersionedTable.create(spark.range(1000).toDF("id").repartition(4), path)
+    assert(VersionedTable.countAt(path, v0) === None) // no sidecar yet
+    VersionedTable.writeCounts(spark, path, v0)
+    assert(VersionedTable.countAt(path, v0) === Some(1000L))
+    val v1 = VersionedTable.commit(spark.range(1000, 1250).toDF("id"), path, "append")
+    assert(VersionedTable.countAt(path, v1) === None) // v1 sidecar not written
+    // tamper one v0 entry: if the v1 refresh re-measured old files the
+    // tamper would vanish; carrying it proves the refresh is O(commit)
+    val side = java.nio.file.Paths.get(path, "_versions", f"v$v0%08d.counts.json")
+    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val tampered = body.replaceFirst(""""rows":(\d+)\}""", """"rows":999999}""")
+    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    VersionedTable.writeCounts(spark, path, v1)
+    val n1 = VersionedTable.countAt(path, v1).get
+    assert(n1 != 1250L, "v1 refresh re-measured carried files (not O(commit))")
+    assert(n1 === 1250L - body.replaceFirst("(?s).*?\"rows\":(\\d+)\\}.*", "$1").toLong + 999999L)
+  }
+
+  test("partitionRowCounts: metadata-only GROUP BY partition matches the data") {
+    val path = fresh()
+    val df = spark.range(900).select($"id",
+      concat(lit("g"), pmod($"id", lit(3L))).as("p"))
+    val v = VersionedTable.createPartitioned(df, path, "p")
+    VersionedTable.writeCounts(spark, path, v)
+    val meta = VersionedTable.partitionRowCounts(path, v, "p").get
+    assert(meta === Seq("g0" -> 300L, "g1" -> 300L, "g2" -> 300L))
+    // flat layout: refuses rather than inventing a partition
+    val flat = fresh()
+    val fv = VersionedTable.create(spark.range(10).toDF("id"), flat)
+    VersionedTable.writeCounts(spark, flat, fv)
+    intercept[IllegalArgumentException] {
+      VersionedTable.partitionRowCounts(flat, fv, "p")
+    }
+  }
+}
