@@ -434,6 +434,88 @@ case class AudioMinDuration(child: Expression, minUs: Long)
     copy(child = newChild)
 }
 
+/** HTTP response splitter for WARC `application/http` payloads: status
+  * code, Content-Type header, and the body bytes from ONE byte scan —
+  * the first gate of a Common-Crawl-shaped ingest (`status = 200 AND
+  * content_type LIKE 'text/html%'`) as narrow scan-side arithmetic.
+  * One expression, one parse: a composed three-field predicate would
+  * re-split the payload per field once pushed into a Filter
+  * (FilterExec has no subexpression elimination — the
+  * [[ImageMinResolution]] lesson). Null for payloads that do not start
+  * with an HTTP status line; a response with no body is an empty body,
+  * not null. Headers larger than 64 KiB are rejected as null (RFC 9112
+  * recommends a bound; an unbounded scan is a parser DoS). */
+case class HttpResponse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_http_response"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryExpressions.httpResponse(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.expr.BinaryExpressions.httpResponse($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HttpResponse =
+    copy(child = newChild)
+}
+
+/** Single-parse HTTP ingest gate: `status == wantStatus AND
+  * content_type startsWith ctPrefix` with ONE payload scan — the
+  * Common-Crawl pipeline head (`200 AND text/html`) as a narrow
+  * scan-side predicate. A composed `h.status === 200 && h.content_type
+  * .startsWith(...)` re-parses the payload per field once pushed into
+  * a Filter (no subexpression elimination there — the
+  * [[ImageMinResolution]] lesson). Null / non-HTTP payloads are false. */
+case class HttpGate(child: Expression, wantStatus: Int, ctPrefix: String)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_http_gate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && BinaryExpressions.httpGateEval(
+      v.asInstanceOf[Array[Byte]], wantStatus, ctPrefix)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val prefixRef = ctx.addReferenceObj("ctPrefix", ctPrefix, "java.lang.String")
+    val code = childGen.code.toString +
+      s"""
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  graft.expr.BinaryExpressions.httpGateEval(${childGen.value}, $wantStatus, $prefixRef);
+       """.stripMargin
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HttpGate =
+    copy(child = newChild)
+}
+
 object BinaryExpressions {
 
   def imageMeta(c: Column): Column = Bridge.column(ImageMeta(Bridge.expression(c)))
@@ -445,6 +527,79 @@ object BinaryExpressions {
 
   def imageMinResolution(c: Column, minW: Int, minH: Int): Column =
     Bridge.column(ImageMinResolution(Bridge.expression(c), minW, minH))
+
+  def httpResponse(c: Column): Column =
+    Bridge.column(HttpResponse(Bridge.expression(c)))
+
+  def httpGate(c: Column, status: Int, ctPrefix: String): Column =
+    Bridge.column(HttpGate(Bridge.expression(c), status, ctPrefix))
+
+  /** Static helper shared by eval and generated code. */
+  def httpGateEval(b: Array[Byte], wantStatus: Int, ctPrefix: String): Boolean = {
+    val h = httpResponse(b)
+    h != null && h.getInt(0) == wantStatus && {
+      val ct = h.getUTF8String(1)
+      ct != null && ct.toString.startsWith(ctPrefix)
+    }
+  }
+
+  private val MaxHttpHeaderBytes = 64 * 1024
+
+  /** Static helper shared by eval and generated code: parse one HTTP
+    * response message (RFC 9112 framing as archived — WARC stores the
+    * raw message, so the body is the raw bytes after the header block,
+    * chunked/content-length interpretation left to the caller's layer).
+    * Returns null unless the payload starts with `HTTP/<v> <3-digit>`. */
+  def httpResponse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    if (n < 12 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' || b(3) != 'P' ||
+        b(4) != '/') return null
+    // status line: HTTP/x.y SP 3digit ...
+    var i = 5
+    while (i < n && b(i) != ' ' && b(i) != '\r') i += 1
+    if (i >= n || b(i) != ' ' || i + 3 >= n) return null
+    val d1 = b(i + 1) - '0'; val d2 = b(i + 2) - '0'; val d3 = b(i + 3) - '0'
+    if (d1 < 0 || d1 > 9 || d2 < 0 || d2 > 9 || d3 < 0 || d3 > 9) return null
+    val status = d1 * 100 + d2 * 10 + d3
+    // header block ends at the first CRLFCRLF; extract Content-Type
+    var contentType: UTF8String = null
+    var lineStart = 0
+    var headerEnd = -1
+    var j = i
+    val bound = math.min(n - 1, MaxHttpHeaderBytes)
+    while (headerEnd < 0 && j < bound) {
+      if (b(j) == '\r' && b(j + 1) == '\n') {
+        if (j + 3 < n && b(j + 2) == '\r' && b(j + 3) == '\n') headerEnd = j + 4
+        else {
+          lineStart = j + 2
+          // case-insensitive "content-type:" prefix test
+          if (n - lineStart > 13) {
+            var k = 0
+            val name = "content-type:"
+            var ok = true
+            while (ok && k < 13) {
+              val c = b(lineStart + k)
+              val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+              if (lc != name.charAt(k)) ok = false
+              k += 1
+            }
+            if (ok) {
+              var vs = lineStart + 13
+              while (vs < n && b(vs) == ' ') vs += 1
+              var ve = vs
+              while (ve + 1 < n && !(b(ve) == '\r' && b(ve + 1) == '\n')) ve += 1
+              contentType = UTF8String.fromBytes(
+                java.util.Arrays.copyOfRange(b, vs, ve))
+            }
+          }
+        }
+        j += 2
+      } else j += 1
+    }
+    if (headerEnd < 0) return null // no header terminator within bound
+    new GenericInternalRow(Array[Any](status, contentType,
+      java.util.Arrays.copyOfRange(b, headerEnd, n)))
+  }
 
   /** Static helper shared by eval and generated code. */
   def imageAtLeast(b: Array[Byte], minW: Int, minH: Int): Boolean = {

@@ -1959,6 +1959,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The Common-Crawl ingest head over a real WARC archive: documents
+    // export as sharded .warc.gz responses whose HTTP status and
+    // Content-Type vary deterministically (404 on %7, application/pdf
+    // on %5), then the distributed read applies the SINGLE-PARSE
+    // native gate (status 200 AND text/html) scan-side before the
+    // response splitter runs once more for the survivors' bodies —
+    // two payload parses per row total, no per-field re-parse. The
+    // oracle replays the status/type arithmetic over the source table.
+    "q_warc_http_gate" -> ((s, dir) => {
+      import graft.expr.BinaryExpressions
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warcg").toString +
+        "/shards"
+      val statusLine = when(pmod(col("doc_id"), lit(7L)) === 0,
+        lit("HTTP/1.1 404 Not Found\r\n")).otherwise(lit("HTTP/1.1 200 OK\r\n"))
+      val ctypeHeader = when(pmod(col("doc_id"), lit(5L)) === 0,
+          lit("Content-Type: application/pdf\r\n"))
+        .otherwise(lit("Content-Type: text/html; charset=utf-8\r\n"))
+      graft.sources.WarcIO.writeSharded(src.select(
+        col("doc_id"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(statusLine, ctypeHeader, lit("\r\n"), col("text"))
+          .cast("binary").as("payload")), wdir, "doc_id", 8)
+      graft.sources.WarcIO.read(s, wdir + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .filter(BinaryExpressions.httpGate(col("payload"), 200, "text/html"))
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          BinaryExpressions.httpResponse(col("payload")).as("h"))
+        .select(col("doc_id"),
+          length(col("h.body").cast("string")).cast("long").as("n_body"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over the INTERLEAVED-chunk layout real muxers
     // write — the native full-addressing sampler (one codegen'd call):
     // stsc maps each sampled index to its chunk, stco supplies that
@@ -4519,6 +4554,11 @@ object PipelineQueries {
     "q_table_bloom" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (3, 17, 421, 9999999999, 123456789)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_warc_http_gate" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_body FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample_chunked" ->

@@ -144,6 +144,34 @@ object SurfaceQueries {
       graft.sources.TFRecordIO.read(s, tmp, src.schema).orderBy(col("doc_id"))
     }),
 
+    // WARC round-trip through the DISTRIBUTED production path: wrap
+    // every document as an archived HTTP response, export as sharded
+    // .warc.gz (gzip member per record — the Common Crawl layout),
+    // read the shards back (one task per shard, strict member walk
+    // with per-member CRC), split the HTTP message with the
+    // single-parse native expression, and recover (doc_id, text) from
+    // the archive alone. The oracle is the source table: any framing,
+    // compression, or header-split defect hash-mismatches.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warc").toString +
+        "/shards"
+      graft.sources.WarcIO.writeSharded(src.select(
+        col("doc_id"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+          col("text")).cast("binary").as("payload")), wdir, "doc_id", 8)
+      graft.sources.WarcIO.read(s, wdir + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.expr.BinaryExpressions.httpResponse(col("payload")).as("h"))
+        .select(col("doc_id"), col("h.body").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_json_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -430,6 +458,9 @@ object SurfaceQueries {
     "q_tfrecord_roundtrip" ->
       """SELECT doc_id, lang, text, n_chars
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q_warc_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     "q_group_lists" ->
       """SELECT CASE WHEN o_orderkey % 97 <> 0 THEN o_orderpriority END AS prio_n,
