@@ -241,10 +241,74 @@ object SketchQueries {
         .select(col("lang"), col("sample_rank"), col("doc_id"),
           col("n_chars"), col("est_w"))
         .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    // Per-file NDV sketch sidecar on the versioned table: v0's files
+    // carry HLL registers; an append commit (re-release of %3 texts
+    // under new ids) refreshes the sidecar in O(commit) — carried files
+    // keep their registers VERBATIM, only the new files are measured —
+    // and each version's approx-distinct is a driver-side register
+    // merge over manifest metadata, zero data I/O. The oracle replays
+    // the full pinned HLL over each version's LOGICAL contents, so the
+    // graded equality proves per-file decomposition + max-merge ==
+    // one global sketch (and that the carry carried the right bits).
+    "q_table_ndv" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtn").toString +
+        "/docs"
+      val v0 = VersionedTable.create(docs.repartition(4), path)
+      VersionedTable.writeNdv(s, path, v0, "text", p = TableNdvP)
+      val extra = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val v1 = VersionedTable.commit(extra, path, "append")
+      VersionedTable.writeNdv(s, path, v1, "text", p = TableNdvP)
+      val (r0, z0) = VersionedTable.ndvAt(path, v0, "text").get
+      val (r1, z1) = VersionedTable.ndvAt(path, v1, "text").get
+      import s.implicits._
+      Seq((0L, r0, z0), (1L, r1, z1)).toDF("version", "hll_raw", "v_zero")
+        .orderBy(col("version"))
     })
   )
 
+  private val TableNdvP = 6 // m=64: doc corpora stay in the raw regime
+
+  /** One UNION ALL leg of the versioned-table NDV replay: the full
+    * pinned HLL (hash → mix63 → register max → integral estimate) over
+    * the version's logical contents in `from`. */
+  private def hllLegSql(ver: Int, p: Int, tag: String, from: String): String = {
+    val m = 1 << p
+    val w = Sketch.HllW
+    val mask = (1L << w) - 1
+    val empty = 1L << (w + 1)
+    val c = java.lang.Double.toString(Sketch.hllConstant(p))
+    s"""SELECT $ver AS version,
+       |  CAST(floor($c / CAST(st + ($m - touched) * $empty AS DOUBLE)) AS BIGINT) AS hll_raw,
+       |  CAST($m - touched AS BIGINT) AS v_zero
+       |FROM (
+       |  SELECT sum(1::BIGINT << (${w + 1} - mx)) AS st, count(*) AS touched
+       |  FROM (
+       |    SELECT idx, max(rho) AS mx FROM (
+       |      SELECT h % $m AS idx,
+       |        CASE WHEN ((h >> $p) & $mask) = 0 THEN ${w + 1}
+       |             ELSE ${w + 1} - length(bin((h >> $p) & $mask)) END AS rho
+       |      FROM (SELECT ${mixSql("h")} AS h
+       |            FROM (SELECT ${hashSql("text", tag)} AS h FROM $from)))
+       |    GROUP BY idx))""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_table_ndv" ->
+      s"""WITH v1docs AS (
+         |  SELECT text FROM documents
+         |  UNION ALL
+         |  SELECT text || ' v2' AS text FROM documents WHERE doc_id % 3 = 0)
+         |${hllLegSql(0, TableNdvP, "vtndv", "documents")}
+         |UNION ALL
+         |${hllLegSql(1, TableNdvP, "vtndv", "v1docs")}
+         |ORDER BY version""".stripMargin,
 
     "q_priority_sample" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),

