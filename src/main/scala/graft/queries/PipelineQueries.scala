@@ -1959,6 +1959,48 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Outlink extraction — the step after the gate in a web pipeline:
+    // WARC responses carry HTML with three planted anchors per page
+    // (targets spread over 97 hosts by pinned arithmetic); the read
+    // splits the HTTP message once, regexp-extracts every href, maps
+    // urls to hosts, and aggregates the host-to-host edge list — the
+    // input PageRank/label-prop run. The oracle replays the planted
+    // link arithmetic, so a missed or duplicated anchor anywhere in
+    // parse/extract/group hash-mismatches.
+    "q_warc_outlinks" -> ((s, dir) => {
+      import graft.expr.BinaryExpressions
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warcl").toString +
+        "/shards"
+      val anchors = (0 until 3).map { k =>
+        concat(lit("<a href=\"http://h"),
+          pmod(col("doc_id") * 31 + lit(k * 17), lit(97L)),
+          lit(s""".example/p$k">x</a>"""))
+      }
+      val body = concat(lit("<html><body>") +: anchors :+
+        col("text") :+ lit("</body></html>"): _*)
+      graft.sources.WarcIO.writeSharded(src.select(
+        col("doc_id"),
+        concat(lit("http://h"), pmod(col("doc_id"), lit(97L)),
+          lit(".example/doc/"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+          body).cast("binary").as("payload")), wdir, "doc_id", 8)
+      graft.sources.WarcIO.read(s, wdir + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("src_host"),
+          BinaryExpressions.httpResponse(col("payload")).as("h"))
+        .select(col("src_host"), explode(expr(
+          """regexp_extract_all(cast(h.body as string), 'href="([^"]+)"', 1)"""))
+          .as("url"))
+        .select(col("src_host"),
+          regexp_extract(col("url"), "^http://([^/]+)/", 1).as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+
     // The Common-Crawl ingest head over a real WARC archive: documents
     // export as sharded .warc.gz responses whose HTTP status and
     // Content-Type vary deterministically (404 on %7, application/pdf
@@ -4560,6 +4602,15 @@ object PipelineQueries {
       """SELECT doc_id, length(text)::BIGINT AS n_body FROM documents
         |WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_warc_outlinks" ->
+      """WITH links AS (
+        |  SELECT 'h' || (doc_id % 97) || '.example' AS src_host,
+        |         'h' || ((doc_id * 31 + k * 17) % 97) || '.example' AS dst_host
+        |  FROM documents CROSS JOIN (SELECT range AS k FROM range(3)) ks)
+        |SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+        |FROM links GROUP BY src_host, dst_host
+        |ORDER BY src_host, dst_host""".stripMargin,
 
     "q_frame_sample_chunked" ->
       """WITH p AS (

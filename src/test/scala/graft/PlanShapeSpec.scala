@@ -515,7 +515,20 @@ class PlanShapeSpec extends SparkSpec {
       "q_audio_gate" -> 1,
       // maintained CMS: old-sketch agg + the diff's full-outer join
       // feeding churn-sized deltas + the re-sum (orderBy rides it)
-      "q_cms_maintain" -> 3)
+      "q_cms_maintain" -> 3,
+      // manifest-sidecar family: the graded read is pinned pruned
+      // parquet scans (bloom) or a driver-built frame from sidecar
+      // metadata (meta_count / ndv) — nothing shuffles but the oracle
+      // orderBy; sidecar WRITES happen before the graded plan
+      "q_table_bloom" -> 1,
+      "q_table_meta_count" -> 1,
+      "q_table_ndv" -> 1,
+      // WARC family: distributed shard read + native splits are
+      // scan-side; roundtrip/gate shuffle only the oracle orderBy,
+      // outlinks adds the host-edge aggregation
+      "q_warc_roundtrip" -> 1,
+      "q_warc_http_gate" -> 1,
+      "q_warc_outlinks" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
