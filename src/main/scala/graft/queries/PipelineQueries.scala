@@ -1917,22 +1917,28 @@ object PipelineQueries {
     // or a stale entry would hash-mismatch.
     "q_table_meta_count" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
       val path = java.nio.file.Files.createTempDirectory("graft_vtm").toString + "/docs"
       val v0 = VersionedTable.createPartitioned(docs, path, "lang")
       VersionedTable.writeCounts(s, path, v0)
+      VersionedTable.writeSums(s, path, v0, "n_chars")
       val deNew = docs.filter(col("lang") === "de" && col("doc_id") % 3 =!= 0)
       val v1 = VersionedTable.commitPartitioned(deNew, path, "lang",
         "overwritePartitions")
       VersionedTable.writeCounts(s, path, v1)
-      val rows =
-        VersionedTable.partitionRowCounts(path, v0, "lang").get
-          .map { case (l, n) => ("v0", l, n) } ++
-        VersionedTable.partitionRowCounts(path, v1, "lang").get
-          .map { case (l, n) => ("v1", l, n) } :+
-        (("total", "all", VersionedTable.countAt(path, v1).get))
+      VersionedTable.writeSums(s, path, v1, "n_chars")
+      def merged(v: Long, view: String) = {
+        val sums = VersionedTable.partitionSums(path, v, "lang", "n_chars").get.toMap
+        VersionedTable.partitionRowCounts(path, v, "lang").get
+          .map { case (l, n) => (view, l, n, sums(l)) }
+      }
+      val rows = merged(v0, "v0") ++ merged(v1, "v1") :+
+        (("total", "all", VersionedTable.countAt(path, v1).get,
+          VersionedTable.sumAt(path, v1, "n_chars").get))
       import s.implicits._
-      rows.toDF("view", "lang", "n_rows").orderBy(col("view"), col("lang"))
+      rows.toDF("view", "lang", "n_rows", "sum_chars")
+        .orderBy(col("view"), col("lang"))
     }),
 
     // Point-lookup file skipping via the bloom sidecar. The layout is
@@ -4582,15 +4588,18 @@ object PipelineQueries {
 
     "q_table_meta_count" ->
       """WITH v1 AS (
-        |  SELECT lang FROM documents WHERE lang <> 'de'
+        |  SELECT lang, n_chars FROM documents WHERE lang <> 'de'
         |  UNION ALL
-        |  SELECT lang FROM documents WHERE lang = 'de' AND doc_id % 3 <> 0)
-        |SELECT 'v0' AS view, lang, count(*)::BIGINT AS n_rows
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE lang = 'de' AND doc_id % 3 <> 0)
+        |SELECT 'v0' AS view, lang, count(*)::BIGINT AS n_rows,
+        |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY lang
         |UNION ALL
-        |SELECT 'v1', lang, count(*)::BIGINT FROM v1 GROUP BY lang
+        |SELECT 'v1', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+        |FROM v1 GROUP BY lang
         |UNION ALL
-        |SELECT 'total', 'all', count(*)::BIGINT FROM v1
+        |SELECT 'total', 'all', count(*)::BIGINT, sum(n_chars)::BIGINT FROM v1
         |ORDER BY view, lang""".stripMargin,
 
     "q_table_bloom" ->

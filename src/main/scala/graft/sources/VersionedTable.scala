@@ -672,6 +672,81 @@ object VersionedTable {
       .toSeq.sortBy(_._1))
   }
 
+  // ---- sum sidecar: metadata-only SUM aggregates ----
+
+  private def sumFile(path: String, v: Long, col: String): Path =
+    versionsDir(path).resolve(f"v$v%08d.sum.${col}.json")
+
+  private def parseSums(p: Path): Map[String, Long] = {
+    val entry = """\{"file":"([^"]+)","sum":(-?\d+)\}""".r
+    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .collect { case entry(f, n) => f -> n.toLong }.toMap
+  }
+
+  /** Per-file exact sums of an integral column:
+    * `_versions/vN.sum.<col>.json` — with [[writeCounts]] (COUNT),
+    * [[writeStats]] (MIN/MAX) and [[writeNdv]] (approx NDV) this
+    * completes the manifest-statistics family: the budget queries a
+    * mixing/packing pipeline runs hourly ("token mass per source
+    * partition") answer from metadata at zero data I/O. Same refresh
+    * contract as the others: immutable files carry verbatim, only the
+    * commit's new files are measured. A file whose column is entirely
+    * null stores 0 — the fold identity, so merged sums stay exact. */
+  def writeSums(spark: SparkSession, path: String, v: Long, col: String): Unit = {
+    val rels = relsAt(path, v)
+    val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
+      .map(pv => sumFile(path, pv, col)).filter(Files.exists(_))
+      .foldLeft(Map.empty[String, Long])((acc, p) => parseSums(p) ++ acc)
+    val fresh = rels.filterNot(prior.contains)
+    val measured: Map[String, Long] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{input_file_name, sum, col => c}
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(sum(c(col).cast("long")).as("__s"))
+          .collect()
+          .map(r => relPathOf(path, r.getString(0)) ->
+            (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+      }
+    val body = rels.map(f => f -> prior.getOrElse(f, measured.getOrElse(f, 0L)))
+      .sortBy(_._1)
+      .map { case (f, n) => s"""{"file":"${esc(f)}","sum":$n}""" }.mkString("\n")
+    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, sumFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Exact SUM of `col` at version `v` from metadata alone; coverage
+    * rule as [[countAt]]. */
+  def sumAt(path: String, v: Long, col: String): Option[Long] = {
+    val p = sumFile(path, v, col)
+    if (!Files.exists(p)) return None
+    val sums = parseSums(p)
+    val rels = relsAt(path, v)
+    if (rels.forall(sums.contains)) Some(rels.map(sums).sum) else None
+  }
+
+  /** Per-partition exact SUMs, metadata-only; rules as
+    * [[partitionRowCounts]]. */
+  def partitionSums(path: String, v: Long, partCol: String,
+      col: String): Option[Seq[(String, Long)]] = {
+    val p = sumFile(path, v, col)
+    if (!Files.exists(p)) return None
+    val sums = parseSums(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(sums.contains)) return None
+    val pre = partCol + "="
+    Some(rels.groupBy { rel =>
+        val parent = Paths.get(rel).getParent.getFileName.toString
+        require(parent.startsWith(pre),
+          s"VersionedTable.partitionSums: $rel is not under $pre<value>/")
+        parent.stripPrefix(pre)
+      }.map { case (k, fs) => k -> fs.map(sums).sum }
+      .toSeq.sortBy(_._1))
+  }
+
   // ---- NDV sketch sidecar: metadata-only distinct estimates ----
 
   private def ndvFile(path: String, v: Long, col: String): Path =

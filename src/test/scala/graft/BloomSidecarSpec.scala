@@ -95,6 +95,23 @@ class BloomSidecarSpec extends SparkSpec {
     assert(n1 === 1250L - body.replaceFirst("(?s).*?\"rows\":(\\d+)\\}.*", "$1").toLong + 999999L)
   }
 
+  test("sum sidecar: exact sumAt / partitionSums; nulls sum to the 0 identity") {
+    val path = fresh()
+    val df = spark.range(600).select($"id",
+      concat(lit("g"), pmod($"id", lit(2L))).as("p"),
+      when(pmod($"id", lit(3L)) === 0, lit(null).cast("long"))
+        .otherwise($"id").as("x"))
+    val v = VersionedTable.createPartitioned(df, path, "p")
+    assert(VersionedTable.sumAt(path, v, "x") === None) // no sidecar yet
+    VersionedTable.writeSums(spark, path, v, "x")
+    val total = (0L until 600L).filter(_ % 3 != 0).sum
+    assert(VersionedTable.sumAt(path, v, "x") === Some(total))
+    val parts = VersionedTable.partitionSums(path, v, "p", "x").get.toMap
+    assert(parts("g0") ===
+      (0L until 600L).filter(i => i % 2 == 0 && i % 3 != 0).sum)
+    assert(parts("g1") === total - parts("g0"))
+  }
+
   test("ndv sidecar: per-file register merge equals the global HLL sketch") {
     val path = fresh()
     val df = spark.range(2000).select(($"id" % 700).cast("string").as("s"))
