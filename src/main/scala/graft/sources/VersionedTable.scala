@@ -892,35 +892,55 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{array, broadcast, ceil, count,
       explode, expr, greatest, input_file_name, lit, pmod, shiftright, col => c}
     import graft.operators.Sketch
-    val files = filesAt(path, v)
-    val rows = spark.read.option("basePath", dataDir(path).toString)
-      .parquet(files: _*)
-      .filter(c(col).isNotNull)
-      .select(input_file_name().as("__f"), c(col).cast("string").as("__s"))
-    val sizes = rows.groupBy("__f").agg(count(lit(1)).as("__n"))
-      .withColumn("__m", greatest(lit(64L),
-        ceil(c("__n") * bitsPerKey / 64.0).cast("long") * 64L))
-    val words = rows.join(broadcast(sizes.select("__f", "__m")), "__f")
-      .withColumn("__h1m", pmod(Sketch.pinnedHash(c("__s"), bloomTagA(col)), c("__m")))
-      .withColumn("__step",
-        pmod(Sketch.pinnedHash(c("__s"), bloomTagB(col)), lit(2147483647L)) + 1L)
-      .select(c("__f"), explode(array((0 until BloomK).map(i =>
-        pmod(c("__h1m") + lit(i.toLong) * c("__step"), c("__m"))): _*)).as("__pos"))
-      .select(c("__f"), shiftright(c("__pos"), 6).as("__w"),
-        expr("shiftleft(1L, cast(__pos % 64 as int))").as("__b"))
-      .groupBy("__f", "__w").agg(expr("bit_or(__b)").as("__v"))
-      .collect()
-    val mByFile = sizes.collect()
-      .map(r => relPathOf(path, r.getString(0)) -> r.getLong(2)).toMap
-    val wordsByFile = words.groupBy(r => relPathOf(path, r.getString(0)))
-    val body = relsAt(path, v).sorted.map { rel =>
-      val m = mByFile.getOrElse(rel, 64L)
-      val ws = wordsByFile.getOrElse(rel, Array.empty[Row])
-        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-        .map { case (w, bits) => s"$w:${java.lang.Long.toHexString(bits)}" }
-        .mkString(",")
-      s"""{"file":"${esc(rel)}","m":$m,"k":$BloomK,"words":"$ws"}"""
-    }.mkString("\n")
+    val rels = relsAt(path, v)
+    // same O(commit) refresh contract as counts/sums/ndv: an immutable
+    // file's filter never changes, so entries found in ANY prior
+    // version's sidecar carry verbatim (as raw lines) and only the new
+    // files hash. (Changing bitsPerKey needs a fresh table path or a
+    // hand-removed sidecar — carried entries keep their build-time m.)
+    val entryRe = """\{"file":"([^"]+)",.*\}""".r
+    val prior: Map[String, String] = versions(path).filter(_ <= v).reverse
+      .map(pv => bloomFile(path, pv, col)).filter(Files.exists(_))
+      .foldLeft(Map.empty[String, String]) { (acc, f) =>
+        new String(Files.readAllBytes(f), "UTF-8").split("\n")
+          .collect { case l @ entryRe(rel) => rel -> l }.toMap ++ acc
+      }
+    val fresh = rels.filterNot(prior.contains)
+    val freshLines: Map[String, String] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        val rows = spark.read.option("basePath", dataDir(path).toString)
+          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .filter(c(col).isNotNull)
+          .select(input_file_name().as("__f"), c(col).cast("string").as("__s"))
+        val sizes = rows.groupBy("__f").agg(count(lit(1)).as("__n"))
+          .withColumn("__m", greatest(lit(64L),
+            ceil(c("__n") * bitsPerKey / 64.0).cast("long") * 64L))
+        val words = rows.join(broadcast(sizes.select("__f", "__m")), "__f")
+          .withColumn("__h1m",
+            pmod(Sketch.pinnedHash(c("__s"), bloomTagA(col)), c("__m")))
+          .withColumn("__step",
+            pmod(Sketch.pinnedHash(c("__s"), bloomTagB(col)), lit(2147483647L)) + 1L)
+          .select(c("__f"), explode(array((0 until BloomK).map(i =>
+            pmod(c("__h1m") + lit(i.toLong) * c("__step"), c("__m"))): _*)).as("__pos"))
+          .select(c("__f"), shiftright(c("__pos"), 6).as("__w"),
+            expr("shiftleft(1L, cast(__pos % 64 as int))").as("__b"))
+          .groupBy("__f", "__w").agg(expr("bit_or(__b)").as("__v"))
+          .collect()
+        val mByFile = sizes.collect()
+          .map(r => relPathOf(path, r.getString(0)) -> r.getLong(2)).toMap
+        val wordsByFile = words.groupBy(r => relPathOf(path, r.getString(0)))
+        fresh.map { rel =>
+          val m = mByFile.getOrElse(rel, 64L)
+          val ws = wordsByFile.getOrElse(rel, Array.empty[Row])
+            .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+            .map { case (w, bits) => s"$w:${java.lang.Long.toHexString(bits)}" }
+            .mkString(",")
+          rel -> s"""{"file":"${esc(rel)}","m":$m,"k":$BloomK,"words":"$ws"}"""
+        }.toMap
+      }
+    val body = rels.sorted
+      .map(rel => prior.getOrElse(rel, freshLines(rel))).mkString("\n")
     val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, bloomFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
@@ -972,6 +992,39 @@ object VersionedTable {
     else spark.read.option("basePath", dataDir(path).toString)
       .parquet(files.sorted: _*)
       .where(c(col).cast("string").isin(keys: _*))
+  }
+
+  /** The fully-composed manifest-side read: partition pruning (exact
+    * path arithmetic) ∩ per-file [min,max] range stats ∩ bloom key
+    * membership — every pruning structure the table carries, applied
+    * cheapest-first to the file list BEFORE anything opens, then the
+    * residual filters on the survivors. Any missing sidecar degrades
+    * to "keep" at its own stage, so composition never loses rows —
+    * the invariant each constituent already holds alone. This is the
+    * 100 TB read path in one call: "the de partition, last week's id
+    * range, these five documents" touches the intersection's files,
+    * not the union's. */
+  def readComposed(spark: SparkSession, path: String, v: Long,
+      partitions: Option[(String, Seq[String])] = None,
+      ranges: Seq[(String, Long, Long)] = Nil,
+      keys: Option[(String, Seq[String])] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val all = filesAt(path, v).toSet
+    val byPart = partitions.map { case (pc, vs) =>
+      filesForPartitions(path, v, pc, vs).toSet }.getOrElse(all)
+    val byRange = ranges.map { case (cl, lo, hi) =>
+      filesForRange(path, v, cl, lo, hi).toSet }.foldLeft(byPart)(_ intersect _)
+    val files = keys.map { case (kc, ks) =>
+      byRange intersect filesForKeys(path, v, kc, ks).toSet }.getOrElse(byRange)
+    if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
+    else {
+      val residual = (
+        ranges.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi } ++
+          keys.map { case (kc, ks) => c(kc).cast("string").isin(ks: _*) })
+        .foldLeft(lit(true))(_ && _)
+      spark.read.option("basePath", dataDir(path).toString)
+        .parquet(files.toSeq.sorted: _*).where(residual)
+    }
   }
 
   /** Rewrite the CURRENT file set into ~`targetBytes` files and commit

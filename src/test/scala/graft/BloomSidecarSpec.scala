@@ -75,6 +75,58 @@ class BloomSidecarSpec extends SparkSpec {
       .select("k").as[Long].collect() === Array(7L))
   }
 
+  test("bloom sidecar: refresh carries prior entries verbatim (O(commit))") {
+    val path = fresh()
+    val v0 = VersionedTable.create(
+      spark.range(300).select($"id".as("k")).repartition(2), path)
+    VersionedTable.writeBloom(spark, path, v0, "k")
+    // corrupt a v0 word: a re-measure would regenerate the true bits;
+    // a carry keeps the wound — proving old files never re-hash
+    val side = java.nio.file.Paths.get(path, "_versions", f"v$v0%08d.bloom.k.json")
+    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val pos = body.indexOf(':', body.indexOf("\"words\":\"") + 9) + 1
+    val repl = if (body(pos) == 'f') '1' else 'f'
+    val tampered = body.substring(0, pos) + repl + body.substring(pos + 1)
+    assert(tampered != body)
+    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    val v1 = VersionedTable.commit(
+      spark.range(300, 400).select($"id".as("k")), path, "append")
+    VersionedTable.writeBloom(spark, path, v1, "k")
+    val v1body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_versions", f"v$v1%08d.bloom.k.json")), "UTF-8")
+    val woundLine = tampered.split("\n")
+      .zip(body.split("\n")).find(p => p._1 != p._2).get._1
+    assert(v1body.contains(woundLine), "v1 refresh re-hashed carried files")
+    // and the new file's keys are probe-able
+    assert(VersionedTable.readWhereKeys(spark, path, v1, "k", Seq("350"))
+      .count() === 1L)
+  }
+
+  test("readComposed: partition ∩ range ∩ bloom prunes multiply; rows exact") {
+    val path = fresh()
+    val df = spark.range(4000).select($"id",
+      concat(lit("g"), pmod($"id", lit(4L))).as("p"),
+      ($"id" % 1000L).as("ts"))
+      .repartitionByRange(4, $"ts")
+    val v = VersionedTable.createPartitioned(df, path, "p")
+    VersionedTable.writeStats(spark, path, v, "ts")
+    VersionedTable.writeBloom(spark, path, v, "id")
+    val byPart = VersionedTable.filesForPartitions(path, v, "p", Seq("g1")).toSet
+    val byRange = VersionedTable.filesForRange(path, v, "ts", 0L, 99L).toSet
+    val byKey = VersionedTable.filesForKeys(path, v, "id", Seq("1001")).toSet
+    val composed = byPart & byRange & byKey
+    assert(composed.nonEmpty)
+    assert(composed.size < byPart.size && composed.size < byRange.size,
+      s"composition should out-prune each stage: ${composed.size} vs " +
+        s"part=${byPart.size} range=${byRange.size} key=${byKey.size}")
+    val got = VersionedTable.readComposed(spark, path, v,
+      partitions = Some(("p", Seq("g1"))),
+      ranges = Seq(("ts", 0L, 99L)),
+      keys = Some(("id", Seq("1001"))))
+      .select("id").as[Long].collect()
+    assert(got === Array(1001L))
+  }
+
   test("counts sidecar: exact countAt; refresh carries prior entries verbatim") {
     val path = fresh()
     val v0 = VersionedTable.create(spark.range(1000).toDF("id").repartition(4), path)
