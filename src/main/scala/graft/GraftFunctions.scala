@@ -113,6 +113,25 @@ object GraftFunctions {
           RegExpReplace(e, Literal(re), Literal(tok))
         }
     },
+    "graft_http_response" -> { args =>
+      require(args.length == 1, "graft_http_response(binary)")
+      graft.expr.HttpResponse(args(0))
+    },
+    "graft_http_gate" -> { args =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      require(args.length == 3, "graft_http_gate(binary, status, ctPrefix)")
+      val status = args(1) match {
+        case Literal(v, _) => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_http_gate: status must be a literal, got $other")
+      }
+      val prefix = args(2) match {
+        case Literal(v, _) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_http_gate: ctPrefix must be a literal, got $other")
+      }
+      graft.expr.HttpGate(args(0), status, prefix)
+    },
     "graft_quantile" -> { args =>
       require(args.length == 2, "graft_quantile(col, q)")
       val q = args(1) match {

@@ -169,6 +169,37 @@ object VersionedTable {
       latestVersion(path).getOrElse(throw new IllegalArgumentException(
         s"VersionedTable: $path does not exist")))
 
+  /** TIMESTAMP AS OF: the newest version whose manifest was published
+    * at or before `tsMillis`. The atomic rename that publishes a
+    * manifest IS the publication instant, so its file mtime is the
+    * commit time — no extra bookkeeping, and retention (vacuum keeps
+    * manifests) preserves the mapping. None if the table had no
+    * version yet at that time. */
+  def versionAt(path: String, tsMillis: Long): Option[Long] =
+    versions(path).filter(v =>
+      Files.getLastModifiedTime(versionFile(path, v)).toMillis <= tsMillis)
+      .lastOption
+
+  /** Read the table as of a wall-clock instant (Delta's
+    * `TIMESTAMP AS OF`): resolve via [[versionAt]], then time travel. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAt(path, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable: $path had no version at $tsMillis")))
+
+  /** Incremental CDC consumer: the row-level change feed from `afterV`
+    * (exclusive) to the CURRENT latest version, plus that latest
+    * version as the next checkpoint — the poll-and-advance loop a
+    * downstream consumer runs against the table. None when nothing
+    * new committed: the caller keeps its checkpoint and sleeps. */
+  def changesSince(spark: SparkSession, path: String, afterV: Long,
+      keyCols: Seq[String], valueCols: Seq[String]): Option[(DataFrame, Long)] = {
+    val latest = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    if (latest <= afterV) None
+    else Some((changeFeed(spark, path, afterV, latest, keyCols, valueCols), latest))
+  }
+
   // ---- manifest-level data skipping ----
 
   /** Per-file [min,max] of a LONG column, computed in ONE distributed

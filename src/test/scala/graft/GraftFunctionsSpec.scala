@@ -73,13 +73,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(3) == 80L && r.getLong(4) == 10000L)
   }
 
+  test("graft_http_response / graft_http_gate split an archived HTTP message in SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """WITH m AS (SELECT CAST(concat('HTTP/1.1 200 OK\r\n',
+        |    'Content-Type: text/html\r\n\r\n<html>x</html>') AS BINARY) AS p)
+        |SELECT graft_http_response(p).status AS s,
+        |  graft_http_response(p).content_type AS ct,
+        |  CAST(graft_http_response(p).body AS STRING) AS b,
+        |  graft_http_gate(p, 200, 'text/html') AS ok,
+        |  graft_http_gate(p, 404, 'text/html') AS notok
+        |FROM m""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 200)
+    assert(r.getString(1) === "text/html")
+    assert(r.getString(2) === "<html>x</html>")
+    assert(r.getBoolean(3) === true)
+    assert(r.getBoolean(4) === false)
+  }
+
   test("GraftExtensions constructs and exposes the full function set") {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("graft_dot", "graft_cosine", "graft_sqdist", "graft_fingerprint",
         "graft_mix63", "graft_shingles", "graft_quantile", "graft_zvalue",
         "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta",
-        "graft_video_meta", "graft_video_frame_ranges"))
+        "graft_video_meta", "graft_video_frame_ranges",
+        "graft_http_response", "graft_http_gate"))
     assert(ext != null)
   }
 }

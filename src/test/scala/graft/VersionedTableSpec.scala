@@ -33,6 +33,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(path) === Seq(0L, 1L, 2L))
   }
 
+  test("versionAt / readAsOf resolve wall-clock instants to versions") {
+    val path = fresh()
+    VersionedTable.create(spark.range(3).toDF("id"), path)
+    VersionedTable.commit(spark.range(3, 6).toDF("id"), path, "append")
+    VersionedTable.commit(spark.range(100, 102).toDF("id"), path, "overwrite")
+    // pin publication instants: v0 @1000, v1 @2000, v2 @3000
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path, "_versions", f"v$v%08d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000 * (v + 1)))
+    }
+    assert(VersionedTable.versionAt(path, 999) === None)
+    assert(VersionedTable.versionAt(path, 1000) === Some(0L))
+    assert(VersionedTable.versionAt(path, 2500) === Some(1L))
+    assert(VersionedTable.versionAt(path, 99999) === Some(2L))
+    assert(ids(VersionedTable.readAsOf(spark, path, 2500)) === (0L until 6L))
+    intercept[IllegalArgumentException](VersionedTable.readAsOf(spark, path, 5))
+  }
+
+  test("changesSince: poll-and-advance CDC consumption") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(5).select($"id", ($"id" * 10).as("x")), path)
+    // nothing new after v0: consumer keeps its checkpoint
+    assert(VersionedTable.changesSince(spark, path, 0L, Seq("id"), Seq("x")) === None)
+    VersionedTable.commit(
+      spark.range(3, 7).select($"id", ($"id" * 10 + 1).as("x")), path, "overwrite")
+    val (feed, ckpt) =
+      VersionedTable.changesSince(spark, path, 0L, Seq("id"), Seq("x")).get
+    assert(ckpt === 1L)
+    val changes = feed.select("id", "change").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(changes === Seq((0L, "removed"), (1L, "removed"), (2L, "removed"),
+      (3L, "changed"), (4L, "changed"), (5L, "added"), (6L, "added")))
+  }
+
   test("staged files without a manifest are invisible to readers") {
     val path = fresh()
     VersionedTable.create(spark.range(5).toDF("id"), path)
