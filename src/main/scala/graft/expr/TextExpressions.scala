@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types._
@@ -227,7 +227,127 @@ case class GramStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** robots.txt rule extraction (RFC 9309 / the original REP) for the `*`
+  * agent: one parse per robots payload → array of (allow, path-prefix)
+  * rules. Group semantics per the RFC: consecutive `User-agent` lines
+  * stack onto one group; the first rule line closes the agent run, and
+  * a later `User-agent` starts a NEW group; rules attach to every agent
+  * of their group; comments (`#`) and empty values are dropped (an
+  * empty `Disallow:` disallows nothing). A corpus pipeline parses each
+  * host's robots ONCE, then joins the rules array onto that host's
+  * URLs — [[RobotsAllowed]] evaluates the array per URL without
+  * re-parsing. Null text → null; a robots with no `*` group yields an
+  * EMPTY array (everything allowed), which is a different fact than
+  * "no robots at all". */
+case class RobotsRules(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_robots_rules"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.robotsRules(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.robotsRules($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsRules =
+    copy(child = newChild)
+}
+
+/** RFC 9309 URL decision against a [[RobotsRules]] array: the matching
+  * rule with the LONGEST prefix wins; an allow/disallow tie at equal
+  * length resolves to allow; no matching rule means allowed. Evaluated
+  * per URL against the host's parsed rules — no re-parse. */
+case class RobotsAllowed(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_robots_allowed"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StructType, _), StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<struct>, string), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(rules: Any, path: Any): Any =
+    TextExpressions.robotsAllowed(
+      rules.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      path.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, p) =>
+      s"${ev.value} = graft.expr.TextExpressions.robotsAllowed($r, $p);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsAllowed = copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
+
+  /** Static [[RobotsRules]] helper shared by eval and generated code. */
+  def robotsRules(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var starGroup = false // the current group's agents include *
+    var inRules = false   // rule lines seen since the last User-agent
+    text.toString.linesIterator.foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val sep = line.indexOf(':')
+        if (sep > 0) {
+          val name = line.substring(0, sep).trim.toLowerCase
+          val value = line.substring(sep + 1).trim
+          name match {
+            case "user-agent" =>
+              if (inRules) { starGroup = false; inRules = false }
+              if (value == "*") starGroup = true
+            case "allow" | "disallow" =>
+              inRules = true
+              if (starGroup && value.nonEmpty) out += new GenericInternalRow(
+                Array[Any](name == "allow", UTF8String.fromString(value)))
+            case _ => inRules = true // crawl-delay etc. close the agent run
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Static [[RobotsAllowed]] helper shared by eval and generated code. */
+  def robotsAllowed(rules: org.apache.spark.sql.catalyst.util.ArrayData,
+      path: UTF8String): Boolean = {
+    val p = path.toString
+    var bestLen = -1
+    var allow = true
+    var i = 0
+    while (i < rules.numElements()) {
+      val r = rules.getStruct(i, 2)
+      val prefix = r.getUTF8String(1).toString
+      if (p.startsWith(prefix)) {
+        if (prefix.length > bestLen) { bestLen = prefix.length; allow = r.getBoolean(0) }
+        else if (prefix.length == bestLen && r.getBoolean(0)) allow = true
+      }
+      i += 1
+    }
+    allow
+  }
+
+  def robotsRules(c: Column): Column =
+    Bridge.column(RobotsRules(Bridge.expression(c)))
+
+  def robotsAllowed(rules: Column, path: Column): Column =
+    Bridge.column(RobotsAllowed(Bridge.expression(rules), Bridge.expression(path)))
 
   /** Static GramStats helper shared by eval and generated code: one
     * hash-map pass, then one pass over the distinct values. */

@@ -1965,6 +1965,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt gating — the crawl-policy step of the web pipeline
+    // (RFC 9309): one synthetic robots per HOST exercising the real
+    // semantics — comments, a non-* group that must contribute nothing
+    // (k%11 hosts publish rules only for another agent), longest-
+    // prefix-match decisions (Allow: /p<a> beats Disallow: /p whenever
+    // it matches, including the /p1-prefixes-/p12 digit trap), and the
+    // equal-length tie resolving to allow (k%2 hosts add Allow: /p).
+    // Rules parse ONCE per host (97 rows) and broadcast onto the URLs;
+    // the per-URL decision is one codegen'd array walk. The oracle
+    // replays the planted policy as arithmetic + starts_with.
+    "q_robots_gate" -> ((s, dir) => {
+      import graft.expr.TextExpressions
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(97L)).as("k"),
+        concat(lit("/p"), pmod(col("doc_id"), lit(13L))).as("path"))
+      val hosts = s.range(97).select(col("id").as("k"),
+        TextExpressions.robotsRules(concat(
+          lit("# crawl policy\n"),
+          when(pmod(col("id"), lit(11L)) === 0,
+            lit("User-agent: gptbot\nDisallow: /\n"))
+            .otherwise(concat(
+              lit("User-agent: *\nDisallow: /p\nAllow: /p"),
+              pmod(col("id") + 1, lit(13L)), lit("\n"),
+              when(pmod(col("id"), lit(2L)) === 0, lit("Allow: /p\n"))
+                .otherwise(lit("")))))).as("rules"))
+      urls.join(broadcast(hosts), "k")
+        .select(col("doc_id"),
+          concat(lit("h"), col("k"), lit(".example")).as("host"),
+          col("path"),
+          TextExpressions.robotsAllowed(col("rules"), col("path")).as("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Outlink extraction — the step after the gate in a web pipeline:
     // WARC responses carry HTML with three planted anchors per page
     // (targets spread over 97 hosts by pinned arithmetic); the read
@@ -4611,6 +4644,15 @@ object PipelineQueries {
       """SELECT doc_id, length(text)::BIGINT AS n_body FROM documents
         |WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_robots_gate" ->
+      """SELECT doc_id,
+        |  'h' || (doc_id % 97) || '.example' AS host,
+        |  '/p' || (doc_id % 13) AS path,
+        |  ((doc_id % 97) % 11 = 0 OR (doc_id % 97) % 2 = 0
+        |    OR starts_with('p' || (doc_id % 13),
+        |                   'p' || (((doc_id % 97) + 1) % 13))) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_warc_outlinks" ->
       """WITH links AS (

@@ -528,7 +528,10 @@ class PlanShapeSpec extends SparkSpec {
       // outlinks adds the host-edge aggregation
       "q_warc_roundtrip" -> 1,
       "q_warc_http_gate" -> 1,
-      "q_warc_outlinks" -> 2)
+      "q_warc_outlinks" -> 2,
+      // robots: 97 parsed-rule rows BROADCAST onto the urls (no shuffle
+      // join); the one exchange is the oracle orderBy
+      "q_robots_gate" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
