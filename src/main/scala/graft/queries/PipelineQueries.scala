@@ -1984,7 +1984,7 @@ object PipelineQueries {
         TextExpressions.robotsRules(concat(
           lit("# crawl policy\n"),
           when(pmod(col("id"), lit(11L)) === 0,
-            lit("User-agent: gptbot\nDisallow: /\n"))
+            lit("User-agent: otherbot\nDisallow: /\n"))
             .otherwise(concat(
               lit("User-agent: *\nDisallow: /p\nAllow: /p"),
               pmod(col("id") + 1, lit(13L)), lit("\n"),

@@ -56,6 +56,6 @@ class RobotsSpec extends SparkSpec {
     assert(decide(digits, "/p12") === true)
     assert(decide(digits, "/p2") === false)
     // no * group at all -> empty rules -> allowed
-    assert(decide("User-agent: gptbot\nDisallow: /\n", "/anything") === true)
+    assert(decide("User-agent: otherbot\nDisallow: /\n", "/anything") === true)
   }
 }
