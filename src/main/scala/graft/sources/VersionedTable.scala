@@ -1144,9 +1144,11 @@ object VersionedTable {
     sweep(dataDir(path).toFile, "")
     drop.foreach { v =>
       Files.deleteIfExists(versionFile(path, v))
-      // stats sidecars of the dropped version go with it
+      // every sidecar of the dropped version goes with it (stats,
+      // counts, sums, ndv, bloom — the manifest was deleted above, so
+      // the version-number prefix is the whole family)
       Option(versionsDir(path).toFile.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(f"v$v%08d.stats."))
+        .filter(_.getName.startsWith(f"v$v%08d."))
         .foreach(_.delete())
     }
   }

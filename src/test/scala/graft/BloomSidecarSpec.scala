@@ -199,6 +199,54 @@ class BloomSidecarSpec extends SparkSpec {
     assert(v1body.contains(":41"), "v1 refresh re-measured carried files")
   }
 
+  test("property: readComposed equals the full-scan filter on seeded random predicates") {
+    val path = fresh()
+    val df = spark.range(3000).select($"id",
+      concat(lit("g"), pmod($"id", lit(3L))).as("p"),
+      pmod($"id" * 2654435761L, lit(500L)).as("ts"))
+      .repartitionByRange(3, $"ts")
+    val v = VersionedTable.createPartitioned(df, path, "p")
+    VersionedTable.writeStats(spark, path, v, "ts")
+    VersionedTable.writeBloom(spark, path, v, "id")
+    val full = VersionedTable.readVersion(spark, path, v).cache()
+    val rnd = new scala.util.Random(7)
+    (0 until 12).foreach { _ =>
+      val parts = (0 until 3).filter(_ => rnd.nextBoolean()).map(i => s"g$i")
+      val lo = rnd.nextInt(500).toLong
+      val hi = lo + rnd.nextInt(200)
+      val keys = (0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(3500).toString)
+      val useKeys = rnd.nextBoolean()
+      val got = VersionedTable.readComposed(spark, path, v,
+        partitions = if (parts.nonEmpty) Some(("p", parts)) else None,
+        ranges = Seq(("ts", lo, hi)),
+        keys = if (useKeys) Some(("id", keys)) else None)
+        .select("id").as[Long].collect().sorted
+      var expect = full.filter($"ts" >= lo && $"ts" <= hi)
+      if (parts.nonEmpty) expect = expect.filter($"p".isin(parts: _*))
+      if (useKeys) expect = expect.filter($"id".cast("string").isin(keys: _*))
+      val want = expect.select("id").as[Long].collect().sorted
+      assert(got === want, s"parts=$parts lo=$lo hi=$hi keys=$keys useKeys=$useKeys")
+    }
+    full.unpersist()
+  }
+
+  test("vacuum sweeps a dropped version's sidecars (all five families)") {
+    val path = fresh()
+    val v0 = VersionedTable.create(spark.range(50).select($"id".as("k")), path)
+    VersionedTable.writeStats(spark, path, v0, "k")
+    VersionedTable.writeCounts(spark, path, v0)
+    VersionedTable.writeSums(spark, path, v0, "k")
+    VersionedTable.writeNdv(spark, path, v0, "k")
+    VersionedTable.writeBloom(spark, path, v0, "k")
+    VersionedTable.commit(spark.range(50, 60).select($"id".as("k")), path, "append")
+    VersionedTable.vacuum(path, keepVersions = 1, minAgeMs = 0)
+    val leftover = new java.io.File(path, "_versions").listFiles()
+      .map(_.getName).filter(_.startsWith(f"v$v0%08d."))
+    assert(leftover.isEmpty, s"leaked sidecars: ${leftover.mkString(", ")}")
+    // the kept version still reads
+    assert(VersionedTable.read(spark, path).count() === 60L)
+  }
+
   test("partitionRowCounts: metadata-only GROUP BY partition matches the data") {
     val path = fresh()
     val df = spark.range(900).select($"id",
