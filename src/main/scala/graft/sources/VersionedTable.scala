@@ -879,6 +879,41 @@ object VersionedTable {
     Some((raw, m.toLong - touched))
   }
 
+  /** Per-partition approx distinct, metadata-only: each partition's
+    * files' registers merge independently (register max over any file
+    * subset is a valid sketch of that subset's union) — "distinct
+    * documents per language across 100 TB" at zero data I/O. Coverage
+    * and precision rules as [[ndvAt]]/[[partitionRowCounts]]. */
+  def partitionNdv(path: String, v: Long, partCol: String,
+      col: String): Option[Seq[(String, (Long, Long))]] = {
+    val side = ndvFile(path, v, col)
+    if (!Files.exists(side)) return None
+    val entries = parseNdv(side)
+    val rels = relsAt(path, v)
+    if (!rels.forall(entries.contains)) return None
+    val ps = rels.map(f => entries(f)._1).distinct
+    require(ps.size == 1, s"VersionedTable.partitionNdv: mixed sketch precisions $ps")
+    val p = ps.head
+    val m = 1 << p
+    val W = graft.operators.Sketch.HllW
+    val pre = partCol + "="
+    Some(rels.groupBy { rel =>
+        val parent = Paths.get(rel).getParent.getFileName.toString
+        require(parent.startsWith(pre),
+          s"VersionedTable.partitionNdv: $rel is not under $pre<value>/")
+        parent.stripPrefix(pre)
+      }.map { case (k, fs) =>
+        val merged = new Array[Int](m)
+        fs.foreach(f => entries(f)._2.foreach { case (i, r) =>
+          if (r > merged(i)) merged(i) = r })
+        val touched = merged.count(_ > 0)
+        val st = merged.iterator.filter(_ > 0).map(mx => 1L << (W + 1 - mx)).sum
+        val raw = math.floor(graft.operators.Sketch.hllConstant(p) /
+          (st + (m.toLong - touched) * (1L << (W + 1))).toDouble).toLong
+        k -> ((raw, m.toLong - touched))
+      }.toSeq.sortBy(_._1))
+  }
+
   // ---- bloom sidecar: equality point-lookup file skipping ----
 
   /** Probes per key (Kirsch–Mitzenmacher double hashing). */

@@ -179,6 +179,20 @@ class BloomSidecarSpec extends SparkSpec {
     assert(raw > 400 && raw < 1100, s"raw=$raw")
   }
 
+  test("partitionNdv: per-partition register merges equal per-group HLL sketches") {
+    val path = fresh()
+    val df = spark.range(3000).select(
+      concat(lit("g"), pmod($"id", lit(3L))).as("p"),
+      ($"id" % 800).cast("string").as("s"))
+    val v = VersionedTable.createPartitioned(df.repartition(4), path, "p")
+    VersionedTable.writeNdv(spark, path, v, "s", p = 6)
+    val meta = VersionedTable.partitionNdv(path, v, "p", "s").get.toMap
+    val direct = graft.operators.Sketch
+      .hllDistinct(df, col("s"), Seq("p"), p = 6, tag = "vtndv")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(meta === direct)
+  }
+
   test("ndv sidecar: refresh carries prior per-file registers verbatim") {
     val path = fresh()
     val v0 = VersionedTable.create(
