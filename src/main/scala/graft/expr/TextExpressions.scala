@@ -324,7 +324,40 @@ object TextExpressions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  /** Static [[RobotsAllowed]] helper shared by eval and generated code. */
+  /** RFC 9309 path-pattern match: literal octets, `*` matching any
+    * run, `$` (pattern-final only) anchoring to the path's end. Plain
+    * prefixes — the overwhelmingly common case — take the startsWith
+    * fast path. */
+  def robotsMatches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    if (!anchored && pat.indexOf('*') < 0) return path.startsWith(pat)
+    val segs = pat.split("\\*", -1)
+    if (!path.startsWith(segs(0))) return false
+    if (segs.length == 1) return if (anchored) path == segs(0) else true
+    var pos = segs(0).length
+    var i = 1
+    val last = segs.length - 1
+    while (i < last) {
+      val s = segs(i)
+      if (s.nonEmpty) {
+        val idx = path.indexOf(s, pos)
+        if (idx < 0) return false
+        pos = idx + s.length
+      }
+      i += 1
+    }
+    val lastSeg = segs(last)
+    if (anchored)
+      lastSeg.isEmpty ||
+        (path.length - lastSeg.length >= pos && path.endsWith(lastSeg))
+    else lastSeg.isEmpty || path.indexOf(lastSeg, pos) >= 0
+  }
+
+  /** Static [[RobotsAllowed]] helper shared by eval and generated code:
+    * most-specific rule wins, specificity = the raw pattern's length in
+    * characters (RFC 9309 "longest match" octet rule); an allow/
+    * disallow tie at equal length resolves to allow. */
   def robotsAllowed(rules: org.apache.spark.sql.catalyst.util.ArrayData,
       path: UTF8String): Boolean = {
     val p = path.toString
@@ -333,10 +366,10 @@ object TextExpressions {
     var i = 0
     while (i < rules.numElements()) {
       val r = rules.getStruct(i, 2)
-      val prefix = r.getUTF8String(1).toString
-      if (p.startsWith(prefix)) {
-        if (prefix.length > bestLen) { bestLen = prefix.length; allow = r.getBoolean(0) }
-        else if (prefix.length == bestLen && r.getBoolean(0)) allow = true
+      val pattern = r.getUTF8String(1).toString
+      if (robotsMatches(p, pattern)) {
+        if (pattern.length > bestLen) { bestLen = pattern.length; allow = r.getBoolean(0) }
+        else if (pattern.length == bestLen && r.getBoolean(0)) allow = true
       }
       i += 1
     }

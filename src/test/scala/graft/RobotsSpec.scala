@@ -58,4 +58,24 @@ class RobotsSpec extends SparkSpec {
     // no * group at all -> empty rules -> allowed
     assert(decide("User-agent: otherbot\nDisallow: /\n", "/anything") === true)
   }
+
+  test("RFC 9309 patterns: * wildcards and $ end anchors") {
+    import TextExpressions.robotsMatches
+    assert(robotsMatches("/a/b/c.pdf", "/a/*/c.pdf"))
+    assert(!robotsMatches("/a/c.pdf", "/a/*/c.pdf")) // '*' can't rewind the prefix
+    assert(robotsMatches("/x/file.pdf", "/*.pdf"))
+    assert(!robotsMatches("/x/file.pdfx", "/*.pdf$"))
+    assert(robotsMatches("/x/file.pdf", "/*.pdf$"))
+    assert(robotsMatches("/p", "/p$"))
+    assert(!robotsMatches("/p/q", "/p$"))
+    assert(robotsMatches("/any/thing", "/*"))
+    assert(robotsMatches("/a*lit", "/a*lit")) // '*' in path is still literal there
+    assert(robotsMatches("/abc", "/a*b*c$"))
+    assert(!robotsMatches("/acb", "/a*b*c$"))
+    // decision: wildcard disallow beaten by a LONGER wildcard allow
+    val txt = "User-agent: *\nDisallow: /*.pdf$\nAllow: /ok/*.pdf$\n"
+    assert(decide(txt, "/x/y.pdf") === false)
+    assert(decide(txt, "/ok/y.pdf") === true)
+    assert(decide(txt, "/x/y.html") === true) // nothing matches
+  }
 }
