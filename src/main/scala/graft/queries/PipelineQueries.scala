@@ -14,6 +14,25 @@ import org.apache.spark.sql.types._
   */
 object PipelineQueries {
 
+  /** The 97 planted per-host robots policies shared by q_robots_gate
+    * and q_crawl_frontier: host k publishes no `*` group on k%11==0
+    * (everything allowed), otherwise Disallow: /p + Allow: /p<(k+1)%13>
+    * (+ the tie rule Allow: /p on even k). Parsed ONCE per host into
+    * rule arrays; callers broadcast the 97 rows. */
+  private def robotsHosts(s: SparkSession): DataFrame = {
+    import graft.expr.TextExpressions
+    s.range(97).select(col("id").as("k"),
+      TextExpressions.robotsRules(concat(
+        lit("# crawl policy\n"),
+        when(pmod(col("id"), lit(11L)) === 0,
+          lit("User-agent: otherbot\nDisallow: /\n"))
+          .otherwise(concat(
+            lit("User-agent: *\nDisallow: /p\nAllow: /p"),
+            pmod(col("id") + 1, lit(13L)), lit("\n"),
+            when(pmod(col("id"), lit(2L)) === 0, lit("Allow: /p\n"))
+              .otherwise(lit("")))))).as("rules"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1976,26 +1995,42 @@ object PipelineQueries {
     // the per-URL decision is one codegen'd array walk. The oracle
     // replays the planted policy as arithmetic + starts_with.
     "q_robots_gate" -> ((s, dir) => {
-      import graft.expr.TextExpressions
       val urls = t(s, dir, "documents").select(col("doc_id"),
         pmod(col("doc_id"), lit(97L)).as("k"),
         concat(lit("/p"), pmod(col("doc_id"), lit(13L))).as("path"))
-      val hosts = s.range(97).select(col("id").as("k"),
-        TextExpressions.robotsRules(concat(
-          lit("# crawl policy\n"),
-          when(pmod(col("id"), lit(11L)) === 0,
-            lit("User-agent: otherbot\nDisallow: /\n"))
-            .otherwise(concat(
-              lit("User-agent: *\nDisallow: /p\nAllow: /p"),
-              pmod(col("id") + 1, lit(13L)), lit("\n"),
-              when(pmod(col("id"), lit(2L)) === 0, lit("Allow: /p\n"))
-                .otherwise(lit("")))))).as("rules"))
-      urls.join(broadcast(hosts), "k")
+      urls.join(broadcast(robotsHosts(s)), "k")
         .select(col("doc_id"),
           concat(lit("h"), col("k"), lit(".example")).as("host"),
           col("path"),
-          TextExpressions.robotsAllowed(col("rules"), col("path")).as("allowed"))
+          graft.expr.TextExpressions.robotsAllowed(col("rules"), col("path"))
+            .as("allowed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Crawl-frontier filtering — the composition PageRank actually
+    // consumes: the outlink edge set (3 planted links per page, spread
+    // over 97 destination hosts/paths) gated by each DESTINATION
+    // host's robots policy before any graph work. Per destination
+    // host: how many in-links survive the policy vs arrive — the
+    // fetch-or-drop mass a crawler schedules by. Rules parse once (97
+    // rows, broadcast); the per-edge decision is a codegen'd array
+    // walk; one aggregation exchange. The oracle replays links AND
+    // policy as arithmetic + starts_with.
+    "q_crawl_frontier" -> ((s, dir) => {
+      import graft.expr.TextExpressions
+      val edges = t(s, dir, "documents").select(col("doc_id"),
+          explode(array((0 until 3).map(k => struct(
+            pmod(col("doc_id") * 31 + lit(k * 17), lit(97L)).as("k"),
+            pmod(col("doc_id") + lit(k.toLong), lit(13L)).as("j"))): _*)).as("e"))
+        .select(col("e.k").as("k"),
+          concat(lit("/p"), col("e.j")).as("path"))
+      edges.join(broadcast(robotsHosts(s)), "k")
+        .select(concat(lit("h"), col("k"), lit(".example")).as("dst_host"),
+          TextExpressions.robotsAllowed(col("rules"), col("path")).as("allowed"))
+        .groupBy(col("dst_host"))
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("dst_host"))
     }),
 
     // Outlink extraction — the step after the gate in a web pipeline:
@@ -4653,6 +4688,19 @@ object PipelineQueries {
         |    OR starts_with('p' || (doc_id % 13),
         |                   'p' || (((doc_id % 97) + 1) % 13))) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_crawl_frontier" ->
+      """WITH g AS (
+        |  SELECT ((doc_id * 31 + k * 17) % 97) AS h,
+        |         ((doc_id + k) % 13) AS j
+        |  FROM documents CROSS JOIN (SELECT range AS k FROM range(3)) ks)
+        |SELECT 'h' || h || '.example' AS dst_host,
+        |  sum(CASE WHEN (h % 11 = 0 OR h % 2 = 0
+        |        OR starts_with('p' || j, 'p' || ((h + 1) % 13)))
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+        |  count(*)::BIGINT AS n_total
+        |FROM g GROUP BY h
+        |ORDER BY dst_host""".stripMargin,
 
     "q_warc_outlinks" ->
       """WITH links AS (

@@ -531,7 +531,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_warc_outlinks" -> 2,
       // robots: 97 parsed-rule rows BROADCAST onto the urls (no shuffle
       // join); the one exchange is the oracle orderBy
-      "q_robots_gate" -> 1)
+      "q_robots_gate" -> 1,
+      // frontier: broadcast policy join + per-host agg + oracle orderBy
+      "q_crawl_frontier" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
