@@ -1925,6 +1925,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming SOURCE over the versioned table (offsets = manifest
+    // versions): v0 carries the even docs, an append commit carries the
+    // odd ones, and the stream must deliver the snapshot + the delta —
+    // exactly the table, exactly once. The oracle is the plain batch
+    // SELECT: any dropped file, double-read, or offset slip
+    // hash-mismatches.
+    "q_table_stream" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vts").toString +
+        "/docs"
+      VersionedTable.create(
+        docs.filter(col("doc_id") % 2 === 0).repartition(4), path)
+      VersionedTable.commit(
+        docs.filter(col("doc_id") % 2 =!= 0).repartition(4), path, "append")
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+        .option("path", path).load()
+        .writeStream.format("memory").queryName("q_table_stream_sink")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_table_stream_sink")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Metadata-only aggregates: per-partition and total row counts
     // answered from the manifest + counts sidecar with ZERO data I/O —
     // the "count 100 TB by partition" dashboard query. The counts
@@ -4652,6 +4679,10 @@ object PipelineQueries {
         |UNION ALL
         |SELECT doc_id, 'changed' FROM documents
         |WHERE lang = 'de' AND doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_table_stream" ->
+      """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_table_meta_count" ->

@@ -161,6 +161,53 @@ class VersionedTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SOURCE: version offsets, snapshot-then-deltas, restart resume, append-only guard") {
+    val path = fresh()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vts_ck").toString
+    VersionedTable.create(spark.range(5).select($"id", ($"id" * 2).as("x")), path)
+    // foreachBatch sink: checkpoint-recoverable (memory sink is not)
+    def start(buf: scala.collection.mutable.ArrayBuffer[Long]) = spark.readStream
+      .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+      .option("path", path).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = b.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        buf.synchronized { buf ++= got }
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    val buf1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = start(buf1)
+    try {
+      q.processAllAvailable()
+      // first batch = the full snapshot at the start version
+      assert(buf1.sorted === (0L until 5L))
+      VersionedTable.commit(
+        spark.range(5, 9).select($"id", ($"id" * 2).as("x")), path, "append")
+      q.processAllAvailable()
+      assert(buf1.sorted === (0L until 9L))
+    } finally q.stop()
+    // commits while the stream is DOWN, then restart from the same
+    // checkpoint: only the unseen versions replay (offset = version)
+    VersionedTable.commit(
+      spark.range(9, 12).select($"id", ($"id" * 2).as("x")), path, "append")
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = start(buf2)
+    try {
+      q2.processAllAvailable()
+      assert(buf2.sorted === (9L until 12L))
+      // a non-append commit poisons the stream with the documented error
+      VersionedTable.commit(
+        spark.range(3).select($"id", ($"id" * 2).as("x")), path, "overwrite")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q2.stop()
+  }
+
   test("commitStreamBatch: a replayed micro-batch is a no-op (exactly-once ingest)") {
     implicit val sqlCtx = spark.sqlContext
     val path = fresh()
