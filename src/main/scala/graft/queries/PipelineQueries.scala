@@ -1925,6 +1925,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The fully-composed manifest-side read, graded end-to-end:
+    // partition pruning (two languages) ∩ per-file n_chars range stats
+    // ∩ doc_id bloom membership — every pruning structure the table
+    // carries, intersected BEFORE any file opens — with one present
+    // and one absent probe id per surviving partition-range, against
+    // the plain-filter oracle. Files are range-clustered on n_chars
+    // within partitions so the stats stage genuinely prunes.
+    "q_table_composed" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtc2").toString +
+        "/docs"
+      val v = VersionedTable.createPartitioned(docs, path, "lang")
+      VersionedTable.writeStats(s, path, v, "n_chars")
+      VersionedTable.writeBloom(s, path, v, "doc_id")
+      val keys = (0 until 40).map(_.toString) :+ "9999999"
+      VersionedTable.readComposed(s, path, v,
+          partitions = Some(("lang", Seq("de", "fr"))),
+          ranges = Seq(("n_chars", 100L, 500L)),
+          keys = Some(("doc_id", keys)))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming SOURCE over the versioned table (offsets = manifest
     // versions): v0 carries the even docs, an append commit carries the
     // odd ones, and the stream must deliver the snapshot + the delta —
@@ -4683,6 +4709,13 @@ object PipelineQueries {
 
     "q_table_stream" ->
       """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_table_composed" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('de', 'fr')
+        |  AND n_chars BETWEEN 100 AND 500
+        |  AND doc_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 9999999)
         |ORDER BY doc_id""".stripMargin,
 
     "q_table_meta_count" ->

@@ -535,7 +535,9 @@ class PlanShapeSpec extends SparkSpec {
       // frontier: broadcast policy join + per-host agg + oracle orderBy
       "q_crawl_frontier" -> 2,
       // streamed-table snapshot: memory-sink read + the oracle orderBy
-      "q_table_stream" -> 1)
+      "q_table_stream" -> 1,
+      // composed prune: pinned survivor scans + residual + oracle orderBy
+      "q_table_composed" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
