@@ -56,7 +56,8 @@ object WarcIO {
       date: String,
       targetUri: Option[String],
       contentType: String,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      refersTo: Option[String] = None)
 
   // ---- record encode ----
 
@@ -68,7 +69,8 @@ object WarcIO {
     * verification the way TFRecord shards do. */
   def recordBytes(warcType: String, date: String, targetUri: Option[String],
       contentType: String, payload: Array[Byte],
-      recordId: Option[String] = None): Array[Byte] = {
+      recordId: Option[String] = None,
+      refersTo: Option[String] = None): Array[Byte] = {
     val id = recordId.getOrElse {
       val key = s"$warcType:${targetUri.getOrElse("")}:$date"
       f"<urn:graft:${graft.operators.Sketch.pinnedHashScala(key, "warcid")}%016x>"
@@ -79,6 +81,7 @@ object WarcIO {
     sb.append(s"WARC-Record-ID: $id\r\n")
     sb.append(s"WARC-Date: $date\r\n")
     targetUri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+    refersTo.foreach(r => sb.append(s"WARC-Refers-To: $r\r\n"))
     sb.append(s"Content-Type: $contentType\r\n")
     sb.append(s"Content-Length: ${payload.length}\r\n")
     sb.append("\r\n")
@@ -122,6 +125,7 @@ object WarcIO {
       var warcType: String = null; var recordId: String = null
       var date: String = null; var uri: Option[String] = None
       var contentType: String = ""; var contentLength = -1L
+      var refersTo: Option[String] = None
       while (!(i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n')) {
         val he = lineEnd(i)
         val line = new String(b, i, he - i, "UTF-8")
@@ -134,6 +138,7 @@ object WarcIO {
           case "warc-record-id" => recordId = value
           case "warc-date" => date = value
           case "warc-target-uri" => uri = Some(value)
+          case "warc-refers-to" => refersTo = Some(value)
           case "content-type" => contentType = value
           case "content-length" => contentLength = value.toLong
           case _ => () // extension fields are legal; skip
@@ -151,7 +156,7 @@ object WarcIO {
       require(b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n',
         s"WARC: record at $start lacks the CRLFCRLF terminator")
       i += 4
-      WarcRecord(warcType, recordId, date, uri, contentType, payload)
+      WarcRecord(warcType, recordId, date, uri, contentType, payload, refersTo)
     }
   }
 
@@ -223,7 +228,8 @@ object WarcIO {
     StructField("target_uri", StringType, nullable = true),
     StructField("content_type", StringType, nullable = false),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = false)))
+    StructField("payload", BinaryType, nullable = false),
+    StructField("refers_to", StringType, nullable = true)))
 
   /** Distributed reader over a file or directory of WARC shards: one
     * task per file via binaryFiles. `.gz` files decode as concatenated
@@ -235,7 +241,8 @@ object WarcIO {
         val raw = stream.toArray()
         val bytes = if (file.endsWith(".gz")) gunzipAll(raw) else raw
         records(bytes).map(r => Row(r.warcType, r.recordId, r.date,
-          r.targetUri.orNull, r.contentType, r.payload.length.toLong, r.payload))
+          r.targetUri.orNull, r.contentType, r.payload.length.toLong, r.payload,
+          r.refersTo.orNull))
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -255,7 +262,7 @@ object WarcIO {
     val pi = schema.fieldNames.indexOf("payload")
     require(pi >= 0, "WarcIO.write: payload column is required")
     recordBytes(warcType, date, uri, contentType, r.getAs[Array[Byte]](pi),
-      opt("record_id"))
+      opt("record_id"), opt("refers_to"))
   }
 
   /** Driver-side guarded writer — one WARC file (gzip members when the

@@ -537,7 +537,10 @@ class PlanShapeSpec extends SparkSpec {
       // streamed-table snapshot: memory-sink read + the oracle orderBy
       "q_table_stream" -> 1,
       // composed prune: pinned survivor scans + residual + oracle orderBy
-      "q_table_composed" -> 1)
+      "q_table_composed" -> 1,
+      // revisit reconstruction: one N×N refers_to join (both sides the
+      // corpus — SMJ is the right shape) + the oracle orderBy
+      "q_warc_revisit" -> 3)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil

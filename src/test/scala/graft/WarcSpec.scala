@@ -40,6 +40,19 @@ class WarcSpec extends SparkSpec {
     assert(r.payload === httpPayload)
   }
 
+  test("revisit records: WARC-Refers-To roundtrips; absent field is None") {
+    val canon = WarcIO.recordBytes("response", "2026-01-01T00:00:00Z",
+      Some("http://e/a"), "application/http; msgtype=response", httpPayload,
+      recordId = Some("<urn:doc:1>"))
+    val revisit = WarcIO.recordBytes("revisit", "2026-01-02T00:00:00Z",
+      Some("http://e/a"), "application/octet-stream", Array.empty[Byte],
+      recordId = Some("<urn:doc:2>"), refersTo = Some("<urn:doc:1>"))
+    val rs = WarcIO.records(canon ++ revisit).toSeq
+    assert(rs.map(_.refersTo) === Seq(None, Some("<urn:doc:1>")))
+    assert(rs(1).warcType === "revisit")
+    assert(rs(1).payload.isEmpty)
+  }
+
   test("parse strictness: missing Content-Length / bad terminator are loud") {
     val noLen = ("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: <a>\r\n" +
       "WARC-Date: 2026-01-01T00:00:00Z\r\n\r\n").getBytes("UTF-8")
