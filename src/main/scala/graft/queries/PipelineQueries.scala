@@ -2128,6 +2128,56 @@ object PipelineQueries {
         .orderBy(col("src_host"), col("dst_host"))
     }),
 
+    // The full crawl record layout: a `request` record (the HTTP
+    // request as sent) next to its `response` for every page — the
+    // actual Common Crawl shard anatomy. The graded read pairs them by
+    // target URI and emits (doc_id, method, req_path, status, n_body):
+    // the request side parses with plain SQL string ops (ASCII request
+    // head), the response side with the native splitter. The oracle
+    // replays both constructions.
+    "q_warc_request" -> ((s, dir) => {
+      import graft.expr.BinaryExpressions
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warcq").toString +
+        "/shards"
+      val reqs = src.select(col("doc_id"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("request").as("warc_type"),
+        concat(lit("<urn:req:"), col("doc_id"), lit(">")).as("record_id"),
+        concat(lit("GET /doc/"), col("doc_id"),
+          lit(" HTTP/1.1\r\nHost: corpus.example\r\n\r\n"))
+          .cast("binary").as("payload"))
+      val resps = src.select(col("doc_id"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("response").as("warc_type"),
+        concat(lit("<urn:resp:"), col("doc_id"), lit(">")).as("record_id"),
+        concat(lit("HTTP/1.1 200 OK\r\n\r\n"), col("text"))
+          .cast("binary").as("payload"))
+      graft.sources.WarcIO.writeSharded(reqs.unionByName(resps), wdir,
+        "doc_id", 8)
+      val recs = graft.sources.WarcIO.read(s, wdir + "/*.warc.gz")
+        .filter(col("warc_type") =!= "warcinfo")
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+      val req = recs.filter(col("warc_type") === "request")
+        .select(col("doc_id"),
+          regexp_extract(col("payload").cast("string"),
+            "^(\\S+) (\\S+) HTTP", 1).as("method"),
+          regexp_extract(col("payload").cast("string"),
+            "^(\\S+) (\\S+) HTTP", 2).as("req_path"))
+      val resp = recs.filter(col("warc_type") === "response")
+        .select(col("doc_id"),
+          BinaryExpressions.httpResponse(col("payload")).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          length(col("h.body").cast("string")).cast("long").as("n_body"))
+      req.join(resp, "doc_id")
+        .select(col("doc_id"), col("method"), col("req_path"),
+          col("status"), col("n_body"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deduplicated archival storage — the revisit-record pattern real
     // crawls use: a page whose content was already archived stores a
     // tiny `revisit` record with WARC-Refers-To pointing at the
@@ -4810,6 +4860,13 @@ object PipelineQueries {
         |  count(*)::BIGINT AS n_total
         |FROM g GROUP BY h
         |ORDER BY dst_host""".stripMargin,
+
+    "q_warc_request" ->
+      """SELECT doc_id, 'GET' AS method,
+        |  '/doc/' || doc_id AS req_path,
+        |  200 AS status,
+        |  length(text)::BIGINT AS n_body
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_warc_revisit" ->
       """SELECT a.doc_id,

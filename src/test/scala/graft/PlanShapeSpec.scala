@@ -540,7 +540,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_table_composed" -> 1,
       // revisit reconstruction: one N×N refers_to join (both sides the
       // corpus — SMJ is the right shape) + the oracle orderBy
-      "q_warc_revisit" -> 3)
+      "q_warc_revisit" -> 3,
+      // request/response pairing: one N×N uri join + oracle orderBy
+      "q_warc_request" -> 3)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
