@@ -25,13 +25,15 @@ import org.apache.spark.sql.types.StructType
   * exactly-once with a transactional sink. The first batch is the full
   * snapshot at the stream's start version (the Delta semantic).
   *
-  * APPEND-ONLY contract, enforced: each consumed version's manifest
-  * action must be `create*`, `append*`, or `stream:*`. An overwrite /
-  * CDC / compaction commit between offsets is an ERROR (its rewritten
-  * files would double-read and its removed files would silently vanish
-  * from the stream) — row-level change consumption is `changesSince` /
-  * `changeFeed`, not this source. Same rule Delta's streaming source
-  * applies to non-append commits.
+  * APPEND-ONLY contract, enforced per consumed version: `create*`,
+  * `append*`, and `stream:*:append` versions contribute the files they
+  * added; LAYOUT-ONLY versions (`compact`, `optimize*` — bit-identical
+  * content, rewritten files) advance the offset and emit NOTHING
+  * (Delta's dataChange=false semantic — emitting their files would
+  * double-read the table). An overwrite / CDC commit between offsets
+  * is an ERROR — row-level change consumption is `changesSince` /
+  * `changeFeed`, not this source. Same rules Delta's streaming source
+  * applies.
   *
   * This sits in the graftx bridge package because the V1 Source trait
   * and `internalCreateDataFrame` (the FileStreamSource mechanism for
@@ -73,24 +75,37 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
   override def getOffset: Option[Offset] =
     VersionedTable.latestVersion(path).map(LongOffset.apply)
 
+  private def isLayoutOnly(a: String): Boolean =
+    a.startsWith("compact") || a.startsWith("optimize")
+
+  private def isAppendLike(a: String): Boolean =
+    a.startsWith("create") || a.startsWith("append") ||
+      (a.startsWith("stream:") && a.endsWith(":append"))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     val from = start.map(versionOf)
-    // append-only contract: every consumed version must only add files
-    from.foreach { f =>
-      ((f + 1) to to).foreach { v =>
-        val a = VersionedTable.actionAt(path, v)
-        require(a.startsWith("create") || a.startsWith("append") ||
-            a.startsWith("stream:"),
-          s"VersionedTableSource: version $v is '$a' — the streaming source " +
-            "is append-only; consume rewrites via changesSince/changeFeed")
-      }
-    }
     val newFiles = from match {
       case None => VersionedTable.filesAt(path, to) // initial snapshot
       case Some(f) =>
-        val old = VersionedTable.filesAt(path, f).toSet
-        VersionedTable.filesAt(path, to).filterNot(old)
+        // per-version walk: append-like versions contribute their added
+        // files; LAYOUT-ONLY versions (compact / optimize / z-order) are
+        // content-identical rewrites — they advance the offset and emit
+        // NOTHING (Delta's dataChange=false semantic; emitting their
+        // rewritten files would double-read the whole table). Anything
+        // else changes rows and poisons the stream.
+        ((f + 1) to to).flatMap { v =>
+          val a = VersionedTable.actionAt(path, v)
+          if (isLayoutOnly(a)) Seq.empty
+          else {
+            require(isAppendLike(a),
+              s"VersionedTableSource: version $v is '$a' — the streaming " +
+                "source is append-only (layout-only commits are skipped); " +
+                "consume rewrites via changesSince/changeFeed")
+            val prev = VersionedTable.filesAt(path, v - 1).toSet
+            VersionedTable.filesAt(path, v).filterNot(prev)
+          }
+        }
     }
     val batch =
       if (newFiles.isEmpty)

@@ -189,14 +189,20 @@ class VersionedTableSpec extends SparkSpec {
       assert(buf1.sorted === (0L until 9L))
     } finally q.stop()
     // commits while the stream is DOWN, then restart from the same
-    // checkpoint: only the unseen versions replay (offset = version)
+    // checkpoint: only the unseen versions replay (offset = version).
+    // A COMPACTION rides between the appends: layout-only, content
+    // identical — it must advance the offset and emit NOTHING
+    // (emitting its rewritten files would replay the whole table).
     VersionedTable.commit(
       spark.range(9, 12).select($"id", ($"id" * 2).as("x")), path, "append")
+    VersionedTable.compact(spark, path, targetBytes = 64L * 1024 * 1024)
+    VersionedTable.commit(
+      spark.range(12, 14).select($"id", ($"id" * 2).as("x")), path, "append")
     val buf2 = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q2 = start(buf2)
     try {
       q2.processAllAvailable()
-      assert(buf2.sorted === (9L until 12L))
+      assert(buf2.sorted === (9L until 14L))
       // a non-append commit poisons the stream with the documented error
       VersionedTable.commit(
         spark.range(3).select($"id", ($"id" * 2).as("x")), path, "overwrite")
