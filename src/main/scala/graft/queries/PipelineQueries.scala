@@ -1978,6 +1978,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The closed lakehouse loop: table A streams through a transform
+    // into table B — the versioned-table SOURCE (offsets = versions)
+    // feeding the exactly-once SINK (batchId-keyed commits) with a
+    // filter + derived column in between. Graded on B's final
+    // contents, which must equal the batch query over A's inputs no
+    // matter how the engine split the micro-batches.
+    "q_table_pipeline" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft_vtpipe").toString
+      val a = base + "/a"; val b = base + "/b"
+      VersionedTable.create(docs.filter(col("doc_id") % 2 === 0), a)
+      VersionedTable.commit(docs.filter(col("doc_id") % 2 =!= 0), a, "append")
+      VersionedTable.create(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.IntegerType)))), b)
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+        .option("path", a).load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val out = batch.filter(col("lang") =!= "de")
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).as("n_tokens"))
+          VersionedTable.commitStreamBatch(out, b, "pipe", bid)
+          (): Unit
+        }
+        .option("checkpointLocation", base + "/ck")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      VersionedTable.read(s, b).orderBy(col("doc_id"))
+    }),
+
     // Metadata-only aggregates: per-partition and total row counts
     // answered from the manifest + counts sidecar with ZERO data I/O —
     // the "count 100 TB by partition" dashboard query. The counts
@@ -4804,6 +4844,12 @@ object PipelineQueries {
 
     "q_table_stream" ->
       """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_table_pipeline" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' '))::INTEGER AS n_tokens
+        |FROM documents WHERE lang <> 'de'
         |ORDER BY doc_id""".stripMargin,
 
     "q_table_composed" ->

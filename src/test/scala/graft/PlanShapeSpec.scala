@@ -542,7 +542,9 @@ class PlanShapeSpec extends SparkSpec {
       // corpus — SMJ is the right shape) + the oracle orderBy
       "q_warc_revisit" -> 3,
       // request/response pairing: one N×N uri join + oracle orderBy
-      "q_warc_request" -> 3)
+      "q_warc_request" -> 3,
+      // lakehouse loop: the graded plan reads table B + oracle orderBy
+      "q_table_pipeline" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
