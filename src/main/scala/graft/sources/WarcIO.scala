@@ -177,8 +177,16 @@ object WarcIO {
     * every input byte must belong to a well-formed member (RFC 1952
     * header, raw-deflate body, CRC32 + ISIZE trailer, both VERIFIED)
     * or the read is a loud error with the byte offset. */
-  def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+  /** Expansion ceiling for [[gunzipAll]]: decompression output beyond
+    * this is a loud error, not an OOM — a hostile shard can pack a
+    * multi-GB expansion into a few KB (the classic zip bomb), and an
+    * unattended 100 TB ingest must reject it, not die on it. */
+  val MaxExpandedBytes: Long = 8L * 1024 * 1024 * 1024
+
+  def gunzipAll(b: Array[Byte],
+      maxExpandedBytes: Long = MaxExpandedBytes): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4L, 1L << 20).toInt)
+    var expanded = 0L
     def le32(i: Int): Long =
       (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
         ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
@@ -206,6 +214,10 @@ object WarcIO {
         require(n > 0 || !inf.needsInput(),
           s"WARC: truncated gzip member at $off")
         out.write(buf, 0, n); crc.update(buf, 0, n); total += n
+        expanded += n
+        require(expanded <= maxExpandedBytes,
+          s"WARC: gzip expansion exceeds $maxExpandedBytes bytes at member $off " +
+            "(zip bomb?)")
       }
       val end = p + inf.getBytesRead.toInt
       inf.end()

@@ -58,11 +58,23 @@ class VersionedTableStreamProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new VersionedTableSource(sqlContext, pathOf(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("maxVersionsPerBatch").map(_.toLong))
 }
 
 private[graftx] class VersionedTableSource(sqlContext: SQLContext,
-    path: String, override val schema: StructType) extends Source {
+    path: String, override val schema: StructType,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
+
+  maxVersionsPerBatch.foreach(m => require(m >= 1,
+    s"VersionedTableSource: maxVersionsPerBatch must be >= 1, got $m"))
+
+  // admission control (Delta's maxFilesPerTrigger analog at version
+  // granularity): getOffset caps how far past the last batch we admit,
+  // so a stream catching up on a long history processes bounded
+  // micro-batches instead of one giant one. The engine persists only
+  // COMMITTED offsets; this var merely paces within the process.
+  private var lastEnd: Option[Long] = None
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -73,7 +85,19 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[Offset] =
-    VersionedTable.latestVersion(path).map(LongOffset.apply)
+    VersionedTable.latestVersion(path).map { latest =>
+      // cap only once a batch boundary is known — after a restart the
+      // first getBatch teaches us the committed offset, so the throttle
+      // can never hand the engine an offset BELOW what it committed
+      // (the initial snapshot is one batch regardless, so capping the
+      // very first offset would not bound work anyway)
+      val capped = (maxVersionsPerBatch, lastEnd) match {
+        case (Some(m), Some(e)) => math.min(latest, e + m)
+        case _ => latest
+      }
+      lastEnd = Some(math.max(capped, lastEnd.getOrElse(Long.MinValue)))
+      LongOffset(capped)
+    }
 
   private def isLayoutOnly(a: String): Boolean =
     a.startsWith("compact") || a.startsWith("optimize")
@@ -85,6 +109,7 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     val from = start.map(versionOf)
+    lastEnd = Some(math.max(to, lastEnd.getOrElse(Long.MinValue)))
     val newFiles = from match {
       case None => VersionedTable.filesAt(path, to) // initial snapshot
       case Some(f) =>

@@ -136,6 +136,46 @@ class WarcSpec extends SparkSpec {
       assert(java.util.Arrays.equals(r.payload, p)) }
   }
 
+  test("gunzipAll rejects a zip bomb at the expansion ceiling, not at OOM") {
+    // 16 MiB of zeros compresses to ~16 KB; a 1 MiB ceiling must refuse
+    val bomb = WarcIO.gzipMember(new Array[Byte](16 * 1024 * 1024))
+    assert(bomb.length < 64 * 1024)
+    val e = intercept[IllegalArgumentException] {
+      WarcIO.gunzipAll(bomb, maxExpandedBytes = 1024 * 1024)
+    }
+    assert(e.getMessage.contains("zip bomb"))
+    // under the ceiling it decodes fine
+    assert(WarcIO.gunzipAll(bomb).length === 16 * 1024 * 1024)
+  }
+
+  test("streaming source throttle: maxVersionsPerBatch paces catch-up") {
+    import graft.sources.VersionedTable
+    val tbl = fresh("/t")
+    VersionedTable.create(spark.range(3).toDF("id"), tbl)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+      .option("path", tbl).option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches.synchronized { batches += b.count() }
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable() // the snapshot batch
+      // a 4-version backlog accumulates while the stream idles; the
+      // throttle must deliver it one version per micro-batch
+      (1 to 4).foreach(i =>
+        VersionedTable.commit(spark.range(i * 10, i * 10 + 2).toDF("id"),
+          tbl, "append"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.sum === 3L + 4 * 2)
+    assert(batches.count(_ == 2L) === 4,
+      s"expected 4 throttled single-version batches, got $batches")
+  }
+
   test("writeSharded: deterministic shard files, distributed read-back equals input") {
     val df = spark.range(40).select(col("id").as("doc_id"),
       concat(lit("http://e/"), col("id")).as("target_uri"),
