@@ -1978,6 +1978,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Schema evolution under the oracle: v0's files carry (doc_id,
+    // lang), an append commit adds n_chars — the merged read returns
+    // the evolved schema with NULL for the column the old files never
+    // had (parquet's standard widening), and the per-column stats /
+    // skipping machinery has already been proven to leave such files
+    // unskippable rather than wrong. The oracle replays which half of
+    // the corpus predates the column.
+    "q_table_evolve" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vte").toString +
+        "/docs"
+      VersionedTable.create(
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang")),
+        path)
+      val v1 = VersionedTable.commit(
+        docs.filter(col("doc_id") % 2 =!= 0), path, "append")
+      VersionedTable.readVersion(s, path, v1, mergeSchema = true)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The closed lakehouse loop: table A streams through a transform
     // into table B — the versioned-table SOURCE (offsets = versions)
     // feeding the exactly-once SINK (batchId-keyed commits) with a
@@ -4845,6 +4868,11 @@ object PipelineQueries {
     "q_table_stream" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_table_evolve" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_table_pipeline" ->
       """SELECT doc_id, lang,

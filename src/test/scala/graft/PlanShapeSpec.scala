@@ -544,7 +544,9 @@ class PlanShapeSpec extends SparkSpec {
       // request/response pairing: one N×N uri join + oracle orderBy
       "q_warc_request" -> 3,
       // lakehouse loop: the graded plan reads table B + oracle orderBy
-      "q_table_pipeline" -> 1)
+      "q_table_pipeline" -> 1,
+      // schema evolution: one merged-footer scan + oracle orderBy
+      "q_table_evolve" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
