@@ -214,6 +214,31 @@ class VersionedTableSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming SOURCE feeds stateful ops: windowed counts with a watermark") {
+    val path = fresh()
+    // event-time data committed across two versions
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select($"id", timestamp_seconds($"id" * 10).as("ts"))
+    VersionedTable.create(mk(0, 6), path)
+    VersionedTable.commit(mk(6, 12), path, "append")
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+      .option("path", path).load()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "60 seconds").getField("start").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("vts_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vts_win")
+        .select(unix_timestamp($"w").as("w"), $"n")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      // ids 0..11 at 10s spacing -> minutes 0 and 60 hold 6 events each
+      assert(got === Array((0L, 6L), (60L, 6L)))
+    } finally q.stop()
+  }
+
   test("commitStreamBatch: a replayed micro-batch is a no-op (exactly-once ingest)") {
     implicit val sqlCtx = spark.sqlContext
     val path = fresh()
