@@ -132,6 +132,14 @@ object GraftFunctions {
       }
       graft.expr.HttpGate(args(0), status, prefix)
     },
+    "graft_robots_rules" -> { args =>
+      require(args.length == 1, "graft_robots_rules(text)")
+      graft.expr.RobotsRules(args(0))
+    },
+    "graft_robots_allowed" -> { args =>
+      require(args.length == 2, "graft_robots_allowed(rules, path)")
+      graft.expr.RobotsAllowed(args(0), args(1))
+    },
     "graft_quantile" -> { args =>
       require(args.length == 2, "graft_quantile(col, q)")
       val q = args(1) match {

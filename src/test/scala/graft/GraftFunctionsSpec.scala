@@ -91,6 +91,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(4) === false)
   }
 
+  test("graft_robots_rules / graft_robots_allowed decide crawl policy in SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_robots_allowed(
+        |    graft_robots_rules('User-agent: *\nDisallow: /p\nAllow: /p/ok\n'),
+        |    '/p/ok/x') AS a,
+        |  graft_robots_allowed(
+        |    graft_robots_rules('User-agent: *\nDisallow: /p\n'), '/p/x') AS d
+        |FROM (SELECT 1)""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
   test("GraftExtensions constructs and exposes the full function set") {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ==
@@ -98,7 +111,8 @@ class GraftFunctionsSpec extends SparkSpec {
         "graft_mix63", "graft_shingles", "graft_quantile", "graft_zvalue",
         "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta",
         "graft_video_meta", "graft_video_frame_ranges",
-        "graft_http_response", "graft_http_gate"))
+        "graft_http_response", "graft_http_gate",
+        "graft_robots_rules", "graft_robots_allowed"))
     assert(ext != null)
   }
 }
