@@ -919,8 +919,27 @@ object VersionedTable {
   /** Probes per key (Kirsch–Mitzenmacher double hashing). */
   private val BloomK = 7
 
-  private def bloomFile(path: String, v: Long, col: String): Path =
-    versionsDir(path).resolve(f"v$v%08d.bloom.${col}.json")
+  /** Bloom sidecars are a DIRECTORY of shard files, one per data
+    * subdirectory ("data" on a flat layout, "<col>=<value>" per
+    * partition) — so a partition-scoped probe parses only the
+    * surviving partitions' shards, never the whole table's index.
+    * At 10^11 rows the sidecar totals ~2 B/row; partition alignment
+    * is what keeps the driver-side probe cost proportional to the
+    * data the query can touch, not the data the table holds. */
+  private def bloomDir(path: String, v: Long, col: String): Path =
+    versionsDir(path).resolve(f"v$v%08d.bloom.${col}.d")
+
+  private def bloomShardOf(rel: String): String =
+    Paths.get(rel).getParent.getFileName.toString
+
+  private def readBloomLines(dir: Path, shards: Option[Set[String]]): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => shards.forall(s => s.contains(
+        f.getName.stripSuffix(".json"))))
+      .sortBy(_.getName)
+      .flatMap(f => new String(Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty)).toSeq
 
   private def bloomTagA(col: String) = s"vtbloom-a:$col"
   private def bloomTagB(col: String) = s"vtbloom-b:$col"
@@ -936,23 +955,26 @@ object VersionedTable {
   }
 
   /** Per-file Bloom filter over `col` (canonicalized as its string
-    * form): `_versions/vN.bloom.<col>.json`. The point-lookup
-    * complement of the min/max stats sidecar: range stats prune
-    * nothing when the column interleaves across files (any
-    * hash-clustered or ingest-ordered layout), while a bloom answers
-    * "which of 100k files can contain THIS doc_id" driver-side in
-    * microseconds. Each file's filter is sized at `bitsPerKey` bits
-    * per non-null row (k=7 probes → ~0.05% false positives at the
-    * default 16, ~0.8% at 10), so small and huge files prune with the
-    * same fidelity. Cost honesty: the sidecar totals bitsPerKey/8
-    * bytes per row (2 B/key at default) — at 10^11 rows that is a
-    * couple hundred GB, which production would shard alongside the
-    * manifest or push into parquet footers; the manifest-side variant
-    * exists so a DRIVER can answer point probes with zero cluster
-    * round-trips. Bits build distributedly: k positions explode per
-    * row, `bit_or` folds words map-side, ≤ m/64 rows per file ever
-    * reach the driver. A file whose `col` is entirely null gets an
-    * explicit empty filter (prunes every probe — correctly). */
+    * form): `_versions/vN.bloom.<col>.d/<subdir>.json` — one shard
+    * file per data subdirectory ("data" flat, "<col>=<value>" per
+    * partition). The point-lookup complement of the min/max stats
+    * sidecar: range stats prune nothing when the column interleaves
+    * across files (any hash-clustered or ingest-ordered layout), while
+    * a bloom answers "which of 100k files can contain THIS doc_id"
+    * driver-side in microseconds. Each file's filter is sized at
+    * `bitsPerKey` bits per non-null row (k=7 probes → ~0.05% false
+    * positives at the default 16, ~0.8% at 10), so small and huge
+    * files prune with the same fidelity. Cost honesty: the sidecar
+    * totals bitsPerKey/8 bytes per row (2 B/key at default) — at
+    * 10^11 rows that is a couple hundred GB; the partition-aligned
+    * shard layout is what keeps a composed probe's parse cost
+    * proportional to the partitions the query can touch
+    * ([[filesForKeysAmong]]), and production would additionally move
+    * shards to a binary encoding or parquet footers. Bits build
+    * distributedly: k positions explode per row, `bit_or` folds words
+    * map-side, ≤ m/64 rows per file ever reach the driver. A file
+    * whose `col` is entirely null gets an explicit empty filter
+    * (prunes every probe — correctly). */
   def writeBloom(spark: SparkSession, path: String, v: Long, col: String,
       bitsPerKey: Int = 16): Unit = {
     import org.apache.spark.sql.functions.{array, broadcast, ceil, count,
@@ -966,9 +988,9 @@ object VersionedTable {
     // hand-removed sidecar — carried entries keep their build-time m.)
     val entryRe = """\{"file":"([^"]+)",.*\}""".r
     val prior: Map[String, String] = versions(path).filter(_ <= v).reverse
-      .map(pv => bloomFile(path, pv, col)).filter(Files.exists(_))
-      .foldLeft(Map.empty[String, String]) { (acc, f) =>
-        new String(Files.readAllBytes(f), "UTF-8").split("\n")
+      .map(pv => bloomDir(path, pv, col))
+      .foldLeft(Map.empty[String, String]) { (acc, d) =>
+        readBloomLines(d, None)
           .collect { case l @ entryRe(rel) => rel -> l }.toMap ++ acc
       }
     val fresh = rels.filterNot(prior.contains)
@@ -1005,11 +1027,16 @@ object VersionedTable {
           rel -> s"""{"file":"${esc(rel)}","m":$m,"k":$BloomK,"words":"$ws"}"""
         }.toMap
       }
-    val body = rels.sorted
-      .map(rel => prior.getOrElse(rel, freshLines(rel))).mkString("\n")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, bloomFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+    val dir = bloomDir(path, v, col)
+    Files.createDirectories(dir)
+    rels.groupBy(bloomShardOf).foreach { case (shard, shardRels) =>
+      val body = shardRels.sorted
+        .map(rel => prior.getOrElse(rel, freshLines(rel))).mkString("\n")
+      val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve(s"$shard.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** The version's files that may contain ANY of `keys` on `col`, per
@@ -1018,12 +1045,23 @@ object VersionedTable {
     * an entry (or a missing sidecar) are kept: skipping must never
     * lose rows. Keys canonicalize as strings, matching the writer. */
   def filesForKeys(path: String, v: Long, col: String,
-      keys: Seq[String]): Seq[String] = {
-    val all = filesAt(path, v)
-    val side = bloomFile(path, v, col)
-    if (!Files.exists(side)) return all
+      keys: Seq[String]): Seq[String] =
+    filesForKeysAmong(path, v, col, keys, filesAt(path, v))
+
+  /** [[filesForKeys]] scoped to a candidate subset — the composed-read
+    * fast path: only the shard files covering the candidates' data
+    * subdirectories are ever parsed, so "partition prune, THEN bloom
+    * probe" pays for the partitions the query can touch, not the
+    * table. A candidate whose shard file or entry is absent is kept. */
+  def filesForKeysAmong(path: String, v: Long, col: String,
+      keys: Seq[String], candidates: Seq[String]): Seq[String] = {
+    val dir = bloomDir(path, v, col)
+    if (!Files.exists(dir)) return candidates
+    val rels = candidates.map(abs =>
+      abs -> Paths.get(path).relativize(Paths.get(abs)).toString)
+    val shards = rels.map { case (_, rel) => bloomShardOf(rel) }.toSet
     val entry = """\{"file":"([^"]+)","m":(\d+),"k":(\d+),"words":"([^"]*)"\}""".r
-    val blooms = new String(Files.readAllBytes(side), "UTF-8").split("\n")
+    val blooms = readBloomLines(dir, Some(shards))
       .collect { case entry(f, m, k, ws) =>
         val wordMap = ws.split(",").iterator.filter(_.nonEmpty).map { kv =>
           val Array(i, h) = kv.split(":")
@@ -1034,16 +1072,13 @@ object VersionedTable {
     val hashed = keys.map(s => (
       graft.operators.Sketch.pinnedHashScala(s, bloomTagA(col)),
       graft.operators.Sketch.pinnedHashScala(s, bloomTagB(col))))
-    all.filter { abs =>
-      val rel = Paths.get(path).relativize(Paths.get(abs)).toString
-      blooms.get(rel) match {
+    rels.collect { case (abs, rel) if (blooms.get(rel) match {
         case None => true
         case Some((m, k, wordMap)) => hashed.exists { case (h1, h2) =>
           bloomPositions(h1, h2, m, k).forall(pos =>
             (wordMap.getOrElse(pos >>> 6, 0L) & (1L << (pos & 63).toInt)) != 0L)
         }
-      }
-    }
+      }) => abs }
   }
 
   /** Point-lookup read: bloom-prune the file list driver-side, read
@@ -1081,7 +1116,9 @@ object VersionedTable {
     val byRange = ranges.map { case (cl, lo, hi) =>
       filesForRange(path, v, cl, lo, hi).toSet }.foldLeft(byPart)(_ intersect _)
     val files = keys.map { case (kc, ks) =>
-      byRange intersect filesForKeys(path, v, kc, ks).toSet }.getOrElse(byRange)
+      // scoped probe: only the SURVIVING candidates' sidecar shards parse
+      filesForKeysAmong(path, v, kc, ks, byRange.toSeq.sorted).toSet
+    }.getOrElse(byRange)
     if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
     else {
       val residual = (
@@ -1181,10 +1218,16 @@ object VersionedTable {
       Files.deleteIfExists(versionFile(path, v))
       // every sidecar of the dropped version goes with it (stats,
       // counts, sums, ndv, bloom — the manifest was deleted above, so
-      // the version-number prefix is the whole family)
+      // the version-number prefix is the whole family; bloom sidecars
+      // are shard DIRECTORIES, deleted recursively)
+      def rmr(f: File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(): Unit
+      }
       Option(versionsDir(path).toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith(f"v$v%08d."))
-        .foreach(_.delete())
+        .foreach(rmr)
     }
   }
 }

@@ -82,7 +82,8 @@ class BloomSidecarSpec extends SparkSpec {
     VersionedTable.writeBloom(spark, path, v0, "k")
     // corrupt a v0 word: a re-measure would regenerate the true bits;
     // a carry keeps the wound — proving old files never re-hash
-    val side = java.nio.file.Paths.get(path, "_versions", f"v$v0%08d.bloom.k.json")
+    val side = java.nio.file.Paths.get(path, "_versions",
+      f"v$v0%08d.bloom.k.d", "data.json")
     val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
     val pos = body.indexOf(':', body.indexOf("\"words\":\"") + 9) + 1
     val repl = if (body(pos) == 'f') '1' else 'f'
@@ -93,7 +94,8 @@ class BloomSidecarSpec extends SparkSpec {
       spark.range(300, 400).select($"id".as("k")), path, "append")
     VersionedTable.writeBloom(spark, path, v1, "k")
     val v1body = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_versions", f"v$v1%08d.bloom.k.json")), "UTF-8")
+      java.nio.file.Paths.get(path, "_versions",
+        f"v$v1%08d.bloom.k.d", "data.json")), "UTF-8")
     val woundLine = tampered.split("\n")
       .zip(body.split("\n")).find(p => p._1 != p._2).get._1
     assert(v1body.contains(woundLine), "v1 refresh re-hashed carried files")
@@ -242,6 +244,29 @@ class BloomSidecarSpec extends SparkSpec {
       assert(got === want, s"parts=$parts lo=$lo hi=$hi keys=$keys useKeys=$useKeys")
     }
     full.unpersist()
+  }
+
+  test("bloom shards align with partitions; scoped probes never read other shards") {
+    val path = fresh()
+    val df = spark.range(900).select($"id",
+      concat(lit("g"), pmod($"id", lit(3L))).as("p"))
+    val v = VersionedTable.createPartitioned(df, path, "p")
+    VersionedTable.writeBloom(spark, path, v, "id")
+    val dir = java.nio.file.Paths.get(path, "_versions", f"v$v%08d.bloom.id.d")
+    assert(dir.toFile.listFiles().map(_.getName).sorted ===
+      Array("p=g0.json", "p=g1.json", "p=g2.json"))
+    // scope candidates to ONE partition, then DELETE the other shards:
+    // a scoped probe that touched them would now misbehave — it can't,
+    // because it never reads them
+    val cand = VersionedTable.filesForPartitions(path, v, "p", Seq("g1"))
+    java.nio.file.Files.delete(dir.resolve("p=g0.json"))
+    java.nio.file.Files.delete(dir.resolve("p=g2.json"))
+    // id 7 is in g1 (7%3=1): exactly its file survives among candidates
+    val hit = VersionedTable.filesForKeysAmong(path, v, "id", Seq("7"), cand)
+    assert(hit.nonEmpty && hit.size < cand.size)
+    // an absent key prunes all of g1's candidates
+    assert(VersionedTable.filesForKeysAmong(path, v, "id",
+      Seq("123456789"), cand).isEmpty)
   }
 
   test("vacuum sweeps a dropped version's sidecars (all five families)") {
