@@ -252,6 +252,25 @@ object SketchQueries {
     // the full pinned HLL over each version's LOGICAL contents, so the
     // graded equality proves per-file decomposition + max-merge ==
     // one global sketch (and that the carry carried the right bits).
+    // Per-PARTITION NDV from the same sidecar: each language's files'
+    // registers merge independently (register max over any file subset
+    // sketches that subset's union), so "distinct texts per language"
+    // is manifest arithmetic. The oracle replays the full grouped HLL
+    // over the data, proving the per-partition decomposition — the
+    // spec's differential plus the gate's hash.
+    "q_table_ndv_parts" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("lang"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtnp").toString +
+        "/docs"
+      val v = VersionedTable.createPartitioned(docs.repartition(4), path, "lang")
+      VersionedTable.writeNdv(s, path, v, "text", p = TableNdvP)
+      val rows = VersionedTable.partitionNdv(path, v, "lang", "text").get
+        .map { case (l, (raw, vz)) => (l, raw, vz) }
+      import s.implicits._
+      rows.toDF("lang", "hll_raw", "v_zero").orderBy(col("lang"))
+    }),
+
     "q_table_ndv" -> ((s, dir) => {
       import graft.sources.VersionedTable
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -299,6 +318,30 @@ object SketchQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_table_ndv_parts" -> {
+      val p = TableNdvP
+      val m = 1 << p
+      val w = Sketch.HllW
+      val mask = (1L << w) - 1
+      val empty = 1L << (w + 1)
+      val c = java.lang.Double.toString(Sketch.hllConstant(p))
+      s"""WITH h0 AS (SELECT lang, ${hashSql("text", "vtndv")} AS h FROM documents),
+         |h AS (SELECT lang, ${mixSql("h")} AS h FROM h0),
+         |r AS (
+         |  SELECT lang, h % $m AS idx,
+         |    CASE WHEN ((h >> $p) & $mask) = 0 THEN ${w + 1}
+         |         ELSE ${w + 1} - length(bin((h >> $p) & $mask)) END AS rho
+         |  FROM h),
+         |reg AS (SELECT lang, idx, max(rho) AS mx FROM r GROUP BY lang, idx),
+         |agg AS (
+         |  SELECT lang, sum(1::BIGINT << (${w + 1} - mx)) AS st, count(*) AS touched
+         |  FROM reg GROUP BY lang)
+         |SELECT lang,
+         |  CAST(floor($c / CAST(st + ($m - touched) * $empty AS DOUBLE)) AS BIGINT) AS hll_raw,
+         |  CAST($m - touched AS BIGINT) AS v_zero
+         |FROM agg ORDER BY lang""".stripMargin
+    },
 
     "q_table_ndv" ->
       s"""WITH v1docs AS (

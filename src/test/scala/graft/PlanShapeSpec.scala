@@ -546,7 +546,9 @@ class PlanShapeSpec extends SparkSpec {
       // lakehouse loop: the graded plan reads table B + oracle orderBy
       "q_table_pipeline" -> 1,
       // schema evolution: one merged-footer scan + oracle orderBy
-      "q_table_evolve" -> 1)
+      "q_table_evolve" -> 1,
+      // per-partition NDV: driver-built frame from sidecar + orderBy
+      "q_table_ndv_parts" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
