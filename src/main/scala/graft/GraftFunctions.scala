@@ -140,6 +140,10 @@ object GraftFunctions {
       require(args.length == 2, "graft_robots_allowed(rules, path)")
       graft.expr.RobotsAllowed(args(0), args(1))
     },
+    "graft_robots_directives" -> { args =>
+      require(args.length == 1, "graft_robots_directives(text)")
+      graft.expr.RobotsDirectives(args(0))
+    },
     "graft_quantile" -> { args =>
       require(args.length == 2, "graft_quantile(col, q)")
       val q = args(1) match {

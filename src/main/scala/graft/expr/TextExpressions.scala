@@ -293,6 +293,53 @@ case class RobotsAllowed(left: Expression, right: Expression)
       newRight: Expression): RobotsAllowed = copy(left = newLeft, right = newRight)
 }
 
+/** Non-rule robots.txt directives, one parse per payload:
+  * `struct(crawl_delay_ms: bigint, sitemaps: array<string>)`.
+  *
+  * `Crawl-delay` (de-facto REP extension honored by Bing/Yandex; the
+  * politeness budget a crawl scheduler multiplies by a host's URL count)
+  * is GROUP-scoped exactly like allow/disallow: only values inside a
+  * `*` group count, the last `*`-group value wins (later directives
+  * override earlier ones, the common parser behavior), and fractional
+  * seconds are honored — the value is emitted in integral MILLISECONDS
+  * (half-up) so downstream arithmetic stays exact. Unparseable or
+  * negative values are ignored. Null when no `*` group sets one.
+  *
+  * `Sitemap` (sitemaps.org protocol) is GROUP-INDEPENDENT: every
+  * sitemap URL anywhere in the file is collected, in file order,
+  * duplicates preserved (dedup is the caller's policy decision).
+  *
+  * Group-formation semantics are byte-identical to [[RobotsRules]]:
+  * both directives are rule-type lines that close an agent run
+  * (`crawl-delay` per the sibling parser's documented behavior;
+  * `sitemap` conservatively matches [[RobotsRules]]'s treatment of
+  * unknown lines so the two expressions always agree on where the
+  * `*` group's rules start and stop on the same payload). */
+case class RobotsDirectives(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("crawl_delay_ms", LongType, nullable = true),
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_robots_directives"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.robotsDirectives(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.robotsDirectives($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsDirectives =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Static [[RobotsRules]] helper shared by eval and generated code. */
@@ -376,11 +423,56 @@ object TextExpressions {
     allow
   }
 
+  /** Static [[RobotsDirectives]] helper shared by eval and generated
+    * code. The line walker is kept in lockstep with [[robotsRules]]:
+    * same comment strip, same `name: value` split (a sitemap URL's own
+    * colons sit right of the FIRST colon), same group formation. */
+  def robotsDirectives(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var delayMs: java.lang.Long = null // boxed: null = no *-group value
+    var starGroup = false
+    var inRules = false
+    text.toString.linesIterator.foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val sep = line.indexOf(':')
+        if (sep > 0) {
+          val name = line.substring(0, sep).trim.toLowerCase
+          val value = line.substring(sep + 1).trim
+          name match {
+            case "user-agent" =>
+              if (inRules) { starGroup = false; inRules = false }
+              if (value == "*") starGroup = true
+            case "crawl-delay" =>
+              inRules = true
+              if (starGroup && value.nonEmpty)
+                try {
+                  val ms = (BigDecimal(value) * 1000)
+                    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+                  if (ms >= 0) delayMs = ms // last *-group value wins
+                } catch { case scala.util.control.NonFatal(_) => }
+            case "sitemap" =>
+              inRules = true
+              if (value.nonEmpty) sitemaps += UTF8String.fromString(value)
+            case _ => inRules = true
+          }
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      if (delayMs == null) null else delayMs.longValue(),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sitemaps.toArray)))
+  }
+
   def robotsRules(c: Column): Column =
     Bridge.column(RobotsRules(Bridge.expression(c)))
 
   def robotsAllowed(rules: Column, path: Column): Column =
     Bridge.column(RobotsAllowed(Bridge.expression(rules), Bridge.expression(path)))
+
+  def robotsDirectives(c: Column): Column =
+    Bridge.column(RobotsDirectives(Bridge.expression(c)))
 
   /** Static GramStats helper shared by eval and generated code: one
     * hash-map pass, then one pass over the distinct values. */

@@ -260,6 +260,22 @@ object Sampling {
     TextOps.fingerprint(id.cast(StringType)) % nShards
   }
 
+  /** Epoch-varying within-shard training ORDER: fingerprint("e<epoch>:id").
+    *
+    * A trainer wants each shard read in pseudo-random order (ids
+    * correlate with crawl time/source, so id order is NOT shuffled), and
+    * wants a DIFFERENT permutation each epoch — without rewriting a
+    * single byte of the corpus. Sorting a shard by this key delivers
+    * both: deterministic (no RNG — the same epoch replays identically on
+    * any cluster layout, and an SQL oracle can replay it), and the salt
+    * prefix decorrelates epochs (changing `e1:` -> `e2:` reseeds the
+    * whole polynomial, so the two epoch orders share no structure).
+    * Scale shape: the sort is per-shard; reading top-k heads through a
+    * rank filter plans as WindowGroupLimit (per-partition prune before
+    * the one exchange), never a global sort of the corpus. */
+  def epochOrder(id: Column, epoch: Int): Column =
+    TextOps.fingerprint(concat(lit(s"e$epoch:"), id.cast(StringType)))
+
   /** Shard MANIFEST — the verification artifact a reproducible output
     * stage publishes next to the shards: per shard, row count, token
     * count, id range, and an order-independent content checksum (the

@@ -669,6 +669,32 @@ object PipelineQueries {
         .orderBy(col("shard"))
     }),
 
+    // Epoch-varying training order — the global-shuffle step a trainer
+    // runs every epoch WITHOUT rewriting the corpus: within each shard,
+    // rows sort by fingerprint("e<epoch>:id") — deterministic, engine-
+    // replayable, and re-salted per epoch so the two graded epochs share
+    // no order structure. Graded on the first 3 rows of every (epoch,
+    // shard) under that order; the rank<=3 filter plans as
+    // WindowGroupLimit, so each input partition forwards at most 3 rows
+    // per shard into the one exchange — never a global sort of the
+    // corpus.
+    "q_train_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Sampling.shardOf(col("doc_id"), 8).as("shard"))
+      Seq(1, 2).map { e =>
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("okey"), col("doc_id"))
+        docs
+          .withColumn("okey", graft.operators.Sampling.epochOrder(col("doc_id"), e))
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= 3)
+          .select(lit(e.toLong).as("epoch"), col("shard"),
+            col("pos").cast("long").as("pos"), col("doc_id"), col("okey"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
     // Structured Streaming, gated: a REAL StreamingQuery (file source →
     // tumbling event-time windows -> memory sink, one availableNow pass)
     // whose final result the batch oracle replays. Complete output mode:
@@ -2123,6 +2149,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Non-rule robots directives — the politeness/discovery half of the
+    // crawl-policy step: per host, the *-group Crawl-delay (exact
+    // integral milliseconds; fractional seconds honored; another
+    // agent's group contributes nothing) and the group-INDEPENDENT
+    // sitemap URLs (collected even when the host publishes no * group).
+    // Output is the scheduling view a crawler plans with: URL count per
+    // host x delay = the serial politeness budget in ms. One parse per
+    // host (97 rows, broadcast); the oracle replays the planted
+    // directives as arithmetic.
+    "q_robots_directives" -> ((s, dir) => {
+      import graft.expr.TextExpressions
+      val hosts = s.range(97).select(col("id").as("k"),
+        TextExpressions.robotsDirectives(concat(
+          lit("Sitemap: https://h"), col("id"), lit(".example/sitemap.xml\n"),
+          when(pmod(col("id"), lit(11L)) === 0,
+            // no * group: delay must stay null even though otherbot has one
+            lit("User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n"))
+            .otherwise(concat(
+              lit("User-agent: *\nDisallow: /p\nCrawl-delay: "),
+              pmod(col("id"), lit(7L)),
+              when(pmod(col("id"), lit(3L)) === 0, lit(".5"))
+                .otherwise(lit("")),
+              lit("\n"))),
+          when(pmod(col("id"), lit(5L)) === 0,
+            concat(lit("Sitemap: https://h"), col("id"),
+              lit(".example/news.xml\n"))).otherwise(lit("")))).as("d"))
+      val urls = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(97L)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_urls"))
+      urls.join(broadcast(hosts), "k")
+        .select(concat(lit("h"), col("k"), lit(".example")).as("host"),
+          col("n_urls"),
+          col("d.crawl_delay_ms").as("crawl_delay_ms"),
+          (col("n_urls") * coalesce(col("d.crawl_delay_ms"), lit(0L)))
+            .as("serial_crawl_ms"),
+          size(col("d.sitemaps")).cast("long").as("n_sitemaps"),
+          array_join(col("d.sitemaps"), ",").as("sitemaps_csv"))
+        .orderBy(col("host"))
+    }),
+
     // Crawl-frontier filtering — the composition PageRank actually
     // consumes: the outlink edge set (3 planted links per page, spread
     // over 97 destination hosts/paths) gated by each DESTINATION
@@ -3073,6 +3139,30 @@ object PipelineQueries {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  sum(rowfp)::BIGINT AS content_sum
         |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_train_order" ->
+      """WITH e AS (SELECT * FROM (VALUES (1), (2)) t(epoch)),
+        |d AS (
+        |  SELECT doc_id, epoch, doc_id::VARCHAR AS ids,
+        |    'e' || epoch || ':' || doc_id::VARCHAR AS ok
+        |  FROM documents CROSS JOIN e),
+        |f AS (
+        |  SELECT epoch::BIGINT AS epoch, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(ids) + 1), i -> ascii(ids[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 8 AS shard,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(ok) + 1), i -> ascii(ok[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS okey
+        |  FROM d),
+        |r AS (
+        |  SELECT epoch, shard, doc_id, okey,
+        |    row_number() OVER (PARTITION BY epoch, shard
+        |                       ORDER BY okey, doc_id) AS pos
+        |  FROM f)
+        |SELECT epoch, shard, pos::BIGINT AS pos, doc_id, okey
+        |FROM r WHERE pos <= 3
+        |ORDER BY epoch, shard, pos""".stripMargin,
 
     "q_stream_join" ->
       """SELECT n_name, count(*) AS n, round(sum(value), 4) AS value_sum
@@ -4921,6 +5011,27 @@ object PipelineQueries {
         |    OR starts_with('p' || (doc_id % 13),
         |                   'p' || (((doc_id % 97) + 1) % 13))) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_robots_directives" ->
+      """WITH h AS (
+        |  SELECT (doc_id % 97) AS k, count(*)::BIGINT AS n_urls
+        |  FROM documents GROUP BY 1),
+        |d AS (
+        |  SELECT k, n_urls,
+        |    CASE WHEN k % 11 = 0 THEN NULL
+        |         ELSE (k % 7) * 1000
+        |              + CASE WHEN k % 3 = 0 THEN 500 ELSE 0 END
+        |    END::BIGINT AS crawl_delay_ms,
+        |    CASE WHEN k % 5 = 0 THEN 2 ELSE 1 END::BIGINT AS n_sitemaps,
+        |    'https://h' || k || '.example/sitemap.xml' ||
+        |      CASE WHEN k % 5 = 0
+        |           THEN ',https://h' || k || '.example/news.xml'
+        |           ELSE '' END AS sitemaps_csv
+        |  FROM h)
+        |SELECT 'h' || k || '.example' AS host, n_urls, crawl_delay_ms,
+        |  (n_urls * COALESCE(crawl_delay_ms, 0))::BIGINT AS serial_crawl_ms,
+        |  n_sitemaps, sitemaps_csv
+        |FROM d ORDER BY host""".stripMargin,
 
     "q_crawl_frontier" ->
       """WITH g AS (

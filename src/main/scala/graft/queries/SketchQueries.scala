@@ -85,6 +85,21 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Moments sketch (Gan et al. VLDB'18): the mergeable quantile
+    // carrier whose whole state is (n, min, max, Σx..Σx⁴) per group —
+    // graded on the DOUBLE-LEVEL rollup a cube needs: per-source
+    // sketches built first, then MERGED to languages (sums add, min/max
+    // fold), proving mergeability itself under the oracle, which
+    // computes the language sketches directly. Power sums are exact
+    // DECIMAL(38,0) integers carried as digit strings; quantile
+    // recovery is spec'd (SketchDistinctSpec) against exact quantiles.
+    "q_moments" -> ((s, dir) => {
+      val perSource = Sketch.momentsSketch(
+        t(s, dir, "documents"), Seq("lang", "source"), col("n_chars"))
+      Sketch.momentsMerge(perSource, Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // HLL distinct docs per language + an ALL rollup, next to the exact
     // count the estimate stands in for at scale. p=4 keeps even the
     // smallest language group (≈64 docs at sf0.01) above the 2.5m
@@ -473,6 +488,16 @@ object SketchQueries {
          |FROM rk JOIN tau ON rk.lang = tau.lang
          |WHERE rk.rk <= 16
          |ORDER BY rk.lang, sample_rank""".stripMargin,
+
+    "q_moments" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  min(n_chars)::BIGINT AS x_min, max(n_chars)::BIGINT AS x_max,
+        |  sum(n_chars::HUGEINT)::VARCHAR AS s1,
+        |  sum(n_chars::HUGEINT * n_chars)::VARCHAR AS s2,
+        |  sum(n_chars::HUGEINT * n_chars * n_chars)::VARCHAR AS s3,
+        |  sum(n_chars::HUGEINT * n_chars * n_chars * n_chars)::VARCHAR AS s4
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_hll_distinct" -> {
       val m = 1 << HllP

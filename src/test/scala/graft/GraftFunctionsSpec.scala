@@ -112,7 +112,8 @@ class GraftFunctionsSpec extends SparkSpec {
         "graft_redact_pii", "graft_nfc", "graft_image_meta", "graft_audio_meta",
         "graft_video_meta", "graft_video_frame_ranges",
         "graft_http_response", "graft_http_gate",
-        "graft_robots_rules", "graft_robots_allowed"))
+        "graft_robots_rules", "graft_robots_allowed",
+        "graft_robots_directives"))
     assert(ext != null)
   }
 }

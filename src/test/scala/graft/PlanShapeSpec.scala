@@ -415,6 +415,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_sort" -> 1,        // one range partition
       "q_topk" -> 0,        // TakeOrderedAndProject only
       "q_scale" -> 1,       // fused stats scan + oracle orderBy
+      "q_robots_directives" -> 2, // host agg + oracle orderBy; rules broadcast
+      "q_train_order" -> 3, // per-epoch shard window (WindowGroupLimit
+                            // partial+final prunes to 3/shard/task) + orderBy
+      "q_moments" -> 3,     // (lang,source) partial agg, lang merge, orderBy
       "q_ann_cosine" -> 2,  // rank + oracle orderBy (corpus never reshuffles)
       "q_knn" -> 2,
       "q_mrl_ann" -> 2,

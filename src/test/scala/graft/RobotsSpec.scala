@@ -78,4 +78,64 @@ class RobotsSpec extends SparkSpec {
     assert(decide(txt, "/ok/y.pdf") === true)
     assert(decide(txt, "/x/y.html") === true) // nothing matches
   }
+
+  private def directivesOf(text: String): (Option[Long], Seq[String]) = {
+    val r = Seq(text).toDF("t")
+      .select(TextExpressions.robotsDirectives(col("t")).as("d"))
+      .select(col("d.crawl_delay_ms"), col("d.sitemaps"))
+      .collect().head
+    (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      r.getSeq[String](1))
+  }
+
+  test("directives: crawl-delay is *-group-scoped, last wins, millis exact") {
+    // plain seconds
+    assert(directivesOf("User-agent: *\nCrawl-delay: 5\n") ===
+      ((Some(5000L), Seq.empty)))
+    // fractional seconds honored, half-up millis
+    assert(directivesOf("User-agent: *\nCrawl-delay: 0.5\n")._1 === Some(500L))
+    assert(directivesOf("User-agent: *\nCrawl-delay: 1.0005\n")._1 === Some(1001L))
+    // another agent's group contributes NOTHING
+    assert(directivesOf("User-agent: bingbot\nCrawl-delay: 9\n")._1 === None)
+    // later *-group value overrides the earlier one
+    assert(directivesOf(
+      "User-agent: *\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 7\n")._1 ===
+      Some(7000L))
+    // unparseable / negative values are ignored (earlier value stands)
+    assert(directivesOf(
+      "User-agent: *\nCrawl-delay: 3\nCrawl-delay: fast\nCrawl-delay: -1\n")._1 ===
+      Some(3000L))
+    // crawl-delay closes the agent run exactly like robotsRules: the
+    // second UA starts a NEW group, so its delay is not *-scoped
+    assert(directivesOf(
+      "User-agent: *\nCrawl-delay: 4\nUser-agent: botB\nCrawl-delay: 8\n")._1 ===
+      Some(4000L))
+  }
+
+  test("directives: sitemaps are group-independent, ordered, colon-safe") {
+    val txt =
+      """Sitemap: https://h.example/a.xml
+        |User-agent: botB
+        |Disallow: /
+        |Sitemap: https://h.example/b.xml  # comment
+        |User-agent: *
+        |Crawl-delay: 1
+        |Sitemap: https://h.example/a.xml
+        |""".stripMargin
+    val (delay, maps) = directivesOf(txt)
+    assert(delay === Some(1000L))
+    // all three collected (incl. the one inside botB's group and the
+    // duplicate), file order, URL colons intact
+    assert(maps === Seq("https://h.example/a.xml", "https://h.example/b.xml",
+      "https://h.example/a.xml"))
+    // no star group: delay null, sitemaps still global
+    assert(directivesOf("User-agent: botB\nCrawl-delay: 2\nSitemap: /s.xml\n") ===
+      ((None, Seq("/s.xml"))))
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_robots_directives('User-agent: *\nCrawl-delay: 2.25\n').crawl_delay_ms")
+      .collect().head.getLong(0)
+    assert(viaSql === 2250L)
+  }
 }

