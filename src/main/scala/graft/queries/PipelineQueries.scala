@@ -889,6 +889,23 @@ object PipelineQueries {
         .orderBy(col("item"))
     }),
 
+    // Streaming moments sketch — the quantile summary maintained DURING
+    // ingest: count/min/max/decimal-sums are all plain streaming
+    // aggregates (complete mode; state = one 7-scalar row per group,
+    // bounded forever), and component-wise-additive state is merge-
+    // order-invariant, so streamed == batch bit for bit — which lets
+    // q_moments' lang-level oracle grade the streaming face verbatim
+    // (the batch query additionally routes through the per-source
+    // MERGE; both reduce to the same language sketches by identical
+    // exact arithmetic).
+    "q_stream_moments" -> ((s, dir) => {
+      runAvailableNow(s, s"$dir/documents.parquet", "graft_stream_moments",
+          "complete") { stream =>
+        graft.operators.Sketch.momentsSketch(stream, Seq("lang"),
+          col("n_chars"))
+      }.orderBy(col("lang"))
+    }),
+
     // Streaming QUALITY GATE: the ingest-time face of the Gopher rules —
     // a real StreamingQuery filters each micro-batch stateless-ly (the
     // flags are row-local, so the stream needs no state store at all) and
@@ -3320,6 +3337,7 @@ object PipelineQueries {
     // streamed == batch by construction (additive counters), so the
     // streaming face grades against the batch CMS oracle verbatim
     "q_stream_cms" -> SketchQueries.oracleSql("q_cms"),
+    "q_stream_moments" -> SketchQueries.oracleSql("q_moments"),
 
     "q_stream_quality" ->
       """WITH base AS (

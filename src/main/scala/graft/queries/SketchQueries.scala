@@ -243,6 +243,27 @@ object SketchQueries {
         .orderBy(col("r"), col("bucket"))
     }),
 
+    // CDC-maintained moments sketch: the same release-2 churn as
+    // q_cms_maintain/q_incr_agg (drop %97, bump n_chars by 7 on %53,
+    // clone %89 under new ids), maintained at O(changed rows) — power
+    // sums are a turnstile, so maintained == rebuild bit for bit, which
+    // is exactly what the oracle computes (HUGEINT sums over release 2).
+    // min/max deliberately absent: extrema are not deletion-maintainable.
+    "q_moments_maintain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      val newD = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 53 === 0, col("n_chars") + 7L)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars")))
+      Sketch.momentsMaintain(docs, newD, Seq("doc_id"), Seq("lang"),
+          col("n_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // STRATIFIED priority sampling: an independent DLT sample per
     // language (k=16 each, per-group τ) — the per-source quota face a
     // mixing pipeline runs. Emits the sample rows themselves, so the
@@ -497,6 +518,22 @@ object SketchQueries {
         |  sum(n_chars::HUGEINT * n_chars * n_chars)::VARCHAR AS s3,
         |  sum(n_chars::HUGEINT * n_chars * n_chars * n_chars)::VARCHAR AS s4
         |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_moments_maintain" ->
+      """WITH new AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 53 = 0 THEN n_chars + 7 ELSE n_chars END AS x
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars AS x
+        |  FROM documents WHERE doc_id % 89 = 0)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  sum(x::HUGEINT)::VARCHAR AS s1,
+        |  sum(x::HUGEINT * x)::VARCHAR AS s2,
+        |  sum(x::HUGEINT * x * x)::VARCHAR AS s3,
+        |  sum(x::HUGEINT * x * x * x)::VARCHAR AS s4
+        |FROM new WHERE x IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_hll_distinct" -> {

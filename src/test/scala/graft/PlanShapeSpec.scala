@@ -520,6 +520,13 @@ class PlanShapeSpec extends SparkSpec {
       // maintained CMS: old-sketch agg + the diff's full-outer join
       // feeding churn-sized deltas + the re-sum (orderBy rides it)
       "q_cms_maintain" -> 3,
+      // maintained rollup family: old agg + diff SMJ (2) + delta agg +
+      // merge full-outer (2) + orderBy — the diff join runs ONCE (the
+      // retract/add split is an explode, not a two-branch union)
+      "q_incr_agg" -> 7,
+      "q_moments_maintain" -> 7,
+      // streaming moments: memory-sink read + the oracle orderBy
+      "q_stream_moments" -> 1,
       // manifest-sidecar family: the graded read is pinned pruned
       // parquet scans (bloom) or a driver-built frame from sidecar
       // metadata (meta_count / ndv) — nothing shuffles but the oracle

@@ -293,6 +293,33 @@ class SketchDistinctSpec extends SparkSpec {
         col("s1"), col("s2"), col("s3"), col("s4"))) === ((n, lo, hi, sums)))
   }
 
+  test("momentsMaintain: CDC churn == full rebuild; groups appear and die") {
+    import graft.operators.Sketch
+    val old = spark.range(2000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      ((col("id") * 7919L) % 1000).as("x"))
+    // churn: drop %13, bump x on %7, clone %11 under new ids, and move
+    // EVERY g=2 row to a brand-new group g=9 (old group dies, new born)
+    val nw = old.filter(col("id") % 13 =!= 0)
+      .select(col("id"),
+        when(col("g") === "2", lit("9")).otherwise(col("g")).as("g"),
+        when(col("id") % 7 === 0, col("x") + 5L).otherwise(col("x")).as("x"))
+      .unionByName(old.filter(col("id") % 11 === 0)
+        .select((col("id") + 100000L).as("id"),
+          when(col("g") === "2", lit("9")).otherwise(col("g")).as("g"),
+          col("x")))
+    val maintained = Sketch.momentsMaintain(old, nw, Seq("id"), Seq("g"),
+        col("x"))
+      .select(col("g"), col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
+      .collect().map(_.toSeq).toSet
+    val rebuilt = Sketch.momentsSketch(nw, Seq("g"), col("x"))
+      .select(col("g"), col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
+      .collect().map(_.toSeq).toSet
+    assert(maintained === rebuilt)
+    assert(!maintained.exists(_.head == "2"), "dead group must vanish (n=0)")
+    assert(maintained.exists(_.head == "9"), "new group must appear")
+  }
+
   test("momentsQuantile: Cornish-Fisher recovery within tolerance of exact") {
     // a deterministic mildly-skewed integer distribution: sum of four
     // modular "dice" (CLT-near-normal, small g1/g2 — the regime the
