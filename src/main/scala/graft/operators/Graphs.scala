@@ -68,6 +68,63 @@ object Graphs {
     pr.select(col("id"), col("pr"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over an edge list — the
+    * other classic crawl-curation ranker next to [[pageRank]]: authority
+    * scores feed fetch prioritization (which hosts to crawl deeper),
+    * hub scores identify link farms / directory pages for capping.
+    *
+    * Update rule per iteration (standard order: authorities from the
+    * PREVIOUS hubs, then hubs from the NEW authorities):
+    *   auth(v) = Σ_{u→v} hub(u);   hub(u) = Σ_{u→v} auth(v)
+    *
+    * Deliberately UNNORMALIZED: with hub₀ = 1, every intermediate score
+    * is a plain INTEGER (sums of counts of paths), so fixed-iteration
+    * results are exact BIGINT arithmetic — no per-iteration float
+    * division, no summation-order drift, bit-identical on any engine
+    * (normalization is a consumer-side ratio; rankings are unaffected).
+    * Envelope: scores grow ~(max degree)² per round — BIGINT holds 9e18,
+    * so even deg-10⁶ hot hubs survive 3 rounds; past that carry
+    * DECIMAL(38,0). Parallel edges collapse (distinct); self-loops count
+    * like any edge; nodes with no in-edges get authority 0, no
+    * out-edges hub 0. Per half-step: ONE edge⋈score join + one
+    * partial-merged sum — shuffles are edge-count-sized, nothing is
+    * collected driver-side. Output: (id, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"hits: iters $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var hub = nodes.select(col("id"), lit(1L).as("hub")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e
+        .join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth"))
+      val nextAuth = nodes.join(aRaw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      if (auth != null) org.apache.spark.sql.graftx.Bridge.freeCheckpoint(auth)
+      auth = nextAuth
+      val hRaw = e
+        .join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub"))
+      val nextHub = nodes.join(hRaw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(hub)
+      hub = nextHub
+    }
+    // hub/auth stay checkpointed (they back the result); the edge list
+    // and node set are materialized into them and can release now
+    val out = hub.join(auth, Seq("id"))
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(e)
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(nodes)
+    out
+  }
+
   /** One-hop label propagation over a pair graph — carry curated seed
     * labels (language, quality tier, license class) onto unlabeled
     * near-duplicates: an unlabeled node adopts the MAJORITY label among

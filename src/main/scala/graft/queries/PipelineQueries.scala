@@ -1517,6 +1517,33 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // HITS hubs/authorities over a synthesized host graph with varied
+    // in-degrees (two planted functional link families mod 41, distinct-
+    // collapsed; self-loops where the arithmetic lands on the source
+    // host count like any edge). Scores are UNNORMALIZED — with hub0=1
+    // every intermediate is an exact BIGINT path count, so the oracle
+    // replays both iterations with zero float risk; ppm normalization
+    // rides the half-up integral micro-unit formula off a broadcast
+    // 1-row totals frame.
+    "q_hits" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val edges = d.select(
+          concat(lit("h"), col("doc_id") % 41).as("src"),
+          concat(lit("h"), (col("doc_id") * 7 + 3) % 41).as("dst"))
+        .unionByName(d.select(
+          concat(lit("h"), col("doc_id") % 41).as("src"),
+          concat(lit("h"), (col("doc_id") * 13 + 1) % 41).as("dst")))
+      val scores = graft.operators.Graphs.hits(edges, "src", "dst", iters = 2)
+      val tot = scores.agg(sum(col("auth")).as("__ta"), sum(col("hub")).as("__th"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("id"), col("hub"), col("auth"),
+          expr("CAST((auth * 2000000 + __ta) div (2 * __ta) AS BIGINT)")
+            .as("auth_ppm"),
+          expr("CAST((hub * 2000000 + __th) div (2 * __th) AS BIGINT)")
+            .as("hub_ppm"))
+        .orderBy(col("id"))
+    }),
+
     // Label propagation: docs with doc_id % 3 == 0 are unlabeled and
     // adopt the majority lang of their two pair-graph neighbors
     "q_label_prop" -> ((s, dir) => {
@@ -4473,6 +4500,39 @@ object PipelineQueries {
         |           + 0.85 * coalesce(c2.inw, 0.0) AS pr
         |       FROM nd LEFT JOIN c2 ON c2.id = nd.id)
         |SELECT id, round(pr, 6) AS pr FROM p2 ORDER BY id""".stripMargin,
+
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT 'h' || (doc_id % 41) AS src,
+        |         'h' || ((doc_id * 7 + 3) % 41) AS dst FROM documents
+        |  UNION
+        |  SELECT 'h' || (doc_id % 41), 'h' || ((doc_id * 13 + 1) % 41)
+        |  FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, 1::BIGINT AS hub FROM nodes),
+        |a1 AS (SELECT n.id, coalesce(s.v, 0)::BIGINT AS auth FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS v
+        |                  FROM e JOIN h0 h ON h.id = e.src GROUP BY e.dst) s
+        |       ON s.id = n.id),
+        |h1 AS (SELECT n.id, coalesce(s.v, 0)::BIGINT AS hub FROM nodes n
+        |       LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS v
+        |                  FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src) s
+        |       ON s.id = n.id),
+        |a2 AS (SELECT n.id, coalesce(s.v, 0)::BIGINT AS auth FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS v
+        |                  FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst) s
+        |       ON s.id = n.id),
+        |h2 AS (SELECT n.id, coalesce(s.v, 0)::BIGINT AS hub FROM nodes n
+        |       LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS v
+        |                  FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src) s
+        |       ON s.id = n.id),
+        |tot AS (SELECT (SELECT sum(auth) FROM a2) AS ta,
+        |               (SELECT sum(hub) FROM h2) AS th)
+        |SELECT a2.id, h2.hub, a2.auth,
+        |  CAST((a2.auth * 2000000 + ta) // (2 * ta) AS BIGINT) AS auth_ppm,
+        |  CAST((h2.hub * 2000000 + th) // (2 * th) AS BIGINT) AS hub_ppm
+        |FROM a2 JOIN h2 ON h2.id = a2.id CROSS JOIN tot
+        |ORDER BY a2.id""".stripMargin,
 
     "q_label_prop" ->
       """WITH nodes AS (

@@ -29,6 +29,28 @@ class GraphsSpec extends SparkSpec {
     assert(dup == pr3)
   }
 
+  test("hits: hand-computed integer path counts; dup/self-loop/degree-0 edges") {
+    import spark.implicits._
+    // a->b, a->c, b->c, c->a: auth1 = in-degree; hub1(a)=3, (b)=2, (c)=1;
+    // auth2(a)=1, (b)=3, (c)=5; hub2(a)=8, (b)=5, (c)=1
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = Graphs.hits(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("a" -> ((8L, 1L)), "b" -> ((5L, 3L)), "c" -> ((1L, 5L))))
+    // duplicate edges collapse; self-loops count like any edge; a node
+    // with no in-edges is a pure hub (auth 0), no out-edges pure authority
+    val e2 = Seq(("x", "y"), ("x", "y"), ("y", "y"), ("z", "y"))
+      .toDF("src", "dst")
+    val g2 = Graphs.hits(e2, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g2 === Map("x" -> ((9L, 0L)), "y" -> ((9L, 9L)), "z" -> ((9L, 0L))))
+    // one iteration: auth = in-degree exactly
+    val g1 = Graphs.hits(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g1 === Map("a" -> 1L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("propagateLabels: majority wins, tie to smallest, seeds keep, isolated null") {
     import spark.implicits._
     val nodes = Seq(

@@ -527,6 +527,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_moments_maintain" -> 7,
       // streaming moments: memory-sink read + the oracle orderBy
       "q_stream_moments" -> 1,
+      // HITS: final hub⋈auth join + 1-row totals agg (broadcast back) +
+      // orderBy; per-iteration edge⋈score work lives in checkpoints
+      "q_hits" -> 6,
       // manifest-sidecar family: the graded read is pinned pruned
       // parquet scans (bloom) or a driver-built frame from sidecar
       // metadata (meta_count / ndv) — nothing shuffles but the oracle
