@@ -778,6 +778,120 @@ object VersionedTable {
       .toSeq.sortBy(_._1))
   }
 
+  // ---- moments sidecar: metadata-only quantile summaries ----
+
+  private def momentsFile(path: String, v: Long, col: String): Path =
+    versionsDir(path).resolve(f"v$v%08d.moments.${col}.json")
+
+  /** (n, lo, hi, s1..s4) — sums as exact decimal digit strings (they
+    * overflow long long before DECIMAL(38,0) does). lo/hi meaningful
+    * only when n > 0. */
+  private def parseMoments(p: Path)
+      : Map[String, (Long, Long, Long, Seq[BigInt])] = {
+    val entry = ("""\{"file":"([^"]+)","n":(\d+),"lo":(-?\d+),"hi":(-?\d+),""" +
+      """"s1":"(-?\d+)","s2":"(-?\d+)","s3":"(-?\d+)","s4":"(-?\d+)"\}""").r
+    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .collect { case entry(f, n, lo, hi, s1, s2, s3, s4) =>
+        f -> ((n.toLong, lo.toLong, hi.toLong,
+          Seq(s1, s2, s3, s4).map(BigInt(_))))
+      }.toMap
+  }
+
+  /** Per-file moments sketch of an integral column ([[graft.operators
+    * .Sketch.momentsSketch]] state: n, min, max, Σx..Σx⁴ exact):
+    * `_versions/vN.moments.<col>.json` — the manifest-side QUANTILE
+    * summary completing the statistics family (COUNT/SUM answer
+    * totals; this answers "p95 doc length per source partition" from
+    * metadata at zero data I/O via [[graft.operators.Sketch
+    * .momentsQuantile]]). The sketch merges by component-wise addition
+    * (min/max fold), so any file subset's summary is driver-side
+    * arithmetic. Refresh contract as the siblings: a file's entry
+    * depends only on its immutable content — prior entries carry
+    * verbatim, only the commit's new files are measured, O(commit).
+    * A file whose column is all null stores the fold identity
+    * (n=0, sums 0). Swept by vacuum with its version like every
+    * sidecar (version-prefix rule). */
+  def writeMoments(spark: SparkSession, path: String, v: Long,
+      col: String): Unit = {
+    val rels = relsAt(path, v)
+    val prior = versions(path).filter(_ <= v).reverse
+      .map(pv => momentsFile(path, pv, col)).filter(Files.exists(_))
+      .foldLeft(Map.empty[String, (Long, Long, Long, Seq[BigInt])])(
+        (acc, p) => parseMoments(p) ++ acc)
+    val fresh = rels.filterNot(prior.contains)
+    val measured: Map[String, (Long, Long, Long, Seq[BigInt])] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.input_file_name
+        graft.operators.Sketch.momentsSketch(
+            spark.read.option("basePath", dataDir(path).toString)
+              .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+              .select(input_file_name().as("__f"),
+                org.apache.spark.sql.functions.col(col)),
+            Seq("__f"), org.apache.spark.sql.functions.col(col))
+          .collect()
+          .map(r => relPathOf(path, r.getString(0)) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3),
+              (4 to 7).map(i => BigInt(r.getString(i))))))
+          .toMap
+      }
+    val zero = (0L, 0L, 0L, Seq.fill(4)(BigInt(0)))
+    val body = rels.map(f =>
+        f -> prior.getOrElse(f, measured.getOrElse(f, zero)))
+      .sortBy(_._1)
+      .map { case (f, (n, lo, hi, ss)) =>
+        s"""{"file":"${esc(f)}","n":$n,"lo":$lo,"hi":$hi,""" +
+          s""""s1":"${ss(0)}","s2":"${ss(1)}","s3":"${ss(2)}","s4":"${ss(3)}"}"""
+      }.mkString("\n")
+    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, momentsFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Merge a set of per-file moment entries: sums add, min/max fold
+    * over the n>0 files. */
+  private def mergeMoments(entries: Seq[(Long, Long, Long, Seq[BigInt])])
+      : (Long, Long, Long, Seq[BigInt]) = {
+    val nonEmpty = entries.filter(_._1 > 0)
+    val n = entries.map(_._1).sum
+    val lo = if (nonEmpty.isEmpty) 0L else nonEmpty.map(_._2).min
+    val hi = if (nonEmpty.isEmpty) 0L else nonEmpty.map(_._3).max
+    val ss = (0 to 3).map(i => entries.map(_._4(i)).sum)
+    (n, lo, hi, ss)
+  }
+
+  /** Moments sketch of `col` at version `v` from metadata alone —
+    * (n, min, max, Σx..Σx⁴); feed [[graft.operators.Sketch
+    * .momentsQuantile]] for the quantile estimate. Coverage rule as
+    * [[countAt]]: None unless every live file has an entry. */
+  def momentsAt(path: String, v: Long, col: String)
+      : Option[(Long, Long, Long, Seq[BigInt])] = {
+    val p = momentsFile(path, v, col)
+    if (!Files.exists(p)) return None
+    val m = parseMoments(p)
+    val rels = relsAt(path, v)
+    if (rels.forall(m.contains)) Some(mergeMoments(rels.map(m))) else None
+  }
+
+  /** Per-partition moments sketches, metadata-only; rules as
+    * [[partitionRowCounts]]. */
+  def partitionMoments(path: String, v: Long, partCol: String, col: String)
+      : Option[Seq[(String, (Long, Long, Long, Seq[BigInt]))]] = {
+    val p = momentsFile(path, v, col)
+    if (!Files.exists(p)) return None
+    val m = parseMoments(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(m.contains)) return None
+    val pre = partCol + "="
+    Some(rels.groupBy { rel =>
+        val parent = Paths.get(rel).getParent.getFileName.toString
+        require(parent.startsWith(pre),
+          s"VersionedTable.partitionMoments: $rel is not under $pre<value>/")
+        parent.stripPrefix(pre)
+      }.map { case (k, fs) => k -> mergeMoments(fs.map(m)) }
+      .toSeq.sortBy(_._1))
+  }
+
   // ---- NDV sketch sidecar: metadata-only distinct estimates ----
 
   private def ndvFile(path: String, v: Long, col: String): Path =

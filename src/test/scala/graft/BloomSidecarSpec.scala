@@ -166,6 +166,56 @@ class BloomSidecarSpec extends SparkSpec {
     assert(parts("g1") === total - parts("g0"))
   }
 
+  test("moments sidecar: merged sketch == direct build; carry verbatim; quantile serves") {
+    import graft.operators.Sketch
+    val path = fresh()
+    val df = spark.range(900).select($"id",
+      concat(lit("g"), pmod($"id", lit(3L))).as("p"),
+      when(pmod($"id", lit(7L)) === 0, lit(null).cast("long"))
+        .otherwise(($"id" * 13L) % 500L).as("x"))
+    val v0 = VersionedTable.createPartitioned(df, path, "p")
+    assert(VersionedTable.momentsAt(path, v0, "x") === None) // no sidecar yet
+    VersionedTable.writeMoments(spark, path, v0, "x")
+    // metadata-only merge equals the direct global sketch
+    val (n, lo, hi, ss) = VersionedTable.momentsAt(path, v0, "x").get
+    val direct = Sketch.momentsSketch(df, Seq.empty, $"x").collect().head
+    assert((n, lo, hi) === ((direct.getLong(0), direct.getLong(1),
+      direct.getLong(2))))
+    assert(ss.map(_.toString) === (3 to 6).map(direct.getString))
+    // per-partition merge equals per-partition direct sketches
+    val parts = VersionedTable.partitionMoments(path, v0, "p", "x").get.toMap
+    val dParts = Sketch.momentsSketch(df, Seq("p"), $"x").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          (4 to 7).map(i => BigInt(r.getString(i))).toSeq))).toMap
+    assert(parts === dParts)
+    // the sidecar SERVES quantiles: p50 from the 7 scalars lands within
+    // a quarter sd of the exact median on this near-uniform shape
+    val est = Sketch.momentsQuantile(n, BigDecimal(ss(0)), BigDecimal(ss(1)),
+      BigDecimal(ss(2)), BigDecimal(ss(3)), lo, hi, 0.5)
+    val exact = df.filter($"x".isNotNull).stat
+      .approxQuantile("x", Array(0.5), 0.0).head
+    val sd = {
+      val m = (BigDecimal(ss(0)) / n).toDouble
+      math.sqrt((BigDecimal(ss(1)) / BigDecimal(n)).toDouble - m * m)
+    }
+    assert(math.abs(est - exact) <= 0.25 * sd, s"p50 est $est vs $exact (sd $sd)")
+    // refresh carries prior entries verbatim (tamper survives = O(commit))
+    val v1 = VersionedTable.commitPartitioned(
+      spark.range(900, 1000).select($"id", lit("g0").as("p"),
+        ($"id" % 11L).as("x")), path, "p", "append")
+    val side = java.nio.file.Paths.get(path, "_versions",
+      f"v$v0%08d.moments.x.json")
+    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val tampered = body.replaceFirst(""""s1":"(-?\d+)"""", """"s1":"999999999"""")
+    assert(tampered != body)
+    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    VersionedTable.writeMoments(spark, path, v1, "x")
+    val m1 = VersionedTable.momentsAt(path, v1, "x").get
+    assert(m1._4(0) != ss(0) + (900L until 1000L).map(_ % 11L).sum,
+      "v1 refresh re-measured carried files (not O(commit))")
+  }
+
   test("ndv sidecar: per-file register merge equals the global HLL sketch") {
     val path = fresh()
     val df = spark.range(2000).select(($"id" % 700).cast("string").as("s"))

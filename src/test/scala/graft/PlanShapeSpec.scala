@@ -537,6 +537,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_table_bloom" -> 1,
       "q_table_meta_count" -> 1,
       "q_table_ndv" -> 1,
+      // moments sidecar: driver-built frame from manifest arithmetic
+      // (measured 0 exchanges; 1 allows the orderBy a range exchange)
+      "q_table_moments" -> 1,
       // WARC family: distributed shard read + native splits are
       // scan-side; roundtrip/gate shuffle only the oracle orderBy,
       // outlinks adds the host-edge aggregation
