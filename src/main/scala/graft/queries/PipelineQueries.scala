@@ -19,18 +19,39 @@ object PipelineQueries {
     * (everything allowed), otherwise Disallow: /p + Allow: /p<(k+1)%13>
     * (+ the tie rule Allow: /p on even k). Parsed ONCE per host into
     * rule arrays; callers broadcast the 97 rows. */
+  private def robotsPayload(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("# crawl policy\n"),
+      when(pmod(k, lit(11L)) === 0,
+        lit("User-agent: otherbot\nDisallow: /\n"))
+        .otherwise(concat(
+          lit("User-agent: *\nDisallow: /p\nAllow: /p"),
+          pmod(k + 1, lit(13L)), lit("\n"),
+          when(pmod(k, lit(2L)) === 0, lit("Allow: /p\n"))
+            .otherwise(lit("")))))
+
+  /** The 97 planted directive payloads for q_robots_directives: a
+    * global sitemap line, then either a non-* group (k%11 — its delay
+    * must contribute nothing) or a `*` group whose delay is (k%7)
+    * seconds, fractional .5 on k%3, plus a second sitemap on k%5. */
+  private def directivesPayload(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("Sitemap: https://h"), k, lit(".example/sitemap.xml\n"),
+      when(pmod(k, lit(11L)) === 0,
+        lit("User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n"))
+        .otherwise(concat(
+          lit("User-agent: *\nDisallow: /p\nCrawl-delay: "),
+          pmod(k, lit(7L)),
+          when(pmod(k, lit(3L)) === 0, lit(".5")).otherwise(lit("")),
+          lit("\n"))),
+      when(pmod(k, lit(5L)) === 0,
+        concat(lit("Sitemap: https://h"), k,
+          lit(".example/news.xml\n"))).otherwise(lit("")))
+
   private def robotsHosts(s: SparkSession): DataFrame = {
     import graft.expr.TextExpressions
     s.range(97).select(col("id").as("k"),
-      TextExpressions.robotsRules(concat(
-        lit("# crawl policy\n"),
-        when(pmod(col("id"), lit(11L)) === 0,
-          lit("User-agent: otherbot\nDisallow: /\n"))
-          .otherwise(concat(
-            lit("User-agent: *\nDisallow: /p\nAllow: /p"),
-            pmod(col("id") + 1, lit(13L)), lit("\n"),
-            when(pmod(col("id"), lit(2L)) === 0, lit("Allow: /p\n"))
-              .otherwise(lit("")))))).as("rules"))
+      TextExpressions.robotsRules(robotsPayload(col("id"))).as("rules"))
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -2238,20 +2259,7 @@ object PipelineQueries {
     "q_robots_directives" -> ((s, dir) => {
       import graft.expr.TextExpressions
       val hosts = s.range(97).select(col("id").as("k"),
-        TextExpressions.robotsDirectives(concat(
-          lit("Sitemap: https://h"), col("id"), lit(".example/sitemap.xml\n"),
-          when(pmod(col("id"), lit(11L)) === 0,
-            // no * group: delay must stay null even though otherbot has one
-            lit("User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n"))
-            .otherwise(concat(
-              lit("User-agent: *\nDisallow: /p\nCrawl-delay: "),
-              pmod(col("id"), lit(7L)),
-              when(pmod(col("id"), lit(3L)) === 0, lit(".5"))
-                .otherwise(lit("")),
-              lit("\n"))),
-          when(pmod(col("id"), lit(5L)) === 0,
-            concat(lit("Sitemap: https://h"), col("id"),
-              lit(".example/news.xml\n"))).otherwise(lit("")))).as("d"))
+        TextExpressions.robotsDirectives(directivesPayload(col("id"))).as("d"))
       val urls = t(s, dir, "documents")
         .select(pmod(col("doc_id"), lit(97L)).as("k"))
         .groupBy("k").agg(count(lit(1)).as("n_urls"))
@@ -2290,6 +2298,56 @@ object PipelineQueries {
         .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
           count(lit(1)).as("n_total"))
         .orderBy(col("dst_host"))
+    }),
+
+    // Crawl SCHEDULE — the composition a fetch scheduler actually runs:
+    // ONE robots.txt per host serves BOTH the gate and the politeness
+    // budget (the coherence a crawler has in production — the same file
+    // parsed once into rules + directives). Per destination host: the
+    // surviving frontier in-links (q_crawl_frontier's gate formula over
+    // this payload's identical star group) × the host's crawl-delay =
+    // the serial fetch time; hosts with no *-group delay fetch at the
+    // crawler's default (0 — bandwidth-bound). 97 parsed policies
+    // broadcast; per-edge decision is a codegen'd array walk.
+    "q_crawl_schedule" -> ((s, dir) => {
+      import graft.expr.TextExpressions
+      // the q_robots_gate star group (Disallow /p, Allow /p<(k+1)%13>,
+      // tie Allow /p on even k) PLUS a Crawl-delay line in that same
+      // group ((k%7) s, fractional .5 on k%3); k%11 hosts publish only
+      // the otherbot group — no gate rules, no *-scoped delay
+      val payload = concat(
+        lit("Sitemap: https://h"), col("id"), lit(".example/sitemap.xml\n"),
+        when(pmod(col("id"), lit(11L)) === 0,
+          lit("User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n"))
+          .otherwise(concat(
+            lit("User-agent: *\nDisallow: /p\nAllow: /p"),
+            pmod(col("id") + 1, lit(13L)), lit("\n"),
+            when(pmod(col("id"), lit(2L)) === 0, lit("Allow: /p\n"))
+              .otherwise(lit("")),
+            lit("Crawl-delay: "), pmod(col("id"), lit(7L)),
+            when(pmod(col("id"), lit(3L)) === 0, lit(".5"))
+              .otherwise(lit("")),
+            lit("\n"))))
+      val policy = s.range(97).select(col("id").as("k"),
+        TextExpressions.robotsRules(payload).as("rules"),
+        TextExpressions.robotsDirectives(payload).as("d"))
+      val edges = t(s, dir, "documents").select(col("doc_id"),
+          explode(array((0 until 3).map(k => struct(
+            pmod(col("doc_id") * 31 + lit(k * 17), lit(97L)).as("k"),
+            pmod(col("doc_id") + lit(k.toLong), lit(13L)).as("j"))): _*)).as("e"))
+        .select(col("e.k").as("k"), concat(lit("/p"), col("e.j")).as("path"))
+      edges.join(broadcast(policy), "k")
+        .select(col("k"),
+          TextExpressions.robotsAllowed(col("rules"), col("path")).as("allowed"),
+          col("d.crawl_delay_ms").as("delay"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          first(col("delay")).as("crawl_delay_ms"))
+        .select(concat(lit("h"), col("k"), lit(".example")).as("host"),
+          col("n_allowed"), col("crawl_delay_ms"),
+          (col("n_allowed") * coalesce(col("crawl_delay_ms"), lit(0L)))
+            .as("serial_fetch_ms"))
+        .orderBy(col("host"))
     }),
 
     // Outlink extraction — the step after the gate in a web pipeline:
@@ -5177,6 +5235,25 @@ object PipelineQueries {
         |  (n_urls * COALESCE(crawl_delay_ms, 0))::BIGINT AS serial_crawl_ms,
         |  n_sitemaps, sitemaps_csv
         |FROM d ORDER BY host""".stripMargin,
+
+    "q_crawl_schedule" ->
+      """WITH g AS (
+        |  SELECT ((doc_id * 31 + k * 17) % 97) AS h,
+        |         ((doc_id + k) % 13) AS j
+        |  FROM documents CROSS JOIN (SELECT range AS k FROM range(3)) ks),
+        |a AS (
+        |  SELECT h,
+        |    sum(CASE WHEN (h % 11 = 0 OR h % 2 = 0
+        |          OR starts_with('p' || j, 'p' || ((h + 1) % 13)))
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+        |    CASE WHEN h % 11 = 0 THEN NULL
+        |         ELSE (h % 7) * 1000
+        |              + CASE WHEN h % 3 = 0 THEN 500 ELSE 0 END
+        |    END::BIGINT AS crawl_delay_ms
+        |  FROM g GROUP BY h)
+        |SELECT 'h' || h || '.example' AS host, n_allowed, crawl_delay_ms,
+        |  (n_allowed * COALESCE(crawl_delay_ms, 0))::BIGINT AS serial_fetch_ms
+        |FROM a ORDER BY host""".stripMargin,
 
     "q_crawl_frontier" ->
       """WITH g AS (

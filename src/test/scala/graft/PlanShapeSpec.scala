@@ -551,6 +551,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_robots_gate" -> 1,
       // frontier: broadcast policy join + per-host agg + oracle orderBy
       "q_crawl_frontier" -> 2,
+      // schedule: same shape — ONE payload parsed into rules+directives,
+      // broadcast; per-host agg + oracle orderBy
+      "q_crawl_schedule" -> 2,
       // streamed-table snapshot: memory-sink read + the oracle orderBy
       "q_table_stream" -> 1,
       // composed prune: pinned survivor scans + residual + oracle orderBy
