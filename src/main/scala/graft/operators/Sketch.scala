@@ -584,6 +584,25 @@ object Sketch {
     math.max(xMin.toDouble, math.min(xMax.toDouble, m1 + w * sd))
   }
 
+  /** Distributed finisher: per-group quantile estimates from a
+    * [[momentsSketch]] frame — one output row per (group, q). The math
+    * is [[momentsQuantile]] verbatim (7 scalars per row, a UDF is the
+    * right tool: the sketch frame has one row per GROUP, not per
+    * datum, so nothing here touches corpus-sized data). */
+  def momentsQuantiles(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"momentsQuantiles: qs in (0,1), got $qs")
+    val est = udf((n: Long, lo: Long, hi: Long, s1: String, s2: String,
+        s3: String, s4: String, q: Double) =>
+      momentsQuantile(n, BigDecimal(s1), BigDecimal(s2), BigDecimal(s3),
+        BigDecimal(s4), lo, hi, q))
+    sketch
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("x_q", est(col("n"), col("x_min"), col("x_max"),
+        col("s1"), col("s2"), col("s3"), col("s4"), col("q")))
+  }
+
   /** Inverse standard-normal CDF (Acklam's rational approximation,
     * |relative error| < 1.15e-9 — far below any sketch's own error). */
   private[graft] def inverseNormalCdf(p: Double): Double = {

@@ -370,5 +370,23 @@ class SketchDistinctSpec extends SparkSpec {
     assert(math.abs(Sketch.inverseNormalCdf(0.5)) < 1e-9)
     assert(math.abs(Sketch.inverseNormalCdf(0.975) - 1.959963985) < 1e-6)
     assert(math.abs(Sketch.inverseNormalCdf(0.025) + 1.959963985) < 1e-6)
+    // the distributed finisher computes the same numbers per (group, q)
+    val grouped = spark.range(20000).select(
+      (col("id") % 2).cast("string").as("g"),
+      ((col("id") * 2654435761L) % 97 + (col("id") * 40503L) % 89 +
+        (col("id") * 9176L) % 83 + (col("id") * 31L) % 101).as("x"))
+    val gsk = Sketch.momentsSketch(grouped, Seq("g"), col("x"))
+    val fin = Sketch.momentsQuantiles(gsk, Seq(0.5, 0.9))
+      .select(col("g"), col("q"), col("x_q")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(fin.size === 4)
+    gsk.collect().foreach { r =>
+      val want = Seq(0.5, 0.9).map(q => q -> Sketch.momentsQuantile(
+        r.getLong(1), BigDecimal(r.getString(4)), BigDecimal(r.getString(5)),
+        BigDecimal(r.getString(6)), BigDecimal(r.getString(7)),
+        r.getLong(2), r.getLong(3), q))
+      want.foreach { case (q, w) =>
+        assert(fin((r.getString(0), q)) === w) }
+    }
   }
 }
