@@ -131,6 +131,13 @@ class RobotsSpec extends SparkSpec {
     // no star group: delay null, sitemaps still global
     assert(directivesOf("User-agent: botB\nCrawl-delay: 2\nSitemap: /s.xml\n") ===
       ((None, Seq("/s.xml"))))
+    // CRLF payloads (the wire form a crawler actually fetches): the
+    // trailing \r must not leak into values or break group formation
+    assert(directivesOf(
+      "User-agent: *\r\nCrawl-delay: 3\r\nSitemap: https://h.example/s.xml\r\n") ===
+      ((Some(3000L), Seq("https://h.example/s.xml"))))
+    assert(rulesOf("User-agent: *\r\nDisallow: /p\r\nAllow: /p/ok\r\n") ===
+      Seq((false, "/p"), (true, "/p/ok")))
     // SQL surface
     GraftFunctions.register(spark)
     val viaSql = spark.sql(

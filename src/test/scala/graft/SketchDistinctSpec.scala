@@ -291,6 +291,17 @@ class SketchDistinctSpec extends SparkSpec {
     assert(sketchRow(Sketch.momentsSketch(withNull, Seq.empty, col("x"))
       .select(col("n"), col("x_min"), col("x_max"),
         col("s1"), col("s2"), col("s3"), col("s4"))) === ((n, lo, hi, sums)))
+    // negative values: odd power sums go negative, digit strings carry
+    // the sign, min/max signed (delta columns, signed scores)
+    val neg = Seq(-3L, 2L, -5L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x, "a") }.toDF("id", "x", "src")
+    val (nn, nlo, nhi, nss) = sketchRow(
+      Sketch.momentsSketch(neg, Seq.empty, col("x"))
+        .select(col("n"), col("x_min"), col("x_max"),
+          col("s1"), col("s2"), col("s3"), col("s4")))
+    assert((nn, nlo, nhi) === ((3L, -5L, 2L)))
+    def np(k: Int) = BigDecimal(Seq(-3L, 2L, -5L).map(x => BigInt(x).pow(k)).sum)
+    assert(nss === (1 to 4).map(np))
   }
 
   test("momentsMaintain: CDC churn == full rebuild; groups appear and die") {
