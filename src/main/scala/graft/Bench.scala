@@ -97,7 +97,11 @@ object Bench {
     // holds the total. Repeat the headline numbers LAST in a compact
     // line (slowest 10 queries only) so any tail window preserves them.
     val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+      // comma-decimal locale (de_DE) would emit invalid JSON here
+      .map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$top,"sf":"$sfDir","runs":$medianOf$marker}""")
     spark.stop()
   }

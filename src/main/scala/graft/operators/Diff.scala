@@ -98,15 +98,27 @@ object Diff {
     * releases (a re-labeled doc moves between groups): old keys come
     * from the change row's old-side columns, new keys from `_new`. */
   def maintainAgg(oldAgg: DataFrame, changes: DataFrame, keyCols: Seq[String],
-      measureCols: Seq[String]): DataFrame = {
+      measureCols: Seq[String],
+      // The measure carrier. (38,4) suits money-like measures; callers
+      // whose measures are already exact integers at full precision
+      // (momentsMaintain's DECIMAL(38,0) power sums, where a per-row
+      // x^4 can reach 1e37) pass scale 0 — a (38,4) cast would silently
+      // null values >= 1e34 under non-ANSI Spark and sum() would skip
+      // them, breaking the maintained == recomputed contract.
+      dec: org.apache.spark.sql.types.DecimalType =
+        org.apache.spark.sql.types.DecimalType(38, 4)): DataFrame = {
     require(keyCols.nonEmpty, "maintainAgg: need at least one grouping key")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 4)
     // ONE pass over the change set: each change row explodes into its
     // retract and/or add contribution. (A union of two filtered
     // branches would recompute the upstream diff join twice — measured
     // as doubled exchanges on q_moments_maintain's plan.)
+    // retraction negates via 0 - x, NOT unary minus: Spark's UnaryMinus
+    // on decimals rounds through MathContext.DECIMAL128 (34 significant
+    // digits), silently clipping the low digits of a near-38-digit sum;
+    // Subtract stays exact at full precision
     val negStruct = struct(keyCols.map(col) ++
-      measureCols.map(c => (-col(c).cast(dec)).as(s"${c}_sum")) :+
+      measureCols.map(c =>
+        (lit(0).cast(dec) - col(c).cast(dec)).as(s"${c}_sum")) :+
       lit(-1L).as("n"): _*)
     val posStruct = struct(keyCols.map(c => col(c + "_new").as(c)) ++
       measureCols.map(c => col(c + "_new").cast(dec).as(s"${c}_sum")) :+

@@ -79,12 +79,15 @@ object Graphs {
     *
     * Deliberately UNNORMALIZED: with hub₀ = 1, every intermediate score
     * is a plain INTEGER (sums of counts of paths), so fixed-iteration
-    * results are exact BIGINT arithmetic — no per-iteration float
+    * results are exact integer arithmetic — no per-iteration float
     * division, no summation-order drift, bit-identical on any engine
     * (normalization is a consumer-side ratio; rankings are unaffected).
-    * Envelope: scores grow ~(max degree)² per round — BIGINT holds 9e18,
-    * so even deg-10⁶ hot hubs survive 3 rounds; past that carry
-    * DECIMAL(38,0). Parallel edges collapse (distinct); self-loops count
+    * Scores ACCUMULATE in DECIMAL(38,0) (a BIGINT sum would WRAP
+    * silently under non-ANSI Spark — scores grow ~(max degree)² per
+    * round, so deg-10⁶ hubs exceed 9e18 within 3 rounds) and the output
+    * casts back to BIGINT; both a sum passing 1e38 and a final score
+    * outside the BIGINT range fail LOUDLY via raise_error, never a
+    * wrapped or nulled score. Parallel edges collapse (distinct); self-loops count
     * like any edge; nodes with no in-edges get authority 0, no
     * out-edges hub 0. Per half-step: ONE edge⋈score join + one
     * partial-merged sum — shuffles are edge-count-sized, nothing is
@@ -97,29 +100,45 @@ object Graphs {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    var hub = nodes.select(col("id"), lit(1L).as("hub")).localCheckpoint()
+    val dec = "decimal(38,0)"
+    // A join MISS means "no in-/out-edges: score 0". A join HIT with a
+    // null sum means the DECIMAL(38,0) accumulator overflowed (non-ANSI
+    // sum nulls on overflow) — the __hit marker separates the two so
+    // overflow raises instead of silently folding to 0.
+    def folded(raw: DataFrame, scoreCol: String): DataFrame =
+      nodes.join(raw.withColumn("__hit", lit(true)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("__hit").isNull, lit(0L).cast(dec))
+            .when(col(scoreCol).isNull, raise_error(lit(
+              s"hits: DECIMAL(38,0) overflow in a $scoreCol sum — lower iters")))
+            .otherwise(col(scoreCol)).as(scoreCol))
+        .localCheckpoint()
+    var hub = nodes.select(col("id"), lit(1L).cast(dec).as("hub")).localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = e
         .join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth"))
-      val nextAuth = nodes.join(aRaw, Seq("id"), "left")
-        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-        .localCheckpoint()
+      val nextAuth = folded(aRaw, "auth")
       if (auth != null) org.apache.spark.sql.graftx.Bridge.freeCheckpoint(auth)
       auth = nextAuth
       val hRaw = e
         .join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub"))
-      val nextHub = nodes.join(hRaw, Seq("id"), "left")
-        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
-        .localCheckpoint()
+      val nextHub = folded(hRaw, "hub")
       org.apache.spark.sql.graftx.Bridge.freeCheckpoint(hub)
       hub = nextHub
     }
+    // output contract stays BIGINT; a score past the BIGINT range fails
+    // loudly rather than null-casting
+    def asLong(scoreCol: String) =
+      when(col(scoreCol) > lit(Long.MaxValue) || col(scoreCol) < lit(Long.MinValue),
+        raise_error(lit(s"hits: $scoreCol exceeds BIGINT — lower iters")))
+        .otherwise(col(scoreCol).cast("long")).as(scoreCol)
     // hub/auth stay checkpointed (they back the result); the edge list
     // and node set are materialized into them and can release now
     val out = hub.join(auth, Seq("id"))
+      .select(col("id"), asLong("hub"), asLong("auth"))
     org.apache.spark.sql.graftx.Bridge.freeCheckpoint(e)
     org.apache.spark.sql.graftx.Bridge.freeCheckpoint(nodes)
     out

@@ -543,7 +543,9 @@ object Sketch {
     val changes = Diff.snapshotDiff(o, powered(newDocs), idCols,
         groupCols ++ pcols)
       .filter(col("change") =!= "unchanged")
-    Diff.maintainAgg(oldAgg, changes, groupCols, pcols)
+    // scale-0 carrier: p4 reaches 1e37 within the documented |x| <= ~3e9
+    // envelope — maintainAgg's default (38,4) cast would null it silently
+    Diff.maintainAgg(oldAgg, changes, groupCols, pcols, DecimalType(38, 0))
       .select(groupCols.map(col) ++ (col("n") +:
         pcols.zip(Seq("s1", "s2", "s3", "s4")).map { case (p, s) =>
           col(s"${p}_sum").cast(DecimalType(38, 0)).cast(StringType).as(s)

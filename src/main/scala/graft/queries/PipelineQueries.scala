@@ -5180,7 +5180,7 @@ object PipelineQueries {
         |    sum(n_chars::HUGEINT * n_chars)::VARCHAR AS s2,
         |    sum(n_chars::HUGEINT * n_chars * n_chars)::VARCHAR AS s3,
         |    sum(n_chars::HUGEINT * n_chars * n_chars * n_chars)::VARCHAR AS s4
-        |  FROM documents GROUP BY lang),
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
         |m1 AS (
         |  SELECT 'v1', lang, count(*)::BIGINT,
         |    min(n_chars)::BIGINT, max(n_chars)::BIGINT,
@@ -5188,7 +5188,7 @@ object PipelineQueries {
         |    sum(n_chars::HUGEINT * n_chars)::VARCHAR,
         |    sum(n_chars::HUGEINT * n_chars * n_chars)::VARCHAR,
         |    sum(n_chars::HUGEINT * n_chars * n_chars * n_chars)::VARCHAR
-        |  FROM v1 GROUP BY lang),
+        |  FROM v1 WHERE n_chars IS NOT NULL GROUP BY lang),
         |mt AS (
         |  SELECT 'total', 'all', count(*)::BIGINT,
         |    min(n_chars)::BIGINT, max(n_chars)::BIGINT,
@@ -5196,7 +5196,7 @@ object PipelineQueries {
         |    sum(n_chars::HUGEINT * n_chars)::VARCHAR,
         |    sum(n_chars::HUGEINT * n_chars * n_chars)::VARCHAR,
         |    sum(n_chars::HUGEINT * n_chars * n_chars * n_chars)::VARCHAR
-        |  FROM v1)
+        |  FROM v1 WHERE n_chars IS NOT NULL)
         |SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL
         |SELECT * FROM mt
         |ORDER BY view, lang""".stripMargin,

@@ -331,6 +331,29 @@ class SketchDistinctSpec extends SparkSpec {
     assert(maintained.exists(_.head == "9"), "new group must appear")
   }
 
+  test("momentsMaintain: |x| >= 3.2e8 (p4 >= 1e34) stays bit-exact vs rebuild") {
+    import graft.operators.Sketch
+    // regression: the maintained path used to route the DECIMAL(38,0)
+    // power sums through a DECIMAL(38,4) carrier, whose max is ~1e34 —
+    // a single p4 of a value >= ~3.2e8 overflowed the cast to null and
+    // sum() silently skipped it, diverging from a full rebuild inside
+    // the sketch's documented |x| <= ~3e9 envelope
+    val old = spark.range(40).select(col("id"),
+      (col("id") % 2).cast("string").as("g"),
+      (lit(400_000_000L) + col("id") * 1_000_003L).as("x"))
+    val nw = old.filter(col("id") % 5 =!= 0)
+      .select(col("id"), col("g"),
+        when(col("id") % 3 === 0, col("x") + 17L).otherwise(col("x")).as("x"))
+    val cols = Seq("g", "n", "s1", "s2", "s3", "s4").map(col)
+    val maintained = Sketch.momentsMaintain(old, nw, Seq("id"), Seq("g"), col("x"))
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val rebuilt = Sketch.momentsSketch(nw, Seq("g"), col("x"))
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(maintained === rebuilt)
+    // the sums really are in the >= 1e34 regime the old carrier lost
+    assert(rebuilt.forall(r => BigInt(r(5).toString) > BigInt(10).pow(34)))
+  }
+
   test("momentsQuantile: Cornish-Fisher recovery within tolerance of exact") {
     // a deterministic mildly-skewed integer distribution: sum of four
     // modular "dice" (CLT-near-normal, small g1/g2 — the regime the
