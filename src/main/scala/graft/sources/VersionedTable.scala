@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-import java.io.File
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options,
+  Path => HPath}
 
 /** Versioned parquet table — the minimal lakehouse commit protocol over
   * immutable data files, unifying the layout pieces (sized compaction,
@@ -17,14 +18,26 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * ```
   *
   * Commit = write new data files (distributed), then publish ONE small
-  * manifest via temp-file + atomic rename. Readers resolve a manifest
-  * and read exactly its files — a reader never sees a half-written
-  * commit (files without a manifest are invisible), and a pinned
-  * version keeps reading the same bytes forever until [[vacuum]].
-  * Concurrent committers race on the `vN.json` name: `Files.move` with
-  * ATOMIC_MOVE onto an existing name fails, so exactly one of two
-  * same-version commits wins (optimistic concurrency, the standard
-  * table-format approach).
+  * manifest via temp-file + atomic exclusive rename. Readers resolve a
+  * manifest and read exactly its files — a reader never sees a
+  * half-written commit (files without a manifest are invisible), and a
+  * pinned version keeps reading the same bytes forever until [[vacuum]].
+  * Concurrent committers race on the `vN.json` name: the publish rename
+  * carries `Options.Rename.NONE`, which fails when the target exists,
+  * so exactly one of two same-version commits wins (optimistic
+  * concurrency, the standard table-format approach).
+  *
+  * ALL metadata I/O goes through the Hadoop `FileSystem`/`FileContext`
+  * API — the table path may be `file:`, `hdfs:`, or any other installed
+  * scheme; nothing here touches `java.nio`/`java.io.File`, so the same
+  * code runs on a laptop and against the 100 TB cluster's store.
+  * Atomicity honesty per scheme: on HDFS, `rename(…, Rename.NONE)` is
+  * arbitrated by the namenode — atomic AND exclusive, the Delta/HDFS
+  * LogStore recipe. On the local filesystem the existence check is
+  * check-then-act (a microscopic TOCTOU window, fine for tests). Object
+  * stores without atomic rename need a conditional-put (`If-None-Match`)
+  * committer: install one via [[committer]] — everything else is
+  * scheme-agnostic.
   *
   * Scale shape: manifests are O(files) JSON lines — KBs for thousands
   * of files; ALL data movement is distributed Spark writes/reads; the
@@ -38,24 +51,101 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object VersionedTable {
 
-  private def versionsDir(path: String) = Paths.get(path, "_versions")
-  private def dataDir(path: String) = Paths.get(path, "data")
+  // ---- Hadoop FS plumbing (driver-side, O(metadata) only) ----
 
-  private def versionFile(path: String, v: Long): Path =
-    versionsDir(path).resolve(f"v$v%08d.json")
+  private def hconf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(hconf())
+
+  /** Table root as an HPath. Relative paths qualify against the
+    * filesystem's working directory (matching what `java.nio`'s
+    * toAbsolutePath did); absolute paths pass through UNqualified so
+    * the strings readers see — and the manifests already written by
+    * earlier versions of this code — are byte-identical. */
+  private def rootPath(path: String): HPath = {
+    val p = new HPath(path)
+    if (p.isAbsolute) p else fsOf(p).makeQualified(p)
+  }
+
+  private def versionsDir(path: String): HPath =
+    new HPath(rootPath(path), "_versions")
+  private def dataDir(path: String): HPath =
+    new HPath(rootPath(path), "data")
+
+  private def versionFile(path: String, v: Long): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.json")
+
+  private def exists(p: HPath): Boolean = fsOf(p).exists(p)
+
+  private def readUtf8(p: HPath): String = {
+    val in = fsOf(p).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeBytes(p: HPath, bytes: Array[Byte]): Unit = {
+    val out = fsOf(p).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def fcOf(p: HPath): FileContext = {
+    val u = p.toUri
+    if (u.getScheme == null) FileContext.getFileContext(hconf())
+    else FileContext.getFileContext(u, hconf())
+  }
+
+  /** Sidecar write: temp file + rename(OVERWRITE) — readers see either
+    * the old sidecar or the new one, never a torn write. (Atomic on
+    * HDFS; delete-then-rename on local — a reader in the gap sees a
+    * missing sidecar, which every consumer treats as "no skipping" /
+    * None, the documented safe degrade.) */
+  private def writeReplace(path: String, target: HPath,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new HPath(versionsDir(path),
+      s".tmp-${java.util.UUID.randomUUID()}")
+    writeBytes(tmp, bytes)
+    try fcOf(target).rename(tmp, target, Options.Rename.OVERWRITE)
+    catch { case e: Throwable => fsOf(tmp).delete(tmp, false); throw e }
+  }
+
+  /** The exclusive-publish hook. The default temp+rename(Rename.NONE)
+    * is atomic-exclusive on HDFS; swap in a conditional-put
+    * implementation for object stores without atomic rename. */
+  trait ManifestCommitter {
+    /** Move `tmp` to `target`, failing if `target` exists. Must throw
+      * (any exception) when the target already exists. */
+    def publish(fc: FileContext, tmp: HPath, target: HPath): Unit
+  }
+
+  @volatile var committer: ManifestCommitter = new ManifestCommitter {
+    def publish(fc: FileContext, tmp: HPath, target: HPath): Unit =
+      fc.rename(tmp, target, Options.Rename.NONE)
+  }
+
+  private def listNames(dir: HPath): Seq[FileStatus] =
+    if (!exists(dir)) Seq.empty
+    else fsOf(dir).listStatus(dir).toSeq
+      // skip hidden entries: LocalFileSystem checksum companions
+      // (.foo.crc), in-flight temp files, Spark markers
+      .filterNot(s => s.getPath.getName.startsWith(".") ||
+        s.getPath.getName.startsWith("_SUCCESS"))
 
   /** Versions present, ascending. */
-  def versions(path: String): Seq[Long] = {
-    val d = versionsDir(path).toFile
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .map(_.getName)
+  def versions(path: String): Seq[Long] =
+    listNames(versionsDir(path))
+      .map(_.getPath.getName)
       // exactly vNNNNNNNN.json — stats sidecars (vN.stats.col.json) are
       // version METADATA, not versions
       .collect { case n if n.matches("v\\d{8}\\.json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
       .sorted
-  }
 
   def latestVersion(path: String): Option[Long] = versions(path).lastOption
 
@@ -70,11 +160,22 @@ object VersionedTable {
   /** Files of a manifest, as absolute paths. */
   def filesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
-    require(Files.exists(f), s"VersionedTable: no version $v at $path")
-    val txt = new String(Files.readAllBytes(f), "UTF-8")
+    require(exists(f), s"VersionedTable: no version $v at $path")
+    val txt = readUtf8(f)
     // manifest files are one relative path per "files" array element
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt)
-      .map(m => Paths.get(path).resolve(m.group(1)).toString).toSeq
+      .map(m => new HPath(rootPath(path), m.group(1)).toString).toSeq
+  }
+
+  /** Table-relative form of an absolute path [[filesAt]] produced —
+    * pure string arithmetic on the scheme-stripped URI paths (both
+    * sides were built from the same root, so the prefix strip is
+    * exact; the flat fallback covers externally-supplied paths). */
+  private def relOf(path: String, abs: String): String = {
+    val a = new HPath(abs).toUri.getPath
+    val root = rootPath(path).toUri.getPath
+    if (a.startsWith(root + "/")) a.substring(root.length + 1)
+    else s"data/${new HPath(abs).getName}"
   }
 
   /** Stage `df` as new immutable data files; returns their RELATIVE paths.
@@ -82,20 +183,21 @@ object VersionedTable {
     * existing files. */
   private def stage(df: DataFrame, path: String): Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = Paths.get(path, s".staging-$commitId")
+    val tmp = new HPath(rootPath(path), s".staging-$commitId")
     df.write.parquet(tmp.toString)
-    Files.createDirectories(dataDir(path))
-    val parts = tmp.toFile.listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val fs = fsOf(tmp)
+    fs.mkdirs(dataDir(path))
+    val parts = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
     val rel = parts.zipWithIndex.map { case (p, i) =>
       val name = f"$commitId-part$i%05d.parquet"
-      Files.move(p.toPath, dataDir(path).resolve(name),
-        StandardCopyOption.ATOMIC_MOVE)
+      require(fs.rename(p.getPath, new HPath(dataDir(path), name)),
+        s"VersionedTable: staging rename failed for ${p.getPath}")
       s"data/$name"
     }.toSeq
     // remove the staging dir (marker files and all)
-    tmp.toFile.listFiles().foreach(_.delete())
-    Files.deleteIfExists(tmp)
+    fs.delete(tmp, true)
     rel
   }
 
@@ -104,20 +206,24 @@ object VersionedTable {
     * the spec can drive the collision directly. */
   private[graft] def publish(path: String, v: Long, parent: Long, action: String,
       files: Seq[String]): Unit = {
-    Files.createDirectories(versionsDir(path))
+    val dir = versionsDir(path)
+    fsOf(dir).mkdirs(dir)
     val body =
       s"""{"version":$v,"parent":$parent,"action":"${esc(action)}",
          |"files":[${files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}""".stripMargin
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    // POSIX rename REPLACES an existing target, so an atomic move cannot
-    // arbitrate the race; a hard link is atomic AND exclusive — the
-    // second committer's link fails, the winner's manifest is untouched
-    try Files.createLink(versionFile(path, v), tmp)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
+    val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    writeBytes(tmp, body.getBytes("UTF-8"))
+    val target = versionFile(path, v)
+    // Rename.NONE fails when the target exists: the second committer's
+    // rename throws, the winner's manifest is untouched. (HDFS arbitrates
+    // this atomically at the namenode; see the class doc for the local /
+    // object-store honesty notes and the [[committer]] hook.)
+    try committer.publish(fcOf(target), tmp, target)
+    catch { case e: Throwable =>
+      fsOf(tmp).delete(tmp, false)
       throw new IllegalStateException(
         s"VersionedTable: version $v at $path was committed concurrently", e)
-    } finally Files.deleteIfExists(tmp)
+    }
   }
 
   /** Create version 0 from `df`. */
@@ -135,9 +241,7 @@ object VersionedTable {
     val newFiles = stage(df, path)
     val v = cur + 1
     val files = mode match {
-      case "append" =>
-        filesAt(path, cur).map(a => Paths.get(path).relativize(Paths.get(a)).toString) ++
-          newFiles
+      case "append" => filesAt(path, cur).map(relOf(path, _)) ++ newFiles
       case "overwrite" => newFiles
       case other => throw new IllegalArgumentException(
         s"VersionedTable.commit: mode must be append|overwrite, got $other")
@@ -175,10 +279,12 @@ object VersionedTable {
     * commit time — no extra bookkeeping, and retention (vacuum keeps
     * manifests) preserves the mapping. None if the table had no
     * version yet at that time. */
-  def versionAt(path: String, tsMillis: Long): Option[Long] =
+  def versionAt(path: String, tsMillis: Long): Option[Long] = {
+    val fs = fsOf(versionsDir(path))
     versions(path).filter(v =>
-      Files.getLastModifiedTime(versionFile(path, v)).toMillis <= tsMillis)
+      fs.getFileStatus(versionFile(path, v)).getModificationTime <= tsMillis)
       .lastOption
+  }
 
   /** Read the table as of a wall-clock instant (Delta's
     * `TIMESTAMP AS OF`): resolve via [[versionAt]], then time travel. */
@@ -217,18 +323,8 @@ object VersionedTable {
       // the stats map — filesForRange treats a missing entry as "keep",
       // so the file stays readable instead of NPE-ing the sidecar write
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map { r =>
-        val abs = Paths.get(new java.net.URI(r.getString(0)).getPath)
-        // key by table-relative path so partitioned files
-        // (data/k=v/file) match filesForRange's relativize; fall back
-        // to the flat form if the roots don't share a prefix
-        val rel =
-          try Paths.get(path).toAbsolutePath.normalize
-            .relativize(abs.toAbsolutePath.normalize).toString
-          catch { case _: IllegalArgumentException =>
-            s"data/${abs.getFileName.toString}" }
-        rel -> (r.getLong(1), r.getLong(2))
-      }.toMap
+      .map(r => relPathOf(path, r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
   }
 
   /** Sidecar stats for a version: `_versions/vN.stats.<col>.json`, one
@@ -240,10 +336,17 @@ object VersionedTable {
     val body = stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
       s"""{"file":"${esc(f)}","min":$lo,"max":$hi}"""
     }.mkString("\n")
-    val target = versionsDir(path).resolve(f"v$v%08d.stats.${col}.json")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    writeReplace(path, new HPath(versionsDir(path), f"v$v%08d.stats.${col}.json"),
+      body.getBytes("UTF-8"))
+  }
+
+  private def statsFile(path: String, v: Long, col: String): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.stats.${col}.json")
+
+  private def parseStats(p: HPath): Map[String, (Long, Long)] = {
+    val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
+    readUtf8(p).split("\n")
+      .collect { case entry(f, mn, mx) => f -> (mn.toLong, mx.toLong) }.toMap
   }
 
   /** The version's files whose [min,max] on `col` intersects [lo,hi] —
@@ -253,14 +356,11 @@ object VersionedTable {
   def filesForRange(path: String, v: Long, col: String,
       lo: Long, hi: Long): Seq[String] = {
     val all = filesAt(path, v)
-    val sidecar = versionsDir(path).resolve(f"v$v%08d.stats.${col}.json")
-    if (!Files.exists(sidecar)) return all
-    val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
-    val stats = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
-      .collect { case entry(f, mn, mx) => f -> (mn.toLong, mx.toLong) }.toMap
+    val sidecar = statsFile(path, v, col)
+    if (!exists(sidecar)) return all
+    val stats = parseStats(sidecar)
     all.filter { abs =>
-      val rel = Paths.get(path).relativize(Paths.get(abs)).toString
-      stats.get(rel) match {
+      stats.get(relOf(path, abs)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // unknown file: keep
       }
@@ -302,14 +402,11 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val all = filesAt(path, cur)
-    val sidecar = versionsDir(path).resolve(f"v$cur%08d.stats.${idCol}.json")
-    val rel = (abs: String) => Paths.get(path).relativize(Paths.get(abs)).toString
+    val sidecar = statsFile(path, cur, idCol)
     val (touchedAbs, carriedRel) =
-      if (!Files.exists(sidecar)) (all, Seq.empty[String]) // no stats: full COW
+      if (!exists(sidecar)) (all, Seq.empty[String]) // no stats: full COW
       else {
-        val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
-        val stats = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
-          .collect { case entry(f, mn, mx) => (f, mn.toLong, mx.toLong) }.toSeq
+        val stats = parseStats(sidecar).toSeq.map { case (f, (mn, mx)) => (f, mn, mx) }
         val statMap = stats.map(s => s._1 -> (s._2, s._3)).toMap
         // which file ranges does the churn hit? churn-sized join against
         // the (tiny, broadcast) interval list — ids never collect
@@ -319,9 +416,9 @@ object VersionedTable {
           .join(broadcast(intervals),
             c("__id") >= c("__lo") && c("__id") <= c("__hi"))
           .select("__file").distinct().collect().map(_.getString(0)).toSet
-        val (t, carry) = all.partition(a => statMap.get(rel(a)).isEmpty ||
-          touched.contains(rel(a)))
-        (t, carry.map(rel))
+        val (t, carry) = all.partition(a => statMap.get(relOf(path, a)).isEmpty ||
+          touched.contains(relOf(path, a)))
+        (t, carry.map(relOf(path, _)))
       }
     // rewrite = merge the changes into ONLY the touched files' rows;
     // added ids live in no file, so they always join the rewrite batch
@@ -349,26 +446,24 @@ object VersionedTable {
   private def refreshStatsSidecar(spark: SparkSession, path: String,
       fromV: Long, toV: Long, statCol: String,
       carriedRel: Seq[String], newFiles: Seq[String]): Unit = {
-    val sidecar = versionsDir(path).resolve(f"v$fromV%08d.stats.${statCol}.json")
-    if (!Files.exists(sidecar)) return
+    val sidecar = statsFile(path, fromV, statCol)
+    if (!exists(sidecar)) return
     val entry = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
-    val old = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
+    val old = readUtf8(sidecar).split("\n")
       .collect { case e @ entry(f, _, _) => f -> e }.toMap
     val carried = carriedRel.flatMap(f => old.get(f))
     val fresh = fileStats(spark, path,
-        newFiles.map(f => Paths.get(path).resolve(f).toString), statCol)
+        newFiles.map(f => new HPath(rootPath(path), f).toString), statCol)
       .toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
         s"""{"file":"${esc(f)}","min":$lo,"max":$hi}"""
       }
-    val target = versionsDir(path).resolve(f"v$toV%08d.stats.${statCol}.json")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, (carried ++ fresh).mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    writeReplace(path, statsFile(path, toV, statCol),
+      (carried ++ fresh).mkString("\n").getBytes("UTF-8"))
   }
 
   /** Manifest action label of a version (empty if unparseable). */
   def actionAt(path: String, v: Long): String = {
-    val txt = new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
+    val txt = readUtf8(versionFile(path, v))
     """"action":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
   }
 
@@ -395,9 +490,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val newFiles = stage(df, path)
     val files = mode match {
-      case "append" =>
-        filesAt(path, cur).map(a =>
-          Paths.get(path).relativize(Paths.get(a)).toString) ++ newFiles
+      case "append" => filesAt(path, cur).map(relOf(path, _)) ++ newFiles
       case "overwrite" => newFiles
       case other => throw new IllegalArgumentException(
         s"VersionedTable.commitStreamBatch: mode must be append|overwrite, got $other")
@@ -454,9 +547,9 @@ object VersionedTable {
     require(sel.nonEmpty,
       s"VersionedTable.optimizePartitioned: no files in partitions $values")
     val selSet = sel.toSet
-    val rel = (abs: String) => Paths.get(path).relativize(Paths.get(abs)).toString
-    val carriedRel = filesAt(path, cur).filterNot(selSet).map(rel)
-    val bytes = sel.map(f => new File(f).length()).sum
+    val carriedRel = filesAt(path, cur).filterNot(selSet).map(relOf(path, _))
+    val fs = fsOf(dataDir(path))
+    val bytes = sel.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val parts = math.max(values.length,
       math.ceil(bytes.toDouble / targetBytes).toInt)
     val arranged = spark.read.option("basePath", dataDir(path).toString)
@@ -496,28 +589,27 @@ object VersionedTable {
   private def stagePartitioned(df: DataFrame, path: String,
       partCol: String): Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = Paths.get(path, s".staging-$commitId")
+    val tmp = new HPath(rootPath(path), s".staging-$commitId")
     df.write.partitionBy(partCol).parquet(tmp.toString)
-    Files.createDirectories(dataDir(path))
-    val partDirs = tmp.toFile.listFiles()
-      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
-      .sortBy(_.getName)
+    val fs = fsOf(tmp)
+    fs.mkdirs(dataDir(path))
+    val partDirs = fs.listStatus(tmp)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(partCol + "="))
+      .sortBy(_.getPath.getName)
     val rel = partDirs.flatMap { pd =>
-      val target = dataDir(path).resolve(pd.getName)
-      Files.createDirectories(target)
-      pd.listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      val target = new HPath(dataDir(path), pd.getPath.getName)
+      fs.mkdirs(target)
+      fs.listStatus(pd.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
         .zipWithIndex.map { case (p, i) =>
           val name = f"$commitId-part$i%05d.parquet"
-          Files.move(p.toPath, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          s"data/${pd.getName}/$name"
+          require(fs.rename(p.getPath, new HPath(target, name)),
+            s"VersionedTable: staging rename failed for ${p.getPath}")
+          s"data/${pd.getPath.getName}/$name"
         }
     }.toSeq
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(tmp.toFile)
+    fs.delete(tmp, true)
     rel
   }
 
@@ -546,9 +638,8 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val newFiles = stagePartitioned(df, path, partCol)
-    val old = filesAt(path, cur)
-      .map(a => Paths.get(path).relativize(Paths.get(a)).toString)
-    def dirOf(rel: String) = Paths.get(rel).getParent.getFileName.toString
+    val old = filesAt(path, cur).map(relOf(path, _))
+    def dirOf(rel: String) = new HPath(rel).getParent.getName
     val files = mode match {
       case "append" => old ++ newFiles
       case "overwrite" => newFiles
@@ -570,7 +661,7 @@ object VersionedTable {
   def partitionsAt(path: String, v: Long, partCol: String): Seq[String] = {
     val pre = partCol + "="
     filesAt(path, v).flatMap { abs =>
-      val parent = Paths.get(abs).getParent.getFileName.toString
+      val parent = new HPath(abs).getParent.getName
       if (parent.startsWith(pre)) Some(parent.stripPrefix(pre)) else None
     }.distinct.sorted
   }
@@ -581,7 +672,7 @@ object VersionedTable {
       values: Seq[String]): Seq[String] = {
     val want = values.map(x => s"$partCol=$x").toSet
     filesAt(path, v).filter(abs =>
-      want.contains(Paths.get(abs).getParent.getFileName.toString))
+      want.contains(new HPath(abs).getParent.getName))
   }
 
   /** Partition-pruned read: only the named partitions' files are ever
@@ -619,23 +710,27 @@ object VersionedTable {
 
   // ---- row-count sidecar: metadata-only aggregates ----
 
+  /** Table-relative form of an `input_file_name()` URI; URI decode
+    * first (the scan reports percent-encoded URIs), then the same
+    * prefix strip as [[relOf]] against the QUALIFIED root (the scan's
+    * URIs are always absolute, the root may be relative). */
   private def relPathOf(path: String, fileUri: String): String = {
-    val abs = Paths.get(new java.net.URI(fileUri).getPath)
-    try Paths.get(path).toAbsolutePath.normalize
-      .relativize(abs.toAbsolutePath.normalize).toString
-    catch { case _: IllegalArgumentException =>
-      s"data/${abs.getFileName.toString}" }
+    val a = new java.net.URI(fileUri).getPath
+    val p = new HPath(path)
+    val root = fsOf(p).makeQualified(p).toUri.getPath
+    if (a != null && a.startsWith(root + "/")) a.substring(root.length + 1)
+    else s"data/${a.substring(a.lastIndexOf('/') + 1)}"
   }
 
   private def relsAt(path: String, v: Long): Seq[String] =
-    filesAt(path, v).map(a => Paths.get(path).relativize(Paths.get(a)).toString)
+    filesAt(path, v).map(relOf(path, _))
 
-  private def countsFile(path: String, v: Long): Path =
-    versionsDir(path).resolve(f"v$v%08d.counts.json")
+  private def countsFile(path: String, v: Long): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.counts.json")
 
-  private def parseCounts(p: Path): Map[String, Long] = {
+  private def parseCounts(p: HPath): Map[String, Long] = {
     val entry = """\{"file":"([^"]+)","rows":(\d+)\}""".r
-    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+    readUtf8(p).split("\n")
       .collect { case entry(f, n) => f -> n.toLong }.toMap
   }
 
@@ -648,7 +743,7 @@ object VersionedTable {
   def writeCounts(spark: SparkSession, path: String, v: Long): Unit = {
     val rels = relsAt(path, v)
     val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
-      .map(pv => countsFile(path, pv)).filter(Files.exists(_))
+      .map(pv => countsFile(path, pv)).filter(exists)
       .foldLeft(Map.empty[String, Long])((acc, p) => parseCounts(p) ++ acc)
     val fresh = rels.filterNot(prior.contains)
     val measured: Map[String, Long] =
@@ -656,7 +751,7 @@ object VersionedTable {
       else {
         import org.apache.spark.sql.functions.{count, input_file_name, lit}
         spark.read.option("basePath", dataDir(path).toString)
-          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .parquet(fresh.map(f => new HPath(rootPath(path), f).toString): _*)
           .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
           .collect()
           .map(r => relPathOf(path, r.getString(0)) -> r.getLong(1)).toMap
@@ -664,9 +759,7 @@ object VersionedTable {
     val body = rels.map(f => f -> prior.getOrElse(f, measured.getOrElse(f, 0L)))
       .sortBy(_._1)
       .map { case (f, n) => s"""{"file":"${esc(f)}","rows":$n}""" }.mkString("\n")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, countsFile(path, v), StandardCopyOption.REPLACE_EXISTING)
+    writeReplace(path, countsFile(path, v), body.getBytes("UTF-8"))
   }
 
   /** Exact row count of a version from the manifest + counts sidecar
@@ -675,7 +768,7 @@ object VersionedTable {
     * a metadata answer must never silently undercount. */
   def countAt(path: String, v: Long): Option[Long] = {
     val p = countsFile(path, v)
-    if (!Files.exists(p)) return None
+    if (!exists(p)) return None
     val counts = parseCounts(p)
     val rels = relsAt(path, v)
     if (rels.forall(counts.contains)) Some(rels.map(counts).sum) else None
@@ -689,13 +782,13 @@ object VersionedTable {
   def partitionRowCounts(path: String, v: Long,
       partCol: String): Option[Seq[(String, Long)]] = {
     val p = countsFile(path, v)
-    if (!Files.exists(p)) return None
+    if (!exists(p)) return None
     val counts = parseCounts(p)
     val rels = relsAt(path, v)
     if (!rels.forall(counts.contains)) return None
     val pre = partCol + "="
     Some(rels.groupBy { rel =>
-        val parent = Paths.get(rel).getParent.getFileName.toString
+        val parent = new HPath(rel).getParent.getName
         require(parent.startsWith(pre),
           s"VersionedTable.partitionRowCounts: $rel is not under $pre<value>/")
         parent.stripPrefix(pre)
@@ -705,12 +798,12 @@ object VersionedTable {
 
   // ---- sum sidecar: metadata-only SUM aggregates ----
 
-  private def sumFile(path: String, v: Long, col: String): Path =
-    versionsDir(path).resolve(f"v$v%08d.sum.${col}.json")
+  private def sumFile(path: String, v: Long, col: String): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.sum.${col}.json")
 
-  private def parseSums(p: Path): Map[String, Long] = {
+  private def parseSums(p: HPath): Map[String, Long] = {
     val entry = """\{"file":"([^"]+)","sum":(-?\d+)\}""".r
-    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+    readUtf8(p).split("\n")
       .collect { case entry(f, n) => f -> n.toLong }.toMap
   }
 
@@ -726,7 +819,7 @@ object VersionedTable {
   def writeSums(spark: SparkSession, path: String, v: Long, col: String): Unit = {
     val rels = relsAt(path, v)
     val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
-      .map(pv => sumFile(path, pv, col)).filter(Files.exists(_))
+      .map(pv => sumFile(path, pv, col)).filter(exists)
       .foldLeft(Map.empty[String, Long])((acc, p) => parseSums(p) ++ acc)
     val fresh = rels.filterNot(prior.contains)
     val measured: Map[String, Long] =
@@ -734,7 +827,7 @@ object VersionedTable {
       else {
         import org.apache.spark.sql.functions.{input_file_name, sum, col => c}
         spark.read.option("basePath", dataDir(path).toString)
-          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .parquet(fresh.map(f => new HPath(rootPath(path), f).toString): _*)
           .groupBy(input_file_name().as("__f"))
           .agg(sum(c(col).cast("long")).as("__s"))
           .collect()
@@ -744,16 +837,14 @@ object VersionedTable {
     val body = rels.map(f => f -> prior.getOrElse(f, measured.getOrElse(f, 0L)))
       .sortBy(_._1)
       .map { case (f, n) => s"""{"file":"${esc(f)}","sum":$n}""" }.mkString("\n")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, sumFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+    writeReplace(path, sumFile(path, v, col), body.getBytes("UTF-8"))
   }
 
   /** Exact SUM of `col` at version `v` from metadata alone; coverage
     * rule as [[countAt]]. */
   def sumAt(path: String, v: Long, col: String): Option[Long] = {
     val p = sumFile(path, v, col)
-    if (!Files.exists(p)) return None
+    if (!exists(p)) return None
     val sums = parseSums(p)
     val rels = relsAt(path, v)
     if (rels.forall(sums.contains)) Some(rels.map(sums).sum) else None
@@ -764,13 +855,13 @@ object VersionedTable {
   def partitionSums(path: String, v: Long, partCol: String,
       col: String): Option[Seq[(String, Long)]] = {
     val p = sumFile(path, v, col)
-    if (!Files.exists(p)) return None
+    if (!exists(p)) return None
     val sums = parseSums(p)
     val rels = relsAt(path, v)
     if (!rels.forall(sums.contains)) return None
     val pre = partCol + "="
     Some(rels.groupBy { rel =>
-        val parent = Paths.get(rel).getParent.getFileName.toString
+        val parent = new HPath(rel).getParent.getName
         require(parent.startsWith(pre),
           s"VersionedTable.partitionSums: $rel is not under $pre<value>/")
         parent.stripPrefix(pre)
@@ -780,17 +871,17 @@ object VersionedTable {
 
   // ---- moments sidecar: metadata-only quantile summaries ----
 
-  private def momentsFile(path: String, v: Long, col: String): Path =
-    versionsDir(path).resolve(f"v$v%08d.moments.${col}.json")
+  private def momentsFile(path: String, v: Long, col: String): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.moments.${col}.json")
 
   /** (n, lo, hi, s1..s4) — sums as exact decimal digit strings (they
     * overflow long long before DECIMAL(38,0) does). lo/hi meaningful
     * only when n > 0. */
-  private def parseMoments(p: Path)
+  private def parseMoments(p: HPath)
       : Map[String, (Long, Long, Long, Seq[BigInt])] = {
     val entry = ("""\{"file":"([^"]+)","n":(\d+),"lo":(-?\d+),"hi":(-?\d+),""" +
       """"s1":"(-?\d+)","s2":"(-?\d+)","s3":"(-?\d+)","s4":"(-?\d+)"\}""").r
-    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+    readUtf8(p).split("\n")
       .collect { case entry(f, n, lo, hi, s1, s2, s3, s4) =>
         f -> ((n.toLong, lo.toLong, hi.toLong,
           Seq(s1, s2, s3, s4).map(BigInt(_))))
@@ -815,7 +906,7 @@ object VersionedTable {
       col: String): Unit = {
     val rels = relsAt(path, v)
     val prior = versions(path).filter(_ <= v).reverse
-      .map(pv => momentsFile(path, pv, col)).filter(Files.exists(_))
+      .map(pv => momentsFile(path, pv, col)).filter(exists)
       .foldLeft(Map.empty[String, (Long, Long, Long, Seq[BigInt])])(
         (acc, p) => parseMoments(p) ++ acc)
     val fresh = rels.filterNot(prior.contains)
@@ -825,7 +916,7 @@ object VersionedTable {
         import org.apache.spark.sql.functions.input_file_name
         graft.operators.Sketch.momentsSketch(
             spark.read.option("basePath", dataDir(path).toString)
-              .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+              .parquet(fresh.map(f => new HPath(rootPath(path), f).toString): _*)
               .select(input_file_name().as("__f"),
                 org.apache.spark.sql.functions.col(col)),
             Seq("__f"), org.apache.spark.sql.functions.col(col))
@@ -843,9 +934,7 @@ object VersionedTable {
         s"""{"file":"${esc(f)}","n":$n,"lo":$lo,"hi":$hi,""" +
           s""""s1":"${ss(0)}","s2":"${ss(1)}","s3":"${ss(2)}","s4":"${ss(3)}"}"""
       }.mkString("\n")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, momentsFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+    writeReplace(path, momentsFile(path, v, col), body.getBytes("UTF-8"))
   }
 
   /** Merge a set of per-file moment entries: sums add, min/max fold
@@ -867,7 +956,7 @@ object VersionedTable {
   def momentsAt(path: String, v: Long, col: String)
       : Option[(Long, Long, Long, Seq[BigInt])] = {
     val p = momentsFile(path, v, col)
-    if (!Files.exists(p)) return None
+    if (!exists(p)) return None
     val m = parseMoments(p)
     val rels = relsAt(path, v)
     if (rels.forall(m.contains)) Some(mergeMoments(rels.map(m))) else None
@@ -878,13 +967,13 @@ object VersionedTable {
   def partitionMoments(path: String, v: Long, partCol: String, col: String)
       : Option[Seq[(String, (Long, Long, Long, Seq[BigInt]))]] = {
     val p = momentsFile(path, v, col)
-    if (!Files.exists(p)) return None
+    if (!exists(p)) return None
     val m = parseMoments(p)
     val rels = relsAt(path, v)
     if (!rels.forall(m.contains)) return None
     val pre = partCol + "="
     Some(rels.groupBy { rel =>
-        val parent = Paths.get(rel).getParent.getFileName.toString
+        val parent = new HPath(rel).getParent.getName
         require(parent.startsWith(pre),
           s"VersionedTable.partitionMoments: $rel is not under $pre<value>/")
         parent.stripPrefix(pre)
@@ -894,12 +983,12 @@ object VersionedTable {
 
   // ---- NDV sketch sidecar: metadata-only distinct estimates ----
 
-  private def ndvFile(path: String, v: Long, col: String): Path =
-    versionsDir(path).resolve(f"v$v%08d.ndv.${col}.json")
+  private def ndvFile(path: String, v: Long, col: String): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.ndv.${col}.json")
 
-  private def parseNdv(p: Path): Map[String, (Int, Map[Int, Int])] = {
+  private def parseNdv(p: HPath): Map[String, (Int, Map[Int, Int])] = {
     val entry = """\{"file":"([^"]+)","p":(\d+),"regs":"([^"]*)"\}""".r
-    new String(Files.readAllBytes(p), "UTF-8").split("\n")
+    readUtf8(p).split("\n")
       .collect { case entry(f, pp, rs) =>
         val regs = rs.split(",").iterator.filter(_.nonEmpty).map { kv =>
           val Array(i, r) = kv.split(":")
@@ -930,7 +1019,7 @@ object VersionedTable {
     val rels = relsAt(path, v)
     val prior: Map[String, (Int, Map[Int, Int])] =
       versions(path).filter(_ <= v).reverse
-        .map(pv => ndvFile(path, pv, col)).filter(Files.exists(_))
+        .map(pv => ndvFile(path, pv, col)).filter(exists)
         .foldLeft(Map.empty[String, (Int, Map[Int, Int])]) { (acc, f) =>
           parseNdv(f).filter(_._2._1 == p) ++ acc
         }
@@ -944,7 +1033,7 @@ object VersionedTable {
         val rho = when(y === 0L, lit(W + 1))
           .otherwise(lit(W + 1) - length(bin(y)))
         spark.read.option("basePath", dataDir(path).toString)
-          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .parquet(fresh.map(f => new HPath(rootPath(path), f).toString): _*)
           .filter(c(col).isNotNull)
           .select(input_file_name().as("__f"), c(col).cast("string").as("__s"))
           .select(c("__f"), pmod(h, lit((1 << p).toLong)).cast("int").as("__idx"),
@@ -961,9 +1050,7 @@ object VersionedTable {
       val rs = regs.toSeq.sorted.map { case (i, r) => s"$i:$r" }.mkString(",")
       s"""{"file":"${esc(rel)}","p":$p,"regs":"$rs"}"""
     }.mkString("\n")
-    val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, ndvFile(path, v, col), StandardCopyOption.REPLACE_EXISTING)
+    writeReplace(path, ndvFile(path, v, col), body.getBytes("UTF-8"))
   }
 
   /** Approx distinct of `col` at version `v` from the manifest + NDV
@@ -973,7 +1060,7 @@ object VersionedTable {
     * the sidecar is missing or does not cover every manifest file. */
   def ndvAt(path: String, v: Long, col: String): Option[(Long, Long)] = {
     val side = ndvFile(path, v, col)
-    if (!Files.exists(side)) return None
+    if (!exists(side)) return None
     val entries = parseNdv(side)
     val rels = relsAt(path, v)
     if (!rels.forall(entries.contains)) return None
@@ -1001,7 +1088,7 @@ object VersionedTable {
   def partitionNdv(path: String, v: Long, partCol: String,
       col: String): Option[Seq[(String, (Long, Long))]] = {
     val side = ndvFile(path, v, col)
-    if (!Files.exists(side)) return None
+    if (!exists(side)) return None
     val entries = parseNdv(side)
     val rels = relsAt(path, v)
     if (!rels.forall(entries.contains)) return None
@@ -1012,7 +1099,7 @@ object VersionedTable {
     val W = graft.operators.Sketch.HllW
     val pre = partCol + "="
     Some(rels.groupBy { rel =>
-        val parent = Paths.get(rel).getParent.getFileName.toString
+        val parent = new HPath(rel).getParent.getName
         require(parent.startsWith(pre),
           s"VersionedTable.partitionNdv: $rel is not under $pre<value>/")
         parent.stripPrefix(pre)
@@ -1040,20 +1127,18 @@ object VersionedTable {
     * At 10^11 rows the sidecar totals ~2 B/row; partition alignment
     * is what keeps the driver-side probe cost proportional to the
     * data the query can touch, not the data the table holds. */
-  private def bloomDir(path: String, v: Long, col: String): Path =
-    versionsDir(path).resolve(f"v$v%08d.bloom.${col}.d")
+  private def bloomDir(path: String, v: Long, col: String): HPath =
+    new HPath(versionsDir(path), f"v$v%08d.bloom.${col}.d")
 
   private def bloomShardOf(rel: String): String =
-    Paths.get(rel).getParent.getFileName.toString
+    new HPath(rel).getParent.getName
 
-  private def readBloomLines(dir: Path, shards: Option[Set[String]]): Seq[String] =
-    if (!Files.exists(dir)) Seq.empty
-    else Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+  private def readBloomLines(dir: HPath, shards: Option[Set[String]]): Seq[String] =
+    listNames(dir)
       .filter(f => shards.forall(s => s.contains(
-        f.getName.stripSuffix(".json"))))
-      .sortBy(_.getName)
-      .flatMap(f => new String(Files.readAllBytes(f.toPath), "UTF-8")
-        .split("\n").filter(_.nonEmpty)).toSeq
+        f.getPath.getName.stripSuffix(".json"))))
+      .sortBy(_.getPath.getName)
+      .flatMap(f => readUtf8(f.getPath).split("\n").filter(_.nonEmpty))
 
   private def bloomTagA(col: String) = s"vtbloom-a:$col"
   private def bloomTagB(col: String) = s"vtbloom-b:$col"
@@ -1112,7 +1197,7 @@ object VersionedTable {
       if (fresh.isEmpty) Map.empty
       else {
         val rows = spark.read.option("basePath", dataDir(path).toString)
-          .parquet(fresh.map(f => Paths.get(path).resolve(f).toString): _*)
+          .parquet(fresh.map(f => new HPath(rootPath(path), f).toString): _*)
           .filter(c(col).isNotNull)
           .select(input_file_name().as("__f"), c(col).cast("string").as("__s"))
         val sizes = rows.groupBy("__f").agg(count(lit(1)).as("__n"))
@@ -1142,14 +1227,11 @@ object VersionedTable {
         }.toMap
       }
     val dir = bloomDir(path, v, col)
-    Files.createDirectories(dir)
+    fsOf(dir).mkdirs(dir)
     rels.groupBy(bloomShardOf).foreach { case (shard, shardRels) =>
       val body = shardRels.sorted
         .map(rel => prior.getOrElse(rel, freshLines(rel))).mkString("\n")
-      val tmp = versionsDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes("UTF-8"))
-      Files.move(tmp, dir.resolve(s"$shard.json"),
-        StandardCopyOption.REPLACE_EXISTING)
+      writeReplace(path, new HPath(dir, s"$shard.json"), body.getBytes("UTF-8"))
     }
   }
 
@@ -1170,9 +1252,8 @@ object VersionedTable {
   def filesForKeysAmong(path: String, v: Long, col: String,
       keys: Seq[String], candidates: Seq[String]): Seq[String] = {
     val dir = bloomDir(path, v, col)
-    if (!Files.exists(dir)) return candidates
-    val rels = candidates.map(abs =>
-      abs -> Paths.get(path).relativize(Paths.get(abs)).toString)
+    if (!exists(dir)) return candidates
+    val rels = candidates.map(abs => abs -> relOf(path, abs))
     val shards = rels.map { case (_, rel) => bloomShardOf(rel) }.toSet
     val entry = """\{"file":"([^"]+)","m":(\d+),"k":(\d+),"words":"([^"]*)"\}""".r
     val blooms = readBloomLines(dir, Some(shards))
@@ -1255,7 +1336,8 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val files = filesAt(path, cur)
-    val bytes = files.map(f => new File(f).length()).sum
+    val fs = fsOf(dataDir(path))
+    val bytes = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readVersion(spark, path, cur).repartition(parts)
     val newFiles = stage(df, path)
@@ -1280,7 +1362,8 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val files = filesAt(path, cur)
-    val bytes = files.map(f => new File(f).length()).sum
+    val fs = fsOf(dataDir(path))
+    val bytes = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readVersion(spark, path, cur)
     val laid =
@@ -1317,31 +1400,31 @@ object VersionedTable {
     // liveness keyed by path relative to data/ — partitioned layouts
     // reuse file NAMES across `k=v` subdirs, so a bare-name key could
     // never reclaim a dead partition file shadowed by a live namesake
+    val dataRoot = dataDir(path).toUri.getPath
     val live = keep.flatMap(filesAt(path, _))
-      .map(a => dataDir(path).toAbsolutePath.normalize
-        .relativize(Paths.get(a).toAbsolutePath.normalize).toString).toSet
+      .map { a =>
+        val ap = new HPath(a).toUri.getPath
+        if (ap.startsWith(dataRoot + "/")) ap.substring(dataRoot.length + 1) else ap
+      }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    def sweep(dir: File, prefix: String): Unit =
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory) sweep(f, prefix + f.getName + "/")
-        else if (!live.contains(prefix + f.getName) && f.lastModified() < cutoff)
-          f.delete()
+    val fs = fsOf(dataDir(path))
+    def sweep(dir: HPath, prefix: String): Unit =
+      listNames(dir).foreach { s =>
+        if (s.isDirectory) sweep(s.getPath, prefix + s.getPath.getName + "/")
+        else if (!live.contains(prefix + s.getPath.getName) &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, false)
       }
-    sweep(dataDir(path).toFile, "")
+    sweep(dataDir(path), "")
     drop.foreach { v =>
-      Files.deleteIfExists(versionFile(path, v))
+      fs.delete(versionFile(path, v), false)
       // every sidecar of the dropped version goes with it (stats,
       // counts, sums, ndv, bloom — the manifest was deleted above, so
       // the version-number prefix is the whole family; bloom sidecars
       // are shard DIRECTORIES, deleted recursively)
-      def rmr(f: File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-        f.delete(): Unit
-      }
-      Option(versionsDir(path).toFile.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(f"v$v%08d."))
-        .foreach(rmr)
+      listNames(versionsDir(path))
+        .filter(_.getPath.getName.startsWith(f"v$v%08d."))
+        .foreach(s => fs.delete(s.getPath, true))
     }
   }
 }

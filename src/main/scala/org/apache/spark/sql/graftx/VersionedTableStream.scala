@@ -139,7 +139,7 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       else
         spark.read
-          .option("basePath", java.nio.file.Paths.get(path, "data").toString)
+          .option("basePath", new org.apache.hadoop.fs.Path(path, "data").toString)
           .parquet(newFiles.sorted: _*)
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     // FileStreamSource's mechanism: re-tag the batch plan as streaming so

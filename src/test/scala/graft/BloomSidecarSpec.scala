@@ -12,6 +12,25 @@ class BloomSidecarSpec extends SparkSpec {
   private def fresh() =
     java.nio.file.Files.createTempDirectory("graft_vtb").toString + "/t"
 
+  // sidecar tamper tools speak the SAME Hadoop FileSystem the table
+  // does (the local default is ChecksumFileSystem: editing bytes behind
+  // its back would fail crc verification, and rightly so)
+  private def hfs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+  private def readText(p: String): String = {
+    val in = hfs(p).open(new org.apache.hadoop.fs.Path(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+  private def writeText(p: String, s: String): Unit = {
+    val out = hfs(p).create(new org.apache.hadoop.fs.Path(p), true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+  private def deleteFile(p: String): Unit =
+    hfs(p).delete(new org.apache.hadoop.fs.Path(p), false)
+  private def listDir(p: String): Seq[String] =
+    hfs(p).listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted.toSeq
+
   private def dataFiles(path: String, v: Long): Seq[String] =
     VersionedTable.filesAt(path, v)
 
@@ -82,20 +101,18 @@ class BloomSidecarSpec extends SparkSpec {
     VersionedTable.writeBloom(spark, path, v0, "k")
     // corrupt a v0 word: a re-measure would regenerate the true bits;
     // a carry keeps the wound — proving old files never re-hash
-    val side = java.nio.file.Paths.get(path, "_versions",
-      f"v$v0%08d.bloom.k.d", "data.json")
-    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val side = s"$path/_versions/" + f"v$v0%08d.bloom.k.d" + "/data.json"
+    val body = readText(side)
     val pos = body.indexOf(':', body.indexOf("\"words\":\"") + 9) + 1
     val repl = if (body(pos) == 'f') '1' else 'f'
     val tampered = body.substring(0, pos) + repl + body.substring(pos + 1)
     assert(tampered != body)
-    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    writeText(side, tampered)
     val v1 = VersionedTable.commit(
       spark.range(300, 400).select($"id".as("k")), path, "append")
     VersionedTable.writeBloom(spark, path, v1, "k")
-    val v1body = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_versions",
-        f"v$v1%08d.bloom.k.d", "data.json")), "UTF-8")
+    val v1body = readText(
+      s"$path/_versions/" + f"v$v1%08d.bloom.k.d" + "/data.json")
     val woundLine = tampered.split("\n")
       .zip(body.split("\n")).find(p => p._1 != p._2).get._1
     assert(v1body.contains(woundLine), "v1 refresh re-hashed carried files")
@@ -139,10 +156,10 @@ class BloomSidecarSpec extends SparkSpec {
     assert(VersionedTable.countAt(path, v1) === None) // v1 sidecar not written
     // tamper one v0 entry: if the v1 refresh re-measured old files the
     // tamper would vanish; carrying it proves the refresh is O(commit)
-    val side = java.nio.file.Paths.get(path, "_versions", f"v$v0%08d.counts.json")
-    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val side = s"$path/_versions/" + f"v$v0%08d.counts.json"
+    val body = readText(side)
     val tampered = body.replaceFirst(""""rows":(\d+)\}""", """"rows":999999}""")
-    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    writeText(side, tampered)
     VersionedTable.writeCounts(spark, path, v1)
     val n1 = VersionedTable.countAt(path, v1).get
     assert(n1 != 1250L, "v1 refresh re-measured carried files (not O(commit))")
@@ -204,12 +221,11 @@ class BloomSidecarSpec extends SparkSpec {
     val v1 = VersionedTable.commitPartitioned(
       spark.range(900, 1000).select($"id", lit("g0").as("p"),
         ($"id" % 11L).as("x")), path, "p", "append")
-    val side = java.nio.file.Paths.get(path, "_versions",
-      f"v$v0%08d.moments.x.json")
-    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val side = s"$path/_versions/" + f"v$v0%08d.moments.x.json"
+    val body = readText(side)
     val tampered = body.replaceFirst(""""s1":"(-?\d+)"""", """"s1":"999999999"""")
     assert(tampered != body)
-    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    writeText(side, tampered)
     VersionedTable.writeMoments(spark, path, v1, "x")
     val m1 = VersionedTable.momentsAt(path, v1, "x").get
     assert(m1._4(0) != ss(0) + (900L until 1000L).map(_ % 11L).sum,
@@ -255,13 +271,12 @@ class BloomSidecarSpec extends SparkSpec {
       path, "append")
     assert(VersionedTable.ndvAt(path, v1, "s") === None) // v1 not covered yet
     // tamper a v0 register: a re-measure would erase it; a carry keeps it
-    val side = java.nio.file.Paths.get(path, "_versions", f"v$v0%08d.ndv.s.json")
-    val body = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    val side = s"$path/_versions/" + f"v$v0%08d.ndv.s.json"
+    val body = readText(side)
     val tampered = body.replaceFirst(""""regs":"(\d+):(\d+)""", "\"regs\":\"$1:41")
-    java.nio.file.Files.write(side, tampered.getBytes("UTF-8"))
+    writeText(side, tampered)
     VersionedTable.writeNdv(spark, path, v1, "s", p = 6)
-    val v1body = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_versions", f"v$v1%08d.ndv.s.json")), "UTF-8")
+    val v1body = readText(s"$path/_versions/" + f"v$v1%08d.ndv.s.json")
     assert(v1body.contains(":41"), "v1 refresh re-measured carried files")
   }
 
@@ -302,15 +317,14 @@ class BloomSidecarSpec extends SparkSpec {
       concat(lit("g"), pmod($"id", lit(3L))).as("p"))
     val v = VersionedTable.createPartitioned(df, path, "p")
     VersionedTable.writeBloom(spark, path, v, "id")
-    val dir = java.nio.file.Paths.get(path, "_versions", f"v$v%08d.bloom.id.d")
-    assert(dir.toFile.listFiles().map(_.getName).sorted ===
-      Array("p=g0.json", "p=g1.json", "p=g2.json"))
+    val dir = s"$path/_versions/" + f"v$v%08d.bloom.id.d"
+    assert(listDir(dir) === Seq("p=g0.json", "p=g1.json", "p=g2.json"))
     // scope candidates to ONE partition, then DELETE the other shards:
     // a scoped probe that touched them would now misbehave — it can't,
     // because it never reads them
     val cand = VersionedTable.filesForPartitions(path, v, "p", Seq("g1"))
-    java.nio.file.Files.delete(dir.resolve("p=g0.json"))
-    java.nio.file.Files.delete(dir.resolve("p=g2.json"))
+    deleteFile(s"$dir/p=g0.json")
+    deleteFile(s"$dir/p=g2.json")
     // id 7 is in g1 (7%3=1): exactly its file survives among candidates
     val hit = VersionedTable.filesForKeysAmong(path, v, "id", Seq("7"), cand)
     assert(hit.nonEmpty && hit.size < cand.size)
