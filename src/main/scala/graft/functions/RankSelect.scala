@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics for UNGROUPED (whole-column)
+  * quantiles — the scale path for `describe` / `equiDepthBins` /
+  * `winsorize` / `madOutliers` / `driftPsi`.
+  *
+  * The buffered [[InterpolatedQuantile]] aggregate is the right tool for
+  * GROUPED and WINDOWED quantiles (O(group) buffer is the honest cost of
+  * exactness there), but run ungrouped its final merge concentrates the
+  * whole column into ONE task's buffer — at 10^12 values that is an OOM,
+  * not a slowdown. This object answers the same order statistics by
+  * iterative rank search instead: histogram passes narrow each wanted
+  * rank's value interval geometrically until the interval collapses to
+  * the order statistic itself. No task ever holds more than a
+  * (targets × buckets) count map; the driver holds one (count, min, max)
+  * row per (target, bucket) per pass.
+  *
+  * One pass handles EVERY requested rank of EVERY requested column at
+  * once (describe's q1/median/q3 over n columns = one pass sequence, not
+  * 3n), and each pass is: scan → per-row explode of the ≤targets
+  * interval hits → partial-merged (count, min, max) by (target, bucket)
+  * → ≤ targets·B rows to the driver. Convergence: the next interval is
+  * the chosen bucket's actual data [min, max], so every pass either
+  * resolves a target (min == max — also what terminates duplicate-heavy
+  * columns) or shrinks its interval ≥ (B−2)×; the full double range
+  * collapses in < 200 passes worst-case and ≤ 8 on real data.
+  *
+  * Ordering semantics are Spark SQL's (NaN greatest, NaN == NaN,
+  * -0.0 == 0.0), which agree with the buffered aggregate's
+  * `Arrays.sort` on everything except the sign of a zero picked at a
+  * boundary — numerically identical.
+  *
+  * Exactness contract is spec'd as bit-equality against the buffered
+  * aggregate on adversarial layouts (duplicates, NaN/±Inf tails,
+  * sub-ULP neighbors, full-range spans).
+  */
+object RankSelect {
+
+  /** Buckets per refinement pass. 4096 keeps a pass's driver result
+    * ≤ targets·4096 tiny rows while shrinking intervals ~4000× each
+    * round. */
+  private val B = 4096
+
+  private final class Target(
+      val colName: String,
+      /** 1-based rank among the column's non-null values. */
+      val rankWanted: Long) {
+    var lo: Double = 0.0
+    var hi: Double = 0.0
+    /** rank within [lo, hi] (1-based). */
+    var rank: Long = rankWanted
+    var result: Option[Double] = None
+  }
+
+  /** Exact order statistics: for each (column, ranks) spec, the value
+    * whose 1-based rank among the column's non-null values (Spark
+    * ordering, NaN last) is `rank`. Requires every rank ∈ [1, N_col];
+    * throws if a column has no non-null values. */
+  def orderStatistics(df: DataFrame,
+      specs: Seq[(String, Seq[Long])]): Map[(String, Long), Double] = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "orderStatistics: empty spec")
+    val colNames = specs.map(_._1).distinct
+    // pass 0: per-column count / min / max (min & max resolve rank 1 / N
+    // immediately and seed every interval)
+    val aggs = colNames.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(count(x).as(s"${c}__n"), min(x).as(s"${c}__mn"), max(x).as(s"${c}__mx"))
+    }
+    val row0 = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = colNames.zipWithIndex.map { case (c, i) =>
+      c -> ((row0.getLong(i * 3),
+        if (row0.isNullAt(i * 3 + 1)) Double.NaN else row0.getDouble(i * 3 + 1),
+        if (row0.isNullAt(i * 3 + 2)) Double.NaN else row0.getDouble(i * 3 + 2)))
+    }.toMap
+    val targets = specs.flatMap { case (c, ranks) =>
+      val (n, mn, mx) = stats(c)
+      require(n > 0, s"orderStatistics: '$c' has no non-null values")
+      ranks.distinct.map { r =>
+        require(r >= 1 && r <= n, s"orderStatistics: rank $r outside [1, $n] for '$c'")
+        val t = new Target(c, r)
+        if (r == 1L) t.result = Some(mn)
+        else if (r == n) t.result = Some(mx)
+        else { t.lo = mn; t.hi = mx }
+        t
+      }
+    }
+
+    var pass = 0
+    while (targets.exists(_.result.isEmpty)) {
+      pass += 1
+      require(pass <= 300, "orderStatistics: failed to converge (300 passes)")
+      // PROBE DEDUP: targets sharing (column, interval) — every rank of a
+      // column on pass 1, and a lerp's adjacent order statistics
+      // thereafter — share one histogram instead of exploding per target
+      val active = targets.filter(_.result.isEmpty)
+        .groupBy(t => (t.colName, t.lo, t.hi)).values.map(_.toSeq).toSeq
+      val contribs = active.zipWithIndex.map { case (ts, i) =>
+        val t = ts.head
+        val x = col(t.colName).cast("double")
+        // finite clamps so the bucket width is finite even for ±Inf/NaN
+        // interval ends; NaN/+Inf route to the top bucket, −Inf to the
+        // bottom — each then resolves via its bucket's min == max
+        val loF = if (t.lo == Double.NegativeInfinity) -Double.MaxValue else t.lo
+        val hiF =
+          if (t.hi.isNaN || t.hi == Double.PositiveInfinity) Double.MaxValue
+          else t.hi
+        // divide ends separately: (hiF - loF) overflows to Inf when the
+        // interval spans most of the double range. −Inf, +Inf and NaN
+        // each get a PRIVATE bucket (0, B−2, B−1) in order position —
+        // sharing one would leave an [∞, NaN] interval unable to split
+        val w = math.max(hiF / (B - 3) - loF / (B - 3), java.lang.Double.MIN_VALUE)
+        val bucket =
+          when(isnan(x), lit(B - 1))
+            .when(x === Double.PositiveInfinity, lit(B - 2))
+            .when(x === Double.NegativeInfinity, lit(0))
+            .otherwise(lit(1) + least(lit((B - 4).toDouble),
+              greatest(lit(0.0), floor((x - loF) / w))).cast("int"))
+        // interval test in the NaN-greatest total order, written
+        // NaN-explicitly so it is correct under either Java or Spark
+        // comparison semantics for NaN
+        val geLo = if (t.lo.isNaN) isnan(x) else (x >= t.lo) || isnan(x)
+        val leHi =
+          if (t.hi.isNaN) lit(true) // NaN is the greatest: everything ≤ it
+          else if (t.hi == Double.PositiveInfinity) !isnan(x)
+          else (x <= t.hi) && !isnan(x)
+        when(x.isNotNull && geLo && leHi,
+          struct(lit(i).as("t"), bucket.as("b"), x.as("v")))
+      }
+      val perBucket = df
+        .select(explode(array_compact(array(contribs: _*))).as("c"))
+        .groupBy(col("c.t"), col("c.b"))
+        .agg(count(lit(1)).as("n"), min(col("c.v")).as("mn"),
+          max(col("c.v")).as("mx"))
+        .collect()
+        .groupBy(_.getInt(0))
+      active.zipWithIndex.foreach { case (ts, i) =>
+        val buckets = perBucket(i)
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+          .sortBy(_._1)
+        ts.foreach { t =>
+          var remaining = t.rank
+          var done = false
+          for ((_, n, mn, mx) <- buckets if !done) {
+            if (remaining <= n) {
+              if (n == 1L || java.lang.Double.compare(mn, mx) == 0)
+                t.result = Some(mn)
+              else { t.lo = mn; t.hi = mx; t.rank = remaining }
+              done = true
+            } else remaining -= n
+          }
+          require(done, s"orderStatistics: rank ${t.rank} not found in " +
+            s"[${t.lo}, ${t.hi}] of '${t.colName}' (concurrent mutation?)")
+        }
+      }
+    }
+    targets.map(t => (t.colName, t.rankWanted) -> t.result.get).toMap
+  }
+
+  /** Exact interpolated quantiles (the reference's `n = N·q − 0.5` lerp,
+    * [[InterpolatedQuantile.quantileSorted]] bit-for-bit) for every
+    * (column, qs) spec — `Some(values)` per column, or None for a column
+    * with no non-null values (the buffered aggregate's null). */
+  def quantiles(df: DataFrame,
+      specs: Seq[(String, Seq[Double])]): Map[String, Option[Seq[Double]]] = {
+    val colNames = specs.map(_._1).distinct
+    val cnts = df.agg(count(col(colNames.head).cast("double")).as("n0"),
+        colNames.tail.map(c => count(col(c).cast("double")).as(s"n_$c")): _*)
+      .head()
+    val nByCol = colNames.zipWithIndex.map { case (c, i) => c -> cnts.getLong(i) }.toMap
+    val live = specs.filter(s => nByCol(s._1) > 0)
+    if (live.isEmpty) return specs.map(_._1 -> None).toMap
+    // ranks each lerp needs: the floor and ceil order statistics
+    val rankSpecs = live.map { case (c, qs) =>
+      val n = nByCol(c)
+      c -> qs.flatMap(q => ranksFor(n, q)).distinct
+    }
+    val stats = orderStatistics(df, rankSpecs)
+    specs.map { case (c, qs) =>
+      val n = nByCol(c)
+      if (n == 0) c -> None
+      else c -> Some(qs.map(q => lerp(n, q, r => stats((c, r)))))
+    }.toMap
+  }
+
+  /** Convenience: one column, whole-frame exact quantiles. */
+  def quantilesOf(df: DataFrame, c: String, qs: Seq[Double]): Option[Seq[Double]] =
+    quantiles(df, Seq(c -> qs))(c)
+
+  /** The 1-based ranks the `N·q − 0.5` lerp touches at quantile q. */
+  private def ranksFor(n: Long, q: Double): Seq[Long] = {
+    if (q >= 1.0) return Seq(n)
+    if (q <= 0.0) return Seq(1L)
+    val x = n * q - 0.5
+    val n1 = math.max(0L, math.floor(x).toLong)
+    val n2 = math.min(n - 1, math.ceil(x).toLong)
+    Seq(n1 + 1, n2 + 1).distinct
+  }
+
+  /** [[InterpolatedQuantile.quantileSorted]] re-expressed over an
+    * order-statistic oracle (1-based ranks) — identical arithmetic. */
+  private def lerp(n: Long, q: Double, stat: Long => Double): Double = {
+    if (q >= 1.0) return stat(n)
+    if (q <= 0.0) return stat(1L)
+    val x = n * q - 0.5
+    val n1 = math.max(0L, math.floor(x).toLong)
+    val n2 = math.min(n - 1, math.ceil(x).toLong)
+    val t = x - math.floor(x)
+    (1 - t) * stat(n1 + 1) + t * stat(n2 + 1)
+  }
+}

@@ -18,6 +18,12 @@ object Stats {
     * sum()=0 on empty — same contract as Aggregates. */
   def describeColumn(df: DataFrame, c: String): DataFrame = {
     val x = col(c)
+    // ungrouped quantiles go through the distributed rank search — the
+    // buffered aggregate run whole-column would merge every value into
+    // ONE task's buffer (see graft.functions.RankSelect)
+    val qs = graft.functions.RankSelect.quantilesOf(df, c, Seq(0.25, 0.5, 0.75))
+    def q(i: Int): Column =
+      qs.map(v => lit(v(i))).getOrElse(lit(null)).cast(DoubleType)
     df.agg(
       min(x).cast(DoubleType).as("min"),
       max(x).cast(DoubleType).as("max"),
@@ -25,14 +31,11 @@ object Stats {
       coalesce(sum(x), lit(0)).cast(DoubleType).as("sum"),
       when(count(x) >= 2, var_pop(x)).as("variance"),
       when(count(x) >= 2, stddev_pop(x)).as("std"),
-      InterpolatedQuantile.quantilesCol(x, Seq(0.25, 0.5, 0.75)).as("qs"),
       (count(lit(1)) - count(x)).as("null_count"),
       count(lit(1)).as("row_count"))
     .select(col("min"), col("max"), col("mean"), col("sum"), col("variance"),
       col("std"),
-      element_at(col("qs"), 1).as("q1"),
-      element_at(col("qs"), 2).as("median"),
-      element_at(col("qs"), 3).as("q3"),
+      q(0).as("q1"), q(1).as("median"), q(2).as("q3"),
       col("null_count"), col("row_count"))
   }
 
@@ -48,26 +51,25 @@ object Stats {
       "describe: input has no numeric columns (use describeNa for null profiling)")
     val aggs = nums.flatMap { c =>
       val x = col(c)
-      // One buffered quantile aggregate per column (q1/median/q3 share its
-      // single sort), not three — see InterpolatedQuantiles.
       // avg of a DecimalType returns BigDecimal — cast so the hand-built
       // DoubleType output schema holds for every NumericType
       Seq(avg(x).cast(DoubleType).as(s"${c}__mean"),
         when(count(x) >= 2, stddev_pop(x)).as(s"${c}__std"),
         min(x).cast(DoubleType).as(s"${c}__min"),
-        InterpolatedQuantile.quantilesCol(x, Seq(0.25, 0.5, 0.75)).as(s"${c}__qs"),
         max(x).cast(DoubleType).as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // ALL columns' q1/median/q3 resolve in ONE shared rank-search pass
+    // sequence — never a whole-column buffer in one task (RankSelect)
+    val quart = graft.functions.RankSelect.quantiles(df,
+      nums.map(c => c -> Seq(0.25, 0.5, 0.75)))
     val spark = df.sparkSession
     val out = nums.zipWithIndex.map { case (c, i) =>
-      val base = i * 5
-      val qs = Option(row.get(base + 3))
-        .map(_.asInstanceOf[scala.collection.Seq[Double]]).orNull
-      def q(j: Int): Any = if (qs == null) null else qs(j)
+      val base = i * 4
+      def q(j: Int): Any = quart(c).map(_(j)).orNull
       org.apache.spark.sql.Row.fromSeq(Seq(c,
         row.get(base), row.get(base + 1), row.get(base + 2),
-        q(0), q(1), q(2), row.get(base + 4)))
+        q(0), q(1), q(2), row.get(base + 3)))
     }
     val schema = StructType(StructField("column", StringType) +:
       Seq("mean", "std", "min", "q1", "median", "q3", "max")
@@ -164,12 +166,12 @@ object Stats {
     * boundaries make the second pass embarrassingly parallel. */
   def equiDepthBins(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 2, s"need bins >= 2: $bins")
-    import graft.functions.InterpolatedQuantile
-    val row = df.agg(InterpolatedQuantile.quantilesCol(col(c),
-      (1 until bins).map(_.toDouble / bins)).as("bs")).head()
-    require(!row.isNullAt(0),
-      s"equiDepthBins: '$c' has no non-null values — boundaries undefined")
-    val bounds = row.getSeq[Double](0)
+    // boundaries via distributed rank search (whole-column exact
+    // quantiles without a single-task buffer — RankSelect)
+    val bounds = graft.functions.RankSelect.quantilesOf(df, c,
+        (1 until bins).map(_.toDouble / bins))
+      .getOrElse(throw new IllegalArgumentException(
+        s"equiDepthBins: '$c' has no non-null values — boundaries undefined"))
     val bin = bounds.map(b => when(col(c) > b, 1L).otherwise(0L)).reduce(_ + _)
     // NaN > b is true for every boundary -> it would land in the top bin
     // as if measured; give it the null bin like null
@@ -202,12 +204,10 @@ object Stats {
     // under Spark's NaN-is-greatest ordering a NaN would pass every `> bound`
     // comparison and silently inflate the top bin as if it were measured data.
     val measured = col(c).isNotNull && !isnan(col(c).cast(DoubleType))
-    val row = ref.filter(measured)
-      .agg(InterpolatedQuantile.quantilesCol(col(c),
-        (1 until bins).map(_.toDouble / bins)).as("bs")).head()
-    require(!row.isNullAt(0),
-      s"driftPsi: reference '$c' has no non-null values — grid undefined")
-    val bounds = row.getSeq[Double](0)
+    val bounds = graft.functions.RankSelect.quantilesOf(ref.filter(measured),
+        c, (1 until bins).map(_.toDouble / bins))
+      .getOrElse(throw new IllegalArgumentException(
+        s"driftPsi: reference '$c' has no non-null values — grid undefined"))
     def binned(df: DataFrame, out: String) = {
       val b = bounds.map(bd => when(col(c) > bd, 1L).otherwise(0L)).reduce(_ + _)
       df.filter(measured).select(b.as("bin"))
@@ -269,11 +269,9 @@ object Stats {
   def winsorize(df: DataFrame, c: String, lo: Double = 0.01,
       hi: Double = 0.99): DataFrame = {
     require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1: $lo, $hi")
-    import graft.functions.InterpolatedQuantile
-    val row = df.agg(InterpolatedQuantile.quantilesCol(col(c),
-      Seq(lo, hi)).as("bounds")).head()
-    require(!row.isNullAt(0), s"winsorize: '$c' has no non-null values")
-    val bounds = row.getSeq[Double](0)
+    val bounds = graft.functions.RankSelect.quantilesOf(df, c, Seq(lo, hi))
+      .getOrElse(throw new IllegalArgumentException(
+        s"winsorize: '$c' has no non-null values"))
     val (l, h) = (bounds(0), bounds(1))
     // NaN must pass through unclamped — greatest/least's NaN-is-greatest
     // ordering would silently rewrite it to the hi bound
@@ -292,13 +290,16 @@ object Stats {
     * Hoaglin's 3.5 by default). Median/MAD are rounded to 6 places before
     * the division so the z values are bit-replayable by an SQL oracle. */
   def madOutliers(df: DataFrame, c: String, cut: Double = 3.5): DataFrame = {
-    import graft.functions.InterpolatedQuantile
-    val mRow = df.agg(InterpolatedQuantile.quantileCol(col(c), 0.5).as("m")).head()
-    require(!mRow.isNullAt(0), s"madOutliers: '$c' has no non-null values")
-    val med = BigDecimal(mRow.getDouble(0))
+    import graft.functions.RankSelect
+    val med = BigDecimal(
+        RankSelect.quantilesOf(df, c, Seq(0.5))
+          .getOrElse(throw new IllegalArgumentException(
+            s"madOutliers: '$c' has no non-null values"))(0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val mad = BigDecimal(df.agg(InterpolatedQuantile
-        .quantileCol(abs(col(c).cast(DoubleType) - med), 0.5).as("mad")).head().getDouble(0))
+    val mad = BigDecimal(
+        RankSelect.quantilesOf(
+          df.select(abs(col(c).cast(DoubleType) - med).as("__dev")),
+          "__dev", Seq(0.5)).get(0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val z = if (mad == 0.0) lit(null).cast(DoubleType)
       else lit(0.6745) * (col(c).cast(DoubleType) - med) / mad

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{InterpolatedQuantile, RankSelect}
+import org.apache.spark.sql.functions._
+
+/** The distributed exact-quantile path (iterative rank search) must be
+  * bit-identical to the buffered [[InterpolatedQuantile]] aggregate —
+  * same lerp rule, same NaN-last ordering — while never concentrating
+  * the column in one task. */
+class RankSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val QS = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.97)
+
+  private def viaBuffer(df: org.apache.spark.sql.DataFrame, c: String,
+      qs: Seq[Double]): Option[Seq[Double]] = {
+    val r = df.agg(InterpolatedQuantile.quantilesCol(col(c), qs)).head()
+    if (r.isNullAt(0)) None else Some(r.getSeq[Double](0).toList)
+  }
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame, c: String,
+      qs: Seq[Double] = QS): Unit = {
+    val buffered = viaBuffer(df, c, qs)
+    val ranked = RankSelect.quantilesOf(df, c, qs).map(_.toList)
+    // bit-compare via Double.compare chains so NaN == NaN and 0.0 vs
+    // -0.0 (numerically equal, both correct) doesn't flake
+    (buffered, ranked) match {
+      case (None, None) =>
+      case (Some(b), Some(r)) =>
+        assert(b.length === r.length)
+        b.zip(r).zip(qs).foreach { case ((bv, rv), q) =>
+          assert(java.lang.Double.compare(bv, rv) == 0 || bv == rv,
+            s"q=$q buffered=$bv ranked=$rv")
+        }
+      case other => fail(s"presence mismatch: $other")
+    }
+  }
+
+  test("matches the buffered aggregate on a deterministic mixed column") {
+    val df = spark.range(100001).select(
+      (sin(col("id") * 0.37) * 1e6 + col("id") % 97).as("x"))
+    assertSame(df, "x")
+  }
+
+  test("duplicate-heavy column (90% one value) terminates and matches") {
+    val df = spark.range(50000).select(
+      when(col("id") % 10 =!= 0, lit(42.5))
+        .otherwise(col("id").cast("double")).as("x"))
+    assertSame(df, "x")
+  }
+
+  test("NaN and ±Inf tails follow the NaN-last sort order") {
+    val base = spark.range(1000).select(col("id").cast("double").as("x"))
+    val special = Seq(Double.NaN, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NegativeInfinity).toDF("x")
+    assertSame(base.unionByName(special), "x", Seq(0.001, 0.5, 0.995, 0.999))
+  }
+
+  test("sub-ULP neighbors separate exactly") {
+    val v = 1.23456789e100
+    val df = (Seq.fill(300)(v) ++ Seq.fill(300)(Math.nextUp(v)) ++
+      Seq.fill(300)(Math.nextUp(Math.nextUp(v)))).toDF("x")
+    assertSame(df, "x")
+  }
+
+  test("full-double-range span cannot overflow the bucket width") {
+    val df = (Seq(-Double.MaxValue, Double.MaxValue) ++
+      (1 to 500).map(i => math.pow(-1, i) * math.pow(10.0, (i % 600) - 300)))
+      .toDF("x")
+    assertSame(df, "x")
+  }
+
+  test("multi-column multi-q resolves in one shared pass sequence") {
+    val df = spark.range(20000).select(
+      (col("id") % 1000).cast("double").as("a"),
+      (col("id") * 7919 % 104729).cast("double").as("b"))
+    val got = RankSelect.quantiles(df, Seq("a" -> Seq(0.25, 0.5), "b" -> Seq(0.5, 0.9)))
+    assert(got("a") === viaBuffer(df, "a", Seq(0.25, 0.5)).map(_.toList))
+    assert(got("b") === viaBuffer(df, "b", Seq(0.5, 0.9)).map(_.toList))
+  }
+
+  test("all-null column returns None (the buffered aggregate's null)") {
+    val df = spark.range(100).select(lit(null).cast("double").as("x"))
+    assert(RankSelect.quantilesOf(df, "x", Seq(0.5)) === None)
+  }
+
+  test("10M rows: exact against closed form, no single-task column buffer") {
+    // values are a permutation of 0..N-1 (multiplication by an odd
+    // constant mod 2^k is a bijection), so every order statistic is
+    // known in closed form; the buffered aggregate at this size would
+    // hold all 10M doubles in ONE task's merge buffer — RankSelect's
+    // per-task state stays O(targets × 4096) counters by construction
+    val n = 10_000_000L
+    val df = spark.range(n).select(
+      ((col("id") * 115249L) % n).cast("double").as("x"))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val got = RankSelect.quantilesOf(df, "x", qs).get
+    qs.zip(got).foreach { case (q, v) =>
+      val x = n * q - 0.5
+      val expect = (1 - (x - math.floor(x))) * math.floor(x) +
+        (x - math.floor(x)) * math.ceil(x)
+      assert(v === expect, s"q=$q")
+    }
+  }
+}
