@@ -299,14 +299,51 @@ object Dedup {
   }
 
   /** LSH candidate pairs: equi-join band buckets against themselves.
-    * Sub-quadratic: only docs agreeing on a full band ever meet. */
-  def minhashLshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    * Sub-quadratic ACROSS buckets: only docs agreeing on a full band
+    * ever meet — but quadratic WITHIN a bucket, and exact-dup collapse
+    * (upstream) only removes byte-identical texts: a boilerplate-heavy
+    * corpus can still land millions of near-identical, non-equal docs
+    * in one band bucket, turning that bucket into a d²/2 pair bomb.
+    *
+    * `maxBucketSize` is the hot-bucket guard (the LSH analogue of
+    * [[ngramJaccard]]'s `maxDocFreq` / fuzzyJoin's `maxGramFreq`): a
+    * bucket with more than `cap` members emits the STAR of its minimum
+    * id (member ↔ bucket-min, d−1 pairs) instead of all pairs. The
+    * star keeps every hot-bucket member CONNECTED through the bucket
+    * min, so transitive consumers ([[connectedComponents]] clustering,
+    * keep-best dedup) see the same components; only the direct
+    * pairwise candidates among hot-bucket co-members are not emitted
+    * (verification never scores them). Normal buckets are untouched,
+    * and the default (None) emits the exact classical candidate set. */
+  def minhashLshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     val buckets = minhashBandBuckets(sigs, idCol, k, bands)
-    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b2 = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b2, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    maxBucketSize match {
+      case None =>
+        val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+        val b2 = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+        a.join(b2, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      case Some(cap) =>
+        require(cap >= 2, s"minhashLshCandidates: maxBucketSize must be >= 2, got $cap")
+        // one partial-merged pass sizes every bucket and names its min
+        // id; the all-pairs join then runs over the SMALL buckets only,
+        // while each hot bucket expands linearly as (min, member) stars
+        val sized = buckets.join(
+          buckets.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin")),
+          Seq("band", "bucket"))
+        val cold = sized.filter(col("__bn") <= cap)
+        val a = cold.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+        val b2 = cold.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+        val coldPairs = a.join(b2, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val hotStars = sized.filter(col("__bn") > cap && col(idCol) =!= col("__bmin"))
+          .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+        coldPairs.unionByName(hotStars).distinct()
+    }
   }
 
   /** Full MinHash near-dup pipeline: signatures -> LSH candidates ->
@@ -322,7 +359,11 @@ object Dedup {
     * its three consumers need materialized anyway. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
+      family: MinhashFamily = MinhashFamily.xxhash,
+      // hot-bucket guard, see minhashLshCandidates: capped buckets emit
+      // min-id stars, so CLUSTERING consumers are unaffected while the
+      // direct pair list within a hot bucket is star-shaped
+      maxBucketSize: Option[Long] = None): DataFrame = {
     // Exact-dup collapse (see tagExactDupGroups): signatures, banding and
     // verification run over DISTINCT texts; member pairs expand back
     // linearly. Identical texts have identical signatures, so every
@@ -334,7 +375,7 @@ object Dedup {
     val members = tagged.select(col(idCol), col("__rep"))
     val sigs = minhashSignatures(reps, textCol, idCol, k, shingleN, family)
       .localCheckpoint()
-    val cands = minhashLshCandidates(sigs, idCol, k, bands)
+    val cands = minhashLshCandidates(sigs, idCol, k, bands, maxBucketSize)
     // verify candidates with estimated Jaccard from the full signatures
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))

@@ -652,6 +652,36 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set((0L, 1L))) // only the rare-shingle pair survives
   }
 
+  test("LSH hot-bucket guard: a planted mega-bucket expands linearly, clustering intact") {
+    import spark.implicits._
+    // 10k NON-identical docs whose signatures nevertheless collide on
+    // every band (the boilerplate corpus exact-dup collapse can't help
+    // with), plus a handful of normal docs. Built at the signature
+    // layer: what matters is the bucket join, not the shingling.
+    val hot = spark.range(10000).select(col("id").as("doc_id"),
+      array((0 until 16).map(j => lit(7L * j)): _*).as("sig"))
+    val normal = spark.range(10000, 10006).select(col("id").as("doc_id"),
+      array((0 until 16).map(j => col("id") * 31 + j): _*).as("sig"))
+    val sigs = hot.unionByName(normal)
+    // uncapped this bucket alone is ~50M pairs; capped it must be the
+    // star of the bucket min: exactly 9999 pairs, every one (0, m)
+    val capped = Dedup.minhashLshCandidates(sigs, "doc_id", 16, 4,
+      maxBucketSize = Some(64L))
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 9999)
+    assert(got.forall { case (a, b) => a == 0L && b >= 1L && b <= 9999L })
+    // transitive consumers see ONE component across the whole hot set
+    val roots = Dedup.connectedComponents(capped, "id_a", "id_b")
+      .select(col("root")).distinct().collect()
+    assert(roots.length === 1)
+    // small buckets are untouched by the guard: same pairs either way
+    val smallOnly = Dedup.minhashLshCandidates(normal, "doc_id", 16, 4,
+      maxBucketSize = Some(64L)).collect().toSet
+    val smallExact = Dedup.minhashLshCandidates(normal, "doc_id", 16, 4)
+      .collect().toSet
+    assert(smallOnly === smallExact)
+  }
+
   test("dup-heavy corpus: minhashNearDups and ngramJaccard equal their uncollapsed forms") {
     import spark.implicits._
     // 8 base docs (2 near-dup pairs among them), each replicated 3x with
