@@ -1133,12 +1133,84 @@ object VersionedTable {
   private def bloomShardOf(rel: String): String =
     new HPath(rel).getParent.getName
 
-  private def readBloomLines(dir: HPath, shards: Option[Set[String]]): Seq[String] =
+  /** Binary shard codec. A JSON-hex shard costs an O(m) text parse per
+    * probe (regex + per-word hex decode — measured ~6× the binary read
+    * at 5M keys, PLANS.md); the binary layout is a length-prefixed
+    * entry stream of fixed-width longs:
+    * magic "GBLM", then per entry: u16 relLen, rel UTF-8 bytes,
+    * i64 m, i32 k, i32 nWords, nWords × (i64 wordIdx, i64 bits). */
+  private val BloomMagic = 0x47424C4D // "GBLM"
+
+  private def encodeBloomShard(
+      entries: Seq[(String, Long, Int, Seq[(Long, Long)])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(BloomMagic)
+    entries.foreach { case (rel, m, k, words) =>
+      val rb = rel.getBytes("UTF-8")
+      out.writeShort(rb.length)
+      out.write(rb)
+      out.writeLong(m)
+      out.writeInt(k)
+      out.writeInt(words.length)
+      words.foreach { case (w, bits) => out.writeLong(w); out.writeLong(bits) }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def decodeBloomShard(bytes: Array[Byte])
+      : Seq[(String, Long, Int, Map[Long, Long])] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == BloomMagic, "bloom shard: bad magic")
+    val out = Seq.newBuilder[(String, Long, Int, Map[Long, Long])]
+    while (in.available() > 0) {
+      val rb = new Array[Byte](in.readUnsignedShort())
+      in.readFully(rb)
+      val m = in.readLong()
+      val k = in.readInt()
+      val n = in.readInt()
+      val words = Map.newBuilder[Long, Long]
+      var i = 0
+      while (i < n) { words += (in.readLong() -> in.readLong()); i += 1 }
+      out += ((new String(rb, "UTF-8"), m, k, words.result()))
+    }
+    out.result()
+  }
+
+  /** All entries of a bloom sidecar directory, optionally scoped to the
+    * named shards. Reads the binary `.bin` shards this writer emits AND
+    * legacy `.json` shards (pre-binary tables carry forward). */
+  private def readBloomEntries(dir: HPath, shards: Option[Set[String]])
+      : Map[String, (Long, Int, Map[Long, Long])] = {
+    val jsonEntry =
+      """\{"file":"([^"]+)","m":(\d+),"k":(\d+),"words":"([^"]*)"\}""".r
     listNames(dir)
-      .filter(f => shards.forall(s => s.contains(
-        f.getPath.getName.stripSuffix(".json"))))
+      .filter { f =>
+        val base = f.getPath.getName.stripSuffix(".bin").stripSuffix(".json")
+        shards.forall(_.contains(base))
+      }
       .sortBy(_.getPath.getName)
-      .flatMap(f => readUtf8(f.getPath).split("\n").filter(_.nonEmpty))
+      .flatMap { f =>
+        if (f.getPath.getName.endsWith(".bin"))
+          decodeBloomShard {
+            val in = fsOf(f.getPath).open(f.getPath)
+            try {
+              val buf = new Array[Byte](f.getLen.toInt)
+              in.readFully(buf); buf
+            } finally in.close()
+          }
+        else readUtf8(f.getPath).split("\n").filter(_.nonEmpty).toSeq
+          .collect { case jsonEntry(rel, m, k, ws) =>
+            val wordMap = ws.split(",").iterator.filter(_.nonEmpty).map { kv =>
+              val Array(i, h) = kv.split(":")
+              i.toLong -> java.lang.Long.parseUnsignedLong(h, 16)
+            }.toMap
+            (rel, m.toLong, k.toInt, wordMap)
+          }
+      }
+      .map { case (rel, m, k, words) => rel -> ((m, k, words)) }.toMap
+  }
 
   private def bloomTagA(col: String) = s"vtbloom-a:$col"
   private def bloomTagB(col: String) = s"vtbloom-b:$col"
@@ -1154,7 +1226,7 @@ object VersionedTable {
   }
 
   /** Per-file Bloom filter over `col` (canonicalized as its string
-    * form): `_versions/vN.bloom.<col>.d/<subdir>.json` — one shard
+    * form): `_versions/vN.bloom.<col>.d/<subdir>.bin` — one BINARY shard
     * file per data subdirectory ("data" flat, "<col>=<value>" per
     * partition). The point-lookup complement of the min/max stats
     * sidecar: range stats prune nothing when the column interleaves
@@ -1168,8 +1240,8 @@ object VersionedTable {
     * 10^11 rows that is a couple hundred GB; the partition-aligned
     * shard layout is what keeps a composed probe's parse cost
     * proportional to the partitions the query can touch
-    * ([[filesForKeysAmong]]), and production would additionally move
-    * shards to a binary encoding or parquet footers. Bits build
+    * ([[filesForKeysAmong]]), and the fixed-width binary shard codec
+    * keeps the probe a bulk long read, not an O(m) text parse. Bits build
     * distributedly: k positions explode per row, `bit_or` folds words
     * map-side, ≤ m/64 rows per file ever reach the driver. A file
     * whose `col` is entirely null gets an explicit empty filter
@@ -1182,18 +1254,18 @@ object VersionedTable {
     val rels = relsAt(path, v)
     // same O(commit) refresh contract as counts/sums/ndv: an immutable
     // file's filter never changes, so entries found in ANY prior
-    // version's sidecar carry verbatim (as raw lines) and only the new
-    // files hash. (Changing bitsPerKey needs a fresh table path or a
-    // hand-removed sidecar — carried entries keep their build-time m.)
-    val entryRe = """\{"file":"([^"]+)",.*\}""".r
-    val prior: Map[String, String] = versions(path).filter(_ <= v).reverse
-      .map(pv => bloomDir(path, pv, col))
-      .foldLeft(Map.empty[String, String]) { (acc, d) =>
-        readBloomLines(d, None)
-          .collect { case l @ entryRe(rel) => rel -> l }.toMap ++ acc
-      }
+    // version's sidecar carry verbatim (re-encoded deterministically)
+    // and only the new files hash. (Changing bitsPerKey needs a fresh
+    // table path or a hand-removed sidecar — carried entries keep their
+    // build-time m.)
+    val prior: Map[String, (Long, Int, Map[Long, Long])] =
+      versions(path).filter(_ <= v).reverse
+        .map(pv => bloomDir(path, pv, col))
+        .foldLeft(Map.empty[String, (Long, Int, Map[Long, Long])]) { (acc, d) =>
+          readBloomEntries(d, None) ++ acc
+        }
     val fresh = rels.filterNot(prior.contains)
-    val freshLines: Map[String, String] =
+    val freshEntries: Map[String, (Long, Int, Map[Long, Long])] =
       if (fresh.isEmpty) Map.empty
       else {
         val rows = spark.read.option("basePath", dataDir(path).toString)
@@ -1220,18 +1292,18 @@ object VersionedTable {
         fresh.map { rel =>
           val m = mByFile.getOrElse(rel, 64L)
           val ws = wordsByFile.getOrElse(rel, Array.empty[Row])
-            .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-            .map { case (w, bits) => s"$w:${java.lang.Long.toHexString(bits)}" }
-            .mkString(",")
-          rel -> s"""{"file":"${esc(rel)}","m":$m,"k":$BloomK,"words":"$ws"}"""
+            .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+          rel -> ((m, BloomK, ws.toMap))
         }.toMap
       }
     val dir = bloomDir(path, v, col)
     fsOf(dir).mkdirs(dir)
     rels.groupBy(bloomShardOf).foreach { case (shard, shardRels) =>
-      val body = shardRels.sorted
-        .map(rel => prior.getOrElse(rel, freshLines(rel))).mkString("\n")
-      writeReplace(path, new HPath(dir, s"$shard.json"), body.getBytes("UTF-8"))
+      val entries = shardRels.sorted.map { rel =>
+        val (m, k, wordMap) = prior.getOrElse(rel, freshEntries(rel))
+        (rel, m, k, wordMap.toSeq.sortBy(_._1))
+      }
+      writeReplace(path, new HPath(dir, s"$shard.bin"), encodeBloomShard(entries))
     }
   }
 
@@ -1255,15 +1327,7 @@ object VersionedTable {
     if (!exists(dir)) return candidates
     val rels = candidates.map(abs => abs -> relOf(path, abs))
     val shards = rels.map { case (_, rel) => bloomShardOf(rel) }.toSet
-    val entry = """\{"file":"([^"]+)","m":(\d+),"k":(\d+),"words":"([^"]*)"\}""".r
-    val blooms = readBloomLines(dir, Some(shards))
-      .collect { case entry(f, m, k, ws) =>
-        val wordMap = ws.split(",").iterator.filter(_.nonEmpty).map { kv =>
-          val Array(i, h) = kv.split(":")
-          i.toLong -> java.lang.Long.parseUnsignedLong(h, 16)
-        }.toMap
-        f -> ((m.toLong, k.toInt, wordMap))
-      }.toMap
+    val blooms = readBloomEntries(dir, Some(shards))
     val hashed = keys.map(s => (
       graft.operators.Sketch.pinnedHashScala(s, bloomTagA(col)),
       graft.operators.Sketch.pinnedHashScala(s, bloomTagB(col))))

@@ -25,6 +25,19 @@ class BloomSidecarSpec extends SparkSpec {
     val out = hfs(p).create(new org.apache.hadoop.fs.Path(p), true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
+  private def readBytes(p: String): Array[Byte] = {
+    val fs = hfs(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val in = fs.open(hp)
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
+      in.readFully(buf); buf
+    } finally in.close()
+  }
+  private def writeBytes(p: String, b: Array[Byte]): Unit = {
+    val out = hfs(p).create(new org.apache.hadoop.fs.Path(p), true)
+    try out.write(b) finally out.close()
+  }
   private def deleteFile(p: String): Unit =
     hfs(p).delete(new org.apache.hadoop.fs.Path(p), false)
   private def listDir(p: String): Seq[String] =
@@ -100,22 +113,25 @@ class BloomSidecarSpec extends SparkSpec {
       spark.range(300).select($"id".as("k")).repartition(2), path)
     VersionedTable.writeBloom(spark, path, v0, "k")
     // corrupt a v0 word: a re-measure would regenerate the true bits;
-    // a carry keeps the wound — proving old files never re-hash
-    val side = s"$path/_versions/" + f"v$v0%08d.bloom.k.d" + "/data.json"
-    val body = readText(side)
-    val pos = body.indexOf(':', body.indexOf("\"words\":\"") + 9) + 1
-    val repl = if (body(pos) == 'f') '1' else 'f'
-    val tampered = body.substring(0, pos) + repl + body.substring(pos + 1)
-    assert(tampered != body)
-    writeText(side, tampered)
+    // a carry keeps the wound — proving old files never re-hash. The
+    // shard is binary: flip one byte deep in a word payload and track
+    // the 16-byte window around it (word payloads re-encode verbatim)
+    val side = s"$path/_versions/" + f"v$v0%08d.bloom.k.d" + "/data.bin"
+    val body = readBytes(side)
+    val tampered = body.clone()
+    val pos = tampered.length - 5
+    tampered(pos) = (tampered(pos) ^ 0x55).toByte
+    writeBytes(side, tampered)
     val v1 = VersionedTable.commit(
       spark.range(300, 400).select($"id".as("k")), path, "append")
     VersionedTable.writeBloom(spark, path, v1, "k")
-    val v1body = readText(
-      s"$path/_versions/" + f"v$v1%08d.bloom.k.d" + "/data.json")
-    val woundLine = tampered.split("\n")
-      .zip(body.split("\n")).find(p => p._1 != p._2).get._1
-    assert(v1body.contains(woundLine), "v1 refresh re-hashed carried files")
+    val v1body = readBytes(
+      s"$path/_versions/" + f"v$v1%08d.bloom.k.d" + "/data.bin")
+    val window = tampered.slice(pos - 8, pos + 8)
+    def contains(hay: Array[Byte], needle: Array[Byte]): Boolean =
+      hay.indices.exists(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    assert(contains(v1body, window), "v1 refresh re-hashed carried files")
     // and the new file's keys are probe-able
     assert(VersionedTable.readWhereKeys(spark, path, v1, "k", Seq("350"))
       .count() === 1L)
@@ -318,13 +334,13 @@ class BloomSidecarSpec extends SparkSpec {
     val v = VersionedTable.createPartitioned(df, path, "p")
     VersionedTable.writeBloom(spark, path, v, "id")
     val dir = s"$path/_versions/" + f"v$v%08d.bloom.id.d"
-    assert(listDir(dir) === Seq("p=g0.json", "p=g1.json", "p=g2.json"))
+    assert(listDir(dir) === Seq("p=g0.bin", "p=g1.bin", "p=g2.bin"))
     // scope candidates to ONE partition, then DELETE the other shards:
     // a scoped probe that touched them would now misbehave — it can't,
     // because it never reads them
     val cand = VersionedTable.filesForPartitions(path, v, "p", Seq("g1"))
-    deleteFile(s"$dir/p=g0.json")
-    deleteFile(s"$dir/p=g2.json")
+    deleteFile(s"$dir/p=g0.bin")
+    deleteFile(s"$dir/p=g2.bin")
     // id 7 is in g1 (7%3=1): exactly its file survives among candidates
     val hit = VersionedTable.filesForKeysAmong(path, v, "id", Seq("7"), cand)
     assert(hit.nonEmpty && hit.size < cand.size)
