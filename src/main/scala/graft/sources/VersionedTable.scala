@@ -981,6 +981,46 @@ object VersionedTable {
       .toSeq.sortBy(_._1))
   }
 
+  /** Per-partition statistics PANEL from metadata alone — the dashboard
+    * face of the composed read: one row per partition with exact
+    * n / min / max / sum / mean plus quantile ESTIMATES (default p95)
+    * via [[graft.operators.Sketch.momentsQuantile]] over the moments
+    * sidecar's 7 scalars. Zero data I/O (spec-proven: the panel still
+    * answers after every data file is deleted). The estimates are
+    * REPORTING ONLY: a Cornish–Fisher estimate cannot prune files
+    * soundly, so [[readComposed]] keeps pruning with exact structures
+    * (partitions ∩ range stats ∩ blooms) and this panel rides beside
+    * it. None when the moments sidecar is missing or incomplete —
+    * the [[countAt]] coverage rule. Empty partitions (n = 0) report
+    * null mean/quantiles. */
+  def partitionStatsPanel(spark: SparkSession, path: String, v: Long,
+      partCol: String, col: String,
+      qs: Seq[Double] = Seq(0.95)): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    require(qs.forall(q => q > 0 && q < 1), s"partitionStatsPanel: qs in (0,1): $qs")
+    partitionMoments(path, v, partCol, col).map { parts =>
+      val rows = parts.map { case (k, (n, lo, hi, ss)) =>
+        val mean = if (n == 0) null else (BigDecimal(ss.head) / n).toDouble
+        val ests = qs.map { q =>
+          if (n == 0) null
+          else graft.operators.Sketch.momentsQuantile(n,
+            BigDecimal(ss(0)), BigDecimal(ss(1)), BigDecimal(ss(2)),
+            BigDecimal(ss(3)), lo, hi, q)
+        }
+        Row.fromSeq(Seq(k, n, if (n == 0) null else lo,
+          if (n == 0) null else hi, ss.head.toString, mean) ++ ests)
+      }
+      val schema = StructType(
+        Seq(StructField(partCol, StringType), StructField("n", LongType),
+          StructField("x_min", LongType), StructField("x_max", LongType),
+          StructField("sum", StringType), StructField("mean", DoubleType)) ++
+          qs.map(q => StructField(s"p${(q * 100).round}_est", DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
+  }
+
   // ---- NDV sketch sidecar: metadata-only distinct estimates ----
 
   private def ndvFile(path: String, v: Long, col: String): HPath =

@@ -199,6 +199,38 @@ class BloomSidecarSpec extends SparkSpec {
     assert(parts("g1") === total - parts("g0"))
   }
 
+  test("partitionStatsPanel: exact n/min/max/sum + p95 estimate at ZERO data I/O") {
+    val path = fresh()
+    val df = spark.range(3000).select($"id",
+      concat(lit("g"), pmod($"id", lit(3L))).as("p"),
+      ($"id" % 1000L).as("x"))
+    val v = VersionedTable.createPartitioned(df, path, "p")
+    assert(VersionedTable.partitionStatsPanel(spark, path, v, "p", "x") === None,
+      "no moments sidecar yet: the panel must refuse, not guess")
+    VersionedTable.writeMoments(spark, path, v, "x")
+    val panel = VersionedTable.partitionStatsPanel(spark, path, v, "p", "x",
+      qs = Seq(0.5, 0.95)).get.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val expect = df.groupBy("p").agg(count(lit(1)).as("n"), min("x"), max("x"),
+        sum("x"), graft.functions.InterpolatedQuantile.quantileCol($"x", 0.95).as("q95"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    expect.foreach { case (g, (n, lo, hi, sm, q95)) =>
+      val r = panel(g)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ===
+        ((n, lo, hi, sm.toString)), g)
+      assert(math.abs(r.getDouble(5)) > 0) // mean present
+      // the Cornish–Fisher estimate is an ESTIMATE: tolerance-gated
+      assert(math.abs(r.getDouble(7) - q95) < 100.0, s"$g p95 ${r.getDouble(7)} vs $q95")
+    }
+    // zero data I/O, proven the hard way: drop every data file — the
+    // panel answers identically from the manifest + sidecar alone
+    hfs(path).delete(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+    val panel2 = VersionedTable.partitionStatsPanel(spark, path, v, "p", "x",
+      qs = Seq(0.5, 0.95)).get.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(panel2 === panel.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("moments sidecar: merged sketch == direct build; carry verbatim; quantile serves") {
     import graft.operators.Sketch
     val path = fresh()
