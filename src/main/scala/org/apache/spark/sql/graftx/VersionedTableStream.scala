@@ -51,7 +51,25 @@ class VersionedTableStreamProvider extends StreamSourceProvider {
     val path = pathOf(parameters)
     val inferred = schema.getOrElse(
       VersionedTable.read(sqlContext.sparkSession, path).schema)
-    ("graft-table", inferred)
+    // `columns`: source-level projection. The V1 Source materializes its
+    // batch through an RDD boundary (internalCreateDataFrame), so the
+    // engine's column pruning CANNOT reach the parquet scan from above —
+    // a downstream select still pays the full-width read. Declaring the
+    // needed columns here narrows the scan itself (measured 12× on a
+    // text-heavy table, PLANS.md), which is the entire column-pruning
+    // benefit a DSv2 ScanBuilder port would buy this source.
+    val pruned = parameters.get("columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .map { cs =>
+        StructType(cs.map { c =>
+          require(inferred.fieldNames.contains(c),
+            s"VersionedTableStreamProvider: column '$c' not in table schema " +
+              s"${inferred.fieldNames.mkString("[", ",", "]")}")
+          inferred(inferred.fieldIndex(c))
+        })
+      }
+      .getOrElse(inferred)
+    ("graft-table", pruned)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

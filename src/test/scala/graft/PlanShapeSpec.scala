@@ -680,4 +680,47 @@ class PlanShapeSpec extends SparkSpec {
       xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
     assert(math.abs(got - expect) < 1e-12)
   }
+
+  test("crawl schedule under a planted mega-host: shuffle stays host-sized, not edge-sized") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 2M frontier edges; host h0 owns HALF of them (a link-farm / mega
+    // CDN host — the 50%-skew case). The per-host fetch-budget aggregate
+    // must combine map-side: the shuffle then carries one row per
+    // (partition × host), never the mega-host's edge mass to one reducer.
+    val hosts = 1000L
+    val edges = spark.range(2000000L).select(
+      when(col("id") % 2 === 0, lit("h0"))
+        .otherwise(concat(lit("h"), expr(s"id div 2 % $hosts"))).as("host"),
+      (col("id") % 13).as("path_class"))
+    val policy = spark.range(hosts).select(
+      concat(lit("h"), col("id")).as("host"),
+      (col("id") % 7 * 100).as("crawl_delay_ms"))
+    val schedule = edges.join(broadcast(policy), "host")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), first(col("crawl_delay_ms")).as("d"))
+      .select(col("host"), col("n_urls"), (col("n_urls") * col("d")).as("budget_ms"))
+    val rows = schedule.collect()
+    assert(rows.length === hosts)
+    assert(rows.find(_.getString(0) == "h0").get.getLong(1) === 1001000L)
+    // walk the EXECUTED plan (through AQE stages): every shuffle's map
+    // side must have emitted host-sized row counts
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q.plan +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val shuffled = nodes(schedule.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike =>
+        s.metrics.collectFirst {
+          case (k, m) if k.toLowerCase.contains("records") => m.value }.getOrElse(0L)
+      }
+    assert(shuffled.nonEmpty, "expected the aggregate exchange in the plan")
+    val total = shuffled.sum
+    // partial agg bound: <= shuffle-partitions x hosts (32k) vs 2M edges
+    assert(total <= 64L * hosts,
+      s"shuffle carried $total rows — map-side combine missing, the " +
+        "mega-host's edge mass would hit one reducer")
+  }
 }

@@ -161,6 +161,32 @@ class VersionedTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SOURCE: columns option narrows the scan schema at the source") {
+    import spark.implicits._
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(100).select($"id", lit("payload" * 50).as("text"),
+        ($"id" * 3).as("n")), path)
+    // the V1 source materializes through an RDD boundary, so engine-side
+    // pruning can't reach the scan — `columns` narrows it at the source
+    val src = spark.readStream
+      .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+      .option("path", path).option("columns", "id,n").load()
+    assert(src.schema.fieldNames.toSeq === Seq("id", "n"))
+    val q = src.groupBy().agg(sum($"n").as("s"))
+      .writeStream.format("memory").queryName("vt_cols_src")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("vt_cols_src").as[Long].head() === (0L until 100L).map(_ * 3).sum)
+    // unknown columns fail loudly at stream definition, not mid-batch
+    val err = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+        .option("path", path).option("columns", "id,nope").load()
+    }
+    assert(err.getMessage.contains("'nope' not in table schema"))
+  }
+
   test("streaming SOURCE: version offsets, snapshot-then-deltas, restart resume, append-only guard") {
     val path = fresh()
     val ckpt = java.nio.file.Files.createTempDirectory("graft_vts_ck").toString
