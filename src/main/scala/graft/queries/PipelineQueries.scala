@@ -2200,6 +2200,42 @@ object PipelineQueries {
         .orderBy(col("view"), col("lang"))
     }),
 
+    // The metadata-only STATS PANEL (partitionStatsPanel) graded on its
+    // exact face: per-partition n / min / max / exact sum straight from
+    // the moments sidecar, plus the mean as half-up integral MICRO-units
+    // ((s1·10⁶ + n/2) div n over exact BigInts — the DECIMAL-free carrier
+    // every exact total uses). The panel's p95 column is Cornish–Fisher
+    // and stays spec-gated (not SQL-replayable); what the oracle CAN
+    // replay — every exact scalar the dashboard shows — it replays from
+    // the raw corpus, so a stale sidecar carry or a wrong merge
+    // hash-mismatches. The panel itself reads ZERO data files
+    // (spec-proven by deleting them).
+    "q_table_panel" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtp").toString + "/docs"
+      val v0 = VersionedTable.createPartitioned(docs, path, "lang")
+      VersionedTable.writeMoments(s, path, v0, "n_chars")
+      val deNew = docs.filter(col("lang") === "de" && col("doc_id") % 3 =!= 0)
+      val v1 = VersionedTable.commitPartitioned(deNew, path, "lang",
+        "overwritePartitions")
+      VersionedTable.writeMoments(s, path, v1, "n_chars")
+      def rows(v: Long, view: String) =
+        VersionedTable.partitionStatsPanel(s, path, v, "lang", "n_chars").get
+          .collect().map { r =>
+            val n = r.getLong(1)
+            val s1 = BigInt(r.getString(4))
+            val meanMicros = ((s1 * 1000000 + n / 2) / n).toLong
+            (view, r.getString(0), n, r.getLong(2), r.getLong(3),
+              s1.toString, meanMicros)
+          }.toSeq
+      import s.implicits._
+      (rows(v0, "v0") ++ rows(v1, "v1"))
+        .toDF("view", "lang", "n", "x_min", "x_max", "sum_chars", "mean_micros")
+        .orderBy(col("view"), col("lang"))
+    }),
+
     // Point-lookup file skipping via the bloom sidecar. The layout is
     // deliberately hash-clustered on an unrelated key, so doc_id
     // interleaves across EVERY file and min/max range stats can prune
@@ -5166,6 +5202,29 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (3, 17, 421, 9999999999, 123456789)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_table_panel" ->
+      """WITH v1 AS (
+        |  SELECT lang, n_chars FROM documents WHERE lang <> 'de'
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE lang = 'de' AND doc_id % 3 <> 0),
+        |p0 AS (
+        |  SELECT 'v0' AS view, lang, count(*)::BIGINT AS n,
+        |    min(n_chars)::BIGINT AS x_min, max(n_chars)::BIGINT AS x_max,
+        |    sum(n_chars::HUGEINT)::VARCHAR AS sum_chars,
+        |    ((sum(n_chars::HUGEINT) * 1000000 + count(*) // 2)
+        |      // count(*))::BIGINT AS mean_micros
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+        |p1 AS (
+        |  SELECT 'v1', lang, count(*)::BIGINT,
+        |    min(n_chars)::BIGINT, max(n_chars)::BIGINT,
+        |    sum(n_chars::HUGEINT)::VARCHAR,
+        |    ((sum(n_chars::HUGEINT) * 1000000 + count(*) // 2)
+        |      // count(*))::BIGINT
+        |  FROM v1 WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT * FROM p0 UNION ALL SELECT * FROM p1
+        |ORDER BY view, lang""".stripMargin,
 
     "q_table_moments" ->
       """WITH v1 AS (

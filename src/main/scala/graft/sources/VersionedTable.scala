@@ -124,10 +124,43 @@ object VersionedTable {
     def publish(fc: FileContext, tmp: HPath, target: HPath): Unit
   }
 
-  @volatile var committer: ManifestCommitter = new ManifestCommitter {
+  /** Default: rename-based (atomic-exclusive on HDFS). */
+  object RenameCommitter extends ManifestCommitter {
     def publish(fc: FileContext, tmp: HPath, target: HPath): Unit =
       fc.rename(tmp, target, Options.Rename.NONE)
   }
+
+  /** Conditional-PUT reference committer for stores whose exclusive
+    * primitive is `create(path, overwrite = false)` rather than rename
+    * (object stores with if-none-match semantics surface it through
+    * exactly this call): the manifest bytes write THROUGH the exclusive
+    * create — no rename step exists to be non-atomic. A reader can see
+    * the target mid-write on stores where length is visible before
+    * close; manifests are single-digit-KB, so the window is one
+    * buffer flush, and [[filesAt]]'s regex parse of a torn manifest
+    * yields files the next retry re-lists (never a corrupt table —
+    * data files referenced by no OTHER manifest are vacuum-protected
+    * by minAgeMs). Contract-spec'd side by side with the rename
+    * committer: exactly one of two same-target publishes wins. */
+  object PutIfAbsentCommitter extends ManifestCommitter {
+    def publish(fc: FileContext, tmp: HPath, target: HPath): Unit = {
+      val fs = fsOf(target)
+      val in = fs.open(tmp)
+      val body =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      val out = fs.create(target, false) // throws FileAlreadyExistsException
+      try out.write(body) finally out.close()
+      fs.delete(tmp, false)
+    }
+  }
+
+  @volatile var committer: ManifestCommitter = RenameCommitter
 
   private def listNames(dir: HPath): Seq[FileStatus] =
     if (!exists(dir)) Seq.empty

@@ -540,6 +540,9 @@ class PlanShapeSpec extends SparkSpec {
       // moments sidecar: driver-built frame from manifest arithmetic
       // (measured 0 exchanges; 1 allows the orderBy a range exchange)
       "q_table_moments" -> 1,
+      // stats panel: same shape — the panel rows are driver-side sidecar
+      // arithmetic; only the oracle orderBy may exchange
+      "q_table_panel" -> 1,
       // WARC family: distributed shard read + native splits are
       // scan-side; roundtrip/gate shuffle only the oracle orderBy,
       // outlinks adds the host-edge aggregation

@@ -132,6 +132,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L until 3L))
   }
 
+  test("committer contract: rename and conditional-put both arbitrate the race; table runs on either") {
+    // the object-store hook, contract-spec'd side by side with the
+    // default: exactly one of two same-target publishes wins, the
+    // winner's bytes are intact, and the whole table protocol (create /
+    // append / read / time travel) runs unchanged on the alternate
+    // committer
+    Seq(VersionedTable.RenameCommitter, VersionedTable.PutIfAbsentCommitter)
+      .foreach { c =>
+        val prev = VersionedTable.committer
+        VersionedTable.committer = c
+        try {
+          val path = fresh()
+          VersionedTable.create(spark.range(4).toDF("id"), path)
+          VersionedTable.publish(path, 1L, 0L, "append",
+            VersionedTable.filesAt(path, 0L).map(f =>
+              "data/" + new org.apache.hadoop.fs.Path(f).getName))
+          assertThrows[IllegalStateException](
+            VersionedTable.publish(path, 1L, 0L, "append", Seq.empty))
+          assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L until 4L))
+          VersionedTable.commit(spark.range(4, 6).toDF("id"), path, "append")
+          assert(ids(VersionedTable.read(spark, path)) === (0L until 6L))
+          assert(ids(VersionedTable.readVersion(spark, path, 0)) === (0L until 4L))
+          assert(VersionedTable.actionAt(path, 2L) === "append")
+        } finally VersionedTable.committer = prev
+      }
+  }
+
   test("streaming ingest as foreachBatch append commits: one version per batch") {
     implicit val sqlCtx = spark.sqlContext
     // the ingest story end-to-end: micro-batches land as atomic append
