@@ -265,7 +265,13 @@ object ParityQueries {
       val li = t(s, dir, "lineitem").select(col("l_extendedprice"))
       Stats.equiDepthBins(li, "l_extendedprice", 4)
         .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 4).as("price_sum"))
+        // sum in per-row-deterministic integral CENTS: round(sum(dbl),4)
+        // is stable only while the sum magnitude leaves 4 decimals inside
+        // double precision — at sf1 the 1e11 bin totals exceed that and
+        // summation order flips the hash (measured). floor(x*100) is the
+        // same IEEE arithmetic on both engines, then the sum is exact.
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
         .orderBy(col("bin"))
     }),
 
@@ -542,8 +548,10 @@ object ParityQueries {
       val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
       Stats.winsorize(li, "l_extendedprice", 0.05, 0.95)
         .groupBy(col("l_returnflag"))
+        // floor-cents carrier, see q_eqdepth: the double sum's 4-decimal
+        // rounding is summation-order-unstable once totals pass ~1e10
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice_wins")), 4).as("wins_sum"),
+          sum(floor(col("l_extendedprice_wins") * 100).cast("long")).as("wins_cents"),
           round(min(col("l_extendedprice_wins")), 6).as("wins_min"),
           round(max(col("l_extendedprice_wins")), 6).as("wins_max"))
         .orderBy(col("l_returnflag"))
@@ -882,7 +890,8 @@ object ParityQueries {
          |   + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END
          |   + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)::BIGINT AS bin
          |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
-         |SELECT bin, count(*) AS n, round(sum(x), 4) AS price_sum
+         |SELECT bin, count(*) AS n,
+         |  sum(CAST(floor(x * 100) AS BIGINT)) AS price_cents
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
 
@@ -1116,7 +1125,8 @@ object ParityQueries {
          |w AS (SELECT l_returnflag,
          |        least(greatest(l_extendedprice, lo), hi) AS x
          |      FROM lineitem, b)
-         |SELECT l_returnflag, count(*) AS n, round(sum(x), 4) AS wins_sum,
+         |SELECT l_returnflag, count(*) AS n,
+         |  sum(CAST(floor(x * 100) AS BIGINT)) AS wins_cents,
          |  round(min(x), 6) AS wins_min, round(max(x), 6) AS wins_max
          |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
