@@ -48,8 +48,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          // price totals pass 5e10 at sf1: floor-cents carriers (the
+          // q_eqdepth rule) — round(sum,4) would need 16 sig digits
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("base_price_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("disc_price_cents"),
           round(avg(col("l_quantity")), 6).as("avg_qty"), // integer-valued: sums exact
           // 2-decimal data: a group mean can sit ON a 6th-decimal rounding
           // midpoint where ulp-different summation orders round apart —
@@ -203,8 +207,9 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS base_price_cents,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS disc_price_cents,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(round(sum(l_discount), 4) / count(*), 6) AS avg_disc,
         |  count(*) AS count_order

@@ -510,7 +510,11 @@ object ParityQueries {
       val c = t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_name"))
       graft.operators.Joins.autoSaltedJoin(o, c, Seq("ck"))
         .groupBy(col("c_name"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("price_sum"))
+        // floor-cents carrier (see q_eqdepth): round(sum(dbl),4) of a
+        // 1e10+ total is summation-order-unstable; floor(x*100) is the
+        // same IEEE per-row arithmetic on both engines, then exact BIGINT
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("price_cents"))
         .orderBy(col("c_name"))
     }),
 
@@ -707,14 +711,14 @@ object ParityQueries {
       Stats.resample(events(s, dir), "ts", "1 hour",
           Seq("value" -> Seq(A.Sum, A.Mean, A.Length)))
         .select(col("bucket"),
-          round(col("value_sum"), 4).as("value_sum"),
-          // round(sum,4)/count, NOT round(avg,6): a bucket mean that is a
-          // decimal rational can land exactly on a 6th-decimal rounding
-          // midpoint, where Spark's and DuckDB's ulp-different summation
-          // orders round apart (observed ~3/100k on q_rolling before the
-          // same fix)
-          round(round(col("value_sum"), 4) / col("value_length"), 6)
-            .as("value_mean"),
+          // 2-decimal data: per-row floor-cents then exact integer sum,
+          // and the mean as half-up integral micros over those cents —
+          // round(round(sum,4)/n, 6) still tied at a 6th-decimal rounding
+          // midpoint at sf1 (53.6008125 rounded apart by engine)
+          floor(round(col("value_sum"), 2) * 100).cast("long").as("value_cents"),
+          floor((round(col("value_sum"), 2) * lit(1000000) +
+              col("value_length") / 2) / col("value_length"))
+            .cast("long").as("mean_micros"),
           col("value_length"))
         .orderBy(col("bucket"))
     }),
@@ -1093,7 +1097,8 @@ object ParityQueries {
     "q_salted" ->
       """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |             ELSE o_custkey END AS ck, o_totalprice FROM orders)
-        |SELECT c_name, count(*) AS n, round(sum(o_totalprice), 4) AS price_sum
+        |SELECT c_name, count(*) AS n,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS price_cents
         |FROM o JOIN customer ON ck = c_custkey
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
 
@@ -1406,8 +1411,9 @@ object ParityQueries {
 
     "q_resample" ->
       """SELECT date_trunc('hour', ts) AS bucket,
-        |  round(sum(value), 4) AS value_sum,
-        |  round(round(sum(value), 4) / count(*), 6) AS value_mean,
+        |  CAST(floor(round(sum(value), 2) * 100) AS BIGINT) AS value_cents,
+        |  CAST(floor((round(sum(value), 2) * 1000000 + count(*) / 2)
+        |    / count(*)) AS BIGINT) AS mean_micros,
         |  count(*)::DOUBLE AS value_length
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 

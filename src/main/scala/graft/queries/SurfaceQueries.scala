@@ -258,10 +258,11 @@ object SurfaceQueries {
     "q_pivot" -> ((s, dir) => {
       Table.of(t(s, dir, "orders"))
         .pivotAgg("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
-          round(sum(col("o_totalprice")), 4))
+          // floor-cents carrier (q_eqdepth rule): 2.5e10 cells at sf1
+          sum(floor(col("o_totalprice") * 100).cast("long")))
         .toDF
-        .select(col("o_orderpriority"), col("F").as("sum_f"),
-          col("O").as("sum_o"), col("P").as("sum_p"))
+        .select(col("o_orderpriority"), col("F").as("cents_f"),
+          col("O").as("cents_o"), col("P").as("cents_p"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -340,8 +341,11 @@ object SurfaceQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
       bo.join(bc, bo("o_custkey") === bc("c_custkey"))
         .groupBy(col("c_mktsegment"))
+        // floor-cents carrier (see q_eqdepth): round(sum(dbl),4) of a
+        // 1e10+ total is summation-order-unstable; floor(x*100) is the
+        // same IEEE per-row arithmetic on both engines, then exact BIGINT
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 4).as("revenue"))
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -378,7 +382,7 @@ object SurfaceQueries {
 
     "q_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS revenue
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -487,9 +491,12 @@ object SurfaceQueries {
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS sum_f,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS sum_o,
-        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS sum_p
+        |  sum(CAST(floor(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice END * 100) AS BIGINT)) AS cents_f,
+        |  sum(CAST(floor(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice END * 100) AS BIGINT)) AS cents_o,
+        |  sum(CAST(floor(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice END * 100) AS BIGINT)) AS cents_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_unpivot" ->
