@@ -60,14 +60,41 @@ object RankSelect {
     * ordering, NaN last) is `rank`. Requires every rank ∈ [1, N_col];
     * throws if a column has no non-null values. */
   def orderStatistics(df: DataFrame,
-      specs: Seq[(String, Seq[Long])]): Map[(String, Long), Double] = {
+      specs: Seq[(String, Seq[Long])]): Map[(String, Long), Double] =
+    selectRanks(df, specs, None)
+
+  /** WEIGHTED exact order statistics: rank r (1-based, in INTEGRAL
+    * weight mass) selects the smallest value whose cumulative weight
+    * along the value order reaches r — the inverted-CDF form, so
+    * `r = ceil(q·W)` answers "the doc length at which fraction q of
+    * the token MASS sits", the packing/curriculum statistic exact
+    * quantiles can't express unweighted. Rows with a null value or a
+    * null/non-positive weight carry no mass. Same pass machinery and
+    * bounds as the unweighted path (histograms sum weights instead of
+    * counting rows). */
+  def weightedOrderStatistics(df: DataFrame, specs: Seq[(String, Seq[Long])],
+      weightCol: String): Map[(String, Long), Double] =
+    selectRanks(df, specs, Some(weightCol))
+
+  private def selectRanks(df: DataFrame, specs: Seq[(String, Seq[Long])],
+      weightCol: Option[String]): Map[(String, Long), Double] = {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "orderStatistics: empty spec")
     val colNames = specs.map(_._1).distinct
-    // pass 0: per-column count / min / max (min & max resolve rank 1 / N
+    // per-row mass: 1 unweighted, else the (positive) weight
+    def massOf(x: org.apache.spark.sql.Column) = weightCol match {
+      case None => when(x.isNotNull, lit(1L))
+      case Some(wc) =>
+        when(x.isNotNull && col(wc).isNotNull && col(wc).cast("long") > 0,
+          col(wc).cast("long"))
+    }
+    // pass 0: per-column mass / min / max (min & max resolve rank 1 / W
     // immediately and seed every interval)
     val aggs = colNames.flatMap { c =>
       val x = col(c).cast("double")
-      Seq(count(x).as(s"${c}__n"), min(x).as(s"${c}__mn"), max(x).as(s"${c}__mx"))
+      val m = massOf(x)
+      val xe = when(m.isNotNull, x) // eligible values only
+      Seq(coalesce(sum(m), lit(0L)).as(s"${c}__n"),
+        min(xe).as(s"${c}__mn"), max(xe).as(s"${c}__mx"))
     }
     val row0 = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = colNames.zipWithIndex.map { case (c, i) =>
@@ -100,6 +127,7 @@ object RankSelect {
       val contribs = active.zipWithIndex.map { case (ts, i) =>
         val t = ts.head
         val x = col(t.colName).cast("double")
+        val m = massOf(x)
         // finite clamps so the bucket width is finite even for ±Inf/NaN
         // interval ends; NaN/+Inf route to the top bucket, −Inf to the
         // bottom — each then resolves via its bucket's min == max
@@ -126,30 +154,31 @@ object RankSelect {
           if (t.hi.isNaN) lit(true) // NaN is the greatest: everything ≤ it
           else if (t.hi == Double.PositiveInfinity) !isnan(x)
           else (x <= t.hi) && !isnan(x)
-        when(x.isNotNull && geLo && leHi,
-          struct(lit(i).as("t"), bucket.as("b"), x.as("v")))
+        when(m.isNotNull && geLo && leHi,
+          struct(lit(i).as("t"), bucket.as("b"), x.as("v"), m.as("m")))
       }
       val perBucket = df
         .select(explode(array_compact(array(contribs: _*))).as("c"))
         .groupBy(col("c.t"), col("c.b"))
-        .agg(count(lit(1)).as("n"), min(col("c.v")).as("mn"),
-          max(col("c.v")).as("mx"))
+        .agg(sum(col("c.m")).as("mass"), count(lit(1)).as("rows"),
+          min(col("c.v")).as("mn"), max(col("c.v")).as("mx"))
         .collect()
         .groupBy(_.getInt(0))
       active.zipWithIndex.foreach { case (ts, i) =>
         val buckets = perBucket(i)
-          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+          .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5)))
           .sortBy(_._1)
         ts.foreach { t =>
           var remaining = t.rank
           var done = false
-          for ((_, n, mn, mx) <- buckets if !done) {
-            if (remaining <= n) {
-              if (n == 1L || java.lang.Double.compare(mn, mx) == 0)
+          for ((_, mass, rows, mn, mx) <- buckets if !done) {
+            if (remaining <= mass) {
+              if (rows == 1L || java.lang.Double.compare(mn, mx) == 0)
                 t.result = Some(mn)
               else { t.lo = mn; t.hi = mx; t.rank = remaining }
               done = true
-            } else remaining -= n
+            } else remaining -= mass
           }
           require(done, s"orderStatistics: rank ${t.rank} not found in " +
             s"[${t.lo}, ${t.hi}] of '${t.colName}' (concurrent mutation?)")
@@ -188,6 +217,38 @@ object RankSelect {
   /** Convenience: one column, whole-frame exact quantiles. */
   def quantilesOf(df: DataFrame, c: String, qs: Seq[Double]): Option[Seq[Double]] =
     quantiles(df, Seq(c -> qs))(c)
+
+  /** Weighted inverted-CDF quantiles for several value columns sharing
+    * one weight column: per column, the smallest value whose cumulative
+    * weight (along the value order) reaches `ceil(q·W)` — exact, and
+    * directly replayable by a `sum(w) OVER (ORDER BY x)` window oracle.
+    * None for a column with no positive-weight values. */
+  def weightedQuantiles(df: DataFrame, specs: Seq[(String, Seq[Double])],
+      weightCol: String): Map[String, Option[Seq[Double]]] = {
+    require(specs.forall(_._2.forall(q => q > 0 && q <= 1)),
+      s"weightedQuantiles: qs in (0, 1]")
+    val colNames = specs.map(_._1).distinct
+    val massAggs = colNames.map { c =>
+      val x = col(c).cast("double")
+      coalesce(sum(when(x.isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0, col(weightCol).cast("long"))),
+        lit(0L)).as(s"w_$c")
+    }
+    val masses = df.agg(massAggs.head, massAggs.tail: _*).head()
+    val wByCol = colNames.zipWithIndex.map { case (c, i) => c -> masses.getLong(i) }.toMap
+    val live = specs.filter(s => wByCol(s._1) > 0)
+    if (live.isEmpty) return specs.map(_._1 -> None).toMap
+    val rankSpecs = live.map { case (c, qs) =>
+      // ceil(q·W) in double: the same IEEE arithmetic an SQL oracle runs
+      c -> qs.map(q => math.ceil(q * wByCol(c).toDouble).toLong).distinct
+    }
+    val stats = weightedOrderStatistics(df, rankSpecs, weightCol)
+    specs.map { case (c, qs) =>
+      val w = wByCol(c)
+      if (w == 0) c -> None
+      else c -> Some(qs.map(q => stats((c, math.ceil(q * w.toDouble).toLong))))
+    }.toMap
+  }
 
   /** The 1-based ranks the `N·q − 0.5` lerp touches at quantile q. */
   private def ranksFor(n: Long, q: Double): Seq[Long] = {

@@ -548,6 +548,38 @@ object ParityQueries {
 
     // Winsorization at the exact interpolated [p05, p95]: one two-output
     // aggregate for the bounds, then a narrow clamp — no sort of the data.
+    // EXACT WEIGHTED quantiles (beyond-reference; RankSelect's weighted
+    // rank search): per language AND overall, the doc length at which
+    // half / 90% of the corpus's CHARACTER MASS sits — the inverted-CDF
+    // form (smallest x with cumweight >= ceil(q*W)), which a packing or
+    // curriculum scheduler needs and an unweighted quantile cannot give
+    // (one 10M-char doc moves the mass median; it barely moves the doc
+    // median). Every per-lang face rides ONE shared pass sequence via
+    // derived value columns; the oracle replays the definition with a
+    // sum(w) OVER (ORDER BY x) window per lang.
+    "q_wquantile" -> ((s, dir) => {
+      import graft.functions.RankSelect
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"))
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      val langs = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val derived = docs.select(
+        (col("n_chars") +: langs.map(l =>
+          when(col("lang") === l, col("n_chars")).as(s"__v_$l"))): _*)
+      val specs = ("n_chars" -> Seq(0.5, 0.9)) +:
+        langs.map(l => s"__v_$l" -> Seq(0.5, 0.9))
+      val got = RankSelect.weightedQuantiles(derived, specs, "n_chars")
+      import s.implicits._
+      (langs.map { l =>
+        val Seq(m, p) = got(s"__v_$l").get
+        (l, m.toLong, p.toLong)
+      } :+ {
+        val Seq(m, p) = got("n_chars").get
+        ("zz_all", m.toLong, p.toLong)
+      }).toDF("lang", "w_median", "w_p90").orderBy(col("lang"))
+    }),
+
     "q_winsorize" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
       Stats.winsorize(li, "l_extendedprice", 0.05, 0.95)
@@ -1119,6 +1151,27 @@ object ParityQueries {
         |SELECT k, n, round(n / total, 6) AS share,
         |  round(n / (total / nk), 6) AS x_mean
         |FROM c, t ORDER BY n DESC, k LIMIT 8""".stripMargin,
+
+    "q_wquantile" ->
+      """WITH w AS (SELECT lang, n_chars AS x, n_chars::BIGINT AS wt
+        |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |t AS (SELECT lang, sum(wt) AS tot FROM w GROUP BY lang),
+        |c AS (SELECT lang, x, wt,
+        |        sum(wt) OVER (PARTITION BY lang ORDER BY x) AS cum FROM w),
+        |per AS (
+        |  SELECT c.lang,
+        |    min(CASE WHEN cum >= ceil(0.5 * tot) THEN x END)::BIGINT AS w_median,
+        |    min(CASE WHEN cum >= ceil(0.9 * tot) THEN x END)::BIGINT AS w_p90
+        |  FROM c JOIN t USING (lang) GROUP BY c.lang),
+        |ta AS (SELECT sum(wt) AS tot FROM w),
+        |ca AS (SELECT x, sum(wt) OVER (ORDER BY x) AS cum FROM w),
+        |allr AS (
+        |  SELECT 'zz_all' AS lang,
+        |    min(CASE WHEN cum >= ceil(0.5 * tot) THEN x END)::BIGINT,
+        |    min(CASE WHEN cum >= ceil(0.9 * tot) THEN x END)::BIGINT
+        |  FROM ca, ta)
+        |SELECT * FROM per UNION ALL SELECT * FROM allr
+        |ORDER BY lang""".stripMargin,
 
     "q_winsorize" -> {
       val lo = duckQuantileRaw("n*0.05 - 0.5")

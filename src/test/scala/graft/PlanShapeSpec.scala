@@ -543,6 +543,10 @@ class PlanShapeSpec extends SparkSpec {
       // stats panel: same shape — the panel rows are driver-side sidecar
       // arithmetic; only the oracle orderBy may exchange
       "q_table_panel" -> 1,
+      // weighted quantiles: the rank-search passes run eagerly at build
+      // time (bounded per-task state, see RankSelect); the graded frame
+      // is driver-built — only the oracle orderBy may exchange
+      "q_wquantile" -> 1,
       // WARC family: distributed shard read + native splits are
       // scan-side; roundtrip/gate shuffle only the oracle orderBy,
       // outlinks adds the host-edge aggregation

@@ -84,6 +84,38 @@ class RankSelectSpec extends SparkSpec {
     assert(RankSelect.quantilesOf(df, "x", Seq(0.5)) === None)
   }
 
+  test("weighted quantiles: inverted CDF vs a brute-force model, ties and dead weights") {
+    // deterministic values with heavy ties; weights include nulls and
+    // zeros (no mass) and a dominant heavy row
+    val rows = (0 until 5000).map { i =>
+      val x = (i % 37).toDouble
+      val w: java.lang.Long =
+        if (i % 11 == 0) null
+        else if (i % 7 == 0) 0L
+        else ((i % 5) + 1).toLong
+      (x, w)
+    } :+ ((99.0, java.lang.Long.valueOf(40000L))) // one row owns most mass
+    val df = rows.toDF("x", "w")
+    val qs = Seq(0.1, 0.5, 0.66, 0.9, 1.0)
+    val got = RankSelect.weightedQuantiles(df, Seq("x" -> qs), "w")("x").get
+    // brute force: sort by value, walk cumulative weight
+    val live = rows.collect { case (x, w) if w != null && w > 0 => (x, w.longValue) }
+      .sortBy(_._1)
+    val tot = live.map(_._2).sum
+    def brute(q: Double): Double = {
+      val r = math.ceil(q * tot.toDouble).toLong
+      var cum = 0L
+      live.find { case (_, w) => cum += w; cum >= r }.get._1
+    }
+    qs.zip(got).foreach { case (q, v) => assert(v === brute(q), s"q=$q") }
+    // the heavy row dominates: the weighted median is 99 even though
+    // 5000 of 5001 rows are below it
+    assert(got(1) === 99.0)
+    // a column with no positive-weight rows is None
+    assert(RankSelect.weightedQuantiles(
+      df.withColumn("w", lit(0L)), Seq("x" -> Seq(0.5)), "w")("x") === None)
+  }
+
   test("10M rows: exact against closed form, no single-task column buffer") {
     // values are a permutation of 0..N-1 (multiplication by an odd
     // constant mod 2^k is a bijection), so every order statistic is
