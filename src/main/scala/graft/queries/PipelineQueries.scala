@@ -2069,6 +2069,68 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MERGE-ON-READ DELETE, graded end-to-end: two accumulated
+    // deletion-vector commits (a value predicate, then a whole
+    // language) rewrite ZERO data bytes — the DeletionVectorSpec
+    // asserts byte-identity; here the ORACLE asserts the read side:
+    // all three versions, read through the DV anti-join, must equal
+    // the plain-filter replay per (view, lang) in count, id sum, and
+    // an order-free content checksum. At 100 TB this is the GDPR
+    // delete that finishes in minutes instead of rewriting petabytes.
+    "q_table_delete_dv" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtd").toString +
+        "/docs"
+      VersionedTable.create(docs.repartition(4), path)
+      val v1 = VersionedTable.deleteWhere(s, path, col("n_chars") % 7 === 3)
+      val v2 = VersionedTable.deleteWhere(s, path, col("lang") === "de")
+      def view(name: String, df: DataFrame) = df.select(lit(name).as("view"),
+        col("lang"), col("doc_id"),
+        TextOps.fingerprint(concat(col("doc_id").cast(StringType),
+          lit(":"), col("text"))).as("fp"))
+      view("v0", VersionedTable.readVersion(s, path, 0L))
+        .unionByName(view("v1", VersionedTable.readVersion(s, path, v1)))
+        .unionByName(view("v2", VersionedTable.readVersion(s, path, v2)))
+        .groupBy(col("view"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("fp")).as("content_sum"))
+        .orderBy(col("view"), col("lang"))
+    }),
+
+    // MERGE (upsert) on the versioned table: one atomic commit marks
+    // the matched keys deleted (DV — zero target bytes rewritten) and
+    // appends the source as new files; write cost is O(source), not
+    // O(table). The fixture layers it on a prior DV delete: a whole
+    // language is deleted first, then the source updates every %5 key
+    // (re-inserting the deleted language's members it names) and
+    // inserts fresh %11 keys — the oracle replays all of it with plain
+    // SQL set arithmetic over documents.
+    "q_table_upsert" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtu").toString +
+        "/docs"
+      VersionedTable.create(docs.repartition(4), path)
+      VersionedTable.deleteWhere(s, path, col("lang") === "fr")
+      val source = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" u1")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000000000L).as("doc_id"), col("lang"),
+            col("text")))
+      val v2 = VersionedTable.upsert(s, path, source, Seq("doc_id"))
+      VersionedTable.readVersion(s, path, v2)
+        .select(col("lang"), col("doc_id"),
+          TextOps.fingerprint(concat(col("doc_id").cast(StringType),
+            lit(":"), col("text"))).as("fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("fp")).as("content_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Schema evolution under the oracle: v0's files carry (doc_id,
     // lang), an append commit adds n_chars — the merged read returns
     // the evolved schema with NULL for the column the old files never
@@ -5159,6 +5221,46 @@ object PipelineQueries {
         |SELECT doc_id, 'changed' FROM documents
         |WHERE lang = 'de' AND doc_id % 3 <> 0 AND doc_id % 2 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_table_delete_dv" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          doc_id::VARCHAR || ':' || text AS k FROM documents))
+        |SELECT 'v0' AS view, lang, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS id_sum, sum(f)::BIGINT AS content_sum
+        |FROM fp GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1', lang, count(*)::BIGINT, sum(doc_id)::BIGINT, sum(f)::BIGINT
+        |FROM fp WHERE n_chars % 7 <> 3 GROUP BY lang
+        |UNION ALL
+        |SELECT 'v2', lang, count(*)::BIGINT, sum(doc_id)::BIGINT, sum(f)::BIGINT
+        |FROM fp WHERE n_chars % 7 <> 3 AND lang <> 'de' GROUP BY lang
+        |ORDER BY view, lang""".stripMargin,
+
+    "q_table_upsert" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE lang <> 'fr' AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, text || ' u1' FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000000, lang, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |fp AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT lang, doc_id,
+        |          doc_id::VARCHAR || ':' || text AS k FROM merged))
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS id_sum, sum(f)::BIGINT AS content_sum
+        |FROM fp GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_table_stream" ->
       """SELECT doc_id, lang, n_chars FROM documents

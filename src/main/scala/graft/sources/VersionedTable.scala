@@ -73,6 +73,8 @@ object VersionedTable {
     new HPath(rootPath(path), "_versions")
   private def dataDir(path: String): HPath =
     new HPath(rootPath(path), "data")
+  private def dvDir(path: String): HPath =
+    new HPath(rootPath(path), "dv")
 
   private def versionFile(path: String, v: Long): HPath =
     new HPath(versionsDir(path), f"v$v%08d.json")
@@ -200,6 +202,37 @@ object VersionedTable {
       .map(m => new HPath(rootPath(path), m.group(1)).toString).toSeq
   }
 
+  /** Deletion-vector shard files of a manifest (absolute paths; empty
+    * when the version carries no deletes). Shards are parquet bytes
+    * under `dv/` with a `.dv` extension — the extension keeps them out
+    * of [[filesAt]]'s data regex, and Spark reads explicit file paths
+    * regardless of suffix. */
+  def dvsAt(path: String, v: Long): Seq[String] = {
+    val f = versionFile(path, v)
+    require(exists(f), s"VersionedTable: no version $v at $path")
+    "\"([^\"]+\\.dv)\"".r.findAllMatchIn(readUtf8(f))
+      .map(m => new HPath(rootPath(path), m.group(1)).toString).toSeq
+  }
+
+  /** Whether version `v` carries row-level deletes (merge-on-read). */
+  def hasDeletes(path: String, v: Long): Boolean = dvsAt(path, v).nonEmpty
+
+  private def dvRelsAt(path: String, v: Long): Seq[String] =
+    dvsAt(path, v).map(relOf(path, _))
+
+  /** Exact-answer metadata faces (counts/sums/moments/NDV sidecars)
+    * aggregate PHYSICAL file contents, so a version carrying deletion
+    * vectors would make them overcount — loudly refuse rather than
+    * silently lie. Range/bloom SKIPPING sidecars stay sound under DVs
+    * (over-approximation only: a kept file's deleted rows are removed
+    * by the read path's anti-join). [[optimize]]/[[compact]] purge
+    * deletes physically and re-enable these faces. */
+  private def requireNoDv(path: String, v: Long, face: String): Unit =
+    require(dvsAt(path, v).isEmpty,
+      s"VersionedTable.$face: version $v of $path carries deletion vectors; " +
+        "physical-file sidecar aggregates would overcount deleted rows - " +
+        "run optimize()/compact() to purge deletes first")
+
   /** Table-relative form of an absolute path [[filesAt]] produced —
     * pure string arithmetic on the scheme-stripped URI paths (both
     * sides were built from the same root, so the prefix strip is
@@ -238,12 +271,19 @@ object VersionedTable {
     * (two same-version committers: exactly one wins). Package-visible so
     * the spec can drive the collision directly. */
   private[graft] def publish(path: String, v: Long, parent: Long, action: String,
-      files: Seq[String]): Unit = {
+      files: Seq[String], dvs: Seq[String] = Nil): Unit = {
     val dir = versionsDir(path)
     fsOf(dir).mkdirs(dir)
+    // deletion-vector refs ride INSIDE the manifest (".dv" extension —
+    // disjoint from the files regex) so the delete is exactly as atomic
+    // as the publish; a version without deletes emits the legacy body
+    // byte-for-byte
+    val dvPart =
+      if (dvs.isEmpty) ""
+      else s""","dv":[${dvs.map(f => "\"" + esc(f) + "\"").mkString(",")}]"""
     val body =
       s"""{"version":$v,"parent":$parent,"action":"${esc(action)}",
-         |"files":[${files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}""".stripMargin
+         |"files":[${files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$dvPart}""".stripMargin
     val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
     writeBytes(tmp, body.getBytes("UTF-8"))
     val target = versionFile(path, v)
@@ -273,13 +313,16 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val newFiles = stage(df, path)
     val v = cur + 1
-    val files = mode match {
-      case "append" => filesAt(path, cur).map(relOf(path, _)) ++ newFiles
-      case "overwrite" => newFiles
+    // append keeps the current files LIVE, so their deletion vectors
+    // must ride along; overwrite replaces the file set — no DV survives
+    val (files, dvs) = mode match {
+      case "append" =>
+        (filesAt(path, cur).map(relOf(path, _)) ++ newFiles, dvRelsAt(path, cur))
+      case "overwrite" => (newFiles, Nil)
       case other => throw new IllegalArgumentException(
         s"VersionedTable.commit: mode must be append|overwrite, got $other")
     }
-    publish(path, v, cur, mode, files)
+    publish(path, v, cur, mode, files, dvs)
     v
   }
 
@@ -296,8 +339,153 @@ object VersionedTable {
     // basePath recovers hive partition columns from `data/k=v/` path
     // segments when the table is partitioned; on a flat layout it is
     // inert (no k=v directories, no inference)
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .option("basePath", dataDir(path).toString).parquet(files: _*)
+    applyDv(spark, path, v,
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .option("basePath", dataDir(path).toString).parquet(files: _*))
+  }
+
+  // ---- deletion vectors: merge-on-read row-level deletes ----
+
+  /** Row lineage from the scan's constant metadata columns: the
+    * data-root-relative file path + the row's position within its file.
+    * The rel is recovered by anchoring on the LAST `/data/` path
+    * segment (partition directories are `k=v` single segments and file
+    * names are commit-uuid hex, so the final `data` segment is always
+    * the table's own data root — even when the table path itself
+    * contains a `/data/` segment). */
+  private def lineage(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    df.withColumn("__vt_file",
+        regexp_extract(col("_metadata.file_path"), ".*/(data/.*)$", 1))
+      .withColumn("__vt_pos", col("_metadata.row_index"))
+  }
+
+  /** Anti-join `withLin` (a [[lineage]]-tagged scan) against version
+    * `v`'s deletion vectors, restricted to `rels` when the caller
+    * already pruned the file list (the DV parquet filter pushes down).
+    * DV bytes are O(deleted rows): when the shards are small the join
+    * side is broadcast explicitly (deterministic plan); a massive
+    * backlog of deletes degrades to a shuffled anti-join rather than an
+    * OOM — and [[optimize]]/[[compact]] purge it physically. */
+  private def antiDv(spark: SparkSession, path: String, v: Long,
+      withLin: DataFrame, rels: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dvFiles = dvsAt(path, v)
+    val dv0 = spark.read.parquet(dvFiles.sorted: _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val dv1 = rels.filter(_.nonEmpty)
+      .map(r => dv0.where(col("__dv_file").isin(r: _*))).getOrElse(dv0)
+    val dvBytes = dvFiles.map { f =>
+      val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
+    val dv = if (dvBytes <= 64L * 1024 * 1024) broadcast(dv1) else dv1
+    withLin.join(dv,
+      col("__vt_file") === col("__dv_file") &&
+        col("__vt_pos") === col("__dv_pos"), "left_anti")
+  }
+
+  /** Apply version `v`'s deletion vectors to a scan of (a subset of)
+    * its files. No DVs → the input plan, untouched. */
+  private def applyDv(spark: SparkSession, path: String, v: Long,
+      df: DataFrame, rels: Option[Seq[String]] = None): DataFrame =
+    if (!hasDeletes(path, v)) df
+    else antiDv(spark, path, v, lineage(df), rels)
+      .drop("__vt_file", "__vt_pos")
+
+  /** Stage a (file, pos) frame as immutable DV shards under `dv/`;
+    * returns relative paths. Distributed write — deleted-row positions
+    * never collect to the driver. */
+  private def stageDv(dvDf: DataFrame, path: String): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new HPath(rootPath(path), s".staging-dv-$commitId")
+    dvDf.write.parquet(tmp.toString)
+    val fs = fsOf(tmp)
+    fs.mkdirs(dvDir(path))
+    val parts = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val rel = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"$commitId-dv$i%05d.dv"
+      require(fs.rename(p.getPath, new HPath(dvDir(path), name)),
+        s"VersionedTable: DV staging rename failed for ${p.getPath}")
+      s"dv/$name"
+    }.toSeq
+    fs.delete(tmp, true)
+    rel
+  }
+
+  /** Stage the marked (file, pos) rows as DV shards sized ~4M positions
+    * each; Nil when nothing matched (a no-op delete publishes no shard). */
+  private def stageDvRows(marked: DataFrame, path: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val m = marked.persist()
+    try {
+      val n = m.count()
+      if (n == 0) Nil
+      else {
+        val parts = math.max(1, math.min(200, ((n - 1) / 4000000L).toInt + 1))
+        stageDv(m.repartitionByRange(parts, col("file"), col("pos")), path)
+      }
+    } finally m.unpersist()
+  }
+
+  /** MERGE-ON-READ DELETE: mark the LIVE rows matching `pred` in a
+    * deletion-vector sidecar and publish a new version that carries the
+    * SAME data files — zero data bytes rewritten, which at 100 TB is
+    * the difference between a GDPR delete finishing in minutes and
+    * rewriting petabytes (copy-on-write). Readers anti-join the O(
+    * deleted) DV rows (broadcast when small); [[optimize]]/[[compact]]
+    * purge physically, after which metadata sidecar faces work again.
+    * DVs accumulate across delete commits; time travel to a pre-delete
+    * version still sees every row. */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val files = filesAt(path, cur)
+    val base = lineage(spark.read.option("basePath", dataDir(path).toString)
+      .parquet(files: _*))
+    val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
+      else base
+    val marked = live.where(pred)
+      .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
+    val newShards = stageDvRows(marked, path)
+    val v = cur + 1
+    publish(path, v, cur, "delete-dv", files.map(relOf(path, _)),
+      dvRelsAt(path, cur) ++ newShards)
+    v
+  }
+
+  /** MERGE (upsert): source rows REPLACE live target rows sharing their
+    * key and new-key rows INSERT — one atomic publish carrying a DV
+    * mark for the replaced rows (zero target data rewritten) plus the
+    * source staged as new files. The churn-sized alternative to a full
+    * copy-on-write merge: write cost is O(source) + O(matched keys)
+    * DV rows, independent of table size. */
+  def upsert(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "VersionedTable.upsert: at least one key column")
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val files = filesAt(path, cur)
+    val base = lineage(spark.read.option("basePath", dataDir(path).toString)
+      .parquet(files: _*))
+    val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
+      else base
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val marked = live.join(srcKeys, keyCols, "left_semi")
+      .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
+    val newShards = stageDvRows(marked, path)
+    // normalize source to the table's column order; parquet reads match
+    // by name, but a stable layout keeps footers comparable
+    val tableCols = base.drop("__vt_file", "__vt_pos").columns
+    val newFiles = stage(source.select(tableCols.map(col): _*), path)
+    val v = cur + 1
+    publish(path, v, cur, "upsert-dv",
+      files.map(relOf(path, _)) ++ newFiles,
+      dvRelsAt(path, cur) ++ newShards)
+    v
   }
 
   /** Read the latest version. */
@@ -412,7 +600,9 @@ object VersionedTable {
     if (files.isEmpty) {
       // all files pruned: empty frame with the table's schema
       readVersion(spark, path, v).where(org.apache.spark.sql.functions.lit(false))
-    } else spark.read.parquet(files: _*).where(c(col) >= lo && c(col) <= hi)
+    } else applyDv(spark, path, v, spark.read.parquet(files: _*),
+      Some(files.map(relOf(path, _))))
+      .where(c(col) >= lo && c(col) <= hi)
   }
 
   /** FILE-LEVEL copy-on-write CDC commit: rewrite only the files whose
@@ -458,12 +648,14 @@ object VersionedTable {
     val oldSubset =
       if (touchedAbs.isEmpty)
         readVersion(spark, path, cur).where(lit(false)) // pure insert
-      else spark.read.parquet(touchedAbs: _*)
+      else applyDv(spark, path, cur, spark.read.parquet(touchedAbs: _*),
+        Some(touchedAbs.map(relOf(path, _))))
     val rewritten = graft.operators.Diff.applyChanges(
       oldSubset, changes, Seq(idCol), valueCols)
     val newFiles = stage(rewritten, path)
     val v = cur + 1
-    publish(path, v, cur, "cdc-cow", carriedRel ++ newFiles)
+    publish(path, v, cur, "cdc-cow", carriedRel ++ newFiles,
+      dvRelsAt(path, cur))
     // refresh the skip stats O(churn): carried files KEEP their old
     // sidecar entries verbatim (their bytes didn't move), only the new
     // files are measured — re-running writeStats over the whole version
@@ -522,13 +714,15 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val newFiles = stage(df, path)
-    val files = mode match {
-      case "append" => filesAt(path, cur).map(relOf(path, _)) ++ newFiles
-      case "overwrite" => newFiles
+    val (files, dvs) = mode match {
+      case "append" =>
+        (filesAt(path, cur).map(relOf(path, _)) ++ newFiles, dvRelsAt(path, cur))
+      case "overwrite" => (newFiles, Nil)
       case other => throw new IllegalArgumentException(
         s"VersionedTable.commitStreamBatch: mode must be append|overwrite, got $other")
     }
-    try { publish(path, cur + 1, cur, s"$tag$batchId:$mode", files); Some(cur + 1) }
+    try { publish(path, cur + 1, cur, s"$tag$batchId:$mode", files, dvs)
+      Some(cur + 1) }
     catch { case e: IllegalStateException =>
       // lost the same-version race; if the winner was OUR batch
       // (duplicate concurrent retry), this is the intended no-op
@@ -551,14 +745,39 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col => c, lit}
     val before = filesAt(path, fromV).toSet
     val after = filesAt(path, toV).toSet
+    // Deletion vectors extend the change extent: a delete-dv commit
+    // keeps the file SETS identical, so the churn hides in files whose
+    // DV membership differs between the versions. Finding them reads
+    // the two DV row sets — O(deleted rows), never O(table) — and only
+    // files carried by BOTH manifests matter (one-sided files are in
+    // the symmetric difference already).
+    val dvFrom = dvsAt(path, fromV)
+    val dvTo = dvsAt(path, toV)
+    val dvChangedRels: Set[String] =
+      if (dvFrom == dvTo) Set.empty
+      else {
+        def rdDv(fs: Seq[String]): DataFrame =
+          if (fs.isEmpty) {
+            import spark.implicits._
+            Seq.empty[(String, Long)].toDF("file", "pos")
+          } else spark.read.parquet(fs.sorted: _*).select(c("file"), c("pos"))
+        val f = rdDv(dvFrom); val t = rdDv(dvTo)
+        t.except(f).unionByName(f.except(t))
+          .select(c("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val dvTouched = (before intersect after)
+      .filter(a => dvChangedRels.contains(relOf(path, a)))
     def rd(fs: Set[String], v: Long) =
       if (fs.isEmpty) readVersion(spark, path, v).where(lit(false))
-      else spark.read.option("basePath", dataDir(path).toString)
-        .parquet(fs.toSeq.sorted: _*)
+      else applyDv(spark, path, v,
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(fs.toSeq.sorted: _*),
+        Some(fs.toSeq.map(relOf(path, _))))
     val sel = (idCols ++ valueCols).map(c)
     graft.operators.Diff.snapshotDiff(
-        rd(before -- after, fromV).select(sel: _*),
-        rd(after -- before, toV).select(sel: _*), idCols, valueCols)
+        rd((before -- after) ++ dvTouched, fromV).select(sel: _*),
+        rd((after -- before) ++ dvTouched, toV).select(sel: _*), idCols, valueCols)
       .filter(c("change") =!= "unchanged")
   }
 
@@ -585,13 +804,16 @@ object VersionedTable {
     val bytes = sel.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val parts = math.max(values.length,
       math.ceil(bytes.toDouble / targetBytes).toInt)
-    val arranged = spark.read.option("basePath", dataDir(path).toString)
-      .parquet(sel.sorted: _*)
+    val arranged = applyDv(spark, path, cur,
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(sel.sorted: _*),
+        Some(sel.map(relOf(path, _))))
       .repartitionByRange(parts, c(partCol), c(sortCol))
       .sortWithinPartitions(c(partCol), c(sortCol))
     val newFiles = stagePartitioned(arranged, path, partCol)
     val v = cur + 1
-    publish(path, v, cur, s"optimize-partitioned:$partCol", carriedRel ++ newFiles)
+    publish(path, v, cur, s"optimize-partitioned:$partCol",
+      carriedRel ++ newFiles, dvRelsAt(path, cur))
     refreshStatsSidecar(spark, path, cur, v, sortCol, carriedRel, newFiles)
     v
   }
@@ -611,7 +833,8 @@ object VersionedTable {
     val residual = preds.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi }
       .reduce(_ && _)
     if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
-    else spark.read.parquet(files.toSeq.sorted: _*).where(residual)
+    else applyDv(spark, path, v, spark.read.parquet(files.toSeq.sorted: _*),
+      Some(files.toSeq.map(relOf(path, _)))).where(residual)
   }
 
   // ---- hive-style partitioned layout ----
@@ -673,18 +896,22 @@ object VersionedTable {
     val newFiles = stagePartitioned(df, path, partCol)
     val old = filesAt(path, cur).map(relOf(path, _))
     def dirOf(rel: String) = new HPath(rel).getParent.getName
-    val files = mode match {
-      case "append" => old ++ newFiles
-      case "overwrite" => newFiles
+    // any mode that carries old files forward carries the DV list too
+    // (entries for dropped files dangle harmlessly: they reference rels
+    // no manifest lists, so no anti-join row ever matches them)
+    val (files, dvs) = mode match {
+      case "append" => (old ++ newFiles, dvRelsAt(path, cur))
+      case "overwrite" => (newFiles, Nil)
       case "overwritePartitions" =>
         val touched = newFiles.map(dirOf).toSet
-        old.filterNot(f => touched.contains(dirOf(f))) ++ newFiles
+        (old.filterNot(f => touched.contains(dirOf(f))) ++ newFiles,
+          dvRelsAt(path, cur))
       case other => throw new IllegalArgumentException(
         "VersionedTable.commitPartitioned: mode must be " +
           s"append|overwrite|overwritePartitions, got $other")
     }
     val v = cur + 1
-    publish(path, v, cur, s"$mode-partitioned:$partCol", files)
+    publish(path, v, cur, s"$mode-partitioned:$partCol", files, dvs)
     v
   }
 
@@ -716,8 +943,10 @@ object VersionedTable {
     val files = filesForPartitions(path, v, partCol, values)
     if (files.isEmpty)
       readVersion(spark, path, v).where(org.apache.spark.sql.functions.lit(false))
-    else spark.read.option("basePath", dataDir(path).toString)
-      .parquet(files.sorted: _*)
+    else applyDv(spark, path, v,
+      spark.read.option("basePath", dataDir(path).toString)
+        .parquet(files.sorted: _*),
+      Some(files.map(relOf(path, _))))
   }
 
   /** The composed 100 TB read: partition pruning FIRST (exact, from
@@ -736,8 +965,10 @@ object VersionedTable {
     else {
       val residual = preds.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi }
         .foldLeft(lit(true))(_ && _)
-      spark.read.option("basePath", dataDir(path).toString)
-        .parquet(files.toSeq.sorted: _*).where(residual)
+      applyDv(spark, path, v,
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(files.toSeq.sorted: _*),
+        Some(files.toSeq.map(relOf(path, _)))).where(residual)
     }
   }
 
@@ -774,6 +1005,7 @@ object VersionedTable {
     * O(commit), not O(table). (A file counted as 0 rows is a genuine
     * empty parquet file: it groups to no row, so it defaults to 0.) */
   def writeCounts(spark: SparkSession, path: String, v: Long): Unit = {
+    requireNoDv(path, v, "writeCounts")
     val rels = relsAt(path, v)
     val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
       .map(pv => countsFile(path, pv)).filter(exists)
@@ -800,6 +1032,7 @@ object VersionedTable {
     * the sidecar is missing or does not cover every manifest file:
     * a metadata answer must never silently undercount. */
   def countAt(path: String, v: Long): Option[Long] = {
+    requireNoDv(path, v, "countAt")
     val p = countsFile(path, v)
     if (!exists(p)) return None
     val counts = parseCounts(p)
@@ -814,6 +1047,7 @@ object VersionedTable {
     * [[countAt]]; requires a partitioned layout on `partCol`. */
   def partitionRowCounts(path: String, v: Long,
       partCol: String): Option[Seq[(String, Long)]] = {
+    requireNoDv(path, v, "partitionRowCounts")
     val p = countsFile(path, v)
     if (!exists(p)) return None
     val counts = parseCounts(p)
@@ -850,6 +1084,7 @@ object VersionedTable {
     * commit's new files are measured. A file whose column is entirely
     * null stores 0 — the fold identity, so merged sums stay exact. */
   def writeSums(spark: SparkSession, path: String, v: Long, col: String): Unit = {
+    requireNoDv(path, v, "writeSums")
     val rels = relsAt(path, v)
     val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
       .map(pv => sumFile(path, pv, col)).filter(exists)
@@ -876,6 +1111,7 @@ object VersionedTable {
   /** Exact SUM of `col` at version `v` from metadata alone; coverage
     * rule as [[countAt]]. */
   def sumAt(path: String, v: Long, col: String): Option[Long] = {
+    requireNoDv(path, v, "sumAt")
     val p = sumFile(path, v, col)
     if (!exists(p)) return None
     val sums = parseSums(p)
@@ -887,6 +1123,7 @@ object VersionedTable {
     * [[partitionRowCounts]]. */
   def partitionSums(path: String, v: Long, partCol: String,
       col: String): Option[Seq[(String, Long)]] = {
+    requireNoDv(path, v, "partitionSums")
     val p = sumFile(path, v, col)
     if (!exists(p)) return None
     val sums = parseSums(p)
@@ -937,6 +1174,7 @@ object VersionedTable {
     * sidecar (version-prefix rule). */
   def writeMoments(spark: SparkSession, path: String, v: Long,
       col: String): Unit = {
+    requireNoDv(path, v, "writeMoments")
     val rels = relsAt(path, v)
     val prior = versions(path).filter(_ <= v).reverse
       .map(pv => momentsFile(path, pv, col)).filter(exists)
@@ -988,6 +1226,7 @@ object VersionedTable {
     * [[countAt]]: None unless every live file has an entry. */
   def momentsAt(path: String, v: Long, col: String)
       : Option[(Long, Long, Long, Seq[BigInt])] = {
+    requireNoDv(path, v, "momentsAt")
     val p = momentsFile(path, v, col)
     if (!exists(p)) return None
     val m = parseMoments(p)
@@ -999,6 +1238,7 @@ object VersionedTable {
     * [[partitionRowCounts]]. */
   def partitionMoments(path: String, v: Long, partCol: String, col: String)
       : Option[Seq[(String, (Long, Long, Long, Seq[BigInt]))]] = {
+    requireNoDv(path, v, "partitionMoments")
     val p = momentsFile(path, v, col)
     if (!exists(p)) return None
     val m = parseMoments(p)
@@ -1085,6 +1325,7 @@ object VersionedTable {
     * register from the data (the graded property). */
   def writeNdv(spark: SparkSession, path: String, v: Long, col: String,
       p: Int = 6, tag: String = "vtndv"): Unit = {
+    requireNoDv(path, v, "writeNdv")
     import org.apache.spark.sql.functions.{bin, count, input_file_name, length,
       lit, max, pmod, shiftright, when, col => c}
     import graft.operators.Sketch
@@ -1132,6 +1373,7 @@ object VersionedTable {
     * numbers [[graft.operators.Sketch.hllDistinct]] grades. None when
     * the sidecar is missing or does not cover every manifest file. */
   def ndvAt(path: String, v: Long, col: String): Option[(Long, Long)] = {
+    requireNoDv(path, v, "ndvAt")
     val side = ndvFile(path, v, col)
     if (!exists(side)) return None
     val entries = parseNdv(side)
@@ -1160,6 +1402,7 @@ object VersionedTable {
     * and precision rules as [[ndvAt]]/[[partitionRowCounts]]. */
   def partitionNdv(path: String, v: Long, partCol: String,
       col: String): Option[Seq[(String, (Long, Long))]] = {
+    requireNoDv(path, v, "partitionNdv")
     val side = ndvFile(path, v, col)
     if (!exists(side)) return None
     val entries = parseNdv(side)
@@ -1422,8 +1665,10 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col => c, lit}
     val files = filesForKeys(path, v, col, keys)
     if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
-    else spark.read.option("basePath", dataDir(path).toString)
-      .parquet(files.sorted: _*)
+    else applyDv(spark, path, v,
+      spark.read.option("basePath", dataDir(path).toString)
+        .parquet(files.sorted: _*),
+      Some(files.map(relOf(path, _))))
       .where(c(col).cast("string").isin(keys: _*))
   }
 
@@ -1457,8 +1702,10 @@ object VersionedTable {
         ranges.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi } ++
           keys.map { case (kc, ks) => c(kc).cast("string").isin(ks: _*) })
         .foldLeft(lit(true))(_ && _)
-      spark.read.option("basePath", dataDir(path).toString)
-        .parquet(files.toSeq.sorted: _*).where(residual)
+      applyDv(spark, path, v,
+        spark.read.option("basePath", dataDir(path).toString)
+          .parquet(files.toSeq.sorted: _*),
+        Some(files.toSeq.map(relOf(path, _)))).where(residual)
     }
   }
 
@@ -1538,21 +1785,28 @@ object VersionedTable {
     // reuse file NAMES across `k=v` subdirs, so a bare-name key could
     // never reclaim a dead partition file shadowed by a live namesake
     val dataRoot = dataDir(path).toUri.getPath
-    val live = keep.flatMap(filesAt(path, _))
-      .map { a =>
-        val ap = new HPath(a).toUri.getPath
-        if (ap.startsWith(dataRoot + "/")) ap.substring(dataRoot.length + 1) else ap
-      }.toSet
+    def relUnder(root: String)(a: String): String = {
+      val ap = new HPath(a).toUri.getPath
+      if (ap.startsWith(root + "/")) ap.substring(root.length + 1) else ap
+    }
+    val live = keep.flatMap(filesAt(path, _)).map(relUnder(dataRoot)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val fs = fsOf(dataDir(path))
-    def sweep(dir: HPath, prefix: String): Unit =
+    def sweep(dir: HPath, prefix: String, liveSet: Set[String]): Unit =
       listNames(dir).foreach { s =>
-        if (s.isDirectory) sweep(s.getPath, prefix + s.getPath.getName + "/")
-        else if (!live.contains(prefix + s.getPath.getName) &&
+        if (s.isDirectory) sweep(s.getPath, prefix + s.getPath.getName + "/", liveSet)
+        else if (!liveSet.contains(prefix + s.getPath.getName) &&
             s.getModificationTime < cutoff)
           fs.delete(s.getPath, false)
       }
-    sweep(dataDir(path), "")
+    sweep(dataDir(path), "", live)
+    // DV shards are shared across versions (cumulative carry): live =
+    // referenced by ANY retained manifest; same in-flight age guard
+    if (exists(dvDir(path))) {
+      val dvRoot = dvDir(path).toUri.getPath
+      val liveDv = keep.flatMap(dvsAt(path, _)).map(relUnder(dvRoot)).toSet
+      sweep(dvDir(path), "", liveDv)
+    }
     drop.foreach { v =>
       fs.delete(versionFile(path, v), false)
       // every sidecar of the dropped version goes with it (stats,

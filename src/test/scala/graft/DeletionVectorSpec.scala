@@ -1,0 +1,203 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletion vectors: row-level deletes that rewrite ZERO
+  * data bytes. A delete commit publishes the SAME data files plus an
+  * O(deleted)-row DV sidecar; readers anti-join it; optimize/compact
+  * purge it physically. The spec proves the headline property the hard
+  * way — file bytes and names are asserted untouched across deletes. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh() =
+    java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  private def dataFiles(path: String): Map[String, Long] = {
+    val dir = java.nio.file.Paths.get(path, "data")
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> java.nio.file.Files.size(p)).toMap
+    } finally s.close()
+  }
+
+  test("deleteWhere rewrites zero data bytes and accumulates across commits") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(100).select($"id", ($"id" % 7).as("m")).repartition(4), path)
+    val before = dataFiles(path)
+
+    val v1 = VersionedTable.deleteWhere(spark, path, col("m") === 3)
+    assert(v1 === 1L)
+    // the delete touched no data file: same names, same bytes
+    assert(dataFiles(path) === before)
+    assert(VersionedTable.hasDeletes(path, v1))
+    assert(ids(VersionedTable.read(spark, path)) ===
+      (0L until 100L).filterNot(_ % 7 == 3))
+    // time travel: v0 still sees every row
+    assert(ids(VersionedTable.readVersion(spark, path, 0)) === (0L until 100L))
+
+    // second delete accumulates; already-deleted rows don't re-mark
+    val v2 = VersionedTable.deleteWhere(spark, path, col("id") < 10)
+    assert(dataFiles(path) === before)
+    assert(ids(VersionedTable.readVersion(spark, path, v2)) ===
+      (10L until 100L).filterNot(_ % 7 == 3))
+    // v1 unchanged by v2's delete
+    assert(ids(VersionedTable.readVersion(spark, path, v1)) ===
+      (0L until 100L).filterNot(_ % 7 == 3))
+  }
+
+  test("a no-op delete publishes a version with no new DV shard") {
+    val path = fresh()
+    VersionedTable.create(spark.range(10).toDF("id"), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") > 999)
+    assert(!VersionedTable.hasDeletes(path, v1))
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 10L))
+  }
+
+  test("upsert replaces matched keys via DV and appends the source") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(20).select($"id", ($"id" * 10).as("x")).repartition(3), path)
+    val before = dataFiles(path)
+    val source = Seq((5L, 999L), (7L, 777L), (100L, 1L), (101L, 2L))
+      .toDF("id", "x")
+    val v1 = VersionedTable.upsert(spark, path, source, Seq("id"))
+    // target files untouched; only NEW files appended
+    val after = dataFiles(path)
+    before.foreach { case (f, sz) => assert(after.get(f) === Some(sz)) }
+    assert(after.size > before.size)
+    val got = VersionedTable.readVersion(spark, path, v1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = ((0L until 20L).filterNot(i => i == 5 || i == 7)
+      .map(i => (i, i * 10)) ++ Seq((5L, 999L), (7L, 777L), (100L, 1L), (101L, 2L)))
+      .sortBy(_._1)
+    assert(got === want)
+    // upsert on top of an existing delete keeps both
+    VersionedTable.deleteWhere(spark, path, col("id") === 0L)
+    val v3 = VersionedTable.upsert(spark, path,
+      Seq((1L, -1L)).toDF("id", "x"), Seq("id"))
+    val got3 = VersionedTable.readVersion(spark, path, v3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want3 = (want.filterNot(r => r._1 == 0 || r._1 == 1) :+ (1L, -1L))
+      .sortBy(_._1)
+    assert(got3 === want3)
+  }
+
+  test("subset reads (range / partition / keys / composed) apply DVs") {
+    val path = fresh()
+    val df = spark.range(200)
+      .select($"id", ($"id" % 4).cast("string").as("p"), ($"id" * 3).as("x"))
+    VersionedTable.createPartitioned(df, path, "p")
+    val v = VersionedTable.deleteWhere(spark, path, col("id") % 10 === 0)
+    val live = (0L until 200L).filterNot(_ % 10 == 0)
+
+    // partition-pruned read
+    assert(ids(VersionedTable.readWherePartitions(spark, path, v, "p", Seq("1"))) ===
+      live.filter(_ % 4 == 1))
+    // stats-range read (write stats AFTER delete is allowed: skipping
+    // sidecars stay sound under DVs)
+    VersionedTable.writeStats(spark, path, v, "id")
+    assert(ids(VersionedTable.readWhere(spark, path, v, "id", 0L, 50L)) ===
+      live.filter(_ <= 50))
+    // bloom keys read: probing a DELETED key returns nothing
+    VersionedTable.writeBloom(spark, path, v, "id")
+    assert(VersionedTable.readWhereKeys(spark, path, v, "id", Seq("30")).count() === 0L)
+    assert(ids(VersionedTable.readWhereKeys(spark, path, v, "id", Seq("31"))) === Seq(31L))
+    // composed read
+    assert(ids(VersionedTable.readComposed(spark, path, v,
+      partitions = Some(("p", Seq("0"))),
+      ranges = Seq(("id", 0L, 100L)))) ===
+      live.filter(i => i % 4 == 0 && i <= 100))
+  }
+
+  test("changeFeed reports DV deletes and upsert updates/inserts") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(30).select($"id", ($"id" * 2).as("x")).repartition(2), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") < 5)
+    val feed1 = VersionedTable.changeFeed(spark, path, 0L, v1, Seq("id"), Seq("x"))
+      .select($"id", $"change").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(feed1 === (0L until 5L).map(i => (i, "removed")))
+
+    val v2 = VersionedTable.upsert(spark, path,
+      Seq((10L, -1L), (100L, 5L)).toDF("id", "x"), Seq("id"))
+    val feed2 = VersionedTable.changeFeed(spark, path, v1, v2, Seq("id"), Seq("x"))
+      .select($"id", $"change").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(feed2 === Seq((10L, "changed"), (100L, "added")))
+    // full-span feed composes both commits
+    val feedAll = VersionedTable.changeFeed(spark, path, 0L, v2, Seq("id"), Seq("x"))
+      .select($"id", $"change").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(feedAll === ((0L until 5L).map(i => (i, "removed")) ++
+      Seq((10L, "changed"), (100L, "added"))))
+  }
+
+  test("optimize purges DVs physically and re-enables metadata faces") {
+    val path = fresh()
+    VersionedTable.create(spark.range(50).toDF("id").repartition(4), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 2 === 0)
+    // exact metadata faces refuse on a DV version rather than overcount
+    intercept[IllegalArgumentException](VersionedTable.writeCounts(spark, path, v1))
+    intercept[IllegalArgumentException](VersionedTable.countAt(path, v1))
+    val v2 = VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
+    assert(!VersionedTable.hasDeletes(path, v2))
+    assert(ids(VersionedTable.readVersion(spark, path, v2)) ===
+      (0L until 50L).filter(_ % 2 == 1))
+    VersionedTable.writeCounts(spark, path, v2)
+    assert(VersionedTable.countAt(path, v2) === Some(25L))
+  }
+
+  test("vacuum keeps DV shards of retained versions, sweeps dropped ones") {
+    val path = fresh()
+    VersionedTable.create(spark.range(40).toDF("id").repartition(2), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") < 10)   // shard A
+    VersionedTable.deleteWhere(spark, path, col("id") >= 35)           // shard B
+    VersionedTable.commit(spark.range(100, 110).toDF("id"), path, "overwrite")
+    val v4 = VersionedTable.deleteWhere(spark, path, col("id") === 105L) // shard C
+    // retain the last two versions: v3 (overwrite, no DV) + v4 (shard C)
+    VersionedTable.vacuum(path, keepVersions = 2, minAgeMs = 0L)
+    assert(VersionedTable.versions(path) === Seq(3L, 4L))
+    // shards A/B swept, C alive; the retained read is exact
+    val dvDir = java.nio.file.Paths.get(path, "dv")
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(dvDir)
+    val left = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".dv")).toSeq finally s.close()
+    assert(left.toSet === VersionedTable.dvsAt(path, v4)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet)
+    assert(ids(VersionedTable.readVersion(spark, path, v4)) ===
+      (100L until 110L).filterNot(_ == 105L))
+    intercept[IllegalArgumentException](
+      VersionedTable.readVersion(spark, path, v1))
+  }
+
+  test("cdc-cow and append commits carry DVs; compact on partitions keeps them") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(60).select($"id", ($"id" * 2).as("x")).repartition(3), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 3 === 0)
+    // append: new rows land, old deletes survive
+    val v2 = VersionedTable.commit(
+      spark.range(1000, 1005).select($"id", ($"id" * 2).as("x")), path, "append")
+    assert(ids(VersionedTable.readVersion(spark, path, v2)) ===
+      ((0L until 60L).filterNot(_ % 3 == 0) ++ (1000L until 1005L)))
+    // cdc-cow on the DV-bearing table must not resurrect deleted rows
+    VersionedTable.writeStats(spark, path, v2, "id")
+    val changes = Seq((1L, 111L, "changed"), (2000L, 1L, "added"))
+      .toDF("id", "x_new", "change")
+    val v3 = VersionedTable.commitCdcCow(spark, path, changes, "id", Seq("x"))
+    val got = VersionedTable.readVersion(spark, path, v3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = ((0L until 60L).filterNot(_ % 3 == 0).map(i =>
+        (i, if (i == 1) 111L else i * 2)) ++
+      (1000L until 1005L).map(i => (i, i * 2)) :+ (2000L, 1L)).sortBy(_._1)
+    assert(got === want)
+  }
+}

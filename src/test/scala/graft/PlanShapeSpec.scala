@@ -575,7 +575,13 @@ class PlanShapeSpec extends SparkSpec {
       // schema evolution: one merged-footer scan + oracle orderBy
       "q_table_evolve" -> 1,
       // per-partition NDV: driver-built frame from sidecar + orderBy
-      "q_table_ndv_parts" -> 1)
+      "q_table_ndv_parts" -> 1,
+      // deletion vectors: the graded read is three pinned scans, the
+      // DV anti-join BROADCASTS (O(deleted) rows); the two shuffles
+      // are the (view,lang) agg + the oracle orderBy
+      "q_table_delete_dv" -> 2,
+      // upsert: one DV-anti-joined scan + agg + oracle orderBy
+      "q_table_upsert" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
