@@ -533,6 +533,28 @@ object ParityQueries {
         .orderBy(col("c_name"))
     }),
 
+    // Bloom-prefiltered join: the probe (lineitem) is filtered by a
+    // bloom sketch of the SELECTIVE build side's keys (urgent expensive
+    // orders, ~14%) before the join's exchange — at 100 TB the probe
+    // shuffles |matches| + fpp·|probe| rows instead of the table. The
+    // oracle is the PLAIN join: bloom false positives must be verified
+    // away by the join, false negatives must not exist.
+    "q_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      // size the sketch to the real build cardinality (one cheap
+      // aggregate over the filtered dim side)
+      val nBuild = urgent.count()
+      graft.operators.Joins.bloomJoin(li, urgent, Seq("l_orderkey"), nBuild)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Shuffle-skew pre-flight: heaviest keys with share and x_mean (the
     // salt factor that would flatten the hot reducer). A planted hot key
     // absorbs every 5th event on top of its hash share.
@@ -1142,6 +1164,13 @@ object ParityQueries {
         |    AS BIGINT) AS price_sum_micros
         |FROM o JOIN customer ON ck = c_custkey
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_skew" ->
       """WITH e AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0

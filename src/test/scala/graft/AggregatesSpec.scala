@@ -145,6 +145,45 @@ class AggregatesSpec extends SparkSpec {
     assert(e.getMessage.contains("salt bucket"))
   }
 
+  test("bloomJoin: equals the plain join, prunes the probe, rejects outer modes") {
+    import spark.implicits._
+    // 100k probe rows over 10k keys; build side holds 20 of them — the
+    // prefilter must keep ~(matches + fpp·probe), not the probe
+    val probe = spark.range(100000)
+      .selectExpr("id % 10000 AS k", "id AS payload")
+    val build = (0 until 20).map(i => (i * 500L, s"dim$i")).toDF("k", "name")
+    val plain = probe.join(build, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val bloomed = graft.operators.Joins.bloomJoin(probe, build, Seq("k"), 20L)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(bloomed == plain)
+    assert(bloomed.size == 200) // 20 keys x 10 probe rows each
+    // the reduction itself: rows surviving the prefilter alone
+    val bloom = graft.operators.Sketch.bloomBytes(
+      build.select($"k"), $"k", 20L, fpp = 0.01).get
+    val kept = probe.filter(
+      graft.operators.Sketch.mightContain(bloom, $"k")).count()
+    assert(kept >= 200 && kept <= 200 + 2500, // fpp 1% of 100k + slack
+      s"prefilter kept $kept of 100000 (expected ~200 + fp)")
+    // multi-key tuple probe
+    val probe2 = probe.withColumn("k2", ($"k" % 7).cast("string"))
+    val build2 = build.withColumn("k2", ($"k" % 7).cast("string"))
+    val plain2 = probe2.join(build2, Seq("k", "k2"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val bloomed2 = graft.operators.Joins
+      .bloomJoin(probe2, build2, Seq("k", "k2"), 20L)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(bloomed2 == plain2)
+    // outer modes are unsound under a probe prefilter
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Joins.bloomJoin(probe, build, Seq("k"), 20L, how = "left")
+    }
+    assert(e.getMessage.contains("unsound"))
+    // empty build degrades to the plain (empty) join
+    assert(graft.operators.Joins.bloomJoin(
+      probe, build.where($"k" < 0), Seq("k"), 1L).count() == 0)
+  }
+
   test("autoSaltedJoin: empty left side joins empty instead of crashing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")

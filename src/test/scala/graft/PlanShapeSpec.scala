@@ -364,6 +364,14 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q_bloom_join carries the explicit probe-side bloom prefilter in its plan") {
+    // the operator's whole point: the membership probe must sit on the
+    // probe scan as a data filter, upstream of the join's exchange
+    val plan = planText("q_bloom_join").toLowerCase
+    assert(plan.contains("might_contain"),
+      s"bloomJoin lost its probe prefilter:\n${plan.take(1500)}")
+  }
+
   test("AQE splits skewed shuffle-join partitions at runtime (skew=true)") {
     import spark.implicits._
     // At 100 TB the hot-key partition is what kills a shuffle join; the
@@ -581,7 +589,11 @@ class PlanShapeSpec extends SparkSpec {
       // are the (view,lang) agg + the oracle orderBy
       "q_table_delete_dv" -> 2,
       // upsert: one DV-anti-joined scan + agg + oracle orderBy
-      "q_table_upsert" -> 2)
+      "q_table_upsert" -> 2,
+      // bloom-prefiltered join: sketch built eagerly; graded plan is
+      // probe scan+filter, broadcast join of the tiny build, agg,
+      // oracle orderBy — the probe never shuffles unpruned
+      "q_bloom_join" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
