@@ -128,8 +128,14 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
     val to = versionOf(end)
     val from = start.map(versionOf)
     lastEnd = Some(math.max(to, lastEnd.getOrElse(Long.MinValue)))
-    val newFiles = from match {
-      case None => VersionedTable.filesAt(path, to) // initial snapshot
+    val sel = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    val batch = from match {
+      // initial snapshot: the DV-aware full read — a table whose history
+      // includes merge-on-read deletes must snapshot its LIVE rows, not
+      // its physical files. (Post-snapshot delete-dv/upsert-dv commits
+      // are not append-like and poison the stream loudly below — the
+      // Delta append-only-source contract.)
+      case None => VersionedTable.readVersion(spark, path, to).select(sel: _*)
       case Some(f) =>
         // per-version walk: append-like versions contribute their added
         // files; LAYOUT-ONLY versions (compact / optimize / z-order) are
@@ -137,7 +143,7 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
         // NOTHING (Delta's dataChange=false semantic; emitting their
         // rewritten files would double-read the whole table). Anything
         // else changes rows and poisons the stream.
-        ((f + 1) to to).flatMap { v =>
+        val newFiles = ((f + 1) to to).flatMap { v =>
           val a = VersionedTable.actionAt(path, v)
           if (isLayoutOnly(a)) Seq.empty
           else {
@@ -149,17 +155,16 @@ private[graftx] class VersionedTableSource(sqlContext: SQLContext,
             VersionedTable.filesAt(path, v).filterNot(prev)
           }
         }
+        if (newFiles.isEmpty)
+          VersionedTable.readVersion(spark, path, to)
+            .where(org.apache.spark.sql.functions.lit(false))
+            .select(sel: _*)
+        else
+          spark.read
+            .option("basePath", new org.apache.hadoop.fs.Path(path, "data").toString)
+            .parquet(newFiles.sorted: _*)
+            .select(sel: _*)
     }
-    val batch =
-      if (newFiles.isEmpty)
-        VersionedTable.readVersion(spark, path, to)
-          .where(org.apache.spark.sql.functions.lit(false))
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      else
-        spark.read
-          .option("basePath", new org.apache.hadoop.fs.Path(path, "data").toString)
-          .parquet(newFiles.sorted: _*)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     // FileStreamSource's mechanism: re-tag the batch plan as streaming so
     // MicroBatchExecution accepts it in place of the streaming relation
     spark.internalCreateDataFrame(

@@ -178,6 +178,38 @@ class DeletionVectorSpec extends SparkSpec {
       VersionedTable.readVersion(spark, path, v1))
   }
 
+  test("stream source: initial snapshot is DV-aware; a later delete poisons the stream") {
+    val path = fresh()
+    VersionedTable.create(spark.range(30).toDF("id").repartition(2), path)
+    VersionedTable.deleteWhere(spark, path, col("id") % 3 === 0)
+    VersionedTable.commit(spark.range(100, 105).toDF("id"), path, "append")
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+      .option("path", path).load()
+      .writeStream.format("memory").queryName("dv_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(ids(spark.table("dv_stream_sink")) ===
+      ((0L until 30L).filterNot(_ % 3 == 0) ++ (100L until 105L)))
+    // a delete AFTER the consumed offset is not append-like: the stream
+    // must fail loudly instead of silently never retracting
+    VersionedTable.deleteWhere(spark, path, col("id") === 101L)
+    val q2 = spark.readStream
+      .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+      .option("path", path).load()
+      .writeStream.format("memory").queryName("dv_stream_sink2").start()
+    try {
+      // first batch (snapshot at the delete version) is fine...
+      q2.processAllAvailable()
+      VersionedTable.deleteWhere(spark, path, col("id") === 102L)
+      // ...the post-snapshot delete version poisons the walk
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q2.stop()
+  }
+
   test("cdc-cow and append commits carry DVs; compact on partitions keeps them") {
     val path = fresh()
     VersionedTable.create(

@@ -593,7 +593,9 @@ class PlanShapeSpec extends SparkSpec {
       // bloom-prefiltered join: sketch built eagerly; graded plan is
       // probe scan+filter, broadcast join of the tiny build, agg,
       // oracle orderBy — the probe never shuffles unpruned
-      "q_bloom_join" -> 2)
+      "q_bloom_join" -> 2,
+      // pruned-schema streamed snapshot: memory-sink read + oracle orderBy
+      "q_table_stream_cols" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
