@@ -44,10 +44,18 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options,
   * driver only lists/renames. [[compact]] rewrites the CURRENT file set
   * into size-targeted files and commits the result as a new version
   * with identical content — history stays readable, small files stop
-  * compounding. [[vacuum]] drops data files unreferenced by the
+  * compounding. [[vacuum]] drops data and DV files unreferenced by the
   * retained manifests. Append granularity is file-level; updates ride
   * a CDC merge ([[graft.operators.Diff.applyChanges]]) into an
-  * `overwrite` commit — copy-on-write semantics.
+  * `overwrite` commit — copy-on-write semantics — or, zero-rewrite,
+  * through MERGE-ON-READ deletion vectors: [[deleteWhere]]/[[upsert]]
+  * publish the same data files plus O(deleted)-row `.dv` parquet
+  * shards under `dv/`, referenced from the manifest itself (as atomic as
+  * the publish); every read face anti-joins the version's DVs
+  * (broadcast while small), and [[optimize]]/[[compact]] purge them
+  * physically. Skipping sidecars (range stats, bloom) remain sound
+  * under DVs; exact metadata faces (counts/sums/moments/NDV) refuse
+  * loudly until the purge.
   */
 object VersionedTable {
 
@@ -324,6 +332,38 @@ object VersionedTable {
     }
     publish(path, v, cur, mode, files, dvs)
     v
+  }
+
+  /** APPEND with optimistic-concurrency retry — Delta's conflict rule
+    * for blind appends, which commute with everything: staged files are
+    * version-independent immutable bytes, so when the manifest publish
+    * loses the same-version race the append REBASES (re-list the new
+    * latest, publish its files + ours as latest+1) without re-staging a
+    * byte. Concurrent appends union in some serial order; a concurrent
+    * overwrite/delete simply precedes this append in that order. This
+    * is the ingest-fleet commit: N writers land N versions, nobody
+    * coordinates, nobody rewrites. `maxRetries` bounds pathological
+    * contention (each retry costs two manifest reads, no data I/O). */
+  def appendWithRetry(df: DataFrame, path: String, maxRetries: Int = 10): Long = {
+    require(latestVersion(path).nonEmpty,
+      s"VersionedTable: $path does not exist")
+    val newFiles = stage(df, path)
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion(path).get
+      val files = filesAt(path, cur).map(relOf(path, _)) ++ newFiles
+      try {
+        publish(path, cur + 1, cur, "append", files, dvRelsAt(path, cur))
+        return cur + 1
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"VersionedTable.appendWithRetry: lost $maxRetries publish races " +
+              s"at $path — raise maxRetries or reduce committer fan-in", e)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Read an exact version — the manifest's files, nothing else.

@@ -132,6 +132,65 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(VersionedTable.readVersion(spark, path, 1)) === (0L until 3L))
   }
 
+  test("appendWithRetry: rebases on a lost race (deterministic) and under real contention") {
+    // deterministic single-retry: a one-shot committer interceptor lands
+    // a competing manifest at the same target right before the append's
+    // first publish — the append must lose, re-list, and land as v2
+    val path = fresh()
+    VersionedTable.create(spark.range(3).toDF("id"), path)
+    val real = VersionedTable.committer
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    VersionedTable.committer = new VersionedTable.ManifestCommitter {
+      def publish(fc: org.apache.hadoop.fs.FileContext,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Unit = {
+        if (fired.compareAndSet(false, true))
+          // the competitor: v1 = same files as v0 (a no-op append)
+          VersionedTable.publish(path, 1L, 0L, "append",
+            VersionedTable.filesAt(path, 0L).map(f =>
+              "data/" + new org.apache.hadoop.fs.Path(f).getName))
+        real.publish(fc, tmp, target)
+      }
+    }
+    try {
+      val v = VersionedTable.appendWithRetry(spark.range(3, 6).toDF("id"), path)
+      assert(v === 2L)
+      assert(ids(VersionedTable.read(spark, path)) === (0L until 6L))
+    } finally VersionedTable.committer = real
+    // real contention: 6 uncoordinated appenders all succeed; the final
+    // table is the union. The LOCAL filesystem's publish is documented
+    // check-then-act (test-grade), so the test arbitrates with a
+    // lock-based committer that provides the exactly-one-wins contract
+    // HDFS provides for real — the code under test here is the RETRY
+    // rebase, not the per-scheme atomicity primitive.
+    val path2 = fresh()
+    VersionedTable.create(spark.range(0).toDF("id"), path2)
+    val lock = new Object
+    VersionedTable.committer = new VersionedTable.ManifestCommitter {
+      def publish(fc: org.apache.hadoop.fs.FileContext,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Unit = lock.synchronized {
+        if (target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .exists(target))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(target.toString)
+        real.publish(fc, tmp, target)
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (0 until 6).map { i =>
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = VersionedTable.appendWithRetry(
+            spark.range(i * 10, i * 10 + 10).toDF("id"), path2, maxRetries = 50)
+        }
+      }
+      val got = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      assert(got.sorted === (1L to 6L))
+    } finally { pool.shutdown(); VersionedTable.committer = real }
+    assert(ids(VersionedTable.read(spark, path2)) === (0L until 60L))
+  }
+
   test("committer contract: rename and conditional-put both arbitrate the race; table runs on either") {
     // the object-store hook, contract-spec'd side by side with the
     // default: exactly one of two same-target publishes wins, the
