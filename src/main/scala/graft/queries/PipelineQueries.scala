@@ -2069,6 +2069,62 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming CDC-APPLY: table A streams INTO table B through an
+    // exactly-once MERGE sink (foreachBatch + upsertStreamBatch — the
+    // production pattern for maintaining a keyed mirror of a change
+    // stream). Batch 0 is A's snapshot (pure insert into empty B);
+    // A then appends a churn batch (updates re-keying every %3 doc's
+    // text + fresh %13 inserts) and batch 1 must MERGE it: matched
+    // keys replaced via DV marks, zero B data rewritten. The oracle
+    // replays the final keyed state with plain SQL.
+    "q_table_stream_upsert" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_vtsu").toString
+      val a = base + "/a"; val b = base + "/b"
+      VersionedTable.create(docs.repartition(4), a)
+      VersionedTable.create(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))), b)
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftx.VersionedTableStreamProvider")
+        .option("path", a).load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          VersionedTable.upsertStreamBatch(
+            batch.select(col("doc_id"), col("lang"), col("text")),
+            b, Seq("doc_id"), "cdc", bid)
+          (): Unit
+        }
+        .option("checkpointLocation", base + "/ck")
+        .start()
+      try {
+        q.processAllAvailable()
+        val churn = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"), lit(" v2")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 3000000000000L).as("doc_id"),
+              col("lang"), col("text")))
+        VersionedTable.commit(churn.repartition(2), a, "append")
+        q.processAllAvailable()
+      } finally q.stop()
+      VersionedTable.read(s, b)
+        .select(col("lang"), col("doc_id"),
+          TextOps.fingerprint(concat(col("doc_id").cast(StringType),
+            lit(":"), col("text"))).as("fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("fp")).as("content_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Streaming SOURCE with source-level projection AND a merge-on-read
     // delete in the snapshot's history: the `columns` option narrows
     // the scan schema at the source (the V1 materialization boundary
@@ -5250,6 +5306,26 @@ object PipelineQueries {
         |SELECT doc_id, 'changed' FROM documents
         |WHERE lang = 'de' AND doc_id % 3 <> 0 AND doc_id % 2 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_table_stream_upsert" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000000, lang, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |fp AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT lang, doc_id,
+        |          doc_id::VARCHAR || ':' || text AS k FROM merged))
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS id_sum, sum(f)::BIGINT AS content_sum
+        |FROM fp GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_table_stream_cols" ->
       """SELECT doc_id, n_chars FROM documents

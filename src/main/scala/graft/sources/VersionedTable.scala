@@ -504,10 +504,22 @@ object VersionedTable {
     * DV rows, independent of table size. */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.col
-    require(keyCols.nonEmpty, "VersionedTable.upsert: at least one key column")
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val (files, dvs) = upsertPayload(spark, path, source, keyCols, cur)
+    val v = cur + 1
+    publish(path, v, cur, "upsert-dv", files, dvs)
+    v
+  }
+
+  /** Stage an upsert against version `cur`: DV-mark the live rows whose
+    * key appears in `source`, stage the source as new files, and return
+    * the (files, dvs) lists the new manifest publishes. */
+  private def upsertPayload(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      cur: Long): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "VersionedTable.upsert: at least one key column")
     val files = filesAt(path, cur)
     val base = lineage(spark.read.option("basePath", dataDir(path).toString)
       .parquet(files: _*))
@@ -521,11 +533,38 @@ object VersionedTable {
     // by name, but a stable layout keeps footers comparable
     val tableCols = base.drop("__vt_file", "__vt_pos").columns
     val newFiles = stage(source.select(tableCols.map(col): _*), path)
-    val v = cur + 1
-    publish(path, v, cur, "upsert-dv",
-      files.map(relOf(path, _)) ++ newFiles,
-      dvRelsAt(path, cur) ++ newShards)
-    v
+    (files.map(relOf(path, _)) ++ newFiles, dvRelsAt(path, cur) ++ newShards)
+  }
+
+  /** EXACTLY-ONCE streaming MERGE sink — the foreachBatch CDC-apply
+    * pattern: each micro-batch upserts into the table ([[upsert]]
+    * semantics: matched keys replaced via DV, new keys appended) with
+    * the same replay protection as [[commitStreamBatch]] — the batchId
+    * rides the manifest action, a replayed batch is a no-op, and a
+    * concurrent duplicate retry that loses the publish race re-checks
+    * and degrades to the no-op. An upsert computed against a version
+    * that was concurrently advanced by ANOTHER writer is NOT blindly
+    * rebasable (the DV marks bind to that snapshot), so a lost race
+    * with a foreign commit rethrows — dedicate the table to the stream
+    * or serialize writers. Returns Some(version) when this call
+    * committed, None on replay. */
+  def upsertStreamBatch(source: DataFrame, path: String, keyCols: Seq[String],
+      streamId: String, batchId: Long): Option[Long] = {
+    val tag = s"stream:$streamId:batch:"
+    def newestDone(): Option[Long] = versions(path).reverseIterator
+      .map(v => actionAt(path, v))
+      .collectFirst { case a if a.startsWith(tag) =>
+        a.stripPrefix(tag).takeWhile(_.isDigit).toLong }
+    if (newestDone().exists(_ >= batchId)) return None
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val (files, dvs) = upsertPayload(
+      source.sparkSession, path, source, keyCols, cur)
+    try { publish(path, cur + 1, cur, s"$tag$batchId:upsert-dv", files, dvs)
+      Some(cur + 1) }
+    catch { case e: IllegalStateException =>
+      if (newestDone().exists(_ >= batchId)) None else throw e
+    }
   }
 
   /** Read the latest version. */

@@ -210,6 +210,29 @@ class DeletionVectorSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("upsertStreamBatch: exactly-once merge sink — replays are no-ops") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(10).select($"id", ($"id" * 10).as("x")), path)
+    val b0 = Seq((3L, 333L), (100L, 1L)).toDF("id", "x")
+    assert(VersionedTable.upsertStreamBatch(b0, path, Seq("id"), "s1", 0L)
+      === Some(1L))
+    // replay of batch 0 (crash between commit and checkpoint advance)
+    assert(VersionedTable.upsertStreamBatch(b0, path, Seq("id"), "s1", 0L)
+      === None)
+    val afterReplay = VersionedTable.read(spark, path)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want1 = ((0L until 10L).filterNot(_ == 3).map(i => (i, i * 10))
+      ++ Seq((3L, 333L), (100L, 1L))).sortBy(_._1)
+    assert(afterReplay === want1)
+    // next batch applies on top
+    assert(VersionedTable.upsertStreamBatch(
+      Seq((3L, -3L)).toDF("id", "x"), path, Seq("id"), "s1", 1L) === Some(2L))
+    val after2 = VersionedTable.read(spark, path)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after2 === want1.map { case (3L, _) => (3L, -3L); case r => r })
+  }
+
   test("cdc-cow and append commits carry DVs; compact on partitions keeps them") {
     val path = fresh()
     VersionedTable.create(

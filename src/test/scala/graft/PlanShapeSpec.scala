@@ -595,7 +595,10 @@ class PlanShapeSpec extends SparkSpec {
       // oracle orderBy — the probe never shuffles unpruned
       "q_bloom_join" -> 2,
       // pruned-schema streamed snapshot: memory-sink read + oracle orderBy
-      "q_table_stream_cols" -> 1)
+      "q_table_stream_cols" -> 1,
+      // streaming merge sink: the graded read is table B (DV anti-join
+      // broadcasts) + one agg + oracle orderBy; the stream ran eagerly
+      "q_table_stream_upsert" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
