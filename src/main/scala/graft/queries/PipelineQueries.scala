@@ -2069,6 +2069,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Table lifecycle, graded end-to-end: a DV delete, a BAD overwrite
+    // release, RESTORE back to the deleted state (O(manifest) rollback,
+    // nothing copied, the DV list carried), then a zero-copy CLONE of
+    // the restored table — and the graded read goes through the CLONE,
+    // whose manifest borrows the source's files and deletion vectors
+    // verbatim. The oracle replays the surviving state with one plain
+    // filter; any slip in restore's manifest replay, the clone's
+    // borrowed references, or DV application across table roots
+    // hash-mismatches.
+    "q_table_restore" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_vtr").toString
+      val path = base + "/docs"
+      VersionedTable.create(docs.repartition(4), path)
+      val v1 = VersionedTable.deleteWhere(s, path, col("lang") === "es")
+      VersionedTable.commit(
+        docs.filter(col("doc_id") < 10), path, "overwrite") // the bad release
+      VersionedTable.restore(path, v1)
+      val clonePath = base + "/branch"
+      VersionedTable.cloneTable(path, clonePath)
+      VersionedTable.read(s, clonePath)
+        .select(col("lang"), col("doc_id"),
+          TextOps.fingerprint(concat(col("doc_id").cast(StringType),
+            lit(":"), col("text"))).as("fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("fp")).as("content_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Streaming CDC-APPLY: table A streams INTO table B through an
     // exactly-once MERGE sink (foreachBatch + upsertStreamBatch — the
     // production pattern for maintaining a keyed mirror of a change
@@ -5306,6 +5337,20 @@ object PipelineQueries {
         |SELECT doc_id, 'changed' FROM documents
         |WHERE lang = 'de' AND doc_id % 3 <> 0 AND doc_id % 2 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_table_restore" ->
+      """WITH fp AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(k) + 1), i -> ascii(k[i]))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM (SELECT lang, doc_id,
+        |          doc_id::VARCHAR || ':' || text AS k FROM documents
+        |        WHERE lang <> 'es'))
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS id_sum, sum(f)::BIGINT AS content_sum
+        |FROM fp GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_table_stream_upsert" ->
       """WITH merged AS (

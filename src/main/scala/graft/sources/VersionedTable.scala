@@ -244,12 +244,15 @@ object VersionedTable {
   /** Table-relative form of an absolute path [[filesAt]] produced —
     * pure string arithmetic on the scheme-stripped URI paths (both
     * sides were built from the same root, so the prefix strip is
-    * exact; the flat fallback covers externally-supplied paths). */
+    * exact). A path NOT under this table's root (a [[cloneTable]]
+    * borrow) passes through VERBATIM: the manifest keeps referencing
+    * the foreign bytes, and [[filesAt]] resolves absolute entries
+    * as-is. */
   private def relOf(path: String, abs: String): String = {
     val a = new HPath(abs).toUri.getPath
     val root = rootPath(path).toUri.getPath
     if (a.startsWith(root + "/")) a.substring(root.length + 1)
-    else s"data/${new HPath(abs).getName}"
+    else abs
   }
 
   /** Stage `df` as new immutable data files; returns their RELATIVE paths.
@@ -366,11 +369,91 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** RESTORE: roll the table back to version `toV` as a NEW commit —
+    * the latest version becomes a byte-identical replay of `toV`'s
+    * manifest (files AND deletion vectors), history stays intact, and
+    * nothing is copied or rewritten (the immutable files are simply
+    * re-referenced). The undo button after a bad commit: O(manifest),
+    * not O(table). The restored-to version must still be within the
+    * vacuum retention window — [[vacuum]] keeps every file referenced
+    * by RETAINED manifests, and the restore re-references them at the
+    * head, protecting them from the next sweep. */
+  def restore(path: String, toV: Long): Long = {
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    require(toV <= cur, s"VersionedTable.restore: version $toV is not in history")
+    val files = filesAt(path, toV).map(relOf(path, _))
+    val dvs = dvRelsAt(path, toV)
+    val v = cur + 1
+    publish(path, v, cur, s"restore:$toV", files, dvs)
+    v
+  }
+
+  /** SHALLOW CLONE: a new table whose v0 re-references the SOURCE's
+    * data and DV files at version `srcV` (default: latest) — a
+    * zero-copy dev/test branch of a 100 TB table, created in O(one
+    * manifest write). Commits to the clone never touch the source
+    * (new files stage under the CLONE's root; overwrite commits simply
+    * drop the borrowed references). The one lifecycle caveat, same as
+    * Delta's: the clone PINS source files by reference, but the
+    * source's [[vacuum]] cannot see foreign manifests — vacuuming the
+    * source past `srcV` can delete bytes the clone still references.
+    * Retain `srcV` on the source for the clone's lifetime, or
+    * [[compact]] the clone to localize it (its rewrite stages under
+    * the clone's root, after which no borrowed reference remains). */
+  def cloneTable(srcPath: String, dstPath: String,
+      srcV: Long = -1L): Long = {
+    require(versions(dstPath).isEmpty,
+      s"VersionedTable: $dstPath already exists")
+    val v = if (srcV >= 0) srcV else latestVersion(srcPath).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $srcPath does not exist"))
+    // absolute references: the clone's manifest points into the
+    // source's directories (relOf against the CLONE root falls through
+    // to no prefix match, so store the qualified source paths verbatim)
+    val files = filesAt(srcPath, v).map(a => new HPath(a).toString)
+    val dvs = dvsAt(srcPath, v).map(a => new HPath(a).toString)
+    publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
+    0L
+  }
+
+  /** Table history as a DataFrame — version, manifest action, publish
+    * instant (manifest mtime, the commit time by construction), file
+    * count, DV-shard count. The audit/dashboard face; O(versions)
+    * manifest reads, zero data I/O. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(path).map { v =>
+      val f = versionFile(path, v)
+      (v, actionAt(path, v),
+        new java.sql.Timestamp(fsOf(f).getFileStatus(f).getModificationTime),
+        filesAt(path, v).length, dvsAt(path, v).length)
+    }.toDF("version", "action", "committed_at", "n_files", "n_dv_shards")
+  }
+
   /** Read an exact version — the manifest's files, nothing else.
     * `mergeSchema` unions the file schemas (SCHEMA EVOLUTION: a commit
     * may add columns; old files then read the new column as null —
     * parquet's standard widening). Off by default: the single-schema
     * read skips the footer-merge pass. */
+  /** The `basePath` option to pass for a read of `files` — this table's
+    * data root when it is an ancestor of EVERY file; None when the
+    * manifest borrows foreign files ([[cloneTable]]), where a wrong
+    * basePath would fail Spark's prefix validation. Borrowing is
+    * flat-layout only (partition-column recovery needs one root). */
+  private def basePathOpt(path: String, files: Seq[String]): Option[String] = {
+    val root = dataDir(path).toUri.getPath
+    if (files.forall(f => new HPath(f).toUri.getPath.startsWith(root + "/")))
+      Some(dataDir(path).toString)
+    else None
+  }
+
+  private def readParquet(spark: SparkSession, path: String,
+      files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
+    val rd0 = spark.read.option("mergeSchema", mergeSchema.toString)
+    val rd = basePathOpt(path, files).fold(rd0)(bp => rd0.option("basePath", bp))
+    rd.parquet(files: _*)
+  }
+
   def readVersion(spark: SparkSession, path: String, v: Long,
       mergeSchema: Boolean = false): DataFrame = {
     val files = filesAt(path, v)
@@ -379,9 +462,7 @@ object VersionedTable {
     // basePath recovers hive partition columns from `data/k=v/` path
     // segments when the table is partitioned; on a flat layout it is
     // inert (no k=v directories, no inference)
-    applyDv(spark, path, v,
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .option("basePath", dataDir(path).toString).parquet(files: _*))
+    applyDv(spark, path, v, readParquet(spark, path, files, mergeSchema))
   }
 
   // ---- deletion vectors: merge-on-read row-level deletes ----
@@ -423,12 +504,25 @@ object VersionedTable {
         col("__vt_pos") === col("__dv_pos"), "left_anti")
   }
 
+  /** The `/data/`-anchored rel of an absolute data-file path — the SAME
+    * derivation [[lineage]] performs on `_metadata.file_path`, so DV
+    * `file` keys and restriction lists agree even for [[cloneTable]]
+    * borrows (whose [[relOf]] form is absolute, but whose lineage rel
+    * is still `data/...` under the SOURCE's root). */
+  private def lineageRel(abs: String): String = {
+    val p = new HPath(abs).toUri.getPath
+    val i = p.lastIndexOf("/data/")
+    if (i >= 0) p.substring(i + 1) else p
+  }
+
   /** Apply version `v`'s deletion vectors to a scan of (a subset of)
-    * its files. No DVs → the input plan, untouched. */
+    * its files (`files`: the ABSOLUTE paths the caller pruned to, used
+    * to push the restriction into the DV parquet). No DVs → the input
+    * plan, untouched. */
   private def applyDv(spark: SparkSession, path: String, v: Long,
-      df: DataFrame, rels: Option[Seq[String]] = None): DataFrame =
+      df: DataFrame, files: Option[Seq[String]] = None): DataFrame =
     if (!hasDeletes(path, v)) df
-    else antiDv(spark, path, v, lineage(df), rels)
+    else antiDv(spark, path, v, lineage(df), files.map(_.map(lineageRel)))
       .drop("__vt_file", "__vt_pos")
 
   /** Stage a (file, pos) frame as immutable DV shards under `dv/`;
@@ -483,8 +577,7 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val files = filesAt(path, cur)
-    val base = lineage(spark.read.option("basePath", dataDir(path).toString)
-      .parquet(files: _*))
+    val base = lineage(readParquet(spark, path, files))
     val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
       else base
     val marked = live.where(pred)
@@ -521,8 +614,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "VersionedTable.upsert: at least one key column")
     val files = filesAt(path, cur)
-    val base = lineage(spark.read.option("basePath", dataDir(path).toString)
-      .parquet(files: _*))
+    val base = lineage(readParquet(spark, path, files))
     val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
       else base
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
@@ -680,7 +772,7 @@ object VersionedTable {
       // all files pruned: empty frame with the table's schema
       readVersion(spark, path, v).where(org.apache.spark.sql.functions.lit(false))
     } else applyDv(spark, path, v, spark.read.parquet(files: _*),
-      Some(files.map(relOf(path, _))))
+      Some(files))
       .where(c(col) >= lo && c(col) <= hi)
   }
 
@@ -728,7 +820,7 @@ object VersionedTable {
       if (touchedAbs.isEmpty)
         readVersion(spark, path, cur).where(lit(false)) // pure insert
       else applyDv(spark, path, cur, spark.read.parquet(touchedAbs: _*),
-        Some(touchedAbs.map(relOf(path, _))))
+        Some(touchedAbs))
     val rewritten = graft.operators.Diff.applyChanges(
       oldSubset, changes, Seq(idCol), valueCols)
     val newFiles = stage(rewritten, path)
@@ -850,9 +942,8 @@ object VersionedTable {
     def rd(fs: Set[String], v: Long) =
       if (fs.isEmpty) readVersion(spark, path, v).where(lit(false))
       else applyDv(spark, path, v,
-        spark.read.option("basePath", dataDir(path).toString)
-          .parquet(fs.toSeq.sorted: _*),
-        Some(fs.toSeq.map(relOf(path, _))))
+        readParquet(spark, path, fs.toSeq.sorted),
+        Some(fs.toSeq))
     val sel = (idCols ++ valueCols).map(c)
     graft.operators.Diff.snapshotDiff(
         rd((before -- after) ++ dvTouched, fromV).select(sel: _*),
@@ -886,7 +977,7 @@ object VersionedTable {
     val arranged = applyDv(spark, path, cur,
         spark.read.option("basePath", dataDir(path).toString)
           .parquet(sel.sorted: _*),
-        Some(sel.map(relOf(path, _))))
+        Some(sel))
       .repartitionByRange(parts, c(partCol), c(sortCol))
       .sortWithinPartitions(c(partCol), c(sortCol))
     val newFiles = stagePartitioned(arranged, path, partCol)
@@ -913,7 +1004,7 @@ object VersionedTable {
       .reduce(_ && _)
     if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
     else applyDv(spark, path, v, spark.read.parquet(files.toSeq.sorted: _*),
-      Some(files.toSeq.map(relOf(path, _)))).where(residual)
+      Some(files.toSeq)).where(residual)
   }
 
   // ---- hive-style partitioned layout ----
@@ -1023,9 +1114,8 @@ object VersionedTable {
     if (files.isEmpty)
       readVersion(spark, path, v).where(org.apache.spark.sql.functions.lit(false))
     else applyDv(spark, path, v,
-      spark.read.option("basePath", dataDir(path).toString)
-        .parquet(files.sorted: _*),
-      Some(files.map(relOf(path, _))))
+      readParquet(spark, path, files.sorted),
+      Some(files))
   }
 
   /** The composed 100 TB read: partition pruning FIRST (exact, from
@@ -1045,9 +1135,8 @@ object VersionedTable {
       val residual = preds.map { case (cl, lo, hi) => c(cl) >= lo && c(cl) <= hi }
         .foldLeft(lit(true))(_ && _)
       applyDv(spark, path, v,
-        spark.read.option("basePath", dataDir(path).toString)
-          .parquet(files.toSeq.sorted: _*),
-        Some(files.toSeq.map(relOf(path, _)))).where(residual)
+        readParquet(spark, path, files.toSeq.sorted),
+        Some(files.toSeq)).where(residual)
     }
   }
 
@@ -1745,9 +1834,8 @@ object VersionedTable {
     val files = filesForKeys(path, v, col, keys)
     if (files.isEmpty) readVersion(spark, path, v).where(lit(false))
     else applyDv(spark, path, v,
-      spark.read.option("basePath", dataDir(path).toString)
-        .parquet(files.sorted: _*),
-      Some(files.map(relOf(path, _))))
+      readParquet(spark, path, files.sorted),
+      Some(files))
       .where(c(col).cast("string").isin(keys: _*))
   }
 
@@ -1782,9 +1870,8 @@ object VersionedTable {
           keys.map { case (kc, ks) => c(kc).cast("string").isin(ks: _*) })
         .foldLeft(lit(true))(_ && _)
       applyDv(spark, path, v,
-        spark.read.option("basePath", dataDir(path).toString)
-          .parquet(files.toSeq.sorted: _*),
-        Some(files.toSeq.map(relOf(path, _)))).where(residual)
+        readParquet(spark, path, files.toSeq.sorted),
+        Some(files.toSeq)).where(residual)
     }
   }
 

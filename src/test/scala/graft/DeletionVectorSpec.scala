@@ -233,6 +233,69 @@ class DeletionVectorSpec extends SparkSpec {
     assert(after2 === want1.map { case (3L, _) => (3L, -3L); case r => r })
   }
 
+  test("restore rolls back as a new commit, carrying the target's DVs") {
+    val path = fresh()
+    VersionedTable.create(spark.range(20).toDF("id"), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 4 === 0)
+    VersionedTable.commit(spark.range(100, 103).toDF("id"), path, "overwrite")
+    // undo the overwrite: back to the DV-bearing v1
+    val v3 = VersionedTable.restore(path, v1)
+    assert(v3 === 3L)
+    assert(ids(VersionedTable.read(spark, path)) ===
+      (0L until 20L).filterNot(_ % 4 == 0))
+    assert(VersionedTable.hasDeletes(path, v3))
+    // history intact: the overwrite version still reads
+    assert(ids(VersionedTable.readVersion(spark, path, 2)) === (100L until 103L))
+    // restore to v0: pre-delete rows all return
+    VersionedTable.restore(path, 0L)
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 20L))
+    intercept[IllegalArgumentException](VersionedTable.restore(path, 99L))
+  }
+
+  test("cloneTable: zero-copy branch — commits and deletes on the clone never touch the source") {
+    val src = fresh()
+    VersionedTable.create(spark.range(30).toDF("id").repartition(2), src)
+    VersionedTable.deleteWhere(spark, src, col("id") >= 25) // source DVs borrow too
+    val dst = fresh()
+    VersionedTable.cloneTable(src, dst)
+    assert(ids(VersionedTable.read(spark, dst)) === (0L until 25L))
+    // the clone's v0 wrote NO data bytes of its own
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "data")))
+    // diverge the clone: append + a DV delete on BORROWED files
+    VersionedTable.commit(spark.range(100, 105).toDF("id"), dst, "append")
+    VersionedTable.deleteWhere(spark, dst, col("id") % 5 === 0)
+    assert(ids(VersionedTable.read(spark, dst)) ===
+      ((0L until 25L) ++ (100L until 105L)).filterNot(_ % 5 == 0))
+    // the source never moved
+    assert(ids(VersionedTable.read(spark, src)) === (0L until 25L))
+    // subset read on the clone still applies DVs on borrowed files
+    VersionedTable.writeStats(spark, dst, VersionedTable.latestVersion(dst).get, "id")
+    assert(ids(VersionedTable.readWhere(spark, dst,
+      VersionedTable.latestVersion(dst).get, "id", 0L, 24L)) ===
+      (0L until 25L).filterNot(_ % 5 == 0))
+    // compact localizes: no borrowed reference remains afterwards
+    val vc = VersionedTable.compact(spark, dst, 64L * 1024 * 1024)
+    val srcRoot = java.nio.file.Paths.get(src).toString
+    assert(VersionedTable.filesAt(dst, vc).forall(f => !f.contains(srcRoot)))
+    assert(ids(VersionedTable.read(spark, dst)) ===
+      ((0L until 25L) ++ (100L until 105L)).filterNot(_ % 5 == 0))
+  }
+
+  test("history: the audit face reports version, action, files, DV shards") {
+    val path = fresh()
+    VersionedTable.create(spark.range(10).toDF("id").repartition(2), path)
+    VersionedTable.deleteWhere(spark, path, col("id") === 1L)
+    VersionedTable.commit(spark.range(10, 12).toDF("id"), path, "append")
+    val h = VersionedTable.history(spark, path)
+      .select("version", "action", "n_files", "n_dv_shards")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(h.map(_._2).toSeq === Seq("create", "delete-dv", "append"))
+    assert(h(1)._3 === h(0)._3)       // delete rewrote no data file
+    assert(h(1)._4 >= 1)              // ...but carries a DV shard
+    assert(h(2)._3 > h(1)._3)         // append added files
+  }
+
   test("cdc-cow and append commits carry DVs; compact on partitions keeps them") {
     val path = fresh()
     VersionedTable.create(

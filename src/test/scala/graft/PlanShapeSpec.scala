@@ -598,7 +598,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_table_stream_cols" -> 1,
       // streaming merge sink: the graded read is table B (DV anti-join
       // broadcasts) + one agg + oracle orderBy; the stream ran eagerly
-      "q_table_stream_upsert" -> 2)
+      "q_table_stream_upsert" -> 2,
+      // restore+clone: one borrowed-file scan (DV broadcast anti-join)
+      // + agg + oracle orderBy
+      "q_table_restore" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
