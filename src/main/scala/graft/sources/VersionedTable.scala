@@ -725,11 +725,73 @@ object VersionedTable {
     * without stats still reads; readWhere just can't skip). */
   def writeStats(spark: SparkSession, path: String, v: Long, col: String): Unit = {
     val stats = fileStats(spark, path, filesAt(path, v), col)
+    writeStatsSidecar(path, v, col, stats)
+  }
+
+  private def writeStatsSidecar(path: String, v: Long, col: String,
+      stats: Map[String, (Long, Long)]): Unit = {
     val body = stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
       s"""{"file":"${esc(f)}","min":$lo,"max":$hi}"""
     }.mkString("\n")
     writeReplace(path, new HPath(versionsDir(path), f"v$v%08d.stats.${col}.json"),
       body.getBytes("UTF-8"))
+  }
+
+  /** One-pass MULTI-COLUMN skip stats: ONE scan of the version computes
+    * per-file [min,max] for every named column and writes each column's
+    * standard sidecar — at 100 TB the nightly stats job pays one table
+    * scan instead of |cols| scans. Per-column output is byte-identical
+    * to [[writeStats]] (spec'd), so every consumer ([[filesForRange]],
+    * [[readComposed]], the CDC carry) is untouched. */
+  def writeStatsAll(spark: SparkSession, path: String, v: Long,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name, max, min}
+    require(cols.nonEmpty, "VersionedTable.writeStatsAll: at least one column")
+    val aggs = cols.flatMap(cl => Seq(
+      min(c(cl)).cast("long").as(s"__lo_$cl"),
+      max(c(cl)).cast("long").as(s"__hi_$cl")))
+    val rows = readParquet(spark, path, filesAt(path, v))
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    cols.zipWithIndex.foreach { case (cl, i) =>
+      val stats = rows.iterator
+        // all-null / schema-absent columns: leave the file out, same
+        // keep-on-missing contract as fileStats
+        .filter(r => !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i))
+        .map(r => relPathOf(path, r.getString(0)) ->
+          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        .toMap
+      writeStatsSidecar(path, v, cl, stats)
+    }
+  }
+
+  /** Metadata-only MAINTENANCE report for the latest version — the
+    * nightly-job decision face, O(manifest + file status), zero data
+    * I/O: file count and bytes, small-file count (< targetBytes/2),
+    * DV backlog (shards, bytes, ratio vs data), and the two
+    * recommendations they imply ([[optimize]] when small files
+    * dominate, purge — also optimize — when the DV backlog makes every
+    * read pay a material anti-join). */
+  def maintenanceReport(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    def len(abs: String): Long = {
+      val p = new HPath(abs); fsOf(p).getFileStatus(p).getLen }
+    val dataBytes = filesAt(path, v).map(len)
+    val dvFiles = dvsAt(path, v)
+    val dvBytes = dvFiles.map(len).sum
+    val small = dataBytes.count(_ < targetBytes / 2)
+    val dvRatio = if (dataBytes.sum == 0) 0.0
+      else dvBytes.toDouble / dataBytes.sum
+    Seq((v, dataBytes.length, dataBytes.sum, small, dvFiles.length, dvBytes,
+      // >1: a table that already IS one (small) file can't compact further
+      small > 1 && small > dataBytes.length / 2,
+      dvFiles.nonEmpty && dvRatio > 0.01))
+      .toDF("version", "n_files", "data_bytes", "small_files",
+        "dv_shards", "dv_bytes", "recommend_compact", "recommend_purge")
   }
 
   private def statsFile(path: String, v: Long, col: String): HPath =

@@ -191,6 +191,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(VersionedTable.read(spark, path2)) === (0L until 60L))
   }
 
+  test("writeStatsAll: one scan, per-column sidecars byte-identical to writeStats") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(1000).select($"id", ($"id" * 7 % 100).as("a"),
+        (lit(null).cast("long")).as("allnull")).repartition(4), path)
+    def sidecar(col: String): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_versions", f"v${0L}%08d.stats.$col.json")),
+      "UTF-8")
+    // reference: the single-column writer
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    VersionedTable.writeStats(spark, path, 0L, "a")
+    val (refId, refA) = (sidecar("id"), sidecar("a"))
+    // one-pass writer overwrites with byte-identical bodies
+    VersionedTable.writeStatsAll(spark, path, 0L, Seq("id", "a", "allnull"))
+    assert(sidecar("id") === refId)
+    assert(sidecar("a") === refA)
+    // all-null column: empty sidecar (keep-on-missing), reads still prune
+    assert(sidecar("allnull") === "")
+    assert(ids(VersionedTable.readWhere(spark, path, 0L, "id", 0L, 9L)) ===
+      (0L until 10L))
+  }
+
+  test("maintenanceReport: metadata-only compact/purge recommendations") {
+    val path = fresh()
+    // 64 tiny files: small-file compaction recommended
+    VersionedTable.create(spark.range(1000).toDF("id").repartition(64), path)
+    val r1 = VersionedTable.maintenanceReport(spark, path).collect().head
+    assert(r1.getAs[Int]("n_files") === 64)
+    assert(r1.getAs[Boolean]("recommend_compact"))
+    assert(!r1.getAs[Boolean]("recommend_purge"))
+    // a delete backlog: purge recommended too (tiny table -> ratio high)
+    VersionedTable.deleteWhere(spark, path, col("id") % 2 === 0)
+    val r2 = VersionedTable.maintenanceReport(spark, path).collect().head
+    assert(r2.getAs[Int]("dv_shards") >= 1 && r2.getAs[Boolean]("recommend_purge"))
+    // optimize clears both
+    VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
+    val r3 = VersionedTable.maintenanceReport(spark, path).collect().head
+    assert(!r3.getAs[Boolean]("recommend_compact") &&
+      !r3.getAs[Boolean]("recommend_purge"))
+  }
+
   test("committer contract: rename and conditional-put both arbitrate the race; table runs on either") {
     // the object-store hook, contract-spec'd side by side with the
     // default: exactly one of two same-target publishes wins, the
