@@ -571,20 +571,48 @@ object VersionedTable {
     * purge physically, after which metadata sidecar faces work again.
     * DVs accumulate across delete commits; time travel to a pre-delete
     * version still sees every row. */
+  /** The files a delete must scan: intersect each hinted range's
+    * [[filesForRange]] survivors. Package-visible for the pruning spec. */
+  private[graft] def deleteCandidates(path: String, v: Long,
+      pruneRanges: Seq[(String, Long, Long)]): Seq[String] =
+    pruneRanges.foldLeft(filesAt(path, v)) { case (acc, (cl, lo, hi)) =>
+      val keep = filesForRange(path, v, cl, lo, hi).toSet
+      acc.filter(keep)
+    }
+
   def deleteWhere(spark: SparkSession, path: String,
-      pred: org.apache.spark.sql.Column): Long = {
+      pred: org.apache.spark.sql.Column): Long =
+    deleteWhere(spark, path, pred, Nil)
+
+  /** [[deleteWhere]] with FILE PRUNING: `pruneRanges` are range
+    * conditions the predicate IMPLIES (every row matching `pred` is
+    * guaranteed inside every hinted range — the caller's contract, the
+    * explicit form of what Delta derives from the predicate). Files
+    * whose stats sidecar proves the range impossible are never scanned
+    * — a keyed GDPR delete against a z-ordered 100 TB table reads the
+    * candidate files, not the table. Missing sidecars degrade to a
+    * full scan; correctness never depends on the hint, only scan cost
+    * does. */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      pruneRanges: Seq[(String, Long, Long)]): Long = {
     import org.apache.spark.sql.functions.col
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
-    val files = filesAt(path, cur)
-    val base = lineage(readParquet(spark, path, files))
-    val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
-      else base
-    val marked = live.where(pred)
-      .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
-    val newShards = stageDvRows(marked, path)
+    val candidates = deleteCandidates(path, cur, pruneRanges)
+    val newShards =
+      if (candidates.isEmpty) Nil // no file can hold a matching row
+      else {
+        val base = lineage(readParquet(spark, path, candidates))
+        val live = if (hasDeletes(path, cur))
+          antiDv(spark, path, cur, base, Some(candidates)) else base
+        val marked = live.where(pred)
+          .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
+        stageDvRows(marked, path)
+      }
     val v = cur + 1
-    publish(path, v, cur, "delete-dv", files.map(relOf(path, _)),
+    publish(path, v, cur, "delete-dv",
+      filesAt(path, cur).map(relOf(path, _)),
       dvRelsAt(path, cur) ++ newShards)
     v
   }
@@ -618,7 +646,26 @@ object VersionedTable {
     val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
       else base
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    val marked = live.join(srcKeys, keyCols, "left_semi")
+    // bloom-prefilter the (table-sized) mark scan with a sketch of the
+    // (churn-sized) source keys: target rows that CANNOT match never
+    // enter the semi join's exchange — the [[graft.operators.Joins
+    // .bloomJoin]] shape, degrading to the plain semi join when the
+    // source is too large to sketch (the join then carries the cost
+    // honestly). One extra count job prices the sketch; upserts are
+    // heavyweight commits, the scan saving dominates.
+    val nSrc = srcKeys.count()
+    val preFiltered =
+      if (nSrc == 0 || nSrc > 100000000L) live
+      else {
+        def tuple(df: DataFrame) =
+          if (keyCols.length == 1) df(keyCols.head)
+          else org.apache.spark.sql.functions.concat_ws(" ", keyCols.map(df(_)): _*)
+        graft.operators.Sketch.bloomBytes(
+            srcKeys.select(tuple(srcKeys).as("__k")), col("__k"), nSrc)
+          .map(b => live.filter(graft.operators.Sketch.mightContain(b, tuple(live))))
+          .getOrElse(live)
+      }
+    val marked = preFiltered.join(srcKeys, keyCols, "left_semi")
       .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
     val newShards = stageDvRows(marked, path)
     // normalize source to the table's column order; parquet reads match

@@ -233,6 +233,34 @@ class DeletionVectorSpec extends SparkSpec {
     assert(after2 === want1.map { case (3L, _) => (3L, -3L); case r => r })
   }
 
+  test("deleteWhere with pruneRanges: stats-pruned scan, identical result") {
+    val path = fresh()
+    // range-clustered files -> tight per-file [min,max] -> real pruning
+    VersionedTable.create(
+      spark.range(1000).toDF("id").repartitionByRange(8, col("id")), path)
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    // the hint is implied by the predicate: id in [100, 150]
+    val cands = VersionedTable.deleteCandidates(path, 0L, Seq(("id", 100L, 150L)))
+    assert(cands.length < VersionedTable.filesAt(path, 0L).length,
+      s"stats pruned nothing: ${cands.length} candidates")
+    val v1 = VersionedTable.deleteWhere(spark, path,
+      col("id") >= 100 && col("id") <= 150 && col("id") % 2 === 0,
+      Seq(("id", 100L, 150L)))
+    assert(ids(VersionedTable.readVersion(spark, path, v1)) ===
+      (0L until 1000L).filterNot(i => i >= 100 && i <= 150 && i % 2 == 0))
+    // a hint that prunes EVERYTHING publishes a no-op delete
+    val v2 = VersionedTable.deleteWhere(spark, path,
+      col("id") > 5000, Seq(("id", 5000L, 6000L)))
+    assert(ids(VersionedTable.readVersion(spark, path, v2)) ===
+      ids(VersionedTable.readVersion(spark, path, v1)))
+    // second pruned delete composes with the existing DVs
+    val v3 = VersionedTable.deleteWhere(spark, path,
+      col("id") >= 120 && col("id") <= 130, Seq(("id", 120L, 130L)))
+    assert(ids(VersionedTable.readVersion(spark, path, v3)) ===
+      (0L until 1000L).filterNot(i =>
+        (i >= 100 && i <= 150 && i % 2 == 0) || (i >= 120 && i <= 130)))
+  }
+
   test("restore rolls back as a new commit, carrying the target's DVs") {
     val path = fresh()
     VersionedTable.create(spark.range(20).toDF("id"), path)
