@@ -411,6 +411,14 @@ object VersionedTable {
     // source's directories (relOf against the CLONE root falls through
     // to no prefix match, so store the qualified source paths verbatim)
     val files = filesAt(srcPath, v).map(a => new HPath(a).toString)
+    // flat layouts only: borrowed files under k=v partition directories
+    // would read WITHOUT partition-column recovery (no single basePath
+    // spans two roots) — fail fast instead of dropping a column
+    files.find(f => new HPath(f).getParent.getName.contains("=")).foreach(f =>
+      throw new IllegalArgumentException(
+        s"VersionedTable.cloneTable: $srcPath is hive-partitioned ($f) — " +
+          "shallow clones support flat layouts only (partition-column " +
+          "recovery needs one basePath); compact the source or copy it"))
     val dvs = dvsAt(srcPath, v).map(a => new HPath(a).toString)
     publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
     0L
@@ -488,10 +496,9 @@ object VersionedTable {
     * side is broadcast explicitly (deterministic plan); a massive
     * backlog of deletes degrades to a shuffled anti-join rather than an
     * OOM — and [[optimize]]/[[compact]] purge it physically. */
-  private def antiDv(spark: SparkSession, path: String, v: Long,
+  private def antiDv(spark: SparkSession, path: String, dvFiles: Seq[String],
       withLin: DataFrame, rels: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val dvFiles = dvsAt(path, v)
     val dv0 = spark.read.parquet(dvFiles.sorted: _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val dv1 = rels.filter(_.nonEmpty)
@@ -520,10 +527,12 @@ object VersionedTable {
     * to push the restriction into the DV parquet). No DVs → the input
     * plan, untouched. */
   private def applyDv(spark: SparkSession, path: String, v: Long,
-      df: DataFrame, files: Option[Seq[String]] = None): DataFrame =
-    if (!hasDeletes(path, v)) df
-    else antiDv(spark, path, v, lineage(df), files.map(_.map(lineageRel)))
-      .drop("__vt_file", "__vt_pos")
+      df: DataFrame, files: Option[Seq[String]] = None): DataFrame = {
+    val dvFiles = dvsAt(path, v) // ONE manifest read decides and serves
+    if (dvFiles.isEmpty) df
+    else antiDv(spark, path, dvFiles, lineage(df),
+      files.map(_.map(lineageRel))).drop("__vt_file", "__vt_pos")
+  }
 
   /** Stage a (file, pos) frame as immutable DV shards under `dv/`;
     * returns relative paths. Distributed write — deleted-row positions
@@ -600,20 +609,27 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val candidates = deleteCandidates(path, cur, pruneRanges)
+    val oldDv = dvsAt(path, cur)
     val newShards =
       if (candidates.isEmpty) Nil // no file can hold a matching row
       else {
         val base = lineage(readParquet(spark, path, candidates))
-        val live = if (hasDeletes(path, cur))
-          antiDv(spark, path, cur, base, Some(candidates)) else base
+        // restriction keys are the DV shards' own lineage rels — the
+        // absolute candidate paths would match nothing
+        val live = if (oldDv.isEmpty) base
+          else antiDv(spark, path, oldDv, base,
+            Some(candidates.map(lineageRel)))
         val marked = live.where(pred)
           .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
         stageDvRows(marked, path)
       }
+    // nothing matched: publishing a 'delete-dv' version would carry no
+    // change yet poison append-only streaming consumers — skip it
+    if (newShards.isEmpty) return cur
     val v = cur + 1
     publish(path, v, cur, "delete-dv",
       filesAt(path, cur).map(relOf(path, _)),
-      dvRelsAt(path, cur) ++ newShards)
+      oldDv.map(relOf(path, _)) ++ newShards)
     v
   }
 
@@ -642,37 +658,36 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "VersionedTable.upsert: at least one key column")
     val files = filesAt(path, cur)
+    val oldDv = dvsAt(path, cur)
     val base = lineage(readParquet(spark, path, files))
-    val live = if (hasDeletes(path, cur)) antiDv(spark, path, cur, base, None)
-      else base
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val live = if (oldDv.isEmpty) base
+      else antiDv(spark, path, oldDv, base, None)
+    // normalize the source to the table's schema — names, ORDER, and
+    // TYPES: an int-typed source key appended as-is would both write a
+    // mixed-type parquet layout AND silently miss the bloom prefilter
+    // (XxHash64 is type-sensitive: hash(int 5) != hash(long 5))
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      base.schema.filterNot(f => f.name == "__vt_file" || f.name == "__vt_pos"))
+    val normalized = source.select(tableSchema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val srcKeys = normalized.select(keyCols.map(col): _*).distinct()
     // bloom-prefilter the (table-sized) mark scan with a sketch of the
-    // (churn-sized) source keys: target rows that CANNOT match never
-    // enter the semi join's exchange — the [[graft.operators.Joins
-    // .bloomJoin]] shape, degrading to the plain semi join when the
-    // source is too large to sketch (the join then carries the cost
-    // honestly). One extra count job prices the sketch; upserts are
-    // heavyweight commits, the scan saving dominates.
+    // (churn-sized) source keys, then verify with the semi join — the
+    // [[graft.operators.Joins.bloomJoin]] operator, degrading to the
+    // plain semi join when the source is too large to sketch. One extra
+    // count job prices the sketch; upserts are heavyweight commits, the
+    // scan saving dominates.
     val nSrc = srcKeys.count()
-    val preFiltered =
-      if (nSrc == 0 || nSrc > 100000000L) live
-      else {
-        def tuple(df: DataFrame) =
-          if (keyCols.length == 1) df(keyCols.head)
-          else org.apache.spark.sql.functions.concat_ws(" ", keyCols.map(df(_)): _*)
-        graft.operators.Sketch.bloomBytes(
-            srcKeys.select(tuple(srcKeys).as("__k")), col("__k"), nSrc)
-          .map(b => live.filter(graft.operators.Sketch.mightContain(b, tuple(live))))
-          .getOrElse(live)
-      }
-    val marked = preFiltered.join(srcKeys, keyCols, "left_semi")
+    val marked = (
+      if (nSrc == 0 || nSrc > 100000000L)
+        live.join(srcKeys, keyCols, "left_semi")
+      else graft.operators.Joins.bloomJoin(live, srcKeys, keyCols, nSrc,
+        how = "left_semi"))
       .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
     val newShards = stageDvRows(marked, path)
-    // normalize source to the table's column order; parquet reads match
-    // by name, but a stable layout keeps footers comparable
-    val tableCols = base.drop("__vt_file", "__vt_pos").columns
-    val newFiles = stage(source.select(tableCols.map(col): _*), path)
-    (files.map(relOf(path, _)) ++ newFiles, dvRelsAt(path, cur) ++ newShards)
+    val newFiles = stage(normalized, path)
+    (files.map(relOf(path, _)) ++ newFiles,
+      oldDv.map(relOf(path, _)) ++ newShards)
   }
 
   /** EXACTLY-ONCE streaming MERGE sink — the foreachBatch CDC-apply
@@ -1046,8 +1061,10 @@ object VersionedTable {
           .select(c("file")).distinct()
           .collect().map(_.getString(0)).toSet
       }
+    // DV 'file' keys are lineage rels (the /data/-anchored form), which
+    // for clone-borrowed files differs from relOf's absolute passthrough
     val dvTouched = (before intersect after)
-      .filter(a => dvChangedRels.contains(relOf(path, a)))
+      .filter(a => dvChangedRels.contains(lineageRel(a)))
     def rd(fs: Set[String], v: Long) =
       if (fs.isEmpty) readVersion(spark, path, v).where(lit(false))
       else applyDv(spark, path, v,

@@ -54,12 +54,60 @@ class DeletionVectorSpec extends SparkSpec {
       (0L until 100L).filterNot(_ % 7 == 3))
   }
 
-  test("a no-op delete publishes a version with no new DV shard") {
+  test("a no-op delete publishes nothing (streams stay alive)") {
     val path = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), path)
-    val v1 = VersionedTable.deleteWhere(spark, path, col("id") > 999)
-    assert(!VersionedTable.hasDeletes(path, v1))
+    // no matching row: no version published — a 'delete-dv' action with
+    // no change would poison append-only streaming consumers
+    assert(VersionedTable.deleteWhere(spark, path, col("id") > 999) === 0L)
+    assert(VersionedTable.versions(path) === Seq(0L))
     assert(ids(VersionedTable.read(spark, path)) === (0L until 10L))
+  }
+
+  test("upsert normalizes source types: int-keyed source on a long-keyed table") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(10).select($"id", ($"id" * 10).as("x")), path)
+    // Int source columns (Scala literals): must match-and-replace, not
+    // silently miss the prefilter and insert duplicates
+    val src = Seq((5, 999), (100, 1)).toDF("id", "x") // IntegerType
+    VersionedTable.upsert(spark, path, src, Seq("id"))
+    val got = VersionedTable.read(spark, path)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === ((0L until 10L).filterNot(_ == 5).map(i => (i, i * 10))
+      ++ Seq((5L, 999L), (100L, 1L))).sortBy(_._1))
+    // schema stays single-typed across files (no mixed int/long footers)
+    assert(VersionedTable.read(spark, path).schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("overlapping deletes never duplicate (file,pos) marks") {
+    val path = fresh()
+    VersionedTable.create(spark.range(100).toDF("id").repartition(2), path)
+    VersionedTable.deleteWhere(spark, path, col("id") < 50)
+    val v2 = VersionedTable.deleteWhere(spark, path, col("id") < 60) // overlap
+    val dvRows = spark.read.parquet(VersionedTable.dvsAt(path, v2): _*).count()
+    assert(dvRows === 60L, s"expected 60 distinct marks, got $dvRows")
+    assert(ids(VersionedTable.readVersion(spark, path, v2)) === (60L until 100L))
+  }
+
+  test("changeFeed sees DV deletes on clone-borrowed files; partitioned clone refuses") {
+    val src = fresh()
+    VersionedTable.create(spark.range(20).toDF("id").repartition(2), src)
+    val dst = fresh()
+    VersionedTable.cloneTable(src, dst)
+    val v1 = VersionedTable.deleteWhere(spark, dst, col("id") < 3)
+    val feed = VersionedTable.changeFeed(spark, dst, 0L, v1, Seq("id"), Seq())
+      .select($"id", $"change").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(feed === (0L until 3L).map(i => (i, "removed")))
+    // hive-partitioned source: clone must fail fast, not drop the column
+    val psrc = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(10).select($"id", ($"id" % 2).cast("string").as("p")),
+      psrc, "p")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.cloneTable(psrc, fresh()))
+    assert(e.getMessage.contains("flat layouts only"))
   }
 
   test("upsert replaces matched keys via DV and appends the source") {
@@ -248,11 +296,10 @@ class DeletionVectorSpec extends SparkSpec {
       Seq(("id", 100L, 150L)))
     assert(ids(VersionedTable.readVersion(spark, path, v1)) ===
       (0L until 1000L).filterNot(i => i >= 100 && i <= 150 && i % 2 == 0))
-    // a hint that prunes EVERYTHING publishes a no-op delete
-    val v2 = VersionedTable.deleteWhere(spark, path,
-      col("id") > 5000, Seq(("id", 5000L, 6000L)))
-    assert(ids(VersionedTable.readVersion(spark, path, v2)) ===
-      ids(VersionedTable.readVersion(spark, path, v1)))
+    // a hint that prunes EVERYTHING is a no-op: no version published
+    assert(VersionedTable.deleteWhere(spark, path,
+      col("id") > 5000, Seq(("id", 5000L, 6000L))) === v1)
+    assert(VersionedTable.latestVersion(path) === Some(v1))
     // second pruned delete composes with the existing DVs
     val v3 = VersionedTable.deleteWhere(spark, path,
       col("id") >= 120 && col("id") <= 130, Seq(("id", 120L, 130L)))
