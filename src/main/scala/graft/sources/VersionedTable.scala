@@ -1299,7 +1299,10 @@ object VersionedTable {
     * O(commit), not O(table). (A file counted as 0 rows is a genuine
     * empty parquet file: it groups to no row, so it defaults to 0.) */
   def writeCounts(spark: SparkSession, path: String, v: Long): Unit = {
-    requireNoDv(path, v, "writeCounts")
+    // counts entries are PHYSICAL per-file rows — a per-file truth that
+    // holds with or without deletion vectors (files are immutable), so
+    // writing is allowed on DV versions; only the summing faces must
+    // distinguish physical from live ([[countAt]] vs [[countAtLive]])
     val rels = relsAt(path, v)
     val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
       .map(pv => countsFile(path, pv)).filter(exists)
@@ -1339,6 +1342,30 @@ object VersionedTable {
     * counts sidecar — "count 100 TB by partition" at zero data I/O,
     * the query every ingest dashboard runs hourly. Coverage rule as
     * [[countAt]]; requires a partitioned layout on `partCol`. */
+  /** Exact LIVE row count of a version that carries deletion vectors:
+    * the physical counts sidecar minus the version's DV cardinality —
+    * manifest + sidecar + O(deleted)-row I/O, no data file opened.
+    * Dangling DV marks (files a later rewrite dropped) are excluded by
+    * restricting to the manifest's own lineage rels. Coverage contract
+    * as [[countAt]]: None unless the sidecar covers every file. */
+  def countAtLive(spark: SparkSession, path: String, v: Long): Option[Long] = {
+    val p = countsFile(path, v)
+    if (!exists(p)) return None
+    val counts = parseCounts(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(counts.contains)) return None
+    val physical = rels.map(counts).sum
+    val dvs = dvsAt(path, v)
+    if (dvs.isEmpty) Some(physical)
+    else {
+      import org.apache.spark.sql.functions.col
+      val liveRels = filesAt(path, v).map(lineageRel)
+      val deleted = spark.read.parquet(dvs.sorted: _*)
+        .where(col("file").isin(liveRels: _*)).count()
+      Some(physical - deleted)
+    }
+  }
+
   def partitionRowCounts(path: String, v: Long,
       partCol: String): Option[Seq[(String, Long)]] = {
     requireNoDv(path, v, "partitionRowCounts")

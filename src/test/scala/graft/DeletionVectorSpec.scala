@@ -191,15 +191,34 @@ class DeletionVectorSpec extends SparkSpec {
     val path = fresh()
     VersionedTable.create(spark.range(50).toDF("id").repartition(4), path)
     val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 2 === 0)
-    // exact metadata faces refuse on a DV version rather than overcount
-    intercept[IllegalArgumentException](VersionedTable.writeCounts(spark, path, v1))
+    // the physical summing face refuses on a DV version rather than
+    // overcount; the LIVE face subtracts the exact DV cardinality
+    VersionedTable.writeCounts(spark, path, v1) // physical per-file truths
     intercept[IllegalArgumentException](VersionedTable.countAt(path, v1))
+    assert(VersionedTable.countAtLive(spark, path, v1) === Some(25L))
     val v2 = VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
     assert(!VersionedTable.hasDeletes(path, v2))
     assert(ids(VersionedTable.readVersion(spark, path, v2)) ===
       (0L until 50L).filter(_ % 2 == 1))
     VersionedTable.writeCounts(spark, path, v2)
     assert(VersionedTable.countAt(path, v2) === Some(25L))
+  }
+
+  test("countAtLive excludes dangling DV marks after a partition rewrite") {
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(40).select($"id", ($"id" % 2).cast("string").as("p")),
+      path, "p")
+    VersionedTable.deleteWhere(spark, path, col("id") < 10) // marks in BOTH partitions
+    // replace partition 0 wholesale: its DV marks dangle (files dropped)
+    val v2 = VersionedTable.commitPartitioned(
+      spark.range(1000, 1005).select($"id", lit("0").as("p")),
+      path, "p", "overwritePartitions")
+    VersionedTable.writeCounts(spark, path, v2)
+    // live = p1 odds minus deleted odds (15) + 5 replacement rows = 20;
+    // counting dangling marks would wrongly give 15
+    assert(VersionedTable.countAtLive(spark, path, v2) === Some(20L))
+    assert(VersionedTable.readVersion(spark, path, v2).count() === 20L)
   }
 
   test("vacuum keeps DV shards of retained versions, sweeps dropped ones") {
