@@ -432,9 +432,14 @@ object VersionedTable {
     import spark.implicits._
     versions(path).map { v =>
       val f = versionFile(path, v)
-      (v, actionAt(path, v),
+      val txt = readUtf8(f) // ONE manifest read serves all three parses
+      val action = """"action":"([^"]*)"""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val nFiles = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).length
+      val nDvs = "\"([^\"]+\\.dv)\"".r.findAllMatchIn(txt).length
+      (v, action,
         new java.sql.Timestamp(fsOf(f).getFileStatus(f).getModificationTime),
-        filesAt(path, v).length, dvsAt(path, v).length)
+        nFiles, nDvs)
     }.toDF("version", "action", "committed_at", "n_files", "n_dv_shards")
   }
 

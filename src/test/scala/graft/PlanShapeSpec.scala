@@ -364,6 +364,14 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("DV reads plan a BROADCAST left-anti join (small shards never shuffle the table)") {
+    val plan = planText("q_table_delete_dv")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV anti-join is not broadcast:\n${plan.take(1500)}")
+    // and the data side never exchanges for the anti-join itself
+    // (the ceilings test pins the full count at 2: agg + orderBy)
+  }
+
   test("q_bloom_join carries the explicit probe-side bloom prefilter in its plan") {
     // the operator's whole point: the membership probe must sit on the
     // probe scan as a data filter, upstream of the join's exchange
