@@ -1371,6 +1371,46 @@ object VersionedTable {
     }
   }
 
+  /** Per-partition exact LIVE row counts under deletion vectors — the
+    * per-partition analogue of [[countAtLive]]: physical per-partition
+    * counts minus the DV marks grouped by the partition segment of
+    * their lineage rel (`data/<partCol>=v/...`), restricted to the
+    * manifest's own rels so dangling marks never subtract. The
+    * "count 100 TB by partition" dashboard stays metadata-priced
+    * while a delete backlog is outstanding. */
+  def partitionRowCountsLive(spark: SparkSession, path: String, v: Long,
+      partCol: String): Option[Seq[(String, Long)]] = {
+    val p = countsFile(path, v)
+    if (!exists(p)) return None
+    val counts = parseCounts(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(counts.contains)) return None
+    val pre = partCol + "="
+    def partOf(rel: String): String = {
+      val parent = new HPath(rel).getParent.getName
+      require(parent.startsWith(pre),
+        s"VersionedTable.partitionRowCountsLive: $rel is not under $pre<value>/")
+      parent.stripPrefix(pre)
+    }
+    val physical = rels.groupBy(partOf)
+      .map { case (k, fs) => k -> fs.map(counts).sum }
+    val dvs = dvsAt(path, v)
+    val deleted: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        val liveRels = filesAt(path, v).map(lineageRel)
+        spark.read.parquet(dvs.sorted: _*)
+          .where(col("file").isin(liveRels: _*))
+          .groupBy(col("file")).count()
+          .collect() // O(files) rows: per-FILE mark totals, not marks
+          .groupBy(r => partOf(r.getString(0)))
+          .map { case (k, rs) => k -> rs.map(_.getLong(1)).sum }
+      }
+    Some(physical.map { case (k, n) => k -> (n - deleted.getOrElse(k, 0L)) }
+      .toSeq.sortBy(_._1))
+  }
+
   def partitionRowCounts(path: String, v: Long,
       partCol: String): Option[Seq[(String, Long)]] = {
     requireNoDv(path, v, "partitionRowCounts")

@@ -219,6 +219,9 @@ class DeletionVectorSpec extends SparkSpec {
     // counting dangling marks would wrongly give 15
     assert(VersionedTable.countAtLive(spark, path, v2) === Some(20L))
     assert(VersionedTable.readVersion(spark, path, v2).count() === 20L)
+    // per-partition live counts agree with the actual grouped read
+    assert(VersionedTable.partitionRowCountsLive(spark, path, v2, "p")
+      === Some(Seq("0" -> 5L, "1" -> 15L)))
   }
 
   test("vacuum keeps DV shards of retained versions, sweeps dropped ones") {
