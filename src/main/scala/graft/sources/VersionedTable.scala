@@ -510,7 +510,13 @@ object VersionedTable {
       .map(r => dv0.where(col("__dv_file").isin(r: _*))).getOrElse(dv0)
     val dvBytes = dvFiles.map { f =>
       val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
-    val dv = if (dvBytes <= 64L * 1024 * 1024) broadcast(dv1) else dv1
+    // broadcast threshold (bytes) — `graft.dv.broadcastBytes` session
+    // conf; a backlog past it degrades to a shuffled anti-join rather
+    // than an executor OOM (and the spec pins the degraded path's
+    // correctness by setting it to 0)
+    val limit = spark.conf.getOption("graft.dv.broadcastBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val dv = if (dvBytes <= limit) broadcast(dv1) else dv1
     withLin.join(dv,
       col("__vt_file") === col("__dv_file") &&
         col("__vt_pos") === col("__dv_pos"), "left_anti")

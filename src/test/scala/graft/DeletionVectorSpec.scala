@@ -204,6 +204,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.countAt(path, v2) === Some(25L))
   }
 
+  test("oversized DV backlog degrades to a SHUFFLED anti-join with identical results") {
+    val path = fresh()
+    VersionedTable.create(spark.range(5000).toDF("id").repartition(4), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 3 === 0)
+    val broadcastRead = ids(VersionedTable.readVersion(spark, path, v1))
+    // force the big-backlog path: drop the explicit hint AND the
+    // planner's own auto-broadcast (a real >threshold backlog clears
+    // both), leaving the shuffled anti-join
+    spark.conf.set("graft.dv.broadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = VersionedTable.readVersion(spark, path, v1)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"threshold 0 still broadcasts:\n${plan.take(1200)}")
+      assert(ids(df) === broadcastRead)
+    } finally {
+      spark.conf.unset("graft.dv.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("countAtLive excludes dangling DV marks after a partition rewrite") {
     val path = fresh()
     VersionedTable.createPartitioned(
