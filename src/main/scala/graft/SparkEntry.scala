@@ -207,9 +207,10 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS base_price_cents,
-        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-        |    AS disc_price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS base_price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS disc_price_cents,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(round(sum(l_discount), 4) / count(*), 6) AS avg_disc,
         |  count(*) AS count_order

@@ -949,7 +949,7 @@ object ParityQueries {
          |   + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)::BIGINT AS bin
          |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
          |SELECT bin, count(*) AS n,
-         |  sum(CAST(floor(x * 100) AS BIGINT)) AS price_cents
+         |  CAST(sum(CAST(floor(x * 100) AS BIGINT)) AS BIGINT) AS price_cents
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
     },
 
@@ -1152,7 +1152,8 @@ object ParityQueries {
       """WITH o AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |             ELSE o_custkey END AS ck, o_totalprice FROM orders)
         |SELECT c_name, count(*) AS n,
-        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS price_cents
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
         |FROM o JOIN customer ON ck = c_custkey
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
 
@@ -1167,7 +1168,8 @@ object ParityQueries {
 
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -1213,7 +1215,7 @@ object ParityQueries {
          |        least(greatest(l_extendedprice, lo), hi) AS x
          |      FROM lineitem, b)
          |SELECT l_returnflag, count(*) AS n,
-         |  sum(CAST(floor(x * 100) AS BIGINT)) AS wins_cents,
+         |  CAST(sum(CAST(floor(x * 100) AS BIGINT)) AS BIGINT) AS wins_cents,
          |  round(min(x), 6) AS wins_min, round(max(x), 6) AS wins_max
          |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },

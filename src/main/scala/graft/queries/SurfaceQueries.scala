@@ -382,7 +382,8 @@ object SurfaceQueries {
 
     "q_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -491,12 +492,12 @@ object SurfaceQueries {
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CAST(floor(CASE WHEN o_orderstatus = 'F'
-        |    THEN o_totalprice END * 100) AS BIGINT)) AS cents_f,
-        |  sum(CAST(floor(CASE WHEN o_orderstatus = 'O'
-        |    THEN o_totalprice END * 100) AS BIGINT)) AS cents_o,
-        |  sum(CAST(floor(CASE WHEN o_orderstatus = 'P'
-        |    THEN o_totalprice END * 100) AS BIGINT)) AS cents_p
+        |  CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS cents_f,
+        |  CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS cents_o,
+        |  CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS cents_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_unpivot" ->
