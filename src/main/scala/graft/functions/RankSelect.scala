@@ -76,10 +76,42 @@ object RankSelect {
       weightCol: String): Map[(String, Long), Double] =
     selectRanks(df, specs, Some(weightCol))
 
-  private def selectRanks(df: DataFrame, specs: Seq[(String, Seq[Long])],
+  /** Every refinement pass is a full scan; without a cache each pass
+    * re-reads (and re-decodes) the source parquet. Persist ONLY the
+    * referenced columns — a few narrow numeric columns, spillable and
+    * distributed across executors, so the bounded-per-task-state
+    * property is untouched — and let the prepass + every rank pass scan
+    * the cache instead. */
+  private def withCachedProjection[T](df: DataFrame, cols: Seq[String])(
+      f: DataFrame => T): T = {
+    val proj = df.select(cols.distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(proj) finally proj.unpersist(blocking = false)
+  }
+
+  private def selectRanks(dfIn: DataFrame, specs: Seq[(String, Seq[Long])],
       weightCol: Option[String]): Map[(String, Long), Double] = {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "orderStatistics: empty spec")
     val colNames = specs.map(_._1).distinct
+    withCachedProjection(dfIn, colNames ++ weightCol) { cached =>
+      selectRanksBy(cached, colNames, weightCol) { (c, n) =>
+        val ranks = specs.filter(_._1 == c).flatMap(_._2).distinct
+        require(n > 0, s"orderStatistics: '$c' has no non-null values")
+        ranks.foreach(r => require(r >= 1 && r <= n,
+          s"orderStatistics: rank $r outside [1, $n] for '$c'"))
+        ranks
+      }._2
+    }
+  }
+
+  /** Pass-0 aggregate (total mass / min / max per column) FUSED with the
+    * rank-target construction: `ranksOf(col, totalMass)` is consulted
+    * after pass 0 so callers that derive their ranks from N (every
+    * quantile entry point) don't pay a separate counting scan. Returns
+    * (per-column (mass, min, max), resolved order statistics). */
+  private def selectRanksBy(df: DataFrame, colNames: Seq[String],
+      weightCol: Option[String])(ranksOf: (String, Long) => Seq[Long])
+      : (Map[String, (Long, Double, Double)], Map[(String, Long), Double]) = {
     // per-row mass: 1 unweighted, else the (positive) weight
     def massOf(x: org.apache.spark.sql.Column) = weightCol match {
       case None => when(x.isNotNull, lit(1L))
@@ -102,11 +134,9 @@ object RankSelect {
         if (row0.isNullAt(i * 3 + 1)) Double.NaN else row0.getDouble(i * 3 + 1),
         if (row0.isNullAt(i * 3 + 2)) Double.NaN else row0.getDouble(i * 3 + 2)))
     }.toMap
-    val targets = specs.flatMap { case (c, ranks) =>
+    val targets = colNames.flatMap { c =>
       val (n, mn, mx) = stats(c)
-      require(n > 0, s"orderStatistics: '$c' has no non-null values")
-      ranks.distinct.map { r =>
-        require(r >= 1 && r <= n, s"orderStatistics: rank $r outside [1, $n] for '$c'")
+      ranksOf(c, n).distinct.map { r =>
         val t = new Target(c, r)
         if (r == 1L) t.result = Some(mn)
         else if (r == n) t.result = Some(mx)
@@ -185,7 +215,7 @@ object RankSelect {
         }
       }
     }
-    targets.map(t => (t.colName, t.rankWanted) -> t.result.get).toMap
+    (stats, targets.map(t => (t.colName, t.rankWanted) -> t.result.get).toMap)
   }
 
   /** Exact interpolated quantiles (the reference's `n = N·q − 0.5` lerp,
@@ -195,23 +225,19 @@ object RankSelect {
   def quantiles(df: DataFrame,
       specs: Seq[(String, Seq[Double])]): Map[String, Option[Seq[Double]]] = {
     val colNames = specs.map(_._1).distinct
-    val cnts = df.agg(count(col(colNames.head).cast("double")).as("n0"),
-        colNames.tail.map(c => count(col(c).cast("double")).as(s"n_$c")): _*)
-      .head()
-    val nByCol = colNames.zipWithIndex.map { case (c, i) => c -> cnts.getLong(i) }.toMap
-    val live = specs.filter(s => nByCol(s._1) > 0)
-    if (live.isEmpty) return specs.map(_._1 -> None).toMap
-    // ranks each lerp needs: the floor and ceil order statistics
-    val rankSpecs = live.map { case (c, qs) =>
-      val n = nByCol(c)
-      c -> qs.flatMap(q => ranksFor(n, q)).distinct
+    val qsByCol = specs.groupBy(_._1).map { case (c, ss) => c -> ss.flatMap(_._2) }
+    withCachedProjection(df, colNames) { cached =>
+      // ranks each lerp needs (floor and ceil order statistics), derived
+      // from pass 0's count — no separate counting scan
+      val (stats0, stats) = selectRanksBy(cached, colNames, None) { (c, n) =>
+        if (n == 0) Nil else qsByCol(c).flatMap(q => ranksFor(n, q)).distinct
+      }
+      specs.map { case (c, qs) =>
+        val n = stats0(c)._1
+        if (n == 0) c -> None
+        else c -> Some(qs.map(q => lerp(n, q, r => stats((c, r)))))
+      }.toMap
     }
-    val stats = orderStatistics(df, rankSpecs)
-    specs.map { case (c, qs) =>
-      val n = nByCol(c)
-      if (n == 0) c -> None
-      else c -> Some(qs.map(q => lerp(n, q, r => stats((c, r)))))
-    }.toMap
   }
 
   /** Convenience: one column, whole-frame exact quantiles. */
@@ -228,26 +254,21 @@ object RankSelect {
     require(specs.forall(_._2.forall(q => q > 0 && q <= 1)),
       s"weightedQuantiles: qs in (0, 1]")
     val colNames = specs.map(_._1).distinct
-    val massAggs = colNames.map { c =>
-      val x = col(c).cast("double")
-      coalesce(sum(when(x.isNotNull && col(weightCol).isNotNull &&
-        col(weightCol).cast("long") > 0, col(weightCol).cast("long"))),
-        lit(0L)).as(s"w_$c")
+    val qsByCol = specs.groupBy(_._1).map { case (c, ss) => c -> ss.flatMap(_._2) }
+    withCachedProjection(df, colNames :+ weightCol) { cached =>
+      // ceil(q·W) in double — the same IEEE arithmetic an SQL oracle
+      // runs — with W taken from pass 0 (no separate mass scan)
+      val (stats0, stats) = selectRanksBy(cached, colNames, Some(weightCol)) {
+        (c, w) =>
+          if (w == 0) Nil
+          else qsByCol(c).map(q => math.ceil(q * w.toDouble).toLong).distinct
+      }
+      specs.map { case (c, qs) =>
+        val w = stats0(c)._1
+        if (w == 0) c -> None
+        else c -> Some(qs.map(q => stats((c, math.ceil(q * w.toDouble).toLong))))
+      }.toMap
     }
-    val masses = df.agg(massAggs.head, massAggs.tail: _*).head()
-    val wByCol = colNames.zipWithIndex.map { case (c, i) => c -> masses.getLong(i) }.toMap
-    val live = specs.filter(s => wByCol(s._1) > 0)
-    if (live.isEmpty) return specs.map(_._1 -> None).toMap
-    val rankSpecs = live.map { case (c, qs) =>
-      // ceil(q·W) in double: the same IEEE arithmetic an SQL oracle runs
-      c -> qs.map(q => math.ceil(q * wByCol(c).toDouble).toLong).distinct
-    }
-    val stats = weightedOrderStatistics(df, rankSpecs, weightCol)
-    specs.map { case (c, qs) =>
-      val w = wByCol(c)
-      if (w == 0) c -> None
-      else c -> Some(qs.map(q => stats((c, math.ceil(q * w.toDouble).toLong))))
-    }.toMap
   }
 
   /** The 1-based ranks the `N·q − 0.5` lerp touches at quantile q. */
