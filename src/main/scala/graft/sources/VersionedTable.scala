@@ -360,6 +360,15 @@ object VersionedTable {
         return cur + 1
       } catch {
         case e: IllegalStateException =>
+          // publish wraps ANY failure as a lost race, but the rename may
+          // in fact have LANDED (RPC reply lost after the store applied
+          // it). Staged names are UUID-unique, so if the manifest we
+          // attempted now exists AND lists our files, our publish won —
+          // rebasing would list newFiles TWICE and double-read every row.
+          if (versions(path).contains(cur + 1) &&
+              newFiles.forall(
+                filesAt(path, cur + 1).map(relOf(path, _)).toSet))
+            return cur + 1
           attempt += 1
           if (attempt > maxRetries) throw new IllegalStateException(
             s"VersionedTable.appendWithRetry: lost $maxRetries publish races " +
@@ -421,7 +430,42 @@ object VersionedTable {
           "recovery needs one basePath); compact the source or copy it"))
     val dvs = dvsAt(srcPath, v).map(a => new HPath(a).toString)
     publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
+    // PIN the borrowed version at the source: the clone references
+    // source bytes that source-side [[vacuum]] would otherwise be free
+    // to reclaim. A marker under the source's _clones/ dir makes vacuum
+    // treat srcV as retained until [[releaseClone]] (or a [[compact]]
+    // of the clone followed by releaseClone) drops it. O(one tiny file).
+    val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
+    writeBytes(marker,
+      s"""{"dst":"${esc(dstPath)}","srcV":$v}""".getBytes("UTF-8"))
     0L
+  }
+
+  private def clonesDir(path: String): HPath =
+    new HPath(rootPath(path), "_clones")
+
+  private def cloneMarkerName(dstPath: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dstPath.getBytes("UTF-8"))
+    d.take(10).map(b => f"$b%02x").mkString + ".json"
+  }
+
+  /** Versions of `path` pinned by outstanding clone markers. */
+  private[graft] def pinnedVersions(path: String): Set[Long] = {
+    val dir = clonesDir(path)
+    if (!exists(dir)) Set.empty
+    else listNames(dir).filter(_.isFile).flatMap { s =>
+      """"srcV":(\d+)""".r.findFirstMatchIn(readUtf8(s.getPath))
+        .map(_.group(1).toLong)
+    }.toSet
+  }
+
+  /** Drop `dstPath`'s pin on `srcPath` — call once the clone is deleted
+    * or localized ([[compact]] rewrites it under its own root, after
+    * which no borrowed reference remains). */
+  def releaseClone(srcPath: String, dstPath: String): Unit = {
+    val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
+    if (exists(marker)) fsOf(marker).delete(marker, false)
   }
 
   /** Table history as a DataFrame — version, manifest action, publish
@@ -615,11 +659,38 @@ object VersionedTable {
     * does. */
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column,
-      pruneRanges: Seq[(String, Long, Long)]): Long = {
+      pruneRanges: Seq[(String, Long, Long)]): Long =
+    deleteWhere(spark, path, pred, pruneRanges, verifyPrune = false)
+
+  /** [[deleteWhere]] with the prune hint VERIFIED: `pruneRanges` is the
+    * caller's claim that `pred` implies every hinted range — a wrong
+    * hint silently leaves matching rows undeleted, unacceptable for the
+    * GDPR-delete use. With `verifyPrune=true` the pruned-AWAY files are
+    * scanned once for any live row matching `pred` BEFORE publishing;
+    * a hit aborts the commit. Costs exactly the scan the hint saved —
+    * a one-time audit toggle, not the steady-state path. */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      pruneRanges: Seq[(String, Long, Long)],
+      verifyPrune: Boolean): Long = {
     import org.apache.spark.sql.functions.col
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val candidates = deleteCandidates(path, cur, pruneRanges)
+    if (verifyPrune && pruneRanges.nonEmpty) {
+      val prunedAway = filesAt(path, cur).filterNot(candidates.toSet)
+      if (prunedAway.nonEmpty) {
+        val outside = lineage(readParquet(spark, path, prunedAway))
+        val dv0 = dvsAt(path, cur)
+        val liveOutside = if (dv0.isEmpty) outside
+          else antiDv(spark, path, dv0, outside,
+            Some(prunedAway.map(lineageRel)))
+        require(liveOutside.where(pred).isEmpty,
+          s"VersionedTable.deleteWhere: prune hint is WRONG — live rows " +
+            s"matching the predicate exist in pruned-away files of $path; " +
+            "aborting before publish (no version written)")
+      }
+    }
     val oldDv = dvsAt(path, cur)
     val newShards =
       if (candidates.isEmpty) Nil // no file can hold a matching row
@@ -669,6 +740,16 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "VersionedTable.upsert: at least one key column")
     val files = filesAt(path, cur)
+    // flat layouts only: upsert stages the source flat under data/, and
+    // a manifest mixing data/k=v/ files with flat data/ files fails
+    // Spark's partition-structure inference on EVERY subsequent read —
+    // including compact/optimize, the only repair path. Fail fast (the
+    // cloneTable guard, applied here).
+    files.find(f => new HPath(f).getParent.getName.contains("=")).foreach(f =>
+      throw new IllegalArgumentException(
+        s"VersionedTable.upsert: $path is hive-partitioned ($f) — flat " +
+          "staging would mix layouts and break partition inference on " +
+          "all reads; use deleteWhere + commitPartitioned instead"))
     val oldDv = dvsAt(path, cur)
     val base = lineage(readParquet(spark, path, files))
     val live = if (oldDv.isEmpty) base
@@ -682,13 +763,26 @@ object VersionedTable {
     val normalized = source.select(tableSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     val srcKeys = normalized.select(keyCols.map(col): _*).distinct()
+    // ONE source-sized job both prices the bloom sketch (distinct-key
+    // count) and enforces the reference MERGE rule: a key with multiple
+    // source rows would replace one target row with SEVERAL — Delta
+    // errors on the multi-match, and silently inserting every duplicate
+    // diverges from it. Fail loudly instead.
+    val (nSrc, nDupKeys) = {
+      import org.apache.spark.sql.functions.{count, lit, when}
+      val r = normalized.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__vt_cnt"))
+        .agg(count(lit(1)), count(when(col("__vt_cnt") > 1, 1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nDupKeys == 0,
+      s"VersionedTable.upsert: $nDupKeys key(s) have multiple source rows " +
+        s"(keys ${keyCols.mkString(",")}) — MERGE requires one source row " +
+        "per key; aggregate or dedupe the source first")
     // bloom-prefilter the (table-sized) mark scan with a sketch of the
     // (churn-sized) source keys, then verify with the semi join — the
     // [[graft.operators.Joins.bloomJoin]] operator, degrading to the
-    // plain semi join when the source is too large to sketch. One extra
-    // count job prices the sketch; upserts are heavyweight commits, the
-    // scan saving dominates.
-    val nSrc = srcKeys.count()
+    // plain semi join when the source is too large to sketch.
     val marked = (
       if (nSrc == 0 || nSrc > 100000000L)
         live.join(srcKeys, keyCols, "left_semi")
@@ -2150,7 +2244,14 @@ object VersionedTable {
       minAgeMs: Long = 60L * 60 * 1000): Unit = {
     require(keepVersions >= 1, "VersionedTable.vacuum: keep at least 1 version")
     val vs = versions(path)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    val (dropRaw, keepRaw) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    // clone-pinned versions are retained — manifest AND files — no
+    // matter how old: a shallow clone reads these bytes by reference,
+    // and a routine retention sweep must not corrupt it ([[cloneTable]]
+    // writes the pin, [[releaseClone]] drops it)
+    val pinned = pinnedVersions(path)
+    val drop = dropRaw.filterNot(pinned)
+    val keep = keepRaw ++ dropRaw.filter(pinned)
     // liveness keyed by path relative to data/ — partitioned layouts
     // reuse file NAMES across `k=v` subdirs, so a bare-name key could
     // never reclaim a dead partition file shadowed by a live namesake

@@ -739,4 +739,97 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       VersionedTable.readVersion(spark, path, 0))
   }
+
+  test("appendWithRetry: ambiguous publish SUCCESS is detected, not double-appended") {
+    // the lost-reply failure mode: the manifest rename LANDS at the
+    // store, then the client sees an error. A naive retry would rebase
+    // onto the landed manifest — which already lists our staged files —
+    // and append them AGAIN, silently double-reading every row.
+    val path = fresh()
+    VersionedTable.create(spark.range(5).toDF("id"), path)
+    val real = VersionedTable.committer
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    VersionedTable.committer = new VersionedTable.ManifestCommitter {
+      def publish(fc: org.apache.hadoop.fs.FileContext,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Unit = {
+        real.publish(fc, tmp, target)
+        if (fired.compareAndSet(false, true))
+          throw new java.io.IOException("simulated lost RPC reply")
+      }
+    }
+    try {
+      val v = VersionedTable.appendWithRetry(spark.range(5, 8).toDF("id"), path)
+      assert(v === 1L, "the landed publish must be recognized as OUR win")
+    } finally VersionedTable.committer = real
+    assert(VersionedTable.versions(path) === Seq(0L, 1L))
+    // rows exactly once (ids() keeps duplicates — a double-append fails)
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 8L))
+  }
+
+  test("upsert refuses a hive-partitioned layout (flat staging would mix layouts)") {
+    val path = fresh()
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 4).cast("string").as("src"))
+    VersionedTable.createPartitioned(df, path, "src")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, path,
+        spark.range(3).select(col("id"), lit("0").as("src")), Seq("id")))
+    assert(e.getMessage.contains("hive-partitioned"))
+    // nothing published, table still reads
+    assert(VersionedTable.versions(path) === Seq(0L))
+    assert(VersionedTable.read(spark, path).count() === 100)
+  }
+
+  test("upsert: duplicate source keys fail loudly (MERGE multi-match rule)") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(10).select($"id", ($"id" * 2).as("x")), path)
+    // ids 0,1,0 — key 0 carries two source rows
+    val dup = spark.range(3).select(($"id" % 2).as("id"), $"id".as("x"))
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, path, dup, Seq("id")))
+    assert(e.getMessage.contains("multiple source rows"))
+    assert(VersionedTable.versions(path) === Seq(0L))
+    // a distinct-key source still merges
+    val v = VersionedTable.upsert(spark, path,
+      spark.range(2).select($"id", lit(99L).as("x")), Seq("id"))
+    val after = VersionedTable.readVersion(spark, path, v)
+    assert(after.where($"x" === 99).count() === 2)
+    assert(after.count() === 10)
+  }
+
+  test("deleteWhere verifyPrune: a wrong prune hint aborts before publish") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(10000).toDF("id").repartitionByRange(8, col("id")), path)
+    VersionedTable.writeStats(spark, path, 0L, "id")
+    val pred = col("id").between(1000, 3000)
+    // WRONG hint: claims every match sits in [1000,1500]; files holding
+    // 1501..3000 get pruned away and those rows would survive the delete
+    assertThrows[IllegalArgumentException](
+      VersionedTable.deleteWhere(spark, path, pred,
+        Seq(("id", 1000L, 1500L)), verifyPrune = true))
+    assert(VersionedTable.versions(path) === Seq(0L), "no version published")
+    // a CORRECT hint verifies clean and deletes exactly the matches
+    val v = VersionedTable.deleteWhere(spark, path, pred,
+      Seq(("id", 1000L, 3000L)), verifyPrune = true)
+    assert(VersionedTable.readVersion(spark, path, v).count() === 10000 - 2001)
+  }
+
+  test("clone pin: source vacuum spares borrowed bytes until releaseClone") {
+    val src = fresh(); val dst = fresh()
+    VersionedTable.create(spark.range(10).toDF("id"), src)
+    VersionedTable.commit(spark.range(50, 55).toDF("id"), src, "overwrite")
+    VersionedTable.cloneTable(src, dst, 0L) // borrows v0's bytes by reference
+    // a routine retention sweep on the source must NOT corrupt the clone
+    VersionedTable.vacuum(src, keepVersions = 1, minAgeMs = 0L)
+    assert(VersionedTable.versions(src) === Seq(0L, 1L), "pinned manifest retained")
+    assert(ids(VersionedTable.read(spark, dst)) === (0L until 10L))
+    // released (clone deleted/localized), the pin drops and v0 reclaims
+    VersionedTable.releaseClone(src, dst)
+    VersionedTable.vacuum(src, keepVersions = 1, minAgeMs = 0L)
+    assert(VersionedTable.versions(src) === Seq(1L))
+    assert(ids(VersionedTable.read(spark, src)) === (50L until 55L))
+  }
 }
