@@ -1550,7 +1550,10 @@ object VersionedTable {
     * commit's new files are measured. A file whose column is entirely
     * null stores 0 — the fold identity, so merged sums stay exact. */
   def writeSums(spark: SparkSession, path: String, v: Long, col: String): Unit = {
-    requireNoDv(path, v, "writeSums")
+    // DV-safe: the sidecar records per-IMMUTABLE-FILE physical truth,
+    // which deletion vectors do not alter — only the exact-physical
+    // READ faces refuse under DVs ([[sumAt]]); the live faces fold the
+    // DV deltas ([[sumAtLive]]) and need this sidecar at the DV version
     val rels = relsAt(path, v)
     val prior: Map[String, Long] = versions(path).filter(_ <= v).reverse
       .map(pv => sumFile(path, pv, col)).filter(exists)
@@ -1583,6 +1586,88 @@ object VersionedTable {
     val sums = parseSums(p)
     val rels = relsAt(path, v)
     if (rels.forall(sums.contains)) Some(rels.map(sums).sum) else None
+  }
+
+  /** Σ `valueCol` over version `v`'s DV-DELETED rows, per marked FILE
+    * (lineage rel → sum). Scans ONLY the files that carry marks — the
+    * honest price of live-exact sums: counts subtract from the DV
+    * shards alone (cardinality), sums need the deleted VALUES, which
+    * live in the data files. O(churn) column I/O, never O(table).
+    * Dangling marks (files a later rewrite dropped) are excluded by
+    * the manifest-lineage restriction, as in [[countAtLive]]. */
+  private def deletedValueSums(spark: SparkSession, path: String, v: Long,
+      valueCol: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{broadcast, col => c, sum}
+    val dvs = dvsAt(path, v)
+    if (dvs.isEmpty) return Nil
+    val files = filesAt(path, v)
+    val liveRels = files.map(lineageRel)
+    val dv0 = spark.read.parquet(dvs.sorted: _*)
+      .where(c("file").isin(liveRels: _*))
+    val markedRels = dv0.select("file").distinct()
+      .collect().map(_.getString(0)) // O(marked files)
+    if (markedRels.isEmpty) return Nil
+    val absByRel = files.map(a => lineageRel(a) -> a).toMap
+    val dvBytes = dvs.map { f =>
+      val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
+    val limit = spark.conf.getOption("graft.dv.broadcastBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val dvKeys = dv0.select(c("file").as("__dv_file"), c("pos").as("__dv_pos"))
+    val dv = if (dvBytes <= limit) broadcast(dvKeys) else dvKeys
+    lineage(readParquet(spark, path, markedRels.toSeq.sorted.map(absByRel)))
+      .join(dv, c("__vt_file") === c("__dv_file") &&
+        c("__vt_pos") === c("__dv_pos"), "inner")
+      .groupBy(c("__vt_file"))
+      .agg(sum(c(valueCol).cast("long")).as("__s"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toSeq
+  }
+
+  /** Exact LIVE SUM of `col` under outstanding deletion vectors: the
+    * physical sum sidecar minus the deleted rows' values, read from
+    * the DV-marked files only ([[deletedValueSums]] — O(churn) column
+    * I/O, no full-table scan). Coverage rule as [[sumAt]]; identical
+    * to it when the version carries no DVs. The live-exact face of
+    * the metadata-face matrix: counts → [[countAtLive]] /
+    * [[partitionRowCountsLive]], sums → this / [[partitionSumsLive]];
+    * moments and NDV refuse under DVs (an HLL register max cannot be
+    * subtracted; purge via optimize/compact re-enables them). */
+  def sumAtLive(spark: SparkSession, path: String, v: Long,
+      col: String): Option[Long] = {
+    val p = sumFile(path, v, col)
+    if (!exists(p)) return None
+    val sums = parseSums(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(sums.contains)) return None
+    val physical = rels.map(sums).sum
+    Some(physical - deletedValueSums(spark, path, v, col).map(_._2).sum)
+  }
+
+  /** Per-partition exact LIVE SUMs under deletion vectors — the
+    * per-partition analogue of [[sumAtLive]], partition derived from
+    * the `k=v` path segment as in [[partitionRowCountsLive]]. */
+  def partitionSumsLive(spark: SparkSession, path: String, v: Long,
+      partCol: String, col: String): Option[Seq[(String, Long)]] = {
+    val p = sumFile(path, v, col)
+    if (!exists(p)) return None
+    val sums = parseSums(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(sums.contains)) return None
+    val pre = partCol + "="
+    def partOf(rel: String): String = {
+      val parent = new HPath(rel).getParent.getName
+      require(parent.startsWith(pre),
+        s"VersionedTable.partitionSumsLive: $rel is not under $pre<value>/")
+      parent.stripPrefix(pre)
+    }
+    val physical = rels.groupBy(partOf)
+      .map { case (k, fs) => k -> fs.map(sums).sum }
+    val deleted = deletedValueSums(spark, path, v, col)
+      .groupBy { case (rel, _) => partOf(rel) }
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    Some(physical.map { case (k, s) => k -> (s - deleted.getOrElse(k, 0L)) }
+      .toSeq.sortBy(_._1))
   }
 
   /** Per-partition exact SUMs, metadata-only; rules as
@@ -1640,7 +1725,9 @@ object VersionedTable {
     * sidecar (version-prefix rule). */
   def writeMoments(spark: SparkSession, path: String, v: Long,
       col: String): Unit = {
-    requireNoDv(path, v, "writeMoments")
+    // DV-safe like every sidecar write: per-immutable-file physical
+    // truth; the read faces ([[momentsAt]]/[[partitionMoments]]) refuse
+    // under DVs since moment sums cannot cheaply subtract deleted rows
     val rels = relsAt(path, v)
     val prior = versions(path).filter(_ <= v).reverse
       .map(pv => momentsFile(path, pv, col)).filter(exists)
@@ -1791,7 +1878,9 @@ object VersionedTable {
     * register from the data (the graded property). */
   def writeNdv(spark: SparkSession, path: String, v: Long, col: String,
       p: Int = 6, tag: String = "vtndv"): Unit = {
-    requireNoDv(path, v, "writeNdv")
+    // DV-safe like every sidecar write (per-immutable-file registers);
+    // the read faces ([[ndvAt]]/[[partitionNdv]]) refuse under DVs —
+    // an HLL register max cannot be subtracted
     import org.apache.spark.sql.functions.{bin, count, input_file_name, length,
       lit, max, pmod, shiftright, when, col => c}
     import graft.operators.Sketch

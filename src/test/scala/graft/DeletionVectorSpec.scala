@@ -249,6 +249,72 @@ class DeletionVectorSpec extends SparkSpec {
       === Some(Seq("0" -> 5L, "1" -> 15L)))
   }
 
+  test("metadata-face matrix: exact-or-refusing under DVs, all exact after purge") {
+    // The uniform contract, face by face: sidecar WRITES are DV-safe
+    // (per-immutable-file physical truth); exact-PHYSICAL reads refuse
+    // under outstanding DVs; LIVE reads fold the DV deltas exactly;
+    // purge (optimize) re-enables every physical face.
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(60).select($"id", ($"id" % 3).cast("string").as("p")),
+      path, "p")
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 4 === 0)
+    assert(VersionedTable.hasDeletes(path, v1))
+    // writes: all allowed at the DV-carrying version
+    VersionedTable.writeCounts(spark, path, v1)
+    VersionedTable.writeSums(spark, path, v1, "id")
+    VersionedTable.writeMoments(spark, path, v1, "id")
+    VersionedTable.writeNdv(spark, path, v1, "id")
+    // exact-physical reads: refuse (would overcount deleted rows)
+    intercept[IllegalArgumentException](VersionedTable.countAt(path, v1))
+    intercept[IllegalArgumentException](
+      VersionedTable.partitionRowCounts(path, v1, "p"))
+    intercept[IllegalArgumentException](VersionedTable.sumAt(path, v1, "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.partitionSums(path, v1, "p", "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.partitionMoments(path, v1, "p", "id"))
+    intercept[IllegalArgumentException](VersionedTable.ndvAt(path, v1, "id"))
+    // live reads: exact against the actual DV-applied read
+    val live = VersionedTable.readVersion(spark, path, v1)
+    assert(VersionedTable.countAtLive(spark, path, v1) ===
+      Some(live.count()))
+    assert(VersionedTable.sumAtLive(spark, path, v1, "id") ===
+      Some(live.agg(sum($"id")).head().getLong(0)))
+    // partition values read back type-inferred (Integer here) —
+    // compare on the string form the path segment carries
+    val wantByPart = live.groupBy($"p").agg(sum($"id"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(VersionedTable.partitionSumsLive(spark, path, v1, "p", "id") ===
+      Some(wantByPart))
+    // after purge every physical face answers again, and live == exact
+    val v2 = VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
+    VersionedTable.writeCounts(spark, path, v2)
+    VersionedTable.writeSums(spark, path, v2, "id")
+    assert(VersionedTable.countAt(path, v2) === Some(live.count()))
+    assert(VersionedTable.sumAt(path, v2, "id") ===
+      VersionedTable.sumAtLive(spark, path, v2, "id"))
+  }
+
+  test("sumAtLive excludes dangling DV marks after a partition rewrite") {
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(40).select($"id", ($"id" % 2).cast("string").as("p")),
+      path, "p")
+    VersionedTable.deleteWhere(spark, path, col("id") < 10) // marks in BOTH partitions
+    // replace partition 0 wholesale: its DV marks dangle (files dropped)
+    val v2 = VersionedTable.commitPartitioned(
+      spark.range(1000, 1005).select($"id", lit("0").as("p")),
+      path, "p", "overwritePartitions")
+    VersionedTable.writeSums(spark, path, v2, "id")
+    val live = VersionedTable.readVersion(spark, path, v2)
+    val want = live.agg(sum($"id")).head().getLong(0)
+    assert(VersionedTable.sumAtLive(spark, path, v2, "id") === Some(want))
+    assert(VersionedTable.partitionSumsLive(spark, path, v2, "p", "id") ===
+      Some(live.groupBy($"p").agg(sum($"id")).collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1).toSeq))
+  }
+
   test("vacuum keeps DV shards of retained versions, sweeps dropped ones") {
     val path = fresh()
     VersionedTable.create(spark.range(40).toDF("id").repartition(2), path)

@@ -817,6 +817,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, path, v).count() === 10000 - 2001)
   }
 
+  test("object-store scheme: full protocol + 6-writer contention on conditional put") {
+    // A store whose ONLY exclusive primitive is conditional put
+    // (If-None-Match): no rename arbitration exists at all. The local
+    // FS's create(overwrite=false) is check-then-act, so a lock stands
+    // in for the store's server-side atomicity — what's under test is
+    // the PROTOCOL's freedom from rename-atomicity assumptions (the
+    // only Rename.NONE in the codebase is inside RenameCommitter,
+    // which this committer replaces wholesale), not the local
+    // primitive. Every lifecycle face runs on the alternate scheme.
+    val real = VersionedTable.committer
+    val lock = new Object
+    VersionedTable.committer = new VersionedTable.ManifestCommitter {
+      def publish(fc: org.apache.hadoop.fs.FileContext,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Unit = lock.synchronized {
+        VersionedTable.PutIfAbsentCommitter.publish(fc, tmp, target)
+      }
+    }
+    try {
+      val path = fresh()
+      VersionedTable.create(
+        spark.range(10).select($"id", ($"id" * 2).as("x")), path)
+      // uncoordinated ingest fleet: 6 appendWithRetry writers
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val got = try {
+        import scala.jdk.CollectionConverters._
+        val tasks = (0 until 6).map { i =>
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = VersionedTable.appendWithRetry(
+              spark.range(100 + i * 10, 110 + i * 10)
+                .select($"id", ($"id" * 2).as("x")), path, maxRetries = 50)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+      assert(got.sorted === (1L to 6L))
+      assert(VersionedTable.read(spark, path).count() === 70)
+      // merge-on-read delete + MERGE + restore + compact + vacuum
+      val vDel = VersionedTable.deleteWhere(spark, path, $"id" < 5)
+      assert(VersionedTable.read(spark, path).count() === 65)
+      val vUp = VersionedTable.upsert(spark, path,
+        spark.range(100, 103).select($"id", lit(0L).as("x")), Seq("id"))
+      val up = VersionedTable.readVersion(spark, path, vUp)
+      assert(up.where($"x" === 0).count() === 3 && up.count() === 65)
+      VersionedTable.restore(path, vDel)
+      assert(VersionedTable.read(spark, path).where($"x" === 0).count() === 0)
+      val vC = VersionedTable.compact(spark, path, targetBytes = 1L << 26)
+      assert(VersionedTable.read(spark, path).count() === 65)
+      VersionedTable.vacuum(path, keepVersions = 2, minAgeMs = 0L)
+      assert(VersionedTable.versions(path).last === vC)
+      assert(VersionedTable.read(spark, path).count() === 65)
+      // time travel within retention still reads
+      assert(VersionedTable.readVersion(spark, path,
+        VersionedTable.versions(path).head).count() === 65)
+    } finally VersionedTable.committer = real
+  }
+
   test("clone pin: source vacuum spares borrowed bytes until releaseClone") {
     val src = fresh(); val dst = fresh()
     VersionedTable.create(spark.range(10).toDF("id"), src)
