@@ -2215,6 +2215,38 @@ object PipelineQueries {
         .orderBy(col("view"), col("lang"))
     }),
 
+    // LIVE-EXACT metadata sums under an outstanding DV backlog: the
+    // sidecar records per-immutable-file physical truth, the live faces
+    // (countAtLive / partitionRowCountsLive / sumAtLive /
+    // partitionSumsLive) fold the DV deltas — counts from the shards
+    // alone, sums by reading the deleted VALUES from the marked files
+    // only (O(churn) column I/O, never a table scan). The oracle
+    // replays the whole dashboard ("rows + token mass per lang, plus
+    // the table total, while a delete backlog is outstanding") from the
+    // raw corpus, so a wrong carry, a dangling-mark subtraction, or a
+    // missed delta hash-mismatches.
+    "q_table_sums_live" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vts").toString +
+        "/docs"
+      VersionedTable.createPartitioned(docs, path, "lang")
+      val v1 = VersionedTable.deleteWhere(s, path, col("doc_id") % 7 === 0)
+      VersionedTable.writeCounts(s, path, v1)
+      VersionedTable.writeSums(s, path, v1, "n_chars")
+      val perLang = VersionedTable.partitionRowCountsLive(s, path, v1, "lang").get
+        .zip(VersionedTable.partitionSumsLive(s, path, v1, "lang", "n_chars").get)
+        .map { case ((k, n), (k2, sm)) =>
+          require(k == k2, s"partition key mismatch: $k vs $k2"); (k, n, sm) }
+      val total = ("__total",
+        VersionedTable.countAtLive(s, path, v1).get,
+        VersionedTable.sumAtLive(s, path, v1, "n_chars").get)
+      import s.implicits._
+      (perLang :+ total).toDF("lang", "n_live", "sum_chars_live")
+        .orderBy(col("lang"))
+    }),
+
     // MERGE (upsert) on the versioned table: one atomic commit marks
     // the matched keys deleted (DV — zero target bytes rewritten) and
     // appends the source as new files; write cost is O(source), not
@@ -5395,6 +5427,20 @@ object PipelineQueries {
         |SELECT 'v2', lang, count(*)::BIGINT, sum(doc_id)::BIGINT, sum(f)::BIGINT
         |FROM fp WHERE n_chars % 7 <> 3 AND lang <> 'de' GROUP BY lang
         |ORDER BY view, lang""".stripMargin,
+
+    "q_table_sums_live" ->
+      """WITH live AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |per AS (
+        |  SELECT lang, count(*)::BIGINT AS n_live,
+        |    CAST(sum(n_chars::BIGINT) AS BIGINT) AS sum_chars_live
+        |  FROM live GROUP BY lang),
+        |tot AS (
+        |  SELECT '__total' AS lang, count(*)::BIGINT,
+        |    CAST(sum(n_chars::BIGINT) AS BIGINT)
+        |  FROM live)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot
+        |ORDER BY lang""".stripMargin,
 
     "q_table_upsert" ->
       """WITH merged AS (
