@@ -134,4 +134,21 @@ class RankSelectSpec extends SparkSpec {
       assert(v === expect, s"q=$q")
     }
   }
+
+  test("pass cache is unpersisted after every entry point (no storage leak)") {
+    // the cached column projection that passes scan must not outlive the
+    // call — a long-lived session running describe() per table would
+    // otherwise accumulate pinned blocks until GC thrash
+    spark.catalog.clearCache()
+    val df = spark.range(100000).select(
+      (col("id") % 997).cast("double").as("x"), (col("id") % 7 + 1).as("w"))
+    RankSelect.quantilesOf(df, "x", Seq(0.5, 0.9))
+    RankSelect.orderStatistics(df, Seq("x" -> Seq(3L, 77777L)))
+    RankSelect.weightedQuantiles(df, Seq("x" -> Seq(0.5)), "w")
+    // unpersist(blocking=false) is async; poll briefly
+    def pinned() = spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (pinned() > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(pinned() === 0, "RankSelect left cached blocks behind")
+  }
 }
