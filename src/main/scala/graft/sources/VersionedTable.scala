@@ -538,6 +538,28 @@ object VersionedTable {
       .withColumn("__vt_pos", col("_metadata.row_index"))
   }
 
+  /** Restrict `df` to rows whose `fileCol` is one of `rels` — the
+    * dangling-mark / pruned-read guard every DV consumer needs. Small
+    * lists stay `isin` (an InSet that PUSHES DOWN into the DV parquet
+    * scan — the file-pruned read path's win); past the threshold
+    * (`graft.dv.isinMaxRels`, default 10k) it switches to a broadcast
+    * LEFT SEMI join: a 100 TB manifest carries 10^5–10^6 files, and an
+    * expression tree with one literal per file is driver analysis cost
+    * and plan bloat, while a broadcast of the same strings is one
+    * compact relation. */
+  private def restrictToRels(spark: SparkSession, df: DataFrame,
+      fileCol: String, rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val limit = spark.conf.getOption("graft.dv.isinMaxRels")
+      .map(_.toInt).getOrElse(10000)
+    if (rels.size <= limit) df.where(col(fileCol).isin(rels: _*))
+    else {
+      import spark.implicits._
+      val r = spark.createDataset(rels).toDF("__rel")
+      df.join(broadcast(r), df(fileCol) === col("__rel"), "left_semi")
+    }
+  }
+
   /** Anti-join `withLin` (a [[lineage]]-tagged scan) against version
     * `v`'s deletion vectors, restricted to `rels` when the caller
     * already pruned the file list (the DV parquet filter pushes down).
@@ -551,7 +573,7 @@ object VersionedTable {
     val dv0 = spark.read.parquet(dvFiles.sorted: _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val dv1 = rels.filter(_.nonEmpty)
-      .map(r => dv0.where(col("__dv_file").isin(r: _*))).getOrElse(dv0)
+      .map(r => restrictToRels(spark, dv0, "__dv_file", r)).getOrElse(dv0)
     val dvBytes = dvFiles.map { f =>
       val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
     // broadcast threshold (bytes) — `graft.dv.broadcastBytes` session
@@ -1463,10 +1485,9 @@ object VersionedTable {
     val dvs = dvsAt(path, v)
     if (dvs.isEmpty) Some(physical)
     else {
-      import org.apache.spark.sql.functions.col
       val liveRels = filesAt(path, v).map(lineageRel)
-      val deleted = spark.read.parquet(dvs.sorted: _*)
-        .where(col("file").isin(liveRels: _*)).count()
+      val deleted = restrictToRels(spark,
+        spark.read.parquet(dvs.sorted: _*), "file", liveRels).count()
       Some(physical - deleted)
     }
   }
@@ -1500,8 +1521,8 @@ object VersionedTable {
       else {
         import org.apache.spark.sql.functions.col
         val liveRels = filesAt(path, v).map(lineageRel)
-        spark.read.parquet(dvs.sorted: _*)
-          .where(col("file").isin(liveRels: _*))
+        restrictToRels(spark,
+          spark.read.parquet(dvs.sorted: _*), "file", liveRels)
           .groupBy(col("file")).count()
           .collect() // O(files) rows: per-FILE mark totals, not marks
           .groupBy(r => partOf(r.getString(0)))
@@ -1602,8 +1623,8 @@ object VersionedTable {
     if (dvs.isEmpty) return Nil
     val files = filesAt(path, v)
     val liveRels = files.map(lineageRel)
-    val dv0 = spark.read.parquet(dvs.sorted: _*)
-      .where(c("file").isin(liveRels: _*))
+    val dv0 = restrictToRels(spark,
+      spark.read.parquet(dvs.sorted: _*), "file", liveRels)
     val markedRels = dv0.select("file").distinct()
       .collect().map(_.getString(0)) // O(marked files)
     if (markedRels.isEmpty) return Nil

@@ -315,6 +315,36 @@ class DeletionVectorSpec extends SparkSpec {
         .map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1).toSeq))
   }
 
+  test("mega-manifest rel restriction: semi-join path identical to isin path") {
+    // a 100 TB manifest carries 10^5-10^6 files; the rel restriction
+    // every DV consumer applies must not inflate the expression tree
+    // with one literal per file. Past graft.dv.isinMaxRels the guard
+    // switches to a broadcast semi-join — force that path (threshold 0)
+    // and assert reads and every live metadata face are byte-identical
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(200).select($"id", ($"id" % 4).cast("string").as("p")),
+      path, "p")
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 3 === 0)
+    // dangling marks too: rewrite partition 0 so its marks must be excluded
+    val v2 = VersionedTable.commitPartitioned(
+      spark.range(2000, 2010).select($"id", lit("0").as("p")),
+      path, "p", "overwritePartitions")
+    VersionedTable.writeCounts(spark, path, v2)
+    VersionedTable.writeSums(spark, path, v2, "id")
+    val isinRead = ids(VersionedTable.readVersion(spark, path, v2))
+    val isinCount = VersionedTable.countAtLive(spark, path, v2)
+    val isinSum = VersionedTable.sumAtLive(spark, path, v2, "id")
+    spark.conf.set("graft.dv.isinMaxRels", "0")
+    try {
+      assert(ids(VersionedTable.readVersion(spark, path, v2)) === isinRead)
+      assert(VersionedTable.countAtLive(spark, path, v2) === isinCount)
+      assert(VersionedTable.sumAtLive(spark, path, v2, "id") === isinSum)
+      assert(VersionedTable.readVersion(spark, path, v1).count() ===
+        200 - (0 until 200).count(_ % 3 == 0))
+    } finally spark.conf.unset("graft.dv.isinMaxRels")
+  }
+
   test("vacuum keeps DV shards of retained versions, sweeps dropped ones") {
     val path = fresh()
     VersionedTable.create(spark.range(40).toDF("id").repartition(2), path)
