@@ -228,13 +228,21 @@ object VersionedTable {
   private def dvRelsAt(path: String, v: Long): Seq[String] =
     dvsAt(path, v).map(relOf(path, _))
 
-  /** Exact-answer metadata faces (counts/sums/moments/NDV sidecars)
-    * aggregate PHYSICAL file contents, so a version carrying deletion
-    * vectors would make them overcount — loudly refuse rather than
-    * silently lie. Range/bloom SKIPPING sidecars stay sound under DVs
-    * (over-approximation only: a kept file's deleted rows are removed
-    * by the read path's anti-join). [[optimize]]/[[compact]] purge
-    * deletes physically and re-enable these faces. */
+  /** The metadata-face matrix under deletion vectors, uniform by rule:
+    * sidecar WRITES are always allowed (they record per-IMMUTABLE-FILE
+    * physical truth, which DVs don't alter); exact-PHYSICAL reads
+    * (countAt/partitionRowCounts/sumAt/partitionSums/momentsAt/
+    * partitionMoments/ndvAt/partitionNdv) refuse via this guard — they
+    * would overcount deleted rows; LIVE reads are exact
+    * ([[countAtLive]]/[[partitionRowCountsLive]] fold the DV
+    * cardinality, [[sumAtLive]]/[[partitionSumsLive]] fold the deleted
+    * VALUES from the marked files). NDV has no live face (an HLL
+    * register max cannot be subtracted) and moments stay refuse-only
+    * (lo/hi are not subtractable). Range/bloom SKIPPING sidecars stay
+    * sound under DVs (over-approximation only: a kept file's deleted
+    * rows are removed by the read path's anti-join).
+    * [[optimize]]/[[compact]] purge deletes physically and re-enable
+    * every physical face. */
   private def requireNoDv(path: String, v: Long, face: String): Unit =
     require(dvsAt(path, v).isEmpty,
       s"VersionedTable.$face: version $v of $path carries deletion vectors; " +
@@ -975,12 +983,18 @@ object VersionedTable {
     val small = dataBytes.count(_ < targetBytes / 2)
     val dvRatio = if (dataBytes.sum == 0) 0.0
       else dvBytes.toDouble / dataBytes.sum
+    // outstanding clone pins: versions (and bytes) this table must
+    // retain for foreign shallow clones — the lifecycle risk the
+    // nightly job should SEE before it plans aggressive retention
+    val pins = pinnedVersions(path).toSeq.sorted
     Seq((v, dataBytes.length, dataBytes.sum, small, dvFiles.length, dvBytes,
       // >1: a table that already IS one (small) file can't compact further
       small > 1 && small > dataBytes.length / 2,
-      dvFiles.nonEmpty && dvRatio > 0.01))
+      dvFiles.nonEmpty && dvRatio > 0.01,
+      pins.length, pins.mkString(",")))
       .toDF("version", "n_files", "data_bytes", "small_files",
-        "dv_shards", "dv_bytes", "recommend_compact", "recommend_purge")
+        "dv_shards", "dv_bytes", "recommend_compact", "recommend_purge",
+        "clone_pins", "pinned_versions")
   }
 
   private def statsFile(path: String, v: Long, col: String): HPath =

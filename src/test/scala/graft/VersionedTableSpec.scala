@@ -883,10 +883,16 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.vacuum(src, keepVersions = 1, minAgeMs = 0L)
     assert(VersionedTable.versions(src) === Seq(0L, 1L), "pinned manifest retained")
     assert(ids(VersionedTable.read(spark, dst)) === (0L until 10L))
+    // the nightly job SEES the pin before planning retention
+    val rep = VersionedTable.maintenanceReport(spark, src).collect().head
+    assert(rep.getAs[Int]("clone_pins") === 1)
+    assert(rep.getAs[String]("pinned_versions") === "0")
     // released (clone deleted/localized), the pin drops and v0 reclaims
     VersionedTable.releaseClone(src, dst)
     VersionedTable.vacuum(src, keepVersions = 1, minAgeMs = 0L)
     assert(VersionedTable.versions(src) === Seq(1L))
     assert(ids(VersionedTable.read(spark, src)) === (50L until 55L))
+    assert(VersionedTable.maintenanceReport(spark, src)
+      .collect().head.getAs[Int]("clone_pins") === 0)
   }
 }
