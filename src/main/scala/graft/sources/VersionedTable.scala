@@ -373,7 +373,10 @@ object VersionedTable {
           // it). Staged names are UUID-unique, so if the manifest we
           // attempted now exists AND lists our files, our publish won —
           // rebasing would list newFiles TWICE and double-read every row.
-          if (versions(path).contains(cur + 1) &&
+          // newFiles.nonEmpty: an EMPTY append stages no files, making
+          // the subset test vacuously true against a foreign winner's
+          // manifest — an empty rebase is harmless, so just retry.
+          if (newFiles.nonEmpty && versions(path).contains(cur + 1) &&
               newFiles.forall(
                 filesAt(path, cur + 1).map(relOf(path, _)).toSet))
             return cur + 1
@@ -424,6 +427,20 @@ object VersionedTable {
       s"VersionedTable: $dstPath already exists")
     val v = if (srcV >= 0) srcV else latestVersion(srcPath).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $srcPath does not exist"))
+    // PIN FIRST, publish after: the pin makes source-side [[vacuum]]
+    // retain srcV ([[releaseClone]] drops it). Written before the
+    // manifest is read so a concurrent vacuum either ran before the pin
+    // (the re-check below sees the version gone and aborts cleanly) or
+    // after it (and retained srcV) — no window where the clone
+    // publishes against bytes a sweep is reclaiming.
+    val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
+    writeBytes(marker,
+      s"""{"dst":"${esc(dstPath)}","srcV":$v}""".getBytes("UTF-8"))
+    def abort(e: Throwable): Nothing = {
+      fsOf(marker).delete(marker, false); throw e }
+    if (!versions(srcPath).contains(v)) abort(new IllegalArgumentException(
+      s"VersionedTable.cloneTable: version $v of $srcPath is gone " +
+        "(vacuumed before the pin landed)"))
     // absolute references: the clone's manifest points into the
     // source's directories (relOf against the CLONE root falls through
     // to no prefix match, so store the qualified source paths verbatim)
@@ -432,20 +449,24 @@ object VersionedTable {
     // would read WITHOUT partition-column recovery (no single basePath
     // spans two roots) — fail fast instead of dropping a column
     files.find(f => new HPath(f).getParent.getName.contains("=")).foreach(f =>
-      throw new IllegalArgumentException(
+      abort(new IllegalArgumentException(
         s"VersionedTable.cloneTable: $srcPath is hive-partitioned ($f) — " +
           "shallow clones support flat layouts only (partition-column " +
-          "recovery needs one basePath); compact the source or copy it"))
+          "recovery needs one basePath); compact the source or copy it")))
+    // clone-of-a-clone: a source manifest that itself borrows FOREIGN
+    // files would pass those absolute paths through verbatim, but the
+    // pin above only covers srcPath — the ORIGINAL owner's vacuum could
+    // still reclaim them once srcPath's own pin is released. Refuse;
+    // localize the source clone (compact) first.
+    val srcRoot = rootPath(srcPath).toUri.getPath
+    files.find(f => !new HPath(f).toUri.getPath.startsWith(srcRoot + "/"))
+      .foreach(f => abort(new IllegalArgumentException(
+        s"VersionedTable.cloneTable: $srcPath's manifest borrows foreign " +
+          s"bytes ($f) — the pin cannot protect another table's files; " +
+          "compact the source clone to localize it first")))
     val dvs = dvsAt(srcPath, v).map(a => new HPath(a).toString)
-    publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
-    // PIN the borrowed version at the source: the clone references
-    // source bytes that source-side [[vacuum]] would otherwise be free
-    // to reclaim. A marker under the source's _clones/ dir makes vacuum
-    // treat srcV as retained until [[releaseClone]] (or a [[compact]]
-    // of the clone followed by releaseClone) drops it. O(one tiny file).
-    val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
-    writeBytes(marker,
-      s"""{"dst":"${esc(dstPath)}","srcV":$v}""".getBytes("UTF-8"))
+    try publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
+    catch { case e: Throwable => abort(e) }
     0L
   }
 
@@ -794,10 +815,8 @@ object VersionedTable {
       col(f.name).cast(f.dataType).as(f.name)): _*)
     val srcKeys = normalized.select(keyCols.map(col): _*).distinct()
     // ONE source-sized job both prices the bloom sketch (distinct-key
-    // count) and enforces the reference MERGE rule: a key with multiple
-    // source rows would replace one target row with SEVERAL — Delta
-    // errors on the multi-match, and silently inserting every duplicate
-    // diverges from it. Fail loudly instead.
+    // count) and detects duplicate source keys for the MERGE
+    // multi-match rule below.
     val (nSrc, nDupKeys) = {
       import org.apache.spark.sql.functions.{count, lit, when}
       val r = normalized.groupBy(keyCols.map(col): _*)
@@ -805,19 +824,35 @@ object VersionedTable {
         .agg(count(lit(1)), count(when(col("__vt_cnt") > 1, 1))).head()
       (r.getLong(0), r.getLong(1))
     }
-    require(nDupKeys == 0,
-      s"VersionedTable.upsert: $nDupKeys key(s) have multiple source rows " +
-        s"(keys ${keyCols.mkString(",")}) — MERGE requires one source row " +
-        "per key; aggregate or dedupe the source first")
     // bloom-prefilter the (table-sized) mark scan with a sketch of the
     // (churn-sized) source keys, then verify with the semi join — the
     // [[graft.operators.Joins.bloomJoin]] operator, degrading to the
     // plain semi join when the source is too large to sketch.
-    val marked = (
+    val liveMatched =
       if (nSrc == 0 || nSrc > 100000000L)
         live.join(srcKeys, keyCols, "left_semi")
       else graft.operators.Joins.bloomJoin(live, srcKeys, keyCols, nSrc,
-        how = "left_semi"))
+        how = "left_semi")
+    // The reference MERGE multi-match rule, faithfully: duplicate
+    // NOT-matched keys all INSERT (Delta inserts both); a key with
+    // multiple source rows that MATCHES a live target row would replace
+    // one row with several — Delta errors there, and so do we. The
+    // check runs only in the rare duplicate-key case and costs one
+    // broadcast semi-join of the churn-sized dup-key set against the
+    // matched rows.
+    if (nDupKeys > 0) {
+      import org.apache.spark.sql.functions.{broadcast, count, lit}
+      val dupKeys = normalized.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__vt_cnt"))
+        .where(col("__vt_cnt") > 1).select(keyCols.map(col): _*)
+      require(
+        liveMatched.join(broadcast(dupKeys), keyCols, "left_semi").isEmpty,
+        s"VersionedTable.upsert: a target row is matched by multiple " +
+          s"source rows (keys ${keyCols.mkString(",")}, $nDupKeys " +
+          "duplicated key(s)) — MERGE requires one source row per " +
+          "matched key; aggregate or dedupe the source first")
+    }
+    val marked = liveMatched
       .select(col("__vt_file").as("file"), col("__vt_pos").as("pos"))
     val newShards = stageDvRows(marked, path)
     val newFiles = stage(normalized, path)
@@ -1506,7 +1541,19 @@ object VersionedTable {
     }
   }
 
-  /** Per-partition exact LIVE row counts under deletion vectors — the
+    /** The partition VALUE of a manifest rel (`data/<partCol>=v/...`) —
+    * the one `k=v` path-segment parser every per-partition metadata
+    * face shares; `face` names the caller in the refusal. */
+  private def partitionKeyOf(rel: String, partCol: String,
+      face: String): String = {
+    val pre = partCol + "="
+    val parent = new HPath(rel).getParent.getName
+    require(parent.startsWith(pre),
+      s"VersionedTable.$face: $rel is not under $pre<value>/")
+    parent.stripPrefix(pre)
+  }
+
+/** Per-partition exact LIVE row counts under deletion vectors — the
     * per-partition analogue of [[countAtLive]]: physical per-partition
     * counts minus the DV marks grouped by the partition segment of
     * their lineage rel (`data/<partCol>=v/...`), restricted to the
@@ -1520,13 +1567,8 @@ object VersionedTable {
     val counts = parseCounts(p)
     val rels = relsAt(path, v)
     if (!rels.forall(counts.contains)) return None
-    val pre = partCol + "="
-    def partOf(rel: String): String = {
-      val parent = new HPath(rel).getParent.getName
-      require(parent.startsWith(pre),
-        s"VersionedTable.partitionRowCountsLive: $rel is not under $pre<value>/")
-      parent.stripPrefix(pre)
-    }
+    def partOf(rel: String): String =
+      partitionKeyOf(rel, partCol, "partitionRowCountsLive")
     val physical = rels.groupBy(partOf)
       .map { case (k, fs) => k -> fs.map(counts).sum }
     val dvs = dvsAt(path, v)
@@ -1554,13 +1596,8 @@ object VersionedTable {
     val counts = parseCounts(p)
     val rels = relsAt(path, v)
     if (!rels.forall(counts.contains)) return None
-    val pre = partCol + "="
-    Some(rels.groupBy { rel =>
-        val parent = new HPath(rel).getParent.getName
-        require(parent.startsWith(pre),
-          s"VersionedTable.partitionRowCounts: $rel is not under $pre<value>/")
-        parent.stripPrefix(pre)
-      }.map { case (k, fs) => k -> fs.map(counts).sum }
+    Some(rels.groupBy(partitionKeyOf(_, partCol, "partitionRowCounts"))
+      .map { case (k, fs) => k -> fs.map(counts).sum }
       .toSeq.sortBy(_._1))
   }
 
@@ -1647,7 +1684,12 @@ object VersionedTable {
       val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
     val limit = spark.conf.getOption("graft.dv.broadcastBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
-    val dvKeys = dv0.select(c("file").as("__dv_file"), c("pos").as("__dv_pos"))
+    // second shard scan restricted to the rels we just COLLECTED (not
+    // the manifest's full list): the pushdown narrows to exactly the
+    // marked files the value scan reads
+    val dvKeys = restrictToRels(spark,
+        spark.read.parquet(dvs.sorted: _*), "file", markedRels.toSeq)
+      .select(c("file").as("__dv_file"), c("pos").as("__dv_pos"))
     val dv = if (dvBytes <= limit) broadcast(dvKeys) else dvKeys
     lineage(readParquet(spark, path, markedRels.toSeq.sorted.map(absByRel)))
       .join(dv, c("__vt_file") === c("__dv_file") &&
@@ -1689,13 +1731,8 @@ object VersionedTable {
     val sums = parseSums(p)
     val rels = relsAt(path, v)
     if (!rels.forall(sums.contains)) return None
-    val pre = partCol + "="
-    def partOf(rel: String): String = {
-      val parent = new HPath(rel).getParent.getName
-      require(parent.startsWith(pre),
-        s"VersionedTable.partitionSumsLive: $rel is not under $pre<value>/")
-      parent.stripPrefix(pre)
-    }
+    def partOf(rel: String): String =
+      partitionKeyOf(rel, partCol, "partitionSumsLive")
     val physical = rels.groupBy(partOf)
       .map { case (k, fs) => k -> fs.map(sums).sum }
     val deleted = deletedValueSums(spark, path, v, col)
@@ -1715,13 +1752,8 @@ object VersionedTable {
     val sums = parseSums(p)
     val rels = relsAt(path, v)
     if (!rels.forall(sums.contains)) return None
-    val pre = partCol + "="
-    Some(rels.groupBy { rel =>
-        val parent = new HPath(rel).getParent.getName
-        require(parent.startsWith(pre),
-          s"VersionedTable.partitionSums: $rel is not under $pre<value>/")
-        parent.stripPrefix(pre)
-      }.map { case (k, fs) => k -> fs.map(sums).sum }
+    Some(rels.groupBy(partitionKeyOf(_, partCol, "partitionSums"))
+      .map { case (k, fs) => k -> fs.map(sums).sum }
       .toSeq.sortBy(_._1))
   }
 
@@ -1832,13 +1864,8 @@ object VersionedTable {
     val m = parseMoments(p)
     val rels = relsAt(path, v)
     if (!rels.forall(m.contains)) return None
-    val pre = partCol + "="
-    Some(rels.groupBy { rel =>
-        val parent = new HPath(rel).getParent.getName
-        require(parent.startsWith(pre),
-          s"VersionedTable.partitionMoments: $rel is not under $pre<value>/")
-        parent.stripPrefix(pre)
-      }.map { case (k, fs) => k -> mergeMoments(fs.map(m)) }
+    Some(rels.groupBy(partitionKeyOf(_, partCol, "partitionMoments"))
+      .map { case (k, fs) => k -> mergeMoments(fs.map(m)) }
       .toSeq.sortBy(_._1))
   }
 
@@ -2003,13 +2030,8 @@ object VersionedTable {
     val p = ps.head
     val m = 1 << p
     val W = graft.operators.Sketch.HllW
-    val pre = partCol + "="
-    Some(rels.groupBy { rel =>
-        val parent = new HPath(rel).getParent.getName
-        require(parent.startsWith(pre),
-          s"VersionedTable.partitionNdv: $rel is not under $pre<value>/")
-        parent.stripPrefix(pre)
-      }.map { case (k, fs) =>
+    Some(rels.groupBy(partitionKeyOf(_, partCol, "partitionNdv"))
+      .map { case (k, fs) =>
         val merged = new Array[Int](m)
         fs.foreach(f => entries(f)._2.foreach { case (i, r) =>
           if (r > merged(i)) merged(i) = r })

@@ -781,22 +781,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() === 100)
   }
 
-  test("upsert: duplicate source keys fail loudly (MERGE multi-match rule)") {
+  test("upsert: MERGE multi-match rule, faithfully") {
     val path = fresh()
     VersionedTable.create(
       spark.range(10).select($"id", ($"id" * 2).as("x")), path)
-    // ids 0,1,0 — key 0 carries two source rows
+    // key 0 carries two source rows AND matches a live target row:
+    // replacing one row with several — the reference MERGE error
     val dup = spark.range(3).select(($"id" % 2).as("id"), $"id".as("x"))
     val e = intercept[IllegalArgumentException](
       VersionedTable.upsert(spark, path, dup, Seq("id")))
     assert(e.getMessage.contains("multiple source rows"))
     assert(VersionedTable.versions(path) === Seq(0L))
-    // a distinct-key source still merges
-    val v = VersionedTable.upsert(spark, path,
-      spark.range(2).select($"id", lit(99L).as("x")), Seq("id"))
+    // duplicate NOT-matched keys both INSERT (Delta inserts both) —
+    // the streaming-batch shape that must NOT kill the stream
+    val newDup = Seq((100L, 1L), (100L, 2L)).toDF("id", "x")
+    val v = VersionedTable.upsert(spark, path, newDup, Seq("id"))
     val after = VersionedTable.readVersion(spark, path, v)
-    assert(after.where($"x" === 99).count() === 2)
-    assert(after.count() === 10)
+    assert(after.where($"id" === 100L).count() === 2)
+    assert(after.count() === 12)
+    // a distinct-key source still merges
+    val v2 = VersionedTable.upsert(spark, path,
+      spark.range(2).select($"id", lit(99L).as("x")), Seq("id"))
+    assert(VersionedTable.readVersion(spark, path, v2)
+      .where($"x" === 99).count() === 2)
   }
 
   test("deleteWhere verifyPrune: a wrong prune hint aborts before publish") {
@@ -887,6 +894,13 @@ class VersionedTableSpec extends SparkSpec {
     val rep = VersionedTable.maintenanceReport(spark, src).collect().head
     assert(rep.getAs[Int]("clone_pins") === 1)
     assert(rep.getAs[String]("pinned_versions") === "0")
+    // clone-of-a-clone refused: dst's manifest borrows SRC's bytes, and
+    // a pin on dst cannot protect another table's files — and the
+    // failed attempt must leave no stray pin behind
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.cloneTable(dst, fresh()))
+    assert(e2.getMessage.contains("foreign"))
+    assert(VersionedTable.pinnedVersions(dst).isEmpty)
     // released (clone deleted/localized), the pin drops and v0 reclaims
     VersionedTable.releaseClone(src, dst)
     VersionedTable.vacuum(src, keepVersions = 1, minAgeMs = 0L)
