@@ -7,7 +7,7 @@ values. Usage:
 
     python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, re, sys
 from pathlib import Path
 
 import duckdb
@@ -32,9 +32,20 @@ _TYPE_ALIASES = {
 }
 
 
+# Width tokens may also appear INSIDE composite types (STRUCT(a BIGINT),
+# BIGINT[], MAP(VARCHAR, SMALLINT)); the driver's value hash coerces
+# nested int widths identically to scalar ones, so substitute the same
+# aliases token-wise there. Multi-word aliases (TIMESTAMP WITH TIME
+# ZONE) are handled by the exact-string lookup first.
+_TOKEN_RE = re.compile(
+    r"\b(" + "|".join(k for k in _TYPE_ALIASES if " " not in k) + r")\b")
+
+
 def norm_type(t):
     s = str(t).upper()
-    return _TYPE_ALIASES.get(s, s)
+    if s in _TYPE_ALIASES:
+        return _TYPE_ALIASES[s]
+    return _TOKEN_RE.sub(lambda m: _TYPE_ALIASES[m.group(1)], s)
 
 
 def lint_oracle(con, name, sql):

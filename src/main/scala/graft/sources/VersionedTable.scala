@@ -429,10 +429,15 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable: $srcPath does not exist"))
     // PIN FIRST, publish after: the pin makes source-side [[vacuum]]
     // retain srcV ([[releaseClone]] drops it). Written before the
-    // manifest is read so a concurrent vacuum either ran before the pin
-    // (the re-check below sees the version gone and aborts cleanly) or
-    // after it (and retained srcV) — no window where the clone
-    // publishes against bytes a sweep is reclaiming.
+    // manifest is read so a vacuum that ran BEFORE the pin is caught by
+    // the version re-check below, and one that reads pins AFTER it
+    // retains srcV. A RESIDUAL window remains: a vacuum that read the
+    // pin set just before this marker landed sweeps on stale pins —
+    // vacuum narrows it by re-reading pins immediately before its
+    // sweep, and the post-publish borrowed-bytes re-verify below turns
+    // the remnant into a loud abort instead of a corrupt clone. True
+    // closure needs a shared coordination primitive; operationally,
+    // don't race retention sweeps against clone creation.
     val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
     writeBytes(marker,
       s"""{"dst":"${esc(dstPath)}","srcV":$v}""".getBytes("UTF-8"))
@@ -467,6 +472,19 @@ object VersionedTable {
     val dvs = dvsAt(srcPath, v).map(a => new HPath(a).toString)
     try publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
     catch { case e: Throwable => abort(e) }
+    // POST-PUBLISH re-verify: if a source vacuum read its pin set just
+    // before our marker landed, it may have swept srcV's bytes while we
+    // published against them. Detect the loss now and abort loudly
+    // (clone manifest + pin removed) rather than leave a clone whose
+    // first read fails on missing files.
+    (files ++ dvs).find(f => !exists(new HPath(f))).foreach { f =>
+      fsOf(versionFile(dstPath, 0L)).delete(versionFile(dstPath, 0L), false)
+      abort(new IllegalStateException(
+        s"VersionedTable.cloneTable: borrowed file $f was reclaimed by a " +
+          s"concurrent vacuum of $srcPath during clone publish — the clone " +
+          "was rolled back; retry after the sweep, or coordinate vacuum " +
+          "and clone creation"))
+    }
     0L
   }
 
@@ -576,11 +594,21 @@ object VersionedTable {
     * expression tree with one literal per file is driver analysis cost
     * and plan bloat, while a broadcast of the same strings is one
     * compact relation. */
+  /** Session-conf integer with a descriptive failure: a malformed
+    * value surfaces as a config error naming the key, not a
+    * NumberFormatException deep inside a DV read path. */
+  private def confLong(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VersionedTable: session conf $key must be an integer, got '$s'")
+      }
+    }.getOrElse(dflt)
+
   private def restrictToRels(spark: SparkSession, df: DataFrame,
       fileCol: String, rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val limit = spark.conf.getOption("graft.dv.isinMaxRels")
-      .map(_.toInt).getOrElse(10000)
+    val limit = confLong(spark, "graft.dv.isinMaxRels", 10000L)
     if (rels.size <= limit) df.where(col(fileCol).isin(rels: _*))
     else {
       import spark.implicits._
@@ -609,8 +637,7 @@ object VersionedTable {
     // conf; a backlog past it degrades to a shuffled anti-join rather
     // than an executor OOM (and the spec pins the degraded path's
     // correctness by setting it to 0)
-    val limit = spark.conf.getOption("graft.dv.broadcastBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val limit = confLong(spark, "graft.dv.broadcastBytes", 64L * 1024 * 1024)
     val dv = if (dvBytes <= limit) broadcast(dv1) else dv1
     withLin.join(dv,
       col("__vt_file") === col("__dv_file") &&
@@ -1559,9 +1586,16 @@ object VersionedTable {
     * their lineage rel (`data/<partCol>=v/...`), restricted to the
     * manifest's own rels so dangling marks never subtract. The
     * "count 100 TB by partition" dashboard stays metadata-priced
-    * while a delete backlog is outstanding. */
+    * while a delete backlog is outstanding.
+    *
+    * A partition whose rows are ALL deleted (or all-empty files) is
+    * reported as `(key, 0)` by default — this is a metadata face over
+    * the MANIFEST's partition list, and the zero row says "partition
+    * exists physically, zero live rows". A `GROUP BY` over the live
+    * rows OMITS such a partition; pass `dropEmpty = true` to match
+    * that grouped-read semantics exactly. */
   def partitionRowCountsLive(spark: SparkSession, path: String, v: Long,
-      partCol: String): Option[Seq[(String, Long)]] = {
+      partCol: String, dropEmpty: Boolean = false): Option[Seq[(String, Long)]] = {
     val p = countsFile(path, v)
     if (!exists(p)) return None
     val counts = parseCounts(p)
@@ -1584,8 +1618,10 @@ object VersionedTable {
           .groupBy(r => partOf(r.getString(0)))
           .map { case (k, rs) => k -> rs.map(_.getLong(1)).sum }
       }
-    Some(physical.map { case (k, n) => k -> (n - deleted.getOrElse(k, 0L)) }
-      .toSeq.sortBy(_._1))
+    val liveByPart = physical
+      .map { case (k, n) => k -> (n - deleted.getOrElse(k, 0L)) }
+      .toSeq.sortBy(_._1)
+    Some(if (dropEmpty) liveByPart.filter(_._2 > 0L) else liveByPart)
   }
 
   def partitionRowCounts(path: String, v: Long,
@@ -1682,8 +1718,7 @@ object VersionedTable {
     val absByRel = files.map(a => lineageRel(a) -> a).toMap
     val dvBytes = dvs.map { f =>
       val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
-    val limit = spark.conf.getOption("graft.dv.broadcastBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val limit = confLong(spark, "graft.dv.broadcastBytes", 64L * 1024 * 1024)
     // second shard scan restricted to the rels we just COLLECTED (not
     // the manifest's full list): the pushdown narrows to exactly the
     // marked files the value scan reads
@@ -1723,9 +1758,19 @@ object VersionedTable {
 
   /** Per-partition exact LIVE SUMs under deletion vectors — the
     * per-partition analogue of [[sumAtLive]], partition derived from
-    * the `k=v` path segment as in [[partitionRowCountsLive]]. */
+    * the `k=v` path segment as in [[partitionRowCountsLive]].
+    *
+    * Zero-live-partition semantics as [[partitionRowCountsLive]]: a
+    * fully-deleted partition is reported as `(key, 0)` by default
+    * (which a live-row `GROUP BY` would omit). `dropEmpty = true`
+    * matches the grouped read exactly; emptiness is decided by the
+    * LIVE COUNT (a zero SUM with live rows is kept), so that mode
+    * additionally needs the counts sidecar ([[writeCounts]]) and
+    * returns None without it — the coverage rule, not a silent
+    * best-effort. */
   def partitionSumsLive(spark: SparkSession, path: String, v: Long,
-      partCol: String, col: String): Option[Seq[(String, Long)]] = {
+      partCol: String, col: String,
+      dropEmpty: Boolean = false): Option[Seq[(String, Long)]] = {
     val p = sumFile(path, v, col)
     if (!exists(p)) return None
     val sums = parseSums(p)
@@ -1738,8 +1783,15 @@ object VersionedTable {
     val deleted = deletedValueSums(spark, path, v, col)
       .groupBy { case (rel, _) => partOf(rel) }
       .map { case (k, xs) => k -> xs.map(_._2).sum }
-    Some(physical.map { case (k, s) => k -> (s - deleted.getOrElse(k, 0L)) }
-      .toSeq.sortBy(_._1))
+    val liveByPart = physical
+      .map { case (k, s) => k -> (s - deleted.getOrElse(k, 0L)) }
+      .toSeq.sortBy(_._1)
+    if (!dropEmpty) Some(liveByPart)
+    else partitionRowCountsLive(spark, path, v, partCol, dropEmpty = true)
+      .map { nonEmpty =>
+        val keep = nonEmpty.map(_._1).toSet
+        liveByPart.filter { case (k, _) => keep(k) }
+      }
   }
 
   /** Per-partition exact SUMs, metadata-only; rules as
@@ -2406,7 +2458,19 @@ object VersionedTable {
       val ap = new HPath(a).toUri.getPath
       if (ap.startsWith(root + "/")) ap.substring(root.length + 1) else ap
     }
-    val live = keep.flatMap(filesAt(path, _)).map(relUnder(dataRoot)).toSet
+    val live0 = keep.flatMap(filesAt(path, _)).map(relUnder(dataRoot)).toSet
+    // RE-READ the pins immediately before the sweep: [[cloneTable]]
+    // writes its marker BEFORE reading the source manifest, so a pin
+    // that landed during the O(versions) liveness scan above would be
+    // invisible to the first read but must still retain its version.
+    // This narrows (not closes — see cloneTable's post-publish
+    // re-verify for the other half) the pin/sweep race to the sweep
+    // itself; late pins are rare, so the extra manifest reads are ~0.
+    val latePins = (pinnedVersions(path) -- pinned).intersect(drop.toSet)
+    val dropFinal = drop.filterNot(latePins)
+    val keepFinal = keep ++ drop.filter(latePins)
+    val live = live0 ++
+      drop.filter(latePins).flatMap(filesAt(path, _)).map(relUnder(dataRoot))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val fs = fsOf(dataDir(path))
     def sweep(dir: HPath, prefix: String, liveSet: Set[String]): Unit =
@@ -2421,10 +2485,10 @@ object VersionedTable {
     // referenced by ANY retained manifest; same in-flight age guard
     if (exists(dvDir(path))) {
       val dvRoot = dvDir(path).toUri.getPath
-      val liveDv = keep.flatMap(dvsAt(path, _)).map(relUnder(dvRoot)).toSet
+      val liveDv = keepFinal.flatMap(dvsAt(path, _)).map(relUnder(dvRoot)).toSet
       sweep(dvDir(path), "", liveDv)
     }
-    drop.foreach { v =>
+    dropFinal.foreach { v =>
       fs.delete(versionFile(path, v), false)
       // every sidecar of the dropped version goes with it (stats,
       // counts, sums, ndv, bloom — the manifest was deleted above, so

@@ -536,4 +536,67 @@ class DeletionVectorSpec extends SparkSpec {
       (1000L until 1005L).map(i => (i, i * 2)) :+ (2000L, 1L)).sortBy(_._1)
     assert(got === want)
   }
+
+  test("dropEmpty: fully-deleted partition matches GROUP BY over live rows") {
+    // default faces report the fully-deleted partition as (key, 0) —
+    // the manifest-list semantics; dropEmpty = true matches the
+    // grouped live read, which OMITS it (the oracle-replay shape)
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(60).select($"id", ($"id" % 3).cast("string").as("p")),
+      path, "p")
+    // partition "1" fully deleted; "0" partially; "2" untouched
+    val v1 = VersionedTable.deleteWhere(spark, path,
+      col("p") === "1" || col("id") % 5 === 0)
+    VersionedTable.writeCounts(spark, path, v1)
+    VersionedTable.writeSums(spark, path, v1, "id")
+    val live = VersionedTable.readVersion(spark, path, v1)
+    val wantCounts = live.groupBy($"p").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1).toSeq
+    val wantSums = live.groupBy($"p").agg(sum($"id"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(!wantCounts.exists(_._1 == "1")) // GROUP BY omits it
+    assert(VersionedTable.partitionRowCountsLive(spark, path, v1, "p",
+      dropEmpty = true) === Some(wantCounts))
+    assert(VersionedTable.partitionSumsLive(spark, path, v1, "p", "id",
+      dropEmpty = true) === Some(wantSums))
+    // default keeps the zero row: manifest-list semantics, zip-aligned
+    val defCounts = VersionedTable.partitionRowCountsLive(spark, path, v1, "p").get
+    val defSums = VersionedTable.partitionSumsLive(spark, path, v1, "p", "id").get
+    assert(defCounts.find(_._1 == "1") === Some("1" -> 0L))
+    assert(defSums.find(_._1 == "1") === Some("1" -> 0L))
+    assert(defCounts.map(_._1) === defSums.map(_._1))
+  }
+
+  test("dropEmpty sums need the counts sidecar (coverage rule, not best-effort)") {
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(20).select($"id", ($"id" % 2).cast("string").as("p")),
+      path, "p")
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 4 === 0)
+    VersionedTable.writeSums(spark, path, v1, "id") // counts sidecar MISSING
+    assert(VersionedTable.partitionSumsLive(spark, path, v1, "p", "id",
+      dropEmpty = true) === None)
+    // the default face answers from the sums sidecar alone
+    assert(VersionedTable.partitionSumsLive(spark, path, v1, "p", "id").isDefined)
+  }
+
+  test("malformed graft.dv.* session conf fails with the key name, not NFE") {
+    val path = fresh()
+    VersionedTable.create(spark.range(10).toDF("id"), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") === 3L)
+    VersionedTable.writeCounts(spark, path, v1)
+    spark.conf.set("graft.dv.broadcastBytes", "lots")
+    try {
+      val e = intercept[IllegalArgumentException](
+        VersionedTable.read(spark, path).count())
+      assert(e.getMessage.contains("graft.dv.broadcastBytes"))
+    } finally spark.conf.unset("graft.dv.broadcastBytes")
+    spark.conf.set("graft.dv.isinMaxRels", "1e5")
+    try {
+      val e = intercept[IllegalArgumentException](
+        VersionedTable.countAtLive(spark, path, 1L))
+      assert(e.getMessage.contains("graft.dv.isinMaxRels"))
+    } finally spark.conf.unset("graft.dv.isinMaxRels")
+  }
 }
