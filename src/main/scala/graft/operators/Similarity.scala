@@ -469,6 +469,49 @@ object Similarity {
     centers
   }
 
+  /** Distributed Lloyd refinement from PINNED initial centroids — the
+    * deterministic, engine-replayable counterpart of the sample-based
+    * [[lloyd]] fit (which stays the production path inside [[ivfTopK]]:
+    * its RNG re-seed and driver sample are fine when nobody needs to
+    * replay the fit). Here every step is a pure function of the corpus:
+    * assignment is the IVF cell rule (argmax cosine, ties to the lower
+    * centroid index — same as [[ivfCell]]), the recompute is the
+    * per-cell component mean with the SUM rounded to 4 decimals before
+    * the divide (the [[centroids]] helper's formula: distributed double
+    * summation is order-sensitive in the last ULPs, and the round pins
+    * the mean so reruns — and external engines unrolling the rounds as
+    * SQL — reproduce the centroids bit for bit), and an empty cell
+    * keeps its previous centroid (no RNG re-seed). Each iteration is
+    * ONE narrow partial-aggregated job collecting nCells×dim doubles;
+    * iterate 2-3 times — IVF recall comes from nProbe, not centroid
+    * polish. */
+  def lloydRefine(corpus: DataFrame, vecCol: String,
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val simStructs = cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(col(vecCol), typedLit(cv.toSeq)).as("sim"),
+          lit(-i).as("negcell"))
+      }
+      val cell = (-array_max(array(simStructs: _*)).getField("negcell"))
+        .cast("int")
+      val agg = corpus.filter(col(vecCol).isNotNull)
+        .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((round(sum(col("__v").cast(DoubleType)), 4) / count(lit(1))).as("c"))
+        .collect()
+      val byCell = agg.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        byCell.get(i).map { rows =>
+          val next = new Array[Double](prev.length)
+          rows.foreach(r => next(r.getInt(1)) = r.getDouble(2))
+          next
+        }.getOrElse(prev)
+      }
+    }
+    cents
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * xxhash64 -> uniform in [-0.5, 0.5). Same plane on any executor. */
   private def planeComponent(p: Int, d: Column): Column =
@@ -641,7 +684,24 @@ object Similarity {
 
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+      centroids: Array[Array[Float]], nProbe: Int): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, k,
+      centroids.toIndexedSeq.map(cv => typedLit(cv.toSeq)), nProbe)
+
+  /** [[ivfTopKWithCentroids]] for DOUBLE centroids — the shape
+    * [[lloydRefine]] produces (its per-cell means are doubles; casting
+    * them to float would break the bit-exact external replay the
+    * `q_ann_ivf` oracle performs). Same plan, only the literal element
+    * type differs. */
+  def ivfTopKWithCentroidsD(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, k,
+      centroids.toIndexedSeq.map(cv => typedLit(cv.toSeq)), nProbe)
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centLits: IndexedSeq[Column], nProbe: Int): DataFrame = {
     // Cell assignment is a PER-ROW argmax against the (tiny) centroid set:
     // nCells fused-cosine expressions + an array_sort over nCells structs —
     // a narrow projection, NO shuffle. (The earlier crossJoin(centroids) +
@@ -649,8 +709,8 @@ object Similarity {
     // this argmax.) Ties break toward the lower cell id via the negated
     // cell in the sort struct, matching orderBy(sim desc, cell asc).
     def assign(df: DataFrame, id: String, top: Int): DataFrame = {
-      val simStructs = centroids.zipWithIndex.map { case (cv, i) =>
-        struct(cosine(col(id + "_v"), typedLit(cv.toSeq)).as("sim"),
+      val simStructs = centLits.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(col(id + "_v"), cv).as("sim"),
           lit(-i).as("negcell"))
       }
       val topCells = slice(reverse(array_sort(array(simStructs.toIndexedSeq: _*))), 1, top)

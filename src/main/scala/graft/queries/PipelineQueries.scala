@@ -1751,11 +1751,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF ANN: k-means cells + nProbe probing (rows-only; recall spec'd)
+    // IVF ANN with a REAL (iterated) Lloyd fit, hash-gated end to end:
+    // pinned initial centroids (vec_id < 16, in id order) + a FIXED 2
+    // iterations of lloydRefine — every step (argmax-cosine assignment,
+    // round(sum,4)/count recompute, empty-cell carry) is a pure
+    // function of the corpus, so the oracle unrolls both rounds as SQL
+    // CTEs and replays assignment, refinement, probing, and ranking
+    // exactly. The sample-fit ivfTopK (RNG Lloyd) stays the production
+    // path; this face grades the fit ITERATION machinery the pinned
+    // sibling (q_ann_ivf_pinned, zero iterations) cannot reach.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-          nCells = 16, nProbe = 4)
+      val init = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val cents = Similarity.lloydRefine(emb, "embedding", init, iters = 2)
+      Similarity.ivfTopKWithCentroidsD(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, cents, nProbe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
@@ -2244,6 +2256,42 @@ object PipelineQueries {
         VersionedTable.sumAtLive(s, path, v1, "n_chars").get)
       import s.implicits._
       (perLang :+ total).toDF("lang", "n_live", "sum_chars_live")
+        .orderBy(col("lang"))
+    }),
+
+    // LIVE-EXACT mean/std under a DV backlog — the subtractable half
+    // of the moments family graded end to end: per-lang and total mean
+    // + population std of n_chars while one whole language is deleted
+    // (dropEmpty folds the fully-deleted partition out, matching the
+    // GROUP BY the oracle replays) plus a %7 trickle. lo/hi and the
+    // Cornish-Fisher quantile estimate stay refuse-only by design —
+    // this face grades exactly what CAN be exact. Mean/std are derived
+    // on the pinned double path (s1/n, sqrt(s2/n - mean*mean)) from
+    // exact integer sums, so the hash is partitioning-invariant.
+    "q_table_moments_live" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vtm").toString +
+        "/docs"
+      VersionedTable.createPartitioned(docs, path, "lang")
+      val v1 = VersionedTable.deleteWhere(s, path,
+        col("doc_id") % 7 === 0 || col("lang") === "de")
+      VersionedTable.writeCounts(s, path, v1)
+      VersionedTable.writeMoments(s, path, v1, "n_chars")
+      val perLang = VersionedTable.partitionMomentsLive(
+        s, path, v1, "lang", "n_chars", dropEmpty = true).get
+      val total = VersionedTable.momentsAtLive(s, path, v1, "n_chars").get
+      val rows = perLang.map { case (k, (n, ss)) =>
+        (k, n, ss(0).toDouble, ss(1).toDouble) } :+
+        (("__total", total._1, total._2(0).toDouble, total._2(1).toDouble))
+      import s.implicits._
+      rows.toDF("lang", "n_live", "s1", "s2")
+        .select(col("lang"), col("n_live"),
+          round(col("s1") / col("n_live"), 6).as("mean_chars"),
+          round(sqrt(col("s2") / col("n_live") -
+            (col("s1") / col("n_live")) * (col("s1") / col("n_live"))), 6)
+            .as("std_chars"))
         .orderBy(col("lang"))
     }),
 
@@ -5100,6 +5148,71 @@ object PipelineQueries {
         |WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY a.vec_id""".stripMargin,
 
+    // the unrolled pinned-seed Lloyd: both refinement rounds replayed as
+    // CTEs — assignment by argmax cosine (ties to lower cid), recompute
+    // as round(sum,4)/count per (cell, pos) exactly as lloydRefine pins
+    // them, empty cells carrying the previous centroid via the LEFT JOIN
+    "q_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        |       FROM embeddings WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c0.cid,
+        |      list_dot_product(v.v, c0.c) /
+        |        (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c0.c, c0.c))) AS s
+        |    FROM v, c0)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |m1 AS (
+        |  SELECT cid, pos, round(sum(val), 4) / count(*) AS cv FROM (
+        |    SELECT a1.cid, unnest(v.v) AS val, unnest(range(len(v.v))) AS pos
+        |    FROM a1 JOIN v USING (vec_id))
+        |  GROUP BY cid, pos),
+        |c1 AS (
+        |  SELECT c0.cid, coalesce(m.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c
+        |                     FROM m1 GROUP BY cid) m USING (cid)),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c1.cid,
+        |      list_dot_product(v.v, c1.c) /
+        |        (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c1.c, c1.c))) AS s
+        |    FROM v, c1)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |m2 AS (
+        |  SELECT cid, pos, round(sum(val), 4) / count(*) AS cv FROM (
+        |    SELECT a2.cid, unnest(v.v) AS val, unnest(range(len(v.v))) AS pos
+        |    FROM a2 JOIN v USING (vec_id))
+        |  GROUP BY cid, pos),
+        |c2 AS (
+        |  SELECT c1.cid, coalesce(m.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c
+        |                     FROM m2 GROUP BY cid) m USING (cid)),
+        |sim AS (
+        |  SELECT vec_id, cid,
+        |    list_dot_product(v.v, c2.c) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c2.c, c2.c))) AS s
+        |  FROM v, c2),
+        |corpus_cell AS (
+        |  SELECT vec_id AS nid, cid AS cell FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |query_cell AS (
+        |  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 4),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(qv.v, cv.v) /
+        |      (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+        |  FROM query_cell JOIN corpus_cell USING (cell)
+        |  JOIN v qv ON qv.vec_id = qid JOIN v cv ON cv.vec_id = nid
+        |  WHERE nid <> qid)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
+        |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q_ann_ivf_pinned" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c
@@ -5441,6 +5554,28 @@ object PipelineQueries {
         |  FROM live)
         |SELECT * FROM per UNION ALL SELECT * FROM tot
         |ORDER BY lang""".stripMargin,
+
+    // live mean/std replay: count(n_chars) matches the moments
+    // sidecar's non-null n; the double path (s1/n, sqrt(s2/n - m*m))
+    // mirrors meanStdAtLive term for term; the fully-deleted 'de'
+    // partition vanishes from GROUP BY exactly as dropEmpty folds it
+    "q_table_moments_live" ->
+      """WITH live AS (
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE NOT (doc_id % 7 = 0 OR lang = 'de')),
+        |g AS (
+        |  SELECT lang, count(n_chars)::BIGINT AS n,
+        |    CAST(sum(n_chars) AS DOUBLE) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2
+        |  FROM live GROUP BY lang
+        |  UNION ALL
+        |  SELECT '__total', count(n_chars)::BIGINT,
+        |    CAST(sum(n_chars) AS DOUBLE), CAST(sum(n_chars * n_chars) AS DOUBLE)
+        |  FROM live)
+        |SELECT lang, n AS n_live,
+        |  round(s1 / n, 6) AS mean_chars,
+        |  round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std_chars
+        |FROM g ORDER BY lang""".stripMargin,
 
     "q_table_upsert" ->
       """WITH merged AS (

@@ -228,6 +228,22 @@ object VersionedTable {
   private def dvRelsAt(path: String, v: Long): Seq[String] =
     dvsAt(path, v).map(relOf(path, _))
 
+  /** Manifest entries VERBATIM (no path resolution): what a commit that
+    * re-publishes an existing file set must carry forward — [[relOf]]
+    * would mangle a shallow clone's borrowed ABSOLUTE references into
+    * `data/<basename>` under the wrong root. */
+  private def fileEntriesAt(path: String, v: Long): Seq[String] = {
+    val f = versionFile(path, v)
+    require(exists(f), s"VersionedTable: no version $v at $path")
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(readUtf8(f)).map(_.group(1)).toSeq
+  }
+
+  private def dvEntriesAt(path: String, v: Long): Seq[String] = {
+    val f = versionFile(path, v)
+    require(exists(f), s"VersionedTable: no version $v at $path")
+    "\"([^\"]+\\.dv)\"".r.findAllMatchIn(readUtf8(f)).map(_.group(1)).toSeq
+  }
+
   /** The metadata-face matrix under deletion vectors, uniform by rule:
     * sidecar WRITES are always allowed (they record per-IMMUTABLE-FILE
     * physical truth, which DVs don't alter); exact-PHYSICAL reads
@@ -402,8 +418,10 @@ object VersionedTable {
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     require(toV <= cur, s"VersionedTable.restore: version $toV is not in history")
-    val files = filesAt(path, toV).map(relOf(path, _))
-    val dvs = dvRelsAt(path, toV)
+    // entries carried VERBATIM: relOf would mangle a shallow clone's
+    // borrowed absolute references (see [[fileEntriesAt]])
+    val files = fileEntriesAt(path, toV)
+    val dvs = dvEntriesAt(path, toV)
     val v = cur + 1
     publish(path, v, cur, s"restore:$toV", files, dvs)
     v
@@ -605,7 +623,7 @@ object VersionedTable {
       }
     }.getOrElse(dflt)
 
-  private def restrictToRels(spark: SparkSession, df: DataFrame,
+  private[graft] def restrictToRels(spark: SparkSession, df: DataFrame,
       fileCol: String, rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val limit = confLong(spark, "graft.dv.isinMaxRels", 10000L)
@@ -1703,18 +1721,22 @@ object VersionedTable {
     * live in the data files. O(churn) column I/O, never O(table).
     * Dangling marks (files a later rewrite dropped) are excluded by
     * the manifest-lineage restriction, as in [[countAtLive]]. */
-  private def deletedValueSums(spark: SparkSession, path: String, v: Long,
-      valueCol: String): Seq[(String, Long)] = {
-    import org.apache.spark.sql.functions.{broadcast, col => c, sum}
+  /** The version's DV-DELETED rows, lineage-tagged and restricted to
+    * the marked files only — the shared O(churn) value scan behind
+    * [[deletedValueSums]] / [[deletedValueMoments]]. None when the
+    * version carries no effective marks. */
+  private def dvMarkedRows(spark: SparkSession, path: String,
+      v: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col => c}
     val dvs = dvsAt(path, v)
-    if (dvs.isEmpty) return Nil
+    if (dvs.isEmpty) return None
     val files = filesAt(path, v)
     val liveRels = files.map(lineageRel)
     val dv0 = restrictToRels(spark,
       spark.read.parquet(dvs.sorted: _*), "file", liveRels)
     val markedRels = dv0.select("file").distinct()
       .collect().map(_.getString(0)) // O(marked files)
-    if (markedRels.isEmpty) return Nil
+    if (markedRels.isEmpty) return None
     val absByRel = files.map(a => lineageRel(a) -> a).toMap
     val dvBytes = dvs.map { f =>
       val p = new HPath(f); fsOf(p).getFileStatus(p).getLen }.sum
@@ -1726,14 +1748,38 @@ object VersionedTable {
         spark.read.parquet(dvs.sorted: _*), "file", markedRels.toSeq)
       .select(c("file").as("__dv_file"), c("pos").as("__dv_pos"))
     val dv = if (dvBytes <= limit) broadcast(dvKeys) else dvKeys
-    lineage(readParquet(spark, path, markedRels.toSeq.sorted.map(absByRel)))
+    Some(lineage(readParquet(spark, path, markedRels.toSeq.sorted.map(absByRel)))
       .join(dv, c("__vt_file") === c("__dv_file") &&
-        c("__vt_pos") === c("__dv_pos"), "inner")
-      .groupBy(c("__vt_file"))
-      .agg(sum(c(valueCol).cast("long")).as("__s"))
-      .collect()
-      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .toSeq
+        c("__vt_pos") === c("__dv_pos"), "inner"))
+  }
+
+  private def deletedValueSums(spark: SparkSession, path: String, v: Long,
+      valueCol: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{col => c, sum}
+    dvMarkedRows(spark, path, v).map { rows =>
+      rows.groupBy(c("__vt_file"))
+        .agg(sum(c(valueCol).cast("long")).as("__s"))
+        .collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .toSeq
+    }.getOrElse(Nil)
+  }
+
+  /** Moments-sketch state of the DELETED rows per marked file — (n of
+    * non-null deleted values, Σx..Σx⁴ exact): what [[momentsAtLive]]
+    * subtracts from the physical moments sidecar. Same O(churn) scan
+    * contract as [[deletedValueSums]]. */
+  private def deletedValueMoments(spark: SparkSession, path: String, v: Long,
+      valueCol: String): Seq[(String, (Long, Seq[BigInt]))] = {
+    import org.apache.spark.sql.functions.{col => c}
+    dvMarkedRows(spark, path, v).map { rows =>
+      graft.operators.Sketch.momentsSketch(
+          rows.select(c("__vt_file"), c(valueCol)), Seq("__vt_file"), c(valueCol))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), (4 to 7).map(i => BigInt(r.getString(i))).toSeq)))
+        .toSeq
+    }.getOrElse(Nil)
   }
 
   /** Exact LIVE SUM of `col` under outstanding deletion vectors: the
@@ -1921,6 +1967,84 @@ object VersionedTable {
       .toSeq.sortBy(_._1))
   }
 
+  /** Live-exact MOMENT SUMS under outstanding deletion vectors — the
+    * subtractable half of the moments family: (n of non-null live
+    * values, Σx..Σx⁴ live) = the physical moments sidecar minus the
+    * deleted rows' contributions, read from the marked files only
+    * ([[deletedValueMoments]], O(churn) column I/O). All four power
+    * sums subtract exactly (integer arithmetic end to end); `lo`/`hi`
+    * do NOT (a deleted extremum can't be un-maxed from metadata), so
+    * range — and with it the Cornish–Fisher quantile ESTIMATE — stays
+    * a refuse-under-DV face ([[momentsAt]]); purge via
+    * optimize/[[coalesceDv]]-to-zero re-enables them. Coverage rule as
+    * the siblings: None unless the sidecar covers every file. */
+  def momentsAtLive(spark: SparkSession, path: String, v: Long,
+      col: String): Option[(Long, Seq[BigInt])] = {
+    val p = momentsFile(path, v, col)
+    if (!exists(p)) return None
+    val m = parseMoments(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(m.contains)) return None
+    val (n, _, _, ss) = mergeMoments(rels.map(m))
+    val del = deletedValueMoments(spark, path, v, col)
+    val dn = del.map(_._2._1).sum
+    val ds = (0 to 3).map(i => del.map(_._2._2(i)).sum)
+    Some((n - dn, ss.zip(ds).map { case (a, b) => a - b }))
+  }
+
+  /** Exact live MEAN and POPULATION STD of `col` under deletion
+    * vectors, derived from [[momentsAtLive]] on the pinned double path
+    * an external engine replays verbatim: mean = s1/n, std =
+    * √(s2/n − mean·mean) — exact-integer sums cast to double once, so
+    * the result is bit-deterministic under any partitioning. None when
+    * the sidecar doesn't cover or no non-null live value remains. */
+  def meanStdAtLive(spark: SparkSession, path: String, v: Long,
+      col: String): Option[(Double, Double)] =
+    momentsAtLive(spark, path, v, col).flatMap { case (n, ss) =>
+      if (n <= 0) None
+      else {
+        val nd = n.toDouble
+        val mean = ss(0).toDouble / nd
+        val vr = ss(1).toDouble / nd - mean * mean
+        Some((mean, math.sqrt(math.max(0.0, vr))))
+      }
+    }
+
+  /** Per-partition [[momentsAtLive]]; partition from the `k=v` path
+    * segment as the siblings. `dropEmpty` drops partitions with ZERO
+    * LIVE ROWS (decided by the counts sidecar, exactly as
+    * [[partitionSumsLive]] — a partition of live rows whose `col` is
+    * all null keeps its (key, n=0) row, matching the GROUP BY that
+    * emits the key with NULL aggregates); needs [[writeCounts]] in
+    * that mode and returns None without it. */
+  def partitionMomentsLive(spark: SparkSession, path: String, v: Long,
+      partCol: String, col: String, dropEmpty: Boolean = false)
+      : Option[Seq[(String, (Long, Seq[BigInt]))]] = {
+    val p = momentsFile(path, v, col)
+    if (!exists(p)) return None
+    val m = parseMoments(p)
+    val rels = relsAt(path, v)
+    if (!rels.forall(m.contains)) return None
+    def partOf(rel: String): String =
+      partitionKeyOf(rel, partCol, "partitionMomentsLive")
+    val physical = rels.groupBy(partOf)
+      .map { case (k, fs) => k -> mergeMoments(fs.map(m)) }
+    val del = deletedValueMoments(spark, path, v, col)
+      .groupBy { case (rel, _) => partOf(rel) }
+    val liveByPart = physical.map { case (k, (n, _, _, ss)) =>
+      val dels = del.getOrElse(k, Nil).map(_._2)
+      val dn = dels.map(_._1).sum
+      val dss = (0 to 3).map(i => dels.map(_._2(i)).sum)
+      k -> ((n - dn, ss.zip(dss).map { case (a, b) => a - b }))
+    }.toSeq.sortBy(_._1)
+    if (!dropEmpty) Some(liveByPart)
+    else partitionRowCountsLive(spark, path, v, partCol, dropEmpty = true)
+      .map { nonEmpty =>
+        val keep = nonEmpty.map(_._1).toSet
+        liveByPart.filter { case (k, _) => keep(k) }
+      }
+  }
+
   /** Per-partition statistics PANEL from metadata alone — the dashboard
     * face of the composed read: one row per partition with exact
     * n / min / max / sum / mean plus quantile ESTIMATES (default p95)
@@ -2036,6 +2160,24 @@ object VersionedTable {
     writeReplace(path, ndvFile(path, v, col), body.getBytes("UTF-8"))
   }
 
+  /** Merge a file subset's HLL registers by max and return the pinned
+    * integral (hll_raw, v_zero) pair — the shared math of [[ndvAt]] /
+    * [[partitionNdv]] / [[ndvEstimateAt]]. */
+  private def mergedNdvOf(p: Int, rels: Seq[String],
+      entries: Map[String, (Int, Map[Int, Int])]): (Long, Long) = {
+    val m = 1 << p
+    val W = graft.operators.Sketch.HllW
+    val merged = new Array[Int](m)
+    rels.foreach(f => entries(f)._2.foreach { case (i, r) =>
+      if (r > merged(i)) merged(i) = r })
+    val touched = merged.count(_ > 0)
+    val st = merged.iterator.filter(_ > 0)
+      .map(mx => 1L << (W + 1 - mx)).sum
+    val raw = math.floor(graft.operators.Sketch.hllConstant(p) /
+      (st + (m.toLong - touched) * (1L << (W + 1))).toDouble).toLong
+    (raw, m.toLong - touched)
+  }
+
   /** Approx distinct of `col` at version `v` from the manifest + NDV
     * sidecar alone: merge the files' registers by max, then the pinned
     * integral HLL estimate — returns (hll_raw, v_zero), the same two
@@ -2050,18 +2192,45 @@ object VersionedTable {
     if (!rels.forall(entries.contains)) return None
     val ps = rels.map(f => entries(f)._1).distinct
     require(ps.size == 1, s"VersionedTable.ndvAt: mixed sketch precisions $ps")
-    val p = ps.head
-    val m = 1 << p
-    val W = graft.operators.Sketch.HllW
-    val merged = new Array[Int](m)
-    rels.foreach(f => entries(f)._2.foreach { case (i, r) =>
-      if (r > merged(i)) merged(i) = r })
-    val touched = merged.count(_ > 0)
-    val st = merged.iterator.filter(_ > 0)
-      .map(mx => 1L << (W + 1 - mx)).sum
-    val raw = math.floor(graft.operators.Sketch.hllConstant(p) /
-      (st + (m.toLong - touched) * (1L << (W + 1))).toDouble).toLong
-    Some((raw, m.toLong - touched))
+    Some(mergedNdvOf(ps.head, rels, entries))
+  }
+
+  /** PLANNING estimate of version `v`'s PHYSICAL row count from the
+    * counts sidecar alone — no SparkSession, no job, and unlike
+    * [[countAt]] no refusal under deletion vectors: physical bounds
+    * live from above, the right direction for sizing (bloom sketches,
+    * partition planning). None when the sidecar doesn't cover. */
+  def rowCountEstimateAt(path: String, v: Long): Option[Long] = {
+    val p = countsFile(path, v)
+    if (!exists(p)) return None
+    val counts = parseCounts(p)
+    val rels = relsAt(path, v)
+    if (rels.forall(counts.contains)) Some(rels.map(counts).sum) else None
+  }
+
+  /** PLANNING estimate of `col`'s distinct count at version `v`, from
+    * metadata alone (no SparkSession, no data I/O, no job): the NDV
+    * sidecar with linear-counting correction, falling back to the
+    * counts sidecar's physical row count (a trivially valid NDV upper
+    * bound). Unlike [[ndvAt]] this does NOT refuse under outstanding
+    * deletion vectors — physical NDV bounds live NDV from above, which
+    * is the right direction for every sizing use (a bloom sketch sized
+    * to it keeps its fpp). None when neither sidecar covers the
+    * version: estimates must still never silently undercount. */
+  def ndvEstimateAt(path: String, v: Long, col: String): Option[Long] = {
+    val side = ndvFile(path, v, col)
+    val rels = relsAt(path, v)
+    if (exists(side)) {
+      val entries = parseNdv(side)
+      if (rels.forall(entries.contains)) {
+        val ps = rels.map(f => entries(f)._1).distinct
+        require(ps.size == 1,
+          s"VersionedTable.ndvEstimateAt: mixed sketch precisions $ps")
+        val (raw, vZero) = mergedNdvOf(ps.head, rels, entries)
+        return Some(graft.operators.Sketch.hllCorrected(ps.head, raw, vZero))
+      }
+    }
+    rowCountEstimateAt(path, v)
   }
 
   /** Per-partition approx distinct, metadata-only: each partition's
@@ -2079,20 +2248,9 @@ object VersionedTable {
     if (!rels.forall(entries.contains)) return None
     val ps = rels.map(f => entries(f)._1).distinct
     require(ps.size == 1, s"VersionedTable.partitionNdv: mixed sketch precisions $ps")
-    val p = ps.head
-    val m = 1 << p
-    val W = graft.operators.Sketch.HllW
     Some(rels.groupBy(partitionKeyOf(_, partCol, "partitionNdv"))
-      .map { case (k, fs) =>
-        val merged = new Array[Int](m)
-        fs.foreach(f => entries(f)._2.foreach { case (i, r) =>
-          if (r > merged(i)) merged(i) = r })
-        val touched = merged.count(_ > 0)
-        val st = merged.iterator.filter(_ > 0).map(mx => 1L << (W + 1 - mx)).sum
-        val raw = math.floor(graft.operators.Sketch.hllConstant(p) /
-          (st + (m.toLong - touched) * (1L << (W + 1))).toDouble).toLong
-        k -> ((raw, m.toLong - touched))
-      }.toSeq.sortBy(_._1))
+      .map { case (k, fs) => k -> mergedNdvOf(ps.head, fs, entries) }
+      .toSeq.sortBy(_._1))
   }
 
   // ---- bloom sidecar: equality point-lookup file skipping ----
@@ -2427,6 +2585,49 @@ object VersionedTable {
     val v = cur + 1
     publish(path, v, cur, "optimize", newFiles)
     statsCol.foreach(writeStats(spark, path, v, _))
+    v
+  }
+
+  /** COALESCE-DV: one commit that rewrites the current version's
+    * deletion-vector BACKLOG into few large (file,pos)-sorted shards
+    * without touching a single data byte. A long-lived merge-on-read
+    * table accretes shards — every delete/upsert commit appends its
+    * own — so reads pay O(shards) file opens and the anti-join side
+    * fragments; [[optimize]] purges the backlog but rewrites the DATA
+    * (petabytes at scale), while this pass rewrites only the O(deleted
+    * rows) marks. Dangling marks (files a later rewrite dropped from
+    * the manifest) are garbage-collected in the same pass — they were
+    * already excluded from every read by the lineage restriction, now
+    * their bytes go too. If nothing remains, the new version carries
+    * NO DVs at all, which re-enables the exact-physical metadata faces
+    * ([[countAt]]/[[sumAt]]/[[momentsAt]]/[[ndvAt]]). Live results are
+    * identical by construction: the mark SET is preserved (minus
+    * dangling marks no consumer could see). Returns the new version;
+    * no-op (returns the current one) below `minShards` shards. */
+  def coalesceDv(spark: SparkSession, path: String,
+      targetPositions: Long = 4L * 1000 * 1000, minShards: Int = 2): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val cur = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    val dvs = dvsAt(path, cur)
+    if (dvs.size < minShards) return cur
+    val liveRels = filesAt(path, cur).map(lineageRel)
+    val dv = restrictToRels(spark,
+      spark.read.parquet(dvs.sorted: _*), "file", liveRels)
+      .select(c("file"), c("pos"))
+    val n = dv.count()
+    val v = cur + 1
+    val rels =
+      if (n == 0) Nil // backlog was ALL dangling — drop the DVs outright
+      else {
+        val parts = math.max(1, math.ceil(n.toDouble / targetPositions).toInt)
+        // range-partition + sort on (file, pos): each shard covers a
+        // contiguous file/position span, so a pruned read's restriction
+        // pushes into few shards and positions arrive scan-ordered
+        stageDv(dv.repartitionByRange(parts, c("file"), c("pos"))
+          .sortWithinPartitions(c("file"), c("pos")), path)
+      }
+    publish(path, v, cur, "coalesce-dv", fileEntriesAt(path, cur), rels)
     v
   }
 

@@ -184,6 +184,42 @@ class AggregatesSpec extends SparkSpec {
       probe, build.where($"k" < 0), Seq("k"), 1L).count() == 0)
   }
 
+  test("bloomJoinVersioned: sketch auto-sized from the NDV sidecar, no job") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_bjv").toString + "/t"
+    // build side: 500 rows over 100 distinct keys, as a versioned table
+    VersionedTable.create(
+      spark.range(500).selectExpr("id % 100 AS k", "concat('d', id) AS name")
+        .repartition(2), path)
+    VersionedTable.writeNdv(spark, path, 0L, "k")
+    VersionedTable.writeCounts(spark, path, 0L)
+    // sizing is pure metadata: derived WITHOUT a SparkSession, and the
+    // chosen size is the sidecar's corrected HLL estimate capped by rows
+    val (v, expected) = graft.operators.Joins.bloomSizeFromSidecars(path, Seq("k"))
+    assert(v === 0L)
+    val sidecar = VersionedTable.ndvEstimateAt(path, 0L, "k").get
+    assert(expected === math.min(sidecar, 500L))
+    assert(expected >= 80L && expected <= 130L, s"HLL estimate off: $expected")
+    // end-to-end: equals the plain join against the same version
+    val probe = spark.range(20000).selectExpr("id % 1000 AS k", "id AS p")
+    val plain = probe.join(VersionedTable.read(spark, path), Seq("k"))
+      .select("k", "p", "name").collect().map(_.toSeq).toSet
+    val auto = graft.operators.Joins
+      .bloomJoinVersioned(probe, spark, path, Seq("k"))
+      .select("k", "p", "name").collect().map(_.toSeq).toSet
+    assert(auto === plain)
+    // counts-only fallback (no NDV sidecar for this column): rows bound
+    val (_, expName) = graft.operators.Joins.bloomSizeFromSidecars(path, Seq("name"))
+    assert(expName === 500L)
+    // no sidecar at all: loud refusal, not a silent guess
+    val bare = java.nio.file.Files.createTempDirectory("graft_bjv2").toString + "/t"
+    VersionedTable.create(spark.range(10).toDF("k"), bare)
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Joins.bloomSizeFromSidecars(bare, Seq("k")))
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("autoSaltedJoin: empty left side joins empty instead of crashing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")

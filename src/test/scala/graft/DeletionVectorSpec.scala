@@ -287,6 +287,29 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1).toSeq
     assert(VersionedTable.partitionSumsLive(spark, path, v1, "p", "id") ===
       Some(wantByPart))
+    // moments-live: all four power sums subtract exactly; mean/std on
+    // the pinned double path equal the grouped live read's
+    val (nLive, ssLive) = VersionedTable.momentsAtLive(spark, path, v1, "id").get
+    val liveIds = live.select($"id").as[Long].collect()
+    assert(nLive === liveIds.length.toLong)
+    assert(ssLive === Seq(
+      liveIds.map(BigInt(_)).sum,
+      liveIds.map(x => BigInt(x) * x).sum,
+      liveIds.map(x => BigInt(x) * x * x).sum,
+      liveIds.map(x => BigInt(x) * x * x * x).sum))
+    val (meanL, stdL) = VersionedTable.meanStdAtLive(spark, path, v1, "id").get
+    val meanWant = liveIds.sum.toDouble / liveIds.length
+    assert(meanL === meanWant)
+    assert(stdL === math.sqrt(
+      liveIds.map(x => BigInt(x) * x).sum.toDouble / liveIds.length -
+        meanWant * meanWant))
+    // per-partition live moments agree with the grouped live read
+    val wantMom = live.groupBy($"p").agg(count(lit(1)), sum($"id"))
+      .collect().map(r => r.get(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .sortBy(_._1).toSeq
+    val gotMom = VersionedTable.partitionMomentsLive(spark, path, v1, "p", "id")
+      .get.map { case (k, (n, ss)) => k -> ((n, ss(0).toLong)) }
+    assert(gotMom === wantMom)
     // after purge every physical face answers again, and live == exact
     val v2 = VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
     VersionedTable.writeCounts(spark, path, v2)
@@ -535,6 +558,73 @@ class DeletionVectorSpec extends SparkSpec {
         (i, if (i == 1) 111L else i * 2)) ++
       (1000L until 1005L).map(i => (i, i * 2)) :+ (2000L, 1L)).sortBy(_._1)
     assert(got === want)
+  }
+
+  test("coalesceDv: backlog shards collapse, zero data bytes, identical reads") {
+    val path = fresh()
+    VersionedTable.create(
+      spark.range(200).select($"id", ($"id" * 3).as("x")).repartition(4), path)
+    VersionedTable.deleteWhere(spark, path, col("id") % 11 === 0)
+    VersionedTable.deleteWhere(spark, path, col("id") % 13 === 0)
+    val v3 = VersionedTable.deleteWhere(spark, path, col("id") % 17 === 0)
+    val before = dataFiles(path)
+    val shardsBefore = VersionedTable.dvsAt(path, v3).size
+    assert(shardsBefore >= 3) // one-plus per delete commit, cumulative carry
+    val wantIds = ids(VersionedTable.readVersion(spark, path, v3))
+
+    val v4 = VersionedTable.coalesceDv(spark, path)
+    assert(v4 === v3 + 1)
+    // not a single data byte moved; the mark SET is preserved
+    assert(dataFiles(path) === before)
+    assert(VersionedTable.dvsAt(path, v4).size === 1)
+    assert(ids(VersionedTable.readVersion(spark, path, v4)) === wantIds)
+    // prior versions keep their own shards (vacuum reclaims them later)
+    assert(ids(VersionedTable.readVersion(spark, path, v3)) === wantIds)
+    // live metadata faces unchanged across the coalesce
+    VersionedTable.writeCounts(spark, path, v4)
+    VersionedTable.writeSums(spark, path, v4, "x")
+    assert(VersionedTable.countAtLive(spark, path, v4) ===
+      Some(wantIds.size.toLong))
+    assert(VersionedTable.sumAtLive(spark, path, v4, "x") ===
+      Some(wantIds.map(_ * 3).sum))
+    // below minShards the pass is a no-op: no empty commit spam
+    assert(VersionedTable.coalesceDv(spark, path) === v4)
+  }
+
+  test("coalesceDv: all-dangling backlog drops DVs and re-enables physical faces") {
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(40).select($"id", ($"id" % 2).cast("string").as("p")),
+      path, "p")
+    // marks ONLY in partition 0, then replace partition 0 wholesale:
+    // every mark dangles (excluded from reads, but the bytes linger)
+    VersionedTable.deleteWhere(spark, path, col("p") === "0" && col("id") < 10)
+    VersionedTable.deleteWhere(spark, path, col("p") === "0" && col("id") >= 30)
+    val v3 = VersionedTable.commitPartitioned(
+      spark.range(100, 105).select($"id", lit("0").as("p")),
+      path, "p", "overwritePartitions")
+    assert(VersionedTable.hasDeletes(path, v3))
+    val want = ids(VersionedTable.readVersion(spark, path, v3))
+    val v4 = VersionedTable.coalesceDv(spark, path)
+    assert(!VersionedTable.hasDeletes(path, v4))
+    assert(ids(VersionedTable.readVersion(spark, path, v4)) === want)
+    // no DVs at the new head: the exact-physical faces answer again
+    VersionedTable.writeCounts(spark, path, v4)
+    assert(VersionedTable.countAt(path, v4) === Some(want.size.toLong))
+  }
+
+  test("restore on a shallow clone carries borrowed absolute refs verbatim") {
+    val src = fresh()
+    val dst = fresh()
+    VersionedTable.create(spark.range(30).toDF("id").repartition(2), src)
+    VersionedTable.cloneTable(src, dst)
+    // diverge the clone, then roll it back to the borrowed v0
+    VersionedTable.commit(spark.range(100, 105).toDF("id"), dst, "append")
+    val v2 = VersionedTable.restore(dst, 0L)
+    // the restored manifest must still point into the SOURCE's data —
+    // relOf-style re-relativization would mangle the borrowed paths
+    assert(ids(VersionedTable.readVersion(spark, dst, v2)) === (0L until 30L))
+    VersionedTable.releaseClone(src, dst)
   }
 
   test("dropEmpty: fully-deleted partition matches GROUP BY over live rows") {

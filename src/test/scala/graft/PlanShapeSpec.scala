@@ -613,7 +613,10 @@ class PlanShapeSpec extends SparkSpec {
       // live metadata sums: the dashboard rows are driver-side sidecar
       // arithmetic (the O(churn) deleted-value reads ran eagerly);
       // the graded plan is a LocalTableScan + oracle orderBy
-      "q_table_sums_live" -> 1)
+      "q_table_sums_live" -> 1,
+      // live mean/std: same LocalTableScan shape (moments arithmetic
+      // is driver-side over the sidecar minus deleted-value moments)
+      "q_table_moments_live" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
@@ -648,9 +651,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("gate contract: every graded query has an oracle (except declared rows-only)") {
-    val rowsOnlyByDesign = Set(
-      "q_ann_ivf")  // driver-side Lloyd not SQL-expressible; the pinned
-                    // sibling (q_ann_ivf_pinned) hash-gates the machinery
+    // empty since round 10: q_ann_ivf's pinned-seed fixed-iteration
+    // lloydRefine is SQL-replayable (unrolled CTE rounds), so the last
+    // rows-only face gained a hash oracle
+    val rowsOnlyByDesign = Set.empty[String]
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without an oracle: ${missing.mkString(", ")}")
