@@ -494,8 +494,18 @@ object VersionedTable {
     // before our marker landed, it may have swept srcV's bytes while we
     // published against them. Detect the loss now and abort loudly
     // (clone manifest + pin removed) rather than leave a clone whose
-    // first read fails on missing files.
-    (files ++ dvs).find(f => !exists(new HPath(f))).foreach { f =>
+    // first read fails on missing files. ONE listing per source
+    // directory, not one RPC per borrowed file (a 100 TB manifest
+    // carries 10^5+ files; the flat-layout guard above means every
+    // borrow sits directly under the source's data/ or dv/).
+    def namesIn(dir: HPath): Set[String] =
+      if (!exists(dir)) Set.empty[String]
+      else listNames(dir).filter(_.isFile).map(_.getPath.getName).toSet
+    val dataNames = namesIn(dataDir(srcPath))
+    val dvNames = namesIn(dvDir(srcPath))
+    val missing = files.find(f => !dataNames.contains(new HPath(f).getName))
+      .orElse(dvs.find(f => !dvNames.contains(new HPath(f).getName)))
+    missing.foreach { f =>
       fsOf(versionFile(dstPath, 0L)).delete(versionFile(dstPath, 0L), false)
       abort(new IllegalStateException(
         s"VersionedTable.cloneTable: borrowed file $f was reclaimed by a " +
