@@ -1056,12 +1056,16 @@ object VersionedTable {
   /** Metadata-only MAINTENANCE report for the latest version — the
     * nightly-job decision face, O(manifest + file status), zero data
     * I/O: file count and bytes, small-file count (< targetBytes/2),
-    * DV backlog (shards, bytes, ratio vs data), and the two
-    * recommendations they imply ([[optimize]] when small files
-    * dominate, purge — also optimize — when the DV backlog makes every
-    * read pay a material anti-join). */
+    * DV backlog (shards, bytes, ratio vs data), and the three
+    * recommendations they imply: [[optimize]] when small files
+    * dominate; purge (also optimize) when the DV backlog makes every
+    * read pay a material anti-join; [[coalesceDv]] when the backlog is
+    * FRAGMENTED (> `maxDvShards` shards) but not yet worth a data
+    * rewrite — the trickle-delete shape, where one O(deleted-rows)
+    * coalesce commit removes the per-read shard-open tax. */
   def maintenanceReport(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxDvShards: Int = 16): DataFrame = {
     import spark.implicits._
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
@@ -1081,10 +1085,11 @@ object VersionedTable {
       // >1: a table that already IS one (small) file can't compact further
       small > 1 && small > dataBytes.length / 2,
       dvFiles.nonEmpty && dvRatio > 0.01,
+      dvFiles.length > maxDvShards,
       pins.length, pins.mkString(",")))
       .toDF("version", "n_files", "data_bytes", "small_files",
         "dv_shards", "dv_bytes", "recommend_compact", "recommend_purge",
-        "clone_pins", "pinned_versions")
+        "recommend_coalesce_dv", "clone_pins", "pinned_versions")
   }
 
   private def statsFile(path: String, v: Long, col: String): HPath =
@@ -2017,6 +2022,36 @@ object VersionedTable {
         val mean = ss(0).toDouble / nd
         val vr = ss(1).toDouble / nd - mean * mean
         Some((mean, math.sqrt(math.max(0.0, vr))))
+      }
+    }
+
+  /** Exact live SKEWNESS and EXCESS KURTOSIS (population g1/g2) under
+    * deletion vectors: all four power sums subtract exactly
+    * ([[momentsAtLive]]), so the standardized moments are as live-exact
+    * as mean/std — same central-moment derivation as
+    * [[graft.operators.Sketch.momentsQuantile]] (exact rationals until
+    * the final double conversions). None without sidecar coverage,
+    * under 2 live values, or at zero variance. The QUANTILE estimate
+    * built on these stays refuse-under-DV: it additionally needs
+    * lo/hi, which cannot be un-maxed from metadata. */
+  def skewKurtAtLive(spark: SparkSession, path: String, v: Long,
+      col: String): Option[(Double, Double)] =
+    momentsAtLive(spark, path, v, col).flatMap { case (n, ss) =>
+      if (n < 2) None
+      else {
+        val nB = BigDecimal(n)
+        val Seq(s1, s2, s3, s4) = ss.map(BigDecimal(_))
+        val m1 = (s1 / nB).toDouble
+        val mu2 = (s2 / nB).toDouble - m1 * m1
+        if (mu2 <= 0) None
+        else {
+          val mu3 = (s3 / nB).toDouble - 3 * m1 * (s2 / nB).toDouble +
+            2 * m1 * m1 * m1
+          val mu4 = (s4 / nB).toDouble - 4 * m1 * (s3 / nB).toDouble +
+            6 * m1 * m1 * (s2 / nB).toDouble - 3 * m1 * m1 * m1 * m1
+          val sd = math.sqrt(mu2)
+          Some((mu3 / (mu2 * sd), mu4 / (mu2 * mu2) - 3.0))
+        }
       }
     }
 

@@ -310,6 +310,19 @@ class DeletionVectorSpec extends SparkSpec {
     val gotMom = VersionedTable.partitionMomentsLive(spark, path, v1, "p", "id")
       .get.map { case (k, (n, ss)) => k -> ((n, ss(0).toLong)) }
     assert(gotMom === wantMom)
+    // skew/kurt live: identical double path over the exact live sums
+    val (g1, g2) = VersionedTable.skewKurtAtLive(spark, path, v1, "id").get
+    val nB = BigDecimal(liveIds.length)
+    val Seq(sb1, sb2, sb3, sb4) = (1 to 4).map(p =>
+      BigDecimal(liveIds.map(x => BigInt(x).pow(p)).sum)).toSeq
+    val m1 = (sb1 / nB).toDouble
+    val mu2 = (sb2 / nB).toDouble - m1 * m1
+    val mu3 = (sb3 / nB).toDouble - 3 * m1 * (sb2 / nB).toDouble +
+      2 * m1 * m1 * m1
+    val mu4 = (sb4 / nB).toDouble - 4 * m1 * (sb3 / nB).toDouble +
+      6 * m1 * m1 * (sb2 / nB).toDouble - 3 * m1 * m1 * m1 * m1
+    assert(g1 === mu3 / (mu2 * math.sqrt(mu2)))
+    assert(g2 === mu4 / (mu2 * mu2) - 3.0)
     // after purge every physical face answers again, and live == exact
     val v2 = VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
     VersionedTable.writeCounts(spark, path, v2)

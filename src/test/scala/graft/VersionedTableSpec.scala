@@ -230,6 +230,19 @@ class VersionedTableSpec extends SparkSpec {
     val r3 = VersionedTable.maintenanceReport(spark, path).collect().head
     assert(!r3.getAs[Boolean]("recommend_compact") &&
       !r3.getAs[Boolean]("recommend_purge"))
+    // trickle-fragmented backlog: coalesce recommended (cheaper than a
+    // purge rewrite), and running coalesceDv clears exactly that flag
+    (1 to 5).foreach(i =>
+      VersionedTable.deleteWhere(spark, path, col("id") % 97 === i.toLong))
+    val r4 = VersionedTable.maintenanceReport(spark, path, maxDvShards = 4)
+      .collect().head
+    assert(r4.getAs[Int]("dv_shards") >= 5)
+    assert(r4.getAs[Boolean]("recommend_coalesce_dv"))
+    VersionedTable.coalesceDv(spark, path)
+    val r5 = VersionedTable.maintenanceReport(spark, path, maxDvShards = 4)
+      .collect().head
+    assert(r5.getAs[Int]("dv_shards") === 1)
+    assert(!r5.getAs[Boolean]("recommend_coalesce_dv"))
   }
 
   test("committer contract: rename and conditional-put both arbitrate the race; table runs on either") {
