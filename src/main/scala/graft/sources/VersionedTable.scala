@@ -1729,17 +1729,16 @@ object VersionedTable {
     if (rels.forall(sums.contains)) Some(rels.map(sums).sum) else None
   }
 
-  /** Σ `valueCol` over version `v`'s DV-DELETED rows, per marked FILE
-    * (lineage rel → sum). Scans ONLY the files that carry marks — the
-    * honest price of live-exact sums: counts subtract from the DV
-    * shards alone (cardinality), sums need the deleted VALUES, which
-    * live in the data files. O(churn) column I/O, never O(table).
-    * Dangling marks (files a later rewrite dropped) are excluded by
-    * the manifest-lineage restriction, as in [[countAtLive]]. */
   /** The version's DV-DELETED rows, lineage-tagged and restricted to
     * the marked files only — the shared O(churn) value scan behind
-    * [[deletedValueSums]] / [[deletedValueMoments]]. None when the
-    * version carries no effective marks. */
+    * [[deletedValueSums]] / [[deletedValueMoments]]: counts subtract
+    * from the DV shards alone (cardinality), but sums and moments need
+    * the deleted VALUES, which live in the data files — scanning ONLY
+    * the marked files is the honest price of live-exactness, O(churn)
+    * column I/O, never O(table). Dangling marks (files a later rewrite
+    * dropped) are excluded by the manifest-lineage restriction, as in
+    * [[countAtLive]]. None when the version carries no effective
+    * marks. */
   private def dvMarkedRows(spark: SparkSession, path: String,
       v: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col => c}
