@@ -626,6 +626,35 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.countAt(path, v4) === Some(want.size.toLong))
   }
 
+  test("coalesceDv lifecycle: partitioned carry, further deletes, vacuum reclaims old shards") {
+    val path = fresh()
+    VersionedTable.createPartitioned(
+      spark.range(90).select($"id", ($"id" % 3).cast("string").as("p")),
+      path, "p")
+    VersionedTable.deleteWhere(spark, path, col("id") % 5 === 0)
+    VersionedTable.deleteWhere(spark, path, col("id") % 7 === 0)
+    val vCo = VersionedTable.coalesceDv(spark, path)
+    val coShards = VersionedTable.dvsAt(path, vCo).map(new java.io.File(_).getName)
+    // deletes keep accumulating ON TOP of the coalesced shard set
+    val v4 = VersionedTable.deleteWhere(spark, path, col("id") % 11 === 0)
+    val want = (0L until 90L).filterNot(i => i % 5 == 0 || i % 7 == 0 || i % 11 == 0)
+    assert(ids(VersionedTable.readVersion(spark, path, v4)) === want)
+    // per-partition live faces correct across the coalesce boundary
+    VersionedTable.writeCounts(spark, path, v4)
+    assert(VersionedTable.partitionRowCountsLive(spark, path, v4, "p") ===
+      Some(want.groupBy(i => (i % 3).toString).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)))
+    // vacuum to the newest version: the pre-coalesce shards (referenced
+    // only by dropped manifests) are reclaimed, the live set survives
+    VersionedTable.vacuum(path, keepVersions = 1, minAgeMs = 0L)
+    val left = new java.io.File(path, "dv").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // local-FS .crc companions
+    val liveShards = VersionedTable.dvsAt(path, v4).map(new java.io.File(_).getName).toSet
+    assert(left === liveShards)
+    assert(coShards.forall(liveShards)) // v4 still carries the coalesced shard
+    assert(ids(VersionedTable.read(spark, path)) === want)
+  }
+
   test("restore on a shallow clone carries borrowed absolute refs verbatim") {
     val src = fresh()
     val dst = fresh()
