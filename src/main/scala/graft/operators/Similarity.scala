@@ -487,29 +487,37 @@ object Similarity {
     * polish. */
   def lloydRefine(corpus: DataFrame, vecCol: String,
       init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
-    var cents = init
-    for (_ <- 0 until iters) {
-      val simStructs = cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
-        struct(cosine(col(vecCol), typedLit(cv.toSeq)).as("sim"),
-          lit(-i).as("negcell"))
+    // each iteration is a full corpus scan: persist ONLY the vector
+    // column (narrow, spillable, distributed — the RankSelect pattern)
+    // so `iters` passes pay 1 parquet read + (iters−1) cache scans
+    // instead of re-reading and re-decoding the table every round
+    val proj = corpus.filter(col(vecCol).isNotNull).select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = init
+      for (_ <- 0 until iters) {
+        val simStructs = cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+          struct(cosine(col(vecCol), typedLit(cv.toSeq)).as("sim"),
+            lit(-i).as("negcell"))
+        }
+        val cell = (-array_max(array(simStructs: _*)).getField("negcell"))
+          .cast("int")
+        val agg = proj
+          .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((round(sum(col("__v").cast(DoubleType)), 4) / count(lit(1))).as("c"))
+          .collect()
+        val byCell = agg.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (prev, i) =>
+          byCell.get(i).map { rows =>
+            val next = new Array[Double](prev.length)
+            rows.foreach(r => next(r.getInt(1)) = r.getDouble(2))
+            next
+          }.getOrElse(prev)
+        }
       }
-      val cell = (-array_max(array(simStructs: _*)).getField("negcell"))
-        .cast("int")
-      val agg = corpus.filter(col(vecCol).isNotNull)
-        .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((round(sum(col("__v").cast(DoubleType)), 4) / count(lit(1))).as("c"))
-        .collect()
-      val byCell = agg.groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case (prev, i) =>
-        byCell.get(i).map { rows =>
-          val next = new Array[Double](prev.length)
-          rows.foreach(r => next(r.getInt(1)) = r.getDouble(2))
-          next
-        }.getOrElse(prev)
-      }
-    }
-    cents
+      cents
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
