@@ -535,6 +535,56 @@ class PipelineSpec extends SparkSpec {
     assert(partial.subsetOf(bf) || partial.nonEmpty) // ranked output well-formed
   }
 
+  test("lloydRefine: partitioning-invariant centroids, empty-cell carry, iters=0 identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 150L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val init = vecs.filter(col("vec_id") < 6).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // THE property the q_ann_ivf oracle rests on: the round(sum,4)/count
+    // recompute pins the centroids bit-for-bit under ANY partitioning
+    // (distributed double summation order must not leak into the fit)
+    val a = Similarity.lloydRefine(vecs.repartition(1), "embedding", init, iters = 3)
+    val b = Similarity.lloydRefine(vecs.repartition(13), "embedding", init, iters = 3)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    // the refinement actually moved the centroids (a real fit, not a no-op)
+    assert(a.zip(init).exists { case (x, y) => x.toSeq != y.toSeq })
+    // iters = 0: the pinned seeds pass through untouched
+    val zero = Similarity.lloydRefine(vecs, "embedding", init, iters = 0)
+    zero.zip(init).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    // empty-cell carry: duplicate centroid at a HIGHER index can never
+    // win the argmax (ties break to the lower index), so its cell stays
+    // empty and it keeps its value instead of re-seeding
+    val dup = init :+ init.head.clone()
+    val refined = Similarity.lloydRefine(vecs, "embedding", dup, iters = 1)
+    assert(refined.last.toSeq == dup.last.toSeq)
+    assert(refined.head.toSeq != dup.head.toSeq) // the winner cell DID refit
+  }
+
+  test("bloomJoinVersioned equals the plain live join under a DV backlog") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_bjv_dv").toString + "/t"
+    VersionedTable.create(
+      spark.range(400).selectExpr("id % 80 AS k", "id AS payload").repartition(3), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("payload") % 4 === 0)
+    VersionedTable.writeNdv(spark, path, v1, "k")
+    VersionedTable.writeCounts(spark, path, v1)
+    // sizing uses PHYSICAL bounds (NDV sidecar / row count) — valid
+    // upper bounds on the live cardinality, so the fpp contract holds
+    val (v, expected) = graft.operators.Joins.bloomSizeFromSidecars(path, Seq("k"))
+    assert(v === v1 && expected >= 60L)
+    val probe = spark.range(5000).selectExpr("id % 500 AS k", "id AS p")
+    val plain = probe.join(VersionedTable.read(spark, path), Seq("k"))
+      .select("k", "p", "payload").collect().map(_.toSeq).toSet
+    val auto = graft.operators.Joins.bloomJoinVersioned(probe, spark, path, Seq("k"))
+      .select("k", "p", "payload").collect().map(_.toSeq).toSet
+    assert(auto === plain) // deleted rows never resurface through the bloom path
+  }
+
   test("dupSpanStats: cross-doc and within-doc repeated windows counted per position") {
     import spark.implicits._
     val df = Seq(
