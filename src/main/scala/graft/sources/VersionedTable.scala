@@ -1092,6 +1092,30 @@ object VersionedTable {
         "recommend_coalesce_dv", "clone_pins", "pinned_versions")
   }
 
+  /** Apply [[maintenanceReport]]'s recommendations, cheapest first —
+    * the one-call nightly job: a compact/purge flag runs [[optimize]]
+    * (which also purges the DV backlog wholesale, so no coalesce is
+    * needed on top); otherwise a fragmentation flag runs the
+    * O(deleted-rows) [[coalesceDv]]. Returns the actions applied (empty
+    * when the table needs nothing), so schedulers can log and alert on
+    * what the pass actually did. Vacuum is deliberately NOT chained:
+    * retention windows are a policy decision (clone pins, time-travel
+    * SLAs) that must stay an explicit call. */
+  def autoMaintain(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, maxDvShards: Int = 16,
+      statsCol: Option[String] = None): Seq[String] = {
+    val r = maintenanceReport(spark, path, targetBytes, maxDvShards)
+      .collect().head
+    if (r.getAs[Boolean]("recommend_compact") ||
+        r.getAs[Boolean]("recommend_purge")) {
+      optimize(spark, path, targetBytes, statsCol = statsCol)
+      Seq("optimize")
+    } else if (r.getAs[Boolean]("recommend_coalesce_dv")) {
+      coalesceDv(spark, path)
+      Seq("coalesce-dv")
+    } else Nil
+  }
+
   private def statsFile(path: String, v: Long, col: String): HPath =
     new HPath(versionsDir(path), f"v$v%08d.stats.${col}.json")
 

@@ -245,6 +245,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(!r5.getAs[Boolean]("recommend_coalesce_dv"))
   }
 
+  test("autoMaintain applies the report's cheapest sufficient action") {
+    val path = fresh()
+    val tb = 1L * 1024 * 1024 // targetBytes sized so the 4 files aren't "small"
+    // fragmented TRICKLE backlog (6 shards, marks ≪ 1% of data bytes)
+    // over healthy file sizes -> coalesce is sufficient; optimize would
+    // rewrite every data byte for nothing
+    VersionedTable.create(spark.range(2000000L).toDF("id").repartition(4), path)
+    (1 to 6).foreach(i =>
+      VersionedTable.deleteWhere(spark, path, col("id") % 100003 === i.toLong))
+    val before = VersionedTable.dvsAt(path,
+      VersionedTable.latestVersion(path).get).size
+    assert(before >= 6)
+    val n0 = VersionedTable.read(spark, path).count()
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      maxDvShards = 4) === Seq("coalesce-dv"))
+    assert(VersionedTable.dvsAt(path,
+      VersionedTable.latestVersion(path).get).size === 1)
+    assert(VersionedTable.read(spark, path).count() === n0)
+    // coalesced, healthy, ratio tiny: the next pass does NOTHING
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      maxDvShards = 4) === Nil)
+    // a heavy backlog trips the purge ratio -> optimize, DVs gone
+    VersionedTable.deleteWhere(spark, path, col("id") % 3 === 0)
+    val n1 = VersionedTable.read(spark, path).count()
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      maxDvShards = 4) === Seq("optimize"))
+    assert(!VersionedTable.hasDeletes(path,
+      VersionedTable.latestVersion(path).get))
+    assert(VersionedTable.read(spark, path).count() === n1)
+  }
+
   test("committer contract: rename and conditional-put both arbitrate the race; table runs on either") {
     // the object-store hook, contract-spec'd side by side with the
     // default: exactly one of two same-target publishes wins, the
