@@ -487,6 +487,10 @@ object Similarity {
     * polish. */
   def lloydRefine(corpus: DataFrame, vecCol: String,
       init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty, "Similarity.lloydRefine: at least one init centroid")
+    val dim = init.head.length
+    require(init.forall(_.length == dim),
+      s"Similarity.lloydRefine: init centroids must share one dimension ($dim)")
     // each iteration is a full corpus scan: persist ONLY the vector
     // column (narrow, spillable, distributed — the RankSelect pattern)
     // so `iters` passes pay 1 parquet read + (iters−1) cache scans
@@ -494,6 +498,18 @@ object Similarity {
     val proj = corpus.filter(col(vecCol).isNotNull).select(col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // PRECONDITION, checked once against the cached projection (one
+      // narrow min/max pass, not per-row hot-path branches): every
+      // vector matches the init dimension. A longer vector would
+      // otherwise index past the centroid array deep inside the
+      // aggregation; a shorter one would silently leave stale init
+      // components. Fail with a named error instead.
+      val dims = proj.agg(
+        min(size(col(vecCol))), max(size(col(vecCol)))).collect()(0)
+      if (!dims.isNullAt(0))
+        require(dims.getInt(0) == dim && dims.getInt(1) == dim,
+          s"Similarity.lloydRefine: corpus vector dimensions " +
+            s"[${dims.getInt(0)}, ${dims.getInt(1)}] != init centroid dim $dim")
       var cents = init
       for (_ <- 0 until iters) {
         val simStructs = cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
@@ -504,6 +520,12 @@ object Similarity {
           .cast("int")
         val agg = proj
           .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+          // null ELEMENTS (a vector may be non-null with null components)
+          // are excluded from the mean rather than nulling it — a
+          // (cell,pos) group left with no non-null value then simply
+          // doesn't appear and keeps its previous centroid component,
+          // the same empty-cell rule as below
+          .filter(col("__v").isNotNull)
           .groupBy(col("cell"), col("pos"))
           .agg((round(sum(col("__v").cast(DoubleType)), 4) / count(lit(1))).as("c"))
           .collect()

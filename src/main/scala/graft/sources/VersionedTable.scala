@@ -200,14 +200,53 @@ object VersionedTable {
       case c => c.toString
     }
 
+  /** The body of a top-level `"name":[...]` array in a manifest — a
+    * span scan, not a whole-body regex: entry parsing anchored to the
+    * array keeps quoted strings OUTSIDE it (the esc()'d `action` field,
+    * future metadata) from ever being mistaken for file entries, even
+    * when they happen to end in `.parquet`/`.dv` (e.g. a clone action
+    * embedding a destination path). The scanner honors JSON string
+    * escapes, so a `]` inside a quoted element cannot truncate the
+    * span; the key itself cannot appear inside a string because esc()
+    * escapes every raw quote. Empty string when the array is absent
+    * (legacy manifests carry no "dv"). */
+  private def arraySpan(txt: String, name: String): String = {
+    val key = "\"" + name + "\":["
+    val i = txt.indexOf(key)
+    if (i < 0) return ""
+    var j = i + key.length
+    var inStr = false
+    while (j < txt.length) {
+      val ch = txt.charAt(j)
+      if (inStr) {
+        if (ch == '\\') j += 1 // skip the escaped char
+        else if (ch == '"') inStr = false
+      } else if (ch == '"') inStr = true
+      else if (ch == ']') return txt.substring(i + key.length, j)
+      j += 1
+    }
+    throw new IllegalStateException(
+      s"VersionedTable: unterminated \"$name\" array in manifest")
+  }
+
+  private val fileEntryRe = "\"([^\"]+\\.parquet)\"".r
+  private val dvEntryRe = "\"([^\"]+\\.dv)\"".r
+
+  /** Manifest data-file entries verbatim, anchored to the "files" span. */
+  private def manifestFiles(txt: String): Seq[String] =
+    fileEntryRe.findAllMatchIn(arraySpan(txt, "files")).map(_.group(1)).toSeq
+
+  /** Manifest DV-shard entries verbatim, anchored to the "dv" span. */
+  private def manifestDvs(txt: String): Seq[String] =
+    dvEntryRe.findAllMatchIn(arraySpan(txt, "dv")).map(_.group(1)).toSeq
+
   /** Files of a manifest, as absolute paths. */
   def filesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    val txt = readUtf8(f)
     // manifest files are one relative path per "files" array element
-    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt)
-      .map(m => new HPath(rootPath(path), m.group(1)).toString).toSeq
+    manifestFiles(readUtf8(f))
+      .map(e => new HPath(rootPath(path), e).toString)
   }
 
   /** Deletion-vector shard files of a manifest (absolute paths; empty
@@ -218,8 +257,8 @@ object VersionedTable {
   def dvsAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    "\"([^\"]+\\.dv)\"".r.findAllMatchIn(readUtf8(f))
-      .map(m => new HPath(rootPath(path), m.group(1)).toString).toSeq
+    manifestDvs(readUtf8(f))
+      .map(e => new HPath(rootPath(path), e).toString)
   }
 
   /** Whether version `v` carries row-level deletes (merge-on-read). */
@@ -235,13 +274,13 @@ object VersionedTable {
   private def fileEntriesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(readUtf8(f)).map(_.group(1)).toSeq
+    manifestFiles(readUtf8(f))
   }
 
   private def dvEntriesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    "\"([^\"]+\\.dv)\"".r.findAllMatchIn(readUtf8(f)).map(_.group(1)).toSeq
+    manifestDvs(readUtf8(f))
   }
 
   /** The metadata-face matrix under deletion vectors, uniform by rule:
@@ -554,8 +593,8 @@ object VersionedTable {
       val txt = readUtf8(f) // ONE manifest read serves all three parses
       val action = """"action":"([^"]*)"""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      val nFiles = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).length
-      val nDvs = "\"([^\"]+\\.dv)\"".r.findAllMatchIn(txt).length
+      val nFiles = manifestFiles(txt).length
+      val nDvs = manifestDvs(txt).length
       (v, action,
         new java.sql.Timestamp(fsOf(f).getFileStatus(f).getModificationTime),
         nFiles, nDvs)
@@ -1100,16 +1139,41 @@ object VersionedTable {
     * when the table needs nothing), so schedulers can log and alert on
     * what the pass actually did. Vacuum is deliberately NOT chained:
     * retention windows are a policy decision (clone pins, time-travel
-    * SLAs) that must stay an explicit call. */
+    * SLAs) that must stay an explicit call.
+    *
+    * HIVE-PARTITIONED layouts: [[optimize]] rewrites into a FLAT layout
+    * (reads stay correct via the recovered partition column, but the
+    * `k=v` directories — and with them directory-based partition
+    * pruning and every per-partition metadata face — are gone). An
+    * unattended job must never do that silently, so on a partitioned
+    * table the compact/purge action is NOT applied: the pass records
+    * `skip-optimize:partitioned` (route layout rewrites through
+    * [[optimizePartitioned]] / [[commitPartitioned]]'s
+    * `overwritePartitions` explicitly) and still runs the
+    * layout-preserving [[coalesceDv]] when a DV backlog is the trigger
+    * — a coalesce carries the manifest's file entries verbatim, so the
+    * partitioned layout is untouched while the per-read shard tax
+    * drops. */
   def autoMaintain(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, maxDvShards: Int = 16,
       statsCol: Option[String] = None): Seq[String] = {
     val r = maintenanceReport(spark, path, targetBytes, maxDvShards)
       .collect().head
+    val v = r.getAs[Long]("version")
+    val partitioned = fileEntriesAt(path, v)
+      .exists(e => new HPath(e).getParent.getName.contains("="))
     if (r.getAs[Boolean]("recommend_compact") ||
         r.getAs[Boolean]("recommend_purge")) {
-      optimize(spark, path, targetBytes, statsCol = statsCol)
-      Seq("optimize")
+      if (partitioned) {
+        // purge pressure is a DV backlog too — coalesce bounds the
+        // shard count without flattening the layout
+        if (dvsAt(path, v).size >= 2 && coalesceDv(spark, path) != v)
+          Seq("skip-optimize:partitioned", "coalesce-dv")
+        else Seq("skip-optimize:partitioned")
+      } else {
+        optimize(spark, path, targetBytes, statsCol = statsCol)
+        Seq("optimize")
+      }
     } else if (r.getAs[Boolean]("recommend_coalesce_dv")) {
       coalesceDv(spark, path)
       Seq("coalesce-dv")
@@ -2051,9 +2115,10 @@ object VersionedTable {
   /** Exact live SKEWNESS and EXCESS KURTOSIS (population g1/g2) under
     * deletion vectors: all four power sums subtract exactly
     * ([[momentsAtLive]]), so the standardized moments are as live-exact
-    * as mean/std — same central-moment derivation as
-    * [[graft.operators.Sketch.momentsQuantile]] (exact rationals until
-    * the final double conversions). None without sidecar coverage,
+    * as mean/std — central sums in exact BigInt (n-power-cleared, see
+    * the derivation below) until the final double conversions, immune
+    * to the large-mean cancellation the naive double path suffers.
+    * None without sidecar coverage,
     * under 2 live values, or at zero variance. The QUANTILE estimate
     * built on these stays refuse-under-DV: it additionally needs
     * lo/hi, which cannot be un-maxed from metadata. */
@@ -2062,18 +2127,32 @@ object VersionedTable {
     momentsAtLive(spark, path, v, col).flatMap { case (n, ss) =>
       if (n < 2) None
       else {
-        val nB = BigDecimal(n)
-        val Seq(s1, s2, s3, s4) = ss.map(BigDecimal(_))
-        val m1 = (s1 / nB).toDouble
-        val mu2 = (s2 / nB).toDouble - m1 * m1
-        if (mu2 <= 0) None
+        // exact-integer central sums: multiplying the central moments
+        // through by powers of n clears every division, so the whole
+        // derivation stays in BigInt until the final double conversions
+        // (the doc's contract — the naive s2/n − m² double path
+        // catastrophically cancels at large mean, and its mu2 can even
+        // come out ≤ 0 for data with real variance).
+        //   A2 = n²·mu2 = n·s2 − s1²
+        //   A3 = n³·mu3 = n²·s3 − 3n·s1·s2 + 2·s1³
+        //   A4 = n⁴·mu4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3·s1⁴
+        // and the n-powers cancel inside the standardized ratios:
+        //   g1 = mu3/mu2^(3/2) = A3/A2^(3/2), g2 = mu4/mu2² − 3 = A4/A2² − 3.
+        val nI = BigInt(n)
+        val Seq(s1, s2, s3, s4) = ss
+        val a2 = nI * s2 - s1 * s1
+        if (a2 <= 0) None // zero variance — exact test, no rounding leak
         else {
-          val mu3 = (s3 / nB).toDouble - 3 * m1 * (s2 / nB).toDouble +
-            2 * m1 * m1 * m1
-          val mu4 = (s4 / nB).toDouble - 4 * m1 * (s3 / nB).toDouble +
-            6 * m1 * m1 * (s2 / nB).toDouble - 3 * m1 * m1 * m1 * m1
-          val sd = math.sqrt(mu2)
-          Some((mu3 / (mu2 * sd), mu4 / (mu2 * mu2) - 3.0))
+          val a3 = nI * nI * s3 - 3 * nI * s1 * s2 + 2 * s1 * s1 * s1
+          val a4 = nI * nI * nI * s4 - 4 * nI * nI * s1 * s3 +
+            6 * nI * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+          // g1 via g1² = A3²/A2³ (an exact integer ratio; one MathContext
+          // division + one sqrt are the only inexact steps), sign from A3
+          val mc = new java.math.MathContext(38)
+          val g1sq = (BigDecimal(a3 * a3, mc) / BigDecimal(a2.pow(3), mc)).toDouble
+          val g1 = a3.signum * math.sqrt(g1sq)
+          val g2 = (BigDecimal(a4, mc) / BigDecimal(a2 * a2, mc)).toDouble - 3.0
+          Some((g1, g2))
         }
       }
     }

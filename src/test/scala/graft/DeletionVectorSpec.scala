@@ -310,19 +310,16 @@ class DeletionVectorSpec extends SparkSpec {
     val gotMom = VersionedTable.partitionMomentsLive(spark, path, v1, "p", "id")
       .get.map { case (k, (n, ss)) => k -> ((n, ss(0).toLong)) }
     assert(gotMom === wantMom)
-    // skew/kurt live: identical double path over the exact live sums
+    // skew/kurt live: exact BigInt central sums — assert against the
+    // INDEPENDENT mean-centered derivation over the live doubles
+    // (numerically clean at this scale), not a re-statement of the
+    // implementation's power-sum algebra
     val (g1, g2) = VersionedTable.skewKurtAtLive(spark, path, v1, "id").get
-    val nB = BigDecimal(liveIds.length)
-    val Seq(sb1, sb2, sb3, sb4) = (1 to 4).map(p =>
-      BigDecimal(liveIds.map(x => BigInt(x).pow(p)).sum)).toSeq
-    val m1 = (sb1 / nB).toDouble
-    val mu2 = (sb2 / nB).toDouble - m1 * m1
-    val mu3 = (sb3 / nB).toDouble - 3 * m1 * (sb2 / nB).toDouble +
-      2 * m1 * m1 * m1
-    val mu4 = (sb4 / nB).toDouble - 4 * m1 * (sb3 / nB).toDouble +
-      6 * m1 * m1 * (sb2 / nB).toDouble - 3 * m1 * m1 * m1 * m1
-    assert(g1 === mu3 / (mu2 * math.sqrt(mu2)))
-    assert(g2 === mu4 / (mu2 * mu2) - 3.0)
+    val xs = liveIds.map(_.toDouble)
+    val m1 = xs.sum / xs.length
+    def cm(p: Int): Double = xs.map(x => math.pow(x - m1, p)).sum / xs.length
+    assert(math.abs(g1 - cm(3) / math.pow(cm(2), 1.5)) < 1e-9)
+    assert(math.abs(g2 - (cm(4) / (cm(2) * cm(2)) - 3.0)) < 1e-9)
     // after purge every physical face answers again, and live == exact
     val v2 = VersionedTable.optimize(spark, path, targetBytes = 64L * 1024 * 1024)
     VersionedTable.writeCounts(spark, path, v2)
@@ -330,6 +327,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.countAt(path, v2) === Some(live.count()))
     assert(VersionedTable.sumAt(path, v2, "id") ===
       VersionedTable.sumAtLive(spark, path, v2, "id"))
+  }
+
+  test("skewKurtAtLive survives large-mean cancellation (exact central sums)") {
+    // values ~1.2e9 with O(10) spread: the naive double path computes
+    // s2/n − m² at ~1.44e18 magnitude where the double ULP is ~320 —
+    // bigger than the real variance (~133), so its mu2 is garbage (it
+    // can even come out ≤ 0). The exact BigInt central sums keep full
+    // precision until the final double conversions. (Base chosen so
+    // Σx⁴ still fits the moments sidecar's Decimal(38,0) carrier.)
+    val path = fresh()
+    val base = 1200000000L
+    VersionedTable.create(
+      spark.range(40).select(($"id" + base).as("v"), $"id"), path)
+    val v1 = VersionedTable.deleteWhere(spark, path, col("id") % 5 === 0)
+    VersionedTable.writeMoments(spark, path, v1, "v")
+    val (g1, g2) = VersionedTable.skewKurtAtLive(spark, path, v1, "v").get
+    // independent derivation: skew/kurt are translation-invariant, so
+    // the live OFFSETS (x − base, exact small doubles) give the truth
+    val xs = VersionedTable.readVersion(spark, path, v1)
+      .select(($"v" - base).cast("double")).as[Double].collect()
+    val m1 = xs.sum / xs.length
+    def cm(p: Int): Double = xs.map(x => math.pow(x - m1, p)).sum / xs.length
+    assert(cm(2) > 100) // the variance the double path would destroy
+    assert(math.abs(g1 - cm(3) / math.pow(cm(2), 1.5)) < 1e-9)
+    assert(math.abs(g2 - (cm(4) / (cm(2) * cm(2)) - 3.0)) < 1e-9)
   }
 
   test("sumAtLive excludes dangling DV marks after a partition rewrite") {

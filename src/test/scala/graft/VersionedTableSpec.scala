@@ -276,6 +276,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() === n1)
   }
 
+  test("autoMaintain never flattens a hive-partitioned layout") {
+    val path = fresh()
+    // many tiny files per partition: the compact trigger fires, but an
+    // unattended optimize() would rewrite the k=v directories into a
+    // flat layout — the pass must skip it and say so
+    VersionedTable.createPartitioned(
+      spark.range(1000).select($"id", ($"id" % 2).cast("string").as("p"))
+        .repartition(16), path, "p")
+    val r = VersionedTable.maintenanceReport(spark, path).collect().head
+    assert(r.getAs[Boolean]("recommend_compact"))
+    assert(VersionedTable.autoMaintain(spark, path) ===
+      Seq("skip-optimize:partitioned"))
+    // a trickle-delete backlog on the same partitioned table: the pass
+    // still applies the layout-PRESERVING coalesce alongside the skip
+    (1 to 6).foreach(i =>
+      VersionedTable.deleteWhere(spark, path, col("id") % 97 === i.toLong))
+    val n0 = VersionedTable.read(spark, path).count()
+    assert(VersionedTable.autoMaintain(spark, path, maxDvShards = 4) ===
+      Seq("skip-optimize:partitioned", "coalesce-dv"))
+    val v = VersionedTable.latestVersion(path).get
+    assert(VersionedTable.dvsAt(path, v).size === 1)
+    assert(VersionedTable.read(spark, path).count() === n0)
+    // the per-partition metadata faces survive — the silent breakage
+    // the unguarded optimize() caused
+    VersionedTable.writeCounts(spark, path, v)
+    val parts = VersionedTable.partitionRowCountsLive(spark, path, v, "p").get
+    assert(parts.map(_._1).sorted === Seq("0", "1"))
+    assert(parts.map(_._2).sum === n0)
+  }
+
+  test("manifest entry parsing is anchored to the files/dv arrays") {
+    val path = fresh()
+    VersionedTable.create(spark.range(10).toDF("id"), path)
+    val rels = VersionedTable.filesAt(path, 0L).map(f =>
+      "data/" + new org.apache.hadoop.fs.Path(f).getName)
+    // an action string that ENDS in .parquet and embeds a .dv token —
+    // the whole-body regex this replaced would have treated both as
+    // manifest entries and carried the ghosts into restore/coalesce
+    VersionedTable.publish(path, 1L, 0L,
+      "backfill:marks.dv into /tmp/ghost.parquet", rels)
+    assert(VersionedTable.filesAt(path, 1L).map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).sorted ===
+      rels.map(_.stripPrefix("data/")).sorted)
+    assert(VersionedTable.dvsAt(path, 1L) === Seq.empty)
+    assert(VersionedTable.actionAt(path, 1L) ===
+      "backfill:marks.dv into /tmp/ghost.parquet")
+    // history's file/dv counters use the same anchored parse
+    val h = VersionedTable.history(spark, path).where($"version" === 1L)
+      .collect().head
+    assert(h.getAs[Int]("n_files") === rels.size)
+    assert(h.getAs[Int]("n_dv_shards") === 0)
+    // a restore THROUGH the poisoned version carries only real entries
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), path, "overwrite")
+    val rv = VersionedTable.restore(path, 1L)
+    assert(ids(VersionedTable.readVersion(spark, path, rv)) === (0L until 10L))
+  }
+
   test("committer contract: rename and conditional-put both arbitrate the race; table runs on either") {
     // the object-store hook, contract-spec'd side by side with the
     // default: exactly one of two same-target publishes wins, the
