@@ -63,6 +63,40 @@ object Bench {
         .withFilter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
 
+    // ---- machine anchor: make the recorded artifact self-describing ----
+    // Raw totals drift 1.5-2x with fleet co-tenancy (r10 recorded 209.9s
+    // where a quiet-window rerun of identical code measured 180.8s). Run
+    // the MicroBench anchor suite FIRST: if it exceeds the clean-window
+    // baseline by >15%, wait and retry up to `anchorRetries` times so the
+    // recording lands in a quiet window when one exists; either way the
+    // measured anchor rides INSIDE the JSON line, so a reader divides out
+    // machine speed instead of guessing. A closing anchor is recorded too
+    // — a large open/close gap means conditions shifted MID-run and the
+    // per-query tail should be read with that in mind.
+    val anchorBaseline = 20.2 // r6/r7 clean-window micro_total, local[32]
+    def anchorOnce(): Double = {
+      val a = graft.tools.MicroBench.run(spark).map(_._2).sum
+      sweep(); System.gc()
+      a
+    }
+    val anchorRetries = sys.env.get("SPARK_GRAFT_ANCHOR_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(3)
+    var anchorSec = -1.0
+    var anchorAttempts = 0
+    if (anchorRetries > 0) {
+      var best = Double.MaxValue
+      while (anchorAttempts < anchorRetries && best > anchorBaseline * 1.15) {
+        anchorAttempts += 1
+        val a = anchorOnce()
+        best = math.min(best, a)
+        System.err.println(f"[bench] anchor attempt $anchorAttempts: $a%.1f s " +
+          f"(baseline $anchorBaseline%.1f, best $best%.1f)")
+        if (best > anchorBaseline * 1.15 && anchorAttempts < anchorRetries)
+          Thread.sleep(30000) // give a co-tenant burst a chance to pass
+      }
+      anchorSec = best
+    }
+
     var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -90,7 +124,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val marker = if (stagingFailed) ""","bucket_staging_failed":true""" else ""
+    val anchorClose = if (anchorRetries > 0) anchorOnce() else -1.0
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val marker = (if (stagingFailed) ""","bucket_staging_failed":true""" else "") +
+      (if (anchorRetries > 0)
+        s""","anchor_sec":${num(anchorSec)},"anchor_close_sec":${num(anchorClose)}""" +
+          s""","anchor_baseline_sec":$anchorBaseline,"anchor_attempts":$anchorAttempts"""
+       else "")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$medianOf$marker}""")
     // The full line above is now >4 KB (220+ queries) and recording
     // harnesses that keep only an output TAIL truncate its head — which

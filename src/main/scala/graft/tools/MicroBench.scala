@@ -30,6 +30,18 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val results = run(spark, n)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"micro_total","value":${results.map(_._2).sum},"unit":"sec","rows":$n,"workloads":$qs}""")
+    spark.stop()
+  }
+
+  /** The anchor workload suite, callable from an existing session —
+    * [[graft.Bench]] runs it before recording a bench artifact so every
+    * recorded total carries the machine anchor it was measured under
+    * (fleet co-tenancy drifts raw totals 1.5-2x across sessions; the
+    * anchor is the divisor that makes them comparable). */
+  def run(spark: SparkSession, n: Long = 10000000L): Seq[(String, Double)] = {
     import spark.implicits._
 
     // deterministic 10M-row numeric table (reference uses random tables)
@@ -86,9 +98,9 @@ object MicroBench {
           (0 until 24).map(i => s"c$i" -> Seq(Aggregates.Minimum, Aggregates.Maximum,
             Aggregates.Mean, Aggregates.Length))))
       }))
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"micro_total","value":${results.map(_._2).sum},"unit":"sec","rows":$n,"workloads":$qs}""")
-    spark.stop()
+    // the anchor must not leak state into a caller's session: the temp
+    // dir holds ~10M rows of parquet+csv per run
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    results
   }
 }
