@@ -485,24 +485,27 @@ object VersionedTable {
     val v = if (srcV >= 0) srcV else latestVersion(srcPath).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $srcPath does not exist"))
     // PIN FIRST, publish after: the pin makes source-side [[vacuum]]
-    // retain srcV ([[releaseClone]] drops it). Written before the
-    // manifest is read so a vacuum that ran BEFORE the pin is caught by
-    // the version re-check below, and one that reads pins AFTER it
-    // retains srcV. A RESIDUAL window remains: a vacuum that read the
-    // pin set just before this marker landed sweeps on stale pins —
-    // vacuum narrows it by re-reading pins immediately before its
-    // sweep, and the post-publish borrowed-bytes re-verify below turns
-    // the remnant into a loud abort instead of a corrupt clone. True
-    // closure needs a shared coordination primitive; operationally,
-    // don't race retention sweeps against clone creation.
+    // retain srcV ([[releaseClone]] drops it). The pin-land plus
+    // version-check pair runs under the [[withRegistryLock]]
+    // conditional-put lock, which vacuum holds from its pin read
+    // through its last delete — so the pin lands either before the
+    // sweep's liveness decision (srcV retained, manifest and files) or
+    // after the whole sweep (the version check below then fails loudly
+    // BEFORE anything is published). Between live processes there is no
+    // interleaving left that sweeps bytes a published clone borrows;
+    // the post-publish re-verify below stays as defense-in-depth for
+    // the lease-steal degradation documented on the lock.
     val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
-    writeBytes(marker,
-      s"""{"dst":"${esc(dstPath)}","srcV":$v}""".getBytes("UTF-8"))
     def abort(e: Throwable): Nothing = {
       fsOf(marker).delete(marker, false); throw e }
-    if (!versions(srcPath).contains(v)) abort(new IllegalArgumentException(
-      s"VersionedTable.cloneTable: version $v of $srcPath is gone " +
-        "(vacuumed before the pin landed)"))
+    withRegistryLock(srcPath) {
+      writeBytes(marker,
+        s"""{"dst":"${esc(dstPath)}","srcV":$v}""".getBytes("UTF-8"))
+      clonePinnedLockHook()
+      if (!versions(srcPath).contains(v)) abort(new IllegalArgumentException(
+        s"VersionedTable.cloneTable: version $v of $srcPath is gone " +
+          "(vacuumed before the pin landed)"))
+    }
     // absolute references: the clone's manifest points into the
     // source's directories (relOf against the CLONE root falls through
     // to no prefix match, so store the qualified source paths verbatim)
@@ -529,11 +532,14 @@ object VersionedTable {
     val dvs = dvsAt(srcPath, v).map(a => new HPath(a).toString)
     try publish(dstPath, 0L, -1L, s"clone:$srcPath@$v", files, dvs)
     catch { case e: Throwable => abort(e) }
-    // POST-PUBLISH re-verify: if a source vacuum read its pin set just
-    // before our marker landed, it may have swept srcV's bytes while we
-    // published against them. Detect the loss now and abort loudly
+    // POST-PUBLISH re-verify — defense-in-depth behind the registry
+    // lock: the one path left that could sweep borrowed bytes under a
+    // published clone is the double-steal lease degradation documented
+    // on [[withRegistryLock]]. Detect the loss now and roll back loudly
     // (clone manifest + pin removed) rather than leave a clone whose
-    // first read fails on missing files. ONE listing per source
+    // first read fails on missing files. Best-effort by nature (a
+    // mid-flight sweep can delete between this listing and our return);
+    // the lock is the actual guarantee. ONE listing per source
     // directory, not one RPC per borrowed file (a 100 TB manifest
     // carries 10^5+ files; the flat-layout guard above means every
     // borrow sits directly under the source's data/ or dv/).
@@ -581,6 +587,88 @@ object VersionedTable {
     val marker = new HPath(clonesDir(srcPath), cloneMarkerName(dstPath))
     if (exists(marker)) fsOf(marker).delete(marker, false)
   }
+
+  // ---- pin-registry lock: clone pins vs retention sweeps ----
+
+  /** CONDITIONAL-PUT REGISTRY LOCK serializing pin WRITES
+    * ([[cloneTable]]: marker-land + version-check, microseconds) against
+    * pin READS-plus-SWEEP ([[vacuum]]: liveness decision through the
+    * last manifest delete). Built on the same put-if-absent primitive
+    * the [[PutIfAbsentCommitter]] contract-proves for this store:
+    * `create(lock, overwrite = false)` admits exactly one holder.
+    *
+    * This CLOSES the pin/sweep race between live processes — a pin
+    * either lands before the sweep's pin read (its version is retained,
+    * files and manifest) or after the ENTIRE sweep (the clone then
+    * re-checks the source version and fails with the named "gone" error
+    * BEFORE publishing anything, exactly as if it had cloned an
+    * already-vacuumed version). No interleaving can publish a clone
+    * whose borrowed bytes a concurrent sweep removes.
+    *
+    * Crash recovery is lease-based and, without a compare-and-delete
+    * primitive, honest-best-effort: a holder that died leaves the lock
+    * until `leaseMs` passes, after which a waiter steals it (delete +
+    * re-create + READ-BACK-VERIFY of its own owner id — the verify makes
+    * single-stealer takeovers safe; two simultaneous stealers can in
+    * principle both proceed, which degrades to the pre-lock narrowed
+    * race: [[cloneTable]]'s post-publish re-verify still turns that
+    * remnant into a loud rollback, never a silent corrupt clone). Size
+    * `leaseMs` above the longest expected sweep. */
+  private[graft] def withRegistryLock[T](path: String,
+      leaseMs: Long = 30L * 60 * 1000,
+      waitMs: Long = 15L * 60 * 1000)(body: => T): T = {
+    val dir = clonesDir(path)
+    val lock = new HPath(dir, ".registry.lock")
+    val fs = fsOf(lock)
+    fs.mkdirs(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = false
+    while (!held) {
+      val won =
+        try {
+          val out = fs.create(lock, false) // put-if-absent: one winner
+          try out.write(
+            s"""{"owner":"$id","ts":${System.currentTimeMillis()}}"""
+              .getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      // read-back verify: create-then-write is not atomic as a pair, and
+      // a lease steal's delete could interleave — the holder of record
+      // is whoever's owner id the file carries NOW
+      held = won && (try readUtf8(lock).contains(id)
+        catch { case _: java.io.IOException => false })
+      if (!held) {
+        val staleSince =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.IOException => 0L } // gone: retry at once
+        if (staleSince > leaseMs) {
+          // crashed holder: steal (see the honesty note above)
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"VersionedTable: pin-registry lock at $path held for the full " +
+              s"${waitMs}ms wait — a sweep may be running long; retry, or " +
+              "raise waitMs/leaseMs if sweeps legitimately take longer")
+        else Thread.sleep(100)
+      }
+    }
+    try body
+    finally {
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Test seams (no-ops in production): run while the registry lock is
+    * HELD — [[clonePinnedLockHook]] inside [[cloneTable]] after the pin
+    * lands, [[vacuumSweepLockHook]] inside [[vacuum]] after the liveness
+    * decision and before the first delete. The race spec stretches these
+    * to prove the opposite operation blocks rather than interleaves. */
+  private[graft] var clonePinnedLockHook: () => Unit = () => ()
+  private[graft] var vacuumSweepLockHook: () => Unit = () => ()
 
   /** Table history as a DataFrame — version, manifest action, publish
     * instant (manifest mtime, the commit time by construction), file
@@ -2789,6 +2877,17 @@ object VersionedTable {
   def vacuum(path: String, keepVersions: Int,
       minAgeMs: Long = 60L * 60 * 1000): Unit = {
     require(keepVersions >= 1, "VersionedTable.vacuum: keep at least 1 version")
+    // the WHOLE pass — liveness decision through the last manifest
+    // delete — runs under the pin-registry lock, so a clone pin lands
+    // either before the decision (retained below) or after every
+    // delete (the clone's version check then fails loudly pre-publish).
+    // See [[withRegistryLock]] for the closure argument and the
+    // lease-steal honesty note.
+    withRegistryLock(path) { vacuumLocked(path, keepVersions, minAgeMs) }
+  }
+
+  private def vacuumLocked(path: String, keepVersions: Int,
+      minAgeMs: Long): Unit = {
     val vs = versions(path)
     val (dropRaw, keepRaw) = vs.splitAt(math.max(0, vs.length - keepVersions))
     // clone-pinned versions are retained — manifest AND files — no
@@ -2807,13 +2906,11 @@ object VersionedTable {
       if (ap.startsWith(root + "/")) ap.substring(root.length + 1) else ap
     }
     val live0 = keep.flatMap(filesAt(path, _)).map(relUnder(dataRoot)).toSet
-    // RE-READ the pins immediately before the sweep: [[cloneTable]]
-    // writes its marker BEFORE reading the source manifest, so a pin
-    // that landed during the O(versions) liveness scan above would be
-    // invisible to the first read but must still retain its version.
-    // This narrows (not closes — see cloneTable's post-publish
-    // re-verify for the other half) the pin/sweep race to the sweep
-    // itself; late pins are rare, so the extra manifest reads are ~0.
+    // RE-READ the pins immediately before the sweep. Under the registry
+    // lock no pin can land mid-pass, so this is normally a no-op — it
+    // stays as cheap defense-in-depth for the double-steal lease
+    // degradation documented on [[withRegistryLock]] (a stolen-lock
+    // clone's pin would land mid-scan exactly like the pre-lock race).
     val latePins = (pinnedVersions(path) -- pinned).intersect(drop.toSet)
     val dropFinal = drop.filterNot(latePins)
     val keepFinal = keep ++ drop.filter(latePins)
@@ -2828,6 +2925,7 @@ object VersionedTable {
             s.getModificationTime < cutoff)
           fs.delete(s.getPath, false)
       }
+    vacuumSweepLockHook() // test seam: liveness decided, nothing deleted yet
     sweep(dataDir(path), "", live)
     // DV shards are shared across versions (cumulative carry): live =
     // referenced by ANY retained manifest; same in-flight age guard
