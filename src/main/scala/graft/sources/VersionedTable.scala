@@ -1053,9 +1053,23 @@ object VersionedTable {
     * rebasable (the DV marks bind to that snapshot), so a lost race
     * with a foreign commit rethrows — dedicate the table to the stream
     * or serialize writers. Returns Some(version) when this call
-    * committed, None on replay. */
+    * committed, None on replay.
+    *
+    * SELF-MAINTENANCE: a long-lived upsert stream accretes one DV shard
+    * per micro-batch — the trickle-delete backlog [[maintenanceReport]]
+    * flags — and nobody runs a nightly job against a table only a
+    * stream writes. With `maintainEvery > 0` the sink invokes
+    * [[autoMaintain]] AFTER a successful commit every `maintainEvery`
+    * batches, or immediately once the shard count passes `maxDvShards`
+    * (one extra manifest read per batch). Maintenance commits carry
+    * their own actions ("coalesce-dv"/"optimize"), so the exactly-once
+    * tag scan walks straight past them; a maintenance FAILURE is logged
+    * and swallowed — the data commit already landed, and the next
+    * trigger retries — so a transient hiccup can't kill the stream. */
   def upsertStreamBatch(source: DataFrame, path: String, keyCols: Seq[String],
-      streamId: String, batchId: Long): Option[Long] = {
+      streamId: String, batchId: Long, maintainEvery: Int = 0,
+      maxDvShards: Int = 16,
+      maintainTargetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val tag = s"stream:$streamId:batch:"
     def newestDone(): Option[Long] = versions(path).reverseIterator
       .map(v => actionAt(path, v))
@@ -1066,11 +1080,30 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
     val (files, dvs) = upsertPayload(
       source.sparkSession, path, source, keyCols, cur)
-    try { publish(path, cur + 1, cur, s"$tag$batchId:upsert-dv", files, dvs)
-      Some(cur + 1) }
-    catch { case e: IllegalStateException =>
-      if (newestDone().exists(_ >= batchId)) None else throw e
+    val committed =
+      try { publish(path, cur + 1, cur, s"$tag$batchId:upsert-dv", files, dvs)
+        Some(cur + 1) }
+      catch { case e: IllegalStateException =>
+        if (newestDone().exists(_ >= batchId)) None else throw e
+      }
+    committed.foreach { v =>
+      val due = maintainEvery > 0 &&
+        (batchId % maintainEvery == (maintainEvery - 1).toLong ||
+          dvsAt(path, v).size > maxDvShards)
+      if (due) try {
+        val acts = autoMaintain(source.sparkSession, path,
+          targetBytes = maintainTargetBytes, maxDvShards = maxDvShards)
+        if (acts.nonEmpty) System.err.println(
+          s"[VersionedTable] stream $streamId self-maintained $path " +
+            s"after batch $batchId: ${acts.mkString(", ")}")
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[VersionedTable] stream $streamId: maintenance after batch " +
+            s"$batchId failed (data commit is safe; will retry next " +
+            s"trigger): $e")
+      }
     }
+    committed
   }
 
   /** Read the latest version. */

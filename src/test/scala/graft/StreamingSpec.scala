@@ -511,4 +511,55 @@ class StreamingSpec extends SparkSpec {
       assert(owners10 == Seq(20L), s"late smaller id stole the bucket: $owners10")
     } finally q2.stop()
   }
+
+  test("upsert stream self-coalesces its trickle DV backlog (autoMaintain wiring)") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a keyed mirror only a stream ever writes: nobody runs a nightly
+    // job against it, so the sink itself must apply the maintenance
+    // policy. One ~1.5MB base file keeps compact/purge quiet
+    // (maintainTargetBytes=256 -> no file is "small"; DV bytes stay
+    // well under 1% of data), so the SHARD-COUNT trigger is what fires.
+    val base = java.nio.file.Files.createTempDirectory("graft_sm").toString
+    val path = base + "/t"
+    VersionedTable.create(
+      spark.range(200000).select($"id", ($"id" * 10).as("x")).coalesce(1), path)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF.toDF("id", "x").writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        VersionedTable.upsertStreamBatch(b, path, Seq("id"), "sm", bid,
+          maintainEvery = 3, maxDvShards = 4, maintainTargetBytes = 256L)
+        (): Unit
+      }
+      .option("checkpointLocation", base + "/ck")
+      .start()
+    try {
+      // six trickle batches, each marking a few base rows via DV —
+      // the shard-per-batch accretion maintenanceReport flags
+      for (i <- 0 until 6) {
+        input.addData((i.toLong, -i.toLong), (1000L + i, 1L), (i + 7L, 77L))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream crossed the shard threshold MID-RUN and coalesced
+    // itself — no operator, no nightly job
+    val hist = VersionedTable.history(spark, path).collect()
+    assert(hist.exists(_.getString(1) == "coalesce-dv"),
+      s"no self-coalesce in history: ${hist.map(_.getString(1)).mkString(",")}")
+    val vLast = VersionedTable.latestVersion(path).get
+    assert(VersionedTable.dvsAt(path, vLast).size <= 4,
+      "backlog not bounded by the in-stream policy")
+    // keyed state is exactly the six batches applied over the base
+    val got = VersionedTable.read(spark, path)
+      .filter($"id".isin(3L, 9L, 1003L, 50000L))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> -3L, 9L -> 77L, 1003L -> 1L, 50000L -> 500000L))
+    assert(VersionedTable.read(spark, path).count() === 200000L)
+    // exactly-once replay protection walks straight past the
+    // maintenance commits' own actions
+    assert(VersionedTable.upsertStreamBatch(
+      Seq((0L, 9L)).toDF("id", "x"), path, Seq("id"), "sm", 2L) === None)
+  }
 }
