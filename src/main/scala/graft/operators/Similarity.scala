@@ -712,6 +712,76 @@ object Similarity {
       .unionByName(ivfIndex(touched, idCol, vecCol, centroids))
   }
 
+  /** Metadata-only IVF sizing for a VERSIONED corpus — the
+    * [[graft.operators.Joins.bloomJoinVersioned]] pattern applied to the
+    * ANN path, removing the caller-guessed nCells/nProbe magic numbers:
+    * (resolved version, nCells, nProbe) derived from the counts sidecar
+    * alone, no SparkSession, no job.
+    *
+    *  - nCells = clamp(⌈√n⌉, 1, maxCells): the classic IVF balance —
+    *    probe cost is nCells centroid scores + nProbe·(n/nCells)
+    *    candidate scores, minimized around √n — so the index stays
+    *    right-sized as the corpus grows from 10³ to 10¹⁰ rows with no
+    *    retuning (maxCells caps the centroid literal set the assignment
+    *    projection carries).
+    *  - nProbe = clamp(⌈nCells^recallTarget⌉, 1, nCells): a monotone
+    *    recall dial with honest endpoints — 0 probes one cell, 1 probes
+    *    every cell (exact search); it is a HEURISTIC dial, not a recall
+    *    guarantee.
+    *
+    * Under an outstanding DV backlog the physical row count bounds the
+    * live count from above — for sizing, the right direction. Throws
+    * when no counts sidecar covers the version: size explicitly via
+    * [[ivfTopKWithCentroids]] rather than let a silent guess misshape
+    * the index. */
+  def ivfSizeFromSidecars(path: String, version: Long = -1L,
+      recallTarget: Double = 0.5, maxCells: Int = 4096): (Long, Int, Int) = {
+    import graft.sources.VersionedTable
+    require(recallTarget >= 0.0 && recallTarget <= 1.0,
+      s"ivfSizeFromSidecars: recallTarget in [0,1], got $recallTarget")
+    val v = if (version >= 0) version
+      else VersionedTable.latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"ivfSizeFromSidecars: $path does not exist"))
+    val n = VersionedTable.rowCountEstimateAt(path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"ivfSizeFromSidecars: no counts sidecar covers $path@$v — write " +
+          "one (VersionedTable.writeCounts) or size the index explicitly " +
+          "via ivfTopKWithCentroids"))
+    val nCells = math.max(1L, math.min(maxCells.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val nProbe = math.max(1, math.min(nCells,
+      math.ceil(math.pow(nCells.toDouble, recallTarget)).toInt))
+    (v, nCells, nProbe)
+  }
+
+  /** IVF ANN over a VERSIONED corpus with METADATA-DERIVED sizes
+    * ([[ivfSizeFromSidecars]]): the serving path a 100 TB vector store
+    * actually runs — the corpus is a [[graft.sources.VersionedTable]]
+    * release, the index shape follows the release's row count
+    * automatically, and nothing about the call changes as the table
+    * grows. Centroids are pinned to the nCells LOWEST-id corpus vectors
+    * (deterministic, no RNG, no iteration — an external engine replays
+    * sizing, assignment, probing and ranking end to end, which is what
+    * hash-gates this face); swap in a [[lloydRefine]] fit via
+    * [[ivfTopKWithCentroidsD]] when centroid quality matters more than
+    * replayability. */
+  def ivfTopKVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, recallTarget: Double = 0.5, version: Long = -1L,
+      maxCells: Int = 4096): DataFrame = {
+    import graft.sources.VersionedTable
+    val (v, nCells, nProbe) =
+      ivfSizeFromSidecars(path, version, recallTarget, maxCells)
+    val corpus = VersionedTable.readVersion(spark, path, v)
+    // bounded driver collect by construction: ≤ maxCells vectors
+    val cents = corpus.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol).cast(ArrayType(FloatType)))
+      .collect().map(_.getSeq[Float](0).toArray)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Float]], nProbe: Int): DataFrame =

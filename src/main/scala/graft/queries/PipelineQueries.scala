@@ -1790,6 +1790,32 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF over a VERSIONED corpus, sizes from METADATA: the embedding
+    // release lands as a VersionedTable (create + append commits, counts
+    // sidecar), and nCells/nProbe come from ivfSizeFromSidecars —
+    // nCells = ceil(sqrt(n)) from the counts sidecar, nProbe =
+    // ceil(nCells^0.5) from the default recall target — with NO
+    // caller-guessed numbers anywhere. The oracle recomputes the sizing
+    // rule from count(*) and replays centroid selection (lowest-id
+    // vectors), assignment, probing and ranking, so a slip in EITHER the
+    // metadata sizing OR the versioned read hash-mismatches.
+    "q_ann_ivf_vt" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfvt").toString
+      val path = base + "/emb"
+      VersionedTable.create(
+        emb.filter(col("vec_id") % 3 =!= 0).repartition(4), path)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 3 === 0).repartition(2), path, "append")
+      VersionedTable.writeCounts(s, path, v1)
+      Similarity.ivfTopKVersioned(s, path, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Maintained IVF index: the embedding corpus takes a CDC release
     // (drop %97, flip sign of %53, add %89 under new ids) and the
     // MATERIALIZED (id, cell) index is refreshed from the change set
@@ -5229,6 +5255,46 @@ object PipelineQueries {
         |query_cell AS (
         |  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 4),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(qv.v, cv.v) /
+        |      (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+        |  FROM query_cell JOIN corpus_cell USING (cell)
+        |  JOIN v qv ON qv.vec_id = qid JOIN v cv ON cv.vec_id = nid
+        |  WHERE nid <> qid)
+        |SELECT qid AS query_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
+        |  nid AS neighbor_id, round(cos, 6) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the metadata sizing rule replayed from count(*): nCells =
+    // ceil(sqrt(n)) (the counts sidecar's total over the versioned
+    // release = the plain table count), nProbe = ceil(nCells^0.5),
+    // centroids = the nCells lowest-id vectors — then the same pinned
+    // assignment/probe/rank replay as q_ann_ivf_pinned
+    "q_ann_ivf_vt" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |params AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells,
+        |    GREATEST(1, CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)) AS nprobe
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS c FROM (
+        |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM v), params
+        |  WHERE rn <= ncells),
+        |sim AS (
+        |  SELECT vec_id, cid,
+        |    list_dot_product(v.v, cent.c) /
+        |      (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.c, cent.c))) AS s
+        |  FROM v, cent),
+        |corpus_cell AS (
+        |  SELECT vec_id AS nid, cid AS cell FROM sim
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+        |query_cell AS (
+        |  SELECT vec_id AS qid, cid AS cell FROM sim, params WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= nprobe),
         |scored AS (
         |  SELECT qid, nid,
         |    list_dot_product(qv.v, cv.v) /

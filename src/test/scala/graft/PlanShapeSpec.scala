@@ -616,7 +616,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_table_sums_live" -> 1,
       // live mean/std: same LocalTableScan shape (moments arithmetic
       // is driver-side over the sidecar minus deleted-value moments)
-      "q_table_moments_live" -> 1)
+      "q_table_moments_live" -> 1,
+      // metadata-sized IVF over a versioned corpus: sizing + centroid
+      // collect ran eagerly (sidecar arithmetic + a bounded
+      // TakeOrderedAndProject); the graded plan is the pinned-IVF
+      // shape — narrow assignment, broadcast query probe, rank window
+      // + oracle orderBy
+      "q_ann_ivf_vt" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
