@@ -1267,33 +1267,71 @@ object VersionedTable {
     * `k=v` directories — and with them directory-based partition
     * pruning and every per-partition metadata face — are gone). An
     * unattended job must never do that silently, so on a partitioned
-    * table the compact/purge action is NOT applied: the pass records
-    * `skip-optimize:partitioned` (route layout rewrites through
-    * [[optimizePartitioned]] / [[commitPartitioned]]'s
-    * `overwritePartitions` explicitly) and still runs the
-    * layout-preserving [[coalesceDv]] when a DV backlog is the trigger
-    * — a coalesce carries the manifest's file entries verbatim, so the
-    * partitioned layout is untouched while the per-read shard tax
-    * drops. */
+    * table the compact/purge action is ROUTED through the
+    * layout-preserving [[optimizePartitioned]] instead: a compact
+    * trigger rewrites only the partitions that actually hold small
+    * files, a purge trigger rewrites every partition (the wholesale DV
+    * purge [[optimize]] performs on flat tables), and a follow-up
+    * [[coalesceDv]] garbage-collects the marks the rewrite left
+    * dangling (dropping the DV list entirely when none survive, which
+    * re-enables the exact-physical metadata faces). Only when the
+    * layout defeats single-column routing (multi-level `k1=/k2=`
+    * nesting or a mixed flat+partitioned file set) does the pass fall
+    * back to recording `skip-optimize:partitioned` — never a silent
+    * flatten — while still bounding a fragmented backlog with the
+    * (always layout-preserving) coalesce. */
   def autoMaintain(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, maxDvShards: Int = 16,
       statsCol: Option[String] = None): Seq[String] = {
     val r = maintenanceReport(spark, path, targetBytes, maxDvShards)
       .collect().head
     val v = r.getAs[Long]("version")
-    val partitioned = fileEntriesAt(path, v)
-      .exists(e => new HPath(e).getParent.getName.contains("="))
-    if (r.getAs[Boolean]("recommend_compact") ||
-        r.getAs[Boolean]("recommend_purge")) {
-      if (partitioned) {
-        // purge pressure is a DV backlog too — coalesce bounds the
-        // shard count without flattening the layout
-        if (dvsAt(path, v).size >= 2 && coalesceDv(spark, path) != v)
-          Seq("skip-optimize:partitioned", "coalesce-dv")
-        else Seq("skip-optimize:partitioned")
-      } else {
+    val parents = fileEntriesAt(path, v).map(e => new HPath(e).getParent)
+    val partitioned = parents.exists(_.getName.contains("="))
+    // single-level single-column layouts route; anything stranger skips
+    val routeCol: Option[String] =
+      if (!partitioned) None
+      else {
+        val cols = parents.filter(_.getName.contains("="))
+          .map(_.getName.takeWhile(_ != '=')).distinct
+        val mixed = parents.exists(!_.getName.contains("="))
+        val nested = parents.exists(p =>
+          Option(p.getParent).exists(_.getName.contains("=")))
+        if (cols.size == 1 && !mixed && !nested) Some(cols.head) else None
+      }
+    val purge = r.getAs[Boolean]("recommend_purge")
+    if (r.getAs[Boolean]("recommend_compact") || purge) {
+      if (!partitioned) {
         optimize(spark, path, targetBytes, statsCol = statsCol)
         Seq("optimize")
+      } else routeCol match {
+        case Some(pc) =>
+          // purge rewrites every partition (marks must all dangle for
+          // the backlog to drop); compact touches only the partitions
+          // that hold small files
+          val pre = pc + "="
+          def len(abs: String): Long = {
+            val p = new HPath(abs); fsOf(p).getFileStatus(p).getLen }
+          val values =
+            if (purge) partitionsAt(path, v, pc)
+            else filesAt(path, v).filter(a => len(a) < targetBytes / 2)
+              .map(a => new HPath(a).getParent.getName.stripPrefix(pre))
+              .distinct.sorted
+          val v1 = optimizePartitioned(spark, path, pc, values, targetBytes,
+            sortCol = statsCol.getOrElse(pc))
+          // GC the marks the rewrite dangled (minShards=1: a purge that
+          // dangled EVERYTHING drops the DV list outright, re-enabling
+          // the physical metadata faces exactly like flat optimize)
+          if (dvsAt(path, v1).nonEmpty && coalesceDv(spark, path,
+              minShards = 1) != v1)
+            Seq(s"optimize-partitioned:$pc", "coalesce-dv")
+          else Seq(s"optimize-partitioned:$pc")
+        case None =>
+          // un-routable layout: refuse to flatten, still bound a
+          // fragmented backlog with the layout-preserving coalesce
+          if (dvsAt(path, v).size >= 2 && coalesceDv(spark, path) != v)
+            Seq("skip-optimize:partitioned", "coalesce-dv")
+          else Seq("skip-optimize:partitioned")
       }
     } else if (r.getAs[Boolean]("recommend_coalesce_dv")) {
       coalesceDv(spark, path)

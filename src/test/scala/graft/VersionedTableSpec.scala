@@ -276,34 +276,59 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() === n1)
   }
 
-  test("autoMaintain never flattens a hive-partitioned layout") {
+  test("autoMaintain never flattens a hive-partitioned layout: compact/purge route per partition") {
     val path = fresh()
-    // many tiny files per partition: the compact trigger fires, but an
-    // unattended optimize() would rewrite the k=v directories into a
-    // flat layout — the pass must skip it and say so
+    val tb = 1L * 1024 * 1024
+    def layoutIsPartitioned(v: Long): Boolean =
+      VersionedTable.filesAt(path, v).forall(a =>
+        new org.apache.hadoop.fs.Path(a).getParent.getName.startsWith("p="))
+    // 32 tiny files across 2 partitions: the compact trigger fires; the
+    // unattended pass must compact PER PARTITION (optimize() would
+    // silently flatten the k=v directories)
     VersionedTable.createPartitioned(
-      spark.range(1000).select($"id", ($"id" % 2).cast("string").as("p"))
+      spark.range(2000000L).select($"id", ($"id" % 2).cast("string").as("p"))
         .repartition(16), path, "p")
-    val r = VersionedTable.maintenanceReport(spark, path).collect().head
-    assert(r.getAs[Boolean]("recommend_compact"))
-    assert(VersionedTable.autoMaintain(spark, path) ===
-      Seq("skip-optimize:partitioned"))
-    // a trickle-delete backlog on the same partitioned table: the pass
-    // still applies the layout-PRESERVING coalesce alongside the skip
+    assert(VersionedTable.maintenanceReport(spark, path, targetBytes = tb)
+      .collect().head.getAs[Boolean]("recommend_compact"))
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      statsCol = Some("id")) === Seq("optimize-partitioned:p"))
+    val v1 = VersionedTable.latestVersion(path).get
+    assert(layoutIsPartitioned(v1), "compaction flattened the k=v layout")
+    assert(VersionedTable.filesAt(path, v1).size < 32)
+    assert(VersionedTable.read(spark, path).count() === 2000000L)
+    // healthy now: the next pass does nothing
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      statsCol = Some("id")) === Nil)
+    // fragmented trickle backlog, healthy files: coalesce alone, layout
+    // untouched (coalesce republishes the file entries verbatim)
     (1 to 6).foreach(i =>
-      VersionedTable.deleteWhere(spark, path, col("id") % 97 === i.toLong))
-    val n0 = VersionedTable.read(spark, path).count()
-    assert(VersionedTable.autoMaintain(spark, path, maxDvShards = 4) ===
-      Seq("skip-optimize:partitioned", "coalesce-dv"))
-    val v = VersionedTable.latestVersion(path).get
-    assert(VersionedTable.dvsAt(path, v).size === 1)
-    assert(VersionedTable.read(spark, path).count() === n0)
+      VersionedTable.deleteWhere(spark, path, col("id") % 100003 === i.toLong))
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      maxDvShards = 4, statsCol = Some("id")) === Seq("coalesce-dv"))
+    val v2 = VersionedTable.latestVersion(path).get
+    assert(VersionedTable.dvsAt(path, v2).size === 1)
+    assert(layoutIsPartitioned(v2))
+    // purge-scale backlog: EVERY partition rewritten, dangled marks
+    // GC'd, DV list dropped outright — flat optimize's wholesale purge,
+    // with the layout preserved
+    VersionedTable.deleteWhere(spark, path, col("id") % 3 === 0)
+    val nLive = VersionedTable.read(spark, path).count()
+    assert(VersionedTable.maintenanceReport(spark, path, targetBytes = tb)
+      .collect().head.getAs[Boolean]("recommend_purge"))
+    assert(VersionedTable.autoMaintain(spark, path, targetBytes = tb,
+      statsCol = Some("id")) === Seq("optimize-partitioned:p", "coalesce-dv"))
+    val v3 = VersionedTable.latestVersion(path).get
+    assert(!VersionedTable.hasDeletes(path, v3), "purge left DVs behind")
+    assert(layoutIsPartitioned(v3))
+    assert(VersionedTable.read(spark, path).count() === nLive)
     // the per-partition metadata faces survive — the silent breakage
-    // the unguarded optimize() caused
-    VersionedTable.writeCounts(spark, path, v)
-    val parts = VersionedTable.partitionRowCountsLive(spark, path, v, "p").get
+    // the unguarded optimize() caused — and the physical faces are
+    // re-enabled by the purge
+    VersionedTable.writeCounts(spark, path, v3)
+    assert(VersionedTable.countAt(path, v3) === Some(nLive))
+    val parts = VersionedTable.partitionRowCounts(path, v3, "p").get
     assert(parts.map(_._1).sorted === Seq("0", "1"))
-    assert(parts.map(_._2).sum === n0)
+    assert(parts.map(_._2).sum === nLive)
   }
 
   test("manifest entry parsing is anchored to the files/dv arrays") {
