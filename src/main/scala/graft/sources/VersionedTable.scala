@@ -652,7 +652,10 @@ object VersionedTable {
             s"VersionedTable: pin-registry lock at $path held for the full " +
               s"${waitMs}ms wait — a sweep may be running long; retry, or " +
               "raise waitMs/leaseMs if sweeps legitimately take longer")
-        else Thread.sleep(100)
+        // jittered: waiters parked on the same 100ms tick would otherwise
+        // wake together after a release and race the (locally non-atomic)
+        // create into the read-back window
+        else Thread.sleep(60 + scala.util.Random.nextInt(80))
       }
     }
     try body

@@ -564,6 +564,53 @@ class PipelineSpec extends SparkSpec {
     assert(refined.head.toSeq != dup.head.toSeq) // the winner cell DID refit
   }
 
+  test("ivfSizeFromSidecars: metadata sizing rule, clamps, refusal; versioned IVF = pinned IVF") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 150L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsz").toString + "/t"
+    VersionedTable.create(vecs.repartition(3), path)
+    VersionedTable.writeCounts(spark, path, 0L)
+    // the rule: nCells = ceil(sqrt(150)) = 13, nProbe = ceil(13^0.5) = 4
+    assert(Similarity.ivfSizeFromSidecars(path) === ((0L, 13, 4)))
+    // recall-dial endpoints: 0 probes one cell, 1 probes every cell
+    assert(Similarity.ivfSizeFromSidecars(path, recallTarget = 0.0)._3 === 1)
+    assert(Similarity.ivfSizeFromSidecars(path, recallTarget = 1.0)._3 === 13)
+    // maxCells caps the centroid set (and the probe clamp follows it)
+    assert(Similarity.ivfSizeFromSidecars(path, maxCells = 5)._2 === 5)
+    // no counts sidecar: a NAMED refusal, never a silent guess
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivfsz").toString + "/b"
+    VersionedTable.create(vecs.limit(10), bare)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfSizeFromSidecars(bare))
+    assert(e.getMessage.contains("counts sidecar"))
+    // the versioned entry point IS pinned IVF with the derived sizes and
+    // the nCells lowest-id centroids — proven by equality
+    val queries = vecs.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val got = rows(Similarity.ivfTopKVersioned(
+      spark, path, queries, "vec_id", "embedding", 3))
+    val cents = vecs.orderBy(col("vec_id")).limit(13)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val want = rows(Similarity.ivfTopKWithCentroids(
+      VersionedTable.readVersion(spark, path, 0L), queries,
+      "vec_id", "embedding", 3, cents, nProbe = 4))
+    assert(got === want)
+    // under a DV backlog the sizing stays physical (an upper bound — the
+    // documented direction) and the read stays LIVE: deleted ids can
+    // never surface as neighbors
+    val v1 = VersionedTable.deleteWhere(spark, path, col("vec_id") % 5 === 4)
+    VersionedTable.writeCounts(spark, path, v1)
+    assert(Similarity.ivfSizeFromSidecars(path)._2 === 13) // physical count
+    val live = Similarity.ivfTopKVersioned(
+      spark, path, queries, "vec_id", "embedding", 3)
+      .select(col("neighbor_id")).as[Long].collect()
+    assert(live.nonEmpty && live.forall(_ % 5 != 4))
+  }
+
   test("bloomJoinVersioned equals the plain live join under a DV backlog") {
     import graft.sources.VersionedTable
     import spark.implicits._
