@@ -2951,17 +2951,42 @@ object VersionedTable {
   def vacuum(path: String, keepVersions: Int,
       minAgeMs: Long = 60L * 60 * 1000): Unit = {
     require(keepVersions >= 1, "VersionedTable.vacuum: keep at least 1 version")
-    // the WHOLE pass — liveness decision through the last manifest
-    // delete — runs under the pin-registry lock, so a clone pin lands
-    // either before the decision (retained below) or after every
-    // delete (the clone's version check then fails loudly pre-publish).
+    // The pin-registry lock covers the LIVENESS DECISION and MANIFEST
+    // RETIREMENT only — O(versions) manifest I/O, so a racing clone
+    // waits milliseconds, not the length of the sweep. A clone pin
+    // lands either before the decision (retained below) or after the
+    // dropped manifests are gone (its version check fails loudly
+    // pre-publish). Physical reclamation then runs LOCK-FREE, which is
+    // safe because manifests retire first: any pin landing after the
+    // lock releases can only reference RETAINED manifests, whose files
+    // are never in the delete sets computed under the lock — at 100 TB
+    // the O(dead-files) delete fan-out must not serialize clone
+    // creation behind it. (A vacuum that dies mid-reclamation leaves
+    // only unreferenced bytes; the next pass's sweep collects them.)
     // See [[withRegistryLock]] for the closure argument and the
     // lease-steal honesty note.
-    withRegistryLock(path) { vacuumLocked(path, keepVersions, minAgeMs) }
+    val (live, liveDv) =
+      withRegistryLock(path) { vacuumDecide(path, keepVersions) }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val fs = fsOf(dataDir(path))
+    def sweep(dir: HPath, prefix: String, liveSet: Set[String]): Unit =
+      listNames(dir).foreach { s =>
+        if (s.isDirectory) sweep(s.getPath, prefix + s.getPath.getName + "/", liveSet)
+        else if (!liveSet.contains(prefix + s.getPath.getName) &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, false)
+      }
+    sweep(dataDir(path), "", live)
+    // DV shards are shared across versions (cumulative carry): live =
+    // referenced by ANY retained manifest; same in-flight age guard
+    if (exists(dvDir(path))) sweep(dvDir(path), "", liveDv)
   }
 
-  private def vacuumLocked(path: String, keepVersions: Int,
-      minAgeMs: Long): Unit = {
+  /** The locked half of [[vacuum]]: decide liveness, retire dropped
+    * manifests (and their sidecar families), return the live data and
+    * DV rel-sets the lock-free physical sweep must preserve. */
+  private def vacuumDecide(path: String,
+      keepVersions: Int): (Set[String], Set[String]) = {
     val vs = versions(path)
     val (dropRaw, keepRaw) = vs.splitAt(math.max(0, vs.length - keepVersions))
     // clone-pinned versions are retained — manifest AND files — no
@@ -2990,24 +3015,15 @@ object VersionedTable {
     val keepFinal = keep ++ drop.filter(latePins)
     val live = live0 ++
       drop.filter(latePins).flatMap(filesAt(path, _)).map(relUnder(dataRoot))
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    val fs = fsOf(dataDir(path))
-    def sweep(dir: HPath, prefix: String, liveSet: Set[String]): Unit =
-      listNames(dir).foreach { s =>
-        if (s.isDirectory) sweep(s.getPath, prefix + s.getPath.getName + "/", liveSet)
-        else if (!liveSet.contains(prefix + s.getPath.getName) &&
-            s.getModificationTime < cutoff)
-          fs.delete(s.getPath, false)
-      }
+    // DV liveness must be read BEFORE the dropped manifests retire
+    val dvRoot = dvDir(path).toUri.getPath
+    val liveDv = keepFinal.flatMap(dvsAt(path, _)).map(relUnder(dvRoot)).toSet
     vacuumSweepLockHook() // test seam: liveness decided, nothing deleted yet
-    sweep(dataDir(path), "", live)
-    // DV shards are shared across versions (cumulative carry): live =
-    // referenced by ANY retained manifest; same in-flight age guard
-    if (exists(dvDir(path))) {
-      val dvRoot = dvDir(path).toUri.getPath
-      val liveDv = keepFinal.flatMap(dvsAt(path, _)).map(relUnder(dvRoot)).toSet
-      sweep(dvDir(path), "", liveDv)
-    }
+    // retire the dropped manifests UNDER the lock, before any byte is
+    // reclaimed: a clone acquiring the lock next fails its version
+    // check on a dropped version instead of pinning bytes the lock-free
+    // sweep is about to (or has begun to) remove
+    val fs = fsOf(versionsDir(path))
     dropFinal.foreach { v =>
       fs.delete(versionFile(path, v), false)
       // every sidecar of the dropped version goes with it (stats,
@@ -3018,5 +3034,6 @@ object VersionedTable {
         .filter(_.getPath.getName.startsWith(f"v$v%08d."))
         .foreach(s => fs.delete(s.getPath, true))
     }
+    (live, liveDv)
   }
 }
