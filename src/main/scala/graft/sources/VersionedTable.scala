@@ -147,10 +147,12 @@ object VersionedTable {
     * create — no rename step exists to be non-atomic. A reader can see
     * the target mid-write on stores where length is visible before
     * close; manifests are single-digit-KB, so the window is one
-    * buffer flush, and [[filesAt]]'s regex parse of a torn manifest
-    * yields files the next retry re-lists (never a corrupt table —
-    * data files referenced by no OTHER manifest are vacuum-protected
-    * by minAgeMs). Contract-spec'd side by side with the rename
+    * buffer flush, and [[filesAt]]'s span parse of a torn manifest
+    * fails LOUDLY (unterminated array) rather than silently yielding a
+    * partial file list; [[appendWithRetry]]'s lost-race re-verify
+    * catches that and retries (never a corrupt table — data files
+    * referenced by no OTHER manifest are vacuum-protected by
+    * minAgeMs). Contract-spec'd side by side with the rename
     * committer: exactly one of two same-target publishes wins. */
   object PutIfAbsentCommitter extends ManifestCommitter {
     def publish(fc: FileContext, tmp: HPath, target: HPath): Unit = {
@@ -431,9 +433,15 @@ object VersionedTable {
           // newFiles.nonEmpty: an EMPTY append stages no files, making
           // the subset test vacuously true against a foreign winner's
           // manifest — an empty rebase is harmless, so just retry.
-          if (newFiles.nonEmpty && versions(path).contains(cur + 1) &&
-              newFiles.forall(
-                filesAt(path, cur + 1).map(relOf(path, _)).toSet))
+          // A TORN read of the winner's manifest (conditional-put bytes
+          // still landing) makes the span parse throw — treat exactly as
+          // "not our win" and retry, as the old partial-regex read did.
+          val wonFiles =
+            if (newFiles.nonEmpty && versions(path).contains(cur + 1))
+              try Some(filesAt(path, cur + 1).map(relOf(path, _)).toSet)
+              catch { case _: IllegalStateException => None }
+            else None
+          if (wonFiles.exists(newFiles.forall))
             return cur + 1
           attempt += 1
           if (attempt > maxRetries) throw new IllegalStateException(
@@ -471,13 +479,13 @@ object VersionedTable {
     * zero-copy dev/test branch of a 100 TB table, created in O(one
     * manifest write). Commits to the clone never touch the source
     * (new files stage under the CLONE's root; overwrite commits simply
-    * drop the borrowed references). The one lifecycle caveat, same as
-    * Delta's: the clone PINS source files by reference, but the
-    * source's [[vacuum]] cannot see foreign manifests — vacuuming the
-    * source past `srcV` can delete bytes the clone still references.
-    * Retain `srcV` on the source for the clone's lifetime, or
-    * [[compact]] the clone to localize it (its rewrite stages under
-    * the clone's root, after which no borrowed reference remains). */
+    * drop the borrowed references). Lifecycle: the clone registers a
+    * PIN marker under the source's `_clones/`, which source-side
+    * [[vacuum]] honors (srcV retained — manifest and files — no matter
+    * how old, serialized against sweeps by [[withRegistryLock]]); call
+    * [[releaseClone]] when the clone is deleted, or [[compact]] the
+    * clone to localize it (its rewrite stages under the clone's root,
+    * after which no borrowed reference remains and the pin can drop). */
   def cloneTable(srcPath: String, dstPath: String,
       srcV: Long = -1L): Long = {
     require(versions(dstPath).isEmpty,
