@@ -1200,4 +1200,100 @@ object TextOps {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** TRAIN a multinomial Naive Bayes text classifier — the trained
+    * quality/domain classifier of a curation pipeline (the fastText/CCNet
+    * role), as a closed-form distributed aggregation: no iterative fit, so
+    * the whole model is replayable by any SQL engine and deterministic at
+    * every scale. Vocabulary = the top `vocabK` whitespace tokens of the
+    * training corpus by total count (ties broken lexicographically) —
+    * computed with a distributed TakeOrdered (per-partition top-K merged on
+    * the driver), never a global window sort, so a 100 TB corpus's billions
+    * of distinct terms are reduced map-side. Add-one smoothing over the
+    * vocabulary; out-of-vocabulary tokens are ignored (the fixed-vocab
+    * convention, which keeps apply-time joins against a broadcastable
+    * `vocabK × |labels|` model).
+    *
+    * Determinism: every count is exact; each log-likelihood/log-prior is
+    * floored to integer MICROS once per (label, term) — the repo's
+    * floor-micros carrier — so apply-time scores are exact integer sums,
+    * independent of summation order and bit-identical across engines.
+    *
+    * Returns (loglik, priors): `loglik` has one row per (label, vocab
+    * term) with `lpm` = floor(1e6·ln((cnt+1)/(totC+V))); `priors` one row
+    * per label with `prior_m` = floor(1e6·ln(nDocs_label/nDocs)). Both are
+    * ≤ `vocabK·|labels|` rows — broadcast them at apply time. */
+  def trainNaiveBayes(train: DataFrame, textCol: String, labelCol: String,
+      vocabK: Int = 400): (DataFrame, DataFrame) = {
+    require(vocabK >= 1, "trainNaiveBayes: vocabK must be >= 1")
+    val tok = train.select(col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("t"))
+    // TakeOrderedAndProject: total order (count desc, term asc) so the
+    // top-K cut is unique; no global window
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("t")).limit(vocabK)
+      .select(col("t"))
+    // V is the REALIZED vocab size (< vocabK on small corpora) — it is
+    // the smoothing denominator, so pin it once on the driver
+    val vsz = vocab.count()
+    val cnt = tok.join(broadcast(vocab), Seq("t"))
+      .groupBy(col("label"), col("t")).agg(count(lit(1)).as("__n"))
+    val tot = cnt.groupBy(col("label")).agg(sum(col("__n")).as("__tc"))
+    val labels = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nd"))
+    // dense (label × vocab) grid: unseen pairs get the smoothed floor
+    // probability 1/(totC+V), so apply never needs a per-token fallback
+    val loglik = labels.select(col("label")).crossJoin(broadcast(vocab))
+      .join(cnt, Seq("label", "t"), "left")
+      .join(tot, Seq("label"), "left")
+      .select(col("label"), col("t"),
+        floor(log((coalesce(col("__n"), lit(0L)).cast(DoubleType) + 1.0) /
+          (coalesce(col("__tc"), lit(0L)) + vsz).cast(DoubleType)) * 1e6)
+          .cast(LongType).as("lpm"))
+    val priors = labels
+      .crossJoin(broadcast(labels.agg(sum(col("__nd")).as("__ntr"))))
+      .select(col("label"),
+        floor(log(col("__nd").cast(DoubleType) / col("__ntr").cast(DoubleType)) * 1e6)
+          .cast(LongType).as("prior_m"))
+    // materialize the model (<= vocabK·|labels| rows): train once, apply
+    // to any corpus — the serving plan stays the narrow broadcast shape
+    // instead of re-deriving the training aggregations per query (the
+    // OPQ localCheckpoint-barrier precedent)
+    (loglik.localCheckpoint(), priors.localCheckpoint())
+  }
+
+  /** APPLY a [[trainNaiveBayes]] model: score every document against every
+    * label (integer-micros log-posterior = prior + Σ tokenCount·lpm — an
+    * EXACT integer sum, so the argmax is order-independent), predict the
+    * argmax with ties to the lexicographically first label. Documents with
+    * zero vocabulary tokens score the bare priors (prior argmax). Scale
+    * shape: per-doc token counts are one keyed aggregation, the model join
+    * is a broadcast (≤ vocabK·|labels| rows), and the per-(doc,label)
+    * aggregate plus the per-doc argmax window all partition by doc — no
+    * global shuffle wider than the corpus. */
+  def naiveBayesClassify(docs: DataFrame, textCol: String, idCol: String,
+      loglik: DataFrame, priors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dcnt = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("__dc"))
+    // loglik carries EVERY label per vocab term (dense grid), so one
+    // broadcast join yields all |labels| scores for any doc with >= 1
+    // vocab token; the left join from the doc×priors base only fills in
+    // the zero-vocab-token docs
+    val contrib = dcnt.join(broadcast(loglik), Seq("t"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__dc") * col("lpm")).as("__s"),
+        sum(col("__dc")).as("__ntok"))
+    val scored = docs.select(col(idCol)).crossJoin(broadcast(priors))
+      .join(contrib, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("prior_m") + coalesce(col("__s"), lit(0L))).as("nb_score_micros"),
+        coalesce(col("__ntok"), lit(0L)).as("n_vocab_toks"))
+    scored.withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("nb_score_micros").desc, col("label"))))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("label").as("nb_pred"),
+        col("nb_score_micros"), col("n_vocab_toks"))
+  }
 }

@@ -1955,6 +1955,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAINED quality/domain classifier (the fastText/CCNet role):
+    // multinomial Naive Bayes over the top-400 whitespace tokens,
+    // trained on the even-doc_id half's lang labels, applied to every
+    // doc. Closed-form distributed fit (no iterations) with the
+    // floor-micros log carrier, so scores are exact integer sums and
+    // the argmax is order-independent — the oracle replays train+apply
+    // end-to-end in SQL.
+    "q_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (loglik, priors) = TextOps.trainNaiveBayes(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang", vocabK = 400)
+      TextOps.naiveBayesClassify(docs, "text", "doc_id", loglik, priors)
+        .orderBy(col("doc_id"))
+    }),
+
     // Versioned table end-to-end: create v0 from documents, apply the
     // CDC release (drop %97, ' v2' %53, re-add %89) as a copy-on-write
     // overwrite commit (v1), then compact (v2) — and read ALL THREE
@@ -5478,6 +5493,51 @@ object PipelineQueries {
         |  SELECT s.doc_id, l.lang, 300::BIGINT FROM short s CROSS JOIN langs l)
         |SELECT doc_id, lang AS lang_pred, dist AS ct_dist FROM scored
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_nb_classify" ->
+      """WITH tr AS (
+        |  SELECT lang AS label, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tok AS (SELECT label, unnest(toks) AS t FROM tr),
+        |vocab AS (
+        |  SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+        |  ORDER BY c DESC, t LIMIT 400),
+        |vsz AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        |lab AS (SELECT lang AS label, count(*)::BIGINT AS nd
+        |        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ntr AS (SELECT sum(nd)::BIGINT AS n FROM lab),
+        |cnt AS (SELECT label, t, count(*)::BIGINT AS c
+        |        FROM tok JOIN vocab USING (t) GROUP BY label, t),
+        |tot AS (SELECT label, sum(c)::BIGINT AS tc FROM cnt GROUP BY label),
+        |ll AS (
+        |  SELECT l.label, v.t,
+        |    CAST(floor(ln((coalesce(c.c, 0) + 1)::DOUBLE
+        |                  / (coalesce(tt.tc, 0) + vsz.v)::DOUBLE) * 1000000)
+        |         AS BIGINT) AS lpm
+        |  FROM lab l CROSS JOIN vocab v CROSS JOIN vsz
+        |  LEFT JOIN cnt c ON c.label = l.label AND c.t = v.t
+        |  LEFT JOIN tot tt ON tt.label = l.label),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(floor(ln(nd::DOUBLE / ntr.n::DOUBLE) * 1000000) AS BIGINT) AS pm
+        |  FROM lab CROSS JOIN ntr),
+        |dcnt AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS dc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t),
+        |contrib AS (
+        |  SELECT d.doc_id, ll.label,
+        |    sum(d.dc * ll.lpm)::BIGINT AS s, sum(d.dc)::BIGINT AS ntok
+        |  FROM dcnt d JOIN ll ON ll.t = d.t GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.doc_id, p.label, p.pm + coalesce(c.s, 0) AS sm,
+        |    coalesce(c.ntok, 0) AS ntok
+        |  FROM (SELECT doc_id FROM documents) b CROSS JOIN pri p
+        |  LEFT JOIN contrib c ON c.doc_id = b.doc_id AND c.label = p.label)
+        |SELECT doc_id, label AS nb_pred, sm AS nb_score_micros,
+        |  ntok AS n_vocab_toks FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sm DESC, label) = 1
         |ORDER BY doc_id""".stripMargin,
 
     "q_table_versions" ->

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes (the trained quality/domain-classifier role):
+  * hand-computed fixtures pin the vocab cut, add-one smoothing, the
+  * floor-micros log carrier, the zero-vocab-token prior fallback, and the
+  * lexicographic argmax tie — the exact rules the q_nb_classify oracle
+  * replays. */
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    ("spam buy pills buy", "spam"),
+    ("buy now cheap pills", "spam"),
+    ("meeting notes agenda", "ham"),
+    ("agenda for the meeting", "ham"),
+    ("the quarterly meeting agenda", "ham")
+  ).toDF("text", "label")
+
+  test("trainNaiveBayes: vocab is top-K by count with lexicographic ties") {
+    val (loglik, _) = TextOps.trainNaiveBayes(train, "text", "label", vocabK = 3)
+    // counts: buy 3, meeting 3, agenda 3, pills 2, the 2, ... top-3 by
+    // (count desc, term asc) = agenda, buy, meeting
+    val terms = loglik.select("t").distinct().as[String].collect().sorted
+    assert(terms.toSeq == Seq("agenda", "buy", "meeting"))
+  }
+
+  test("trainNaiveBayes: dense grid carries smoothed zero counts exactly") {
+    val (loglik, priors) = TextOps.trainNaiveBayes(train, "text", "label", vocabK = 3)
+    val ll = loglik.collect().map(r =>
+      (r.getAs[String]("label"), r.getAs[String]("t")) -> r.getAs[Long]("lpm")).toMap
+    assert(ll.size == 6) // 2 labels x 3 vocab terms, zero-count pairs included
+    // spam vocab-token total = 3 (buy x3); V = 3
+    // p(buy|spam) = (3+1)/(3+3); p(agenda|spam) = (0+1)/(3+3)
+    assert(ll(("spam", "buy")) == math.floor(math.log(4.0 / 6) * 1e6).toLong)
+    assert(ll(("spam", "agenda")) == math.floor(math.log(1.0 / 6) * 1e6).toLong)
+    // ham vocab-token total = 6 (meeting x3, agenda x3)
+    assert(ll(("ham", "meeting")) == math.floor(math.log(4.0 / 9) * 1e6).toLong)
+    assert(ll(("ham", "buy")) == math.floor(math.log(1.0 / 9) * 1e6).toLong)
+    val pm = priors.collect().map(r =>
+      r.getAs[String]("label") -> r.getAs[Long]("prior_m")).toMap
+    assert(pm("spam") == math.floor(math.log(2.0 / 5) * 1e6).toLong)
+    assert(pm("ham") == math.floor(math.log(3.0 / 5) * 1e6).toLong)
+  }
+
+  test("naiveBayesClassify: separable docs classify; scores are exact integer sums") {
+    val (loglik, priors) = TextOps.trainNaiveBayes(train, "text", "label", vocabK = 10)
+    val docs = Seq(
+      (1L, "buy cheap pills now"),
+      (2L, "meeting agenda for the team")
+    ).toDF("doc_id", "text")
+    val out = TextOps.naiveBayesClassify(docs, "text", "doc_id", loglik, priors)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("nb_pred") == "spam")
+    assert(out(1).getAs[String]("nb_pred") == "ham")
+    // score reproducibility: recompute doc 2's ham score by hand from the
+    // published model (prior + sum over vocab tokens of count * lpm)
+    val ll = loglik.collect().map(r =>
+      (r.getAs[String]("label"), r.getAs[String]("t")) -> r.getAs[Long]("lpm")).toMap
+    val pm = priors.collect().map(r =>
+      r.getAs[String]("label") -> r.getAs[Long]("prior_m")).toMap
+    val vocabTerms = ll.keys.collect { case (l, t) if l == "ham" => t }.toSet
+    val toks = "meeting agenda for the team".split(" ").filter(vocabTerms)
+    val expected = pm("ham") + toks.map(t => ll(("ham", t))).sum
+    assert(out(1).getAs[Long]("nb_score_micros") == expected)
+    assert(out(1).getAs[Long]("n_vocab_toks") == toks.length)
+  }
+
+  test("naiveBayesClassify: zero-vocab-token doc falls back to the prior argmax") {
+    val (loglik, priors) = TextOps.trainNaiveBayes(train, "text", "label", vocabK = 10)
+    val docs = Seq((7L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextOps.naiveBayesClassify(docs, "text", "doc_id", loglik, priors).collect()
+    assert(out.length == 1)
+    // ham has the larger prior (3/5 vs 2/5)
+    assert(out(0).getAs[String]("nb_pred") == "ham")
+    assert(out(0).getAs[Long]("n_vocab_toks") == 0L)
+    val pm = priors.collect().map(r =>
+      r.getAs[String]("label") -> r.getAs[Long]("prior_m")).toMap
+    assert(out(0).getAs[Long]("nb_score_micros") == pm("ham"))
+  }
+
+  test("naiveBayesClassify: exact score tie resolves to the lexicographically first label") {
+    // symmetric corpus: both labels see the same counts, so every score
+    // ties exactly (integer micros) and the argmax must pick "a"
+    val sym = Seq(("x y", "a"), ("x y", "b")).toDF("text", "label")
+    val (loglik, priors) = TextOps.trainNaiveBayes(sym, "text", "label", vocabK = 10)
+    val docs = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val out = TextOps.naiveBayesClassify(docs, "text", "doc_id", loglik, priors).collect()
+    assert(out(0).getAs[String]("nb_pred") == "a")
+  }
+}

@@ -622,7 +622,13 @@ class PlanShapeSpec extends SparkSpec {
       // TakeOrderedAndProject); the graded plan is the pinned-IVF
       // shape — narrow assignment, broadcast query probe, rank window
       // + oracle orderBy
-      "q_ann_ivf_vt" -> 2)
+      "q_ann_ivf_vt" -> 2,
+      // trained NB classifier: the model localCheckpoints at train time
+      // (<= vocabK·|labels| rows), so the serving plan is doc-keyed
+      // only — per-doc token counts, broadcast model join, per-(doc,
+      // label) sum, the doc×priors base join, argmax window, oracle
+      // orderBy
+      "q_nb_classify" -> 5)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
