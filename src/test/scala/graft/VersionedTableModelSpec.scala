@@ -1,0 +1,165 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based randomized lifecycle test: drive a seeded random sequence of
+  * table operations (append / overwrite / DV delete / upsert / compact /
+  * optimize / coalesceDv / restore / autoMaintain / vacuum) against an
+  * in-memory reference model (version → keyed row map), asserting after
+  * every step that the latest read, sampled time-travel reads, and the
+  * counts-sidecar live face all agree with the model. The op catalog is the
+  * whole public commit surface, so any interaction bug between the DV
+  * carry, restore's verbatim entries, maintenance rewrites, and vacuum's
+  * retention — the class of bug unit tests miss because each op is checked
+  * in isolation — fails here with the seed and op trace in the message. */
+class VersionedTableModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh() =
+    java.nio.file.Files.createTempDirectory("graft_vt_model").toString + "/t"
+
+  private def toDF(rows: Map[Long, Long]): DataFrame =
+    rows.toSeq.sortBy(_._1).toDF("id", "v")
+
+  /** Sorted tuple seq, NOT a Map: a bug that published duplicate ids must
+    * fail the compare, not collapse silently. */
+  private def readRows(df: DataFrame): Seq[(Long, Long)] =
+    df.select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+
+  private def expect(rows: Map[Long, Long]): Seq[(Long, Long)] =
+    rows.toSeq.sorted
+
+  /** One seeded run: `steps` random ops, model-checked after each. */
+  private def run(seed: Long, steps: Int): Unit = {
+    val rng = new scala.util.Random(seed)
+    val path = fresh()
+    var nextId = 0L
+    def freshRows(k: Int): Map[Long, Long] = {
+      val rows = (0 until k).map { _ =>
+        val id = nextId; nextId += 1; id -> rng.nextInt(1000).toLong
+      }.toMap
+      rows
+    }
+
+    // model: version -> expected full contents (keyed rows)
+    val model = scala.collection.mutable.Map[Long, Map[Long, Long]]()
+    val trace = scala.collection.mutable.ArrayBuffer[String]()
+
+    val r0 = freshRows(5 + rng.nextInt(5))
+    VersionedTable.create(toDF(r0), path)
+    model(0L) = r0
+
+    def latest: Long = VersionedTable.latestVersion(path).get
+    def cur: Map[Long, Long] = model(latest)
+
+    for (step <- 1 to steps) {
+      val prevLatest = latest
+      val prev = cur
+      // predicted contents of any version the op publishes
+      var predicted: Map[Long, Long] = prev
+      val op = rng.nextInt(13) match {
+        case 0 | 1 | 2 => // append fresh rows
+          val rows = freshRows(1 + rng.nextInt(5))
+          VersionedTable.commit(toDF(rows), path, "append")
+          predicted = prev ++ rows
+          s"append(${rows.size})"
+        case 3 => // overwrite with a mutation of the current contents
+          var next = prev.filter(_ => rng.nextDouble() >= 0.3)
+            .map { case (id, v) =>
+              id -> (if (rng.nextDouble() < 0.3) v + 1000 else v) }
+          if (next.isEmpty) next = freshRows(2)
+          VersionedTable.commit(toDF(next), path, "overwrite")
+          predicted = next
+          "overwrite"
+        case 4 | 5 => // DV delete; guarded so the table never goes empty
+          val m = Seq(2, 3, 5)(rng.nextInt(3))
+          val r = rng.nextInt(m)
+          val next = prev.filter { case (id, _) => id % m != r }
+          if (next.nonEmpty && next.size < prev.size) {
+            VersionedTable.deleteWhere(spark, path, col("id") % m === r)
+            predicted = next
+            s"delete(id%$m==$r)"
+          } else s"delete-skipped(id%$m==$r)"
+        case 6 | 7 => // upsert: update a subset, insert fresh keys
+          val updates = prev.filter(_ => rng.nextDouble() < 0.3)
+            .map { case (id, v) => id -> (v + 5000) }
+          val inserts = freshRows(1 + rng.nextInt(2))
+          VersionedTable.upsert(spark, path, toDF(updates ++ inserts), Seq("id"))
+          predicted = prev ++ updates ++ inserts
+          s"upsert(${updates.size}u+${inserts.size}i)"
+        case 8 => // layout ops never change logical content
+          VersionedTable.compact(spark, path, targetBytes = 1L << 20)
+          "compact"
+        case 9 =>
+          VersionedTable.optimize(spark, path, targetBytes = 1L << 20,
+            zorderCols = Seq("id"), statsCol = Some("id"))
+          "optimize"
+        case 10 =>
+          VersionedTable.coalesceDv(spark, path)
+          "coalesceDv"
+        case 11 => // restore to a random retained version
+          val retained = VersionedTable.versions(path)
+          val rv = retained(rng.nextInt(retained.length))
+          VersionedTable.restore(path, rv)
+          predicted = model(rv)
+          s"restore($rv)"
+        case 12 =>
+          val acted = VersionedTable.autoMaintain(spark, path,
+            targetBytes = 1L << 20, maxDvShards = 3)
+          s"autoMaintain(${acted.mkString("+")})"
+      }
+      trace += op
+      val ctx = s"seed=$seed step=$step after ${trace.mkString(" -> ")}"
+
+      // account every version the op published (maintenance may publish
+      // several; all carry the op's predicted contents)
+      val newLatest = latest
+      ((prevLatest + 1) to newLatest).foreach(v => model(v) = predicted)
+
+      // occasionally vacuum (no version published; retention shrinks)
+      if (rng.nextDouble() < 0.15) {
+        val retainedBefore = VersionedTable.versions(path)
+        val keep = 1 + rng.nextInt(retainedBefore.length)
+        VersionedTable.vacuum(path, keepVersions = keep, minAgeMs = 0L)
+        trace += s"vacuum(keep=$keep)"
+        val retainedAfter = VersionedTable.versions(path)
+        assert(retainedAfter == retainedBefore.takeRight(keep),
+          s"$ctx: vacuum(keep=$keep) retained $retainedAfter")
+      }
+
+      // latest must equal the model exactly, every step
+      assert(readRows(VersionedTable.read(spark, path)) == expect(model(latest)),
+        s"$ctx: latest read diverged from model")
+
+      // sampled time travel across the retained window
+      if (step % 3 == 0) {
+        val retained = VersionedTable.versions(path)
+        (0 until 2).foreach { _ =>
+          val v = retained(rng.nextInt(retained.length))
+          assert(readRows(VersionedTable.readVersion(spark, path, v)) == expect(model(v)),
+            s"$ctx: time travel to v$v diverged from model")
+        }
+      }
+
+      // metadata face: counts sidecar + DV subtraction == model size
+      if (step % 5 == 0) {
+        VersionedTable.writeCounts(spark, path, latest)
+        assert(VersionedTable.countAtLive(spark, path, latest)
+            .contains(model(latest).size.toLong),
+          s"$ctx: countAtLive diverged from model size ${model(latest).size}")
+      }
+    }
+
+    // final sweep: EVERY retained version still reads its model contents
+    VersionedTable.versions(path).foreach { v =>
+      assert(readRows(VersionedTable.readVersion(spark, path, v)) == expect(model(v)),
+        s"seed=$seed final sweep: v$v diverged after ${trace.mkString(" -> ")}")
+    }
+  }
+
+  test("randomized lifecycle vs model (seed 1)") { run(seed = 1L, steps = 22) }
+  test("randomized lifecycle vs model (seed 2)") { run(seed = 2L, steps = 22) }
+}

@@ -893,6 +893,54 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(VersionedTable.read(spark, path)) === (0L until 8L))
   }
 
+  test("appendWithRetry: TORN winner manifest is never a silent win — retry then loud escape; repaired window rebases") {
+    // the conditional-put window: our publish loses to a competitor whose
+    // manifest bytes are still landing, so the winner reads TORN. The old
+    // partial-regex read could yield a file subset that happened to
+    // contain our names and claim a FOREIGN manifest as our win; the span
+    // parse throws instead, the re-verify treats the parse failure as
+    // "not our win" and retries, and a window that NEVER closes escapes
+    // loudly from the rebase read (a permanently torn store is corrupt —
+    // the documented loud-over-silent contract), never a wrong version.
+    val path = fresh()
+    VersionedTable.create(spark.range(3).toDF("id"), path)
+    val real = VersionedTable.committer
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val manifest1 = java.nio.file.Paths.get(path, "_versions", "v00000001.json")
+    val torn =
+      """{"version":1,"parent":0,"action":"append","files":["data/zzz.parquet","data/tr"""
+    VersionedTable.committer = new VersionedTable.ManifestCommitter {
+      def publish(fc: org.apache.hadoop.fs.FileContext,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Unit = {
+        if (fired.compareAndSet(false, true)) {
+          java.nio.file.Files.write(manifest1, torn.getBytes("UTF-8"))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(target.toString)
+        }
+        real.publish(fc, tmp, target)
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        VersionedTable.appendWithRetry(spark.range(3, 6).toDF("id"), path,
+          maxRetries = 3))
+      assert(e.getMessage.contains("unterminated"),
+        s"expected the loud span-parse escape, got: ${e.getMessage}")
+    } finally VersionedTable.committer = real
+    // the pre-race version is untouched
+    assert(ids(VersionedTable.readVersion(spark, path, 0)) === (0L until 3L))
+    // the window closes: the competitor's write completes as a no-op
+    // append of v0's files — the normal retry path then rebases onto it
+    val files0 = VersionedTable.filesAt(path, 0L).map(f =>
+      "data/" + new org.apache.hadoop.fs.Path(f).getName)
+    val full = s"""{"version":1,"parent":0,"action":"append",""" +
+      s""""files":[${files0.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(manifest1, full.getBytes("UTF-8"))
+    val v = VersionedTable.appendWithRetry(spark.range(3, 6).toDF("id"), path)
+    assert(v === 2L)
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 6L))
+  }
+
   test("upsert refuses a hive-partitioned layout (flat staging would mix layouts)") {
     val path = fresh()
     val df = spark.range(100).select(col("id"),
