@@ -81,6 +81,18 @@ class NaiveBayesSpec extends SparkSpec {
     assert(out(0).getAs[Long]("nb_score_micros") == pm("ham"))
   }
 
+  test("trainNaiveBayes: model is invariant to input partitioning") {
+    // the vocab cut is a TakeOrdered over a total order and every count
+    // is exact, so the published model must be bit-identical whether the
+    // training corpus arrives as 1 partition or 7
+    def modelOf(df: org.apache.spark.sql.DataFrame) = {
+      val (loglik, priors) = TextOps.trainNaiveBayes(df, "text", "label", vocabK = 4)
+      (loglik.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq,
+        priors.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    }
+    assert(modelOf(train.repartition(7)) == modelOf(train.coalesce(1)))
+  }
+
   test("naiveBayesClassify: exact score tie resolves to the lexicographically first label") {
     // symmetric corpus: both labels see the same counts, so every score
     // ties exactly (integer micros) and the argmax must pick "a"

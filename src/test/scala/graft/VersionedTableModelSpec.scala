@@ -47,6 +47,9 @@ class VersionedTableModelSpec extends SparkSpec {
     // model: version -> expected full contents (keyed rows)
     val model = scala.collection.mutable.Map[Long, Map[Long, Long]]()
     val trace = scala.collection.mutable.ArrayBuffer[String]()
+    // versions pinned by outstanding shallow clones: vacuum must retain
+    // them (manifest AND files) no matter how old
+    val pinned = scala.collection.mutable.Set[Long]()
 
     val r0 = freshRows(5 + rng.nextInt(5))
     VersionedTable.create(toDF(r0), path)
@@ -119,15 +122,36 @@ class VersionedTableModelSpec extends SparkSpec {
       val newLatest = latest
       ((prevLatest + 1) to newLatest).foreach(v => model(v) = predicted)
 
-      // occasionally vacuum (no version published; retention shrinks)
+      // occasionally shallow-clone the head: the clone must read the
+      // source version exactly, and an UNRELEASED clone's pin must hold
+      // its version through every later vacuum
+      if (rng.nextDouble() < 0.12) {
+        val srcV = latest
+        val dst = fresh()
+        VersionedTable.cloneTable(path, dst, srcV)
+        assert(readRows(VersionedTable.read(spark, dst)) == expect(model(srcV)),
+          s"$ctx: shallow clone of v$srcV diverged from model")
+        if (rng.nextBoolean()) {
+          VersionedTable.releaseClone(path, dst)
+          trace += s"clone+release($srcV)"
+        } else {
+          pinned += srcV
+          trace += s"clone-pinned($srcV)"
+        }
+      }
+
+      // occasionally vacuum (no version published; retention shrinks to
+      // the newest K plus every clone-pinned version)
       if (rng.nextDouble() < 0.15) {
         val retainedBefore = VersionedTable.versions(path)
         val keep = 1 + rng.nextInt(retainedBefore.length)
         VersionedTable.vacuum(path, keepVersions = keep, minAgeMs = 0L)
         trace += s"vacuum(keep=$keep)"
+        val lastK = retainedBefore.takeRight(keep).toSet
         val retainedAfter = VersionedTable.versions(path)
-        assert(retainedAfter == retainedBefore.takeRight(keep),
-          s"$ctx: vacuum(keep=$keep) retained $retainedAfter")
+        assert(retainedAfter ==
+            retainedBefore.filter(v => lastK(v) || pinned(v)),
+          s"$ctx: vacuum(keep=$keep, pinned=$pinned) retained $retainedAfter")
       }
 
       // latest must equal the model exactly, every step
