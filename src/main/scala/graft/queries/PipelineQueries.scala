@@ -1970,6 +1970,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CDC-MAINTAINED classifier: the corpus takes the q_table_versions
+    // release (drop %97, ' v2' on %53, re-add %89 under new ids), and the
+    // NB sufficient statistics are MAINTAINED through the delta —
+    // O(churn) signed count merges, never a corpus retrain — then the
+    // model rebuilds and classifies the post-release corpus. The oracle
+    // retrains FROM SCRATCH in SQL, so the hash match IS the
+    // maintained==retrain equivalence (the LSH/BM25/CMS maintenance
+    // contract, applied to a trained model).
+    "q_nb_maintain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 53 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("lang"),
+            col("text")))
+      val train0 = docs.filter(col("doc_id") % 2 === 0)
+      val train1 = v1.filter(col("doc_id") % 2 === 0)
+      // the delta, derived from the release arithmetic: dropped docs and
+      // pre-modification texts leave, modified texts and re-adds arrive
+      val removed = train0.filter(col("doc_id") % 97 === 0 ||
+        col("doc_id") % 53 === 0)
+      val added = train1.filter(col("doc_id") % 53 === 0 ||
+        col("doc_id") >= 1000000000000L)
+      val (tc0, ld0) = TextOps.nbCounts(train0, "text", "lang")
+      val (tc1, ld1) = TextOps.nbCountsMaintain(tc0, ld0, added, removed,
+        "text", "lang")
+      val (loglik, priors) = TextOps.nbModel(tc1, ld1, vocabK = 400)
+      TextOps.naiveBayesClassify(v1, "text", "doc_id", loglik, priors)
+        .orderBy(col("doc_id"))
+    }),
+
     // Versioned table end-to-end: create v0 from documents, apply the
     // CDC release (drop %97, ' v2' %53, re-add %89) as a copy-on-write
     // overwrite commit (v1), then compact (v2) — and read ALL THREE
@@ -5534,6 +5567,58 @@ object PipelineQueries {
         |  SELECT b.doc_id, p.label, p.pm + coalesce(c.s, 0) AS sm,
         |    coalesce(c.ntok, 0) AS ntok
         |  FROM (SELECT doc_id FROM documents) b CROSS JOIN pri p
+        |  LEFT JOIN contrib c ON c.doc_id = b.doc_id AND c.label = p.label)
+        |SELECT doc_id, label AS nb_pred, sm AS nb_score_micros,
+        |  ntok AS n_vocab_toks FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sm DESC, label) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_nb_maintain" ->
+      """WITH nd AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, lang, text
+        |  FROM documents WHERE doc_id % 89 = 0),
+        |tr AS (
+        |  SELECT lang AS label, string_split(text, ' ') AS toks
+        |  FROM nd WHERE doc_id % 2 = 0),
+        |tok AS (SELECT label, unnest(toks) AS t FROM tr),
+        |vocab AS (
+        |  SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+        |  ORDER BY c DESC, t LIMIT 400),
+        |vsz AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        |lab AS (SELECT lang AS label, count(*)::BIGINT AS nd_
+        |        FROM nd WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ntr AS (SELECT sum(nd_)::BIGINT AS n FROM lab),
+        |cnt AS (SELECT label, t, count(*)::BIGINT AS c
+        |        FROM tok JOIN vocab USING (t) GROUP BY label, t),
+        |tot AS (SELECT label, sum(c)::BIGINT AS tc FROM cnt GROUP BY label),
+        |ll AS (
+        |  SELECT l.label, v.t,
+        |    CAST(floor(ln((coalesce(c.c, 0) + 1)::DOUBLE
+        |                  / (coalesce(tt.tc, 0) + vsz.v)::DOUBLE) * 1000000)
+        |         AS BIGINT) AS lpm
+        |  FROM lab l CROSS JOIN vocab v CROSS JOIN vsz
+        |  LEFT JOIN cnt c ON c.label = l.label AND c.t = v.t
+        |  LEFT JOIN tot tt ON tt.label = l.label),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(floor(ln(nd_::DOUBLE / ntr.n::DOUBLE) * 1000000) AS BIGINT) AS pm
+        |  FROM lab CROSS JOIN ntr),
+        |dcnt AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS dc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM nd)
+        |  GROUP BY doc_id, t),
+        |contrib AS (
+        |  SELECT d.doc_id, ll.label,
+        |    sum(d.dc * ll.lpm)::BIGINT AS s, sum(d.dc)::BIGINT AS ntok
+        |  FROM dcnt d JOIN ll ON ll.t = d.t GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.doc_id, p.label, p.pm + coalesce(c.s, 0) AS sm,
+        |    coalesce(c.ntok, 0) AS ntok
+        |  FROM (SELECT doc_id FROM nd) b CROSS JOIN pri p
         |  LEFT JOIN contrib c ON c.doc_id = b.doc_id AND c.label = p.label)
         |SELECT doc_id, label AS nb_pred, sm AS nb_score_micros,
         |  ntok AS n_vocab_toks FROM scored

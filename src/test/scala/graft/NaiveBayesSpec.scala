@@ -81,6 +81,43 @@ class NaiveBayesSpec extends SparkSpec {
     assert(out(0).getAs[Long]("nb_score_micros") == pm("ham"))
   }
 
+  private def counts(tc: org.apache.spark.sql.DataFrame) =
+    tc.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+  private def labels(ld: org.apache.spark.sql.DataFrame) =
+    ld.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+  test("nbCountsMaintain: maintained statistics and model equal a from-scratch retrain") {
+    val added = Seq(
+      ("pills pills pills discount", "spam"),
+      ("team meeting recap", "ham")).toDF("text", "label")
+    val removed = Seq(("meeting notes agenda", "ham")).toDF("text", "label")
+    val v1 = train.exceptAll(removed).unionByName(added)
+    val (tc0, ld0) = TextOps.nbCounts(train, "text", "label")
+    val (tcM, ldM) = TextOps.nbCountsMaintain(tc0, ld0, added, removed, "text", "label")
+    val (tcR, ldR) = TextOps.nbCounts(v1, "text", "label")
+    assert(counts(tcM) == counts(tcR))
+    assert(labels(ldM) == labels(ldR))
+    // the built models are bit-identical too (vocab cut included — the
+    // delta moved 'pills' up and dropped 'notes' from the corpus)
+    val (llM, prM) = TextOps.nbModel(tcM, ldM, vocabK = 4)
+    val (llR, prR) = TextOps.nbModel(tcR, ldR, vocabK = 4)
+    assert(counts(llM) == counts(llR))
+    assert(labels(prM) == labels(prR))
+  }
+
+  test("nbCountsMaintain: zeroed rows drop; empty deltas are identity") {
+    val (tc0, ld0) = TextOps.nbCounts(train, "text", "label")
+    val empty = Seq.empty[(String, String)].toDF("text", "label")
+    val (tcI, ldI) = TextOps.nbCountsMaintain(tc0, ld0, empty, empty, "text", "label")
+    assert(counts(tcI) == counts(tc0))
+    assert(labels(ldI) == labels(ld0))
+    // removing the only spam docs zeroes every spam row and the label
+    val allSpam = train.filter($"label" === "spam")
+    val (tcZ, ldZ) = TextOps.nbCountsMaintain(tc0, ld0, empty, allSpam, "text", "label")
+    assert(!counts(tcZ).exists(_._1 == "spam"))
+    assert(labels(ldZ) == Seq(("ham", 3L)))
+  }
+
   test("trainNaiveBayes: model is invariant to input partitioning") {
     // the vocab cut is a TakeOrdered over a total order and every count
     // is exact, so the published model must be bit-identical whether the

@@ -628,7 +628,10 @@ class PlanShapeSpec extends SparkSpec {
       // only — per-doc token counts, broadcast model join, per-(doc,
       // label) sum, the doc×priors base join, argmax window, oracle
       // orderBy
-      "q_nb_classify" -> 5)
+      "q_nb_classify" -> 5,
+      // maintained-model face: identical serving shape (the signed count
+      // merge happens at model-build time behind the localCheckpoint)
+      "q_nb_maintain" -> 5)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val n = shuffleCount(planText(name))
       if (n > cap) Seq(s"$name: $n > $cap") else Nil
