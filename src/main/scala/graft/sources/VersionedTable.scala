@@ -1082,10 +1082,7 @@ object VersionedTable {
       maxDvShards: Int = 16,
       maintainTargetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val tag = s"stream:$streamId:batch:"
-    def newestDone(): Option[Long] = versions(path).reverseIterator
-      .map(v => actionAt(path, v))
-      .collectFirst { case a if a.startsWith(tag) =>
-        a.stripPrefix(tag).takeWhile(_.isDigit).toLong }
+    def newestDone(): Option[Long] = newestStreamBatch(path, streamId)
     if (newestDone().exists(_ >= batchId)) return None
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
@@ -1481,6 +1478,55 @@ object VersionedTable {
     """"action":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
   }
 
+  // ---- stream-position sidecar: exactly-once survives retention ----
+
+  private def streamsDir(path: String): HPath =
+    new HPath(rootPath(path), "_streams")
+
+  private def streamPosFile(path: String, streamId: String): HPath =
+    new HPath(streamsDir(path),
+      java.net.URLEncoder.encode(streamId, "UTF-8") + ".json")
+
+  /** Durable newest-committed batchId of a stream — written by
+    * [[vacuum]] (under the registry lock) when it retires a manifest
+    * carrying the stream's action tag; consulted by the replay guard. */
+  private[graft] def streamPosAt(path: String,
+      streamId: String): Option[Long] = {
+    val p = streamPosFile(path, streamId)
+    if (!exists(p)) None
+    else """"batch":(\d+)""".r.findFirstMatchIn(readUtf8(p))
+      .map(_.group(1).toLong)
+  }
+
+  /** Max-merge advance of the position sidecar (never regresses). */
+  private def streamPosAdvance(path: String, streamId: String,
+      batchId: Long): Unit =
+    if (streamPosAt(path, streamId).forall(_ < batchId)) {
+      fsOf(streamsDir(path)).mkdirs(streamsDir(path))
+      writeReplace(path, streamPosFile(path, streamId),
+        s"""{"stream":"${esc(streamId)}","batch":$batchId}"""
+          .getBytes("UTF-8"))
+    }
+
+  /** The exactly-once replay guard shared by [[commitStreamBatch]] and
+    * [[upsertStreamBatch]]: newest committed batchId = max(newest
+    * RETAINED manifest carrying the stream's tag, the vacuum-maintained
+    * position sidecar). Without the sidecar a retention sweep that
+    * dropped every manifest of a PAUSED stream would forget its
+    * position, and the stream's at-least-once restart replay would
+    * re-apply a committed batch — silent duplicate rows under the
+    * exactly-once contract. */
+  private def newestStreamBatch(path: String,
+      streamId: String): Option[Long] = {
+    val tag = s"stream:$streamId:batch:"
+    val scanned = versions(path).reverseIterator
+      .map(v => actionAt(path, v))
+      .collectFirst { case a if a.startsWith(tag) =>
+        a.stripPrefix(tag).takeWhile(_.isDigit).toLong }
+    (scanned.toSeq ++ streamPosAt(path, streamId).toSeq)
+      .reduceOption(_ max _)
+  }
+
   /** EXACTLY-ONCE streaming ingest commit. `foreachBatch` is
     * at-least-once: a crash between the table commit and the
     * checkpoint advance replays the micro-batch on restart, and the
@@ -1490,15 +1536,13 @@ object VersionedTable {
     * a no-op — idempotent retry + atomic manifest publish = each batch
     * lands in the table exactly once. A concurrent duplicate retry
     * that loses the same-version publish race re-checks and degrades
-    * to the same no-op instead of failing the stream.
+    * to the same no-op instead of failing the stream. The guard
+    * survives retention: see [[newestStreamBatch]].
     * Returns Some(version) when this call committed, None on replay. */
   def commitStreamBatch(df: DataFrame, path: String, streamId: String,
       batchId: Long, mode: String = "append"): Option[Long] = {
     val tag = s"stream:$streamId:batch:"
-    def newestDone(): Option[Long] = versions(path).reverseIterator
-      .map(v => actionAt(path, v))
-      .collectFirst { case a if a.startsWith(tag) =>
-        a.stripPrefix(tag).takeWhile(_.isDigit).toLong }
+    def newestDone(): Option[Long] = newestStreamBatch(path, streamId)
     if (newestDone().exists(_ >= batchId)) return None
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
@@ -3027,6 +3071,21 @@ object VersionedTable {
     val dvRoot = dvDir(path).toUri.getPath
     val liveDv = keepFinal.flatMap(dvsAt(path, _)).map(relUnder(dvRoot)).toSet
     vacuumSweepLockHook() // test seam: liveness decided, nothing deleted yet
+    // stream positions: a dropped manifest may carry the NEWEST
+    // exactly-once action of a PAUSED stream — retiring it without a
+    // trace would forget the stream's position and let an
+    // at-least-once restart replay re-apply a committed batch. Fold
+    // every dropped tag into the _streams position sidecar (max-merge,
+    // still under the lock) BEFORE the manifests go. Greedy (.+) binds
+    // a pathological streamId containing ':batch:' to the LAST numeric
+    // tag, matching the sinks' startsWith scan for any sane id.
+    val posRe = """^stream:(.+):batch:(\d+):[^:]*$""".r
+    dropFinal.flatMap(v => actionAt(path, v) match {
+        case posRe(id, n) => Some(id -> n.toLong)
+        case _ => None
+      })
+      .groupBy(_._1).foreach { case (id, xs) =>
+        streamPosAdvance(path, id, xs.map(_._2).max) }
     // retire the dropped manifests UNDER the lock, before any byte is
     // reclaimed: a clone acquiring the lock next fails its version
     // check on a dropped version instead of pinning bytes the lock-free

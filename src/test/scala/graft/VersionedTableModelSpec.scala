@@ -54,6 +54,9 @@ class VersionedTableModelSpec extends SparkSpec {
     val r0 = freshRows(5 + rng.nextInt(5))
     VersionedTable.create(toDF(r0), path)
     model(0L) = r0
+    // exactly-once stream position (the model's view of the sink's
+    // checkpoint): batches below nextBatch have committed
+    var nextBatch = 0L
 
     def latest: Long = VersionedTable.latestVersion(path).get
     def cur: Map[Long, Long] = model(latest)
@@ -63,7 +66,7 @@ class VersionedTableModelSpec extends SparkSpec {
       val prev = cur
       // predicted contents of any version the op publishes
       var predicted: Map[Long, Long] = prev
-      val op = rng.nextInt(13) match {
+      val op = rng.nextInt(15) match {
         case 0 | 1 | 2 => // append fresh rows
           val rows = freshRows(1 + rng.nextInt(5))
           VersionedTable.commit(toDF(rows), path, "append")
@@ -113,6 +116,24 @@ class VersionedTableModelSpec extends SparkSpec {
           val acted = VersionedTable.autoMaintain(spark, path,
             targetBytes = 1L << 20, maxDvShards = 3)
           s"autoMaintain(${acted.mkString("+")})"
+        case 13 => // exactly-once stream batch (fresh)
+          val rows = freshRows(1 + rng.nextInt(3))
+          val got = VersionedTable.commitStreamBatch(
+            toDF(rows), path, "model-stream", nextBatch)
+          assert(got.nonEmpty, s"fresh batch $nextBatch must commit")
+          nextBatch += 1
+          predicted = prev ++ rows
+          s"streamBatch(${nextBatch - 1})"
+        case 14 => // replayed batch: must be a no-op however old, even
+          // after vacuum retired its manifest (the position sidecar)
+          if (nextBatch > 0) {
+            val bid = rng.nextInt(nextBatch.toInt).toLong
+            val got = VersionedTable.commitStreamBatch(
+              toDF(freshRows(1)), path, "model-stream", bid)
+            assert(got.isEmpty,
+              s"replayed batch $bid re-applied (nextBatch=$nextBatch)")
+            s"streamReplay($bid)"
+          } else "streamReplay-skipped"
       }
       trace += op
       val ctx = s"seed=$seed step=$step after ${trace.mkString(" -> ")}"

@@ -553,6 +553,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(VersionedTable.read(spark, path)) === (0L to 11L))
   }
 
+  test("commitStreamBatch: exactly-once position survives a retention sweep (paused stream)") {
+    // the paused-stream hazard: the stream's newest tagged manifest is
+    // retired by a routine vacuum while the stream is down; on restart
+    // the at-least-once sink re-delivers that batch. Without the
+    // _streams position sidecar vacuum max-merges before retiring, the
+    // replay guard would find no retained tag and RE-APPEND the
+    // committed batch — silent duplicate rows.
+    val path = fresh()
+    VersionedTable.create(spark.range(0, 3).toDF("id"), path)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(3, 6).toDF("id"), path, "pausing", 0L).contains(1L))
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(6, 9).toDF("id"), path, "pausing", 1L).contains(2L))
+    // the stream pauses; unrelated table work buries its manifests...
+    VersionedTable.commit(spark.range(9, 12).toDF("id"), path, "append")
+    VersionedTable.compact(spark, path, targetBytes = 1L << 20)
+    // ...and the nightly retention sweep retires every tagged one
+    VersionedTable.vacuum(path, keepVersions = 2, minAgeMs = 0L)
+    assert(VersionedTable.versions(path) === Seq(3L, 4L))
+    assert(VersionedTable.streamPosAt(path, "pausing") === Some(1L))
+    // restart re-delivers batch 1 -> still a no-op, rows exactly once
+    val before = VersionedTable.versions(path)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(6, 9).toDF("id"), path, "pausing", 1L).isEmpty)
+    assert(VersionedTable.versions(path) === before)
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 12L))
+    // progress resumes past the remembered position; a sweep that drops
+    // nothing tagged leaves the sidecar where it was (max of both wins)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(12, 13).toDF("id"), path, "pausing", 2L).nonEmpty)
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 13L))
+    VersionedTable.vacuum(path, keepVersions = 10, minAgeMs = 0L)
+    assert(VersionedTable.streamPosAt(path, "pausing") === Some(1L))
+  }
+
   test("manifest-level data skipping: range reads prune files without opening them") {
     val path = fresh()
     // range-partitioned write -> tight per-file id ranges (the z-order /
