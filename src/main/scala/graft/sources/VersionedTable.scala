@@ -1546,6 +1546,18 @@ object VersionedTable {
     if (newestDone().exists(_ >= batchId)) return None
     val cur = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: $path does not exist"))
+    // flat layouts only for append: carrying k=v files forward alongside
+    // flat staged ones breaks partition inference on every read (the
+    // upsert guard, applied here; overwrite REPLACES the file set, so
+    // the result is consistently flat and stays allowed)
+    if (mode == "append")
+      filesAt(path, cur).find(f =>
+          new HPath(f).getParent.getName.contains("=")).foreach(f =>
+        throw new IllegalArgumentException(
+          s"VersionedTable.commitStreamBatch: $path is hive-partitioned " +
+            s"($f) — flat append staging would mix layouts and break " +
+            "partition inference on all reads; use commitPartitioned in " +
+            "a custom sink or mode=overwrite"))
     val newFiles = stage(df, path)
     val (files, dvs) = mode match {
       case "append" =>

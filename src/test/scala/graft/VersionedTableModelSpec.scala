@@ -207,4 +207,15 @@ class VersionedTableModelSpec extends SparkSpec {
 
   test("randomized lifecycle vs model (seed 1)") { run(seed = 1L, steps = 22) }
   test("randomized lifecycle vs model (seed 2)") { run(seed = 2L, steps = 22) }
+
+  // opt-in soak (GRAFT_MODEL_SOAK=<n>): n extra seeds at 40 steps each —
+  // not part of the default suite; run before a release / round close
+  sys.env.get("GRAFT_MODEL_SOAK").flatMap(_.toIntOption).filter(_ > 0)
+    .foreach { n =>
+      (3 to 2 + n).foreach { s =>
+        test(s"randomized lifecycle vs model (soak seed $s)") {
+          run(seed = s.toLong, steps = 40)
+        }
+      }
+    }
 }

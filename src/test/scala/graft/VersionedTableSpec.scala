@@ -588,6 +588,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.streamPosAt(path, "pausing") === Some(1L))
   }
 
+  test("commitStreamBatch: append refuses a hive-partitioned layout (the upsert guard)") {
+    val path = fresh()
+    val df = spark.range(20).select(col("id"),
+      (col("id") % 3).cast("string").as("src"))
+    VersionedTable.createPartitioned(df, path, "src")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.commitStreamBatch(df, path, "s", 0L))
+    assert(e.getMessage.contains("hive-partitioned"))
+    // no version was published, nothing staged into the manifest
+    assert(VersionedTable.versions(path) === Seq(0L))
+  }
+
   test("manifest-level data skipping: range reads prune files without opening them") {
     val path = fresh()
     // range-partitioned write -> tight per-file id ranges (the z-order /
