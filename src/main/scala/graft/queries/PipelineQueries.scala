@@ -1996,8 +1996,14 @@ object PipelineQueries {
       val added = train1.filter(col("doc_id") % 53 === 0 ||
         col("doc_id") >= 1000000000000L)
       val (tc0, ld0) = TextOps.nbCounts(train0, "text", "lang")
-      val (tc1, ld1) = TextOps.nbCountsMaintain(tc0, ld0, added, removed,
+      val (tc1r, ld1r) = TextOps.nbCountsMaintain(tc0, ld0, added, removed,
         "text", "lang")
+      // the maintained statistics are STATE (production persists them as
+      // a table between releases, like the minhash/BM25 indexes);
+      // materialize once so nbModel's three consumptions (vocab cut,
+      // counts join, realized-V count) scan the state instead of
+      // replaying the whole count+merge graph per consumption
+      val (tc1, ld1) = (tc1r.localCheckpoint(), ld1r.localCheckpoint())
       val (loglik, priors) = TextOps.nbModel(tc1, ld1, vocabK = 400)
       TextOps.naiveBayesClassify(v1, "text", "doc_id", loglik, priors)
         .orderBy(col("doc_id"))
