@@ -196,6 +196,18 @@ class VersionedTableModelSpec extends SparkSpec {
             .contains(model(latest).size.toLong),
           s"$ctx: countAtLive diverged from model size ${model(latest).size}")
       }
+
+      // skip read: stats-sidecar file pruning + DV + residual must equal
+      // the model's range filter (optimize() refreshed the sidecar on
+      // some versions, others have none — both coverage states must hold:
+      // missing entries are kept, never skipped)
+      if (step % 4 == 0 && nextId > 0) {
+        val lo = rng.nextInt(nextId.toInt).toLong
+        val hi = math.min(nextId - 1, lo + rng.nextInt((nextId - lo).toInt) + 1)
+        assert(readRows(VersionedTable.readWhere(spark, path, latest, "id", lo, hi)) ==
+          expect(model(latest).filter { case (id, _) => id >= lo && id <= hi }),
+          s"$ctx: readWhere(id in [$lo,$hi]) diverged from model")
+      }
     }
 
     // final sweep: EVERY retained version still reads its model contents

@@ -149,7 +149,24 @@ class VersionedTablePartitionedModelSpec extends SparkSpec {
           s"$ctx: pruned read of p=$target diverged from model")
       }
 
+      // composed read: exact partition prune + stats-sidecar skip +
+      // residual + DV must equal the model's filter (the sidecar exists
+      // on versions a step-%5 pass below stamped, is carried/refreshed
+      // by optimizePartitioned on others, and is absent on the rest —
+      // every coverage state must read correctly)
+      if (step % 4 == 0 && nextId > 0) {
+        val target = parts(rng.nextInt(parts.length))
+        val lo = rng.nextInt(nextId.toInt).toLong
+        val hi = math.min(nextId - 1, lo + rng.nextInt((nextId - lo).toInt) + 1)
+        assert(readRows(VersionedTable.readWherePartitionsAnd(
+            spark, path, latest, "p", Seq(target), Seq(("id", lo, hi)))) ==
+          expect(model(latest).filter { case (id, (p, _)) =>
+            p == target && id >= lo && id <= hi }),
+          s"$ctx: composed read (p=$target, id in [$lo,$hi]) diverged")
+      }
+
       if (step % 5 == 0) { // live per-partition counts vs the model's GROUP BY
+        VersionedTable.writeStats(spark, path, latest, "id")
         VersionedTable.writeCounts(spark, path, latest)
         val got = VersionedTable.partitionRowCountsLive(
           spark, path, latest, "p", dropEmpty = true)
