@@ -1259,15 +1259,34 @@ object TextOps {
       labelCol: String): (DataFrame, DataFrame) = {
     val (addT, addL) = nbCounts(added, textCol, labelCol)
     val (remT, remL) = nbCounts(removed, textCol, labelCol)
-    val termCounts2 = termCounts
+    // fail-loud CDC contract check: a merged count can only go NEGATIVE
+    // when the delta removes docs the state never counted — an
+    // inconsistent delta that would silently diverge the maintained
+    // state from a from-scratch retrain if the negatives were just
+    // filtered. raise_error rides inside the count projection itself
+    // (no extra job, the plan stays lazy), so a bad delta surfaces as a
+    // SparkException naming the offending key instead of corrupting the
+    // model. Zeroed rows (exact full removal) still drop silently —
+    // that is the correct retrain-equal outcome.
+    def failNeg(merged: DataFrame, cnt: String, keys: Seq[String]): DataFrame =
+      merged.withColumn(cnt,
+        when(col(cnt) < 0, raise_error(concat(
+          lit(s"nbCountsMaintain: $cnt went negative at ("),
+          concat_ws(", ", keys.map(k => col(k).cast(StringType)): _*),
+          lit(") — the CDC delta removed rows the state never counted; " +
+            "supply the exact removed set or retrain from scratch"))))
+          .otherwise(col(cnt)))
+    val termCounts2 = failNeg(termCounts
       .unionByName(addT)
       .unionByName(remT.select(col("label"), col("t"), (-col("c")).as("c")))
-      .groupBy(col("label"), col("t")).agg(sum(col("c")).as("c"))
+      .groupBy(col("label"), col("t")).agg(sum(col("c")).as("c")),
+      "c", Seq("label", "t"))
       .filter(col("c") > 0)
-    val labelDocs2 = labelDocs
+    val labelDocs2 = failNeg(labelDocs
       .unionByName(addL)
       .unionByName(remL.select(col("label"), (-col("nd")).as("nd")))
-      .groupBy(col("label")).agg(sum(col("nd")).as("nd"))
+      .groupBy(col("label")).agg(sum(col("nd")).as("nd")),
+      "nd", Seq("label"))
       .filter(col("nd") > 0)
     (termCounts2, labelDocs2)
   }

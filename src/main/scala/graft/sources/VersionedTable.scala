@@ -542,8 +542,9 @@ object VersionedTable {
     catch { case e: Throwable => abort(e) }
     // POST-PUBLISH re-verify — defense-in-depth behind the registry
     // lock: the one path left that could sweep borrowed bytes under a
-    // published clone is the double-steal lease degradation documented
-    // on [[withRegistryLock]]. Detect the loss now and roll back loudly
+    // published clone is the paused-holder lease steal documented on
+    // [[withRegistryLock]] (a holder stalled past leaseMs mid-body
+    // loses the lock). Detect the loss now and roll back loudly
     // (clone manifest + pin removed) rather than leave a clone whose
     // first read fails on missing files. Best-effort by nature (a
     // mid-flight sweep can delete between this listing and our return);
@@ -613,65 +614,141 @@ object VersionedTable {
     * already-vacuumed version). No interleaving can publish a clone
     * whose borrowed bytes a concurrent sweep removes.
     *
-    * Crash recovery is lease-based and, without a compare-and-delete
-    * primitive, honest-best-effort: a holder that died leaves the lock
-    * until `leaseMs` passes, after which a waiter steals it (delete +
-    * re-create + READ-BACK-VERIFY of its own owner id — the verify makes
-    * single-stealer takeovers safe; two simultaneous stealers can in
-    * principle both proceed, which degrades to the pre-lock narrowed
-    * race: [[cloneTable]]'s post-publish re-verify still turns that
-    * remnant into a loud rollback, never a silent corrupt clone). Size
-    * `leaseMs` above the longest expected sweep. */
+    * Crash recovery is lease-based and EPOCH-FENCED: the lock file name
+    * carries a monotonically increasing epoch
+    * (`.registry.lock.<epoch>`), and a steal of an expired lease is the
+    * put-if-absent CREATE of the NEXT epoch's name — never a
+    * delete-and-recreate of the same name — so two simultaneous
+    * stealers race ONE atomic create and exactly one proceeds; the
+    * loser's create fails and it re-enters the wait loop behind the
+    * winner's fresh lock. The winner then retires the stale files it
+    * fenced out. After creating its file every acquirer VERIFIES sole
+    * ownership by re-listing: a concurrent HIGHER epoch → yield (delete
+    * own, re-acquire); a fresh LOWER epoch (a holder that created
+    * first) → wait for its release; a stale lower → fence it out. Since
+    * a verify strictly follows its own create, two verifies can never
+    * both see a sole file while both files exist — within leases there
+    * is at most one holder. Epoch-named files also make release safe
+    * against late holders: a paused holder's `finally` deletes only ITS
+    * OWN epoch's file, never a successor's (the fixed-name design could
+    * delete the stealer's live lock).
+    *
+    * Residual (inherent to lease locks without store-side
+    * compare-and-swap): a holder PAUSED beyond `leaseMs` mid-body can
+    * still be stolen from — size `leaseMs` above the longest expected
+    * sweep; [[cloneTable]]'s post-publish re-verify turns that remnant
+    * into a loud rollback, never a silent corrupt clone. */
   private[graft] def withRegistryLock[T](path: String,
       leaseMs: Long = 30L * 60 * 1000,
       waitMs: Long = 15L * 60 * 1000)(body: => T): T = {
     val dir = clonesDir(path)
-    val lock = new HPath(dir, ".registry.lock")
-    val fs = fsOf(lock)
+    val fs = fsOf(dir)
     fs.mkdirs(dir)
     val id = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
-    var held = false
-    while (!held) {
-      val won =
-        try {
-          val out = fs.create(lock, false) // put-if-absent: one winner
-          try out.write(
-            s"""{"owner":"$id","ts":${System.currentTimeMillis()}}"""
-              .getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      // read-back verify: create-then-write is not atomic as a pair, and
-      // a lease steal's delete could interleave — the holder of record
-      // is whoever's owner id the file carries NOW
-      held = won && (try readUtf8(lock).contains(id)
-        catch { case _: java.io.IOException => false })
-      if (!held) {
-        val staleSince =
-          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.IOException => 0L } // gone: retry at once
-        if (staleSince > leaseMs) {
-          // crashed holder: steal (see the honesty note above)
-          try fs.delete(lock, false)
-          catch { case _: java.io.IOException => () }
-        } else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"VersionedTable: pin-registry lock at $path held for the full " +
-              s"${waitMs}ms wait — a sweep may be running long; retry, or " +
-              "raise waitMs/leaseMs if sweeps legitimately take longer")
-        // jittered: waiters parked on the same 100ms tick would otherwise
-        // wake together after a release and race the (locally non-atomic)
-        // create into the read-back window
-        else Thread.sleep(60 + scala.util.Random.nextInt(80))
+    def lockPath(e: Long): HPath = new HPath(dir, s"$LockBase.$e")
+    // raw listStatus, NOT listNames: lock files are deliberately
+    // dot-prefixed (hidden from data/manifest scans) and listNames
+    // filters hidden entries; checksum companions (..registry.lock.N.crc)
+    // don't parse as lock names and fall out in lockEpochOf
+    def listLocks(): Seq[(Long, FileStatus)] =
+      (try fs.listStatus(dir).toSeq
+       catch { case _: java.io.IOException => Seq.empty })
+        .flatMap(st => lockEpochOf(st.getPath.getName).map(_ -> st))
+    def staleMs(st: FileStatus): Long =
+      System.currentTimeMillis() - st.getModificationTime
+    def tryCreate(e: Long): Boolean =
+      try {
+        val out = fs.create(lockPath(e), false) // put-if-absent: one winner
+        try out.write(
+          s"""{"owner":"$id","epoch":$e,"ts":${System.currentTimeMillis()}}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def dropQuiet(p: HPath): Unit =
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    def timedOut(): Boolean = System.currentTimeMillis() > deadline
+    def timeoutError(): Nothing = throw new IllegalStateException(
+      s"VersionedTable: pin-registry lock at $path held for the full " +
+        s"${waitMs}ms wait — a sweep may be running long; retry, or " +
+        "raise waitMs/leaseMs if sweeps legitimately take longer")
+    // jittered: waiters parked on the same 100ms tick would otherwise
+    // wake together after a release and race their creates
+    def pause(): Unit = Thread.sleep(60 + scala.util.Random.nextInt(80))
+
+    // SOLE-OWNERSHIP VERIFY after creating epoch `e`. Returns e when the
+    // lock is held, -1 when it yielded (caller re-enters the acquire
+    // loop). Mixed-epoch creates (a fresh waiter picking a small epoch
+    // concurrently with a slow stealer landing a big one) serialize
+    // here: lower yields to higher, higher waits out lower's release.
+    def verify(e: Long): Long = {
+      val mine = lockPath(e)
+      var r = -2L
+      while (r == -2L) {
+        val others = listLocks().filterNot(_._1 == e)
+        if (others.exists(_._1 > e)) { dropQuiet(mine); r = -1L }
+        else if (others.nonEmpty) {
+          others.withFilter(o => staleMs(o._2) > leaseMs)
+            .foreach(o => dropQuiet(o._2.getPath))
+          if (listLocks().exists(_._1 != e)) {
+            if (timedOut()) { dropQuiet(mine); timeoutError() }
+            pause()
+          }
+        } else {
+          // sole lock file: read-back — create-then-write is not atomic
+          // as a pair; the holder of record is whoever the file names
+          r = if (try readUtf8(mine).contains(id)
+                  catch { case _: java.io.IOException => false }) e
+              else { dropQuiet(mine); -1L }
+        }
+      }
+      r
+    }
+
+    var heldEpoch = -1L
+    var maxSeen = 0L
+    while (heldEpoch < 0) {
+      val locks = listLocks()
+      maxSeen = (maxSeen +: locks.map(_._1)).max
+      if (locks.isEmpty) {
+        // free: race the next epoch beyond everything ever observed
+        if (tryCreate(maxSeen + 1)) heldEpoch = verify(maxSeen + 1)
+        else if (timedOut()) timeoutError()
+      } else {
+        val (topE, topSt) = locks.maxBy(_._1)
+        if (staleMs(topSt) > leaseMs) {
+          // crashed holder: FENCED steal — one atomic create of the next
+          // epoch arbitrates however many waiters saw the lease expire
+          stealFenceHook(topE + 1)
+          if (tryCreate(topE + 1)) {
+            locks.withFilter(_._1 <= topE)
+              .foreach(l => dropQuiet(l._2.getPath))
+            heldEpoch = verify(topE + 1)
+          } else if (timedOut()) timeoutError()
+          // steal lost: loop — the winner's fresh lock now tops the list
+        } else if (timedOut()) timeoutError()
+        else pause()
       }
     }
     try body
-    finally {
-      try fs.delete(lock, false)
-      catch { case _: java.io.IOException => () }
-    }
+    finally dropQuiet(lockPath(heldEpoch))
   }
+
+  private val LockBase = ".registry.lock"
+
+  /** Epoch of a registry-lock file name: `.registry.lock.<n>` → n; the
+    * pre-fencing fixed name `.registry.lock` (an old build's crash
+    * leftover) reads as epoch 0 so lease expiry and the fenced steal
+    * apply to it unchanged. Anything else is not a lock file. */
+  private def lockEpochOf(name: String): Option[Long] =
+    if (name == LockBase) Some(0L)
+    else if (name.startsWith(LockBase + ".")) {
+      val sfx = name.substring(LockBase.length + 1)
+      if (sfx.nonEmpty && sfx.length <= 18 && sfx.forall(_.isDigit))
+        Some(sfx.toLong)
+      else None
+    } else None
 
   /** Test seams (no-ops in production): run while the registry lock is
     * HELD — [[clonePinnedLockHook]] inside [[cloneTable]] after the pin
@@ -680,6 +757,12 @@ object VersionedTable {
     * to prove the opposite operation blocks rather than interleaves. */
   private[graft] var clonePinnedLockHook: () => Unit = () => ()
   private[graft] var vacuumSweepLockHook: () => Unit = () => ()
+
+  /** Test seam (no-op in production): runs immediately BEFORE a lease
+    * steal attempts its fencing create of `.registry.lock.<epoch>`. The
+    * fencing spec parks two stealers here and releases them against
+    * each other to prove exactly one create wins. */
+  private[graft] var stealFenceHook: Long => Unit = _ => ()
 
   /** Table history as a DataFrame — version, manifest action, publish
     * instant (manifest mtime, the commit time by construction), file
@@ -1094,24 +1177,37 @@ object VersionedTable {
       catch { case e: IllegalStateException =>
         if (newestDone().exists(_ >= batchId)) None else throw e
       }
-    committed.foreach { v =>
-      val due = maintainEvery > 0 &&
-        (batchId % maintainEvery == (maintainEvery - 1).toLong ||
-          dvsAt(path, v).size > maxDvShards)
-      if (due) try {
-        val acts = autoMaintain(source.sparkSession, path,
-          targetBytes = maintainTargetBytes, maxDvShards = maxDvShards)
-        if (acts.nonEmpty) System.err.println(
-          s"[VersionedTable] stream $streamId self-maintained $path " +
-            s"after batch $batchId: ${acts.mkString(", ")}")
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[VersionedTable] stream $streamId: maintenance after batch " +
-            s"$batchId failed (data commit is safe; will retry next " +
-            s"trigger): $e")
-      }
-    }
+    committed.foreach(v => streamMaintain(source.sparkSession, path,
+      streamId, batchId, v, maintainEvery, maxDvShards, maintainTargetBytes))
     committed
+  }
+
+  /** Post-commit cadence hook shared by the streaming sinks
+    * ([[commitStreamBatch]] / [[upsertStreamBatch]]): run
+    * [[autoMaintain]] after every `maintainEvery`-th successful batch,
+    * or immediately once the table's DV-shard count passes
+    * `maxDvShards` (one extra manifest read per batch). Failures are
+    * logged and swallowed — the data commit already landed, and the
+    * next trigger retries — so a transient maintenance hiccup can't
+    * kill the stream. */
+  private def streamMaintain(spark: SparkSession, path: String,
+      streamId: String, batchId: Long, v: Long, maintainEvery: Int,
+      maxDvShards: Int, targetBytes: Long): Unit = {
+    val due = maintainEvery > 0 &&
+      (batchId % maintainEvery == (maintainEvery - 1).toLong ||
+        dvsAt(path, v).size > maxDvShards)
+    if (due) try {
+      val acts = autoMaintain(spark, path,
+        targetBytes = targetBytes, maxDvShards = maxDvShards)
+      if (acts.nonEmpty) System.err.println(
+        s"[VersionedTable] stream $streamId self-maintained $path " +
+          s"after batch $batchId: ${acts.mkString(", ")}")
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[VersionedTable] stream $streamId: maintenance after batch " +
+          s"$batchId failed (data commit is safe; will retry next " +
+          s"trigger): $e")
+    }
   }
 
   /** Read the latest version. */
@@ -1538,9 +1634,24 @@ object VersionedTable {
     * that loses the same-version publish race re-checks and degrades
     * to the same no-op instead of failing the stream. The guard
     * survives retention: see [[newestStreamBatch]].
+    *
+    * SELF-MAINTENANCE (the upsert sink's hook, applied to append): an
+    * unattended append stream accretes one small file per micro-batch
+    * forever — exactly the small-file backlog [[maintenanceReport]]
+    * flags, and nobody runs a nightly job against a table only a
+    * stream writes. With `maintainEvery > 0` the sink invokes
+    * [[autoMaintain]] AFTER a successful commit every `maintainEvery`
+    * batches (or immediately once the DV-shard count passes
+    * `maxDvShards` — carried shards from interleaved upsert/delete
+    * writers count too). Maintenance commits carry their own actions,
+    * so the exactly-once tag scan walks straight past them; a
+    * maintenance FAILURE is logged and swallowed — the data commit
+    * already landed and the next trigger retries.
     * Returns Some(version) when this call committed, None on replay. */
   def commitStreamBatch(df: DataFrame, path: String, streamId: String,
-      batchId: Long, mode: String = "append"): Option[Long] = {
+      batchId: Long, mode: String = "append", maintainEvery: Int = 0,
+      maxDvShards: Int = 16,
+      maintainTargetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val tag = s"stream:$streamId:batch:"
     def newestDone(): Option[Long] = newestStreamBatch(path, streamId)
     if (newestDone().exists(_ >= batchId)) return None
@@ -1566,13 +1677,17 @@ object VersionedTable {
       case other => throw new IllegalArgumentException(
         s"VersionedTable.commitStreamBatch: mode must be append|overwrite, got $other")
     }
-    try { publish(path, cur + 1, cur, s"$tag$batchId:$mode", files, dvs)
-      Some(cur + 1) }
-    catch { case e: IllegalStateException =>
-      // lost the same-version race; if the winner was OUR batch
-      // (duplicate concurrent retry), this is the intended no-op
-      if (newestDone().exists(_ >= batchId)) None else throw e
-    }
+    val committed =
+      try { publish(path, cur + 1, cur, s"$tag$batchId:$mode", files, dvs)
+        Some(cur + 1) }
+      catch { case e: IllegalStateException =>
+        // lost the same-version race; if the winner was OUR batch
+        // (duplicate concurrent retry), this is the intended no-op
+        if (newestDone().exists(_ >= batchId)) None else throw e
+      }
+    committed.foreach(v => streamMaintain(df.sparkSession, path,
+      streamId, batchId, v, maintainEvery, maxDvShards, maintainTargetBytes))
+    committed
   }
 
   /** Row-level CHANGE FEED between two versions, computed from
@@ -3044,6 +3159,19 @@ object VersionedTable {
     // DV shards are shared across versions (cumulative carry): live =
     // referenced by ANY retained manifest; same in-flight age guard
     if (exists(dvDir(path))) sweep(dvDir(path), "", liveDv)
+    // torn-publish leftovers: a committer that crashed between writing
+    // its `.tmp-<uuid>` manifest and the atomic rename leaves the tmp
+    // in _versions forever (dot-hidden from the version listing, so
+    // reads never see it — but the bytes never go away either). Same
+    // age guard as the data sweep: an IN-FLIGHT publish's tmp is
+    // younger than minAgeMs by the same argument that protects its
+    // staged-but-unpublished data files.
+    val vdir = versionsDir(path)
+    if (exists(vdir)) fsOf(vdir).listStatus(vdir).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith(".tmp-") &&
+          s.getModificationTime < cutoff)
+        fs.delete(s.getPath, false)
+    }
   }
 
   /** The locked half of [[vacuum]]: decide liveness, retire dropped
@@ -3071,9 +3199,10 @@ object VersionedTable {
     val live0 = keep.flatMap(filesAt(path, _)).map(relUnder(dataRoot)).toSet
     // RE-READ the pins immediately before the sweep. Under the registry
     // lock no pin can land mid-pass, so this is normally a no-op — it
-    // stays as cheap defense-in-depth for the double-steal lease
-    // degradation documented on [[withRegistryLock]] (a stolen-lock
-    // clone's pin would land mid-scan exactly like the pre-lock race).
+    // stays as cheap defense-in-depth for the paused-holder lease steal
+    // documented on [[withRegistryLock]] (a sweep stalled past leaseMs
+    // loses the lock, and the stealing clone's pin would then land
+    // mid-scan exactly like the pre-lock race).
     val latePins = (pinnedVersions(path) -- pinned).intersect(drop.toSet)
     val dropFinal = drop.filterNot(latePins)
     val keepFinal = keep ++ drop.filter(latePins)
@@ -3088,14 +3217,30 @@ object VersionedTable {
     // trace would forget the stream's position and let an
     // at-least-once restart replay re-apply a committed batch. Fold
     // every dropped tag into the _streams position sidecar (max-merge,
-    // still under the lock) BEFORE the manifests go. Greedy (.+) binds
-    // a pathological streamId containing ':batch:' to the LAST numeric
-    // tag, matching the sinks' startsWith scan for any sane id.
-    val posRe = """^stream:(.+):batch:(\d+):[^:]*$""".r
-    dropFinal.flatMap(v => actionAt(path, v) match {
-        case posRe(id, n) => Some(id -> n.toLong)
-        case _ => None
-      })
+    // still under the lock) BEFORE the manifests go. The parse speaks
+    // the SINKS' OWN tag language ([[newestStreamBatch]]'s startsWith +
+    // takeWhile-digits scan) rather than a stricter regex: a tag with
+    // no mode suffix, a colon-bearing future mode, or trailing
+    // non-digit text all fold exactly as the replay guard would read
+    // them. The contract is guard-faithfulness: ANY (id, position) the
+    // guard would derive from this manifest while retained must survive
+    // its retirement — so for a pathological streamId that itself
+    // contains ':batch:<digit>', EVERY prefix split is folded (the
+    // guard's startsWith scan honors each of them as that id's tag).
+    def streamPosOf(a: String): Seq[(String, Long)] = {
+      val pre = "stream:"; val marker = ":batch:"
+      if (!a.startsWith(pre)) Nil
+      else Iterator.iterate(a.indexOf(marker, pre.length))(i =>
+          a.indexOf(marker, i + 1))
+        .takeWhile(_ >= 0).toSeq
+        .filter(i => i >= pre.length &&
+          a.drop(i + marker.length).headOption.exists(_.isDigit))
+        .map { i =>
+          val digits = a.substring(i + marker.length).takeWhile(_.isDigit)
+          a.substring(pre.length, i) -> digits.toLong
+        }
+    }
+    dropFinal.flatMap(v => streamPosOf(actionAt(path, v)))
       .groupBy(_._1).foreach { case (id, xs) =>
         streamPosAdvance(path, id, xs.map(_._2).max) }
     // retire the dropped manifests UNDER the lock, before any byte is

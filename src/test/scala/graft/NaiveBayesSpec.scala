@@ -118,6 +118,34 @@ class NaiveBayesSpec extends SparkSpec {
     assert(labels(ldZ) == Seq(("ham", 3L)))
   }
 
+  test("nbCountsMaintain: an inconsistent delta fails loudly instead of corrupting the state") {
+    // removing docs the state NEVER counted drives merged counts
+    // negative — silently filtering those rows would diverge the
+    // maintained state from a retrain with no error. The check rides
+    // inside the count projection (no extra job): materializing the
+    // maintained state surfaces a named SparkException.
+    val (tc0, ld0) = TextOps.nbCounts(train, "text", "label")
+    val empty = Seq.empty[(String, String)].toDF("text", "label")
+    val phantom = Seq(
+      ("buy buy buy buy buy pills pills pills", "spam"),
+      ("buy pills", "spam"),
+      ("buy pills now", "spam")).toDF("text", "label")
+    val (tcBad, ldBad) =
+      TextOps.nbCountsMaintain(tc0, ld0, empty, phantom, "text", "label")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+    val e = intercept[Exception](tcBad.collect())
+    assert(chain(e).contains("nbCountsMaintain"), s"wrong error: ${chain(e)}")
+    val e2 = intercept[Exception](ldBad.collect())
+    assert(chain(e2).contains("nbCountsMaintain"))
+    // a consistent delta (remove docs actually present) stays green
+    val ok = train.filter($"label" === "spam").limit(1)
+    val (tcOk, ldOk) =
+      TextOps.nbCountsMaintain(tc0, ld0, empty, ok, "text", "label")
+    assert(tcOk.collect().nonEmpty && ldOk.collect().nonEmpty)
+  }
+
   test("trainNaiveBayes: model is invariant to input partitioning") {
     // the vocab cut is a TakeOrdered over a total order and every count
     // is exact, so the published model must be bit-identical whether the

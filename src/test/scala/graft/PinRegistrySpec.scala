@@ -136,6 +136,76 @@ class PinRegistrySpec extends SparkSpec {
     assert(!VersionedTable.versions(src).contains(0L))
   }
 
+  test("fenced lease steal: two concurrent stealers race ONE epoch create — exactly one proceeds") {
+    val src = fresh()
+    VersionedTable.create(spark.range(4).toDF("id"), src)
+    val clones = java.nio.file.Paths.get(src, "_clones")
+    java.nio.file.Files.createDirectories(clones)
+    // a crashed holder's lock (legacy fixed name = epoch 0), lease long
+    // expired: every waiter that lists it becomes a stealer
+    val stale = clones.resolve(".registry.lock")
+    java.nio.file.Files.write(stale,
+      """{"owner":"dead","ts":0}""".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val fenced = clones.resolve(".registry.lock.1")
+    val fenceEpochs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val bothAtFence = new CountDownLatch(2)
+    val firstThrough = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val heldNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Park BOTH stealers at the fence so the steal is genuinely
+    // concurrent, then let them race the epoch-1 create. The local FS's
+    // create(overwrite=false) is check-then-act (the conditional-put
+    // store arbitrates this natively), so the hook additionally lets
+    // the first arrival's create LAND before the second attempts —
+    // determinizing which side wins, not whether exactly one does.
+    VersionedTable.stealFenceHook = e => {
+      fenceEpochs.add(e)
+      bothAtFence.countDown()
+      assert(bothAtFence.await(30, TimeUnit.SECONDS), "both stealers at fence")
+      if (!firstThrough.compareAndSet(true, false)) {
+        val dl = System.currentTimeMillis() + 10000
+        while (!java.nio.file.Files.exists(fenced) &&
+            System.currentTimeMillis() < dl) Thread.sleep(10)
+      }
+    }
+    try {
+      def stealer(): Thread = {
+        val t = new Thread(() =>
+          VersionedTable.withRegistryLock(src, waitMs = 60000L) {
+            val n = inBody.incrementAndGet()
+            maxInBody.getAndUpdate(m => math.max(m, n))
+            // record which epoch's file this holder is standing on
+            val it = java.nio.file.Files.list(clones)
+            try it.forEach(p =>
+              if (p.getFileName.toString.startsWith(".registry.lock"))
+                heldNames.add(p.getFileName.toString))
+            finally it.close()
+            Thread.sleep(250)
+            inBody.decrementAndGet(); ()
+          })
+        t.start(); t
+      }
+      val a = stealer(); val b = stealer()
+      a.join(60000); b.join(60000)
+      assert(!a.isAlive && !b.isAlive)
+    } finally VersionedTable.stealFenceHook = _ => ()
+    // both attempted the SAME fence (epoch 1) — the steal was concurrent
+    assert(fenceEpochs.toArray.toSeq === Seq(1L, 1L))
+    // ...but the critical sections never overlapped
+    assert(maxInBody.get() === 1, "both stealers entered the body at once")
+    // the loser's epoch-1 create failed; it re-acquired AFTER the
+    // winner's release at the NEXT epoch — never on the fenced name
+    assert(heldNames.toArray.map(_.toString).sorted.toSeq ===
+      Seq(".registry.lock.1", ".registry.lock.2"))
+    // the stale lock was retired by the winner; everything released
+    assert(!java.nio.file.Files.exists(stale))
+    assert(!java.nio.file.Files.exists(fenced))
+  }
+
   test("lease recovery: a crashed holder's lock is stolen; a live holder is waited out, then the wait times out loudly") {
     val src = fresh()
     VersionedTable.create(spark.range(4).toDF("id"), src)

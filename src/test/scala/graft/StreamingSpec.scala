@@ -512,6 +512,53 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("append stream self-compacts its small-file backlog (autoMaintain wiring)") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // an ingest table only a stream appends to: one small file lands
+    // per micro-batch forever — the accretion maintenanceReport flags —
+    // and nobody runs a nightly job against it. maintainEvery=4 makes
+    // the sink itself compact every 4th successful batch.
+    val base = java.nio.file.Files.createTempDirectory("graft_asm").toString
+    val path = base + "/t"
+    VersionedTable.create(spark.range(10).toDF("id"), path)
+    val input = MemoryStream[Long]
+    val q = input.toDF.toDF("id").writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        VersionedTable.commitStreamBatch(b, path, "ap", bid,
+          maintainEvery = 4)
+        (): Unit
+      }
+      .option("checkpointLocation", base + "/ck")
+      .start()
+    try {
+      for (i <- 0 until 8) {
+        input.addData(100L + i)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream compacted ITSELF mid-run (batch 3 and batch 7 hooks)
+    val hist = VersionedTable.history(spark, path).collect()
+    assert(hist.count(_.getString(1) == "optimize") >= 2,
+      s"no self-compaction in history: ${hist.map(_.getString(1)).mkString(",")}")
+    // backlog bounded: at most the 1 compacted file + the batches since
+    val vLast = VersionedTable.latestVersion(path).get
+    assert(VersionedTable.filesAt(path, vLast).size <= 4,
+      s"small-file backlog unbounded: ${VersionedTable.filesAt(path, vLast).size}")
+    // content exactly once, compaction included
+    assert(VersionedTable.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq === ((0L until 10L) ++ (100L until 108L)))
+    // the replay guard walks straight past the maintenance commits'
+    // own actions: an old batchId is still a no-op, a new one commits
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(500, 501).toDF("id"), path, "ap", 5L).isEmpty)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(108, 109).toDF("id"), path, "ap", 8L).nonEmpty)
+    assert(VersionedTable.read(spark, path).count() === 19L)
+  }
+
   test("upsert stream self-coalesces its trickle DV backlog (autoMaintain wiring)") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.DataFrame

@@ -50,6 +50,12 @@ class VersionedTableModelSpec extends SparkSpec {
     // versions pinned by outstanding shallow clones: vacuum must retain
     // them (manifest AND files) no matter how old
     val pinned = scala.collection.mutable.Set[Long]()
+    // crash-injection debris awaiting collection: torn-commit data
+    // orphans and torn-publish tmp manifests — the next vacuum (minAge
+    // 0) must collect every one of them
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val debris = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
 
     val r0 = freshRows(5 + rng.nextInt(5))
     VersionedTable.create(toDF(r0), path)
@@ -66,7 +72,7 @@ class VersionedTableModelSpec extends SparkSpec {
       val prev = cur
       // predicted contents of any version the op publishes
       var predicted: Map[Long, Long] = prev
-      val op = rng.nextInt(15) match {
+      val op = rng.nextInt(17) match {
         case 0 | 1 | 2 => // append fresh rows
           val rows = freshRows(1 + rng.nextInt(5))
           VersionedTable.commit(toDF(rows), path, "append")
@@ -134,6 +140,29 @@ class VersionedTableModelSpec extends SparkSpec {
               s"replayed batch $bid re-applied (nextBatch=$nextBatch)")
             s"streamReplay($bid)"
           } else "streamReplay-skipped"
+        case 15 => // CRASH between stage and publish: data files landed,
+          // the manifest never did. No read may ever see the bytes
+          // (files without a manifest are invisible — the commit
+          // protocol's core claim), and retention collects the orphans.
+          val dd = new org.apache.hadoop.fs.Path(path, "data")
+          val src = hfs.listStatus(dd).filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet")).head.getPath
+          val orphan = new org.apache.hadoop.fs.Path(dd,
+            s"torn-${java.util.UUID.randomUUID()}-part000.parquet")
+          org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, orphan, false,
+            spark.sparkContext.hadoopConfiguration)
+          debris += orphan
+          "crashTornStage"
+        case 16 => // CRASH between manifest write and the atomic rename:
+          // a half-written `.tmp-<uuid>` in _versions. The version
+          // listing must keep ignoring it; retention collects it.
+          val vd = new org.apache.hadoop.fs.Path(path, "_versions")
+          val tmp = new org.apache.hadoop.fs.Path(vd,
+            s".tmp-${java.util.UUID.randomUUID()}")
+          val out = hfs.create(tmp, true)
+          out.write("""{"files":["torn-mid-""".getBytes("UTF-8")); out.close()
+          debris += tmp
+          "crashTornPublish"
       }
       trace += op
       val ctx = s"seed=$seed step=$step after ${trace.mkString(" -> ")}"
@@ -173,6 +202,11 @@ class VersionedTableModelSpec extends SparkSpec {
         assert(retainedAfter ==
             retainedBefore.filter(v => lastK(v) || pinned(v)),
           s"$ctx: vacuum(keep=$keep, pinned=$pinned) retained $retainedAfter")
+        // crash debris (torn-commit orphans, torn-publish tmps) is
+        // collected by the sweep — no leak survives a retention pass
+        debris.foreach(p => assert(!hfs.exists(p),
+          s"$ctx: vacuum left crash debris $p"))
+        debris.clear()
       }
 
       // latest must equal the model exactly, every step
@@ -217,14 +251,20 @@ class VersionedTableModelSpec extends SparkSpec {
     }
   }
 
-  test("randomized lifecycle vs model (seed 1)") { run(seed = 1L, steps = 22) }
-  test("randomized lifecycle vs model (seed 2)") { run(seed = 2L, steps = 22) }
+  // default gate: 6 seeds (seconds each) — this family found r11's only
+  // real bug (exactly-once position forgotten after vacuum of a paused
+  // stream), so it earns its place in every `sbt test`
+  (1 to 6).foreach { s =>
+    test(s"randomized lifecycle vs model (seed $s)") {
+      run(seed = s.toLong, steps = 22)
+    }
+  }
 
   // opt-in soak (GRAFT_MODEL_SOAK=<n>): n extra seeds at 40 steps each —
-  // not part of the default suite; run before a release / round close
+  // run before a release / round close
   sys.env.get("GRAFT_MODEL_SOAK").flatMap(_.toIntOption).filter(_ > 0)
     .foreach { n =>
-      (3 to 2 + n).foreach { s =>
+      (7 to 6 + n).foreach { s =>
         test(s"randomized lifecycle vs model (soak seed $s)") {
           run(seed = s.toLong, steps = 40)
         }

@@ -184,13 +184,17 @@ class VersionedTablePartitionedModelSpec extends SparkSpec {
     }
   }
 
-  test("randomized partitioned lifecycle vs model (seed 1)") { run(seed = 1L, steps = 20) }
-  test("randomized partitioned lifecycle vs model (seed 2)") { run(seed = 2L, steps = 20) }
+  // default gate: 6 seeds, matching the flat-layout model suite
+  (1 to 6).foreach { s =>
+    test(s"randomized partitioned lifecycle vs model (seed $s)") {
+      run(seed = s.toLong, steps = 20)
+    }
+  }
 
   // opt-in soak (GRAFT_MODEL_SOAK=<n>): n extra seeds at 40 steps each
   sys.env.get("GRAFT_MODEL_SOAK").flatMap(_.toIntOption).filter(_ > 0)
     .foreach { n =>
-      (3 to 2 + n).foreach { s =>
+      (7 to 6 + n).foreach { s =>
         test(s"randomized partitioned lifecycle vs model (soak seed $s)") {
           run(seed = s.toLong, steps = 40)
         }

@@ -588,6 +588,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.streamPosAt(path, "pausing") === Some(1L))
   }
 
+  test("vacuum folds every tag variant the replay guard honors (lenient position parse)") {
+    // The retention fold must speak the SINKS' tag language exactly: a
+    // tag with no mode suffix, a colon-bearing future mode, or an id
+    // that itself contains ':batch:' are all honored by the replay
+    // guard's startsWith+takeWhile scan, so a retention sweep that
+    // retires them must fold the same positions — a variant the fold
+    // rejected but the guard honored would silently re-open the
+    // forgotten-position replay hole for that stream.
+    val path = fresh()
+    VersionedTable.create(spark.range(0, 3).toDF("id"), path)
+    def tagged(action: String): Unit = {
+      val cur = VersionedTable.latestVersion(path).get
+      VersionedTable.publish(path, cur + 1, cur, action,
+        VersionedTable.filesAt(path, cur))
+    }
+    tagged("stream:bare:batch:7") // no mode suffix
+    tagged("stream:colons:batch:4:upsert:v2") // future colon-bearing mode
+    tagged("stream:odd:batch:9:batch:5:append") // id containing ':batch:'
+    // bury them and retire every tagged manifest
+    VersionedTable.commit(spark.range(3, 6).toDF("id"), path, "append")
+    VersionedTable.vacuum(path, keepVersions = 1, minAgeMs = 0L)
+    assert(VersionedTable.streamPosAt(path, "bare") === Some(7L))
+    assert(VersionedTable.streamPosAt(path, "colons") === Some(4L))
+    // an id embedding ':batch:' is ambiguous under the guard's
+    // startsWith scan — it honors EVERY prefix split — so the fold
+    // preserves each: both the embedded id and its short-prefix reading
+    assert(VersionedTable.streamPosAt(path, "odd:batch:9") === Some(5L))
+    assert(VersionedTable.streamPosAt(path, "odd") === Some(9L))
+    // and the guard agrees end-to-end: the replays are no-ops
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(90, 93).toDF("id"), path, "bare", 7L).isEmpty)
+    assert(VersionedTable.commitStreamBatch(
+      spark.range(90, 93).toDF("id"), path, "colons", 4L).isEmpty)
+    assert(ids(VersionedTable.read(spark, path)) === (0L until 6L))
+  }
+
   test("commitStreamBatch: append refuses a hive-partitioned layout (the upsert guard)") {
     val path = fresh()
     val df = spark.range(20).select(col("id"),
