@@ -957,17 +957,25 @@ object Similarity {
     val joined =
       if (joinOnCell) codes.join(broadcast(q), Seq("cell"))
       else codes.crossJoin(broadcast(q))
+    // wrong-dimension vectors surface as null distances (sqDist's
+    // length-mismatch contract); they must not fabricate neighbors.
+    // The null-guard ranks NULLS LAST and drops them AFTER the window —
+    // equivalent to a pre-rank filter (trailing nulls leave non-null
+    // row_numbers unchanged), but crucially the guard no longer sits
+    // below the rank window: a pre-rank filter(adc_dist.isNotNull) let
+    // the optimizer infer isnotnull constraints on every __da_s/__code_s
+    // and push them below all projections, inlining the full
+    // codebook/residual expression chain 256x into one Filter condition
+    // (a 5.4 MB plan tree on the residual path — planning/codegen
+    // dominated the query). Windows are predicate-pushdown barriers for
+    // non-partition columns, so the post-window conjunct stays put.
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
+      .orderBy(col("adc_dist").asc_nulls_last, col("neighbor_id"))
     joined
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_dist", adc)
-      // wrong-dimension vectors surface as null distances (sqDist's
-      // length-mismatch contract); they must not sort FIRST in the
-      // ascending rank window and fabricate neighbors
-      .filter(col("adc_dist").isNotNull)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k && col("adc_dist").isNotNull)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
   }
 

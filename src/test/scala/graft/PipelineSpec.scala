@@ -1707,6 +1707,20 @@ class PipelineSpec extends SparkSpec {
     val gotN2 = Similarity.ivfPqTopK(withNull, queries, "vec_id", "embedding",
       10, cellCents, nProbe = 4, books).collect()
     assert(!gotN2.exists(_.getLong(2) == 999L))
+
+    // wrong-DIMENSION vectors (null ADC distance via sqDist's length
+    // contract) must not fabricate neighbors either. This pins the
+    // r12 null-guard move: it now ranks NULLS LAST and filters ABOVE
+    // the rank window (the pre-window filter made the optimizer inline
+    // the full codebook chain 256x into a pushed-down Filter) — the
+    // result contract is unchanged
+    val withShort = corpus.unionByName(
+      Seq((998L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"))
+    val gotS = Similarity.pqTopKADC(withShort, queries, "vec_id", "embedding",
+      10, books).collect()
+    assert(!gotS.exists(_.getLong(2) == 998L))
+    assert(gotS.length == 40 && gotS.forall(!_.isNullAt(3)),
+      "short vector must neither rank nor leave a null adc_dist")
   }
 
   test("hadamardSignRotate: orthogonal (norms/dots preserved), deterministic, power-of-two gate") {
