@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT order statistics for UNGROUPED (whole-column)
@@ -151,9 +151,11 @@ object RankSelect {
       require(pass <= 300, "orderStatistics: failed to converge (300 passes)")
       // PROBE DEDUP: targets sharing (column, interval) — every rank of a
       // column on pass 1, and a lerp's adjacent order statistics
-      // thereafter — share one histogram instead of exploding per target
+      // thereafter — share one histogram instead of contributing per target
       val active = targets.filter(_.result.isEmpty)
         .groupBy(t => (t.colName, t.lo, t.hi)).values.map(_.toSeq).toSeq
+      case class Contrib(t: Int, inInterval: Column, bucket: Column,
+        x: Column, m: Column)
       val contribs = active.zipWithIndex.map { case (ts, i) =>
         val t = ts.head
         val x = col(t.colName).cast("double")
@@ -184,14 +186,34 @@ object RankSelect {
           if (t.hi.isNaN) lit(true) // NaN is the greatest: everything ≤ it
           else if (t.hi == Double.PositiveInfinity) !isnan(x)
           else (x <= t.hi) && !isnan(x)
-        when(m.isNotNull && geLo && leHi,
-          struct(lit(i).as("t"), bucket.as("b"), x.as("v"), m.as("m")))
+        Contrib(i, m.isNotNull && geLo && leHi, bucket, x, m)
       }
-      val perBucket = df
-        .select(explode(array_compact(array(contribs: _*))).as("c"))
-        .groupBy(col("c.t"), col("c.b"))
-        .agg(sum(col("c.m")).as("mass"), count(lit(1)).as("rows"),
-          min(col("c.v")).as("mn"), max(col("c.v")).as("mx"))
+      // Few interval groups (the normal case — a handful of columns ×
+      // shared pass-1 intervals): a UNION of per-group filtered
+      // projections over the cached projection stays entirely inside
+      // whole-stage codegen and measured 4× faster per pass than the
+      // explode(array_compact(array(struct…))) formulation (the Generate
+      // + struct materialization cost ~1.3 s/pass vs 0.4 s at sf0.1 —
+      // r12). Many groups: fall back to the single-scan explode form
+      // rather than re-scan the cache dozens of times.
+      val hist =
+        if (contribs.size <= 16) {
+          contribs.map { c =>
+            df.filter(c.inInterval)
+              .select(lit(c.t).as("t"), c.bucket.as("b"),
+                c.x.as("v"), c.m.as("m"))
+          }.reduce(_ unionAll _)
+        } else {
+          df.select(explode(array_compact(array(contribs.map(c =>
+            when(c.inInterval, struct(lit(c.t).as("t"), c.bucket.as("b"),
+              c.x.as("v"), c.m.as("m")))): _*))).as("c"))
+            .select(col("c.t").as("t"), col("c.b").as("b"),
+              col("c.v").as("v"), col("c.m").as("m"))
+        }
+      val perBucket = hist
+        .groupBy(col("t"), col("b"))
+        .agg(sum(col("m")).as("mass"), count(lit(1)).as("rows"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
         .collect()
         .groupBy(_.getInt(0))
       active.zipWithIndex.foreach { case (ts, i) =>

@@ -84,6 +84,22 @@ class RankSelectSpec extends SparkSpec {
     assert(RankSelect.quantilesOf(df, "x", Seq(0.5)) === None)
   }
 
+  test("many interval groups (>16) route through the explode fallback and match") {
+    // 20 columns with one quantile each = 20 active (column, interval)
+    // groups on pass 1 — past the union-branch cap, so the single-scan
+    // explode histogram runs; both paths must agree with the buffered
+    // aggregate bit for bit
+    val cols = (0 until 20).map(i => s"c$i")
+    val df = spark.range(30000).select(cols.zipWithIndex.map { case (c, i) =>
+      ((col("id") * (7919 + i) % 10007).cast("double") +
+        sin(col("id") * (0.11 + i)).multiply(100.0)).as(c)
+    }: _*)
+    val got = RankSelect.quantiles(df, cols.map(c => c -> Seq(0.37)))
+    cols.foreach { c =>
+      assert(got(c) === viaBuffer(df, c, Seq(0.37)).map(_.toList), c)
+    }
+  }
+
   test("weighted quantiles: inverted CDF vs a brute-force model, ties and dead weights") {
     // deterministic values with heavy ties; weights include nulls and
     // zeros (no mass) and a dominant heavy row
