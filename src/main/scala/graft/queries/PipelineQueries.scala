@@ -1353,9 +1353,16 @@ object PipelineQueries {
     "q_curate2" -> ((s, dir) => {
       val gated = TextOps.gopherQualityFlags(t(s, dir, "documents"), "text")
         .filter(col("gopher_pass")).select(col("doc_id"), col("text"))
+      // dropExactDups consumes its input twice (canonical-set build +
+      // probe), and nothing upstream is exchange-shaped for AQE reuse —
+      // without a persist the whole gate+trim stage (the pipeline's
+      // per-row heavy work) runs twice. Production materializes the
+      // cleaned stage between steps; MEMORY_AND_DISK is its spill-safe
+      // local analogue (measured 2.4 -> 1.8 s warm at sf0.1).
       val trimmed = Dedup.trimDupSpans(gated, "text", "doc_id", n = 15)
         .select(col("doc_id"), col("text_trimmed").as("clean"),
           col("n_trimmed_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val canon = Dedup.dropExactDups(trimmed, "clean", "doc_id")
       canon
         .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 80))
