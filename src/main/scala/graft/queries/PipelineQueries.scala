@@ -403,6 +403,18 @@ object PipelineQueries {
     // (pinned at query start — state layout is fixed per checkpoint).
     val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // One-shot replay: after the single data batch the engine schedules
+    // a NO-DATA batch purely to advance the watermark (state eviction /
+    // timeout processing) — a full state-store load+commit cycle that
+    // can't change a one-pass result (nothing is late, no TTL is armed,
+    // complete mode re-emits the same state, append-mode operators here
+    // emit within the data batch). Skip it; a continuous production
+    // stream keeps the default (watermark-driven eviction IS its state
+    // bound). Hash-equality across all stateful faces probed before
+    // pinning; restored after termination (read per trigger, so it must
+    // hold for the query's lifetime).
+    val noData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // staged copies are cleaned in finally: a query failure (or the
     // single-batch require below) must not leak them
     try {
@@ -425,6 +437,7 @@ object PipelineQueries {
         s"runAvailableNow: staged input split across $dataBatches micro-batches " +
           "— single-batch owner determinism violated")
     } finally {
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData)
       staged.foreach(java.nio.file.Files.deleteIfExists)
       java.nio.file.Files.deleteIfExists(stageDir)
     }
@@ -454,6 +467,12 @@ object PipelineQueries {
     // for the life of the checkpoint, so it must be set before start()).
     val batchPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // same one-shot-replay rationale as runAvailableNow: an inner
+    // stream-stream join emits its matches within the data batch; the
+    // trailing no-data batch only evicts state a terminating query
+    // discards anyway
+    val noData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = try {
         mkJoin(l, r)
@@ -463,9 +482,12 @@ object PipelineQueries {
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", batchPartitions)
       q.awaitTermination()
-    } finally dirs.foreach { case (d, staged) =>
-      staged.foreach(java.nio.file.Files.deleteIfExists)
-      java.nio.file.Files.deleteIfExists(d)
+    } finally {
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData)
+      dirs.foreach { case (d, staged) =>
+        staged.foreach(java.nio.file.Files.deleteIfExists)
+        java.nio.file.Files.deleteIfExists(d)
+      }
     }
     s.table(sink)
   }
