@@ -1226,7 +1226,13 @@ object TextOps {
   def trainNaiveBayes(train: DataFrame, textCol: String, labelCol: String,
       vocabK: Int = 400): (DataFrame, DataFrame) = {
     val (termCounts, labelDocs) = nbCounts(train, textCol, labelCol)
-    nbModel(termCounts, labelDocs, vocabK)
+    // materialize the sufficient statistics once (the q_nb_maintain
+    // pattern — production persists them as a table): nbModel consumes
+    // them from several separate jobs (vocab cut, loglik build, priors),
+    // and without the barrier each job replays the corpus explode+count
+    // train pass. State is |labels|×|distinct terms| count rows —
+    // vocabulary-sized, never corpus-sized.
+    nbModel(termCounts.localCheckpoint(), labelDocs.localCheckpoint(), vocabK)
   }
 
   /** The NB SUFFICIENT STATISTICS — the maintainable state behind
@@ -1299,13 +1305,19 @@ object TextOps {
       vocabK: Int = 400): (DataFrame, DataFrame) = {
     require(vocabK >= 1, "nbModel: vocabK must be >= 1")
     // TakeOrderedAndProject: total order (count desc, term asc) so the
-    // top-K cut is unique; no global window
-    val vocab = termCounts.groupBy(col("t")).agg(sum(col("c")).as("__c"))
+    // top-K cut is unique; no global window. The cut is ≤ vocabK strings
+    // by construction, so it lands on the driver (like the IVF centroid
+    // fetch) — one job yields BOTH the realized vocab size V (the
+    // smoothing denominator) and a local-relation vocab for the
+    // broadcast joins, where the previous vocab.count() + three lazy
+    // consumptions re-ran the TakeOrdered job per use
+    val vocabTerms = termCounts.groupBy(col("t")).agg(sum(col("c")).as("__c"))
       .orderBy(col("__c").desc, col("t")).limit(vocabK)
-      .select(col("t"))
-    // V is the REALIZED vocab size (< vocabK on small corpora) — it is
-    // the smoothing denominator, so pin it once on the driver
-    val vsz = vocab.count()
+      .select(col("t")).collect().map(_.getString(0)).toSeq
+    val spark = termCounts.sparkSession
+    import spark.implicits._
+    val vocab = vocabTerms.toDF("t")
+    val vsz = vocabTerms.size.toLong
     val cnt = termCounts.join(broadcast(vocab), Seq("t"))
       .select(col("label"), col("t"), col("c").as("__n"))
     val tot = cnt.groupBy(col("label")).agg(sum(col("__n")).as("__tc"))
