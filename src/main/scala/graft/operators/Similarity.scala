@@ -860,8 +860,16 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
-      .distinct()
+    // score BEFORE the dedup so the distinct's exchange carries 24 bytes
+    // per row (ids + cosine) instead of two d-dim vectors — a pair
+    // colliding in k bands re-scores ≤ k−1 times row-locally, which is
+    // far cheaper than shuffling its vectors (guide: shuffle keys and
+    // metadata, not payloads). cosine is a deterministic function of the
+    // pair, so distinct-then-score and score-then-distinct are the same
+    // row set bit for bit.
     val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
