@@ -212,10 +212,24 @@ object VersionedTable {
     * span; the key itself cannot appear inside a string because esc()
     * escapes every raw quote. Empty string when the array is absent
     * (legacy manifests carry no "dv"). */
-  private def arraySpan(txt: String, name: String): String = {
+  private def arraySpan(txt: String, name: String,
+      required: Boolean = false): String = {
     val key = "\"" + name + "\":["
     val i = txt.indexOf(key)
-    if (i < 0) return ""
+    if (i < 0) {
+      // Every written manifest carries its required arrays ("files" is
+      // unconditional in [[publish]]); a read that cannot even FIND the
+      // key is a torn/zero-length window on a visible-before-close
+      // store (PutIfAbsentCommitter doc) and MUST fail loudly — an
+      // empty Seq here silently rebased concurrent appends onto an
+      // empty file list (observed once as 6 writers landing, latest
+      // manifest missing two appends' files). appendWithRetry's
+      // torn-manifest re-verify catches the throw and retries.
+      if (required) throw new IllegalStateException(
+        s"VersionedTable: no \"$name\" array in manifest — torn or " +
+          "zero-length manifest read")
+      return ""
+    }
     var j = i + key.length
     var inStr = false
     while (j < txt.length) {
@@ -234,20 +248,39 @@ object VersionedTable {
   private val fileEntryRe = "\"([^\"]+\\.parquet)\"".r
   private val dvEntryRe = "\"([^\"]+\\.dv)\"".r
 
-  /** Manifest data-file entries verbatim, anchored to the "files" span. */
+  /** Manifest data-file entries verbatim, anchored to the "files" span.
+    * The span is REQUIRED: publish() writes it unconditionally, so its
+    * absence is a torn read, never a legacy shape. */
   private def manifestFiles(txt: String): Seq[String] =
-    fileEntryRe.findAllMatchIn(arraySpan(txt, "files")).map(_.group(1)).toSeq
+    fileEntryRe.findAllMatchIn(arraySpan(txt, "files", required = true))
+      .map(_.group(1)).toSeq
 
   /** Manifest DV-shard entries verbatim, anchored to the "dv" span. */
   private def manifestDvs(txt: String): Seq[String] =
     dvEntryRe.findAllMatchIn(arraySpan(txt, "dv")).map(_.group(1)).toSeq
+
+  /** A manifest's full text, verified COMPLETE: on a visible-before-
+    * close store (PutIfAbsentCommitter doc) a reader can open the
+    * target mid-write and see a PREFIX. A tear inside an array fails
+    * the span parse loudly, and a tear before the "files" key fails the
+    * required-span check — but a tear landing exactly between the
+    * "files" and "dv" spans would silently read as a delete-free
+    * manifest and resurrect deleted rows on a rebase. publish() writes
+    * one JSON object whose only closing brace is terminal, so
+    * completeness is exactly "ends with '}'". */
+  private def readManifestUtf8(p: HPath): String = {
+    val txt = readUtf8(p)
+    if (!txt.trim.endsWith("}")) throw new IllegalStateException(
+      s"VersionedTable: torn manifest read at $p (truncated body)")
+    txt
+  }
 
   /** Files of a manifest, as absolute paths. */
   def filesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
     // manifest files are one relative path per "files" array element
-    manifestFiles(readUtf8(f))
+    manifestFiles(readManifestUtf8(f))
       .map(e => new HPath(rootPath(path), e).toString)
   }
 
@@ -259,7 +292,7 @@ object VersionedTable {
   def dvsAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    manifestDvs(readUtf8(f))
+    manifestDvs(readManifestUtf8(f))
       .map(e => new HPath(rootPath(path), e).toString)
   }
 
@@ -276,13 +309,13 @@ object VersionedTable {
   private def fileEntriesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    manifestFiles(readUtf8(f))
+    manifestFiles(readManifestUtf8(f))
   }
 
   private def dvEntriesAt(path: String, v: Long): Seq[String] = {
     val f = versionFile(path, v)
     require(exists(f), s"VersionedTable: no version $v at $path")
-    manifestDvs(readUtf8(f))
+    manifestDvs(readManifestUtf8(f))
   }
 
   /** The metadata-face matrix under deletion vectors, uniform by rule:
@@ -419,8 +452,17 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val cur = latestVersion(path).get
-      val files = filesAt(path, cur).map(relOf(path, _)) ++ newFiles
       try {
+        // the rebase read sits INSIDE the retry: on a visible-before-
+        // close store the just-published latest manifest can be torn
+        // mid-read, and filesAt/dvRelsAt now fail LOUDLY on any
+        // truncation (required files span + terminal-brace check) —
+        // that throw must mean "retry against a settled manifest",
+        // never "fail the append" (and before the loud checks it
+        // silently rebased onto a partial file list: observed once as
+        // 6 contending writers landing 6 versions whose latest manifest
+        // missed two appends' files)
+        val files = filesAt(path, cur).map(relOf(path, _)) ++ newFiles
         publish(path, cur + 1, cur, "append", files, dvRelsAt(path, cur))
         return cur + 1
       } catch {
@@ -772,7 +814,7 @@ object VersionedTable {
     import spark.implicits._
     versions(path).map { v =>
       val f = versionFile(path, v)
-      val txt = readUtf8(f) // ONE manifest read serves all three parses
+      val txt = readManifestUtf8(f) // ONE manifest read serves all three parses
       val action = """"action":"([^"]*)"""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
       val nFiles = manifestFiles(txt).length
@@ -1570,7 +1612,7 @@ object VersionedTable {
 
   /** Manifest action label of a version (empty if unparseable). */
   def actionAt(path: String, v: Long): String = {
-    val txt = readUtf8(versionFile(path, v))
+    val txt = readManifestUtf8(versionFile(path, v))
     """"action":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
   }
 

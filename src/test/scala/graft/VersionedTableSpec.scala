@@ -980,11 +980,15 @@ class VersionedTableSpec extends SparkSpec {
     // the conditional-put window: our publish loses to a competitor whose
     // manifest bytes are still landing, so the winner reads TORN. The old
     // partial-regex read could yield a file subset that happened to
-    // contain our names and claim a FOREIGN manifest as our win; the span
-    // parse throws instead, the re-verify treats the parse failure as
-    // "not our win" and retries, and a window that NEVER closes escapes
-    // loudly from the rebase read (a permanently torn store is corrupt —
-    // the documented loud-over-silent contract), never a wrong version.
+    // contain our names and claim a FOREIGN manifest as our win; the
+    // manifest completeness check throws instead, the re-verify treats
+    // the parse failure as "not our win" and retries — INCLUDING the
+    // rebase read itself (r12: a torn rebase read previously parsed as a
+    // silent file-list prefix and could drop concurrent appends) — and a
+    // window that NEVER closes exhausts maxRetries and escapes loudly
+    // with the parse failure in its cause chain (a permanently torn
+    // store is corrupt — the documented loud-over-silent contract),
+    // never a wrong version.
     val path = fresh()
     VersionedTable.create(spark.range(3).toDF("id"), path)
     val real = VersionedTable.committer
@@ -1007,8 +1011,10 @@ class VersionedTableSpec extends SparkSpec {
       val e = intercept[IllegalStateException](
         VersionedTable.appendWithRetry(spark.range(3, 6).toDF("id"), path,
           maxRetries = 3))
-      assert(e.getMessage.contains("unterminated"),
-        s"expected the loud span-parse escape, got: ${e.getMessage}")
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).toSeq
+      assert(chain.exists(m => m.contains("torn") || m.contains("unterminated")),
+        s"expected the loud torn-manifest escape in the chain, got: $chain")
     } finally VersionedTable.committer = real
     // the pre-race version is untouched
     assert(ids(VersionedTable.readVersion(spark, path, 0)) === (0L until 3L))
@@ -1079,6 +1085,42 @@ class VersionedTableSpec extends SparkSpec {
     val v = VersionedTable.deleteWhere(spark, path, pred,
       Seq(("id", 1000L, 3000L)), verifyPrune = true)
     assert(VersionedTable.readVersion(spark, path, v).count() === 10000 - 2001)
+  }
+
+  test("torn manifest reads fail loudly: zero-length, pre-files cut, post-files cut") {
+    // On a visible-before-close store a reader can open a manifest
+    // mid-write. Every truncation class must THROW (appendWithRetry
+    // retries on it) — the zero-length and pre-"files" windows used to
+    // parse as a silently EMPTY file list, which let a contending
+    // append rebase away concurrent appends' files (observed once in
+    // the 6-writer contention test as 50 rows where 70 committed).
+    val path = fresh()
+    VersionedTable.create(spark.range(10).toDF("id"), path)
+    val v1 = VersionedTable.commit(spark.range(10, 20).toDF("id"), path, "append")
+    val full = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_versions", f"v$v1%08d.json")), "UTF-8")
+    // the local FS keeps .crc companions; drop them when tampering so
+    // the parse-level guard (not the checksum layer) is what's exercised
+    def write(body: String): Unit = {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        path, "_versions", f".v$v1%08d.json.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_versions", f"v$v1%08d.json"),
+        body.getBytes("UTF-8"))
+    }
+    def tornAt(body: String): Unit = {
+      write(body)
+      assertThrows[IllegalStateException](VersionedTable.filesAt(path, v1))
+      assertThrows[IllegalStateException](VersionedTable.dvsAt(path, v1))
+      assertThrows[IllegalStateException](VersionedTable.actionAt(path, v1))
+    }
+    tornAt("") // zero-length: create() landed, no bytes flushed
+    tornAt(full.substring(0, full.indexOf("\"files\""))) // cut before files
+    tornAt(full.substring(0, full.indexOf("]") + 1)) // cut after files, no brace
+    tornAt(full.dropRight(1)) // cut inside the closing brace window
+    // restored byte-for-byte: everything reads again
+    write(full)
+    assert(VersionedTable.read(spark, path).count() === 20)
   }
 
   test("object-store scheme: full protocol + 6-writer contention on conditional put") {
