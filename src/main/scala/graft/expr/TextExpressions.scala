@@ -142,6 +142,124 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document character n-gram counts in ONE pass — `array<struct<gram,
+  * cnt>>` sorted by gram (binary order), one entry per DISTINCT gram with
+  * its occurrence count (multiplicity — the Cavnar–Trenkle feature space).
+  * The HOF formulation (`transform(sequence(...), i => substr(i, n))` then
+  * explode + count) evaluates an interpreted Substring lambda per
+  * CHARACTER and materializes one row per occurrence before the aggregate;
+  * this walks the string's bytes once, slices grams as zero-copy views of
+  * one byte array, and counts in a row-local hash map (the GramStats
+  * pattern). Texts shorter than n yield an EMPTY array; null yields null
+  * — exactly `charNgramsAll`'s contract. */
+case class CharGramCounts(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "char_gram_counts: n >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_char_gram_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.charGramCounts(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.charGramCounts($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramCounts =
+    copy(child = newChild)
+}
+
+/** The top `m` character n-grams of a document by (count desc, gram asc),
+  * as `array<struct<gram, rank>>` with rank 1-based — the ROW-LOCAL form
+  * of the per-doc `row_number()` window the CT language-ID apply side ran:
+  * a doc's gram ranking depends only on the doc itself, so partitioning a
+  * corpus-wide window by doc id paid an exchange + sort for what one
+  * in-row sort over the doc's own distinct grams computes exactly. Tie
+  * order is the window's (binary gram comparison, matching Spark's
+  * non-collated string ordering). Shorter-than-n texts yield an EMPTY
+  * array (the explode_outer caller keeps its null-gram row); null yields
+  * null. */
+case class CharGramTopRanks(child: Expression, n: Int, m: Int)
+    extends UnaryExpression {
+  require(n >= 1 && m >= 1, "char_gram_top_ranks: n >= 1 and m >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("rank", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_char_gram_top_ranks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.charGramTopRanks(input.asInstanceOf[UTF8String], n, m)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.charGramTopRanks($s, $n, $m);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramTopRanks =
+    copy(child = newChild)
+}
+
+/** All k minhash values of a shingle array in ONE pass — the native form
+  * of the polynomial seeded-hash family h_j(s) = (fp("j:")·31^len(s) +
+  * fp(s)) mod P used by [[graft.operators.Dedup.MinhashFamily.polynomial]]
+  * and the streaming LSH signatures. Per element the byte fold computes
+  * fp(s) and 31^numBytes(s) together; each seed then costs one
+  * multiply-add-mod against the precomputed seed fingerprints. The HOF
+  * formulation (k separate `array_min(transform(...))` passes, all
+  * CodegenFallback) walks the array k times through interpreted lambda
+  * machinery; the explode+min-agg batch formulation materializes one row
+  * per shingle and a hash-aggregate per doc. Values are bit-identical to
+  * both (same long arithmetic, no overflow: operands < P ≈ 2^30, products
+  * < 2^60) — differential-spec'd against the HOF and agg forms.
+  *
+  * An array with no non-null element yields all-NULL values (what
+  * `array_min` over an empty transform returns); callers filter empty
+  * shingle sets before signing, as both previous forms required. */
+case class MinhashSignature(child: Expression, seedFps: Seq[Long])
+    extends UnaryExpression {
+  require(seedFps.nonEmpty, "minhash_sig: at least one seed")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+
+  private lazy val seedArr: Array[Long] = seedFps.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.minhashSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seedArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seeds = ctx.addReferenceObj("minhashSeeds", seedArr, "long[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.minhashSig($s, $seeds);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** NFC unicode normalization (UAX#15 canonical composition) as a native
   * expression — real corpora mix precomposed and combining-mark forms of
   * the same visible text, which breaks exact dedup keys and fingerprints.
@@ -531,6 +649,126 @@ object TextExpressions {
   /** NFC normalization Column. */
   def nfcNormalize(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
+
+  /** One walk over a string's bytes → (distinct gram, count) hash map of
+    * its character n-grams with multiplicity. Grams are zero-copy views
+    * of a single byte array. */
+  private def charGramMap(s: UTF8String,
+      n: Int): java.util.HashMap[UTF8String, Array[Long]] = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val offs = new Array[Int](nb + 1)
+    var i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      c += 1
+      i += math.max(1, UTF8String.numBytesForFirstByte(bytes(i)))
+    }
+    offs(c) = nb
+    val m = new java.util.HashMap[UTF8String, Array[Long]]()
+    var g = 0
+    while (g + n <= c) {
+      val gram = UTF8String.fromBytes(bytes, offs(g), offs(g + n) - offs(g))
+      val prev = m.get(gram)
+      if (prev == null) m.put(gram, Array(1L)) else prev(0) += 1L
+      g += 1
+    }
+    m
+  }
+
+  /** Static [[CharGramCounts]] helper shared by eval and generated code. */
+  def charGramCounts(s: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = charGramMap(s, n)
+    val keys = m.keySet().toArray(new Array[UTF8String](m.size()))
+    java.util.Arrays.sort(keys,
+      java.util.Comparator.naturalOrder[UTF8String]())
+    val out = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      out(i) = new GenericInternalRow(Array[Any](keys(i), m.get(keys(i))(0)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Static [[CharGramTopRanks]] helper shared by eval and generated code:
+    * (count desc, gram asc) total order — the window's exactly. */
+  def charGramTopRanks(s: UTF8String, n: Int, m: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cnts = charGramMap(s, n)
+    val keys = cnts.keySet().toArray(new Array[UTF8String](cnts.size()))
+    java.util.Arrays.sort(keys, new java.util.Comparator[UTF8String] {
+      override def compare(a: UTF8String, b: UTF8String): Int = {
+        val ca = cnts.get(a)(0); val cb = cnts.get(b)(0)
+        if (ca != cb) java.lang.Long.compare(cb, ca) else a.compareTo(b)
+      }
+    })
+    val take = math.min(m, keys.length)
+    val out = new Array[Any](take)
+    var i = 0
+    while (i < take) {
+      out(i) = new GenericInternalRow(Array[Any](keys(i), (i + 1).toLong))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[CharGramCounts]] Column. */
+  def charGramCounts(c: Column, n: Int): Column =
+    Bridge.column(CharGramCounts(Bridge.expression(c), n))
+
+  /** [[CharGramTopRanks]] Column. */
+  def charGramTopRanks(c: Column, n: Int, m: Int): Column =
+    Bridge.column(CharGramTopRanks(Bridge.expression(c), n, m))
+
+  /** Static [[MinhashSignature]] helper shared by eval and generated
+    * code: one byte fold per element yields fp(s) and 31^numBytes(s)
+    * together; each seed is one multiply-add-mod. */
+  def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      seeds: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = seeds.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sz = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < sz) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val s = arr.getUTF8String(i)
+        val nb = s.numBytes()
+        var fp = 0L
+        var pw = 1L
+        var b = 0
+        while (b < nb) {
+          fp = (fp * 31L + (s.getByte(b) & 0xFF)) % 1000000007L
+          pw = pw * 31L % 1000000007L
+          b += 1
+        }
+        var j = 0
+        while (j < k) {
+          val h = (seeds(j) * pw + fp) % 1000000007L
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) // no non-null shingle: every seed's min is NULL (array_min
+      // over an empty transform) — callers filter empty sets first
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** [[MinhashSignature]] Column for the polynomial prefix family: seed j
+    * is fp("j:") — matches `prefixedFingerprintFromParts(s"$j:", …)` and
+    * the SQL oracle's `fp(concat(j, ':', shingle))` bit for bit. */
+  def minhashSigs(shingles: Column, k: Int): Column = {
+    val seeds = (0 until k).map(j => graft.operators.TextOps.fingerprintOf(s"$j:"))
+    Bridge.column(MinhashSignature(Bridge.expression(shingles), seeds))
+  }
 
   def fingerprint(c: Column): Column =
     Bridge.column(PolynomialFingerprint(Bridge.expression(c)))

@@ -214,7 +214,14 @@ object Dedup {
     * into `prepare` runs k times per shingle. */
   final case class MinhashFamily(
       prepare: org.apache.spark.sql.Column => Seq[(String, org.apache.spark.sql.Column)],
-      hash: (String => org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column)
+      hash: (String => org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
+      /** Row-local whole-signature kernel (shingleArray, k) → array(k) of
+        * the seed minima, when the family has a native one-pass form.
+        * [[minhashSignatures]] then signs each doc in a single projection
+        * — no explode, no aggregate, no exchange (§2.4: the signature is
+        * a pure per-row function; only downstream banding ever shuffles,
+        * and it carries k longs per doc either way). */
+      sigArray: Option[(org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column] = None)
 
   object MinhashFamily {
     /** Default: seeded xxhash64 — one codegen'd call per seed, nothing to
@@ -224,10 +231,13 @@ object Dedup {
 
     /** Oracle-replayable polynomial family h_j(s) = fp(j + ":" + s): the
       * fingerprint loop and 31^len power run once per shingle
-      * (TextOps.fingerprintParts); each seed is two multiplies and a mod. */
+      * (TextOps.fingerprintParts); each seed is two multiplies and a mod.
+      * Carries the native one-pass kernel (graft_minhash_sig), bit-equal
+      * by differential spec. */
     val polynomial: MinhashFamily = MinhashFamily(
       TextOps.fingerprintParts,
-      (c, j) => TextOps.prefixedFingerprintFromParts(s"$j:", c("fp"), c("pw")))
+      (c, j) => TextOps.prefixedFingerprintFromParts(s"$j:", c("fp"), c("pw")),
+      sigArray = Some((sh, k) => graft.expr.TextExpressions.minhashSigs(sh, k)))
   }
 
   /** k MinHash signatures: minhash_j = min over distinct shingles of
@@ -243,18 +253,31 @@ object Dedup {
     * drop out (they cannot near-dup match). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int,
       shingleN: Int,
-      family: MinhashFamily = MinhashFamily.xxhash): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
-        .as("shingle"))
-    val prepared = exploded.select(
-      col(idCol) +: col("shingle") +:
-        family.prepare(col("shingle")).map { case (n, c) => c.as(n) }: _*)
-    val minCols = (0 until k).map(j => min(family.hash(col, j)).as(s"m$j"))
-    prepared.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-  }
+      family: MinhashFamily = MinhashFamily.xxhash): DataFrame =
+    family.sigArray match {
+      case Some(mk) =>
+        // native one-pass kernel: the signature is a pure per-row
+        // function of the shingle set, so the whole computation is one
+        // narrow projection — no explode row per shingle, no per-doc
+        // hash-aggregate, no exchange. The size>=1 filter mirrors the
+        // explode form exactly (explode drops empty arrays, so shingle-
+        // less docs never reached the aggregate).
+        docs.select(col(idCol), array_distinct(
+            TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("__sh"))
+          .filter(size(col("__sh")) >= 1)
+          .select(col(idCol), mk(col("__sh"), k).as("sig"))
+      case None =>
+        val exploded = docs.select(col(idCol),
+          explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
+            .as("shingle"))
+        val prepared = exploded.select(
+          col(idCol) +: col("shingle") +:
+            family.prepare(col("shingle")).map { case (n, c) => c.as(n) }: _*)
+        val minCols = (0 until k).map(j => min(family.hash(col, j)).as(s"m$j"))
+        prepared.groupBy(col(idCol))
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col(idCol), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+    }
 
   /** O(churn) maintenance of a MATERIALIZED signature index (the table
     * [[minhashSignatures]] computes and [[nearDupsAgainstIndex]] probes)

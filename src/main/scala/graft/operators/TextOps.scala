@@ -956,8 +956,16 @@ object TextOps {
     * size is `langs × k` rows — broadcastable at any corpus size. */
   def trainLangProfiles(docs: DataFrame, textCol: String, langCol: String,
       n: Int = 3, k: Int = 300): DataFrame = {
-    docs.select(col(langCol).as("lang"), explode(charNgramsAll(col(textCol), n)).as("gram"))
-      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__cnt"))
+    // per-doc gram counting is row-local (graft_char_gram_counts — one
+    // byte walk + hash map per doc): the explode carries one row per
+    // DISTINCT gram per doc instead of one per occurrence, and the old
+    // per-character interpreted Substring lambdas are gone; the grouped
+    // sum of per-doc counts equals the grouped count of occurrences
+    // exactly (differential-spec'd)
+    docs.select(col(langCol).as("lang"),
+        explode(graft.expr.TextExpressions.charGramCounts(col(textCol), n)).as("gc"))
+      .select(col("lang"), col("gc.gram").as("gram"), col("gc.cnt").as("__c"))
+      .groupBy(col("lang"), col("gram")).agg(sum(col("__c")).as("__cnt"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
           .orderBy(col("__cnt").desc, col("gram"))))
@@ -983,17 +991,26 @@ object TextOps {
     // cost MORE than a language that never saw it - inverting the
     // out-of-place semantics
     val k = profileK.toLong
-    // explode_outer: a doc too short for even one n-gram keeps ONE
-    // null-gram row, which matches no profile -> every language scores
-    // the flat penalty and the tie resolves to the first (the doc would
-    // otherwise vanish from the output)
+    // A doc's top-m gram ranking depends only on the doc itself —
+    // graft_char_gram_top_ranks computes it ROW-LOCALLY (one byte walk +
+    // in-row sort, the same (count desc, gram asc) total order the
+    // per-doc window used), so the old explode-per-occurrence →
+    // groupBy(doc, gram) exchange → window pass is gone from the apply
+    // side entirely. explode_outer: a doc too short for even one n-gram
+    // keeps ONE null-gram row, which matches no profile -> every
+    // language scores the flat penalty and the tie resolves to the
+    // first (the doc would otherwise vanish from the output).
     val docGrams = docs
-      .select(col(idCol), explode_outer(charNgramsAll(col(textCol), n)).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col("__cnt").desc, col("gram"))))
-      .filter(col("__rank") <= m)
+      .select(col(idCol), explode_outer(
+        graft.expr.TextExpressions.charGramTopRanks(col(textCol), n, m)).as("gr"))
+      .select(col(idCol), col("gr.gram").as("gram"), col("gr.rank").as("__rank"))
+    // The lazy profiles feed three consumers (langs distinct + two
+    // broadcasts) but AQE exchange reuse dedupes the twin train subtrees
+    // at runtime and the single job overlaps train with the doc-side
+    // pass across cores — measured FASTER than collecting the profiles
+    // to a local relation (interleaved A/B: lazy 3.49 s vs collected
+    // 5.80 s at sf0.1/local[32]; the materialized form serializes the
+    // two corpus passes). Same result either way; keep the lazy form.
     val langs = profiles.select(col("lang")).distinct()
     // every (doc-gram, lang) pair scores: matched grams by displacement,
     // absent grams by the k penalty (left join against the profile)
@@ -1232,7 +1249,17 @@ object TextOps {
     // and without the barrier each job replays the corpus explode+count
     // train pass. State is |labels|×|distinct terms| count rows —
     // vocabulary-sized, never corpus-sized.
-    nbModel(termCounts.localCheckpoint(), labelDocs.localCheckpoint(), vocabK)
+    val tc = termCounts.localCheckpoint()
+    val ld = labelDocs.localCheckpoint()
+    val model = nbModel(tc, ld, vocabK)
+    // nbModel eagerly materializes the model (loglik/priors
+    // localCheckpoints), so the sufficient-stats blocks are dead here —
+    // free them now instead of leaking a stats-sized RDD pair per
+    // training call in a long-lived session (the connectedComponents
+    // round-lifecycle pattern)
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(tc)
+    org.apache.spark.sql.graftx.Bridge.freeCheckpoint(ld)
+    model
   }
 
   /** The NB SUFFICIENT STATISTICS — the maintainable state behind

@@ -2034,6 +2034,11 @@ object PipelineQueries {
       // replaying the whole count+merge graph per consumption
       val (tc1, ld1) = (tc1r.localCheckpoint(), ld1r.localCheckpoint())
       val (loglik, priors) = TextOps.nbModel(tc1, ld1, vocabK = 400)
+      // the model is eagerly materialized by nbModel; the maintained-stats
+      // blocks are dead past this point — free them (hygiene: repeated
+      // invocations in a long-lived session otherwise accumulate them)
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(tc1)
+      org.apache.spark.sql.graftx.Bridge.freeCheckpoint(ld1)
       TextOps.naiveBayesClassify(v1, "text", "doc_id", loglik, priors)
         .orderBy(col("doc_id"))
     }),

@@ -402,29 +402,25 @@ object StreamOps {
     val r = k / bands
     val shingles = array_distinct(
       graft.operators.TextOps.shingles(graft.operators.TextOps.tokens(col(textCol)), shingleN))
-    // fp/pw parts once per shingle; each of the k seeds is then two
-    // multiplies and a mod inside its array_min (HOF lambdas get no
-    // subexpression elimination — sharing must be explicit)
-    val parts = transform(col("__sh"), x => {
-      val p = graft.operators.TextOps.fingerprintParts(x).toMap
-      struct(p("fp").as("fp"), p("pw").as("pw"))
-    })
-    val sigCols = (0 until k).map { j =>
-      array_min(transform(col("__parts"), p =>
-        graft.operators.TextOps.prefixedFingerprintFromParts(s"$j:",
-          p.getField("fp"), p.getField("pw")))).as(s"m$j")
-    }
+    // all k minima in ONE native pass (graft_minhash_sig): the previous
+    // form ran k interpreted array_min(transform(...)) HOF passes per row
+    // — CodegenFallback subtrees, 16 walks of the shingle array with
+    // per-element lambda evaluation. Values bit-identical (same
+    // polynomial prefix family; differential-spec'd), so batch
+    // signatures, the SQL oracle and the stream still agree on every
+    // bucket key.
     val bandCols = (0 until bands).map { b =>
-      val elems = (b * r until (b + 1) * r).map(j => col(s"m$j"))
+      val elems = (b * r until (b + 1) * r)
+        .map(j => element_at(col("__sig"), j + 1))
       struct(lit(b).as("band"), concat_ws(",", elems: _*).as("bucket"))
     }
     docs
       .select(col(idCol).cast("long").as("doc_id"), shingles.as("__sh"))
       .filter(size(col("__sh")) >= 1)
-      .withColumn("__parts", parts)
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        graft.expr.TextExpressions.minhashSigs(col("__sh"), k).as("__sig"))
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"),
-        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+        col("__sig").as("sig"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"), col("sig"))
   }

@@ -210,6 +210,81 @@ class PipelineSpec extends SparkSpec {
     assert(viaParts.except(viaScalar).isEmpty && viaScalar.except(viaParts).isEmpty)
   }
 
+  test("native char-gram counts/top-ranks equal the HOF explode+window forms") {
+    // graft_char_gram_counts == explode(charNgramsAll) + count;
+    // graft_char_gram_top_ranks == the per-doc (count desc, gram asc)
+    // row_number window cut at m — including multibyte text (slicing is
+    // by code point, like substr) and shorter-than-n edge cases
+    import spark.implicits._
+    val texts = Seq((1L, "abcabcab"), (2L, "héllo wörld héllo"),
+      (3L, "ab"), (4L, ""), (5L, "日本語のテキスト日本語"), (6L, "zzzzzz"))
+    val df = texts.toDF("id", "text")
+    val n = 3
+    val viaNative = df.select(col("id"),
+        explode(graft.expr.TextExpressions.charGramCounts(col("text"), n)).as("gc"))
+      .select(col("id"), col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
+    val viaHof = df.select(col("id"),
+        explode(TextOps.charNgramsAll(col("text"), n)).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    assert(viaNative.except(viaHof).isEmpty && viaHof.except(viaNative).isEmpty)
+    val m = 3
+    val topNative = df.select(col("id"),
+        explode(graft.expr.TextExpressions.charGramTopRanks(col("text"), n, m)).as("gr"))
+      .select(col("id"), col("gr.gram").as("gram"), col("gr.rank").as("rank"))
+    val topWindow = viaHof
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cnt").desc, col("gram"))).cast("long"))
+      .filter(col("rank") <= m).select(col("id"), col("gram"), col("rank"))
+    assert(topNative.except(topWindow).isEmpty && topWindow.except(topNative).isEmpty)
+    // short/empty texts yield EMPTY arrays (not null): explode drops them
+    val sizes = df.select(col("id"),
+      size(graft.expr.TextExpressions.charGramCounts(col("text"), n)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes(3L) == 0 && sizes(4L) == 0)
+    // null text yields null (charNgramsAll contract)
+    val nullOut = Seq((7L, null: String)).toDF("id", "text")
+      .select(graft.expr.TextExpressions.charGramCounts(col("text"), n)).collect()
+    assert(nullOut.head.isNullAt(0))
+  }
+
+  test("native minhash kernel equals the k HOF array_min passes (stream shape)") {
+    // the graft_minhash_sig one-pass kernel must be bit-identical to the
+    // k separate array_min(transform(parts)) passes bandedSignatures ran
+    // before — including multi-byte UTF-8 shingles (pw = 31^numBYTES)
+    import spark.implicits._
+    val texts = Seq("red green blue cyan teal plum", "aaaa bbbb cccc dddd",
+      "héllo wörld ünïcode päd mörę", "one two three", "x y z w v u t s")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val k = 8
+    val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+    val base = df.select(col("id"), sh.as("__sh")).filter(size(col("__sh")) >= 1)
+    val viaNative = base.select(col("id"),
+      graft.expr.TextExpressions.minhashSigs(col("__sh"), k).as("sig"))
+    val parts = transform(col("__sh"), x => {
+      val p = TextOps.fingerprintParts(x).toMap
+      struct(p("fp").as("fp"), p("pw").as("pw"))
+    })
+    val viaHof = base.withColumn("__parts", parts)
+      .select(col("id"), array((0 until k).map { j =>
+        array_min(transform(col("__parts"), p =>
+          TextOps.prefixedFingerprintFromParts(s"$j:",
+            p.getField("fp"), p.getField("pw"))))
+      }: _*).as("sig"))
+    val n = viaNative.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = viaHof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n === h)
+    // empty / all-null arrays: every seed's min is NULL (array_min over
+    // an empty transform) — the contract callers' size>=1 filters rely on
+    val seeds = (0 until k).map(j => TextOps.fingerprintOf(s"$j:")).toArray
+    val emptyOut = graft.expr.TextExpressions.minhashSig(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]), seeds)
+    assert((0 until k).forall(emptyOut.isNullAt))
+    val allNull = graft.expr.TextExpressions.minhashSig(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](null, null)), seeds)
+    assert((0 until k).forall(allNull.isNullAt))
+  }
+
   test("prefixedFingerprintFromParts equals prefixedFingerprint past the pow-table bound") {
     import spark.implicits._
     val texts = Seq("a", "xy z", "q" * 4095, "w" * 4096, "e" * 5000, "tok " * 1500)
