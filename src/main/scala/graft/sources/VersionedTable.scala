@@ -269,11 +269,37 @@ object VersionedTable {
     * one JSON object whose only closing brace is terminal, so
     * completeness is exactly "ends with '}'". */
   private def readManifestUtf8(p: HPath): String = {
+    val key = p.toString
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
     val txt = readUtf8(p)
     if (!txt.trim.endsWith("}")) throw new IllegalStateException(
       s"VersionedTable: torn manifest read at $p (truncated body)")
+    // A manifest that passed the completeness check is IMMUTABLE: publish
+    // is an atomic tmp-write + rename and no code path ever rewrites a
+    // version file (restore/clone/maintenance publish NEW versions), so a
+    // complete read can be served forever. Caching it makes the torn-read
+    // completeness scan a once-per-(path, version) cost instead of
+    // per-read — table lifecycle ops each re-read the same manifest 2-5
+    // times (filesAt + dvsAt + action parses) and every one re-walked the
+    // text. Torn reads are never cached (they throw first), so fail-loud
+    // semantics are untouched. Bounded LRU: a long-lived session over
+    // many tables/versions stays flat.
+    manifestCache.put(key, txt)
     txt
   }
+
+  private val manifestCache: java.util.Map[String, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean = size() > 256
+      })
+
+  /** Drop the manifest cache — ONLY for specs that tamper a published
+    * manifest in place (simulating mid-write visibility), which violates
+    * the immutability contract the cache rests on. */
+  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
 
   /** Files of a manifest, as absolute paths. */
   def filesAt(path: String, v: Long): Seq[String] = {
@@ -1131,7 +1157,13 @@ object VersionedTable {
       base.schema.filterNot(f => f.name == "__vt_file" || f.name == "__vt_pos"))
     val normalized = source.select(tableSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    val srcKeys = normalized.select(keyCols.map(col): _*).distinct()
+    // the semi-join build side need not be distinct (left_semi is
+    // duplicate-insensitive, and the bloom sketch is a set) — the
+    // distinct only added an exchange in front of both. (An empty-target
+    // fast path was prototyped and dropped: a table always carries >= 1
+    // data file — readVersion derives the schema from parquet footers —
+    // so `files.isEmpty` can never fire.)
+    val srcKeys = normalized.select(keyCols.map(col): _*)
     // ONE source-sized job both prices the bloom sketch (distinct-key
     // count) and detects duplicate source keys for the MERGE
     // multi-match rule below.
