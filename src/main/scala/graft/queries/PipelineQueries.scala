@@ -392,7 +392,53 @@ object PipelineQueries {
     }
   }
 
-  private def runAvailableNow(s: SparkSession, tableFile: String,
+  /** Fence for the one-shot replay helpers' noDataMicroBatches skip: the
+    * skip is safe ONLY because every current face emits within the data
+    * batch. Three operator classes emit (part of) their output in the
+    * watermark-advancing NO-DATA batch the helpers suppress, and a future
+    * face routing one through here would silently lose rows — fail loudly
+    * at plan time instead:
+    *  - append-mode aggregation (windowed aggs emit a window only when
+    *    the watermark passes its end — i.e. in the flush batch);
+    *  - flatMapGroups/mapGroupsWithState with an ARMED timeout (timeout
+    *    processing runs in no-data batches);
+    *  - non-inner stream-stream joins (unmatched-side rows emit on
+    *    watermark advance).
+    * Complete/update-mode aggs re-emit state in the data batch; inner
+    * joins, watermark dedup and NoTimeout state ops emit on arrival. */
+  private def requireReplaySafe(df: DataFrame, outputMode: String,
+      helper: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.analyzed
+    if (outputMode.equalsIgnoreCase("append")) {
+      val aggs = plan.collect { case a: Aggregate => a }
+      require(aggs.isEmpty,
+        s"$helper: an append-mode aggregation emits a finished window only " +
+          "when the watermark advances — inside the trailing no-data " +
+          "micro-batch this one-shot replay helper skips. Use complete/" +
+          "update mode, or run the stream with noDataMicroBatches enabled.")
+    }
+    val timed = plan.collect {
+      case f: FlatMapGroupsWithState
+        if f.timeout != org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout => f
+    }
+    require(timed.isEmpty,
+      s"$helper: a (flat)mapGroupsWithState with an armed timeout fires " +
+        "its timeout emissions in no-data micro-batches, which this " +
+        "one-shot replay helper skips — drop the TTL for the replay or " +
+        "run with noDataMicroBatches enabled.")
+    val outer = plan.collect {
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+        j.joinType != org.apache.spark.sql.catalyst.plans.Inner => j
+    }
+    require(outer.isEmpty,
+      s"$helper: a non-inner stream-stream join emits unmatched rows on " +
+        "watermark advance — inside the no-data micro-batch this one-shot " +
+        "replay helper skips. Use an inner join or run with " +
+        "noDataMicroBatches enabled.")
+  }
+
+  private[graft] def runAvailableNow(s: SparkSession, tableFile: String,
       prefix: String, outputMode: String)(mkAgg: DataFrame => DataFrame): DataFrame = {
     val schema = s.read.parquet(tableFile).schema
     val stageDir = java.nio.file.Files.createTempDirectory(prefix)
@@ -424,8 +470,10 @@ object PipelineQueries {
         // when the whole staged input lands in ONE data micro-batch — a
         // global maxFilesPerTrigger or >1000 staged parts (AvailableNow's
         // default chunk) would silently split it
-        mkAgg(s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1000000).parquet(stageDir.toString))
+        val composed = mkAgg(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1000000).parquet(stageDir.toString))
+        requireReplaySafe(composed, outputMode, "runAvailableNow")
+        composed
           .writeStream.format("memory").queryName(sink)
           .outputMode(outputMode)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -447,7 +495,7 @@ object PipelineQueries {
   /** Two-stream variant of [[runAvailableNow]]: stages the SAME parquet
     * file into two independent directories so both sides are genuine
     * file-stream sources (a stream-stream join needs two moving sides). */
-  private def runAvailableNow2(s: SparkSession, tableFile: String,
+  private[graft] def runAvailableNow2(s: SparkSession, tableFile: String,
       prefix: String, outputMode: String)
       (mkJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val schema = s.read.parquet(tableFile).schema
@@ -475,7 +523,9 @@ object PipelineQueries {
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = try {
-        mkJoin(l, r)
+        val composed = mkJoin(l, r)
+        requireReplaySafe(composed, outputMode, "runAvailableNow2")
+        composed
           .writeStream.format("memory").queryName(sink)
           .outputMode(outputMode)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -609,4 +609,56 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.upsertStreamBatch(
       Seq((0L, 9L)).toDF("id", "x"), path, Seq("id"), "sm", 2L) === None)
   }
+
+  test("one-shot replay helpers refuse flush-finalized operators (no-data-batch fence)") {
+    // The replay helpers pin noDataMicroBatches=false — safe ONLY for
+    // operators that emit within the data batch. Each class that emits in
+    // the suppressed flush batch must fail LOUDLY at plan time, not lose
+    // rows silently: append-mode windowed aggregation (final windows emit
+    // on watermark advance), an armed (flat)mapGroupsWithState timeout,
+    // and a non-inner stream-stream join.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fence").toString
+    Seq((ts("2024-01-01 00:01:00"), 1L, 2.0))
+      .toDF("ts", "user_id", "value").write.parquet(s"$tmp/ev.parquet")
+    val appendAgg = intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.runAvailableNow(spark, s"$tmp/ev.parquet",
+        "fence_agg", "append") { st =>
+        StreamOps.tumblingAgg(st, "ts", "user_id", "value",
+          "10 minutes", "5 minutes")
+      }
+    }
+    assert(appendAgg.getMessage.contains("append-mode aggregation"))
+    val ttl = intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.runAvailableNow(spark, s"$tmp/ev.parquet",
+        "fence_ttl", "append") { st =>
+        StreamOps.streamingLshClaims(
+          st.select(col("user_id").as("doc_id"),
+            lit("aa bb cc dd ee").as("text")),
+          "text", "doc_id", stateTtl = Some("30 seconds")).toDF
+      }
+    }
+    assert(ttl.getMessage.contains("armed timeout"))
+    val outer = intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.runAvailableNow2(spark, s"$tmp/ev.parquet",
+        "fence_outer", "append") { (l, r) =>
+        val lw = l.withWatermark("ts", "5 minutes")
+        val rw = r.withWatermark("ts", "5 minutes")
+          .withColumnRenamed("ts", "ts2").withColumnRenamed("value", "v2")
+        lw.join(rw, lw("user_id") === rw("user_id") &&
+          col("ts2").between(col("ts") - expr("interval 10 minutes"),
+            col("ts") + expr("interval 10 minutes")), "left_outer")
+      }
+    }
+    assert(outer.getMessage.contains("non-inner stream-stream join"))
+    // the same complete-mode aggregation still passes the fence (it
+    // re-emits full state in the data batch)
+    val ok = graft.queries.PipelineQueries.runAvailableNow(spark,
+      s"$tmp/ev.parquet", "fence_ok", "complete") { st =>
+      StreamOps.tumblingAgg(st, "ts", "user_id", "value",
+        "10 minutes", "5 minutes")
+    }
+    assert(ok.count() === 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }
