@@ -1436,13 +1436,21 @@ object PipelineQueries {
           col("n_trimmed_tokens"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val canon = Dedup.dropExactDups(trimmed, "clean", "doc_id")
-      canon
+      val out = canon
         .withColumn("split", graft.operators.Sampling.splitTag(col("doc_id"), 80))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_trimmed_tokens")).as("trimmed_sum"),
           sum(TextOps.tokenCount(col("clean"))).as("tokens_sum"))
         .orderBy(col("split"))
+      // materialize the 2-row split summary INSIDE the query so the
+      // corpus-sized persist is released deterministically (it leaked for
+      // the session's lifetime before — the bench sweep hid it). Same
+      // rows, recomputed from parquet on every invocation; the memory-
+      // sink streaming faces set the eager-inside-the-query precedent.
+      val rows = out.collect()
+      trimmed.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // Incremental-ingest dedup: the new batch (doc_id >= 250) drops rows

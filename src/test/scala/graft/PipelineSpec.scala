@@ -190,6 +190,30 @@ class PipelineSpec extends SparkSpec {
       s"persistent RDD blocks grew from $baseline to ${live()} after 3 calls")
   }
 
+  test("q_curate2 releases its persisted stage (storage-flat across calls)") {
+    // the gate+trim persist must not outlive the query: the split summary
+    // is materialized inside the query and the stage unpersisted before
+    // the result returns (it previously leaked one corpus-sized cache
+    // entry per invocation for the session's lifetime)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curate2flat").toString
+    (1L to 60L).map(i => (i,
+        s"alpha beta gamma delta epsilon zeta eta theta iota kappa $i. " * 6))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 3)
+      graft.SparkEntry.queries("q_curate2")(spark, tmp)
+        .write.format("noop").mode("overwrite").save()
+    def live() = spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.currentTimeMillis + 30000
+    while (live() > baseline && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(250)
+    }
+    assert(live() <= baseline,
+      s"persistent RDD blocks grew from $baseline to ${live()} after 3 calls")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("minhash polynomial family signatures equal the scalar prefixedFingerprint form") {
     // the parts form (shared fp/pw projection) must be value-identical to
     // the per-seed scalar form, including the long-text fallback path
