@@ -213,6 +213,40 @@ case class CharGramTopRanks(child: Expression, n: Int, m: Int)
     copy(child = newChild)
 }
 
+/** Per-document whitespace-token counts in ONE pass — `array<struct<t,
+  * cnt>>` sorted by token (binary order), one entry per DISTINCT token
+  * with its occurrence count. Split semantics are EXACTLY
+  * `split(text, " ")` (TextOps.tokens): segments between single 0x20
+  * bytes, EMPTY segments kept (Spark's split has no-limit = -1: "a  b"
+  * → ["a","","b"], "" → [""]) — the empty token is a countable term and
+  * must stay one, or NB vocab cuts and counts would drift from the
+  * oracle replay. Replaces the explode-per-occurrence → hash-aggregate
+  * pass of the NB counting paths with a row-local walk (the GramStats
+  * pattern). Null yields null (split's contract). */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_token_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.tokenCounts(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.tokenCounts($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
 /** All k minhash values of a shingle array in ONE pass — the native form
   * of the polynomial seeded-hash family h_j(s) = (fp("j:")·31^len(s) +
   * fp(s)) mod P used by [[graft.operators.Dedup.MinhashFamily.polynomial]]
@@ -714,6 +748,40 @@ object TextExpressions {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Static [[TokenCounts]] helper shared by eval and generated code:
+    * one byte walk, segments split at 0x20, empty segments kept (split's
+    * no-limit semantics), counts in a hash map, output sorted by token. */
+  def tokenCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val m = new java.util.HashMap[UTF8String, Array[Long]]()
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == 0x20) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        val prev = m.get(tok)
+        if (prev == null) m.put(tok, Array(1L)) else prev(0) += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    val keys = m.keySet().toArray(new Array[UTF8String](m.size()))
+    java.util.Arrays.sort(keys,
+      java.util.Comparator.naturalOrder[UTF8String]())
+    val out = new Array[Any](keys.length)
+    var j = 0
+    while (j < keys.length) {
+      out(j) = new GenericInternalRow(Array[Any](keys(j), m.get(keys(j))(0)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[TokenCounts]] Column. */
+  def tokenCounts(c: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(c)))
 
   /** [[CharGramCounts]] Column. */
   def charGramCounts(c: Column, n: Int): Column =

@@ -90,8 +90,12 @@ object TextOps {
     * map partition, not per occurrence). */
   def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String)
       : org.apache.spark.sql.DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // row-local per-doc counting (graft_token_counts): the explode now
+    // carries one row per DISTINCT token per doc, not per occurrence;
+    // the grouped sum equals the grouped occurrence count exactly
+    docs.select(explode(graft.expr.TextExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col("tc.t").as("token"), col("tc.cnt").as("__c0"))
+      .groupBy(col("token")).agg(sum(col("__c0")).as("n"))
 
   /** Per-document out-of-vocabulary profile against a bounded vocab
     * table (tokenizer coverage check before training: docs full of OOV
@@ -102,13 +106,17 @@ object TextOps {
   def oovProfile(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, vocab: org.apache.spark.sql.DataFrame,
       vocabCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    // row-local per-doc counts: the broadcast join probes one row per
+    // DISTINCT token per doc; occurrence totals fold back by summing cnt
+    val tok = docs.select(col(idCol),
+        explode(graft.expr.TextExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.t").as("__tok"), col("tc.cnt").as("__tc"))
     val v = vocab.select(col(vocabCol).as("__tok")).distinct()
       .withColumn("__in", lit(1))
     tok.join(broadcast(v), Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        coalesce(sum(when(col("__in").isNull, 1L)), lit(0L)).as("n_oov"))
+      .agg(sum(col("__tc")).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, col("__tc"))), lit(0L)).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"))
   }
@@ -437,8 +445,12 @@ object TextOps {
   def tfIdf(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       nDocs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val n = nDocs.getOrElse(docs.count())
-    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // tf depends only on the doc itself — row-local counting
+    // (graft_token_counts) replaces the explode-per-occurrence +
+    // (doc, token) exchange; identical (doc, token, tf) rows
+    val tf = docs.select(col(idCol),
+        explode(graft.expr.TextExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.t").as("token"), col("tc.cnt").as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("token"))
       .withColumn("idf", log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
@@ -458,16 +470,24 @@ object TextOps {
     * (`spark.catalog.clearCache()` — the Bench/Verify harnesses do). */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, nTokens: Option[Long] = None): org.apache.spark.sql.DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c")).cache()
+    // row-local per-doc counts (graft_token_counts): the corpus explode
+    // carries one row per distinct token per doc; the LM aggregate sums
+    // cnt, and the per-doc mean folds cnt·ln p over distinct tokens
+    // (≡ Σ ln p over occurrences; the face rounds at 6dp, far above the
+    // ~1e-13 double-summation scatter both forms carry)
+    val tok = docs.select(col(idCol),
+        explode(graft.expr.TextExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.t").as("token"), col("tc.cnt").as("__tc"))
+    val vocab = tok.groupBy(col("token")).agg(sum(col("__tc")).as("c")).cache()
     // total token count folds out of the (cached, vocab-sized) aggregate —
     // NOT a third full tokenize pass over the corpus
     val n = nTokens.getOrElse(
       vocab.agg(sum(col("c"))).head().getLong(0))
     tok.join(vocab, Seq("token"))
       .groupBy(col(idCol))
-      .agg((sum(log(col("c").cast(DoubleType) / n)) / count(lit(1))).as("avg_logprob"),
-        count(lit(1)).as("n_tokens"))
+      .agg((sum(col("__tc") * log(col("c").cast(DoubleType) / n)) / sum(col("__tc")))
+          .as("avg_logprob"),
+        sum(col("__tc")).as("n_tokens"))
   }
 
   /** Adjacent token pairs as (prev, cur) structs — the bigram stream for
@@ -1271,10 +1291,17 @@ object TextOps {
     * contract the LSH/BM25/CMS indexes use. */
   def nbCounts(train: DataFrame, textCol: String,
       labelCol: String): (DataFrame, DataFrame) = {
+    // per-doc token counting is row-local (graft_token_counts — one byte
+    // walk + hash map per doc, split semantics bit-equal to
+    // split(text, ' ') incl. kept empty segments): the explode carries
+    // one row per DISTINCT token per doc instead of one per occurrence;
+    // the grouped sum of per-doc counts equals the grouped count of
+    // occurrences exactly (differential-spec'd)
     val tok = train.select(col(labelCol).as("label"),
-      explode(tokens(col(textCol))).as("t"))
+        explode(graft.expr.TextExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col("label"), col("tc.t").as("t"), col("tc.cnt").as("__c0"))
     val termCounts = tok.groupBy(col("label"), col("t"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("__c0")).as("c"))
     val labelDocs = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nd"))
     (termCounts, labelDocs)
@@ -1381,8 +1408,12 @@ object TextOps {
   def naiveBayesClassify(docs: DataFrame, textCol: String, idCol: String,
       loglik: DataFrame, priors: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dcnt = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("__dc"))
+    // per-doc token counts are row-local (graft_token_counts): the old
+    // explode-per-occurrence + groupBy(doc, token) pass paid an exchange
+    // for counts that depend only on the row itself
+    val dcnt = docs.select(col(idCol),
+        explode(graft.expr.TextExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.t").as("t"), col("tc.cnt").as("__dc"))
     // loglik carries EVERY label per vocab term (dense grid), so one
     // broadcast join yields all |labels| scores for any doc with >= 1
     // vocab token; the left join from the doc×priors base only fills in

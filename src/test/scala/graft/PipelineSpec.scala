@@ -272,6 +272,28 @@ class PipelineSpec extends SparkSpec {
     assert(nullOut.head.isNullAt(0))
   }
 
+  test("native token counts equal explode(split)+count, empty segments kept") {
+    // graft_token_counts must reproduce split(text, " ")'s no-limit
+    // semantics bit for bit: "a  b" has an EMPTY middle token, "" is one
+    // empty token, leading/trailing spaces produce empty edge tokens —
+    // the empty token is a countable NB term and must stay one
+    import spark.implicits._
+    val texts = Seq((1L, "the cat the hat"), (2L, "a  b"), (3L, ""),
+      (4L, " x "), (5L, "héllo wörld héllo"), (6L, "one"), (7L, "tail "))
+    val df = texts.toDF("id", "text")
+    val viaNative = df.select(col("id"),
+        explode(graft.expr.TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("id"), col("tc.t").as("t"), col("tc.cnt").as("cnt"))
+    val viaSplit = df.select(col("id"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("cnt"))
+    assert(viaNative.except(viaSplit).isEmpty && viaSplit.except(viaNative).isEmpty)
+    // null text yields null (split's contract): explode drops the row
+    val n = Seq((8L, null: String)).toDF("id", "text").select(col("id"),
+      explode(graft.expr.TextExpressions.tokenCounts(col("text"))).as("tc")).count()
+    assert(n == 0)
+  }
+
   test("native minhash kernel equals the k HOF array_min passes (stream shape)") {
     // the graft_minhash_sig one-pass kernel must be bit-identical to the
     // k separate array_min(transform(parts)) passes bandedSignatures ran
