@@ -1448,8 +1448,11 @@ object PipelineQueries {
       // the session's lifetime before — the bench sweep hid it). Same
       // rows, recomputed from parquet on every invocation; the memory-
       // sink streaming faces set the eager-inside-the-query precedent.
+      // blocking: async removal raced the next invocation's re-persist
+      // (interleaved A/B: non-blocking degraded run-over-run 1.6→2.8 s;
+      // blocking is timing-neutral vs the lazy form, B/A=0.97)
       val rows = out.collect()
-      trimmed.unpersist(blocking = false)
+      trimmed.unpersist(blocking = true)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 

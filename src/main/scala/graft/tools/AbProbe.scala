@@ -172,6 +172,14 @@ object AbProbe {
       ab("curate2: persist(A) vs repartition(B)")(
         finish(stage().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))(
         finish(stage().repartition(col("doc_id"))))
+      ab("curate2: lazy-noop(A) vs eager-collect(B)")(
+        finish(stage().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))({
+        val trimmed = stage().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = finish(trimmed)
+        val rows = out.collect()
+        trimmed.unpersist(blocking = true)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      })
     }
     spark.stop()
   }
