@@ -247,6 +247,66 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whole-token statistics of a doc in ONE byte walk — the shared scan
+  * behind [[graft.operators.TextOps]]'s per-doc quality signals
+  * (uniqueTokenRatio, stopwordRatio, tokenCountBpeIsh, qualityScore,
+  * langId). Split semantics are bit-equal to `split(text, ' ')` with
+  * empty segments KEPT ('' is one empty token; 'a  b' has an empty middle
+  * token) — the [[TokenCounts]] contract. Returns
+  * `struct(n_tokens, n_distinct, n_bpe, marker_counts: array<long>)`:
+  *  - n_tokens   = number of split segments (what `size(tokens)` sees)
+  *  - n_distinct = distinct segments (what `size(array_distinct)` sees)
+  *  - n_bpe      = Σ ceil(numChars(tok)/6) — integer (nc+5)/6, which
+  *    equals `ceil(length(t)/6.0)` exactly (nc < 2^31, so nc/6.0 is
+  *    never within an ulp of an integer unless it IS one)
+  *  - marker_counts(i) = occurrences of `markers(i)` (multiplicity),
+  *    what `size(filter(toks, t => t === m))` sees
+  * The HOF formulation ran one interpreted split + transform/filter/
+  * aggregate pass PER SIGNAL REFERENCE (CodegenFallback → no CSE):
+  * qualityScore alone re-split the text ~5×, langId ~9×. Null text
+  * yields a null struct, so every derived signal stays null exactly as
+  * the HOF forms were (size(null)=null under non-legacy semantics).
+  * Differential-spec'd against the HOF forms. */
+case class TokenMarkerStats(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_bpe", LongType, nullable = false),
+    StructField("marker_counts", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_token_marker_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  // marker → slot index; built once per expression instance, shared by
+  // every row (and by generated code via addReferenceObj)
+  private lazy val markerMap: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    markers.zipWithIndex.foreach { case (s, i) =>
+      m.put(UTF8String.fromString(s), Integer.valueOf(i)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.tokenMarkerStats(
+      input.asInstanceOf[UTF8String], markerMap, markers.size)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mm = ctx.addReferenceObj("tmsMarkers", markerMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExpressions.tokenMarkerStats($s, $mm, ${markers.size});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenMarkerStats =
+    copy(child = newChild)
+}
+
 /** All k minhash values of a shingle array in ONE pass — the native form
   * of the polynomial seeded-hash family h_j(s) = (fp("j:")·31^len(s) +
   * fp(s)) mod P used by [[graft.operators.Dedup.MinhashFamily.polynomial]]
@@ -782,6 +842,43 @@ object TextExpressions {
   /** [[TokenCounts]] Column. */
   def tokenCounts(c: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(c)))
+
+  /** Static [[TokenMarkerStats]] helper shared by eval and generated code:
+    * one byte walk, segments split at 0x20, empty segments kept. Tokens
+    * are zero-copy views of the input's byte array. */
+  def tokenMarkerStats(s: UTF8String,
+      markerMap: java.util.HashMap[UTF8String, Integer],
+      nMarkers: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val distinct = new java.util.HashSet[UTF8String]()
+    val mcounts = new Array[Long](nMarkers)
+    var nTokens = 0L
+    var nBpe = 0L
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == 0x20) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        nTokens += 1L
+        nBpe += (tok.numChars().toLong + 5L) / 6L
+        distinct.add(tok)
+        val slot = markerMap.get(tok)
+        if (slot != null) mcounts(slot.intValue()) += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Any](nMarkers)
+    var j = 0
+    while (j < nMarkers) { arr(j) = mcounts(j); j += 1 }
+    new GenericInternalRow(Array[Any](nTokens, distinct.size().toLong, nBpe,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)))
+  }
+
+  /** [[TokenMarkerStats]] Column. */
+  def tokenMarkerStats(c: Column, markers: Seq[String]): Column =
+    Bridge.column(TokenMarkerStats(Bridge.expression(c), markers))
 
   /** [[CharGramCounts]] Column. */
   def charGramCounts(c: Column, n: Int): Column =

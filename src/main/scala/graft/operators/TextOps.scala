@@ -648,19 +648,50 @@ object TextOps {
     * driver's oracle hash is width-sensitive. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** The shared one-pass token scan behind the per-doc quality signals:
+    * every signal below is arithmetic over [[graft.expr.TextExpressions
+    * .TokenMarkerStats]] fields, and identical scans CSE into ONE
+    * evaluation per row inside a codegen'd projection (the expression is
+    * deterministic and codegen-capable — unlike the previous HOF forms,
+    * whose CodegenFallback subtrees re-split the text once per
+    * REFERENCE: qualityScore ~5 splits/row, langId ~9). Marker slots:
+    * 0="the", 1="a", then the langMarkers vocabulary. */
+  // lazy: langMarkers is declared later in the object (init order)
+  private lazy val tokenStatMarkers: Seq[String] =
+    Seq("the", "a") ++ langMarkers.flatMap(_._2.map(_._1)).distinct.filterNot(
+      Seq("the", "a").contains)
+  private def tokenStats(text: Column): Column =
+    graft.expr.TextExpressions.tokenMarkerStats(text, tokenStatMarkers)
+  private def markerCount(text: Column, m: String): Column =
+    element_at(tokenStats(text).getField("marker_counts"),
+      tokenStatMarkers.indexOf(m) + 1)
+
   /** BPE-ish sub-word count estimate: each word contributes ceil(len/6)
     * pieces — a deterministic proxy for a real tokenizer's piece count. */
   def tokenCountBpeIsh(text: Column): Column =
+    tokenStats(text).getField("n_bpe")
+
+  /** HOF formulation of [[tokenCountBpeIsh]], kept for differential
+    * testing of the native TokenMarkerStats expression. */
+  private[graft] def tokenCountBpeIshHof(text: Column): Column =
     aggregate(
       transform(tokens(text), t => ceil(length(t).cast(DoubleType) / 6.0).cast(LongType)),
       lit(0L), (acc, x) => acc + x)
 
-  def stopwordRatio(text: Column): Column = {
+  def stopwordRatio(text: Column): Column =
+    (markerCount(text, "the") + markerCount(text, "a")).cast(DoubleType) /
+      tokenStats(text).getField("n_tokens").cast(DoubleType)
+
+  private[graft] def stopwordRatioHof(text: Column): Column = {
     val toks = tokens(text)
     size(filter(toks, t => t === "a" || t === "the")).cast(DoubleType) / size(toks).cast(DoubleType)
   }
 
-  def uniqueTokenRatio(text: Column): Column = {
+  def uniqueTokenRatio(text: Column): Column =
+    tokenStats(text).getField("n_distinct").cast(DoubleType) /
+      tokenStats(text).getField("n_tokens").cast(DoubleType)
+
+  private[graft] def uniqueTokenRatioHof(text: Column): Column = {
     val toks = tokens(text)
     size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType)
   }
@@ -927,9 +958,18 @@ object TextOps {
   /** Composite quality score — arbitrary but deterministic and order-free:
     * 0.4*uniq_ratio + 0.3*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100). */
   def qualityScore(text: Column): Column = {
-    val n = size(tokens(text)).cast(DoubleType)
+    // same double-arithmetic tree as the HOF form: ((0.4*u)+(0.3*(1-s)))
+    // + (0.3*min(1, n/100)) — bit-identical results, one token scan
+    val n = tokenStats(text).getField("n_tokens").cast(DoubleType)
     lit(0.4) * uniqueTokenRatio(text) +
       lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.3) * least(lit(1.0), n / 100.0)
+  }
+
+  private[graft] def qualityScoreHof(text: Column): Column = {
+    val n = size(tokens(text)).cast(DoubleType)
+    lit(0.4) * uniqueTokenRatioHof(text) +
+      lit(0.3) * (lit(1.0) - stopwordRatioHof(text)) +
       lit(0.3) * least(lit(1.0), n / 100.0)
   }
 
@@ -941,7 +981,16 @@ object TextOps {
     "de" -> Seq("join" -> 3, "group" -> 2, "window" -> 1),
     "es" -> Seq("data" -> 3, "query" -> 2, "stream" -> 1))
 
-  def langScore(text: Column, markers: Seq[(String, Int)]): Column = {
+  def langScore(text: Column, markers: Seq[(String, Int)]): Column =
+    // marker occurrence counts come from the shared one-pass token scan;
+    // the weighted sum is plain codegen'd arithmetic (long instead of the
+    // HOF form's int — the score only feeds comparisons, never output).
+    // Markers outside the fixed scan vocabulary keep the HOF form.
+    if (markers.forall(m => tokenStatMarkers.contains(m._1)))
+      markers.map { case (m, w) => lit(w.toLong) * markerCount(text, m) }.reduce(_ + _)
+    else langScoreHof(text, markers)
+
+  private[graft] def langScoreHof(text: Column, markers: Seq[(String, Int)]): Column = {
     val toks = tokens(text)
     markers.map { case (m, w) => lit(w) * size(filter(toks, t => t === m)) }.reduce(_ + _)
   }
@@ -950,6 +999,14 @@ object TextOps {
     * profile in `langMarkers` order (deterministic). */
   def langId(text: Column): Column = {
     val scored = langMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit(null).cast(StringType): Column) { case ((lang, s), acc) =>
+      when(s === maxScore, lang).otherwise(acc)
+    }
+  }
+
+  private[graft] def langIdHof(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, ms) => (lang, langScoreHof(text, ms)) }
     val maxScore = greatest(scored.map(_._2): _*)
     scored.foldRight(lit(null).cast(StringType): Column) { case ((lang, s), acc) =>
       when(s === maxScore, lang).otherwise(acc)

@@ -1016,7 +1016,13 @@ object VersionedTable {
       if (n == 0) Nil
       else {
         val parts = math.max(1, math.min(200, ((n - 1) / 4000000L).toInt + 1))
-        stageDv(m.repartitionByRange(parts, col("file"), col("pos")), path)
+        // single-shard staging (the overwhelmingly common delete size)
+        // needs no range partitioning: coalesce is a narrow read of the
+        // persisted marks — repartitionByRange here cost one extra
+        // range-sampling job over them per delete/upsert op
+        val shaped = if (parts == 1) m.coalesce(1)
+          else m.repartitionByRange(parts, col("file"), col("pos"))
+        stageDv(shaped, path)
       }
     } finally m.unpersist()
   }

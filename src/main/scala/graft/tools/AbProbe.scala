@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.operators.{Dedup, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -148,6 +148,38 @@ object AbProbe {
             col("bb.bucket").as("bucket"), col("sig"))
       }
       ab("bandedSignatures: HOF(A) vs native(B)")(oldBanded())(newBanded())
+    }
+
+    // ---- 3b. per-doc quality signals: HOF forms vs one-pass native ----
+    if (args.isEmpty || args.contains("textstats")) {
+      def statsOf(q: Column, lang: Column, nbpe: Column, uniq: Column,
+          stop: Column): DataFrame =
+        docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          nbpe.as("n_bpe"),
+          round(uniq, 6).as("uniq_ratio"),
+          round(stop, 6).as("stop_ratio"),
+          round(q, 6).as("quality"),
+          lang.as("lang_pred"),
+          TextOps.fingerprint(col("text")).as("fingerprint"))
+      ab("textstats: HOF(A) vs native(B)")(
+        statsOf(TextOps.qualityScoreHof(col("text")), TextOps.langIdHof(col("text")),
+          TextOps.tokenCountBpeIshHof(col("text")),
+          TextOps.uniqueTokenRatioHof(col("text")), TextOps.stopwordRatioHof(col("text"))))(
+        statsOf(TextOps.qualityScore(col("text")), TextOps.langId(col("text")),
+          TextOps.tokenCountBpeIsh(col("text")),
+          TextOps.uniqueTokenRatio(col("text")), TextOps.stopwordRatio(col("text"))))
+      def qfilter(q: Column, lang: Column): DataFrame = {
+        val scored = docs.select(col("doc_id"), col("text"),
+            round(q, 6).as("q"), lang.as("lang_pred"),
+            TextOps.tokenCount(col("text")).as("nt"))
+          .filter(col("q") >= 0.55 && col("lang_pred") === "en" && col("nt") >= 20)
+        Dedup.dropExactDups(scored, "text", "doc_id")
+          .select(col("doc_id"), col("q"), col("nt"))
+      }
+      ab("qualityfilter: HOF(A) vs native(B)")(
+        qfilter(TextOps.qualityScoreHof(col("text")), TextOps.langIdHof(col("text"))))(
+        qfilter(TextOps.qualityScore(col("text")), TextOps.langId(col("text"))))
     }
 
     // ---- 4. q_curate2 stage sharing: persist vs repartition reuse ----
